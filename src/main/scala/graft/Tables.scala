@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md /
+  * FIXTURES.md §B). One parquet file per table under `$dir/`.
+  *
+  * These are plain `spark.read.parquet` scans: Catalyst handles column
+  * pruning and predicate pushdown into the parquet reader, which is the
+  * scan architecture that scales to 100 TB (splittable files, pruned
+  * row groups) — nothing custom is needed or wanted here.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Register every table as a temp view for `spark.sql` use. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+}
