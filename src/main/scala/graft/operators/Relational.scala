@@ -1,0 +1,153 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational/analytic surface over the star schema (SURVEY.md §2.B:
+  * joins, aggregations, sorts/top-k, set ops, scalar/date functions).
+  *
+  * Determinism-for-oracle rules used throughout the engine:
+  *  - money/quantity sums go through DECIMAL(18,2|4): the DOUBLE→DECIMAL
+  *    cast rounds each value identically in Spark and DuckDB (binary
+  *    doubles are never exact .xx5 ties) and the decimal sum is exact,
+  *    so the result is independent of partial-aggregation order — the
+  *    final value is surfaced as DOUBLE for a stable output schema;
+  *  - averages are computed as exact-decimal sum / count, not avg();
+  *  - every ORDER BY used for top-k carries a unique tiebreaker key.
+  *
+  * Scale notes: all aggregations here are partial+final hash aggregates
+  * (map-side combine), dimension joins are explicitly broadcast, and
+  * the fact-fact join (orders⋈customer) is a shuffle hash/sort-merge on
+  * the join key, which is the right plan at 100 TB.
+  */
+object Relational {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** TPC-H Q1-style pricing summary: scan-heavy groupBy/agg with a
+    * pushed-down date filter; the canonical partial+final HashAggregate.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("sum_disc_price"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec4(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Broadcast-join: lineitem ⋈ part (small dim, explicitly broadcast —
+    * no shuffle of the fact table at any scale), revenue by brand.
+    */
+  def revenueByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Multi-way join up the dimension chain: orders ⋈ customer is the
+    * big shuffle join (both fact-sized at scale); customer ⋈ nation ⋈
+    * region are broadcast.  Revenue per region/nation.
+    */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  /** Top-k with a deterministic tiebreak — Spark plans this as
+    * TakeOrderedAndProject (per-partition heap + driver merge, no full
+    * sort), exactly what you want at scale.
+    */
+  def topOrders(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** Anti join: customers with no orders since 1998 (left_anti —
+    * Spark's NOT EXISTS with a pushed date filter on the probe side;
+    * broadcastable when the probe side is small, shuffled hash-anti
+    * otherwise).
+    */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Semi join: parts that ship in bulk (EXISTS with a pushed filter on
+    * the probe side).
+    */
+  def bulkParts(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val li = Tables.lineitem(spark, dir).filter(col("l_quantity") > 45)
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+      .select("p_partkey", "p_name", "p_brand")
+  }
+
+  /** Set op: nations with customers in debt but no suppliers in debt
+    * (EXCEPT = distinct + anti under the hood; stays a hash-based
+    * plan with both filters pushed to the scans).
+    */
+  def customerOnlyNations(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_acctbal") < 0)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val s = Tables.supplier(spark, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    c.except(s)
+  }
+
+  /** Date-dimension rollup: orders per month (date_trunc + group — the
+    * string month key keeps timestamp rendering out of the compare).
+    */
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("order_month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("month_revenue"))
+
+  /** Exact distinct-count aggregation per group (the HLL variant of
+    * this query is Similarity/approxDistinctUsers — exact here so the
+    * oracle can hash-match).
+    */
+  def eventTypeStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+
+  /** approx_count_distinct (HyperLogLog++) per event_type — the
+    * at-scale form of eventTypeStats (no exact-distinct shuffle of the
+    * key universe).  Sketch internals differ between engines, so this
+    * query is registered rows-only (no DuckDB oracle).
+    */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+}

