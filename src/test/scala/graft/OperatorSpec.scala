@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants per operator family, on sf0.001 — complements
+  * the DuckDB hash-compare (which checks equivalence, not meaning).
+  */
+class OperatorSpec extends SparkSuite {
+  import spark.implicits._
+
+  // — dedup —
+
+  test("exact dedup groups every document exactly once") {
+    val g = Dedup.exact(spark, sf)
+    assert(g.agg(sum("n_copies")).as[Long].head() == 500L)
+    // md5 is collision-free here: each group keeps a real doc id
+    assert(g.select("keeper_id").distinct().count() == g.count())
+  }
+
+  test("fingerprint dedup finds bag-of-words duplicates that exact dedup misses") {
+    val exact = Dedup.exact(spark, sf).count()
+    val fp = Dedup.fingerprint(spark, sf).count()
+    assert(fp < exact, s"expected shuffled-word dups: fp=$fp exact=$exact")
+  }
+
+  test("minhash-LSH candidates are high-Jaccard pairs (precision against exact Jaccard)") {
+    val cands = Dedup.minhashLsh(spark, sf).as[(Long, Long)].collect().toSet
+    assert(cands.nonEmpty)
+    val trueDups = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val hits = cands.intersect(trueDups).size.toDouble / cands.size
+    assert(hits >= 0.8, s"LSH precision vs jaccard>=0.5: $hits")
+  }
+
+  test("jaccard of a doc with itself would be 1: symmetric pair lists stay a<b") {
+    val pairs = Dedup.ngramJaccard(spark, sf, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("simhash is 16-bit bounded and equal-text ⇒ equal hash") {
+    val sh = Dedup.simhash(spark, sf, bits = 16).as[(Long, Long)].collect()
+    assert(sh.length == 500)
+    assert(sh.forall { case (_, h) => h >= 0 && h < (1 << 16) })
+  }
+
+  // — similarity —
+
+  test("brute-force top-k: k neighbors per probe, ranked by descending cosine, no self") {
+    val r = Similarity.bruteForceTopK(spark, sf, numProbes = 3, k = 5)
+      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(r.length == 15)
+    r.groupBy(_._1).foreach { case (p, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to 5))
+      assert(rows.forall(_._2 != p))
+      val byRank = rows.sortBy(_._4).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"probe $p not sorted")
+    }
+  }
+
+  test("bucketed ANN returns same-bucket true neighbors (subset of brute-force domain)") {
+    val ann = Similarity.bucketedAnn(spark, sf, numProbes = 10, k = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(ann.nonEmpty)
+    assert(ann.forall { case (p, n) => p != n })
+  }
+
+  test("cosine is symmetric and bounded on threshold pairs") {
+    val pairs = Similarity.thresholdPairs(spark, sf, threshold = 0.42)
+      .select("cos_sim").as[Double].collect()
+    assert(pairs.forall(c => c >= 0.42 && c <= 1.0 + 1e-12))
+  }
+
+  // — text —
+
+  test("corpus stats cover all docs and ratios are sane") {
+    val s = TextAnalysis.corpusStats(spark, sf)
+      .select("n_docs", "distinct_ratio", "avg_word_len")
+      .as[(Long, Double, Double)].collect()
+    assert(s.map(_._1).sum == 500)
+    assert(s.forall { case (_, r, w) => r > 0 && r <= 1 && w > 1 && w < 20 })
+  }
+
+  test("token frequency top-k is k rows, descending") {
+    val t = TextAnalysis.tokenFrequency(spark, sf, k = 20).as[(String, Long)].collect()
+    assert(t.length == 20)
+    assert(t.zip(t.tail).forall { case ((_, a), (_, b)) => a >= b })
+  }
+
+  // — reindex pipeline —
+
+  test("chunk assignment: ≤ chunkSize per chunk, asciibetical boundaries, contiguous ids") {
+    val c = Reindex.chunked(spark, sf, chunkSize = 64)
+      .select("id", "chunk").as[(String, Long)].collect().sortBy(_._1)
+    assert(c.length == 500)
+    val byChunk = c.groupBy(_._2)
+    assert(byChunk.values.forall(_.length <= 64))
+    assert(byChunk.values.count(_.length < 64) <= 1) // only the last partial
+    // asciibetical order ⇒ chunk index is monotone in sorted-id order
+    assert(c.map(_._2).zip(c.map(_._2).tail).forall { case (a, b) => a <= b })
+  }
+
+  test("enrichment join preserves cardinality (left side never duplicated)") {
+    assert(Reindex.enriched(spark, sf).count() == 500)
+  }
+
+  // — events —
+
+  test("latest-per-user picks the max-ts event") {
+    val latest = EventOps.latestPerUser(spark, sf)
+    assert(latest.count() == Tables.events(spark, sf).select("user_id").distinct().count())
+    val ev = Tables.events(spark, sf)
+    val manual = ev.groupBy("user_id").agg(max(struct(col("ts"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.event_id").as("event_id"))
+    val joined = latest.join(manual, Seq("user_id", "event_id"))
+    assert(joined.count() == latest.count())
+  }
+
+  test("sessions split on >30min gaps: session count ≥ user count") {
+    val s = EventOps.sessionize(spark, sf)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(s.count() >= users)
+    assert(s.agg(sum("n_events")).as[Long].head() == Tables.events(spark, sf).count())
+  }
+
+  // — multimodal —
+
+  test("stub decoder emits 1..cap frames per payload with the declared schema") {
+    val f = Multimodal.decodeFeatures(spark, sf, framesCap = 4).collect()
+    val byDoc = f.groupBy(_.doc_id)
+    assert(byDoc.size == 500)
+    assert(f.forall(m => m.frame_idx >= 0 && m.frame_idx < 4))
+    assert(f.forall(m => m.feature >= 0 && m.feature <= 255))
+    assert(byDoc.values.forall(v => v.length >= 1 && v.length <= 4))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming tier: drive micro-batches through MemoryStream and check
+  * window/session/dedup semantics incl. watermark late-data dropping.
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double, props: String)
+
+  private def run(batches: Seq[Seq[Ev]], build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                  mode: String = "update"): Seq[org.apache.spark.sql.Row] = {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"out_${System.nanoTime()}"
+    val q = build(mem.toDF()).writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally q.stop()
+  }
+
+  test("tumbling windows aggregate by event time") {
+    val rows = run(
+      Seq(Seq(
+        Ev(1, ts(0), 1, "view", 1.0, "{}"),
+        Ev(2, ts(2), 1, "view", 2.0, "{}"),
+        Ev(3, ts(7), 2, "buy", 5.0, "{}"))),
+      df => EventStream.windowedCounts(df, watermark = "10 minutes", win = "5 minutes"))
+    val byKey = rows.map(r => (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(byKey(("2024-01-01 10:00:00.0", "view")) == ((2L, 3.0)))
+    assert(byKey(("2024-01-01 10:05:00.0", "buy")) == ((1L, 5.0)))
+  }
+
+  test("watermark drops events later than the horizon") {
+    val rows = run(
+      Seq(
+        Seq(Ev(1, ts(0), 1, "view", 1.0, "{}"), Ev(2, ts(30), 1, "view", 1.0, "{}")), // advance wm to 10:20
+        Seq(Ev(3, ts(1), 1, "view", 100.0, "{}"))), // 29 min late > 10 min watermark → dropped
+      df => EventStream.windowedCounts(df, watermark = "10 minutes", win = "5 minutes"))
+    val w0 = rows.filter(r => r.getTimestamp(0).toString == "2024-01-01 10:00:00.0")
+    assert(w0.map(_.getLong(2)).max == 1L, s"late event must not land: $rows")
+  }
+
+  test("session windows split on the gap") {
+    val rows = run(
+      Seq(Seq(
+        Ev(1, ts(0), 7, "view", 1.0, "{}"),
+        Ev(2, ts(10), 7, "view", 1.0, "{}"), // same session (gap 10 < 30)
+        Ev(3, ts(50), 7, "view", 1.0, "{}"))), // new session
+      df => EventStream.sessionWindows(df, watermark = "2 hours", gap = "30 minutes"),
+      mode = "complete")
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("streaming dedup keeps first occurrence within the watermark") {
+    val rows = run(
+      Seq(Seq(
+        Ev(42, ts(0), 1, "view", 1.0, "{}"),
+        Ev(42, ts(1), 1, "view", 1.0, "{}"),
+        Ev(43, ts(2), 1, "view", 1.0, "{}"))),
+      df => EventStream.dedupEvents(df).select("event_id", "ts", "user_id", "event_type", "value", "props"),
+      mode = "append")
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(42L, 43L))
+  }
+
+  test("mapGroupsWithState accumulates per-user totals across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val name = s"ua_${System.nanoTime()}"
+    val q = EventStream.userActivity(spark, mem.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    try {
+      mem.addData(Ev(1, ts(0), 1, "v", 2.0, "{}"), Ev(2, ts(1), 1, "v", 3.0, "{}"))
+      q.processAllAvailable()
+      mem.addData(Ev(3, ts(2), 1, "v", 5.0, "{}"))
+      q.processAllAvailable()
+      val last = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 == 1L).maxBy(_._2)
+      assert(last == ((1L, 3L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch bridges the stream into the batch DocSink") {
+    implicit val sq = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
+    val sink = new graft.sinks.NdjsonDirSink(out.toString + "/docs", chunkSize = 10)
+    val mem = MemoryStream[Ev]
+    val q = EventStream.toDocSink(mem.toDF(), sink, ckpt.toString)
+    try {
+      mem.addData((1 to 25).map(i => Ev(i.toLong, ts(i % 60), 1, "view", 1.0, s"""{"k":$i}""")): _*)
+      q.processAllAvailable()
+      val files = new java.io.File(out.toString + "/docs").listFiles().filter(_.getName.endsWith(".json"))
+      assert(files.nonEmpty)
+      val lines = files.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+      assert(lines.length == 25)
+      assert(files.forall(f => scala.io.Source.fromFile(f).getLines().size <= 10))
+    } finally q.stop()
+  }
+}

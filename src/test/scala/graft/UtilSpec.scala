@@ -1,0 +1,52 @@
+package graft
+
+import graft.util.{ErrorCollector, HealthCheck, Lockfile, Preflight}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Driver-plane utilities: lockfile (O12), preflight (O13), error
+  * collection (O11/B10).
+  */
+class UtilSpec extends AnyFunSuite {
+
+  test("lockfile: second acquire refused while held, pid recorded, release frees") {
+    val dir = Files.createTempDirectory("graft-lock")
+    val l1 = Lockfile.default(dir.toString)
+    val l2 = Lockfile.default(dir.toString)
+    assert(l1.acquire())
+    assert(!l2.acquire(), "second instance must be refused (O12)")
+    assert(l1.holderPid.contains(ProcessHandle.current.pid))
+    l1.release()
+    assert(l2.acquire())
+    l2.release()
+  }
+
+  test("preflight collects every failure, not just the first") {
+    def check(n: String, ok: Boolean): HealthCheck = new HealthCheck {
+      val name = n
+      def healthCheck(): Either[String, Unit] = if (ok) Right(()) else Left("down")
+    }
+    assert(Preflight.run(Seq(check("a", true), check("b", true))).isRight)
+    val r = Preflight.run(Seq(check("a", false), check("b", true), check("c", false)))
+    assert(r.left.exists(_.size == 2))
+  }
+}
+
+/** Accumulator-based soft-error accounting inside Spark tasks. */
+class ErrorCollectorSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("soft errors are counted with samples; good records survive (fixes B10)") {
+    val ec = ErrorCollector(spark.sparkContext)
+    val out = spark.range(100).as[Long].mapPartitions { it =>
+      it.flatMap(i => ec.guard(s"rec $i") {
+        if (i % 10 == 0) throw new IllegalStateException(s"bad $i")
+        i * 2
+      })
+    }.collect()
+    assert(out.length == 90)
+    assert(ec.count == 10)
+    assert(ec.report.nonEmpty && ec.report.size <= 300)
+    assert(ec.report.head.contains("IllegalStateException"))
+  }
+}
