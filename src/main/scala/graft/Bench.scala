@@ -24,6 +24,14 @@ object Bench {
         case c => c.toString
       } + "\""
 
+    // Warm up the JVM (codegen compiler, parquet reader, shuffle
+    // machinery) so per-query timings measure the query, not first-run
+    // JIT: without this the first query absorbs ~7s of fixed startup.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+      Tables.lineitem(spark, sfDir).limit(1000).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
     var errs = List.empty[(String, String)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -37,6 +37,8 @@ object SparkEntry {
     "q08_orders_by_month" -> (Relational.ordersByMonth(_, _)),
     "q09_event_type_stats" -> (Relational.eventTypeStats(_, _)),
     "q33_approx_distinct" -> (Relational.approxDistinctUsers(_, _)),
+    "q35_rollup" -> (Relational.ordersRollup(_, _)),
+    "q36_scalar_funcs" -> (Relational.partCatalog(_, _)),
     // — windows / event time / JSON (SURVEY §2.B) —
     "q10_window_latest" -> (EventOps.latestPerUser(_, _)),
     "q11_window_gaps" -> (EventOps.userGapStats(_, _)),
@@ -316,6 +318,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN q >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality,
         |  CAST(sum(n_sub) AS BIGINT) AS total_subwords
         |FROM d GROUP BY source""".stripMargin,
+    "q35_rollup" ->
+      """SELECT coalesce(order_year, 'ALL') AS order_year,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT strftime(o_orderdate, '%Y') AS order_year, o_orderpriority, o_totalprice
+        |      FROM orders) t
+        |GROUP BY ROLLUP(order_year, o_orderpriority)""".stripMargin,
+    "q36_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_uc,
+        |  substr(p_name, 1, 8) AS name_prefix,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_masked,
+        |  p_size % 5 AS size_mod,
+        |  abs(p_size - 25) AS size_dist,
+        |  CASE WHEN p_retailprice > 1500.0 THEN 'premium'
+        |       WHEN p_retailprice > 1000.0 THEN 'standard'
+        |       ELSE 'budget' END AS price_tier,
+        |  p_brand || '#' || p_type AS brand_type
+        |FROM part""".stripMargin,
     "q32_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

@@ -62,15 +62,23 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String,
                  shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val sh = shingleSet(Tables.documents(spark, dir), shingleN)
-    val mh = sh
-      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("mh"))
-    val sig = mh
-      .withColumn("band", floor(col("seed") / rowsPerBand))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))), _.getField("mh"))).as("sig"))
+    // All k minhashes in ONE partial+final aggregation over the shingle
+    // set (k min() columns), instead of exploding k× rows and grouping
+    // twice — one shuffle of |shingles| rows total, map-side combined.
+    val mhCols = (0 until numHashes).map { s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"mh$s")
+    }
+    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // Band signatures: seed-order concat within each band — identical
+    // to string_agg(mh, ',' ORDER BY seed) per band.  explode of a
+    // small literal array is narrow (no shuffle).
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      val sigCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b.toLong).as("band"), concat_ws(",", sigCols: _*).as("sig"))
+    }
+    val sig = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val a = sig.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
     val b = sig.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig"))

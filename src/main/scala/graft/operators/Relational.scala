@@ -141,6 +141,41 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"),
         sum(dec2(col("value"))).cast("double").as("total_value"))
 
+  /** Hierarchical rollup: (year, priority) → (year) → grand total in
+    * one pass (Spark expands grouping sets inside a single hash
+    * aggregate — no per-level rescan).  NULL grouping keys are
+    * coalesced to 'ALL' so the output is oracle-portable.
+    */
+  def ordersRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("order_year", date_format(col("o_orderdate"), "yyyy"))
+      .rollup("order_year", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+      .select(
+        coalesce(col("order_year"), lit("ALL")).as("order_year"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+
+  /** Scalar-function showcase (SURVEY §2.B scalar row): string, math,
+    * date, and conditional functions in one codegen'd projection —
+    * every function has an exact DuckDB equivalent.
+    */
+  def partCatalog(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_uc"),
+      substring(col("p_name"), 1, 8).as("name_prefix"),
+      length(col("p_name")).as("name_len"),
+      regexp_replace(col("p_type"), "[aeiou]", "_").as("type_masked"),
+      (col("p_size") % 5).as("size_mod"),
+      abs(col("p_size") - 25).as("size_dist"),
+      when(col("p_retailprice") > 1500.0, "premium")
+        .when(col("p_retailprice") > 1000.0, "standard")
+        .otherwise("budget").as("price_tier"),
+      concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"))
+
   /** approx_count_distinct (HyperLogLog++) per event_type — the
     * at-scale form of eventTypeStats (no exact-distinct shuffle of the
     * key universe).  Sketch internals differ between engines, so this
