@@ -63,6 +63,7 @@ object SparkEntry {
     "q25_embed_neardup" -> ((s, d) => Similarity.thresholdPairs(s, d, threshold = 0.42)),
     "q26_ann_bucketed" -> ((s, d) => Similarity.bucketedAnn(s, d)),
     "q27_label_stats" -> (Similarity.labelStats(_, _)),
+    "q37_topk_aggregator" -> ((s, d) => Similarity.topKAggregated(s, d)),
     // — text analysis tier —
     "q28_corpus_stats" -> (TextAnalysis.corpusStats(_, _)),
     "q29_token_freq" -> ((s, d) => TextAnalysis.tokenFrequency(s, d)),
@@ -277,6 +278,16 @@ object SparkEntry {
          |  ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
          |SELECT probe_id, neighbor_id, cos AS cos_sim, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 3""".stripMargin,
+    "q37_topk_aggregator" ->
+      s"""WITH $normCte,
+         |pairs AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cos
+         |  FROM e p JOIN e c ON p.vec_id < 5 AND p.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, neighbor_id, cos AS cos_sim, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 4""".stripMargin,
     "q27_label_stats" ->
       """WITH el AS (SELECT label,
         |  sqrt(list_reduce(list_transform(embedding,

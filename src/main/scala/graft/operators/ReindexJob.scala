@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.config.ReindexConfig
+import graft.functions.ArgotFlatten
+import graft.sinks.DocSink
+import graft.sources.DocSource
+import graft.util.{ErrorCollector, Lockfile, Preflight}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The composed reindex job — the reference's `main()` re-expressed as
+  * one declarative pipeline (reference driver.go:119-220; lifecycle
+  * table in SURVEY.md §3.1):
+  *
+  *   preflight(source, sink) → lockfile → scan → filter/resume →
+  *   flatten+suffix → chunked idempotent sink → checkpoint → release
+  *
+  * What the thread/process choreography becomes (SURVEY §3.1): the
+  * bounded file channel and worker pool are Spark task scheduling; the
+  * errors channel is an ErrorCollector accumulator (B10 fixed: counts
+  * are exact and surfaced in the result); the argot subprocess is the
+  * in-JVM flatten (O7); `log.Fatal` mid-worker (B1/B9) has no analog —
+  * soft errors skip records, hard errors retry tasks.
+  */
+object ReindexJob {
+
+  /** Outcome surfaced to the operator (replaces the reference's lossy
+    * ≤1-error drain + always-zero exit code, driver.go:215-219).
+    */
+  final case class Result(
+      docsWritten: Long,
+      softErrors: Long,
+      errorSamples: Seq[String],
+      checkpoint: Option[String])
+
+  /** Run the pipeline.  Returns Left(reasons) if preflight or locking
+    * refuses to start (reference aborts likewise, driver.go:120-145).
+    */
+  def run(spark: SparkSession, conf: ReindexConfig,
+          source: DocSource, sink: DocSink,
+          lock: Lockfile = Lockfile.default()): Either[Seq[String], Result] = {
+    Preflight.run(Seq(source, sink)) match {
+      case Left(failures) => return Left(failures)
+      case Right(_) => ()
+    }
+    if (!lock.acquire())
+      return Left(Seq(s"another reindex holds ${lock.path}" +
+        lock.holderPid.map(p => s" (pid $p)").getOrElse("")))
+    try {
+      val errors = ErrorCollector(spark.sparkContext)
+      val flatten = ArgotFlatten.flattenArgot
+      // scan → (source applies NOT-deleted + resume) → flatten+suffix.
+      // The flattened map rides along as a column so the sink's NDJSON
+      // serialization carries the Solr dynamic fields.
+      val docs = source.load(spark)
+        .withColumn("flat", flatten(col("content")))
+      val written = sink.write(docs)
+      Right(Result(written, errors.count, errors.report, sink.checkpoint()))
+    } finally lock.release()
+  }
+}

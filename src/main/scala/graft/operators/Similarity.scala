@@ -84,6 +84,53 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cos").as("cos_sim"), col("rank"))
   }
 
+  final case class ScoredNeighbor(probe_id: Long, neighbor_id: Long, cos: Double)
+
+  /** Bounded top-k typed Aggregator (SURVEY §2.C: "TypedImperativeAggregate
+    * holding a bounded heap, or ... start with Window + row_number").
+    * Both now exist: this aggregator keeps only k candidates per group
+    * through partial aggregation — at scale that's O(k) state per probe
+    * on the map side instead of shuffling every scored pair into a
+    * window sort.  Order: score desc, neighbor_id asc (total order, so
+    * results match the window/oracle formulation exactly).
+    */
+  final class TopKByScore(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
+    private def trim(xs: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] =
+      xs.sortBy(s => (-s.cos, s.neighbor_id)).take(k)
+    override def zero: Seq[ScoredNeighbor] = Seq.empty
+    override def reduce(b: Seq[ScoredNeighbor], a: ScoredNeighbor): Seq[ScoredNeighbor] = trim(b :+ a)
+    override def merge(b1: Seq[ScoredNeighbor], b2: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] = trim(b1 ++ b2)
+    override def finish(r: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[ScoredNeighbor]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[ScoredNeighbor]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Top-k per probe via the bounded aggregator (map-side k-trimming)
+    * — same results as bruteForceTopK's window formulation, different
+    * physical shape: partial aggregation instead of a window sort.
+    */
+  def topKAggregated(spark: SparkSession, dir: String,
+                     numProbes: Int = 5, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    val cands = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val scored = broadcast(probes).join(cands, col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm"))).as("cos"))
+      .as[ScoredNeighbor]
+    scored.groupByKey(_.probe_id)
+      .agg(new TopKByScore(k).toColumn.name("topk"))
+      .flatMap { case (p, topk) =>
+        topk.zipWithIndex.map { case (s, i) => (p, s.neighbor_id, s.cos, i + 1) }
+      }
+      .toDF("probe_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** Label centroid stats: per-label mean vector magnitude — the
     * label-stratified aggregation exercise (FIXTURES.md §B.3), with the
     * norm sum kept deterministic via a single sequential fold per row

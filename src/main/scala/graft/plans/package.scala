@@ -1,0 +1,16 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Registration helper for sessions that already exist (tests, REPLs —
+  * `withExtensions` only applies at session construction).
+  */
+object RegisterFunctions {
+  def apply(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_norm", (args: Seq[Expression]) => VecNorm(args.head), "built-in")
+  }
+}

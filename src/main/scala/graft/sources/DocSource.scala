@@ -47,7 +47,7 @@ final class JdbcDocSource(conf: ReindexConfig, numPartitions: Int = 16) extends 
   override def name: String = s"jdbc:${conf.dbHost}:${conf.dbPort}/${conf.dbName}"
 
   /** The pushdown-ready subquery: adds a stable int partition key. */
-  private[sources] def dbtable: String =
+  private[graft] def dbtable: String =
     s"(SELECT id, txn_id, owner, content, deleted, " +
       s"abs(hashtext(id)) % $numPartitions AS graft_part FROM documents) graft_docs"
 

@@ -1,0 +1,107 @@
+package graft
+
+import graft.config.ReindexConfig
+import graft.operators.{ReindexJob, SkewJoin, Similarity}
+import graft.sinks.NdjsonDirSink
+import graft.sources.{DocSource, JdbcDocSource, ParquetDocSource}
+import graft.util.Lockfile
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The composed pipeline (SURVEY §3.1 lifecycle) plus the remaining
+  * source/scale utilities.
+  */
+class ReindexJobSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def conf = ReindexConfig(password = "pw", solrUrl = "http://x")
+
+  test("e2e: parquet source → flatten → chunked ndjson sink → checkpoint") {
+    val out = Files.createTempDirectory("graft-job")
+    val lock = Lockfile.default(out.toString)
+    val sink = new NdjsonDirSink(out.toString + "/docs", chunkSize = 100)
+    val source = new ParquetDocSource(s"$sf/documents.parquet")
+    val r = ReindexJob.run(spark, conf, source, sink, lock)
+    assert(r.isRight, r)
+    val res = r.toOption.get
+    assert(res.docsWritten == 500)
+    assert(res.softErrors == 0)
+    assert(res.checkpoint.contains("99"))
+    assert(!Files.exists(lock.path), "lock must be released")
+  }
+
+  test("preflight failure aborts before any work (O13)") {
+    val out = Files.createTempDirectory("graft-job2")
+    val sink = new NdjsonDirSink(out.toString + "/docs", chunkSize = 100)
+    val source = new ParquetDocSource("/no/such/path.parquet")
+    val r = ReindexJob.run(spark, conf, source, sink, Lockfile.default(out.toString))
+    assert(r.isLeft)
+    assert(r.left.toOption.get.exists(_.contains("missing")))
+  }
+
+  test("held lock refuses a second run (O12)") {
+    val out = Files.createTempDirectory("graft-job3")
+    val lock = Lockfile.default(out.toString)
+    assert(lock.acquire())
+    val sink = new NdjsonDirSink(out.toString + "/docs", chunkSize = 100)
+    val source = new ParquetDocSource(s"$sf/documents.parquet")
+    val r = ReindexJob.run(spark, conf, source, sink, lock)
+    assert(r.isLeft)
+    assert(r.left.toOption.get.exists(_.contains("another reindex")))
+    lock.release()
+  }
+
+  test("resume: job from checkpoint writes exactly the asciibetical tail") {
+    val out = Files.createTempDirectory("graft-job4")
+    val sink = new NdjsonDirSink(out.toString + "/docs", chunkSize = 100)
+    val source = new ParquetDocSource(s"$sf/documents.parquet", startId = "495")
+    val r = ReindexJob.run(spark, conf, source, sink, Lockfile.default(out.toString))
+    // ids >= "495" asciibetically: 495..499, 5, 50..59, 495... compute exact
+    val expected = (0 until 500).map(_.toString).count(_ >= "495")
+    assert(r.toOption.get.docsWritten == expected)
+  }
+
+  test("jdbc source: partitioned reader config + pushdown-ready subquery (O1)") {
+    val s = new JdbcDocSource(conf.copy(dbHost = "nope.invalid"), numPartitions = 12)
+    assert(s.dbtable.contains("% 12 AS graft_part"))
+    assert(s.dbtable.contains("id, txn_id, owner, content, deleted"))
+    // no database in this environment: health check must fail fast, not hang
+    assert(s.healthCheck().isLeft)
+  }
+
+  test("salted join: same rows as the plain join, salt spread over fact side") {
+    val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
+    val dim = Tables.part(spark, sf).select("p_partkey", "p_brand")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val plain = fact.join(dim, "l_partkey").count()
+    val salted = SkewJoin.saltedJoin(fact, dim, "l_partkey", salt = 4).count()
+    assert(salted == plain)
+  }
+
+  test("SQL surface: graft_dot/graft_norm registered functions match the Column API") {
+    graft.plans.RegisterFunctions(spark)
+    Tables.embeddings(spark, sf).limit(50).createOrReplaceTempView("emb_sql")
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_norm(embedding) AS n, graft_dot(embedding, embedding) AS d FROM emb_sql")
+      .select("vec_id", "n", "d").as[(Long, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val viaCol = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.norm(col("embedding")).as("n"),
+        graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+      .as[(Long, Double, Double)].collect()
+    viaCol.foreach { case (id, n, d) =>
+      assert(viaSql(id) == ((n, d)), s"vec $id mismatch")
+    }
+  }
+
+  test("topK aggregator matches the window formulation exactly") {
+    val agg = Similarity.topKAggregated(spark, sf, numProbes = 3, k = 5)
+      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val win = Similarity.bruteForceTopK(spark, sf, numProbes = 3, k = 5)
+      .select("probe_id", "neighbor_id", "cos_sim", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(agg == win)
+  }
+}
