@@ -89,10 +89,28 @@ object Dedup {
 
   /** Exact n-gram Jaccard over inverted-index candidates: pairs sharing
     * ≥1 shingle, scored |A∩B| / |A∪B|, thresholded.
+    *
+    * @param maxShingleDf optional document-frequency cap: shingles that
+    *        occur in more than this many documents are dropped before
+    *        the pair join.  At 100 TB the inverted index's hot shingles
+    *        (stop-phrases) dominate the candidate blow-up — a df cap
+    *        bounds per-shingle fan-out at (cap choose 2) while barely
+    *        moving near-dup recall (true near-dups share *rare*
+    *        shingles too).  Off by default: with the cap the scores are
+    *        approximate (intersections under-counted), so the
+    *        oracle-checked query keeps None.
     */
   def ngramJaccard(spark: SparkSession, dir: String,
-                   shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingleSet(Tables.documents(spark, dir), shingleN)
+                   shingleN: Int = 3, threshold: Double = 0.8,
+                   maxShingleDf: Option[Int] = None): DataFrame = {
+    val shAll = shingleSet(Tables.documents(spark, dir), shingleN)
+    val sh = maxShingleDf match {
+      case None => shAll
+      case Some(cap) =>
+        val df = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("shingle")
+        shAll.join(broadcast(df), "shingle")
+    }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
