@@ -39,6 +39,8 @@ object SparkEntry {
     "q33_approx_distinct" -> (Relational.approxDistinctUsers(_, _)),
     "q35_rollup" -> (Relational.ordersRollup(_, _)),
     "q36_scalar_funcs" -> (Relational.partCatalog(_, _)),
+    "q38_set_intersect" -> (Relational.sharedDebtNations(_, _)),
+    "q39_pivot" -> (Relational.eventPivot(_, _)),
     // — windows / event time / JSON (SURVEY §2.B) —
     "q10_window_latest" -> (EventOps.latestPerUser(_, _)),
     "q11_window_gaps" -> (EventOps.userGapStats(_, _)),
@@ -337,6 +339,18 @@ object SparkEntry {
         |FROM (SELECT strftime(o_orderdate, '%Y') AS order_year, o_orderpriority, o_totalprice
         |      FROM orders) t
         |GROUP BY ROLLUP(order_year, o_orderpriority)""".stripMargin,
+    "q38_set_intersect" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
+        |INTERSECT
+        |SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < 0""".stripMargin,
+    "q39_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
     "q36_scalar_funcs" ->
       """SELECT p_partkey,
         |  upper(p_brand) AS brand_uc,

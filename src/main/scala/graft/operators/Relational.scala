@@ -141,6 +141,33 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"),
         sum(dec2(col("value"))).cast("double").as("total_value"))
 
+  /** Set op: nations with BOTH customers and suppliers in debt
+    * (INTERSECT — the dual of customerOnlyNations' EXCEPT).
+    */
+  def sharedDebtNations(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_acctbal") < 0)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val s = Tables.supplier(spark, dir).filter(col("s_acctbal") < 0)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    c.intersect(s)
+  }
+
+  /** Pivot: per user cohort, event counts spread across event-type
+    * columns.  The pivot value list is explicit (no extra distinct
+    * pass at plan time, deterministic output schema — the only pivot
+    * form that makes sense at scale); absent combinations coalesce
+    * to 0 to match SQL's FILTER-count semantics.
+    */
+  def eventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val p = Tables.events(spark, dir)
+      .withColumn("cohort", col("user_id") % 10)
+      .groupBy("cohort")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("cohort") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
   /** Hierarchical rollup: (year, priority) → (year) → grand total in
     * one pass (Spark expands grouping sets inside a single hash
     * aggregate — no per-level rescan).  NULL grouping keys are
