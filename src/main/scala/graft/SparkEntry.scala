@@ -48,6 +48,7 @@ object SparkEntry {
     "q13_json_props" -> (EventOps.propsKeyStats(_, _)),
     "q14_hourly_buckets" -> (EventOps.hourlyBuckets(_, _)),
     "q15_flatten_props" -> (EventOps.flattenedProps(_, _)),
+    "q40_running_total" -> (EventOps.runningTotals(_, _)),
     // — the reference pipeline (SURVEY §2.A, O2-O8) —
     "q16_reindex_scan" -> ((s, d) => Reindex.scanSlice(s, d, startId = "25")),
     "q17_reindex_chunks" -> ((s, d) => Reindex.chunked(s, d, chunkSize = 20)),
@@ -196,6 +197,11 @@ object SparkEntry {
         |  NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS "value"
         |FROM events
         |WHERE NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') IS NOT NULL""".stripMargin,
+    "q40_running_total" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events""".stripMargin,
     "q16_reindex_scan" ->
       """SELECT CAST(doc_id AS VARCHAR) AS id, CAST(doc_id AS VARCHAR) AS txn_id,
         |  source AS owner, text AS content

@@ -69,6 +69,21 @@ object EventOps {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
   }
 
+  /** Per-user running total (cumulative frame) — the running-aggregate
+    * window shape.  The accumulating sum goes through DECIMAL so every
+    * prefix is exact and engine-portable (a double running sum would
+    * depend on the engine's window-aggregation tree: Spark accumulates
+    * sequentially, DuckDB uses segment trees).
+    */
+  def runningTotals(spark: SparkSession, dir: String): DataFrame = {
+    val w = byUser.orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("running_value",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select("user_id", "event_id", "running_value")
+  }
+
   /** JSON extraction from the `props` payload column with
     * get_json_object, then aggregate over the extracted key — the
     * engine's `events.props` exercise (SURVEY.md §2.B scalar/JSON row).
