@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Loaders for the driver-generated testdata tables (TESTDATA.md /
-  * FIXTURES.md §B). One parquet file per table under `$dir/`.
+/** Loaders for the driver-generated testdata tables (FIXTURES.md §B —
+  * the 8 star-schema/event tables are also listed in TESTDATA.md;
+  * `documents`/`embeddings` appear only in FIXTURES.md §B.3).
+  * One parquet file per table under `$dir/`.
   *
   * These are plain `spark.read.parquet` scans: Catalyst handles column
   * pruning and predicate pushdown into the parquet reader, which is the

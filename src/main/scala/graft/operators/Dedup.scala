@@ -45,6 +45,20 @@ object Dedup {
       .groupBy(TextFunctions.fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
 
+  /** Dedup against an existing corpus: keep only documents whose
+    * content fingerprint is NOT already present in `corpus` — the
+    * incremental-ingest form of dedup (new crawl vs indexed corpus),
+    * as a left_anti join on the fingerprint hash.  At scale this is
+    * one shuffle on the hash (or broadcast when the new batch is
+    * small), never a pairwise comparison.
+    */
+  def againstCorpus(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val fp = TextFunctions.fingerprint(col("text"))
+    newDocs.withColumn("fp", fp)
+      .join(corpus.select(fp.as("fp")).distinct(), Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   /** Distinct word-`n`-gram shingles per document: (doc_id, shingle). */
   private[operators] def shingleSet(docs: DataFrame, n: Int): DataFrame =
     docs

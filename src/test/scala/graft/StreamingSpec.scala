@@ -90,6 +90,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("file-drop source: readEvents streams the parquet fixture through windowed counts") {
+    val dropDir = java.nio.file.Files.createTempDirectory("graft-drop")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dropDir.resolve("events.parquet"))
+    val name = s"filewin_${System.nanoTime()}"
+    val q = EventStream.windowedCounts(
+      EventStream.readEvents(spark, dropDir.toString),
+      watermark = "10 minutes", win = "1 hour")
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table(name)
+      val total = rows.agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+      assert(total == 1000L, s"all fixture events must land in windows, got $total")
+    } finally q.stop()
+  }
+
+  test("dedup against an existing corpus keeps only unseen fingerprints") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter($"doc_id" < 250)
+    val fresh = graft.operators.Dedup.againstCorpus(docs, corpus)
+    // everything in the corpus half must be dropped; the other half
+    // survives unless it fingerprint-collides with the corpus
+    assert(fresh.filter($"doc_id" < 250).count() == 0)
+    val survivors = fresh.count()
+    assert(survivors > 200 && survivors <= 250, s"got $survivors")
+  }
+
   test("foreachBatch bridges the stream into the batch DocSink") {
     implicit val sq = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-stream-sink")
