@@ -37,13 +37,17 @@ trait DocSink extends HealthCheck {
   * is one JSON line (explicit NDJSON — fixes reference B6, which
   * concatenated raw content with no separator).
   */
-final class NdjsonDirSink(outDir: String, chunkSize: Int, partitions: Int = 8) extends DocSink {
+final class NdjsonDirSink(outDir: String, chunkSize: Int, partitions: Int = 0) extends DocSink {
   override def name: String = s"ndjson-dir:$outDir"
   private var lastMax: Option[String] = None
 
   override def write(df: DataFrame): Long = {
     val cols = df.columns
-    df.repartitionByRange(partitions, col("id"))
+    // partitions=0 → derive from the cluster (defaultParallelism), so
+    // the write fan-out scales with the session instead of a constant
+    val nParts = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    df.repartitionByRange(nParts, col("id"))
       .sortWithinPartitions("id")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", chunkSize.toLong)
@@ -112,8 +116,9 @@ final class BatchedUpsertSink(
     val errs = errors
     val t = transport
     val size = chunkSize
+    val nParts = df.sparkSession.sparkContext.defaultParallelism
     df.select(col("id"), to_json(struct(df.columns.map(col): _*)).as("doc"))
-      .repartitionByRange(8, col("id"))
+      .repartitionByRange(nParts, col("id"))
       .sortWithinPartitions("id")
       .foreachPartition { rows: Iterator[Row] =>
         rows.map(r => (r.getString(0), r.getString(1)))
