@@ -47,15 +47,17 @@ final class NdjsonDirSink(outDir: String, chunkSize: Int, partitions: Int = 0) e
     // the write fan-out scales with the session instead of a constant
     val nParts = if (partitions > 0) partitions
       else df.sparkSession.sparkContext.defaultParallelism
+    require(cols.contains("id"), "DocSink frames carry an id column")
     df.repartitionByRange(nParts, col("id"))
       .sortWithinPartitions("id")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", chunkSize.toLong)
       .json(outDir)
-    val written = df.sparkSession.read.schema(df.schema).json(outDir)
-    val agg = written.agg(count(lit(1)).as("n"), max(col("id")).as("m")).head()
+    // count + checkpoint from the (column-pruned) input — the write
+    // either completed atomically or threw, so input == output; a
+    // re-parse of the emitted JSON would double the I/O at scale
+    val agg = df.agg(count(lit(1)).as("n"), max(col("id")).as("m")).head()
     lastMax = Option(agg.getString(1))
-    require(cols.contains("id"), "DocSink frames carry an id column")
     agg.getLong(0)
   }
 
