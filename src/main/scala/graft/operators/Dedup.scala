@@ -152,18 +152,20 @@ object Dedup {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
-    val digitOfBit = col("b").divide(4).cast("long") // hex digit index 0..
-    val divisor = when(col("b") % 4 === 0, 8L).when(col("b") % 4 === 1, 4L)
-      .when(col("b") % 4 === 2, 2L).otherwise(1L)
-    val digitVal = conv(substring(md5(col("word")), 1, 32).substr(digitOfBit.cast("int") + 1, lit(1)), 16, 10).cast("long")
-    val bit = floor(digitVal / divisor).cast("long") % 2
-    words
-      .withColumn("b", explode(sequence(lit(0), lit(bits - 1))))
-      .withColumn("bit", bit)
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("bit")).as("ones"), count(lit(1)).as("total"))
-      .withColumn("maj", when(col("ones") * 2 >= col("total"), 1L).otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum(col("maj") * pow(lit(2.0), col("b")).cast("long")).as("simhash"))
+    // All `bits` bit-sums in ONE partial+final aggregation (no ×bits
+    // row explosion, single shuffle): for bit b, the digest's hex
+    // digit b/4 contributes bit (3 - b%4).
+    def bitOf(b: Int) = {
+      val digitVal = conv(substring(md5(col("word")), b / 4 + 1, 1), 16, 10).cast("long")
+      val divisor = 1L << (3 - b % 4)
+      (floor(digitVal / divisor).cast("long") % 2).as(s"bit$b")
+    }
+    val sums = (0 until bits).map(b => sum(bitOf(b)).as(s"ones$b"))
+    val packed = (0 until bits).map { b =>
+      when(col(s"ones$b") * 2 >= col("total"), 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    words.groupBy("doc_id")
+      .agg(count(lit(1)).as("total"), sums: _*)
+      .select(col("doc_id"), packed.as("simhash"))
   }
 }
