@@ -41,6 +41,9 @@ object SparkEntry {
     "q36_scalar_funcs" -> (Relational.partCatalog(_, _)),
     "q38_set_intersect" -> (Relational.sharedDebtNations(_, _)),
     "q39_pivot" -> (Relational.eventPivot(_, _)),
+    "q41_cube" -> (Relational.lineitemCube(_, _)),
+    "q42_union_all" -> (Relational.partyDirectory(_, _)),
+    "q43_sql_frontend" -> (Relational.priorityCheck(_, _)),
     // — windows / event time / JSON (SURVEY §2.B) —
     "q10_window_latest" -> (EventOps.latestPerUser(_, _)),
     "q11_window_gaps" -> (EventOps.userGapStats(_, _)),
@@ -345,6 +348,17 @@ object SparkEntry {
         |FROM (SELECT strftime(o_orderdate, '%Y') AS order_year, o_orderpriority, o_totalprice
         |      FROM orders) t
         |GROUP BY ROLLUP(order_year, o_orderpriority)""".stripMargin,
+    "q41_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q42_union_all" ->
+      """SELECT c_name AS party_name, c_acctbal AS acctbal, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT s_name AS party_name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier""".stripMargin,
+    "q43_sql_frontend" -> graft.operators.Relational.PriorityCheckSql,
     "q38_set_intersect" ->
       """SELECT DISTINCT c_nationkey AS nationkey FROM customer WHERE c_acctbal < 0
         |INTERSECT

@@ -203,6 +203,52 @@ object Relational {
         .otherwise("budget").as("price_tier"),
       concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"))
 
+  /** Full cube over (returnflag, linestatus): every grouping-set
+    * combination in one pass, NULL keys coalesced for portability.
+    */
+  def lineitemCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_items"), col("total_qty"))
+
+  /** UNION ALL: one party directory from two differently-shaped
+    * tables (schema aligned by projection; no dedup pass).
+    */
+  def partyDirectory(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(
+      col("c_name").as("party_name"), col("c_acctbal").as("acctbal"),
+      lit("customer").as("kind"))
+    val s = Tables.supplier(spark, dir).select(
+      col("s_name").as("party_name"), col("s_acctbal").as("acctbal"),
+      lit("supplier").as("kind"))
+    c.unionByName(s)
+  }
+
+  /** TPC-H Q4-style priority check, dialect-neutral SQL text shared
+    * VERBATIM with the DuckDB oracle — exercises the spark.sql front
+    * end (parser → Catalyst) over registered views, incl. a
+    * decorrelated EXISTS subquery.
+    */
+  val PriorityCheckSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 30)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  def priorityCheck(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(PriorityCheckSql)
+  }
+
   /** approx_count_distinct (HyperLogLog++) per event_type — the
     * at-scale form of eventTypeStats (no exact-distinct shuffle of the
     * key universe).  Sketch internals differ between engines, so this
