@@ -62,6 +62,7 @@ object SparkEntry {
     "q21_dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "q22_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d, threshold = 0.8)),
     "q23_simhash" -> ((s, d) => Dedup.simhash(s, d, bits = 16)),
+    "q44_winnowing" -> ((s, d) => Dedup.winnowing(s, d)),
     // — similarity search tier —
     "q24_topk_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     // the fixture plants no near-identical embeddings (max pair cosine
@@ -255,6 +256,15 @@ object SparkEntry {
         |  GROUP BY doc_id, b)
         |SELECT doc_id, CAST(sum(maj * CAST(power(2, b) AS BIGINT)) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
+    "q44_winnowing" ->
+      """WITH h AS (SELECT doc_id, [md5(substr(text, i, 8)) FOR i IN range(1, length(text) - 6)] AS hs
+        |           FROM documents WHERE length(text) >= 8),
+        |fp AS (SELECT DISTINCT doc_id,
+        |         unnest([list_aggregate(hs[j:j+3], 'min') FOR j IN range(1, len(hs) - 2)]) AS fp
+        |       FROM h WHERE len(hs) >= 4),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        |          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 50""".stripMargin,
     "q24_topk_cosine" ->
       s"""WITH $normCte,
          |pairs AS (

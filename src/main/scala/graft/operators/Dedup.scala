@@ -141,6 +141,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
+  /** Winnowing fingerprints (rolling-hash document fingerprinting, the
+    * MOSS scheme): hash every character k-gram, then keep the minimum
+    * of each w-window of consecutive hashes — the classic guarantee
+    * that any shared substring of length ≥ k+w-1 yields a shared
+    * fingerprint.  Pairs sharing ≥ `minShared` fingerprints are
+    * near-dup candidates.
+    *
+    * Whole construction is narrow (sequence/transform/slice over each
+    * row) until one inverted-index join on fingerprint — the same
+    * scale shape as the shingle pipeline.
+    */
+  def winnowing(spark: SparkSession, dir: String,
+                k: Int = 8, w: Int = 4, minShared: Long = 50L): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(length(col("text")) >= k)
+    val fp = docs
+      .withColumn("hs", expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substr(text, i, $k)))"))
+      .filter(size(col("hs")) >= w)
+      .withColumn("fp", explode(array_distinct(
+        expr(s"transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w)))"))))
+      .select("doc_id", "fp").distinct()
+    val a = fp.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("fp"))
+    a.join(b, "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Per-document SimHash signature over distinct tokens, `bits` wide.
     *
     * Bit b of the signature is the majority vote of bit b of md5(token)
