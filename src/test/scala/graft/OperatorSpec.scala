@@ -39,6 +39,19 @@ class OperatorSpec extends SparkSuite {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("winnowing pairs are genuine near-dups (precision vs word-shingle Jaccard)") {
+    // winnowing detects shared SUBSTRINGS; word-reshuffled dups share
+    // word shingles but fewer character runs, so precision (not
+    // recall) against the Jaccard ground truth is the right check
+    val win = Dedup.winnowing(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(win.nonEmpty)
+    val similar = Dedup.ngramJaccard(spark, sf, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val precision = win.intersect(similar).size.toDouble / win.size
+    assert(precision >= 0.7, s"winnowing precision vs jaccard>=0.5: $precision")
+  }
+
   test("simhash is 16-bit bounded and equal-text ⇒ equal hash") {
     val sh = Dedup.simhash(spark, sf, bits = 16).as[(Long, Long)].collect()
     assert(sh.length == 500)
