@@ -63,6 +63,10 @@ object SparkEntry {
     "q22_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d, threshold = 0.8)),
     "q23_simhash" -> ((s, d) => Dedup.simhash(s, d, bits = 16)),
     "q44_winnowing" -> ((s, d) => Dedup.winnowing(s, d)),
+    // the scale-path variant of q22: hot shingles (df>8) dropped before
+    // the pair join, identically in the oracle — exact for the capped
+    // definition (see SCALING.md)
+    "q45_jaccard_capped" -> ((s, d) => Dedup.ngramJaccard(s, d, threshold = 0.5, maxShingleDf = Some(8))),
     // — similarity search tier —
     "q24_topk_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     // the fixture plants no near-identical embeddings (max pair cosine
@@ -245,6 +249,18 @@ object SparkEntry {
          |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
          |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin,
+    "q45_jaccard_capped" ->
+      s"""WITH $shingleCte,
+         |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) t WHERE df <= 8),
+         |shc AS (SELECT doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5""".stripMargin,
     "q23_simhash" ->
       """WITH wrd AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
         |bits AS (
