@@ -5,13 +5,21 @@ import org.apache.spark.sql.SparkSession
 import java.util.concurrent.atomic.AtomicLong
 
 /** Benchmark entry point (driver contract): runs every registered query
-  * against SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * against SPARK_GRAFT_SF_DIR and prints ONE compact JSON line as the
+  * LAST stdout line.
   *
   * Measurement fixes from VERDICT r1:
   *  - results are forced with a `noop`-format write, not `.count()`
   *    (count lets Catalyst prune every column and collapse the plan);
   *  - a failing query records `-1` and an `err` entry instead of
   *    masquerading as a fast run.
+  *
+  * Output-contract fix from r2: the driver captures only the final 2000
+  * characters of stdout, and r2's single line (45 queries + a per-query
+  * io map) overflowed it — the driver recorded `parsed: null`. Now the
+  * final line is the minimal contract object (seconds rounded to 2
+  * decimals), and the io/error detail goes to an earlier stdout line
+  * plus `bench_detail.json` in the working directory.
   */
 object Bench {
 
@@ -31,6 +39,19 @@ object Bench {
       }
     }
   }
+
+  /** Drain the async listener bus so each query's task-end events are
+    * attributed to it, not the next one. `listenerBus` and
+    * `waitUntilEmpty` are private[spark], so go through reflection;
+    * fall back to a fixed sleep if the internals move.
+    */
+  private def drainListenerBus(spark: SparkSession): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      ()
+    } catch { case _: Throwable => Thread.sleep(50) }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,19 +83,28 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
-        errs ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        errs ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(50) // let the async listener bus drain this query's task events
+      drainListenerBus(spark)
       ioStats ::= (name, (io.recordsRead.get - r0, io.shuffleBytes.get - s0))
       name -> (if (errs.exists(_._1 == name)) -1.0 else sec)
     }
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    def r2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${r2(v)}" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val ios = ioStats.reverse.map { case (k, (r, s)) =>
       s"${jstr(k)}:{" + s""""recordsRead":$r,"shuffleBytes":$s}""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"io":$ios,"sf":${jstr(sfDir)}}""")
+    val detail = s"""{"errors":$es,"io":$ios,"sf":${jstr(sfDir)}}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      detail.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(detail)
+    // The contract line: LAST, compact, must fit (with sbt's trailing
+    // "[success]" line) inside the driver's 2000-char stdout tail.
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

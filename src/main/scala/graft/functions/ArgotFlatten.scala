@@ -42,14 +42,28 @@ object ArgotFlatten {
 
   /** Pure flatten: JSON text → flat multi-valued map.  Invalid JSON or
     * non-object roots yield an empty map (soft error — callers count
-    * them via ErrorCollector if they care).
+    * them via [[flattenCounted]] / ErrorCollector if they care).
     */
-  def flatten(json: String): Map[String, Seq[String]] = {
-    if (json == null) return Map.empty
+  def flatten(json: String): Map[String, Seq[String]] =
+    flattenEither(json).getOrElse(Map.empty)
+
+  /** Flatten with parse failures surfaced: Left(reason) for malformed
+    * JSON or a non-object root, so pipelines can count soft errors
+    * exactly (reference bug B10's fix needs exact counts, not a lossy
+    * channel).  A null/empty input is NOT an error — the reference's
+    * source can legitimately hand over empty content.
+    */
+  def flattenEither(json: String): Either[String, Map[String, Seq[String]]] = {
+    if (json == null || json.isEmpty) return Right(Map.empty)
     val root =
       try mapper.readTree(json)
-      catch { case _: Exception => return Map.empty }
-    if (root == null || !root.isObject) return Map.empty
+      catch { case e: Exception => return Left(s"malformed JSON: ${e.getMessage}") }
+    if (root == null) return Right(Map.empty)
+    if (!root.isObject) return Left(s"root is ${root.getNodeType}, not an object")
+    Right(flattenObject(root))
+  }
+
+  private def flattenObject(root: JsonNode): Map[String, Seq[String]] = {
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
     def add(key: String, value: String): Unit =
@@ -85,6 +99,18 @@ object ArgotFlatten {
     */
   val flattenArgot: Column => Column = {
     val f = udf((s: String) => flatten(s))
+    (c: Column) => f(c)
+  }
+
+  /** Parse-failure reason column: null when the content flattens
+    * cleanly, the reason text otherwise.  Lets callers count soft
+    * errors with an ordinary (exact, deterministic) aggregation —
+    * accumulators inside transformations over-count whenever the plan
+    * evaluates rows more than once (e.g. range-partition sampling
+    * before a chunked write), so they are kept for diagnostics only.
+    */
+  val parseError: Column => Column = {
+    val f = udf((s: String) => flattenEither(s).left.toOption.orNull)
     (c: Column) => f(c)
   }
 }

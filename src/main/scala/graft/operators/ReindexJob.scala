@@ -35,10 +35,15 @@ object ReindexJob {
 
   /** Run the pipeline.  Returns Left(reasons) if preflight or locking
     * refuses to start (reference aborts likewise, driver.go:120-145).
+    *
+    * `sinkErrors`: pass the same ErrorCollector the sink was built
+    * with (BatchedUpsertSink takes one) and its per-record delivery
+    * failures fold into the Result.
     */
   def run(spark: SparkSession, conf: ReindexConfig,
           source: DocSource, sink: DocSink,
-          lock: Lockfile = Lockfile.default()): Either[Seq[String], Result] = {
+          lock: Lockfile = Lockfile.default(),
+          sinkErrors: Option[ErrorCollector] = None): Either[Seq[String], Result] = {
     Preflight.run(Seq(source, sink)) match {
       case Left(failures) => return Left(failures)
       case Right(_) => ()
@@ -47,15 +52,30 @@ object ReindexJob {
       return Left(Seq(s"another reindex holds ${lock.path}" +
         lock.holderPid.map(p => s" (pid $p)").getOrElse("")))
     try {
-      val errors = ErrorCollector(spark.sparkContext)
-      val flatten = ArgotFlatten.flattenArgot
       // scan → (source applies NOT-deleted + resume) → flatten+suffix.
       // The flattened map rides along as a column so the sink's NDJSON
       // serialization carries the Solr dynamic fields.
       val docs = source.load(spark)
-        .withColumn("flat", flatten(col("content")))
+        .withColumn("flat", ArgotFlatten.flattenArgot(col("content")))
       val written = sink.write(docs)
-      Right(Result(written, errors.count, errors.report, sink.checkpoint()))
+      // Exact soft-error surfacing (fixes reference B10): flatten parse
+      // failures are counted with a dedicated aggregation — an
+      // accumulator inside the flatten would over-count whenever the
+      // sink's range-partition sampling evaluates the plan twice.  One
+      // extra column-pruned scan of (id, content); sink-side delivery
+      // errors come from the sink's own collector.
+      val errDf = source.load(spark)
+        .select(col("id"), ArgotFlatten.parseError(col("content")).as("err"))
+        .filter(col("err").isNotNull)
+      val parseErrors = errDf.count()
+      val parseSamples =
+        if (parseErrors == 0) Seq.empty[String]
+        else errDf.orderBy(col("id")).limit(5).collect()
+          .map(r => s"doc ${r.getString(0)}: ${r.getString(1)}").toSeq
+      val sinkErrCount = sinkErrors.map(_.count).getOrElse(0L)
+      val sinkSamples = sinkErrors.map(_.report).getOrElse(Seq.empty)
+      Right(Result(written, parseErrors + sinkErrCount,
+        parseSamples ++ sinkSamples, sink.checkpoint()))
     } finally lock.release()
   }
 }

@@ -96,8 +96,13 @@ object Similarity {
     */
   final class TopKByScore(k: Int)
       extends org.apache.spark.sql.expressions.Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
+    // Mirror Spark's SQL ordering where NaN is the LARGEST double (a
+    // zero-norm vector gives cosine 0/0 = NaN): map NaN to +inf before
+    // negating, so NaN ranks first exactly as in the window ORDER BY
+    // cos DESC formulation. Scala's default TotalOrdering would put NaN
+    // last and diverge.
     private def trim(xs: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] =
-      xs.sortBy(s => (-s.cos, s.neighbor_id)).take(k)
+      xs.sortBy(s => (if (s.cos.isNaN) Double.NegativeInfinity else -s.cos, s.neighbor_id)).take(k)
     override def zero: Seq[ScoredNeighbor] = Seq.empty
     override def reduce(b: Seq[ScoredNeighbor], a: ScoredNeighbor): Seq[ScoredNeighbor] = trim(b :+ a)
     override def merge(b1: Seq[ScoredNeighbor], b2: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] = trim(b1 ++ b2)

@@ -27,6 +27,15 @@ trait DocSink extends HealthCheck {
     * probe (README.md:84-88) answered from sink metadata.
     */
   def checkpoint(): Option[String]
+
+  /** Streaming (foreachBatch) entry point.  The default is only valid
+    * for sinks whose `write` is an idempotent per-id upsert (e.g.
+    * BatchedUpsertSink): replaying a batch re-asserts the same docs.
+    * Overwrite-style sinks MUST override to isolate batches — an
+    * overwrite `write` called per micro-batch would erase every prior
+    * batch's output.
+    */
+  def writeBatch(df: DataFrame, batchId: Long): Long = write(df)
 }
 
 /** Filesystem NDJSON sink.  Spark-native chunking: repartitionByRange
@@ -62,6 +71,19 @@ final class NdjsonDirSink(outDir: String, chunkSize: Int, partitions: Int = 0) e
   }
 
   override def checkpoint(): Option[String] = lastMax
+
+  /** Per-batch subdirectory (`batch=<id>`) so successive micro-batches
+    * accumulate instead of overwriting each other; replay of a batch id
+    * overwrites only its own subdirectory (idempotent per batch).  The
+    * checkpoint advances monotonically across batches.
+    */
+  override def writeBatch(df: DataFrame, batchId: Long): Long = {
+    val sub = new NdjsonDirSink(s"$outDir/batch=$batchId", chunkSize, partitions)
+    val n = sub.write(df)
+    lastMax = (lastMax.toSeq ++ sub.checkpoint().toSeq)
+      .reduceOption((a, b) => Ordering[String].max(a, b))
+    n
+  }
 
   override def healthCheck(): Either[String, Unit] = {
     val parent = new java.io.File(outDir).getAbsoluteFile.getParentFile

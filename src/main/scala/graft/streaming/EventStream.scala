@@ -97,8 +97,10 @@ object EventStream {
   }
 
   /** Stream → DocSink bridge: every micro-batch goes through the SAME
-    * batch write path (chunking, checkpoint, idempotent upsert), so
-    * at-least-once delivery + id-idempotent sink = effectively-once.
+    * batch write path (chunking, checkpoint, idempotent upsert) via
+    * `DocSink.writeBatch`, so at-least-once delivery + a sink that is
+    * idempotent per id (upsert) or per batch id (subdirectory) =
+    * effectively-once.
     */
   def toDocSink(events: DataFrame, sink: DocSink, checkpointDir: String): StreamingQuery =
     events
@@ -110,8 +112,8 @@ object EventStream {
       .writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) { sink.write(batch); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { sink.writeBatch(batch, batchId); () }
       }
       .start()
 }

@@ -25,9 +25,31 @@ class ReindexJobSpec extends SparkSuite {
     assert(r.isRight, r)
     val res = r.toOption.get
     assert(res.docsWritten == 500)
-    assert(res.softErrors == 0)
+    // the fixture's text column is prose, not Argot JSON — every doc is
+    // a flatten soft error, counted EXACTLY once each (the sink's
+    // range-partition sampling evaluates the plan twice; an accumulator
+    // here would report 1000)
+    assert(res.softErrors == 500)
+    assert(res.errorSamples.nonEmpty && res.errorSamples.size <= 5)
     assert(res.checkpoint.contains("99"))
     assert(!Files.exists(lock.path), "lock must be released")
+  }
+
+  test("soft errors: only malformed content counts, and exactly once") {
+    val out = Files.createTempDirectory("graft-job5")
+    val src = out.toString + "/docs.parquet"
+    // 8 valid Argot JSON docs + 2 malformed ones
+    (0 until 10).map(i =>
+        (i.toString, "fixture",
+         if (i % 5 == 4) s"{broken $i" else s"""{"title":"doc $i","n":$i}"""))
+      .toDF("doc_id", "source", "text").write.parquet(src)
+    val sink = new NdjsonDirSink(out.toString + "/out", chunkSize = 3)
+    val r = ReindexJob.run(spark, conf, new ParquetDocSource(src), sink,
+      Lockfile.default(out.toString))
+    val res = r.toOption.get
+    assert(res.docsWritten == 10)
+    assert(res.softErrors == 2, res)
+    assert(res.errorSamples.exists(_.contains("doc 4:")))
   }
 
   test("preflight failure aborts before any work (O13)") {

@@ -119,7 +119,7 @@ class StreamingSpec extends SparkSuite {
     assert(survivors > 200 && survivors <= 250, s"got $survivors")
   }
 
-  test("foreachBatch bridges the stream into the batch DocSink") {
+  test("foreachBatch bridges the stream into the batch DocSink across batches") {
     implicit val sq = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-stream-sink")
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt")
@@ -129,11 +129,23 @@ class StreamingSpec extends SparkSuite {
     try {
       mem.addData((1 to 25).map(i => Ev(i.toLong, ts(i % 60), 1, "view", 1.0, s"""{"k":$i}""")): _*)
       q.processAllAvailable()
-      val files = new java.io.File(out.toString + "/docs").listFiles().filter(_.getName.endsWith(".json"))
+      mem.addData((26 to 40).map(i => Ev(i.toLong, ts(i % 60), 1, "view", 1.0, s"""{"k":$i}""")): _*)
+      q.processAllAvailable()
+      def jsonFiles(dir: java.io.File): Seq[java.io.File] = {
+        val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        kids.filter(_.isFile).filter(_.getName.endsWith(".json")) ++
+          kids.filter(_.isDirectory).flatMap(jsonFiles)
+      }
+      val files = jsonFiles(new java.io.File(out.toString + "/docs"))
       assert(files.nonEmpty)
+      // BOTH micro-batches persist (each batch lands in its own
+      // batch=<id> subdirectory; a shared overwrite dir would keep only
+      // the last batch's 15 rows)
       val lines = files.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
-      assert(lines.length == 25)
+      assert(lines.length == 40, s"expected 25+15 rows, got ${lines.length}")
       assert(files.forall(f => scala.io.Source.fromFile(f).getLines().size <= 10))
+      // checkpoint advanced monotonically across batches (max id "9")
+      assert(sink.checkpoint().contains("9"))
     } finally q.stop()
   }
 }
