@@ -82,7 +82,19 @@ object SparkEntry {
     "q31_quality" -> (TextAnalysis.qualityBySource(_, _)),
     // — multimodal tier —
     "q32_multimodal_meta" -> (Multimodal.metadata(_, _)),
-    "q34_media_features" -> (Multimodal.featureSummary(_, _))
+    "q34_media_features" -> (Multimodal.featureSummary(_, _)),
+    // — round-3 widening: as-of/range joins, skew path, exact moments,
+    //   percentiles, grouping sets, edit distance, IVF ANN, UDTF —
+    "q46_asof_join" -> (EventOps.asOfAttribution(_, _)),
+    "q47_range_join" -> ((s, d) => EventOps.precedingCounts(s, d)),
+    "q48_salted_join" -> (Relational.saltedRevenueByBrand(_, _)),
+    "q49_corpus_diff" -> ((s, d) => Dedup.corpusDiff(s, d)),
+    "q50_variance" -> (Relational.acctbalVariance(_, _)),
+    "q51_percentile" -> (Relational.pricePercentiles(_, _)),
+    "q52_grouping_sets" -> (Relational.orderGroupingSets(_, _)),
+    "q53_edit_distance" -> (Relational.nameEditDistance(_, _)),
+    "q54_ivf_ann" -> ((s, d) => Similarity.ivfAnn(s, d)),
+    "q55_pos_tokens" -> ((s, d) => TextAnalysis.positionalTokens(s, d))
   )
 
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
@@ -417,6 +429,90 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_md5,
         |  CASE WHEN regexp_matches(substr(text, 1, 1), '[a-m]') THEN 'typeA' ELSE 'typeB' END AS sniffed_format
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q46_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag FROM events),
+        |w AS (SELECT *,
+        |  last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ms, tag, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_event_id,
+        |  last_value(CASE WHEN tag = 0 THEN ms END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ms, tag, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attr_ms
+        |  FROM e)
+        |SELECT event_id, user_id, attr_event_id, ms - attr_ms AS gap_ms
+        |FROM w WHERE tag = 1 AND attr_event_id IS NOT NULL""".stripMargin,
+    "q47_range_join" ->
+      """SELECT e.event_id, e.user_id, count(a.event_id) AS n_prev_24h
+        |FROM (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events
+        |      WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events) a
+        |  ON a.user_id = e.user_id AND a.ms >= e.ms - 86400000 AND a.ms < e.ms
+        |GROUP BY 1, 2""".stripMargin,
+    "q48_salted_join" ->
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q49_corpus_diff" ->
+      """WITH fp AS (SELECT doc_id, source,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents),
+        |corp AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250)
+        |SELECT f.doc_id, f.source FROM fp f WHERE f.fp NOT IN (SELECT fp FROM corp)""".stripMargin,
+    "q50_variance" ->
+      """WITH s AS (SELECT c_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, n,
+        |  (sxx - sx * sx / n) / (n - 1) AS var_acctbal,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_acctbal
+        |FROM s""".stripMargin,
+    "q51_percentile" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+        |  max(n) AS n_orders
+        |FROM r GROUP BY o_orderpriority""".stripMargin,
+    "q52_grouping_sets" ->
+      """SELECT coalesce(order_year, 'ALL') AS order_year,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders
+        |FROM (SELECT strftime(o_orderdate, '%Y') AS order_year, o_orderpriority FROM orders) t
+        |GROUP BY GROUPING SETS ((order_year), (o_orderpriority), ())""".stripMargin,
+    "q53_edit_distance" ->
+      """SELECT p_partkey, substr(p_name, 1, 10) AS name_prefix, p_type,
+        |  CAST(levenshtein(substr(p_name, 1, 10), p_type) AS INTEGER) AS edit_dist
+        |FROM part""".stripMargin,
+    "q54_ivf_ann" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         |a AS (SELECT vec_id, embedding, cid,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${dotSql("embedding", "c_emb")} DESC, cid) AS rk
+         |  FROM embeddings CROSS JOIN c),
+         |asg AS (SELECT vec_id, embedding, cid FROM a WHERE rk = 1),
+         |e AS (SELECT vec_id, embedding, cid,
+         |  sqrt(list_reduce(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+         |  FROM asg),
+         |pairs AS (SELECT p.vec_id AS probe_id, q.vec_id AS neighbor_id,
+         |  ${dotSql("p.embedding", "q.embedding")} / (p.nrm * q.nrm) AS cos
+         |  FROM e p JOIN e q ON p.cid = q.cid AND p.vec_id < 6 AND p.vec_id <> q.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, neighbor_id, cos AS cos_sim, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
+    "q55_pos_tokens" ->
+      """SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
+        |FROM (SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS token
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id < 20) t) z""".stripMargin
   )
 }

@@ -59,6 +59,17 @@ object Dedup {
       .drop("fp")
   }
 
+  /** Oracle-shaped corpusDiff: treat doc_id < `split` as the already-
+    * indexed corpus and report which documents (including the corpus's
+    * own members' duplicates) carry an unseen fingerprint.  Exercises
+    * the left_anti incremental-dedup path end to end.
+    */
+  def corpusDiff(spark: SparkSession, dir: String, split: Long = 250): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    againstCorpus(docs, docs.filter(col("doc_id") < split))
+      .select("doc_id", "source")
+  }
+
   /** Distinct word-`n`-gram shingles per document: (doc_id, shingle). */
   private[operators] def shingleSet(docs: DataFrame, n: Int): DataFrame =
     docs

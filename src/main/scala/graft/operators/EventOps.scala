@@ -118,4 +118,61 @@ object EventOps {
     Tables.events(spark, dir)
       .select(col("event_id"), explode(ArgotFlatten.flattenArgot(col("props"))).as(Seq("key", "values")))
       .select(col("event_id"), col("key"), explode(col("values")).as("value"))
+
+  /** As-of join (attribution): for every purchase, the same user's most
+    * recent non-purchase event at-or-before it.
+    *
+    * NOT implemented as a time-range join (which fans out to every
+    * candidate pair before picking one): both streams ride ONE window
+    * over (user, time) — the union-sort formulation.  Sort order
+    * (ms, tag, event_id) puts a same-timestamp non-purchase before the
+    * purchase (at-or-before is inclusive); the rows-to-(-1) frame with
+    * last(..., ignoreNulls) carries the latest candidate forward.  One
+    * shuffle on user_id, O(1) state per row — the as-of shape that
+    * survives 100 TB.
+    */
+  def asOfAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("tag", when(col("event_type") === "purchase", 1).otherwise(0))
+    val w = byUser.orderBy(col("ms").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("attr_event_id", last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("attr_ms", last(when(col("tag") === 0, col("ms")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("attr_event_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("attr_event_id"),
+        (col("ms") - col("attr_ms")).as("gap_ms"))
+  }
+
+  /** Interval/range join, bin-bucketed: for each error event, how many
+    * of the same user's events fall in the preceding `windowMs` (24h).
+    *
+    * The naive form is a θ-join on `a.ms ∈ [e.ms−W, e.ms)` — Spark
+    * would nested-loop it.  Bucketing by W turns it into an EQUI-join:
+    * a candidate in that interval lives in the probe's bucket or the
+    * one before, so the probe side expands to exactly 2 (user, bucket)
+    * keys and the range predicate becomes a residual filter after a
+    * hash join.  Shuffle is on (user, bucket); fan-out is bounded by
+    * events-per-user-per-day, never |events|².
+    */
+  def precedingCounts(spark: SparkSession, dir: String,
+                      windowMs: Long = 24 * 3600 * 1000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    def bucket(ms: org.apache.spark.sql.Column) =
+      floor(ms / lit(windowMs.toDouble)).cast("long")
+    val cands = ev.select(
+      col("user_id").as("c_user"), col("event_id").as("c_id"),
+      col("ms").as("c_ms"), bucket(col("ms")).as("c_bucket"))
+    val probes = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("ms").as("e_ms"))
+      .withColumn("e_bucket", explode(array(bucket(col("e_ms")) - 1, bucket(col("e_ms")))))
+    probes.join(cands,
+        probes("e_user") === cands("c_user") && probes("e_bucket") === cands("c_bucket") &&
+          cands("c_ms") >= probes("e_ms") - windowMs && cands("c_ms") < probes("e_ms"),
+        "left")
+      .groupBy(col("e_id"), col("e_user"))
+      .agg(count(col("c_id")).as("n_prev_24h"))
+      .select(col("e_id").as("event_id"), col("e_user").as("user_id"), col("n_prev_24h"))
+  }
 }

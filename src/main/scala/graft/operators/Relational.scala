@@ -258,4 +258,95 @@ object Relational {
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
+  /** Exact variance/stddev per group WITHOUT a second pass and without
+    * order-dependent double accumulation: Σx and Σx² run through exact
+    * DECIMAL partial+final aggregation (order-independent on any
+    * cluster), then variance is one fixed IEEE expression over the two
+    * exact sums — so the result is bit-identical on any engine and any
+    * partitioning.  Spark's built-in var_samp is a running-moment
+    * double aggregation whose result depends on partition order; at
+    * 1000 executors that's run-to-run jitter this formulation removes.
+    */
+  def acctbalVariance(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec2(col("c_acctbal"))
+    Tables.customer(spark, dir)
+      .groupBy("c_nationkey")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sxx"))
+      .select(
+        col("c_nationkey"), col("n"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_acctbal"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev_acctbal"))
+  }
+
+  /** Exact discrete percentiles (p50/p90) per group via rank selection —
+    * no interpolation arithmetic, so the chosen values are raw column
+    * values and engine-portable.  One shuffle on the group key, then a
+    * per-partition sort; the selector is a conditional agg, not a
+    * second scan.  (Spark's percentile() interpolates with a different
+    * IEEE expression than DuckDB's quantile_cont — rank selection
+    * sidesteps the whole class of mismatch.)
+    */
+  def pricePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byPrio = Window.partitionBy("o_orderpriority")
+    val w = byPrio.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byPrio))
+      .groupBy("o_orderpriority")
+      .agg(
+        max(when(col("rn") === ceil(lit(0.5) * col("n")), col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === ceil(lit(0.9) * col("n")), col("o_totalprice"))).as("p90"),
+        max(col("n")).as("n_orders"))
+  }
+
+  /** GROUPING SETS through the SQL front end: (year), (priority), and
+    * the grand total in ONE hash aggregate (Catalyst expands the sets
+    * into a single Expand + aggregate — no per-level rescan of orders).
+    * rollup/cube (q35/q41) are the syntactic sugar; this is the
+    * explicit-sets form.
+    */
+  def orderGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT coalesce(order_year, 'ALL') AS order_year,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders
+        |FROM (SELECT date_format(o_orderdate, 'yyyy') AS order_year, o_orderpriority FROM orders) t
+        |GROUP BY GROUPING SETS ((order_year), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** String-similarity scalar: Levenshtein edit distance (codegen'd
+    * built-in, the string-metric counterpart of the dedup tier's
+    * set-based measures).  Narrow projection — no shuffle at all.
+    */
+  def nameEditDistance(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      substring(col("p_name"), 1, 10).as("name_prefix"),
+      col("p_type"),
+      levenshtein(substring(col("p_name"), 1, 10), col("p_type")).as("edit_dist"))
+
+  /** revenueByBrand forced through the salted-join path (SkewJoin):
+    * same result as the broadcast plan, but the fact side is spread
+    * over `salt` sub-keys per part — the shape that keeps reducers
+    * balanced when one hot key dominates and the dim is too large to
+    * broadcast.  Registered with the same oracle as q02: the salt must
+    * be invisible in the result.
+    */
+  def saltedRevenueByBrand(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val dim = Tables.part(spark, dir)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    SkewJoin.saltedJoin(fact, dim, "l_partkey", salt = 8)
+      .groupBy("p_brand")
+      .agg(
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

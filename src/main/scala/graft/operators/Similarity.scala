@@ -136,6 +136,45 @@ object Similarity {
       .toDF("probe_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** IVF-style ANN: a small trained centroid set partitions the vector
+    * space into cells; every vector is assigned to its nearest centroid
+    * (max dot product) and probes search only their own cell
+    * (nprobe=1).  Here "training" is the deterministic pick of the
+    * first `nCentroids` vectors — production swaps in k-means centroids
+    * without changing any join shape.
+    *
+    * Scale shape: centroids broadcast (tiny), assignment is a narrow
+    * broadcast product + per-vector argmax (no shuffle of the vector
+    * table beyond the grouping), search is an equi-join on cell id —
+    * the candidate set per probe is |n|/|cells|, never all-pairs.  This
+    * is the trained-partition upgrade of bucketedAnn's sign-LSH.
+    */
+  def ivfAnn(spark: SparkSession, dir: String,
+             nCentroids: Int = 8, numProbes: Int = 6, k: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = emb.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val aw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
+    val assigned = emb.select("vec_id", "embedding")
+      .crossJoin(broadcast(cents))
+      .withColumn("cdot", dot(col("embedding"), col("c_emb")))
+      .withColumn("rk", row_number().over(aw))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val e = assigned.withColumn("nrm", norm(col("embedding")))
+    val probes = e.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("cid"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    val cands = e.select(col("vec_id").as("neighbor_id"), col("cid"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val cos = dot(col("p_emb"), col("q_emb")) / (col("p_nrm") * col("q_nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probes).join(cands, "cid")
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", cos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"), col("cos").as("cos_sim"), col("rank"))
+  }
+
   /** Label centroid stats: per-label mean vector magnitude — the
     * label-stratified aggregation exercise (FIXTURES.md §B.3), with the
     * norm sum kept deterministic via a single sequential fold per row

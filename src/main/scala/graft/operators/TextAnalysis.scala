@@ -68,4 +68,14 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(when(col("q") >= 0.6, 1L).otherwise(0L)).as("n_high_quality"),
         sum(col("n_sub")).as("total_subwords"))
+
+  /** Positional tokenization via posexplode — the table-generating
+    * (UDTF) surface: one row per (doc, position, token), position
+    * 0-based in document order.  Narrow generate, no shuffle; the
+    * probe-set filter is pushed to the parquet scan.
+    */
+  def positionalTokens(spark: SparkSession, dir: String, maxDocId: Long = 20): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
 }

@@ -138,6 +138,63 @@ class OperatorSpec extends SparkSuite {
     assert(s.agg(sum("n_events")).as[Long].head() == Tables.events(spark, sf).count())
   }
 
+  test("as-of attribution: candidate precedes (or ties) its purchase and is a real non-purchase") {
+    val attr = EventOps.asOfAttribution(spark, sf)
+    assert(attr.filter(col("gap_ms") < 0).count() == 0)
+    // one row per attributed purchase
+    assert(attr.select("event_id").distinct().count() == attr.count())
+    val nonPurchase = Tables.events(spark, sf)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("event_id").as("attr_event_id"), col("user_id"))
+    assert(attr.join(nonPurchase, Seq("attr_event_id", "user_id")).count() == attr.count())
+  }
+
+  test("range join: bucketed counts equal the naive theta-join") {
+    val bucketed = EventOps.precedingCounts(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"), col("ms").as("e_ms"))
+    val a = ev.select(col("event_id").as("a_id"), col("user_id").as("a_user"), col("ms").as("a_ms"))
+    val naive = e.join(a,
+        e("e_user") === a("a_user") &&
+          a("a_ms") >= e("e_ms") - 86400000L && a("a_ms") < e("e_ms"), "left")
+      .groupBy(col("e_id"), col("e_user")).agg(count(col("a_id")).as("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(bucketed == naive)
+  }
+
+  test("IVF ANN: every neighbor shares its probe's cell") {
+    val res = Similarity.ivfAnn(spark, sf, nCentroids = 4, numProbes = 3, k = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(res.forall(r => r._4 >= 1 && r._4 <= 2))
+    assert(res.forall(r => r._1 != r._2))
+    assert(res.forall(r => r._3 >= -1.0001 && r._3 <= 1.0001))
+  }
+
+  test("percentile selection: p50 ≤ p90 and group sizes sum to the table") {
+    val p = Relational.pricePercentiles(spark, sf)
+      .select("o_orderpriority", "p50", "p90", "n_orders")
+      .as[(String, Double, Double, Long)].collect()
+    assert(p.forall(r => r._2 <= r._3))
+    assert(p.map(_._4).sum == Tables.orders(spark, sf).count())
+  }
+
+  test("corpus diff never returns a corpus member") {
+    val fresh = Dedup.corpusDiff(spark, sf, split = 250)
+    assert(fresh.filter(col("doc_id") < 250).count() == 0)
+  }
+
+  test("salted revenue equals the broadcast-join revenue, brand for brand") {
+    val a = Relational.saltedRevenueByBrand(spark, sf)
+      .as[(String, Double, Long)].collect().toSet
+    val b = Relational.revenueByBrand(spark, sf)
+      .select("p_brand", "revenue", "n_items")
+      .as[(String, Double, Long)].collect().toSet
+    assert(a == b)
+  }
+
   // — multimodal —
 
   test("stub decoder emits 1..cap frames per payload with the declared schema") {
