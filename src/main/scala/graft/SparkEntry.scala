@@ -285,8 +285,10 @@ object SparkEntry {
         |SELECT doc_id, CAST(sum(maj * CAST(power(2, b) AS BIGINT)) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id""".stripMargin,
     "q44_winnowing" ->
-      """WITH h AS (SELECT doc_id, [md5(substr(text, i, 8)) FOR i IN range(1, length(text) - 6)] AS hs
-        |           FROM documents WHERE length(text) >= 8),
+      """WITH h AS (SELECT doc_id,
+        |  [list_reduce(list_transform(range(i, i+8), j -> CAST(ascii(substr(text, j, 1)) AS BIGINT)),
+        |               (a, b) -> (a * 31 + b) % 4294967296) FOR i IN range(1, length(text) - 6)] AS hs
+        |  FROM documents WHERE length(text) >= 8),
         |fp AS (SELECT DISTINCT doc_id,
         |         unnest([list_aggregate(hs[j:j+3], 'min') FOR j IN range(1, len(hs) - 2)]) AS fp
         |       FROM h WHERE len(hs) >= 4),

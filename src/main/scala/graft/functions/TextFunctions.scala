@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column builders for the LLM-data-pipeline tier.
@@ -44,6 +45,14 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Winnowing fingerprint set (array<long>, distinct, ascending) via
+    * the native one-pass expression — see graft.plans.WinnowFingerprints
+    * for the hash contract mirrored by the DuckDB oracle.
+    */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(graft.plans.WinnowFingerprints(
+      ColumnBridge.expression(text), k, w))
 
   /** Heuristic language id from marker-token hits.  The fixture's text
     * is synthetic token soup, so the markers are deliberately simple

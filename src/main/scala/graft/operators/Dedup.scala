@@ -132,9 +132,13 @@ object Dedup {
     val sh = maxShingleDf match {
       case None => shAll
       case Some(cap) =>
-        val df = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("shingle")
-        shAll.join(broadcast(df), "shingle")
+        // df cap via a count window, not groupBy+join-back: the window
+        // shuffles on `shingle` ONCE and the downstream self-join on
+        // `shingle` reuses that exchange on both sides — two fewer
+        // shuffles of the biggest intermediate in the query.
+        shAll
+          .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+          .filter(col("df") <= cap).drop("df")
     }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -159,28 +163,30 @@ object Dedup {
     * fingerprint.  Pairs sharing ≥ `minShared` fingerprints are
     * near-dup candidates.
     *
-    * Whole construction is narrow (sequence/transform/slice over each
-    * row) until one inverted-index join on fingerprint — the same
-    * scale shape as the shingle pipeline.
+    * The per-document fingerprint set comes from ONE native expression
+    * (graft.plans.WinnowFingerprints: rolling polynomial hash +
+    * monotonic-deque sliding minima, O(n) per doc) — the builtin
+    * md5-per-position + array_min-per-window formulation interpreted
+    * its lambdas and was ~4× slower at sf0.1.  The expression emits
+    * each doc's DISTINCT minima, so the pipeline is narrow until the
+    * single inverted-index join on fingerprint.
     */
   def winnowing(spark: SparkSession, dir: String,
                 k: Int = 8, w: Int = 4, minShared: Long = 10L,
                 maxFpDf: Int = 5): DataFrame = {
-    val docs = Tables.documents(spark, dir).filter(length(col("text")) >= k)
-    val fp = docs
-      .withColumn("hs", expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substr(text, i, $k)))"))
-      .filter(size(col("hs")) >= w)
-      .withColumn("fp", explode(array_distinct(
-        expr(s"transform(sequence(1, size(hs) - ${w - 1}), j -> array_min(slice(hs, j, $w)))"))))
-      .select("doc_id", "fp").distinct()
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(TextFunctions.winnowFingerprints(col("text"), k, w)).as("fp"))
     // Drop boilerplate fingerprints (document frequency > maxFpDf)
     // before the inverted-index join: hot fingerprints contribute
     // O(df^2) candidate pairs but no discriminative signal; true
     // near-dups keep their pair-specific rare fingerprints.  Applied
-    // identically in the oracle, so the result is still exact.
-    val rare = fp.groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxFpDf).select("fp")
-    val fpr = fp.join(rare, "fp")
+    // identically in the oracle, so the result is still exact.  The
+    // cap is a count window (one shuffle on fp, reused by the
+    // self-join) instead of a groupBy+join-back.
+    val fpr = fp
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("df") <= maxFpDf).drop("df")
     val a = fpr.select(col("doc_id").as("doc_a"), col("fp"))
     val b = fpr.select(col("doc_id").as("doc_b"), col("fp"))
     a.join(b, "fp")

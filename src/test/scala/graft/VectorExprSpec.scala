@@ -39,6 +39,43 @@ class VectorExprSpec extends SparkSuite {
     }
   }
 
+  /** Naive reference of the winnowing contract: recompute every k-gram
+    * hash from scratch (no rolling update), brute-force window minima.
+    */
+  private def naiveWinnow(s: String, k: Int, w: Int): Seq[Long] = {
+    val m = s.length - k + 1
+    if (m < w) return Seq.empty
+    val hs = (0 until m).map { i =>
+      s.substring(i, i + k).foldLeft(0L)((a, c) => (a * 31 + c) & 0xFFFFFFFFL)
+    }
+    (0 to m - w).map(j => hs.slice(j, j + w).min).distinct.sorted
+  }
+
+  test("winnow expression == naive recompute reference on real documents") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(50)
+      .as[(Long, String)].collect()
+    val viaExpr = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.winnowFingerprints(col("text"), 8, 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    docs.foreach { case (id, text) =>
+      assert(viaExpr(id) == naiveWinnow(text, 8, 4), s"doc $id")
+    }
+  }
+
+  test("winnow expression: short inputs yield empty, not errors") {
+    val tiny = Seq("", "abcdefg", "abcdefgh", "abcdefghij").toDF("text")
+    val r = tiny.select(
+        graft.functions.TextFunctions.winnowFingerprints(col("text"), 8, 4).as("fp"))
+      .as[Seq[Long]].collect()
+    // needs ≥ k+w-1 = 11 chars for one full window
+    assert(r(0).isEmpty && r(1).isEmpty && r(2).isEmpty && r(3).isEmpty)
+    val just = Seq("abcdefghijk").toDF("text").select(
+        graft.functions.TextFunctions.winnowFingerprints(col("text"), 8, 4).as("fp"))
+      .as[Seq[Long]].collect()
+    assert(just(0).nonEmpty)
+  }
+
   private def withCodegenOff[T](body: => T): T = {
     val k = "spark.sql.codegen.wholeStage"
     val old = spark.conf.get(k)
