@@ -244,10 +244,17 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "q21_dedup_minhash" ->
       s"""WITH $shingleCte,
-         |mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
-         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) seeds
+         |hs AS (SELECT doc_id,
+         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+         |    list_transform(range(1, length(shingle) + 1), j -> CAST(ascii(substr(shingle, j, 1)) AS BIGINT))),
+         |    (a, b) -> (a * 31 + b) % 4294967296) AS f,
+         |  list_reduce(list_transform(range(0, length(shingle)), x -> CAST(31 AS BIGINT)),
+         |    (a, b) -> (a * b) % 4294967296) AS pw
+         |  FROM sh),
+         |mh AS (SELECT doc_id, seed, min((seed * pw + f) % 4294967296) AS mh
+         |  FROM hs CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) seeds
          |  GROUP BY doc_id, seed),
-         |sig AS (SELECT doc_id, seed // 2 AS band, string_agg(mh, ',' ORDER BY seed) AS sig
+         |sig AS (SELECT doc_id, seed // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
          |  FROM mh GROUP BY doc_id, seed // 2)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,

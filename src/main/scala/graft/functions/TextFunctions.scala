@@ -46,6 +46,14 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** All k seeded minhashes in one narrow pass (array<long>, seed
+    * order) via the native expression — see graft.plans.MinHashes for
+    * the seeded-hash contract mirrored by the DuckDB oracle.
+    */
+  def minHashes(text: Column, n: Int, numHashes: Int): Column =
+    ColumnBridge.column(graft.plans.MinHashes(
+      ColumnBridge.expression(text), n, numHashes))
+
   /** Winnowing fingerprint set (array<long>, distinct, ascending) via
     * the native one-pass expression — see graft.plans.WinnowFingerprints
     * for the hash contract mirrored by the DuckDB oracle.

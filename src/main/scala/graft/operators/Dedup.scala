@@ -70,11 +70,21 @@ object Dedup {
       .select("doc_id", "source")
   }
 
-  /** Distinct word-`n`-gram shingles per document: (doc_id, shingle). */
+  /** Distinct word-`n`-gram shingles per document: (doc_id, shingle).
+    *
+    * Dedup happens per row (array_distinct before the explode, narrow)
+    * — but the trailing global .distinct() stays DELIBERATELY even
+    * though the rows are already unique: its exchange is the
+    * materialization point that the downstream self-join's two sides
+    * and the sizes aggregate all reuse (ReusedExchange).  Dropping it
+    * re-executes the shingling pipeline once per consumer and doubled
+    * q22's wall time at sf0.1.
+    */
   private[operators] def shingleSet(docs: DataFrame, n: Int): DataFrame =
     docs
       .filter(size(split(col("text"), " ")) >= n)
-      .select(col("doc_id"), explode(TextFunctions.shingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFunctions.shingles(col("text"), n))).as("shingle"))
       .distinct()
 
   /** MinHash-LSH candidate pairs (doc_a < doc_b).
@@ -86,20 +96,23 @@ object Dedup {
     */
   def minhashLsh(spark: SparkSession, dir: String,
                  shingleN: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val sh = shingleSet(Tables.documents(spark, dir), shingleN)
-    // All k minhashes in ONE partial+final aggregation over the shingle
-    // set (k min() columns), instead of exploding k× rows and grouping
-    // twice — one shuffle of |shingles| rows total, map-side combined.
-    val mhCols = (0 until numHashes).map { s =>
-      min(md5(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"mh$s")
-    }
-    val mh = sh.groupBy("doc_id").agg(mhCols.head, mhCols.tail: _*)
+    // The whole signature is ONE narrow expression per document
+    // (graft.plans.MinHashes): no shingle explode, no distinct, no
+    // aggregation — min over the shingle multiset equals min over the
+    // set, so the groupBy-min the SQL formulation uses is computable
+    // per row.  The only shuffle left in the query is the band
+    // self-join.
+    val mh = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= shingleN)
+      .select(col("doc_id"),
+        TextFunctions.minHashes(col("text"), shingleN, numHashes).as("mhs"))
     // Band signatures: seed-order concat within each band — identical
     // to string_agg(mh, ',' ORDER BY seed) per band.  explode of a
     // small literal array is narrow (no shuffle).
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
-      val sigCols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      val sigCols = (0 until rowsPerBand).map(r =>
+        element_at(col("mhs"), b * rowsPerBand + r + 1).cast("string"))
       struct(lit(b.toLong).as("band"), concat_ws(",", sigCols: _*).as("sig"))
     }
     val sig = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))

@@ -49,6 +49,83 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** All `numHashes` seeded min-hashes of a document's word-`n`-gram
+  * shingle set, in one narrow pass — no shingle explode, no distinct,
+  * no aggregation shuffle.  Valid because min() is idempotent over
+  * duplicate shingles: the min over the multiset equals the min over
+  * the set, so the per-row computation is exactly the groupBy-min the
+  * SQL formulation used.
+  *
+  * Seeded hash family (oracle contract): h_seed(s) = fold of
+  * `acc ← (acc·31 + codepoint) mod 2^32` over s's code points with
+  * acc₀ = seed — equivalently `(seed · 31^len(s) + h₀(s)) mod 2^32`,
+  * which is how both this implementation (one base hash + k fused
+  * multiply-adds per shingle) and the DuckDB oracle compute it.
+  * Shingles are the `n` tokens joined with a single space, tokens from
+  * splitting on every single space (Spark split semantics, empties
+  * kept).
+  *
+  * Output: array of `numHashes` minima (seed order), or an empty array
+  * when the document has fewer than `n` tokens.
+  */
+case class MinHashes(child: Expression, n: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhashes"
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashes.compute(a.asInstanceOf[UTF8String], n, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.MinHashes.compute($a, $n, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashes {
+
+  private val Mask = 0xFFFFFFFFL
+
+  def compute(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val s = text.toString
+    val tokens = s.split(" ", -1)
+    val m = tokens.length - n + 1 // number of shingles
+    if (m < 1) return new GenericArrayData(Array.empty[Long])
+
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      // base hash f = fold(0, chars) and pw = 31^len, one pass over
+      // the shingle's characters (tokens joined by single spaces)
+      var f = 0L
+      var pw = 1L
+      var t = 0
+      while (t < n) {
+        if (t > 0) { f = (f * 31L + ' ') & Mask; pw = (pw * 31L) & Mask }
+        val tok = tokens(i + t)
+        var c = 0
+        while (c < tok.length) {
+          f = (f * 31L + tok.charAt(c)) & Mask
+          pw = (pw * 31L) & Mask
+          c += 1
+        }
+        t += 1
+      }
+      var seed = 0
+      while (seed < numHashes) {
+        val h = (seed * pw + f) & Mask
+        if (h < mins(seed)) mins(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
 object WinnowFingerprints {
 
   private val Mask = 0xFFFFFFFFL // mod 2^32
