@@ -94,7 +94,10 @@ object SparkEntry {
     "q52_grouping_sets" -> (Relational.orderGroupingSets(_, _)),
     "q53_edit_distance" -> (Relational.nameEditDistance(_, _)),
     "q54_ivf_ann" -> ((s, d) => Similarity.ivfAnn(s, d)),
-    "q55_pos_tokens" -> ((s, d) => TextAnalysis.positionalTokens(s, d))
+    "q55_pos_tokens" -> ((s, d) => TextAnalysis.positionalTokens(s, d)),
+    "q56_topk_per_group" -> ((s, d) => Relational.topOrdersPerPriority(s, d)),
+    "q57_rank_funcs" -> (Relational.orderRankFunctions(_, _)),
+    "q58_approx_quantile" -> (Relational.approxPricePercentiles(_, _))
   )
 
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
@@ -522,6 +525,23 @@ object SparkEntry {
       """SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
         |FROM (SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS token
         |      FROM (SELECT doc_id, string_split(text, ' ') AS w
-        |            FROM documents WHERE doc_id < 20) t) z""".stripMargin
+        |            FROM documents WHERE doc_id < 20) t) z""".stripMargin,
+    "q56_topk_per_group" ->
+      """SELECT o_orderpriority, CAST(rank AS INTEGER) AS rank, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |      FROM orders) t
+        |WHERE rank <= 3""".stripMargin,
+    "q57_rank_funcs" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drank,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders WHERE o_totalprice > 400000.0
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
+    // q58_approx_quantile: GK-sketch internals are engine-specific →
+    // rows-only check (exact anchor = q51_percentile)
   )
 }

@@ -331,6 +331,54 @@ object Relational {
       col("p_type"),
       levenshtein(substring(col("p_name"), 1, 10), col("p_type")).as("edit_dist"))
 
+  /** Top-k per group (rank ≤ k window): the grouped form of topOrders'
+    * global TakeOrderedAndProject — one shuffle on the group key, a
+    * per-partition sort, early filter on the rank.  Unique tiebreaker
+    * keeps the selection total-ordered.
+    */
+  def topOrdersPerPriority(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+  }
+
+  /** The ranking-function family in one window pass: dense_rank,
+    * percent_rank, cume_dist, ntile — all over a unique total order, so
+    * every value (including the int-ratio doubles percent_rank and
+    * cume_dist produce) is engine-exact.
+    */
+  def orderRankFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        dense_rank().over(w).as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+  }
+
+  /** approx_percentile (Greenwald-Khanna sketch) per priority — the
+    * quantile counterpart of q33's HLL: bounded-memory mergeable
+    * sketch, the only viable percentile at 100 TB when rank selection's
+    * full sort is too much.  Sketch internals are engine-specific →
+    * registered rows-only, with the exact q51 as its correctness
+    * anchor.
+    */
+  def approxPricePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)).as("p90_approx"))
+
   /** revenueByBrand forced through the salted-join path (SkewJoin):
     * same result as the broadcast plan, but the fact side is spread
     * over `salt` sub-keys per part — the shape that keeps reducers
