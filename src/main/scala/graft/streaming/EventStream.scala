@@ -96,6 +96,32 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join with watermarks: every purchase joined
+    * to the same user's views from the preceding hour — the streaming
+    * form of the batch as-of/attribution family (EventOps).
+    *
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance, so Spark can evict buffered state once the
+    * watermark passes the interval: state per key is bounded by the
+    * horizon, not the stream length — the only stream-stream join shape
+    * that survives unbounded input.
+    */
+  def purchaseViewJoin(events: DataFrame,
+                       watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    purchases.join(views,
+      expr("p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("view_id"), col("p_ts"), col("v_ts"), col("value"))
+  }
+
   /** Stream → DocSink bridge: every micro-batch goes through the SAME
     * batch write path (chunking, checkpoint, idempotent upsert) via
     * `DocSink.writeBatch`, so at-least-once delivery + a sink that is

@@ -119,6 +119,20 @@ class StreamingSpec extends SparkSuite {
     assert(survivors > 200 && survivors <= 250, s"got $survivors")
   }
 
+  test("stream-stream join pairs purchases with same-user views inside the hour") {
+    val rows = run(
+      Seq(Seq(
+        Ev(1, ts(0), 1, "view", 0.0, "{}"),      // inside the hour → joins
+        Ev(2, ts(20), 1, "view", 0.0, "{}"),     // inside → joins
+        Ev(3, ts(25), 2, "view", 0.0, "{}"),     // other user → no
+        Ev(4, ts(30), 1, "purchase", 9.0, "{}"),
+        Ev(5, ts(31), 1, "click", 0.0, "{}"))),  // not a view → no
+      df => EventStream.purchaseViewJoin(df),
+      mode = "append")
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).toSet == Set((4L, 1L), (4L, 2L)))
+    assert(rows.forall(_.getDouble(5) == 9.0))
+  }
+
   test("foreachBatch bridges the stream into the batch DocSink across batches") {
     implicit val sq = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-stream-sink")
