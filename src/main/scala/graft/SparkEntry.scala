@@ -97,7 +97,10 @@ object SparkEntry {
     "q55_pos_tokens" -> ((s, d) => TextAnalysis.positionalTokens(s, d)),
     "q56_topk_per_group" -> ((s, d) => Relational.topOrdersPerPriority(s, d)),
     "q57_rank_funcs" -> (Relational.orderRankFunctions(_, _)),
-    "q58_approx_quantile" -> (Relational.approxPricePercentiles(_, _))
+    "q58_approx_quantile" -> (Relational.approxPricePercentiles(_, _)),
+    "q59_collect_sets" -> (Relational.userEventProfile(_, _)),
+    "q60_date_facets" -> (Relational.orderDateFacets(_, _)),
+    "q61_corr_subquery" -> (Relational.premiumParts(_, _))
   )
 
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
@@ -540,8 +543,25 @@ object SparkEntry {
         |  cume_dist() OVER w AS cdist,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM orders WHERE o_totalprice > 400000.0
-        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
     // q58_approx_quantile: GK-sketch internals are engine-specific →
     // rows-only check (exact anchor = q51_percentile)
+    "q59_collect_sets" ->
+      """SELECT user_id,
+        |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q60_date_facets" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_quarter,
+        |  CAST(datediff('day', o_orderdate, DATE '1999-01-01') AS INTEGER) AS days_to_99
+        |FROM orders WHERE o_orderkey % 20 = 0""".stripMargin,
+    "q61_corr_subquery" -> graft.operators.Relational.PremiumPartsSql
   )
 }

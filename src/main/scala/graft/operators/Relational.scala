@@ -379,6 +379,56 @@ object Relational {
         percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
         percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)).as("p90_approx"))
 
+  /** Collection aggregation: per user, the sorted distinct set of event
+    * types as one string — collect_set is order-nondeterministic by
+    * itself, so array_sort + join canonicalizes it (the only
+    * engine-portable way to surface a collected set).
+    */
+  def userEventProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        concat_ws(",", array_sort(collect_set(col("event_type")))).as("event_types"),
+        count(lit(1)).as("n_events"))
+
+  /** Date/time function family over o_orderdate: field extraction,
+    * calendar arithmetic, truncation — all integral or string-rendered,
+    * so engine-exact.
+    */
+  def orderDateFacets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus_quarter"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate")).as("days_to_99"))
+
+  /** Correlated scalar subquery, shared VERBATIM with the oracle:
+    * parts priced above their brand's average.  Catalyst decorrelates
+    * the subquery into an aggregate + join — the plan you'd write by
+    * hand, derived from the declarative form.  The average follows the
+    * engine-portable convention (exact decimal sum → double ÷ count)
+    * INSIDE the shared SQL, so the comparison can't flip on a last-bit
+    * difference between partial-aggregation orders.
+    */
+  val PremiumPartsSql: String =
+    """SELECT p_partkey, p_brand, p_retailprice
+      |FROM part p
+      |WHERE p_retailprice > 1.02 * (
+      |  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |  FROM part p2 WHERE p2.p_brand = p.p_brand)""".stripMargin
+
+  def premiumParts(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(PremiumPartsSql)
+  }
+
   /** revenueByBrand forced through the salted-join path (SkewJoin):
     * same result as the broadcast plan, but the fact side is spread
     * over `salt` sub-keys per part — the shape that keeps reducers
