@@ -100,7 +100,8 @@ object SparkEntry {
     "q58_approx_quantile" -> (Relational.approxPricePercentiles(_, _)),
     "q59_collect_sets" -> (Relational.userEventProfile(_, _)),
     "q60_date_facets" -> (Relational.orderDateFacets(_, _)),
-    "q61_corr_subquery" -> (Relational.premiumParts(_, _))
+    "q61_corr_subquery" -> (Relational.premiumParts(_, _)),
+    "q62_media_resize" -> ((s, d) => Multimodal.resizePayloads(s, d))
   )
 
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
@@ -562,6 +563,13 @@ object SparkEntry {
         |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_quarter,
         |  CAST(datediff('day', o_orderdate, DATE '1999-01-01') AS INTEGER) AS days_to_99
         |FROM orders WHERE o_orderkey % 20 = 0""".stripMargin,
-    "q61_corr_subquery" -> graft.operators.Relational.PremiumPartsSql
+    "q61_corr_subquery" -> graft.operators.Relational.PremiumPartsSql,
+    // the resize stub keeps every 2nd byte; text is ASCII so byte ==
+    // char and DuckDB can rebuild the exact resized payload
+    "q62_media_resize" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_len,
+        |  CAST((length(text) + 1) // 2 AS BIGINT) AS resized_len,
+        |  md5(array_to_string([substr(text, i, 1) FOR i IN range(1, length(text) + 1, 2)], '')) AS resized_md5
+        |FROM documents""".stripMargin
   )
 }

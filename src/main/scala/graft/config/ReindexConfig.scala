@@ -33,7 +33,13 @@ final case class ReindexConfig(
     chunkSize: Int = 20000,
     workers: Int = math.max(Runtime.getRuntime.availableProcessors - 1, 1),
     authorities: Boolean = false,
-    redisUrl: String = "redis://localhost:6379/0"
+    redisUrl: String = "redis://localhost:6379/0",
+    /** Engine extension (not in the reference config): when set, read
+      * documents from this parquet/NDJSON path instead of Postgres —
+      * the zero-egress test path uses it.  Unknown to the reference,
+      * whose loader would ignore it (same forward-compat stance here).
+      */
+    sourcePath: String = ""
 ) {
 
   /** JDBC URL for the Spark reader (reference DatabaseUrl,
@@ -135,6 +141,7 @@ object ReindexConfig {
       int("workers")(v => c.copy(workers = v))
       bool("authorities")(v => c.copy(authorities = v))
       str("redisUrl")(v => c.copy(redisUrl = v))
+      str("sourcePath")(v => c.copy(sourcePath = v))
       c
     }.toEither.left.map(e => s"bad config JSON: ${e.getMessage}")
 }

@@ -81,4 +81,32 @@ object Multimodal {
   def featureSummary(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(spark, dir).groupBy("doc_id")
       .agg(count(lit(1)).as("n_frames"), round(avg(col("feature")), 6).as("mean_feature"))
+
+  /** STUB RESIZE — the binary→binary transform shape (image downscale,
+    * audio resample).  The deterministic fake keeps every 2nd byte; a
+    * real impl swaps the loop body for a codec call, everything else
+    * (mapPartitions batching, binary schema in/out, metadata update)
+    * is the production shape.  Output carries the new payload plus
+    * before/after sizes and a content hash so the transform is
+    * oracle-checkable end to end.
+    */
+  def resizePayloads(spark: SparkSession, dir: String, factor: Int = 2): DataFrame = {
+    import spark.implicits._
+    val resized = payloads(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition codec init in production
+        rows.map { case (id, bytes) =>
+          val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+          (id, bytes.length.toLong, out.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "orig_len", "resized_len", "resized")
+    resized.select(
+      col("doc_id"), col("orig_len"), col("resized_len"),
+      md5(col("resized")).as("resized_md5"))
+  }
 }

@@ -30,5 +30,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_norm(arrayFloat)")
         VecNorm(args.head)
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_winnow(text, k, w)")
+        WinnowFingerprints(args.head, GraftExtensions.intLit(args(1)), GraftExtensions.intLit(args(2)))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhashes"),
+      new ExpressionInfo(classOf[MinHashes].getName, "graft_minhashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_minhashes(text, shingleN, numHashes)")
+        MinHashes(args.head, GraftExtensions.intLit(args(1)), GraftExtensions.intLit(args(2)))
+      }))
+  }
+}
+
+object GraftExtensions {
+  /** Resolve a literal int argument at registration time (k/w/n are
+    * plan-shaping constants, not data).
+    */
+  private[plans] def intLit(e: Expression): Int = {
+    require(e.foldable, s"expected a literal int, got $e")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case o => throw new IllegalArgumentException(s"expected int literal, got $o")
+    }
   }
 }

@@ -12,5 +12,11 @@ object RegisterFunctions {
       "graft_dot", (args: Seq[Expression]) => DotProduct(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_norm", (args: Seq[Expression]) => VecNorm(args.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_winnow", (args: Seq[Expression]) =>
+        WinnowFingerprints(args.head, GraftExtensions.intLit(args(1)), GraftExtensions.intLit(args(2))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhashes", (args: Seq[Expression]) =>
+        MinHashes(args.head, GraftExtensions.intLit(args(1)), GraftExtensions.intLit(args(2))), "built-in")
   }
 }

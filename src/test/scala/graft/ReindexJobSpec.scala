@@ -52,6 +52,38 @@ class ReindexJobSpec extends SparkSuite {
     assert(res.errorSamples.exists(_.contains("doc 4:")))
   }
 
+  test("CLI main: config → pipeline → exit code reflects soft errors (B10 fix)") {
+    val out = Files.createTempDirectory("graft-main")
+    val src = out.toString + "/docs.parquet"
+    (0 until 20).map(i => (i.toString, "fix", s"""{"t":"d$i"}"""))
+      .toDF("doc_id", "source", "text").write.parquet(src)
+    def cfg(name: String, sourcePath: String): String = {
+      val p = out.resolve(s"$name.json")
+      Files.writeString(p,
+        s"""{"password":"pw","solrUrl":"file:$out/sink-$name","chunkSize":10,
+           |"workers":2,"sourcePath":"$sourcePath"}""".stripMargin)
+      p.toString
+    }
+    // clean run: all-JSON content → exit 0, chunked output present
+    assert(ReindexMain.run(Seq(cfg("ok", src))) == 0)
+    assert(new java.io.File(s"$out/sink-ok").listFiles().exists(_.getName.endsWith(".json")))
+    // bad config → exit 2
+    val bad = out.resolve("bad.json")
+    Files.writeString(bad, """{"password":"","solrUrl":"x"}""")
+    assert(ReindexMain.run(Seq(bad.toString)) == 2)
+    // missing source → preflight refusal, exit 1
+    assert(ReindexMain.run(Seq(cfg("gone", "/no/such.parquet"))) == 1)
+  }
+
+  test("CLI main: prose content completes with exit 3 and exact soft-error count") {
+    val out = Files.createTempDirectory("graft-main3")
+    val p = out.resolve("config.json")
+    Files.writeString(p,
+      s"""{"password":"pw","solrUrl":"file:$out/sink","chunkSize":100,
+         |"workers":2,"sourcePath":"$sf/documents.parquet"}""".stripMargin)
+    assert(ReindexMain.run(Seq(p.toString)) == 3)
+  }
+
   test("preflight failure aborts before any work (O13)") {
     val out = Files.createTempDirectory("graft-job2")
     val sink = new NdjsonDirSink(out.toString + "/docs", chunkSize = 100)
@@ -115,6 +147,20 @@ class ReindexJobSpec extends SparkSuite {
     viaCol.foreach { case (id, n, d) =>
       assert(viaSql(id) == ((n, d)), s"vec $id mismatch")
     }
+  }
+
+  test("SQL surface: graft_winnow/graft_minhashes registered functions match the Column API") {
+    graft.plans.RegisterFunctions(spark)
+    Tables.documents(spark, sf).limit(20).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_winnow(text, 8, 4) AS w, graft_minhashes(text, 3, 8) AS m FROM docs_sql")
+      .as[(Long, Seq[Long], Seq[Long])].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val viaCol = Tables.documents(spark, sf).limit(20)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.winnowFingerprints(col("text"), 8, 4).as("w"),
+        graft.functions.TextFunctions.minHashes(col("text"), 3, 8).as("m"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    viaCol.foreach { case (id, w, m) => assert(viaSql(id) == ((w, m)), s"doc $id") }
   }
 
   test("topK aggregator matches the window formulation exactly") {
