@@ -46,6 +46,15 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** Distinct word-n-gram shingles via the native one-pass expression
+    * (graft.plans.ShingleSet) — same contents as
+    * `array_distinct(shingles(text, n))`, none of the interpreted
+    * lambda cost.
+    */
+  def shingleSet(text: Column, n: Int): Column =
+    ColumnBridge.column(graft.plans.ShingleSet(
+      ColumnBridge.expression(text), n))
+
   /** All k seeded minhashes in one narrow pass (array<long>, seed
     * order) via the native expression — see graft.plans.MinHashes for
     * the seeded-hash contract mirrored by the DuckDB oracle.

@@ -84,7 +84,7 @@ object Dedup {
     docs
       .filter(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"),
-        explode(array_distinct(TextFunctions.shingles(col("text"), n))).as("shingle"))
+        explode(TextFunctions.shingleSet(col("text"), n)).as("shingle"))
       .distinct()
 
   /** MinHash-LSH candidate pairs (doc_a < doc_b).

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native winnowing fingerprints (MOSS scheme) in one pass per row.
@@ -123,6 +123,57 @@ object MinHashes {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+}
+
+/** Distinct word-`n`-gram shingles in one pass (array<string>,
+  * first-occurrence order) — semantically identical to
+  * `array_distinct(transform(sequence(...), i -> concat_ws(' ',
+  * slice(tokens, i, n))))` but without per-element lambda
+  * interpretation or the O(m²) array_distinct scan.  Tokenization is
+  * Spark split-on-single-space (empties kept), matching DuckDB
+  * string_split — the oracle's shingle CTE needs no change.
+  */
+case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleSet.compute(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.ShingleSet.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleSet {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val tokens = text.toString.split(" ", -1)
+    val m = tokens.length - n + 1
+    if (m < 1) return new GenericArrayData(Array.empty[AnyRef])
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        sb.append(tokens(i + t))
+        t += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
   }
 }
 

@@ -91,6 +91,45 @@ final class NdjsonDirSink(outDir: String, chunkSize: Int, partitions: Int = 0) e
   }
 }
 
+/** Columnar parquet sink with the same chunking/resume contract as the
+  * NDJSON sink — the engine-native output format (splittable,
+  * predicate-pushdown-able on re-read), for pipelines whose next stage
+  * is another engine job rather than Solr.
+  */
+final class ParquetDirSink(outDir: String, chunkSize: Int, partitions: Int = 0) extends DocSink {
+  override def name: String = s"parquet-dir:$outDir"
+  private var lastMax: Option[String] = None
+
+  override def write(df: DataFrame): Long = {
+    val nParts = if (partitions > 0) partitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    require(df.columns.contains("id"), "DocSink frames carry an id column")
+    df.repartitionByRange(nParts, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", chunkSize.toLong)
+      .parquet(outDir)
+    val agg = df.agg(count(lit(1)).as("n"), max(col("id")).as("m")).head()
+    lastMax = Option(agg.getString(1))
+    agg.getLong(0)
+  }
+
+  override def checkpoint(): Option[String] = lastMax
+
+  override def writeBatch(df: DataFrame, batchId: Long): Long = {
+    val sub = new ParquetDirSink(s"$outDir/batch=$batchId", chunkSize, partitions)
+    val n = sub.write(df)
+    lastMax = (lastMax.toSeq ++ sub.checkpoint().toSeq)
+      .reduceOption((a, b) => Ordering[String].max(a, b))
+    n
+  }
+
+  override def healthCheck(): Either[String, Unit] = {
+    val parent = new java.io.File(outDir).getAbsoluteFile.getParentFile
+    if (parent != null && parent.exists) Right(()) else Left(s"parent dir missing for $outDir")
+  }
+}
+
 /** Transport abstraction for the Solr-style sink: prod wires an HTTP
   * client POSTing JSON update batches to `solrUrl` (reference
   * ingest.go:29-31); tests inject a collector.  Implementations must

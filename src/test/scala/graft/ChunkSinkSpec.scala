@@ -1,6 +1,6 @@
 package graft
 
-import graft.sinks.{BatchedUpsertSink, NdjsonDirSink, UpdateTransport}
+import graft.sinks.{BatchedUpsertSink, NdjsonDirSink, ParquetDirSink, UpdateTransport}
 import graft.operators.Reindex
 import graft.sources.NdjsonDocSource
 import org.apache.spark.sql.functions._
@@ -23,6 +23,24 @@ class ChunkSinkSpec extends SparkSuite {
 
   private def jsonFiles(dir: Path): Seq[Path] =
     Files.walk(dir).iterator.asScala.filter(_.toString.endsWith(".json")).toSeq
+
+  test("parquet sink: chunk contract holds and a re-read round-trips exactly") {
+    val out = tmp("graft-pq")
+    val sink = new ParquetDirSink(out.toString + "/out", chunkSize = 64, partitions = 4)
+    assert(sink.write(docsDf) == 500)
+    assert(sink.checkpoint().contains("99"))
+    val files = Files.walk(out.resolve("out")).iterator.asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    val back = spark.read.parquet(out.toString + "/out")
+    assert(back.count() == 500)
+    // per-file chunk bound: no file holds more than chunkSize rows
+    val perFile = back.groupBy(input_file_name()).count()
+      .select("count").as[Long].collect()
+    assert(perFile.forall(_ <= 64), s"chunk overflow: ${perFile.max}")
+    // round-trip equality on the full 4-column payload
+    assert(back.except(docsDf).count() == 0 && docsDf.except(back).count() == 0)
+  }
 
   test("ndjson sink: every chunk file has 1..chunkSize records, total preserved") {
     val out = tmp("graft-chunks")
