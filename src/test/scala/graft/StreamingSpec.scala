@@ -133,6 +133,23 @@ class StreamingSpec extends SparkSuite {
     assert(rows.forall(_.getDouble(5) == 9.0))
   }
 
+  test("dedup-ingest: cross-batch and within-batch duplicates are dropped; replay is idempotent") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest")
+    val sink = new graft.sinks.NdjsonDirSink(out.toString + "/docs", chunkSize = 10)
+    val store = out.toString + "/fps"
+    def doc(id: Int, content: String) = (id.toString, id.toString, "own", content)
+    def df(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("id", "txn_id", "owner", "content")
+    // batch 0: 3 docs, 2 sharing content → 2 fresh
+    val b0 = df(Seq(doc(1, "alpha beta"), doc(2, "alpha beta"), doc(3, "gamma delta")))
+    assert(graft.streaming.DocStream.processBatch(b0, store, sink, 0) == 2)
+    // batch 1: repeats batch-0 content + 1 new → 1 fresh
+    val b1 = df(Seq(doc(4, "alpha beta"), doc(5, "epsilon zeta")))
+    assert(graft.streaming.DocStream.processBatch(b1, store, sink, 1) == 1)
+    // replay of batch 1 (at-least-once): everything already stored → 0
+    assert(graft.streaming.DocStream.processBatch(b1, store, sink, 1) == 0)
+  }
+
   test("foreachBatch bridges the stream into the batch DocSink across batches") {
     implicit val sq = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-stream-sink")
