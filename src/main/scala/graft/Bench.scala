@@ -90,7 +90,10 @@ object Bench {
       ioStats ::= (name, (io.recordsRead.get - r0, io.shuffleBytes.get - s0))
       name -> (if (errs.exists(_._1 == name)) -1.0 else sec)
     }
-    def r2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    // Locale.ROOT: a comma-decimal default locale would render "0,42"
+    // and break the JSON contract line
+    def r2(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => s"${jstr(k)}:${r2(v)}" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val ios = ioStats.reverse.map { case (k, (r, s)) =>

@@ -36,7 +36,7 @@ object ReindexMain {
         val source: DocSource =
           if (conf.sourcePath.isEmpty) new JdbcDocSource(conf, numPartitions = conf.workers)
           else if (conf.sourcePath.endsWith(".parquet")) new ParquetDocSource(conf.sourcePath, conf.startId)
-          else new NdjsonDocSource(conf.sourcePath)
+          else new NdjsonDocSource(conf.sourcePath, conf.startId)
         val errors = ErrorCollector(spark.sparkContext)
         val sink =
           if (conf.solrUrl.startsWith("file:"))

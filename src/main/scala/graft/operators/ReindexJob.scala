@@ -67,11 +67,16 @@ object ReindexJob {
       val errDf = source.load(spark)
         .select(col("id"), ArgotFlatten.parseError(col("content")).as("err"))
         .filter(col("err").isNotNull)
-      val parseErrors = errDf.count()
-      val parseSamples =
-        if (parseErrors == 0) Seq.empty[String]
-        else errDf.orderBy(col("id")).limit(5).collect()
-          .map(r => s"doc ${r.getString(0)}: ${r.getString(1)}").toSeq
+        .persist() // count + sample below: one scan/parse, not two
+      val (parseErrors, parseSamples) =
+        try {
+          val n = errDf.count()
+          val samples =
+            if (n == 0) Seq.empty[String]
+            else errDf.orderBy(col("id")).limit(5).collect()
+              .map(r => s"doc ${r.getString(0)}: ${r.getString(1)}").toSeq
+          (n, samples)
+        } finally { errDf.unpersist(); () }
       val sinkErrCount = sinkErrors.map(_.count).getOrElse(0L)
       val sinkSamples = sinkErrors.map(_.report).getOrElse(Seq.empty)
       Right(Result(written, parseErrors + sinkErrCount,

@@ -1,5 +1,6 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -35,6 +36,12 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     extends UnaryExpression {
 
+  // analysis-time type check (AbstractDataType/ExpectsInputTypes are
+  // private[sql], so the generic mixin is unavailable out-of-package)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow"
 
@@ -71,6 +78,12 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 case class MinHashes(child: Expression, n: Int, numHashes: Int)
     extends UnaryExpression {
 
+  // analysis-time type check (AbstractDataType/ExpectsInputTypes are
+  // private[sql], so the generic mixin is unavailable out-of-package)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhashes"
 
@@ -134,8 +147,15 @@ object MinHashes {
   * Spark split-on-single-space (empties kept), matching DuckDB
   * string_split — the oracle's shingle CTE needs no change.
   */
-case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleSet(child: Expression, n: Int)
+    extends UnaryExpression {
 
+  // analysis-time type check (AbstractDataType/ExpectsInputTypes are
+  // private[sql], so the generic mixin is unavailable out-of-package)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_shingles"
 

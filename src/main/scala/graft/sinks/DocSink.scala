@@ -38,33 +38,37 @@ trait DocSink extends HealthCheck {
   def writeBatch(df: DataFrame, batchId: Long): Long = write(df)
 }
 
-/** Filesystem NDJSON sink.  Spark-native chunking: repartitionByRange
-  * on id (range partitioner ⇒ id-contiguous partitions, no global sort
-  * barrier) + sortWithinPartitions + `maxRecordsPerFile` ⇒ every
-  * output file holds ≤ chunkSize id-ordered records, and Spark never
-  * creates an empty file (B8 impossible by construction).  Each record
-  * is one JSON line (explicit NDJSON — fixes reference B6, which
-  * concatenated raw content with no separator).
+/** Shared machinery for chunked directory sinks.  Spark-native
+  * chunking: repartitionByRange on id (range partitioner ⇒
+  * id-contiguous partitions, no global sort barrier) +
+  * sortWithinPartitions + `maxRecordsPerFile` ⇒ every output file
+  * holds ≤ chunkSize id-ordered records, and Spark never creates an
+  * empty file (B8 impossible by construction).
   */
-final class NdjsonDirSink(outDir: String, chunkSize: Int, partitions: Int = 0) extends DocSink {
-  override def name: String = s"ndjson-dir:$outDir"
+sealed abstract class ChunkedDirSink(outDir: String, chunkSize: Int, partitions: Int)
+    extends DocSink {
+
+  /** DataFrameWriter format name ("json", "parquet"). */
+  protected def fmt: String
+  /** Construct the per-batch subdirectory sink of the same kind. */
+  protected def make(dir: String): ChunkedDirSink
+
   private var lastMax: Option[String] = None
 
   override def write(df: DataFrame): Long = {
-    val cols = df.columns
     // partitions=0 → derive from the cluster (defaultParallelism), so
     // the write fan-out scales with the session instead of a constant
     val nParts = if (partitions > 0) partitions
       else df.sparkSession.sparkContext.defaultParallelism
-    require(cols.contains("id"), "DocSink frames carry an id column")
+    require(df.columns.contains("id"), "DocSink frames carry an id column")
     df.repartitionByRange(nParts, col("id"))
       .sortWithinPartitions("id")
       .write.mode("overwrite")
       .option("maxRecordsPerFile", chunkSize.toLong)
-      .json(outDir)
+      .format(fmt).save(outDir)
     // count + checkpoint from the (column-pruned) input — the write
     // either completed atomically or threw, so input == output; a
-    // re-parse of the emitted JSON would double the I/O at scale
+    // re-read of the emitted files would double the I/O at scale
     val agg = df.agg(count(lit(1)).as("n"), max(col("id")).as("m")).head()
     lastMax = Option(agg.getString(1))
     agg.getLong(0)
@@ -78,7 +82,7 @@ final class NdjsonDirSink(outDir: String, chunkSize: Int, partitions: Int = 0) e
     * checkpoint advances monotonically across batches.
     */
   override def writeBatch(df: DataFrame, batchId: Long): Long = {
-    val sub = new NdjsonDirSink(s"$outDir/batch=$batchId", chunkSize, partitions)
+    val sub = make(s"$outDir/batch=$batchId")
     val n = sub.write(df)
     lastMax = (lastMax.toSeq ++ sub.checkpoint().toSeq)
       .reduceOption((a, b) => Ordering[String].max(a, b))
@@ -91,43 +95,29 @@ final class NdjsonDirSink(outDir: String, chunkSize: Int, partitions: Int = 0) e
   }
 }
 
+/** Filesystem NDJSON sink: each record is one JSON line (explicit
+  * NDJSON — fixes reference B6, which concatenated raw content with no
+  * separator).
+  */
+final class NdjsonDirSink(outDir: String, chunkSize: Int, partitions: Int = 0)
+    extends ChunkedDirSink(outDir, chunkSize, partitions) {
+  override def name: String = s"ndjson-dir:$outDir"
+  override protected def fmt: String = "json"
+  override protected def make(dir: String): ChunkedDirSink =
+    new NdjsonDirSink(dir, chunkSize, partitions)
+}
+
 /** Columnar parquet sink with the same chunking/resume contract as the
   * NDJSON sink — the engine-native output format (splittable,
   * predicate-pushdown-able on re-read), for pipelines whose next stage
   * is another engine job rather than Solr.
   */
-final class ParquetDirSink(outDir: String, chunkSize: Int, partitions: Int = 0) extends DocSink {
+final class ParquetDirSink(outDir: String, chunkSize: Int, partitions: Int = 0)
+    extends ChunkedDirSink(outDir, chunkSize, partitions) {
   override def name: String = s"parquet-dir:$outDir"
-  private var lastMax: Option[String] = None
-
-  override def write(df: DataFrame): Long = {
-    val nParts = if (partitions > 0) partitions
-      else df.sparkSession.sparkContext.defaultParallelism
-    require(df.columns.contains("id"), "DocSink frames carry an id column")
-    df.repartitionByRange(nParts, col("id"))
-      .sortWithinPartitions("id")
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", chunkSize.toLong)
-      .parquet(outDir)
-    val agg = df.agg(count(lit(1)).as("n"), max(col("id")).as("m")).head()
-    lastMax = Option(agg.getString(1))
-    agg.getLong(0)
-  }
-
-  override def checkpoint(): Option[String] = lastMax
-
-  override def writeBatch(df: DataFrame, batchId: Long): Long = {
-    val sub = new ParquetDirSink(s"$outDir/batch=$batchId", chunkSize, partitions)
-    val n = sub.write(df)
-    lastMax = (lastMax.toSeq ++ sub.checkpoint().toSeq)
-      .reduceOption((a, b) => Ordering[String].max(a, b))
-    n
-  }
-
-  override def healthCheck(): Either[String, Unit] = {
-    val parent = new java.io.File(outDir).getAbsoluteFile.getParentFile
-    if (parent != null && parent.exists) Right(()) else Left(s"parent dir missing for $outDir")
-  }
+  override protected def fmt: String = "parquet"
+  override protected def make(dir: String): ChunkedDirSink =
+    new ParquetDirSink(dir, chunkSize, partitions)
 }
 
 /** Transport abstraction for the Solr-style sink: prod wires an HTTP

@@ -99,13 +99,16 @@ final class ParquetDocSource(path: String, startId: String = "") extends DocSour
 
 /** NDJSON source — reads chunk files the engine's own sink emits (the
   * reference's temp-file intermediates, made a real format: one JSON
-  * object per line, explicit schema so no inference pass).
+  * object per line, explicit schema so no inference pass).  Honors the
+  * same inclusive startId resume contract as the other sources.
   */
-final class NdjsonDocSource(path: String) extends DocSource {
+final class NdjsonDocSource(path: String, startId: String = "") extends DocSource {
   override def name: String = s"ndjson:$path"
 
-  override def load(spark: SparkSession): DataFrame =
-    spark.read.schema(DocSource.schema).json(path)
+  override def load(spark: SparkSession): DataFrame = {
+    val base = spark.read.schema(DocSource.schema).json(path)
+    if (startId.isEmpty) base else base.filter(col("id") >= startId)
+  }
 
   override def healthCheck(): Either[String, Unit] =
     if (new java.io.File(path).exists) Right(()) else Left(s"missing $path")

@@ -13,12 +13,15 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * Every batch is (1) deduped within itself (keep min id per
   * fingerprint — deterministic survivor), (2) anti-joined against the
-  * persistent fingerprint store, (3) appended to the store and
-  * delivered to the sink.  At-least-once replay is safe end to end:
-  * a replayed batch's fingerprints are already in the store, so its
-  * docs anti-join away; the store append is idempotent at the
-  * fingerprint level (duplicate fp rows don't change anti-join
-  * semantics).
+  * persistent fingerprint store, (3) delivered to the sink and THEN
+  * appended to the store.  Ordering is load-bearing for at-least-once
+  * replay: sink-first means a crash between the two steps replays the
+  * batch with its fingerprints still absent from the store, so the
+  * same fresh docs are recomputed and the per-batch-idempotent sink
+  * rewrites them (store-first would anti-join the replayed docs away
+  * before they ever reached the sink — silent loss).  A replay of a
+  * FULLY completed batch anti-joins to empty and the sink write is
+  * skipped, leaving the batch's existing output untouched.
   *
   * Scale: the store is a parquet directory keyed by fingerprint —
   * the anti-join is one shuffle on fp (or a broadcast when the batch
@@ -57,14 +60,18 @@ object DocStream {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
     val store = readStore(spark, storeDir)
-    val fresh = batchUnique.join(store, Seq("fp"), "left_anti")
-    // persist the new fingerprints BEFORE the sink write: a crash
-    // between the two replays the batch, and the already-stored fps
-    // make the replayed docs anti-join away (idempotent upsert sinks
-    // tolerate the overlap in the other order too, but store-first is
-    // safe for ANY sink)
-    fresh.select("fp").write.mode("append").parquet(storeDir)
-    sink.writeBatch(fresh.drop("fp"), batchId)
+    val fresh = batchUnique.join(store, Seq("fp"), "left_anti").persist()
+    try {
+      if (fresh.isEmpty) 0L // full replay: leave the batch's prior output alone
+      else {
+        // sink BEFORE store (see scaladoc): crash in between replays
+        // with fps still unstored → same docs recomputed and
+        // idempotently rewritten; the reverse order loses them
+        val written = sink.writeBatch(fresh.drop("fp"), batchId)
+        fresh.select("fp").write.mode("append").parquet(storeDir)
+        written
+      }
+    } finally { fresh.unpersist(); () }
   }
 
   private def readStore(spark: SparkSession, storeDir: String): DataFrame =

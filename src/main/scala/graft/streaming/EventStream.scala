@@ -107,7 +107,8 @@ object EventStream {
     * that survives unbounded input.
     */
   def purchaseViewJoin(events: DataFrame,
-                       watermark: String = "1 hour"): DataFrame = {
+                       watermark: String = "1 hour",
+                       horizon: String = "1 hour"): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"), col("value"))
@@ -117,7 +118,7 @@ object EventStream {
         col("ts").as("v_ts"))
       .withWatermark("v_ts", watermark)
     purchases.join(views,
-      expr("p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"))
+      expr(s"p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL $horizon"))
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("view_id"), col("p_ts"), col("v_ts"), col("value"))
   }

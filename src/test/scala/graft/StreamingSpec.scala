@@ -146,8 +146,18 @@ class StreamingSpec extends SparkSuite {
     // batch 1: repeats batch-0 content + 1 new → 1 fresh
     val b1 = df(Seq(doc(4, "alpha beta"), doc(5, "epsilon zeta")))
     assert(graft.streaming.DocStream.processBatch(b1, store, sink, 1) == 1)
-    // replay of batch 1 (at-least-once): everything already stored → 0
+    // replay of batch 1 (at-least-once): everything already stored → 0,
+    // and the batch's previously written output MUST survive (an
+    // unconditional writeBatch would overwrite batch=1 with nothing)
     assert(graft.streaming.DocStream.processBatch(b1, store, sink, 1) == 0)
+    def lines(dir: String): Seq[String] = {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.getName.endsWith(".json"))
+        .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    }
+    assert(lines(s"$out/docs/batch=1").size == 1, "replay must not erase batch output")
+    assert(lines(s"$out/docs/batch=0").size == 2)
   }
 
   test("foreachBatch bridges the stream into the batch DocSink across batches") {
