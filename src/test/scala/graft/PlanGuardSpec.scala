@@ -107,6 +107,18 @@ class PlanGuardSpec extends SparkSuite {
     assert(shuffles(df) == 1)
   }
 
+  test("join strategy surface: hints steer the planner (broadcast / shuffle-hash / sort-merge)") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_quantity")
+    val p = Tables.part(spark, sf).select("p_partkey", "p_brand")
+    val bcast = li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    assert(names(bcast).exists(_.contains("BroadcastHashJoin")))
+    val shj = li.join(p.hint("shuffle_hash"), li("l_partkey") === p("p_partkey"))
+    assert(names(shj).exists(_.contains("ShuffledHashJoin")))
+    val smj = li.join(p.hint("merge"), li("l_partkey") === p("p_partkey"))
+    assert(names(smj).exists(_.contains("SortMergeJoin")))
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
