@@ -63,6 +63,32 @@ class VectorExprSpec extends SparkSuite {
     }
   }
 
+  /** Definitional minhash reference: per seed, fold STARTING from the
+    * seed over each shingle's chars — the expression instead computes
+    * seed·31^len + fold(0) per shingle; both must agree mod 2^32.
+    */
+  private def naiveMinhash(s: String, n: Int, k: Int): Seq[Long] = {
+    val tokens = s.split(" ", -1)
+    if (tokens.length < n) return Seq.empty
+    val shingles = tokens.sliding(n).map(_.mkString(" ")).toSeq
+    (0 until k).map { seed =>
+      shingles.map(sh =>
+        sh.foldLeft(seed.toLong)((a, c) => (a * 31 + c) & 0xFFFFFFFFL)).min
+    }
+  }
+
+  test("minhash expression == definitional seeded-fold reference on real documents") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(50)
+      .as[(Long, String)].collect()
+    val viaExpr = Tables.documents(spark, sf).limit(50)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.minHashes(col("text"), 3, 8).as("m"))
+      .as[(Long, Seq[Long])].collect().toMap
+    docs.foreach { case (id, text) =>
+      assert(viaExpr(id) == naiveMinhash(text, 3, 8), s"doc $id")
+    }
+  }
+
   test("winnow expression: short inputs yield empty, not errors") {
     val tiny = Seq("", "abcdefg", "abcdefgh", "abcdefghij").toDF("text")
     val r = tiny.select(
