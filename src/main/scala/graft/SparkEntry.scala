@@ -101,7 +101,9 @@ object SparkEntry {
     "q59_collect_sets" -> (Relational.userEventProfile(_, _)),
     "q60_date_facets" -> (Relational.orderDateFacets(_, _)),
     "q61_corr_subquery" -> (Relational.premiumParts(_, _)),
-    "q62_media_resize" -> ((s, d) => Multimodal.resizePayloads(s, d))
+    "q62_media_resize" -> ((s, d) => Multimodal.resizePayloads(s, d)),
+    "q63_train_split" -> (TextAnalysis.trainSplit(_, _)),
+    "q64_vocab_oov" -> ((s, d) => TextAnalysis.vocabCoverage(s, d))
   )
 
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
@@ -570,6 +572,28 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_len,
         |  CAST((length(text) + 1) // 2 AS BIGINT) AS resized_len,
         |  md5(array_to_string([substr(text, i, 1) FOR i IN range(1, length(text) + 1, 2)], '')) AS resized_md5
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q63_train_split" ->
+      """WITH b AS (SELECT source, text,
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+        | FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY 1, 2""".stripMargin,
+    "q64_vocab_oov" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+        |vocab AS (SELECT token FROM (SELECT token, count(*) AS freq FROM toks GROUP BY 1
+        |          ORDER BY freq DESC, token LIMIT 20)),
+        |j AS (SELECT t.source, CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS in_vocab
+        |      FROM toks t LEFT JOIN vocab v USING (token))
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(in_vocab) AS BIGINT) AS n_in_vocab,
+        |  CAST(count(*) - sum(in_vocab) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
+        |FROM j GROUP BY source""".stripMargin
   )
 }

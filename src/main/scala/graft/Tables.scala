@@ -44,7 +44,15 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
-  /** Register every table as a temp view for `spark.sql` use. */
+  /** Register every table as a temp view for `spark.sql` use.  `events`
+    * goes through its normalizing loader — a plain read would throw on
+    * the TIMESTAMP(NANOS) column whenever no earlier query happened to
+    * set the legacy conf (query execution order is map-order, so that
+    * is a latent ordering dependency, not a safe assumption).
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -69,6 +69,56 @@ object TextAnalysis {
         sum(when(col("q") >= 0.6, 1L).otherwise(0L)).as("n_high_quality"),
         sum(col("n_sub")).as("total_subwords"))
 
+  /** Deterministic train/valid/test split: the assignment is a pure
+    * function of the stable document id hash (md5 hex → first 4 hex
+    * digits as an int mod 100), NOT a random sample — re-running on
+    * any cluster, any partitioning, any engine lands every document in
+    * the same split.  That reproducibility is what a training-data
+    * pipeline actually needs from its splitter; `sampleBy` randomness
+    * can't give it cross-engine.
+    */
+  def trainSplit(spark: SparkSession, dir: String,
+                 trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + validPct, "valid")
+          .otherwise("test"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col("text")).cast("long")).as("n_tokens"))
+  }
+
+  /** Vocabulary coverage: build the top-`vocabSize` token vocabulary
+    * (frequency rank with a lexicographic tiebreak), then measure each
+    * source's out-of-vocabulary token rate — the vocab-fit feedback a
+    * tokenizer-training loop runs on every corpus refresh.  The vocab
+    * is a broadcast-sized dimension joined back to the exploded token
+    * stream: one aggregation to build, one broadcast join to score.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String, vocabSize: Int = 20): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+    // top-k by (freq desc, token) via orderBy+limit — Spark plans
+    // TakeOrderedAndProject (per-partition heaps + driver merge of k),
+    // NOT a global rank window that would drag every distinct token
+    // through one partition
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(vocabSize)
+      .select("token")
+    toks.join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("token"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"))
+      .select(col("source"), col("n_tokens"), col("n_in_vocab"),
+        ((col("n_tokens") - col("n_in_vocab")).cast("double")
+          / col("n_tokens").cast("double")).as("oov_rate"))
+  }
+
   /** Positional tokenization via posexplode — the table-generating
     * (UDTF) surface: one row per (doc, position, token), position
     * 0-based in document order.  Narrow generate, no shuffle; the
