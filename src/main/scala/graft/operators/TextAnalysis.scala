@@ -101,14 +101,9 @@ object TextAnalysis {
   def vocabCoverage(spark: SparkSession, dir: String, vocabSize: Int = 20): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("source"), explode(tokens(col("text"))).as("token"))
-    // top-k by (freq desc, token) via orderBy+limit — Spark plans
-    // TakeOrderedAndProject (per-partition heaps + driver merge of k),
-    // NOT a global rank window that would drag every distinct token
-    // through one partition
-    val vocab = toks.groupBy("token").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("token").asc)
-      .limit(vocabSize)
-      .select("token")
+    // the vocabulary IS tokenFrequency's top-k (same ranked-limit shape:
+    // TakeOrderedAndProject, never a global rank window)
+    val vocab = tokenFrequency(spark, dir, vocabSize).select("token")
     toks.join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("token"), "left")
       .groupBy("source")
       .agg(
