@@ -89,6 +89,32 @@ class VectorExprSpec extends SparkSuite {
     }
   }
 
+  test("shingle-set expression == builtin array_distinct(transform(...)) formulation") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sf).limit(50)
+      .filter(size(split(col("text"), " ")) >= 3)
+    val diff = docs.select(
+        TextFunctions.shingleSet(col("text"), 3).as("fast"),
+        array_distinct(TextFunctions.shingles(col("text"), 3)).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+  }
+
+  test("text expressions: degenerate inputs (empty, multi-space, single token)") {
+    import graft.functions.TextFunctions
+    val weird = Seq("", " ", "a  b", "solo", "a b c").toDF("text")
+    val r = weird.select(
+        TextFunctions.shingleSet(col("text"), 3).as("sh"),
+        TextFunctions.minHashes(col("text"), 3, 4).as("mh"))
+      .as[(Seq[String], Seq[Long])].collect()
+    // "" → 1 token, " " → 2 empty tokens, "a  b" → 3 tokens (middle empty)
+    assert(r(0)._1.isEmpty && r(0)._2.isEmpty)
+    assert(r(1)._1.isEmpty && r(1)._2.isEmpty)
+    assert(r(2)._1 == Seq("a  b") && r(2)._2.length == 4)
+    assert(r(3)._1.isEmpty && r(3)._2.isEmpty)
+    assert(r(4)._1 == Seq("a b c"))
+  }
+
   test("winnow expression: short inputs yield empty, not errors") {
     val tiny = Seq("", "abcdefg", "abcdefgh", "abcdefghij").toDF("text")
     val r = tiny.select(
