@@ -103,7 +103,10 @@ object SparkEntry {
     "q61_corr_subquery" -> (Relational.premiumParts(_, _)),
     "q62_media_resize" -> ((s, d) => Multimodal.resizePayloads(s, d)),
     "q63_train_split" -> (TextAnalysis.trainSplit(_, _)),
-    "q64_vocab_oov" -> ((s, d) => TextAnalysis.vocabCoverage(s, d))
+    "q64_vocab_oov" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
+    // scale path of q51: two-pass global ranking, no low-cardinality
+    // window bottleneck; shares q51's oracle (identical result)
+    "q65_pctl_scale" -> ((s, d) => Relational.pricePercentilesScalable(s, d))
   )
 
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
@@ -489,6 +492,16 @@ object SparkEntry {
         |  (sxx - sx * sx / n) / (n - 1) AS var_acctbal,
         |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_acctbal
         |FROM s""".stripMargin,
+    "q65_pctl_scale" -> // identical result to q51 via the two-pass path
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN o_totalprice END) AS p90,
+        |  max(n) AS n_orders
+        |FROM r GROUP BY o_orderpriority""".stripMargin,
     "q51_percentile" ->
       """WITH r AS (SELECT o_orderpriority, o_totalprice,
         |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,

@@ -304,6 +304,48 @@ object Relational {
         max(col("n")).as("n_orders"))
   }
 
+  /** The SCALE path for exact percentiles: q51's window partitions by
+    * o_orderpriority — 5 distinct values, so at 100 TB five tasks each
+    * sort a fifth of the table.  This formulation computes the same
+    * global per-group ranks with NO low-cardinality bottleneck:
+    *
+    *  1. range-partition + sort by (priority, price, key) — balanced
+    *     partitions regardless of group count;
+    *  2. count rows per (partition, priority) — a tiny aggregate —
+    *     and prefix-sum into per-partition rank offsets;
+    *  3. local row_number within (partition, priority) + offset =
+    *     exact global rank; selection as in q51.
+    *
+    * The result is independent of where the range boundaries land
+    * (global sorted order is what defines the rank), so the output is
+    * bit-identical to q51 and shares its oracle.
+    */
+  def pricePercentilesScalable(spark: SparkSession, dir: String, parts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nParts = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val sorted = Tables.orders(spark, dir)
+      .select("o_orderpriority", "o_totalprice", "o_orderkey")
+      .repartitionByRange(nParts, col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("pid", spark_partition_id())
+    val counts = sorted.groupBy("pid", "o_orderpriority").agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy("o_orderpriority").orderBy(col("pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("o_orderpriority")))
+      .select("pid", "o_orderpriority", "off", "n")
+    val wLocal = Window.partitionBy("pid", "o_orderpriority")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    sorted
+      .join(broadcast(offsets), Seq("pid", "o_orderpriority"))
+      .withColumn("rn", row_number().over(wLocal) + col("off"))
+      .groupBy("o_orderpriority")
+      .agg(
+        max(when(col("rn") === ceil(lit(0.5) * col("n")), col("o_totalprice"))).as("p50"),
+        max(when(col("rn") === ceil(lit(0.9) * col("n")), col("o_totalprice"))).as("p90"),
+        max(col("n")).as("n_orders"))
+  }
+
   /** GROUPING SETS through the SQL front end: (year), (priority), and
     * the grand total in ONE hash aggregate (Catalyst expands the sets
     * into a single Expand + aggregate — no per-level rescan of orders).

@@ -173,6 +173,14 @@ class OperatorSpec extends SparkSuite {
     assert(res.forall(r => r._3 >= -1.0001 && r._3 <= 1.0001))
   }
 
+  test("scalable percentile (two-pass ranks) == low-cardinality window formulation") {
+    val scale = Relational.pricePercentilesScalable(spark, sf)
+      .as[(String, Double, Double, Long)].collect().toSet
+    val win = Relational.pricePercentiles(spark, sf)
+      .as[(String, Double, Double, Long)].collect().toSet
+    assert(scale == win)
+  }
+
   test("percentile selection: p50 ≤ p90 and group sizes sum to the table") {
     val p = Relational.pricePercentiles(spark, sf)
       .select("o_orderpriority", "p50", "p90", "n_orders")
