@@ -106,7 +106,8 @@ object SparkEntry {
     "q64_vocab_oov" -> ((s, d) => TextAnalysis.vocabCoverage(s, d)),
     // scale path of q51: two-pass global ranking, no low-cardinality
     // window bottleneck; shares q51's oracle (identical result)
-    "q65_pctl_scale" -> ((s, d) => Relational.pricePercentilesScalable(s, d))
+    "q65_pctl_scale" -> ((s, d) => Relational.pricePercentilesScalable(s, d)),
+    "q66_union_distinct" -> (Relational.distinctNationKeys(_, _))
   )
 
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
@@ -130,9 +131,10 @@ object SparkEntry {
        |  i -> CAST($aEmb[i] AS DOUBLE) * CAST($bEmb[i] AS DOUBLE)), (a, b) -> a + b)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables.  Omitted for q33 (HLL sketch internals
-    * are engine-specific) and q34 (stub media decode runs in
-    * mapPartitions) → driver records a rows-only check for those.
+    * the same parquet tables.  Omitted for q33 (HLL sketch), q34 (stub
+    * media decode in mapPartitions), and q58 (GK quantile sketch) —
+    * sketch/stub internals are engine-specific, so the driver records a
+    * rows-only check for those three; q51 anchors q58 exactly.
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -579,6 +581,10 @@ object SparkEntry {
         |  CAST(datediff('day', o_orderdate, DATE '1999-01-01') AS INTEGER) AS days_to_99
         |FROM orders WHERE o_orderkey % 20 = 0""".stripMargin,
     "q61_corr_subquery" -> graft.operators.Relational.PremiumPartsSql,
+    "q66_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
     // the resize stub keeps every 2nd byte; text is ASCII so byte ==
     // char and DuckDB can rebuild the exact resized payload
     "q62_media_resize" ->

@@ -217,6 +217,17 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("n_items"), col("total_qty"))
 
+  /** UNION (distinct): the dedup-ing set union — nations that have a
+    * customer OR a supplier.  Distinct runs as one hash aggregate after
+    * the concat; with UNION ALL (q42), INTERSECT (q38), and EXCEPT
+    * (q07) this completes the set-op family.
+    */
+  def distinctNationKeys(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    c.union(s).distinct()
+  }
+
   /** UNION ALL: one party directory from two differently-shaped
     * tables (schema aligned by projection; no dedup pass).
     */
