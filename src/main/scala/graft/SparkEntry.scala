@@ -107,7 +107,8 @@ object SparkEntry {
     // scale path of q51: two-pass global ranking, no low-cardinality
     // window bottleneck; shares q51's oracle (identical result)
     "q65_pctl_scale" -> ((s, d) => Relational.pricePercentilesScalable(s, d)),
-    "q66_union_distinct" -> (Relational.distinctNationKeys(_, _))
+    "q66_union_distinct" -> (Relational.distinctNationKeys(_, _)),
+    "q67_session_window" -> ((s, d) => EventOps.sessionWindows(s, d))
   )
 
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
@@ -585,6 +586,24 @@ object SparkEntry {
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    // session_window merges at MICROsecond precision with half-open
+    // [ts, ts+gap) intervals → the oracle must use epoch_us and the
+    // >= gap new-session condition (a ms-floored > would disagree by
+    // 1ms on straddling gaps); end = last ts + gap, floored to ms
+    "q67_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |  THEN 1 ELSE 0 END AS new_session FROM e),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, min(us) // 1000 AS session_start_ms,
+        |  (max(us) + 1800000000) // 1000 AS session_end_ms,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     // the resize stub keeps every 2nd byte; text is ASCII so byte ==
     // char and DuckDB can rebuild the exact resized payload
     "q62_media_resize" ->

@@ -119,6 +119,26 @@ object EventOps {
       .select(col("event_id"), explode(ArgotFlatten.flattenArgot(col("props"))).as(Seq("key", "values")))
       .select(col("event_id"), col("key"), explode(col("values")).as("value"))
 
+  /** Native session_window in BATCH mode — the same gap-merge semantics
+    * as [[sessionize]] but executed by Spark's dedicated session-window
+    * aggregation operator instead of two analytic windows: sessions are
+    * [ts, ts+gap) intervals merged on overlap, so "gap strictly greater
+    * than gapMs starts a new session" — identical to sessionize's
+    * `> gapMs` predicate.  The oracle mirrors that formulation and
+    * derives the window bounds as min(ts) / max(ts)+gap per session.
+    */
+  def sessionWindows(spark: SparkSession, dir: String,
+                     gapMs: Long = 30 * 60 * 1000L): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMs milliseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("n_events"), col("session_value"))
+
   /** As-of join (attribution): for every purchase, the same user's most
     * recent non-purchase event at-or-before it.
     *
