@@ -14,9 +14,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - doubles that reach the output are produced by the *same*
   *    operation sequence in both engines, so they are bit-identical
   *    and need no rounding;
-  *  - hashes are md5 hex (identical everywhere); minhash = lexicographic
-  *    min of seeded md5; every top-k ORDER BY carries a unique
-  *    tiebreaker column.
+  *  - content hashes are md5 hex (identical everywhere); the minhash /
+  *    winnowing families are integer polynomial hashes mod 2^32 whose
+  *    exact fold the oracle reproduces; every top-k ORDER BY carries a
+  *    unique tiebreaker column.
   */
 object SparkEntry {
 
@@ -262,11 +263,11 @@ object SparkEntry {
          |hs AS (SELECT doc_id,
          |  list_reduce(list_concat([CAST(0 AS BIGINT)],
          |    list_transform(range(1, length(shingle) + 1), j -> CAST(ascii(substr(shingle, j, 1)) AS BIGINT))),
-         |    (a, b) -> (a * 31 + b) % 4294967296) AS f,
-         |  list_reduce(list_transform(range(0, length(shingle)), x -> CAST(31 AS BIGINT)),
-         |    (a, b) -> (a * b) % 4294967296) AS pw
+         |    (a, b) -> (a * 31 + b) % 4294967296) AS f
          |  FROM sh),
-         |mh AS (SELECT doc_id, seed, min((seed * pw + f) % 4294967296) AS mh
+         |mh AS (SELECT doc_id, seed,
+         |  min(CAST((CAST((((2654435761 * (seed + 1)) % 4294967296) | 1) AS HUGEINT) * f + seed)
+         |      % 4294967296 AS BIGINT)) AS mh
          |  FROM hs CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) seeds
          |  GROUP BY doc_id, seed),
          |sig AS (SELECT doc_id, seed // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
@@ -405,16 +406,20 @@ object SparkEntry {
         |  CAST(sum(n_sub) AS BIGINT) AS total_subwords
         |FROM d GROUP BY source""".stripMargin,
     "q35_rollup" ->
-      """SELECT coalesce(order_year, 'ALL') AS order_year,
-        |  coalesce(o_orderpriority, 'ALL') AS priority,
+      """SELECT CASE WHEN GROUPING(order_year) = 1 THEN 'ALL'
+        |       ELSE coalesce(order_year, 'NULL') END AS order_year,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |       ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
         |  count(*) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM (SELECT strftime(o_orderdate, '%Y') AS order_year, o_orderpriority, o_totalprice
         |      FROM orders) t
         |GROUP BY ROLLUP(order_year, o_orderpriority)""".stripMargin,
     "q41_cube" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
-        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |       ELSE coalesce(l_returnflag, 'NULL') END AS returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |       ELSE coalesce(l_linestatus, 'NULL') END AS linestatus,
         |  count(*) AS n_items,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
@@ -586,16 +591,18 @@ object SparkEntry {
       """SELECT c_nationkey AS nationkey FROM customer
         |UNION
         |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
-    // session_window merges at MICROsecond precision with half-open
-    // [ts, ts+gap) intervals → the oracle must use epoch_us and the
-    // >= gap new-session condition (a ms-floored > would disagree by
-    // 1ms on straddling gaps); end = last ts + gap, floored to ms
+    // session_window merges at MICROsecond precision and MERGES an
+    // event landing exactly at prev+gap (verified against Spark 4.1.2:
+    // the merge test is start2 <= end1, inclusive) → the oracle uses
+    // epoch_us with a STRICT > gap new-session condition; a ms-floored
+    // comparison would disagree by 1ms on straddling gaps.  end = last
+    // ts + gap, floored to ms.
     "q67_session_window" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |  FROM events),
-        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
         |  THEN 1 ELSE 0 END AS new_session FROM e),
         |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
         |  ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)

@@ -16,15 +16,17 @@ import org.apache.spark.sql.functions.udf
   * inside Spark tasks with no subprocess:
   *
   *  - Nested object keys are joined with '_' (`{"a":{"b":1}}` → key `a_b`).
-  *  - Arrays are multi-valued: each element lands in the same key's
-  *    value list, in document order; arrays of objects recurse with the
-  *    same parent path.
+  *  - Arrays are multi-valued: elements of the same type land in the
+  *    same key's value list, in document order; arrays of objects
+  *    recurse with the same parent path.
   *  - Every leaf is rendered as text: strings verbatim, numbers in
-  *    their JSON source form, booleans `true`/`false`; nulls dropped.
+  *    Jackson's canonical text form (`1e3` → "1000.0", `1.50` → "1.5" —
+  *    NOT the raw source bytes), booleans `true`/`false`; nulls dropped.
   *  - Solr-dynamic-field suffix typing: `_t` string, `_i` integral,
   *    `_f` fractional, `_b` boolean, appended to the flattened key.
-  *    Mixed-type arrays suffix per element type and merge under the
-  *    first element's key.
+  *    Each element is keyed by its OWN type suffix, so a mixed-type
+  *    array fans out into sibling keys (`{"a":[1,"x"]}` → `a_i:["1"],
+  *    a_t:["x"]`).
   *
   * Output is `Map[String, Array[String]]` — the shape Solr dynamic
   * fields expect and what the chunked sink serializes back to NDJSON.

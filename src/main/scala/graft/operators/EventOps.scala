@@ -119,13 +119,15 @@ object EventOps {
       .select(col("event_id"), explode(ArgotFlatten.flattenArgot(col("props"))).as(Seq("key", "values")))
       .select(col("event_id"), col("key"), explode(col("values")).as("value"))
 
-  /** Native session_window in BATCH mode — the same gap-merge semantics
-    * as [[sessionize]] but executed by Spark's dedicated session-window
-    * aggregation operator instead of two analytic windows: sessions are
-    * [ts, ts+gap) intervals merged on overlap, so "gap strictly greater
-    * than gapMs starts a new session" — identical to sessionize's
-    * `> gapMs` predicate.  The oracle mirrors that formulation and
-    * derives the window bounds as min(ts) / max(ts)+gap per session.
+  /** Native session_window in BATCH mode — Spark's dedicated
+    * session-window aggregation operator instead of two analytic
+    * windows.  Merge semantics (verified empirically on Spark 4.1.2):
+    * an event at EXACTLY prev_ts + gap still merges (the merge test is
+    * start2 <= end1, inclusive), so a new session starts only when the
+    * gap is STRICTLY greater than gapMs — at microsecond precision,
+    * since event times carry micros.  The oracle mirrors exactly that
+    * (epoch_us, strict >) and derives the window bounds as min(ts) /
+    * max(ts)+gap per session.
     */
   def sessionWindows(spark: SparkSession, dir: String,
                      gapMs: Long = 30 * 60 * 1000L): DataFrame =

@@ -26,6 +26,8 @@ object ReindexJob {
 
   /** Outcome surfaced to the operator (replaces the reference's lossy
     * ≤1-error drain + always-zero exit code, driver.go:215-219).
+    * `docsWritten` counts only indexed documents; soft-error records
+    * are excluded from the sink, so written + softErrors = scanned.
     */
   final case class Result(
       docsWritten: Long,
@@ -53,20 +55,21 @@ object ReindexJob {
         lock.holderPid.map(p => s" (pid $p)").getOrElse("")))
     try {
       // scan → (source applies NOT-deleted + resume) → flatten+suffix.
-      // The flattened map rides along as a column so the sink's NDJSON
+      // Records whose content fails to flatten are SKIPPED (not
+      // indexed) and exactly counted — shipping an empty flat map to
+      // the sink would plant broken documents in the index.  The
+      // flattened map rides along as a column so the sink's NDJSON
       // serialization carries the Solr dynamic fields.
       val docs = source.load(spark)
+        .withColumn("err", ArgotFlatten.parseError(col("content")))
+      val clean = docs.filter(col("err").isNull).drop("err")
         .withColumn("flat", ArgotFlatten.flattenArgot(col("content")))
-      val written = sink.write(docs)
-      // Exact soft-error surfacing (fixes reference B10): flatten parse
+      val written = sink.write(clean)
+      // Exact soft-error surfacing (fixes reference B10): parse
       // failures are counted with a dedicated aggregation — an
       // accumulator inside the flatten would over-count whenever the
-      // sink's range-partition sampling evaluates the plan twice.  One
-      // extra column-pruned scan of (id, content); sink-side delivery
-      // errors come from the sink's own collector.
-      val errDf = source.load(spark)
-        .select(col("id"), ArgotFlatten.parseError(col("content")).as("err"))
-        .filter(col("err").isNotNull)
+      // sink's range-partition sampling evaluates the plan twice.
+      val errDf = docs.filter(col("err").isNotNull).select(col("id"), col("err"))
         .persist() // count + sample below: one scan/parse, not two
       val (parseErrors, parseSamples) =
         try {

@@ -170,8 +170,11 @@ object Relational {
 
   /** Hierarchical rollup: (year, priority) → (year) → grand total in
     * one pass (Spark expands grouping sets inside a single hash
-    * aggregate — no per-level rescan).  NULL grouping keys are
-    * coalesced to 'ALL' so the output is oracle-portable.
+    * aggregate — no per-level rescan).  Subtotal rows are labeled via
+    * grouping() — NOT by coalescing NULL keys, which would conflate a
+    * genuine NULL data value with the subtotal marker (a null
+    * o_orderdate detail row and the year-subtotal row would both read
+    * 'ALL').
     */
   def ordersRollup(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -179,10 +182,14 @@ object Relational {
       .rollup("order_year", "o_orderpriority")
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"))
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
+        grouping(col("order_year")).as("g_year"),
+        grouping(col("o_orderpriority")).as("g_prio"))
       .select(
-        coalesce(col("order_year"), lit("ALL")).as("order_year"),
-        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        when(col("g_year") === 1, "ALL")
+          .otherwise(coalesce(col("order_year"), lit("NULL"))).as("order_year"),
+        when(col("g_prio") === 1, "ALL")
+          .otherwise(coalesce(col("o_orderpriority"), lit("NULL"))).as("priority"),
         col("n_orders"), col("revenue"))
 
   /** Scalar-function showcase (SURVEY §2.B scalar row): string, math,
@@ -204,17 +211,23 @@ object Relational {
       concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"))
 
   /** Full cube over (returnflag, linestatus): every grouping-set
-    * combination in one pass, NULL keys coalesced for portability.
+    * combination in one pass.  Subtotal labels come from grouping()
+    * (see ordersRollup — coalescing NULLs would conflate real NULL
+    * data keys with subtotal rows).
     */
   def lineitemCube(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .cube("l_returnflag", "l_linestatus")
       .agg(
         count(lit(1)).as("n_items"),
-        sum(dec2(col("l_quantity"))).cast("double").as("total_qty"))
+        sum(dec2(col("l_quantity"))).cast("double").as("total_qty"),
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
       .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        when(col("g_rf") === 1, "ALL")
+          .otherwise(coalesce(col("l_returnflag"), lit("NULL"))).as("returnflag"),
+        when(col("g_ls") === 1, "ALL")
+          .otherwise(coalesce(col("l_linestatus"), lit("NULL"))).as("linestatus"),
         col("n_items"), col("total_qty"))
 
   /** UNION (distinct): the dedup-ing set union — nations that have a

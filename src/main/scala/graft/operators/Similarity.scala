@@ -23,9 +23,12 @@ import org.apache.spark.sql.functions._
   *  3. bucketedAnn — sign-LSH (IVF-style) bucketing: vectors hash to a
   *     2^nBits-cell partition by component signs; probes only score
   *     candidates in their own cell.  The join is an equi-join on
-  *     bucket id — this is the shape that survives 100 TB (bucket count
-  *     scales with data; per-bucket work is bounded), at the price of
-  *     recall on cell boundaries.
+  *     bucket id, cutting the candidate set by the bucket count — but
+  *     nBits is a PARAMETER: per-bucket work is n/2^nBits, so scaling
+  *     the corpus means raising nBits (or moving to ivfAnn with a
+  *     centroid count sized to the data) to keep cells bounded.  The
+  *     equi-join shape itself is what survives 100 TB; the cell count
+  *     must grow with the data.
   *
   * Norms are precomputed once per side before any join so each pair
   * costs one dot product, not three.

@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * the dim is small-ish but too big (or too skew-sensitive) to
   * broadcast.
   *
-  * The salt column uses a deterministic hash of the fact row's other
-  * columns when `deterministic = true` (reproducible runs, tests),
-  * or `rand()` otherwise (better uniformity under adversarial keys).
+  * The salt column uses a deterministic hash of the fact row's columns
+  * PLUS its position (`monotonically_increasing_id`) when
+  * `deterministic = true` — the position term is what spreads
+  * byte-identical hot-key rows (a pure row-content hash would give
+  * every duplicate the same salt and re-concentrate the key on one
+  * reducer, exactly the skew the salt exists to break).  Deterministic
+  * here means reproducible for a fixed input partitioning, which is
+  * what tests need; `rand()` otherwise.
   */
 object SkewJoin {
 
@@ -24,7 +29,7 @@ object SkewJoin {
                  salt: Int = 8, deterministic: Boolean = true): DataFrame = {
     val saltCol: Column =
       if (deterministic)
-        pmod(hash(fact.columns.map(col).toSeq: _*), lit(salt))
+        pmod(hash(fact.columns.map(col) :+ monotonically_increasing_id(): _*), lit(salt))
       else (rand() * salt).cast("int")
     val saltedFact = fact.withColumn("__salt", saltCol)
     val saltedDim = dim

@@ -63,11 +63,17 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   * the set, so the per-row computation is exactly the groupBy-min the
   * SQL formulation used.
   *
-  * Seeded hash family (oracle contract): h_seed(s) = fold of
-  * `acc ← (acc·31 + codepoint) mod 2^32` over s's code points with
-  * acc₀ = seed — equivalently `(seed · 31^len(s) + h₀(s)) mod 2^32`,
-  * which is how both this implementation (one base hash + k fused
-  * multiply-adds per shingle) and the DuckDB oracle compute it.
+  * Seeded hash family (oracle contract): one base polynomial hash per
+  * shingle, h₀(s) = fold of `acc ← (acc·31 + codepoint) mod 2^32`,
+  * then per seed a MULTIPLICATIVE scramble
+  *   h_seed(s) = (A_seed · h₀(s) + seed) mod 2^32,
+  *   A_seed    = (2654435761 · (seed+1) mod 2^32) | 1  (odd ⇒ bijective).
+  * Distinct odd multipliers give genuinely different orderings of the
+  * shingle space — an ADDITIVE seed (seed·31^len + h₀, the earlier
+  * formulation) makes every seed a constant offset of one ordering for
+  * same-length shingles, i.e. k correlated rotations, and the banded
+  * 1-(1-s^r)^b recall estimate silently fails.  The DuckDB oracle
+  * computes the identical scramble (HUGEINT product, then mod).
   * Shingles are the `n` tokens joined with a single space, tokens from
   * splitting on every single space (Spark split semantics, empties
   * kept).
@@ -102,34 +108,39 @@ object MinHashes {
 
   private val Mask = 0xFFFFFFFFL
 
+  /** Per-seed odd multiplier (Knuth multiplicative constant family). */
+  def multiplier(seed: Int): Long = ((2654435761L * (seed + 1)) & Mask) | 1L
+
   def compute(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
     val s = text.toString
     val tokens = s.split(" ", -1)
     val m = tokens.length - n + 1 // number of shingles
     if (m < 1) return new GenericArrayData(Array.empty[Long])
 
+    val as = Array.tabulate(numHashes)(multiplier)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < m) {
-      // base hash f = fold(0, chars) and pw = 31^len, one pass over
-      // the shingle's characters (tokens joined by single spaces)
+      // base hash f = fold(0, chars), one pass over the shingle's
+      // characters (tokens joined by single spaces)
       var f = 0L
-      var pw = 1L
       var t = 0
       while (t < n) {
-        if (t > 0) { f = (f * 31L + ' ') & Mask; pw = (pw * 31L) & Mask }
+        if (t > 0) f = (f * 31L + ' ') & Mask
         val tok = tokens(i + t)
         var c = 0
         while (c < tok.length) {
           f = (f * 31L + tok.charAt(c)) & Mask
-          pw = (pw * 31L) & Mask
           c += 1
         }
         t += 1
       }
       var seed = 0
       while (seed < numHashes) {
-        val h = (seed * pw + f) & Mask
+        // as(seed)*f < 2^64 wraps in the long, & Mask = mod 2^32 —
+        // wraparound commutes with the final mod, so values match the
+        // oracle's HUGEINT product exactly
+        val h = (as(seed) * f + seed) & Mask
         if (h < mins(seed)) mins(seed) = h
         seed += 1
       }

@@ -16,23 +16,43 @@ class ReindexJobSpec extends SparkSuite {
 
   private def conf = ReindexConfig(password = "pw", solrUrl = "http://x")
 
+  /** 500 well-formed Argot-JSON docs, ids "0".."499" (asciibetical max
+    * is "99"), written once per suite.
+    */
+  private lazy val jsonCorpus: String = {
+    val dir = Files.createTempDirectory("graft-corpus").toString + "/docs.parquet"
+    (0 until 500).map(i => (i.toString, s"src${i % 5}", s"""{"title":"doc $i","n":$i}"""))
+      .toDF("doc_id", "source", "text").write.parquet(dir)
+    dir
+  }
+
   test("e2e: parquet source → flatten → chunked ndjson sink → checkpoint") {
     val out = Files.createTempDirectory("graft-job")
     val lock = Lockfile.default(out.toString)
     val sink = new NdjsonDirSink(out.toString + "/docs", chunkSize = 100)
-    val source = new ParquetDocSource(s"$sf/documents.parquet")
-    val r = ReindexJob.run(spark, conf, source, sink, lock)
+    val r = ReindexJob.run(spark, conf, new ParquetDocSource(jsonCorpus), sink, lock)
     assert(r.isRight, r)
     val res = r.toOption.get
     assert(res.docsWritten == 500)
-    // the fixture's text column is prose, not Argot JSON — every doc is
-    // a flatten soft error, counted EXACTLY once each (the sink's
-    // range-partition sampling evaluates the plan twice; an accumulator
-    // here would report 1000)
-    assert(res.softErrors == 500)
-    assert(res.errorSamples.nonEmpty && res.errorSamples.size <= 5)
+    assert(res.softErrors == 0)
     assert(res.checkpoint.contains("99"))
     assert(!Files.exists(lock.path), "lock must be released")
+  }
+
+  test("malformed-content docs are SKIPPED, not indexed: written + softErrors = scanned") {
+    val out = Files.createTempDirectory("graft-skip")
+    val sink = new NdjsonDirSink(out.toString + "/docs", chunkSize = 100)
+    // the fixture's text is prose, not JSON → every doc is a soft error,
+    // counted EXACTLY once (the sink's range-partition sampling
+    // evaluates the plan twice; an accumulator would report 1000) and
+    // NOT written
+    val r = ReindexJob.run(spark, conf, new ParquetDocSource(s"$sf/documents.parquet"),
+      sink, Lockfile.default(out.toString))
+    val res = r.toOption.get
+    assert(res.docsWritten == 0)
+    assert(res.softErrors == 500)
+    assert(res.errorSamples.nonEmpty && res.errorSamples.size <= 5)
+    assert(res.checkpoint.isEmpty, "no docs indexed → no checkpoint")
   }
 
   test("soft errors: only malformed content counts, and exactly once") {
@@ -47,7 +67,7 @@ class ReindexJobSpec extends SparkSuite {
     val r = ReindexJob.run(spark, conf, new ParquetDocSource(src), sink,
       Lockfile.default(out.toString))
     val res = r.toOption.get
-    assert(res.docsWritten == 10)
+    assert(res.docsWritten == 8, "malformed docs are skipped, not written")
     assert(res.softErrors == 2, res)
     assert(res.errorSamples.exists(_.contains("doc 4:")))
   }
@@ -108,9 +128,9 @@ class ReindexJobSpec extends SparkSuite {
   test("resume: job from checkpoint writes exactly the asciibetical tail") {
     val out = Files.createTempDirectory("graft-job4")
     val sink = new NdjsonDirSink(out.toString + "/docs", chunkSize = 100)
-    val source = new ParquetDocSource(s"$sf/documents.parquet", startId = "495")
+    val source = new ParquetDocSource(jsonCorpus, startId = "495")
     val r = ReindexJob.run(spark, conf, source, sink, Lockfile.default(out.toString))
-    // ids >= "495" asciibetically: 495..499, 5, 50..59, 495... compute exact
+    // ids >= "495" asciibetically: 495..499, 5, 50..59, ... compute exact
     val expected = (0 until 500).map(_.toString).count(_ >= "495")
     assert(r.toOption.get.docsWritten == expected)
   }

@@ -63,17 +63,20 @@ class VectorExprSpec extends SparkSuite {
     }
   }
 
-  /** Definitional minhash reference: per seed, fold STARTING from the
-    * seed over each shingle's chars — the expression instead computes
-    * seed·31^len + fold(0) per shingle; both must agree mod 2^32.
+  /** Definitional minhash reference: per seed, the multiplicative
+    * scramble (A_seed · h₀(shingle) + seed) mod 2^32 computed from
+    * scratch — must agree with the expression's fused loop bit for bit.
     */
   private def naiveMinhash(s: String, n: Int, k: Int): Seq[Long] = {
     val tokens = s.split(" ", -1)
     if (tokens.length < n) return Seq.empty
     val shingles = tokens.sliding(n).map(_.mkString(" ")).toSeq
     (0 until k).map { seed =>
-      shingles.map(sh =>
-        sh.foldLeft(seed.toLong)((a, c) => (a * 31 + c) & 0xFFFFFFFFL)).min
+      val a = ((2654435761L * (seed + 1)) & 0xFFFFFFFFL) | 1L
+      shingles.map { sh =>
+        val f = sh.foldLeft(0L)((acc, c) => (acc * 31 + c) & 0xFFFFFFFFL)
+        (a * f + seed) & 0xFFFFFFFFL
+      }.min
     }
   }
 
