@@ -109,7 +109,8 @@ object SparkEntry {
     // window bottleneck; shares q51's oracle (identical result)
     "q65_pctl_scale" -> ((s, d) => Relational.pricePercentilesScalable(s, d)),
     "q66_union_distinct" -> (Relational.distinctNationKeys(_, _)),
-    "q67_session_window" -> ((s, d) => EventOps.sessionWindows(s, d))
+    "q67_session_window" -> ((s, d) => EventOps.sessionWindows(s, d)),
+    "q68_repetition" -> (TextAnalysis.repetitionMetrics(_, _))
   )
 
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
@@ -630,6 +631,18 @@ object SparkEntry {
         |  count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
         |FROM b GROUP BY 1, 2""".stripMargin,
+    "q68_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS bigram
+        |  FROM w WHERE len(w) >= 2),
+        |c AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |d AS (SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct, max(c) AS top_count
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        |  CAST(n_bigrams - n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac,
+        |  CAST(top_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
+        |FROM d""".stripMargin,
     "q64_vocab_oov" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
         |vocab AS (SELECT token FROM (SELECT token, count(*) AS freq FROM toks GROUP BY 1

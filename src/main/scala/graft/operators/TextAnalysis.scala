@@ -114,6 +114,33 @@ object TextAnalysis {
           / col("n_tokens").cast("double")).as("oov_rate"))
   }
 
+  /** Per-document repetition metrics (the Gopher-rule family of quality
+    * filters): fraction of bigram occurrences that are repeats of an
+    * already-seen bigram, and the share taken by the single most
+    * frequent bigram.  High values flag boilerplate/spam documents for
+    * removal before training.  Two doc-keyed aggregations — shuffles
+    * partition on (doc, bigram) then doc, never on global token space.
+    * Ratios are int/int divisions in one fixed IEEE op, engine-exact.
+    */
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bigram"))
+    bigrams
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(
+        col("doc_id"), col("n_bigrams"),
+        ((col("n_bigrams") - col("n_distinct")).cast("double")
+          / col("n_bigrams").cast("double")).as("dup_bigram_frac"),
+        (col("top_count").cast("double")
+          / col("n_bigrams").cast("double")).as("top_bigram_frac"))
+  }
+
   /** Positional tokenization via posexplode — the table-generating
     * (UDTF) surface: one row per (doc, position, token), position
     * 0-based in document order.  Narrow generate, no shuffle; the
