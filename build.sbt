@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (VERDICT r3 #1): the grading driver reads the
+// LAST stdout line of `sbt -batch "runMain graft.Bench"`. With the
+// default LoggedOutput strategy sbt prefixes forked stdout with
+// "[info] " and appends its own "[success] Total time…" line, so the
+// contract line was never the literal last line (parsed:null in r1-r3).
+// StdoutOutput passes the forked process's stdout through raw, and
+// showSuccess drops the trailing success line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
