@@ -3,7 +3,8 @@ package graft
 import graft.config.ReindexConfig
 import graft.operators.ReindexJob
 import graft.sinks.{BatchedUpsertSink, HttpUpdateTransport, NdjsonDirSink}
-import graft.sources.{DocSource, JdbcDocSource, NdjsonDocSource, ParquetDocSource}
+import graft.sources.{AuthorityStore, DocSource, JdbcDocSource, KvAuthorityStore,
+  NdjsonDocSource, ParquetDocSource, RespKvTransport}
 import graft.util.{ErrorCollector, Lockfile}
 
 /** CLI entry point — the analog of the reference binary's
@@ -43,7 +44,13 @@ object ReindexMain {
             new NdjsonDirSink(conf.solrUrl.stripPrefix("file:"), conf.chunkSize)
           else
             new BatchedUpsertSink(new HttpUpdateTransport(conf.solrUrl), conf.chunkSize, Some(errors))
-        ReindexJob.run(spark, conf, source, sink, Lockfile.default(), Some(errors)) match {
+        // authorities=true (the reference default): a dependency-free
+        // RESP client against conf.redisUrl; preflight PINGs it and
+        // refuses to start when unreachable (reference driver.go:133-145)
+        val store: Option[AuthorityStore] =
+          if (conf.authorities) Some(new KvAuthorityStore(new RespKvTransport(conf.redisUrl)))
+          else None
+        ReindexJob.run(spark, conf, source, sink, Lockfile.default(), Some(errors), store) match {
           case Left(reasons) =>
             reasons.foreach(r => System.err.println(s"[reindex] abort: $r"))
             1

@@ -32,20 +32,32 @@ final case class ReindexConfig(
     solrUrl: String = "",
     chunkSize: Int = 20000,
     workers: Int = math.max(Runtime.getRuntime.availableProcessors - 1, 1),
-    authorities: Boolean = false,
+    authorities: Boolean = true,
     redisUrl: String = "redis://localhost:6379/0",
     /** Engine extension (not in the reference config): when set, read
       * documents from this parquet/NDJSON path instead of Postgres —
       * the zero-egress test path uses it.  Unknown to the reference,
       * whose loader would ignore it (same forward-compat stance here).
       */
-    sourcePath: String = ""
+    sourcePath: String = "",
+    /** Engine extension: verbatim JDBC URL overriding the Postgres DSN
+      * derived from dbHost/dbPort/dbName — lets the partitioned scan
+      * run against any JDBC database (tests use embedded Derby).
+      */
+    jdbcUrlOverride: String = ""
 ) {
 
   /** JDBC URL for the Spark reader (reference DatabaseUrl,
     * config/config.go:41-43, adapted from the lib/pq DSN form).
     */
-  def jdbcUrl: String = s"jdbc:postgresql://$dbHost:$dbPort/$dbName"
+  def jdbcUrl: String =
+    if (jdbcUrlOverride.nonEmpty) jdbcUrlOverride
+    else s"jdbc:postgresql://$dbHost:$dbPort/$dbName"
+
+  /** Whether the target speaks Postgres SQL — gates Postgres-only
+    * expressions like `hashtext()` in the partitioning subquery.
+    */
+  def isPostgres: Boolean = jdbcUrl.startsWith("jdbc:postgresql:")
 
   /** Redacted form for logs (reference config/config.go:45-47). */
   def display: String = this.copy(password = "*****").toString
@@ -74,7 +86,9 @@ final case class ReindexConfig(
         case Some(m) =>
           query.substring(0, m.end) + s" AND id >= '$lit'" + query.substring(m.end)
         case None => // no anchor: wrap (reference would silently not resume)
-          s"SELECT * FROM ($query) graft_q WHERE id >= '$lit'"
+          // `AS` is mandatory for derived-table aliases on some targets
+          // (Derby); Postgres accepts it too
+          s"SELECT * FROM ($query) AS graft_q WHERE id >= '$lit'"
       }
     }
 
@@ -142,6 +156,7 @@ object ReindexConfig {
       bool("authorities")(v => c.copy(authorities = v))
       str("redisUrl")(v => c.copy(redisUrl = v))
       str("sourcePath")(v => c.copy(sourcePath = v))
+      str("jdbcUrl")(v => c.copy(jdbcUrlOverride = v))
       c
     }.toEither.left.map(e => s"bad config JSON: ${e.getMessage}")
 }

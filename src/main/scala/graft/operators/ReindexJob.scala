@@ -3,7 +3,7 @@ package graft.operators
 import graft.config.ReindexConfig
 import graft.functions.ArgotFlatten
 import graft.sinks.DocSink
-import graft.sources.DocSource
+import graft.sources.{AuthorityStore, DocSource}
 import graft.util.{ErrorCollector, Lockfile, Preflight}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -41,12 +41,22 @@ object ReindexJob {
     * `sinkErrors`: pass the same ErrorCollector the sink was built
     * with (BatchedUpsertSink takes one) and its per-record delivery
     * failures fold into the Result.
+    *
+    * `authorityStore`: consulted only when `conf.authorities` (the
+    * reference default, config.go:82).  Enabled-but-unwired is a
+    * preflight refusal, and the store's own health check joins the
+    * preflight round — the reference likewise pings Redis up front
+    * and aborts (driver.go:133-145).
     */
   def run(spark: SparkSession, conf: ReindexConfig,
           source: DocSource, sink: DocSink,
           lock: Lockfile = Lockfile.default(),
-          sinkErrors: Option[ErrorCollector] = None): Either[Seq[String], Result] = {
-    Preflight.run(Seq(source, sink)) match {
+          sinkErrors: Option[ErrorCollector] = None,
+          authorityStore: Option[AuthorityStore] = None): Either[Seq[String], Result] = {
+    if (conf.authorities && authorityStore.isEmpty)
+      return Left(Seq("authorities enabled but no authority store wired"))
+    val store = authorityStore.filter(_ => conf.authorities)
+    Preflight.run(Seq(source, sink) ++ store) match {
       case Left(failures) => return Left(failures)
       case Right(_) => ()
     }
@@ -64,7 +74,10 @@ object ReindexJob {
         .withColumn("err", ArgotFlatten.parseError(col("content")))
       val clean = docs.filter(col("err").isNull).drop("err")
         .withColumn("flat", ArgotFlatten.flattenArgot(col("content")))
-      val written = sink.write(clean)
+      // authority enrichment (O8) between flatten and sink — the
+      // reference's `argot ingest -a --redis-url` step
+      val toSink = store.map(_.enrich(clean)).getOrElse(clean)
+      val written = sink.write(toSink)
       // Exact soft-error surfacing (fixes reference B10): parse
       // failures are counted with a dedicated aggregation — an
       // accumulator inside the flatten would over-count whenever the

@@ -28,31 +28,44 @@ object DocSource {
   *
   * The reference streams every row through ONE Postgres cursor
   * (driver.go:85-92,192); at 100 TB that cursor is the pipeline.  Here
-  * the scan is split into `numPartitions` range slices on a partition
-  * column, one concurrent JDBC connection per slice, and the
-  * filter/projection (`NOT deleted`, 4 columns) are pushed into
-  * Postgres by Catalyst.
+  * the scan is split into `numPartitions` slices on a synthetic hash
+  * partition key, one concurrent JDBC connection per slice.
   *
-  * The resume predicate (`id >= startId`, inclusive — B4) and the
-  * NOT-deleted filter are applied as DataFrame filters so Catalyst
-  * pushes them down; B3's broken string splice has no analog here.
+  * The scan executes the USER-CONFIGURED query (reference
+  * README.md:64,80-88; `config/config.go:78` default) — the B2 fix
+  * carried end-to-end: `conf.queryString` (which already splices the
+  * inclusive `id >= startId` resume predicate case-insensitively into
+  * the query text, fixing B3/B5) becomes the inner subquery of
+  * `dbtable`, so filtering — including NOT-deleted and resume — runs
+  * server-side inside the user's own SQL.
   *
-  * `partitionColumn` must be numeric/date for Spark's range
-  * partitioner, so we partition on a hash of the string id —
-  * `abs(hash(id)) % numPartitions` via the `dbtable` subquery —
-  * keeping asciibetical id semantics intact while still slicing the
-  * scan evenly.
+  * `partitionColumn` must be numeric for Spark's JDBC slicer, so we
+  * wrap the query with a hash of the string id — Postgres
+  * `abs(hashtext(id)) % numPartitions` — keeping asciibetical id
+  * semantics intact while slicing the scan evenly.  `hashtext()` is
+  * Postgres-only; other databases must supply `partitionExpr` (the
+  * Derby e2e test passes a MOD over the numeric id).
   */
-final class JdbcDocSource(conf: ReindexConfig, numPartitions: Int = 16) extends DocSource {
+final class JdbcDocSource(conf: ReindexConfig, numPartitions: Int = 16,
+                          partitionExpr: Option[String] = None) extends DocSource {
   override def name: String = s"jdbc:${conf.dbHost}:${conf.dbPort}/${conf.dbName}"
 
-  /** The pushdown-ready subquery: adds a stable int partition key. */
-  private[graft] def dbtable: String =
-    s"(SELECT id, txn_id, owner, content, deleted, " +
-      s"abs(hashtext(id)) % $numPartitions AS graft_part FROM documents) graft_docs"
+  /** The int partition-key expression over the user query's columns. */
+  private[graft] def partExpr: String = partitionExpr.getOrElse {
+    require(conf.isPostgres,
+      s"hashtext() id-partitioning is Postgres-only; pass partitionExpr for ${conf.jdbcUrl}")
+    s"abs(hashtext(id)) % $numPartitions"
+  }
 
-  override def load(spark: SparkSession): DataFrame = {
-    var r = spark.read.format("jdbc")
+  /** The pushdown-ready subquery: the configured query (resume
+    * predicate already spliced in) plus a stable int partition key.
+    */
+  private[graft] def dbtable: String =
+    s"(SELECT graft_q.*, ($partExpr) AS graft_part " +
+      s"FROM (${conf.queryString}) AS graft_q) AS graft_docs"
+
+  override def load(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc")
       .option("url", conf.jdbcUrl)
       .option("user", conf.dbUser)
       .option("password", conf.password)
@@ -63,16 +76,15 @@ final class JdbcDocSource(conf: ReindexConfig, numPartitions: Int = 16) extends 
       .option("numPartitions", numPartitions)
       .option("fetchsize", 10000)
       .load()
-      .filter(!col("deleted"))
-    if (conf.hasStartId) r = r.filter(col("id") >= conf.startId)
-    r.select("id", "txn_id", "owner", "content")
-  }
+      .select("id", "txn_id", "owner", "content")
 
   /** Driver-side connectivity preflight (reference O13 analog). */
   override def healthCheck(): Either[String, Unit] =
     try {
       val c = java.sql.DriverManager.getConnection(conf.jdbcUrl, conf.dbUser, conf.password)
-      try { c.createStatement().execute("SELECT 1"); Right(()) } finally c.close()
+      // JDBC-standard ping (a bare `SELECT 1` is not portable: Derby
+      // requires a FROM clause / VALUES)
+      try { if (c.isValid(5)) Right(()) else Left("connection invalid") } finally c.close()
     } catch { case e: Exception => Left(s"cannot reach database: ${e.getMessage}") }
 }
 

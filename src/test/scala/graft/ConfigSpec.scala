@@ -17,7 +17,9 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.chunkSize == 20000)
     assert(c.workers >= 1)
     assert(c.query == ReindexConfig.DefaultQuery)
-    assert(!c.authorities)
+    // reference config.go:82: authority processing is ON by default
+    assert(c.authorities)
+    assert(c.redisUrl == "redis://localhost:6379/0")
   }
 
   test("negative workers fails validation (reference config_test.go fixture)") {
@@ -59,7 +61,7 @@ class ConfigSpec extends AnyFunSuite {
     val c = valid.copy(startId = "o'id")
     assert(c.queryString.contains("id >= 'o''id'"))
     val custom = valid.copy(query = "select id from t", startId = "5")
-    assert(custom.queryString == "SELECT * FROM (select id from t) graft_q WHERE id >= '5'")
+    assert(custom.queryString == "SELECT * FROM (select id from t) AS graft_q WHERE id >= '5'")
   }
 
   test("unknown keys ignored; bad JSON is a Left") {

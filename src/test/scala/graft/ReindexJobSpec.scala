@@ -14,7 +14,10 @@ import java.nio.file.Files
 class ReindexJobSpec extends SparkSuite {
   import spark.implicits._
 
-  private def conf = ReindexConfig(password = "pw", solrUrl = "http://x")
+  // authorities=false: these cases exercise the core pipeline; the
+  // authority-enrichment path has its own cases below
+  private def conf =
+    ReindexConfig(password = "pw", solrUrl = "http://x", authorities = false)
 
   /** 500 well-formed Argot-JSON docs, ids "0".."499" (asciibetical max
     * is "99"), written once per suite.
@@ -81,7 +84,7 @@ class ReindexJobSpec extends SparkSuite {
       val p = out.resolve(s"$name.json")
       Files.writeString(p,
         s"""{"password":"pw","solrUrl":"file:$out/sink-$name","chunkSize":10,
-           |"workers":2,"sourcePath":"$sourcePath"}""".stripMargin)
+           |"workers":2,"sourcePath":"$sourcePath","authorities":false}""".stripMargin)
       p.toString
     }
     // clean run: all-JSON content → exit 0, chunked output present
@@ -100,7 +103,8 @@ class ReindexJobSpec extends SparkSuite {
     val p = out.resolve("config.json")
     Files.writeString(p,
       s"""{"password":"pw","solrUrl":"file:$out/sink","chunkSize":100,
-         |"workers":2,"sourcePath":"$sf/documents.parquet"}""".stripMargin)
+         |"workers":2,"sourcePath":"$sf/documents.parquet",
+         |"authorities":false}""".stripMargin)
     assert(ReindexMain.run(Seq(p.toString)) == 3)
   }
 
@@ -137,10 +141,30 @@ class ReindexJobSpec extends SparkSuite {
 
   test("jdbc source: partitioned reader config + pushdown-ready subquery (O1)") {
     val s = new JdbcDocSource(conf.copy(dbHost = "nope.invalid"), numPartitions = 12)
-    assert(s.dbtable.contains("% 12 AS graft_part"))
-    assert(s.dbtable.contains("id, txn_id, owner, content, deleted"))
+    assert(s.dbtable.contains("% 12) AS graft_part"))
+    // the USER query is the scan (B2 end-to-end): default query text inside
+    assert(s.dbtable.contains(graft.config.ReindexConfig.DefaultQuery))
     // no database in this environment: health check must fail fast, not hang
     assert(s.healthCheck().isLeft)
+  }
+
+  test("jdbc source: custom query + resume predicate land inside dbtable (B2/B3)") {
+    val custom = conf.copy(
+      query = "select id, txn_id, owner, content from docs_v2 WHERE NOT deleted",
+      startId = "doc-042")
+    val s = new JdbcDocSource(custom, numPartitions = 8)
+    // the configured query replaces the default scan...
+    assert(s.dbtable.contains("from docs_v2"))
+    assert(!s.dbtable.contains("from documents"))
+    // ...and the resume splice is INSIDE the server-side subquery
+    assert(s.dbtable.contains("NOT deleted AND id >= 'doc-042'"))
+    // hashtext() is Postgres-only: a non-Postgres URL without an explicit
+    // partition expression must refuse loudly, not emit broken SQL
+    val derbyish = custom.copy(jdbcUrlOverride = "jdbc:derby:memory:x")
+    intercept[IllegalArgumentException](new JdbcDocSource(derbyish).dbtable)
+    val withExpr = new JdbcDocSource(derbyish, numPartitions = 4,
+      partitionExpr = Some("MOD(CAST(id AS INT), 4)"))
+    assert(withExpr.dbtable.contains("MOD(CAST(id AS INT), 4)"))
   }
 
   test("salted join: same rows as the plain join, salt spread over fact side") {
