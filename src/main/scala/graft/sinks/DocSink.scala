@@ -61,17 +61,22 @@ sealed abstract class ChunkedDirSink(outDir: String, chunkSize: Int, partitions:
     val nParts = if (partitions > 0) partitions
       else df.sparkSession.sparkContext.defaultParallelism
     require(df.columns.contains("id"), "DocSink frames carry an id column")
+    // count + checkpoint ride the write itself via observe(): a
+    // post-write df.agg would re-execute the whole upstream pipeline
+    // (at 100 TB, a second source scan per write).  The observe node
+    // sits ABOVE the range exchange: the range partitioner's sampling
+    // pass evaluates only the exchange's child, so the metrics count
+    // each written row exactly once.
+    val obs = org.apache.spark.sql.Observation("graft-sink-" + java.util.UUID.randomUUID)
     df.repartitionByRange(nParts, col("id"))
       .sortWithinPartitions("id")
+      .observe(obs, count(lit(1)).as("n"), max(col("id")).as("m"))
       .write.mode("overwrite")
       .option("maxRecordsPerFile", chunkSize.toLong)
       .format(fmt).save(outDir)
-    // count + checkpoint from the (column-pruned) input — the write
-    // either completed atomically or threw, so input == output; a
-    // re-read of the emitted files would double the I/O at scale
-    val agg = df.agg(count(lit(1)).as("n"), max(col("id")).as("m")).head()
-    lastMax = Option(agg.getString(1))
-    agg.getLong(0)
+    val m = obs.get
+    lastMax = Option(m("m").asInstanceOf[String])
+    m("n").asInstanceOf[Long]
   }
 
   override def checkpoint(): Option[String] = lastMax
@@ -120,6 +125,24 @@ final class ParquetDirSink(outDir: String, chunkSize: Int, partitions: Int = 0)
     new ParquetDirSink(dir, chunkSize, partitions)
 }
 
+/** Asciibetical max over string ids, merged across tasks — the
+  * checkpoint computed in the delivery pass itself.  null = no rows.
+  */
+private[sinks] final class MaxStringAccumulator
+    extends org.apache.spark.util.AccumulatorV2[String, String] {
+  private var _max: String = null
+  override def isZero: Boolean = _max == null
+  override def copy(): MaxStringAccumulator = {
+    val c = new MaxStringAccumulator; c._max = _max; c
+  }
+  override def reset(): Unit = _max = null
+  override def add(v: String): Unit =
+    if (v != null && (_max == null || v > _max)) _max = v
+  override def merge(o: org.apache.spark.util.AccumulatorV2[String, String]): Unit =
+    add(o.value)
+  override def value: String = _max
+}
+
 /** Transport abstraction for the Solr-style sink: prod wires an HTTP
   * client POSTing JSON update batches to `solrUrl` (reference
   * ingest.go:29-31); tests inject a collector.  Implementations must
@@ -166,6 +189,13 @@ final class BatchedUpsertSink(
   override def write(df: DataFrame): Long = {
     val spark = df.sparkSession
     val sent = spark.sparkContext.longAccumulator("graft-sink-sent")
+    // checkpoint from per-partition maxima gathered in the SAME pass
+    // that delivers the rows — a post-write df.agg(max) would execute
+    // the whole upstream pipeline a second time.  Accumulator updates
+    // happen inside the action (exactly-once on task success), and max
+    // is idempotent under retry anyway.
+    val maxId = new MaxStringAccumulator
+    spark.sparkContext.register(maxId, "graft-sink-maxid")
     val errs = errors
     val t = transport
     val size = chunkSize
@@ -174,7 +204,7 @@ final class BatchedUpsertSink(
       .repartitionByRange(nParts, col("id"))
       .sortWithinPartitions("id")
       .foreachPartition { rows: Iterator[Row] =>
-        rows.map(r => (r.getString(0), r.getString(1)))
+        rows.map { r => maxId.add(r.getString(0)); (r.getString(0), r.getString(1)) }
           .grouped(size)
           .foreach { batch =>
             val clean = errs match {
@@ -184,10 +214,7 @@ final class BatchedUpsertSink(
             if (clean.nonEmpty) { t.send(clean); sent.add(clean.size.toLong) }
           }
       }
-    lastMax = df.agg(max(col("id"))).head().getString(0) match {
-      case null => None
-      case m => Some(m)
-    }
+    lastMax = Option(maxId.value)
     sent.value
   }
 

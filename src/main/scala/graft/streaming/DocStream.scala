@@ -68,15 +68,51 @@ object DocStream {
         // with fps still unstored → same docs recomputed and
         // idempotently rewritten; the reverse order loses them
         val written = sink.writeBatch(fresh.drop("fp"), batchId)
-        fresh.select("fp").write.mode("append").parquet(storeDir)
+        commitStore(fresh.select("fp"), storeDir, batchId)
         written
       }
     } finally { fresh.unpersist(); () }
   }
 
-  private def readStore(spark: SparkSession, storeDir: String): DataFrame =
-    if (new java.io.File(storeDir).exists)
-      spark.read.schema(storeSchema).parquet(storeDir)
+  /** Atomic store append: write the batch's fingerprints to a hidden
+    * temp dir, then publish with one FileSystem.rename.  A bare
+    * parquet append is multi-file — a crash mid-append would leave a
+    * PARTIAL fp set, and the replay's anti-join would then recompute
+    * only the still-missing docs and overwrite the batch's sink
+    * subdirectory with that subset, silently dropping the rest.  With
+    * rename-publish the store only ever holds none-or-all of a
+    * batch's fps, so a replay recomputes none-or-all of its docs.
+    * (Hidden `.tmp-*` leftovers from crashes are invisible to both
+    * partition discovery and the anti-join.)
+    */
+  private def commitStore(fps: DataFrame, storeDir: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = fps.sparkSession
+    val fs = new Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val finalDir = new Path(storeDir, s"batch=$batchId")
+    val tmpDir = new Path(storeDir, s".tmp-batch-$batchId")
+    fps.write.mode("overwrite").parquet(tmpDir.toString)
+    // replay of an anomalous half-published batch: last writer wins,
+    // consistent with the sink's per-batch overwrite
+    if (fs.exists(finalDir)) { fs.delete(finalDir, true); () }
+    if (!fs.rename(tmpDir, finalDir))
+      throw new java.io.IOException(s"cannot publish fp store batch: $tmpDir -> $finalDir")
+  }
+
+  private def readStore(spark: SparkSession, storeDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(storeDir)
+    // Hadoop FileSystem, not java.io.File: the store may live on any
+    // supported filesystem (HDFS/object store), not just local disk
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName.startsWith("batch="))
+    if (hasBatches)
+      // batch=N partition layout: discovery recurses the committed
+      // subdirs (and skips hidden .tmp-* leftovers)
+      spark.read.parquet(storeDir).select("fp")
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+  }
 }

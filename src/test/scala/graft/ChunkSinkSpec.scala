@@ -100,6 +100,32 @@ class ChunkSinkSpec extends SparkSuite {
     assert(sink.checkpoint().contains("99"))
   }
 
+  test("sink accounting is single-pass: count/checkpoint do not re-execute the input") {
+    // Count upstream evaluations per row.  The range partitioner's
+    // sampling pass reads every input row once, the write/delivery
+    // pass reads it again → exactly 2 evaluations per row.  The old
+    // post-write df.agg re-execution made it 3.
+    def metered(acc: org.apache.spark.util.LongAccumulator) =
+      docsDf.filter(length(col("id")) < 3) // ids "0".."99": deterministic 100 rows
+        .as[(String, String, String, String)]
+        .map { t => acc.add(1); t }
+        .toDF("id", "txn_id", "owner", "content")
+
+    val a1 = spark.sparkContext.longAccumulator("evals-dir")
+    val out = tmp("graft-onepass")
+    val dirSink = new NdjsonDirSink(out.toString + "/out", chunkSize = 50, partitions = 2)
+    assert(dirSink.write(metered(a1)) == 100)
+    assert(dirSink.checkpoint().contains("99"))
+    assert(a1.value <= 200L, s"input evaluated ${a1.value / 100.0}x; expected ≤2x")
+
+    val a2 = spark.sparkContext.longAccumulator("evals-upsert")
+    BatchCollector.reset()
+    val upsert = new BatchedUpsertSink(BatchCollector, chunkSize = 50)
+    assert(upsert.write(metered(a2)) == 100)
+    assert(upsert.checkpoint().contains("99"))
+    assert(a2.value <= 200L, s"input evaluated ${a2.value / 100.0}x; expected ≤2x")
+  }
+
   test("reindex diff: source minus sink (anti join)") {
     val source = docsDf
     val sunk = docsDf.filter(col("id") < "3")

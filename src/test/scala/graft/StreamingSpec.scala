@@ -160,6 +160,28 @@ class StreamingSpec extends SparkSuite {
     assert(lines(s"$out/docs/batch=0").size == 2)
   }
 
+  test("dedup-ingest: a crashed half-commit is invisible — replay recomputes the whole batch") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-ingest-crash")
+    val sink = new graft.sinks.NdjsonDirSink(out.toString + "/docs", chunkSize = 10)
+    val store = out.toString + "/fps"
+    def df(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("id", "txn_id", "owner", "content")
+    val b0 = df(Seq(("1", "1", "own", "alpha beta"), ("2", "2", "own", "gamma delta")))
+    assert(graft.streaming.DocStream.processBatch(b0, store, sink, 0) == 2)
+    // simulate a crash mid-commit of batch 1: fps landed in the hidden
+    // tmp dir but the publish rename never ran
+    val b1 = df(Seq(("3", "3", "own", "epsilon zeta"), ("4", "4", "own", "eta theta")))
+    Seq("deadbeef").toDF("fp").write.parquet(store + "/.tmp-batch-1")
+    // replay: the store shows NONE of batch 1's fps (hidden dir is
+    // ignored), so the whole batch is recomputed and republished —
+    // no silent partial drop
+    assert(graft.streaming.DocStream.processBatch(b1, store, sink, 1) == 2)
+    val committed = new java.io.File(store).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).filterNot(_.startsWith("_")).toSeq
+    assert(committed.sorted == Seq("batch=0", "batch=1"), committed)
+  }
+
   test("foreachBatch bridges the stream into the batch DocSink across batches") {
     implicit val sq = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-stream-sink")
