@@ -522,8 +522,10 @@ object SparkEntry {
         |  max(n) AS n_orders
         |FROM r GROUP BY o_orderpriority""".stripMargin,
     "q52_grouping_sets" ->
-      """SELECT coalesce(order_year, 'ALL') AS order_year,
-        |  coalesce(o_orderpriority, 'ALL') AS priority,
+      """SELECT CASE WHEN GROUPING(order_year) = 1 THEN 'ALL'
+        |       ELSE coalesce(order_year, 'NULL') END AS order_year,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |       ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
         |  count(*) AS n_orders
         |FROM (SELECT strftime(o_orderdate, '%Y') AS order_year, o_orderpriority FROM orders) t
         |GROUP BY GROUPING SETS ((order_year), (o_orderpriority), ())""".stripMargin,

@@ -20,11 +20,11 @@ import org.apache.spark.sql.functions._
   *    are deterministic and an exact multiple of chunkSize never
   *    produces an empty trailing chunk (B8 fixed by construction).
   *
-  * Scale note: the oracle-facing `chunked` uses a global row_number
-  * (single-partition window) to make chunk ids portable; the production
-  * write path in NdjsonDirSink instead uses repartitionByRange +
-  * sortWithinPartitions + maxRecordsPerFile — same semantics, no
-  * global barrier (SURVEY.md §7.3).
+  * Scale note: `chunked` computes its global ranks with the two-pass
+  * range-partition + offset pattern (no single-partition window); the
+  * production write path in NdjsonDirSink reaches the same chunk
+  * contract with repartitionByRange + sortWithinPartitions +
+  * maxRecordsPerFile — no rank materialization at all (SURVEY.md §7.3).
   */
 object Reindex {
 
@@ -46,12 +46,45 @@ object Reindex {
   /** Resume-aware ordered scan with deterministic chunk assignment:
     * every output row carries its chunk index (size `chunkSize`,
     * asciibetical id order).
+    *
+    * Scale shape (the q65 two-pass global-rank pattern, replacing the
+    * r3 single-partition `Window.orderBy(id)`):
+    *
+    *  1. range-partition on id — id-contiguous, balanced partitions;
+    *  2. count rows per partition (tiny aggregate) and prefix-sum into
+    *     per-partition rank offsets;
+    *  3. local row_number per partition + offset = exact global rank →
+    *     chunk = floor((rank-1)/chunkSize).
+    *
+    * The partitioned frame is persisted so the counts pass and the
+    * rank pass see the SAME spark_partition_id assignment — without
+    * it, correctness would hinge on ReuseExchange deduplicating the
+    * two range shuffles (fragile under AQE/pruning divergence).  The
+    * materialization is comparable to the shuffle write the range
+    * exchange pays anyway.
     */
   def chunked(spark: SparkSession, dir: String,
               chunkSize: Int = 20, startId: String = ""): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
-    scanSlice(spark, dir, startId)
-      .withColumn("chunk", floor((row_number().over(w) - 1) / chunkSize).cast("long"))
+    import org.apache.spark.sql.expressions.Window
+    val nParts = spark.sparkContext.defaultParallelism
+    val sorted = scanSlice(spark, dir, startId)
+      .select("id", "owner")
+      .repartitionByRange(nParts, col("id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
+    // ≤ nParts count rows: partitioning by the constant pmod(pid,1)=0
+    // keeps this off WindowExec's no-partition path while the frame is
+    // tiny by construction (one row per range partition)
+    val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("pid", "off")
+    val wLocal = Window.partitionBy("pid").orderBy(col("id").asc)
+    sorted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rn", row_number().over(wLocal) + col("off"))
+      .withColumn("chunk", floor((col("rn") - 1) / chunkSize).cast("long"))
       .select("id", "owner", "chunk")
   }
 

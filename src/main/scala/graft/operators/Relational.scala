@@ -347,10 +347,16 @@ object Relational {
   def pricePercentilesScalable(spark: SparkSession, dir: String, parts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nParts = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    // persist() pins ONE spark_partition_id assignment for both the
+    // counts branch and the join branch — without it, correctness
+    // hinges on ReuseExchange deduplicating the two range shuffles,
+    // which AQE/pruning divergence could silently break (two shuffles
+    // may sample different range boundaries)
     val sorted = Tables.orders(spark, dir)
       .select("o_orderpriority", "o_totalprice", "o_orderkey")
       .repartitionByRange(nParts, col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
       .withColumn("pid", spark_partition_id())
+      .persist()
     val counts = sorted.groupBy("pid", "o_orderpriority").agg(count(lit(1)).as("c"))
     val wOff = Window.partitionBy("o_orderpriority").orderBy(col("pid").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -378,9 +384,14 @@ object Relational {
     */
   def orderGroupingSets(spark: SparkSession, dir: String): DataFrame = {
     Tables.registerAll(spark, dir)
+    // subtotal labels via GROUPING() as in ordersRollup/lineitemCube —
+    // coalescing NULL keys would conflate a genuine NULL group with
+    // the grand-total row
     spark.sql(
-      """SELECT coalesce(order_year, 'ALL') AS order_year,
-        |  coalesce(o_orderpriority, 'ALL') AS priority,
+      """SELECT CASE WHEN GROUPING(order_year) = 1 THEN 'ALL'
+        |       ELSE coalesce(order_year, 'NULL') END AS order_year,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+        |       ELSE coalesce(o_orderpriority, 'NULL') END AS priority,
         |  count(*) AS n_orders
         |FROM (SELECT date_format(o_orderdate, 'yyyy') AS order_year, o_orderpriority FROM orders) t
         |GROUP BY GROUPING SETS ((order_year), (o_orderpriority), ())""".stripMargin)

@@ -115,6 +115,33 @@ class OperatorSpec extends SparkSuite {
     assert(c.map(_._2).zip(c.map(_._2).tail).forall { case (a, b) => a <= b })
   }
 
+  test("chunk assignment matches the definitional global rank exactly") {
+    val got = Reindex.chunked(spark, sf, chunkSize = 64)
+      .select("id", "chunk").as[(String, Long)].collect().toMap
+    val expect = Reindex.scanSlice(spark, sf).select("id").as[String]
+      .collect().sorted.zipWithIndex.map { case (id, i) => id -> (i / 64).toLong }.toMap
+    assert(got == expect)
+  }
+
+  test("two-pass global ranks survive exchange reuse being disabled") {
+    // q17/q65 branch one range-shuffled frame into a counts pass and a
+    // rank pass; persist() pins one partition-id assignment so the
+    // result cannot depend on ReuseExchange deduplicating the shuffles
+    val old = spark.conf.get("spark.sql.exchange.reuse")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val scale = Relational.pricePercentilesScalable(spark, sf)
+        .as[(String, Double, Double, Long)].collect().toSet
+      val win = Relational.pricePercentiles(spark, sf)
+        .as[(String, Double, Double, Long)].collect().toSet
+      assert(scale == win)
+      val chunks = Reindex.chunked(spark, sf, chunkSize = 64)
+        .groupBy("chunk").count().as[(Long, Long)].collect().sortBy(_._1)
+      assert(chunks.map(_._2).sum == 500)
+      assert(chunks.init.forall(_._2 == 64))
+    } finally spark.conf.set("spark.sql.exchange.reuse", old)
+  }
+
   test("enrichment join preserves cardinality (left side never duplicated)") {
     assert(Reindex.enriched(spark, sf).count() == 500)
   }
@@ -129,6 +156,28 @@ class OperatorSpec extends SparkSuite {
       .select(col("user_id"), col("m.event_id").as("event_id"))
     val joined = latest.join(manual, Seq("user_id", "event_id"))
     assert(joined.count() == latest.count())
+  }
+
+  test("session_window boundary: exactly prev+gap MERGES, +1us SPLITS (q67 oracle rule)") {
+    // The q67 oracle encodes new-session = strict `gap >` at micros
+    // precision; fixture timestamps never land exactly on the gap, so
+    // pin the inclusive-merge contract with synthetic events.
+    val gapMs = 1000L
+    val base = 1700000000000000L // epoch micros
+    val df = Seq(
+      (1L, base), (1L, base + 1000000L),  // exactly gap apart
+      (2L, base), (2L, base + 1000001L),  // gap + 1us
+      (3L, base), (3L, base + 999999L))   // gap - 1us
+      .toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMs milliseconds"))
+      .agg(count(lit(1)).as("n"))
+      .select("user_id", "n").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sessions(1L) == Seq(2L), "event at exactly prev+gap must MERGE")
+    assert(sessions(2L) == Seq(1L, 1L), "gap+1us must start a new session")
+    assert(sessions(3L) == Seq(2L), "gap-1us must MERGE")
   }
 
   test("sessions split on >30min gaps: session count ≥ user count") {

@@ -119,6 +119,17 @@ class PlanGuardSpec extends SparkSuite {
     assert(names(smj).exists(_.contains("SortMergeJoin")))
   }
 
+  test("q17 chunked: every window partitions on a key — no single-partition WindowExec") {
+    val df = Reindex.chunked(spark, sf, chunkSize = 64)
+    val windows = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "a Window with an empty partitionSpec moves ALL data to one partition")
+    // the offsets side rides a broadcast, not a shuffle, to the ranks
+    assert(names(df).exists(_.contains("BroadcastHashJoin")))
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
