@@ -110,7 +110,11 @@ object SparkEntry {
     "q65_pctl_scale" -> ((s, d) => Relational.pricePercentilesScalable(s, d)),
     "q66_union_distinct" -> (Relational.distinctNationKeys(_, _)),
     "q67_session_window" -> ((s, d) => EventOps.sessionWindows(s, d)),
-    "q68_repetition" -> (TextAnalysis.repetitionMetrics(_, _))
+    "q68_repetition" -> (TextAnalysis.repetitionMetrics(_, _)),
+    // — round-4 widening: training-data pipeline completers —
+    "q69_contamination" -> (TextAnalysis.contamination(_, _)),
+    "q70_mix_weights" -> (TextAnalysis.mixingWeights(_, _)),
+    "q71_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(s, d))
   )
 
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
@@ -645,6 +649,44 @@ object SparkEntry {
         |  CAST(n_bigrams - n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS dup_bigram_frac,
         |  CAST(top_count AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS top_bigram_frac
         |FROM d""".stripMargin,
+    "q69_contamination" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+        | FROM documents),
+        |w AS (SELECT doc_id, bucket, string_split(text, ' ') AS w FROM b),
+        |sh AS (SELECT DISTINCT doc_id, bucket,
+        |  unnest([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingle
+        |  FROM w WHERE len(w) >= 3),
+        |train AS (SELECT DISTINCT shingle FROM sh WHERE bucket < 80),
+        |test AS (SELECT doc_id, shingle FROM sh WHERE bucket >= 90),
+        |j AS (SELECT t.doc_id, CASE WHEN tr.shingle IS NULL THEN 0 ELSE 1 END AS hit
+        |      FROM test t LEFT JOIN train tr USING (shingle))
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  CAST(sum(hit) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination_rate
+        |FROM j GROUP BY doc_id""".stripMargin,
+    "q70_mix_weights" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE) AS weight
+        |FROM per CROSS JOIN tot""".stripMargin,
+    "q71_seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, n_tok, CAST(cum_before AS BIGINT) AS cum_before,
+        |  CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+        |  CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+        |FROM c""".stripMargin,
     "q64_vocab_oov" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
         |vocab AS (SELECT token FROM (SELECT token, count(*) AS freq FROM toks GROUP BY 1

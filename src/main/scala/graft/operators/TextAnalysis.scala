@@ -150,4 +150,94 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .filter(col("doc_id") < maxDocId)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+
+  /** Benchmark-contamination check: for every held-out (test-split)
+    * document, the fraction of its distinct word 3-grams that also
+    * appear anywhere in the train split — the overlap audit run before
+    * an eval set is trusted.  Splits reuse trainSplit's deterministic
+    * md5 buckets, so the check is reproducible on any engine.
+    *
+    * 100 TB shape: the train shingle set is built with one
+    * aggregation (distinct on shingle) and the probe is an equi-join
+    * ON the shingle hash key — both shuffle-partitioned by shingle, no
+    * all-pairs anything.  The doc-level rollup then shuffles on
+    * doc_id.  (An exact check needs the full train set; a df-cap like
+    * q45's would bound hot shingles if ever needed.)
+    */
+  def contamination(spark: SparkSession, dir: String,
+                    trainPct: Int = 80, testFrom: Int = 90): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), bucket.as("bucket"))
+    def shingleSet(df: DataFrame) = df
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
+    val train = shingleSet(docs.filter(col("bucket") < trainPct))
+      .select("shingle").distinct()
+    val test = shingleSet(docs.filter(col("bucket") >= testFrom))
+    test.join(train.withColumn("hit", lit(1L)), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination_rate"))
+  }
+
+  /** Source-mixing weights: the per-source sampling multiplier that
+    * moves the corpus from its actual token distribution to a uniform
+    * target mix — the knob a pretraining data recipe turns ("2× this
+    * domain, 0.3× that one").  weight = ideal_tokens / actual_tokens
+    * computed as ONE double division over exact integer sums, so the
+    * result is engine-exact.  One partial+final aggregation plus a
+    * broadcast of the 1-row grand total — nothing here grows with
+    * corpus size except the single scan.
+    */
+  def mixingWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("total_tokens").cast("double")
+          / (col("n_sources") * col("n_tokens")).cast("double")).as("weight"))
+  }
+
+  /** Sequence packing (concat-and-chunk): lay every document's tokens
+    * end-to-end in stable doc_id order and cut the stream into
+    * fixed-size context windows — each doc learns which pack it starts
+    * in and at what offset.  The global running token sum uses the
+    * same two-pass range-partition + broadcast-offset pattern as
+    * q17/q65: balanced partitions, no single-partition window, and the
+    * persisted frame pins one partition-id assignment for both passes.
+    */
+  def sequencePacking(spark: SparkSession, dir: String,
+                      contextLen: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nParts = spark.sparkContext.defaultParallelism
+    val sorted = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
+      .repartitionByRange(nParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val counts = sorted.groupBy("pid").agg(sum(col("n_tok")).as("c"))
+    val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("pid", "off")
+    val wLocal = Window.partitionBy("pid").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(wLocal), lit(0L)) + col("off"))
+      .select(col("doc_id"), col("n_tok"), col("cum_before"),
+        // integer DIV, not double /: exact at any token-stream length
+        expr(s"cum_before DIV $contextLen").as("pack_id"),
+        (col("cum_before") % contextLen).as("pack_offset"))
+  }
 }

@@ -102,6 +102,39 @@ class OperatorSpec extends SparkSuite {
     assert(t.zip(t.tail).forall { case ((_, a), (_, b)) => a >= b })
   }
 
+  test("contamination: every test-split doc scored, rates bounded, subsets consistent") {
+    val c = TextAnalysis.contamination(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    // test split = md5 bucket >= 90 (same rule as trainSplit)
+    val expectDocs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100).as("b"))
+      .filter(col("b") >= 90).count()
+    assert(c.length == expectDocs && c.nonEmpty)
+    assert(c.forall(r => r._3 <= r._2))
+    assert(c.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
+  test("mixing weights: weight * n_tokens recovers the uniform per-source token share") {
+    val m = TextAnalysis.mixingWeights(spark, sf)
+      .as[(String, Long, Long, Double)].collect()
+    val total = m.map(_._3).sum.toDouble
+    m.foreach { case (_, _, tok, w) =>
+      assert(math.abs(w * tok - total / m.length) < 1e-6) }
+  }
+
+  test("sequence packing: cumulative offsets match the definitional prefix sums") {
+    val p = TextAnalysis.sequencePacking(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    p.foreach { case (_, nTok, cumBefore, packId, off) =>
+      assert(cumBefore == cum)
+      assert(packId == cumBefore / 2048 && off == cumBefore % 2048)
+      cum += nTok
+    }
+  }
+
   // — reindex pipeline —
 
   test("chunk assignment: ≤ chunkSize per chunk, asciibetical boundaries, contiguous ids") {
