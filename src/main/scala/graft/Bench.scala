@@ -86,6 +86,9 @@ object Bench {
         errs ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop cache pins (two-pass rank queries persist) so one query's
+      // cache can't evict another's working set or skew its timing
+      spark.catalog.clearCache()
       drainListenerBus(spark)
       ioStats ::= (name, (io.recordsRead.get - r0, io.shuffleBytes.get - s0))
       name -> (if (errs.exists(_._1 == name)) -1.0 else sec)

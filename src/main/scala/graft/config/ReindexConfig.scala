@@ -92,7 +92,17 @@ final case class ReindexConfig(
       }
     }
 
-  /** Bounds validation (reference Validate, config/config.go:51-68). */
+  private def redisUrlValid: Boolean =
+    Try {
+      val u = java.net.URI.create(redisUrl)
+      u.getScheme == "redis" && u.getHost != null &&
+        Option(u.getPath).filter(_.length > 1).forall(_.stripPrefix("/").forall(_.isDigit))
+    }.getOrElse(false)
+
+  /** Bounds validation (reference Validate, config/config.go:51-68).
+    * A malformed redisUrl with authorities enabled is a CONFIG error
+    * (exit 2), distinct from an unreachable store (preflight, exit 1).
+    */
   def validate: Either[String, ReindexConfig] =
     if (chunkSize < 10 || chunkSize > 100000)
       Left(s"chunkSize must be between 10 and 100000, got $chunkSize")
@@ -104,6 +114,8 @@ final case class ReindexConfig(
       Left("password is required")
     else if (solrUrl.isEmpty)
       Left("solrUrl is required")
+    else if (authorities && !redisUrlValid)
+      Left(s"invalid redisUrl (expected redis://host[:port][/db]): $redisUrl")
     else Right(this)
 }
 

@@ -75,9 +75,16 @@ object ReindexJob {
       val clean = docs.filter(col("err").isNull).drop("err")
         .withColumn("flat", ArgotFlatten.flattenArgot(col("content")))
       // authority enrichment (O8) between flatten and sink — the
-      // reference's `argot ingest -a --redis-url` step
-      val toSink = store.map(_.enrich(clean)).getOrElse(clean)
-      val written = sink.write(toSink)
+      // reference's `argot ingest -a --redis-url` step.  The enriched
+      // frame is persisted so the sink's range-partition SAMPLING pass
+      // reads the cache instead of re-running the mapPartitions
+      // lookups — without it every reindex run doubles the mget load
+      // on the external store (a scan of local cache is cheaper than a
+      // second full round-trip sweep of a KV cluster).
+      val toSink = store.map(_.enrich(clean).persist()).getOrElse(clean)
+      val written =
+        try sink.write(toSink)
+        finally if (store.isDefined) { toSink.unpersist(); () }
       // Exact soft-error surfacing (fixes reference B10): parse
       // failures are counted with a dedicated aggregation — an
       // accumulator inside the flatten would over-count whenever the

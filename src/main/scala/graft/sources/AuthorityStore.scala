@@ -64,7 +64,9 @@ final class InMemoryKvTransport(entries: Map[String, String]) extends KvTranspor
 final class RespKvTransport(url: String) extends KvTransport {
   override def name: String = s"resp-kv:$url"
 
-  private[graft] val (host, port, db) = {
+  // lazy: a malformed URL must surface through ping()/healthCheck (or
+  // config validation) as a clean refusal, not blow up construction
+  private[graft] lazy val (host, port, db) = {
     val u = java.net.URI.create(url)
     require(u.getScheme == "redis", s"expected redis:// URL, got $url")
     val d = Option(u.getPath).filter(_.length > 1).map(_.stripPrefix("/").toInt).getOrElse(0)
@@ -97,15 +99,23 @@ final class RespKvTransport(url: String) extends KvTransport {
     readReply()
   }
 
+  private def readByte(): Int = {
+    val c = in.read()
+    // EOF (peer closed) must FAIL the task — a cleanly-retried failure
+    // beats looping on -1 (SO_TIMEOUT never fires on EOF)
+    if (c < 0) { close(); throw new java.io.EOFException("connection closed by server") }
+    c
+  }
+
   private def readLine(): String = {
     val sb = new StringBuilder
-    var c = in.read()
-    while (c != '\r') { sb.append(c.toChar); c = in.read() }
-    in.read() // \n
+    var c = readByte()
+    while (c != '\r') { sb.append(c.toChar); c = readByte() }
+    readByte() // \n
     sb.toString
   }
 
-  private def readReply(): Any = in.read().toChar match {
+  private def readReply(): Any = readByte().toChar match {
     case '+' => readLine()
     case '-' => throw new java.io.IOException(s"RESP error: ${readLine()}")
     case ':' => readLine().toLong
@@ -114,7 +124,7 @@ final class RespKvTransport(url: String) extends KvTransport {
       if (n < 0) null
       else {
         val buf = new Array[Byte](n)
-        in.readFully(buf); in.read(); in.read() // trailing \r\n
+        in.readFully(buf); readByte(); readByte() // trailing \r\n
         new String(buf, "UTF-8")
       }
     case '*' =>

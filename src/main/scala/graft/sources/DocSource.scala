@@ -54,7 +54,10 @@ final class JdbcDocSource(conf: ReindexConfig, numPartitions: Int = 16,
   private[graft] def partExpr: String = partitionExpr.getOrElse {
     require(conf.isPostgres,
       s"hashtext() id-partitioning is Postgres-only; pass partitionExpr for ${conf.jdbcUrl}")
-    s"abs(hashtext(id)) % $numPartitions"
+    // ::bigint BEFORE abs: hashtext returns int4, and abs(INT_MIN)
+    // raises 'integer out of range' — near-certain to hit some id at
+    // billions of rows
+    s"abs(hashtext(id)::bigint) % $numPartitions"
   }
 
   /** The pushdown-ready subquery: the configured query (resume

@@ -106,12 +106,22 @@ object DocStream {
     // Hadoop FileSystem, not java.io.File: the store may live on any
     // supported filesystem (HDFS/object store), not just local disk
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasBatches = fs.exists(dir) &&
-      fs.listStatus(dir).exists(_.getPath.getName.startsWith("batch="))
-    if (hasBatches)
-      // batch=N partition layout: discovery recurses the committed
-      // subdirs (and skips hidden .tmp-* leftovers)
-      spark.read.parquet(storeDir).select("fp")
+    // enumerate committed batch=N dirs AND any legacy flat part files
+    // (pre-rename-publish stores appended parquet directly here) —
+    // listing explicit paths also sidesteps the mixed-layout assertion
+    // spark.read.parquet(root) would hit, and skips hidden .tmp-*
+    // leftovers from crashed commits
+    val paths =
+      if (!fs.exists(dir)) Array.empty[String]
+      else fs.listStatus(dir)
+        .filterNot(s => s.getPath.getName.startsWith(".") || s.getPath.getName.startsWith("_"))
+        .collect {
+          case s if s.isDirectory && s.getPath.getName.startsWith("batch=") =>
+            s.getPath.toString
+          case s if s.isFile && s.getPath.getName.endsWith(".parquet") =>
+            s.getPath.toString
+        }
+    if (paths.nonEmpty) spark.read.schema(storeSchema).parquet(paths.toIndexedSeq: _*)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
   }

@@ -22,12 +22,14 @@ class AuthoritySpec extends SparkSuite {
     */
   private final class FakeRedis(data: Map[String, String]) extends AutoCloseable {
     private val server = new java.net.ServerSocket(0)
+    private val conns = new java.util.concurrent.ConcurrentLinkedQueue[java.net.Socket]()
     val port: Int = server.getLocalPort
     @volatile private var running = true
     private val acceptor = new Thread(() => {
       while (running)
         try {
           val s = server.accept()
+          conns.add(s)
           new Thread(() => try serve(s) catch { case _: Exception => () }).start()
         } catch { case _: Exception => () }
     })
@@ -70,7 +72,10 @@ class AuthoritySpec extends SparkSuite {
       s.close()
     }
 
-    override def close(): Unit = { running = false; server.close() }
+    override def close(): Unit = {
+      running = false; server.close()
+      conns.forEach(s => try s.close() catch { case _: Exception => () })
+    }
   }
 
   private val corpus = s"$sf/documents.parquet"
@@ -145,6 +150,27 @@ class AuthoritySpec extends SparkSuite {
       val enriched = written.filter(col("authority") === "Authority Zero").count()
       assert(enriched == written.filter(col("owner") === "src0").count() && enriched > 0)
     } finally { redis.close(); () }
+  }
+
+  test("RESP transport fails cleanly on EOF instead of spinning") {
+    val redis = new FakeRedis(Map("k" -> "v"))
+    val t = new RespKvTransport(s"redis://localhost:${redis.port}/0")
+    assert(t.mget(Seq("k")) == Seq(Some("v")))
+    redis.close() // server gone: next read hits EOF
+    Thread.sleep(50)
+    intercept[java.io.IOException](t.mget(Seq("k")))
+    t.close()
+  }
+
+  test("malformed redisUrl is a CONFIG error (validate Left), not a crash") {
+    val base = ReindexConfig(password = "pw", solrUrl = "http://x")
+    assert(base.validate.isRight) // default URL is well-formed
+    assert(base.copy(redisUrl = "localhost:6379").validate.isLeft)  // no scheme
+    assert(base.copy(redisUrl = "redis://h:6379/abc").validate.isLeft) // non-int db
+    // with authorities off the URL is unused and not validated
+    assert(base.copy(authorities = false, redisUrl = "localhost:6379").validate.isRight)
+    // and a malformed-URL transport constructs fine, failing via ping()
+    assert(new RespKvTransport("localhost:6379").ping().isLeft)
   }
 
   test("authorities enabled but unwired, or store unreachable, refuses to start") {

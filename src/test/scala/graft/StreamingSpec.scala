@@ -182,6 +182,25 @@ class StreamingSpec extends SparkSuite {
     assert(committed.sorted == Seq("batch=0", "batch=1"), committed)
   }
 
+  test("dedup-ingest: a legacy flat-file fp store is read alongside batch= commits") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft-ingest-legacy")
+    val sink = new graft.sinks.NdjsonDirSink(out.toString + "/docs", chunkSize = 10)
+    val store = out.toString + "/fps"
+    def df(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("id", "txn_id", "owner", "content")
+    // a pre-rename-publish store: fingerprints appended as flat parquet
+    val legacyFp = graft.functions.TextFunctions.fingerprint(lit("alpha beta"))
+    spark.range(1).select(legacyFp.as("fp")).write.parquet(store)
+    // batch 0 repeats the legacy content + adds one new doc: the flat
+    // files must count as corpus, so only the new doc is fresh
+    val b0 = df(Seq(("1", "1", "own", "alpha beta"), ("2", "2", "own", "gamma delta")))
+    assert(graft.streaming.DocStream.processBatch(b0, store, sink, 0) == 1)
+    // and the mixed flat + batch=0 layout reads back fine on the next batch
+    val b1 = df(Seq(("3", "3", "own", "gamma delta"), ("4", "4", "own", "epsilon zeta")))
+    assert(graft.streaming.DocStream.processBatch(b1, store, sink, 1) == 1)
+  }
+
   test("foreachBatch bridges the stream into the batch DocSink across batches") {
     implicit val sq = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-stream-sink")
