@@ -114,7 +114,8 @@ object SparkEntry {
     // — round-4 widening: training-data pipeline completers —
     "q69_contamination" -> (TextAnalysis.contamination(_, _)),
     "q70_mix_weights" -> (TextAnalysis.mixingWeights(_, _)),
-    "q71_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(s, d))
+    "q71_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
+    "q72_dedup_clusters" -> (Dedup.dedupClusters(_, _))
   )
 
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
@@ -124,6 +125,26 @@ object SparkEntry {
       |sh AS (SELECT DISTINCT doc_id,
       |  unnest([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingle
       |  FROM w WHERE len(w) >= 3)""".stripMargin
+
+  // MinHash-LSH candidate pairs as a reusable CTE chain (ends in
+  // mh_pairs) — the seeded-fold contract mirrored from
+  // graft.plans.MinHashes; shared by q21 and q72's recursive closure.
+  private val minhashPairsCte =
+    s"""$shingleCte,
+       |hs AS (SELECT doc_id,
+       |  list_reduce(list_concat([CAST(0 AS BIGINT)],
+       |    list_transform(range(1, length(shingle) + 1), j -> CAST(ascii(substr(shingle, j, 1)) AS BIGINT))),
+       |    (a, b) -> (a * 31 + b) % 4294967296) AS f
+       |  FROM sh),
+       |mh AS (SELECT doc_id, seed,
+       |  min(CAST((CAST((((2654435761 * (seed + 1)) % 4294967296) | 1) AS HUGEINT) * f + seed)
+       |      % 4294967296 AS BIGINT)) AS mh
+       |  FROM hs CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) seeds
+       |  GROUP BY doc_id, seed),
+       |sig AS (SELECT doc_id, seed // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+       |  FROM mh GROUP BY doc_id, seed // 2),
+       |mh_pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
   // Norm CTE mirroring VectorFunctions: sequential left-fold sums via
   // list_reduce (bit-identical to Spark's aggregate() fold).
@@ -264,21 +285,8 @@ object SparkEntry {
         |  min(doc_id) AS keeper_id, count(*) AS n_docs
         |FROM documents GROUP BY 1""".stripMargin,
     "q21_dedup_minhash" ->
-      s"""WITH $shingleCte,
-         |hs AS (SELECT doc_id,
-         |  list_reduce(list_concat([CAST(0 AS BIGINT)],
-         |    list_transform(range(1, length(shingle) + 1), j -> CAST(ascii(substr(shingle, j, 1)) AS BIGINT))),
-         |    (a, b) -> (a * 31 + b) % 4294967296) AS f
-         |  FROM sh),
-         |mh AS (SELECT doc_id, seed,
-         |  min(CAST((CAST((((2654435761 * (seed + 1)) % 4294967296) | 1) AS HUGEINT) * f + seed)
-         |      % 4294967296 AS BIGINT)) AS mh
-         |  FROM hs CROSS JOIN (SELECT unnest(range(0, 8)) AS seed) seeds
-         |  GROUP BY doc_id, seed),
-         |sig AS (SELECT doc_id, seed // 2 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
-         |  FROM mh GROUP BY doc_id, seed // 2)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin,
+      s"""WITH $minhashPairsCte
+         |SELECT doc_a, doc_b FROM mh_pairs""".stripMargin,
     "q22_ngram_jaccard" ->
       s"""WITH $shingleCte,
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -676,6 +684,15 @@ object SparkEntry {
         |SELECT source, n_docs, n_tokens,
         |  CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE) AS weight
         |FROM per CROSS JOIN tot""".stripMargin,
+    "q72_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |      UNION SELECT doc_b, doc_a FROM mh_pairs),
+         |r AS (SELECT src AS doc_id, dst AS peer FROM e
+         |      UNION
+         |      SELECT r.doc_id, e.dst FROM r JOIN e ON r.peer = e.src)
+         |SELECT doc_id, CAST(least(doc_id, min(peer)) AS BIGINT) AS cluster_id
+         |FROM r GROUP BY doc_id""".stripMargin,
     "q71_seq_packing" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),

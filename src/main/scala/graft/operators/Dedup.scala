@@ -126,6 +126,52 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate CLUSTERS from the minhash candidate pairs: connected
+    * components by iterative min-label propagation, the step that
+    * turns pairwise near-dup hits into dedup groups with a canonical
+    * survivor (cluster_id = smallest doc_id in the component — the doc
+    * a pipeline keeps).
+    *
+    * Each superstep is one shuffle join (edges ⋈ labels) + a min
+    * aggregation; the driver only orchestrates supersteps and probes
+    * convergence (limit-1 existence check, no data collected).
+    * Supersteps needed = component diameter — near-dup clusters are
+    * tiny, so 2-3 in practice; the shape is the standard large-graph
+    * CC that scales to billions of edges.  The fixpoint (min reachable
+    * id) is engine- and iteration-order-independent, which is what
+    * makes an exact DuckDB oracle (recursive closure) possible.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id")).persist()
+    try {
+      var converged = false
+      while (!converged) {
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("cluster_id")).as("nbr_min"))
+        val next = labels.withColumnRenamed("cluster_id", "old")
+          .join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"),
+            col("old"))
+          .persist()
+        converged = next.filter(col("cluster_id") =!= col("old")).limit(1).isEmpty
+        labels.unpersist()
+        labels = next.drop("old")
+      }
+      // materialize before releasing the cache pins (the caller gets a
+      // plain local-shuffle-free projection of the final labels)
+      labels.count()
+      labels
+    } finally { edges.unpersist(); () }
+  }
+
   /** Exact n-gram Jaccard over inverted-index candidates: pairs sharing
     * ≥1 shingle, scored |A∩B| / |A∪B|, thresholded.
     *

@@ -102,6 +102,24 @@ class OperatorSpec extends SparkSuite {
     assert(t.zip(t.tail).forall { case ((_, a), (_, b)) => a >= b })
   }
 
+  test("dedup clusters: labels equal driver-side union-find over the candidate pairs") {
+    val pairs = Dedup.minhashLsh(spark, sf).as[(Long, Long)].collect()
+    val labels = Dedup.dedupClusters(spark, sf).as[(Long, Long)].collect().toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val docs = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(labels.keySet == docs.toSet)
+    docs.foreach(d => assert(labels(d) == find(d)))
+    assert(labels.exists { case (d, c) => c < d }, "at least one real merge")
+  }
+
   test("contamination: every test-split doc scored, rates bounded, subsets consistent") {
     val c = TextAnalysis.contamination(spark, sf)
       .as[(Long, Long, Long, Double)].collect()
