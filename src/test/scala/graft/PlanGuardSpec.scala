@@ -130,6 +130,23 @@ class PlanGuardSpec extends SparkSuite {
     assert(names(df).exists(_.contains("BroadcastHashJoin")))
   }
 
+  test("q71 packing: prefix sums ride partitioned windows and a broadcast offsets join") {
+    val df = TextAnalysis.sequencePacking(spark, sf)
+    val windows = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+    assert(names(df).exists(_.contains("BroadcastHashJoin")))
+  }
+
+  test("q69 contamination: probe joins on the shingle key, never a nested-loop pair scan") {
+    val df = TextAnalysis.contamination(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("BroadcastNestedLoopJoin")))
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    // doc rollup is a partial+final hash aggregate
+    assert(ns.count(_.contains("HashAggregate")) >= 2)
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
