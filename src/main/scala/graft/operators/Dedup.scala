@@ -161,13 +161,15 @@ object Dedup {
             least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"),
             col("old"))
           .persist()
-        converged = next.filter(col("cluster_id") =!= col("old")).limit(1).isEmpty
+        // ONE action per superstep: the changed-count aggregate both
+        // materializes the cache and answers convergence
+        converged = next
+          .agg(coalesce(sum(when(col("cluster_id") =!= col("old"), 1L).otherwise(0L)),
+            lit(0L))) // coalesce: sum over an empty frame is NULL
+          .head().getLong(0) == 0L
         labels.unpersist()
         labels = next.drop("old")
       }
-      // materialize before releasing the cache pins (the caller gets a
-      // plain local-shuffle-free projection of the final labels)
-      labels.count()
       labels
     } finally { edges.unpersist(); () }
   }
