@@ -96,7 +96,10 @@ final case class ReindexConfig(
     Try {
       val u = java.net.URI.create(redisUrl)
       u.getScheme == "redis" && u.getHost != null &&
-        Option(u.getPath).filter(_.length > 1).forall(_.stripPrefix("/").forall(_.isDigit))
+        // toIntOption, not isDigit: an all-digit db index that overflows
+        // Int must also be a CONFIG error, not a preflight failure
+        Option(u.getPath).filter(_.length > 1)
+          .forall(_.stripPrefix("/").toIntOption.isDefined)
     }.getOrElse(false)
 
   /** Bounds validation (reference Validate, config/config.go:51-68).

@@ -133,8 +133,9 @@ object Dedup {
     * a pipeline keeps).
     *
     * Each superstep is one shuffle join (edges ⋈ labels) + a min
-    * aggregation; the driver only orchestrates supersteps and probes
-    * convergence (limit-1 existence check, no data collected).
+    * aggregation, closed by a single changed-count aggregate that both
+    * materializes the persisted labels and answers convergence — the
+    * driver orchestrates supersteps but collects only that one count.
     * Supersteps needed = component diameter — near-dup clusters are
     * tiny, so 2-3 in practice; the shape is the standard large-graph
     * CC that scales to billions of edges.  The fixpoint (min reachable
