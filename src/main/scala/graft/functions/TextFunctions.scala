@@ -58,6 +58,15 @@ object TextFunctions {
     ColumnBridge.column(graft.plans.ShingleSet(
       ColumnBridge.expression(text), n))
 
+  /** Per-doc bigram repetition stats `[n_bigrams, n_distinct,
+    * top_count]` in one pass (graft.plans.RepetitionStats) — folds the
+    * explode + two doc-keyed aggregations of the definitional
+    * formulation into a shuffle-free projection.
+    */
+  def repetitionStats(text: Column): Column =
+    ColumnBridge.column(graft.plans.RepetitionStats(
+      ColumnBridge.expression(text)))
+
   /** All k seeded minhashes in one narrow pass (array<long>, seed
     * order) via the native expression — see graft.plans.MinHashes for
     * the seeded-hash contract mirrored by the DuckDB oracle.

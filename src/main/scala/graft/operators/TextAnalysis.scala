@@ -118,11 +118,32 @@ object TextAnalysis {
     * filters): fraction of bigram occurrences that are repeats of an
     * already-seen bigram, and the share taken by the single most
     * frequent bigram.  High values flag boilerplate/spam documents for
-    * removal before training.  Two doc-keyed aggregations — shuffles
-    * partition on (doc, bigram) then doc, never on global token space.
-    * Ratios are int/int divisions in one fixed IEEE op, engine-exact.
+    * removal before training.
+    *
+    * Both doc-keyed aggregations are folded into the native one-pass
+    * graft.plans.RepetitionStats expression — the whole query is a
+    * shuffle-FREE projection (the r3 exploded formulation shuffled the
+    * full bigram stream twice; see repetitionMetricsExploded, kept as
+    * the definitional cross-check).  Ratios are int/int divisions in
+    * one fixed IEEE op, engine-exact.
     */
-  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame = {
+  def repetitionMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(col("doc_id"), repetitionStats(col("text")).as("r"))
+      .select(
+        col("doc_id"),
+        element_at(col("r"), 1).as("n_bigrams"),
+        ((element_at(col("r"), 1) - element_at(col("r"), 2)).cast("double")
+          / element_at(col("r"), 1).cast("double")).as("dup_bigram_frac"),
+        (element_at(col("r"), 3).cast("double")
+          / element_at(col("r"), 1).cast("double")).as("top_bigram_frac"))
+
+  /** The definitional explode → groupBy formulation of
+    * repetitionMetrics — two doc-keyed shuffles; kept as the
+    * cross-check oracle for the native expression.
+    */
+  private[graft] def repetitionMetricsExploded(spark: SparkSession, dir: String): DataFrame = {
     val bigrams = Tables.documents(spark, dir)
       .filter(size(tokens(col("text"))) >= 2)
       .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bigram"))

@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3, "graft_minhashes(text, shingleN, numHashes)")
         MinHashes(args.head, GraftExtensions.intLit(args(1)), GraftExtensions.intLit(args(2)))
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_repetition(text)")
+        RepetitionStats(args.head)
+      }))
   }
 }
 

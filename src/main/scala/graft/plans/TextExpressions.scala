@@ -259,3 +259,61 @@ object WinnowFingerprints {
     new GenericArrayData(out)
   }
 }
+
+/** Per-document bigram repetition statistics in one narrow pass:
+  * `[n_bigrams, n_distinct, top_count]` over the word 2-grams of the
+  * text — the inputs of the Gopher-style repetition quality filters.
+  *
+  * The builtin formulation (explode word 2-grams → groupBy(doc,
+  * bigram) → groupBy(doc)) shuffles the full bigram stream TWICE on
+  * doc-keyed hashes; this expression folds both aggregations into a
+  * per-row hash map, so the whole q68 pipeline becomes a shuffle-free
+  * projection.  Counting is over exact bigram strings (a per-document
+  * java HashMap), so the result is identical to the exploded
+  * count — no hashing approximation anywhere.
+  *
+  * Tokenization contract: split on every single space, empties kept
+  * (Spark `split(text, " ")` semantics, mirrored by the oracle's
+  * string_split).  Documents with fewer than two tokens yield
+  * `[0, 0, 0]` — callers filter them exactly as the exploded
+  * formulation's `len >= 2` did.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING argument, got ${child.dataType.catalogString}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_repetition"
+
+  override def nullSafeEval(a: Any): Any =
+    RepetitionStats.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.RepetitionStats.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  def compute(text: UTF8String): ArrayData = {
+    val tokens = text.toString.split(" ", -1)
+    val m = tokens.length - 1
+    if (m < 1) return new GenericArrayData(Array(0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, Long](m * 2)
+    val sb = new java.lang.StringBuilder(48)
+    var top = 0L
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      sb.append(tokens(i)).append(' ').append(tokens(i + 1))
+      val c = counts.merge(sb.toString, 1L, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericArrayData(Array(m.toLong, counts.size.toLong, top))
+  }
+}

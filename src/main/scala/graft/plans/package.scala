@@ -18,5 +18,8 @@ object RegisterFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_minhashes", (args: Seq[Expression]) =>
         MinHashes(args.head, GraftExtensions.intLit(args(1)), GraftExtensions.intLit(args(2))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_repetition", (args: Seq[Expression]) =>
+        RepetitionStats(args.head), "built-in")
   }
 }

@@ -130,6 +130,10 @@ class PlanGuardSpec extends SparkSuite {
     assert(names(df).exists(_.contains("BroadcastHashJoin")))
   }
 
+  test("q68 repetition: the native expression makes the query shuffle-FREE") {
+    assert(shuffles(TextAnalysis.repetitionMetrics(spark, sf)) == 0)
+  }
+
   test("q71 packing: prefix sums ride partitioned windows and a broadcast offsets join") {
     val df = TextAnalysis.sequencePacking(spark, sf)
     val windows = plan(df).collect {

@@ -103,6 +103,27 @@ class VectorExprSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("repetition expression == exploded groupBy formulation on real documents") {
+    val native = graft.operators.TextAnalysis.repetitionMetrics(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    val exploded = graft.operators.TextAnalysis.repetitionMetricsExploded(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(native.toSeq == exploded.toSeq) // bit-identical, doubles included
+  }
+
+  test("repetition expression: degenerate inputs and exact counts") {
+    import graft.functions.TextFunctions
+    val weird = Seq("", "solo", "a a a a", "a b a b x", " ", "a  b").toDF("text")
+    val r = weird.select(TextFunctions.repetitionStats(col("text")).as("r"))
+      .as[Seq[Long]].collect()
+    assert(r(0) == Seq(0L, 0L, 0L)) // "" → 1 token → no bigrams
+    assert(r(1) == Seq(0L, 0L, 0L)) // single token
+    assert(r(2) == Seq(3L, 1L, 3L)) // "a a" ×3
+    assert(r(3) == Seq(4L, 3L, 2L)) // "a b"×2, "b a", "b x"
+    assert(r(4) == Seq(1L, 1L, 1L)) // two empty tokens → bigram " "
+    assert(r(5) == Seq(2L, 2L, 1L)) // "a ", " b" (middle empty token)
+  }
+
   test("text expressions: degenerate inputs (empty, multi-space, single token)") {
     import graft.functions.TextFunctions
     val weird = Seq("", " ", "a  b", "solo", "a b c").toDF("text")
