@@ -191,12 +191,15 @@ object TextAnalysis {
       .cast("int") % 100
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), bucket.as("bucket"))
-    def shingleSet(df: DataFrame) = df
+    // native one-pass ShingleSet expression (≡ array_distinct(shingles),
+    // proven in VectorExprSpec) instead of the interpreted lambda chain
+    def docShingles(df: DataFrame) = df
       .filter(size(tokens(col("text"))) >= 3)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), 3))).as("shingle"))
-    val train = shingleSet(docs.filter(col("bucket") < trainPct))
+      .select(col("doc_id"),
+        explode(shingleSet(col("text"), 3)).as("shingle"))
+    val train = docShingles(docs.filter(col("bucket") < trainPct))
       .select("shingle").distinct()
-    val test = shingleSet(docs.filter(col("bucket") >= testFrom))
+    val test = docShingles(docs.filter(col("bucket") >= testFrom))
     test.join(train.withColumn("hit", lit(1L)), Seq("shingle"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
