@@ -96,10 +96,11 @@ final case class ReindexConfig(
     Try {
       val u = java.net.URI.create(redisUrl)
       u.getScheme == "redis" && u.getHost != null &&
-        // toIntOption, not isDigit: an all-digit db index that overflows
-        // Int must also be a CONFIG error, not a preflight failure
-        Option(u.getPath).filter(_.length > 1)
-          .forall(_.stripPrefix("/").toIntOption.isDefined)
+        // digits-only AND parseable: isDigit alone admits overflow,
+        // toIntOption alone admits signs ('-1' would slip through to a
+        // runtime SELECT error) — both are CONFIG errors, not preflight
+        Option(u.getPath).filter(_.length > 1).map(_.stripPrefix("/"))
+          .forall(p => p.forall(_.isDigit) && p.toIntOption.isDefined)
     }.getOrElse(false)
 
   /** Bounds validation (reference Validate, config/config.go:51-68).

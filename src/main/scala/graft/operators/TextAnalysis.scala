@@ -129,8 +129,10 @@ object TextAnalysis {
     */
   def repetitionMetrics(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .filter(size(tokens(col("text"))) >= 2)
       .select(col("doc_id"), repetitionStats(col("text")).as("r"))
+      // n_bigrams >= 1 ⇔ the old size(tokens) >= 2 pre-filter, but on
+      // the expression's output — one tokenization pass, not two
+      .filter(element_at(col("r"), 1) >= 1)
       .select(
         col("doc_id"),
         element_at(col("r"), 1).as("n_bigrams"),

@@ -167,6 +167,8 @@ class AuthoritySpec extends SparkSuite {
     assert(base.validate.isRight) // default URL is well-formed
     assert(base.copy(redisUrl = "localhost:6379").validate.isLeft)  // no scheme
     assert(base.copy(redisUrl = "redis://h:6379/abc").validate.isLeft) // non-int db
+    assert(base.copy(redisUrl = "redis://h:6379/-1").validate.isLeft)  // signed db
+    assert(base.copy(redisUrl = "redis://h:6379/99999999999").validate.isLeft) // overflow
     // with authorities off the URL is unused and not validated
     assert(base.copy(authorities = false, redisUrl = "localhost:6379").validate.isRight)
     // and a malformed-URL transport constructs fine, failing via ping()
