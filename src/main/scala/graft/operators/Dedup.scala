@@ -147,8 +147,14 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id")).persist()
+    // seed with the closed-neighborhood minimum — superstep 1 fused
+    // into initialization (every node appears as src because edges
+    // carry both directions), saving one full loop iteration
+    var labels = edges.groupBy("src")
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("doc_id"),
+        least(col("src"), col("nbr")).as("cluster_id"))
+      .persist()
     try {
       var converged = false
       while (!converged) {
