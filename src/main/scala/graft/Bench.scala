@@ -20,6 +20,12 @@ import java.util.concurrent.atomic.AtomicLong
   * final line is the minimal contract object (seconds rounded to 2
   * decimals), and the io/error detail goes to an earlier stdout line
   * plus `bench_detail.json` in the working directory.
+  *
+  * Noise-contract fix from r4: each query runs `SPARK_GRAFT_BENCH_REPS`
+  * (default 3) times in-process; the contract line carries the per-query
+  * MIN and the total-of-mins, so one transient host stall can no longer
+  * rewrite the committed record. Raw per-rep times are in
+  * `bench_detail.json` under `runs`.
   */
 object Bench {
 
@@ -76,22 +82,36 @@ object Bench {
     val io = new IoListener
     spark.sparkContext.addSparkListener(io)
 
+    // Noise fix from VERDICT r4 #1: a single-run contract line made the
+    // committed record a lottery (q36: 6.78 s at 0 shuffle bytes — a
+    // transient host stall, graded as a regression). Each query now runs
+    // REPS times in-process and the contract reports the per-query MIN
+    // (and total-of-mins); raw per-rep times go to bench_detail.json.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3)
     var errs = List.empty[(String, String)]
     var ioStats = List.empty[(String, (Long, Long))]
+    var runDetail = List.empty[(String, Seq[Double])]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (r0, s0) = (io.recordsRead.get, io.shuffleBytes.get)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errs ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // drop cache pins (two-pass rank queries persist) so one query's
-      // cache can't evict another's working set or skew its timing
-      spark.catalog.clearCache()
-      drainListenerBus(spark)
-      ioStats ::= (name, (io.recordsRead.get - r0, io.shuffleBytes.get - s0))
-      name -> (if (errs.exists(_._1 == name)) -1.0 else sec)
+      val times = (0 until reps).iterator.map { _ =>
+        val (r0, s0) = (io.recordsRead.get, io.shuffleBytes.get)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            errs ::= (name, Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+            false
+          }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drop cache pins (two-pass rank queries persist) so one query's
+        // cache can't evict another's working set or skew its timing,
+        // and so each rep measures a cold-cache execution
+        spark.catalog.clearCache()
+        drainListenerBus(spark)
+        ioStats ::= (name, (io.recordsRead.get - r0, io.shuffleBytes.get - s0))
+        if (ok) sec else -1.0
+      }.takeWhile(_ >= 0).toSeq // a failing rep records the error and stops
+      runDetail ::= (name, times)
+      name -> (if (times.length < reps) -1.0 else times.min)
     }
     // Locale.ROOT: a comma-decimal default locale would render "0,42"
     // and break the JSON contract line
@@ -99,10 +119,17 @@ object Bench {
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => s"${jstr(k)}:${r2(v)}" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val ios = ioStats.reverse.map { case (k, (r, s)) =>
+    // reps entries per query were appended; keep the last rep's profile
+    // (prepended list → first occurrence per name is the latest rep)
+    val ios = ioStats.foldLeft(Vector.empty[(String, (Long, Long))]) {
+      case (acc, kv) if acc.exists(_._1 == kv._1) => acc
+      case (acc, kv) => acc :+ kv
+    }.sortBy(_._1).map { case (k, (r, s)) =>
       s"${jstr(k)}:{" + s""""recordsRead":$r,"shuffleBytes":$s}""" }.mkString("{", ",", "}")
+    val runs = runDetail.reverse.map { case (k, ts) =>
+      s"${jstr(k)}:" + ts.map(r2).mkString("[", ",", "]") }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val detail = s"""{"errors":$es,"io":$ios,"sf":${jstr(sfDir)}}"""
+    val detail = s"""{"errors":$es,"io":$ios,"runs":$runs,"reps":$reps,"sf":${jstr(sfDir)}}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
       detail.getBytes("UTF-8"))

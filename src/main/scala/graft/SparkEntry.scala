@@ -158,6 +158,26 @@ object SparkEntry {
     s"""list_reduce(list_transform(range(1, len($aEmb) + 1),
        |  i -> CAST($aEmb[i] AS DOUBLE) * CAST($bEmb[i] AS DOUBLE)), (a, b) -> a + b)""".stripMargin
 
+  /** One Lloyd iteration (q54), mirroring Similarity.lloydCentroids:
+    * assign sample vectors to argmax-dot centroid (ties → lowest cid),
+    * recompute each centroid as the per-dim mean folded in vec_id order
+    * and rounded back to float32; empty cells keep the previous
+    * centroid.  `prev` is the previous centroid CTE name; emits CTEs
+    * a$i/u$i/m$i and the new centroid CTE c$i.
+    */
+  private def lloydIterSql(prev: String, i: Int): String =
+    s"""a$i AS (SELECT s.vec_id, s.embedding, c.cid,
+       |  row_number() OVER (PARTITION BY s.vec_id ORDER BY
+       |    ${dotSql("s.embedding", "c.c_emb")} DESC, c.cid) AS rk
+       |  FROM smp s CROSS JOIN $prev c),
+       |u$i AS (SELECT cid, list(embedding ORDER BY vec_id) AS embs
+       |  FROM a$i WHERE rk = 1 GROUP BY cid),
+       |m$i AS (SELECT cid, [CAST(list_reduce(list_transform(embs,
+       |    x -> CAST(x[d] AS DOUBLE)), (a, b) -> a + b) / len(embs) AS REAL)
+       |  FOR d IN range(1, 65)] AS c_emb FROM u$i),
+       |c$i AS (SELECT p.cid, coalesce(m$i.c_emb, p.c_emb) AS c_emb
+       |  FROM $prev p LEFT JOIN m$i USING (cid))""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.  Omitted for q33 (HLL sketch), q34 (stub
     * media decode in mapPartitions), and q58 (GK quantile sketch) —
@@ -546,11 +566,14 @@ object SparkEntry {
         |  CAST(levenshtein(substr(p_name, 1, 10), p_type) AS INTEGER) AS edit_dist
         |FROM part""".stripMargin,
     "q54_ivf_ann" ->
-      s"""WITH c AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         |smp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
+         |${lloydIterSql("c0", 1)},
+         |${lloydIterSql("c1", 2)},
          |a AS (SELECT vec_id, embedding, cid,
          |  row_number() OVER (PARTITION BY vec_id
          |    ORDER BY ${dotSql("embedding", "c_emb")} DESC, cid) AS rk
-         |  FROM embeddings CROSS JOIN c),
+         |  FROM embeddings CROSS JOIN c2),
          |asg AS (SELECT vec_id, embedding, cid FROM a WHERE rk = 1),
          |e AS (SELECT vec_id, embedding, cid,
          |  sqrt(list_reduce(list_transform(embedding,
@@ -682,7 +705,9 @@ object SparkEntry {
         |  FROM documents GROUP BY source),
         |tot AS (SELECT sum(n_tokens) AS total_tokens, count(*) AS n_sources FROM per)
         |SELECT source, n_docs, n_tokens,
-        |  CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE) AS weight
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |       ELSE CAST(total_tokens AS DOUBLE) / CAST(n_sources * n_tokens AS DOUBLE)
+        |  END AS weight
         |FROM per CROSS JOIN tot""".stripMargin,
     "q72_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashPairsCte,

@@ -142,8 +142,30 @@ object Dedup {
     * id) is engine- and iteration-order-independent, which is what
     * makes an exact DuckDB oracle (recursive closure) possible.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir)
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashLsh(spark, dir))
+
+  /** Min-label propagation over an undirected pair list (columns
+    * `doc_a`, `doc_b`) — the engine core behind dedupClusters,
+    * factored out so adversarial graph shapes (long chains) are unit
+    * testable without a minhash corpus.
+    *
+    * Plan-size bound: the superstep recurrence references `labels`
+    * twice (the join input and inside nbrMin), so without truncation
+    * the logical plan grows EXPONENTIALLY in supersteps — 2^d copies
+    * of the seed plan at diameter d; persist() truncates recompute
+    * but Catalyst still analyzes the whole tree every superstep
+    * (measured: a diameter-40 chain OOMs during plan analysis around
+    * superstep 12).  So each superstep's label frame is a *lazy*
+    * `localCheckpoint`: materialization piggybacks on the one
+    * convergence action the superstep already runs (no extra job),
+    * and the next superstep's plan rebases on the materialized
+    * partitions — plan size is O(1) per superstep at any diameter.
+    * The standard iterative-graph trade (same as GraphX/GraphFrames
+    * checkpointing): an executor lost mid-operator fails the job
+    * instead of recomputing lineage; retried clean-slate.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -162,19 +184,22 @@ object Dedup {
           .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
           .groupBy(col("src").as("doc_id"))
           .agg(min(col("cluster_id")).as("nbr_min"))
+        // lazy checkpoint: materialized by the convergence action
+        // below (still ONE action per superstep), then the plan is a
+        // LogicalRDD — the exponential labels-referenced-twice
+        // recurrence never builds up; old checkpoint partitions are
+        // released by the ContextCleaner once the loop drops them
         val next = labels.withColumnRenamed("cluster_id", "old")
           .join(nbrMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"),
             col("old"))
-          .persist()
-        // ONE action per superstep: the changed-count aggregate both
-        // materializes the cache and answers convergence
+          .localCheckpoint(false)
         converged = next
           .agg(coalesce(sum(when(col("cluster_id") =!= col("old"), 1L).otherwise(0L)),
             lit(0L))) // coalesce: sum over an empty frame is NULL
           .head().getLong(0) == 0L
-        labels.unpersist()
+        labels.unpersist() // real for the seed persist; no-op after
         labels = next.drop("old")
       }
       labels

@@ -62,6 +62,15 @@ object Reindex {
     * two range shuffles (fragile under AQE/pruning divergence).  The
     * materialization is comparable to the shuffle write the range
     * exchange pays anyway.
+    *
+    * Cache lifecycle contract: the returned plan references that
+    * persisted frame, so the pin must outlive the caller's action —
+    * the operator cannot unpersist it itself.  After consuming the
+    * result, callers release it with `df.unpersist()` on their own
+    * frames or `spark.catalog.clearCache()` (what Bench/Verify do per
+    * query); repeated invocations without a release accumulate
+    * executor-cache pins.  Same contract on sequencePacking and
+    * pricePercentilesScalable.
     */
   def chunked(spark: SparkSession, dir: String,
               chunkSize: Int = 20, startId: String = ""): DataFrame = {

@@ -343,6 +343,10 @@ object Relational {
     * The result is independent of where the range boundaries land
     * (global sorted order is what defines the rank), so the output is
     * bit-identical to q51 and shares its oracle.
+    *
+    * Cache lifecycle contract: see Reindex.chunked — the persisted
+    * frame's pin must outlive the caller's action; release via
+    * `clearCache()` (as Bench/Verify do) or pins accumulate.
     */
   def pricePercentilesScalable(spark: SparkSession, dir: String, parts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -139,12 +139,61 @@ object Similarity {
       .toDF("probe_id", "neighbor_id", "cos_sim", "rank")
   }
 
-  /** IVF-style ANN: a small trained centroid set partitions the vector
-    * space into cells; every vector is assigned to its nearest centroid
-    * (max dot product) and probes search only their own cell
-    * (nprobe=1).  Here "training" is the deterministic pick of the
-    * first `nCentroids` vectors — production swaps in k-means centroids
-    * without changing any join shape.
+  /** Deterministic Lloyd (k-means) training for the IVF centroid set.
+    *
+    * Contract (oracle-critical, mirrored verbatim in the DuckDB SQL):
+    *  - init: centroids = the first `k` vectors (cid = vec_id);
+    *  - training set: the deterministic sample `vec_id < sampleN` — at
+    *    100 TB swap the id-prefix predicate for a hash sample of the
+    *    same bounded size; training on a bounded sample is standard
+    *    IVF practice and is what bounds the per-centroid
+    *    `collect_list` state below;
+    *  - assignment: argmax dot(embedding, centroid), ties to lowest
+    *    cid — the same rule the index itself uses, so training
+    *    optimises the partition actually searched (spherical k-means
+    *    flavor);
+    *  - update: per-dimension mean, folded in ascending `vec_id`
+    *    order (floats widened to double, left-to-right accumulation,
+    *    one divide), rounded back to float32 — IEEE-identical in both
+    *    engines, so no tolerance is needed; empty cells keep their
+    *    previous centroid.
+    *
+    * Plan per iteration: broadcast(k centroids) × sample → narrow
+    * argmax, then one k-group aggregation whose state is ≤ sampleN
+    * vectors total.  No all-pairs, no driver collect.
+    */
+  private[operators] def lloydCentroids(emb: DataFrame, k: Int,
+                                        iters: Int, sampleN: Int): DataFrame = {
+    val sample = emb.filter(col("vec_id") < sampleN).select("vec_id", "embedding")
+    val aw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
+    // per-dim mean over members sorted by vec_id: fold matches DuckDB's
+    // list_reduce over list(embedding ORDER BY vec_id), then one
+    // double→float rounding (round-to-nearest-even in both engines)
+    val meanExpr = expr(
+      """transform(sequence(0, 63), d ->
+        |  cast(aggregate(members, cast(0.0 as double),
+        |         (acc, m) -> acc + cast(m.embedding[d] as double))
+        |       / size(members) as float))""".stripMargin)
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    for (_ <- 1 to iters) {
+      val assigned = sample.crossJoin(broadcast(cents))
+        .withColumn("cdot", dot(col("embedding"), col("c_emb")))
+        .withColumn("rk", row_number().over(aw))
+        .filter(col("rk") === 1)
+      val means = assigned.groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("members"))
+        .select(col("cid"), meanExpr.as("m_emb"))
+      cents = cents.join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("m_emb"), col("c_emb")).as("c_emb"))
+    }
+    cents
+  }
+
+  /** IVF ANN with trained centroids: `iters` Lloyd iterations (above)
+    * refine the first-`nCentroids` init into a real k-means cell
+    * partition; every vector is assigned to its nearest centroid (max
+    * dot product) and probes search only their own cell (nprobe=1).
     *
     * Scale shape: centroids broadcast (tiny), assignment is a narrow
     * broadcast product + per-vector argmax (no shuffle of the vector
@@ -153,10 +202,10 @@ object Similarity {
     * is the trained-partition upgrade of bucketedAnn's sign-LSH.
     */
   def ivfAnn(spark: SparkSession, dir: String,
-             nCentroids: Int = 8, numProbes: Int = 6, k: Int = 3): DataFrame = {
+             nCentroids: Int = 8, numProbes: Int = 6, k: Int = 3,
+             iters: Int = 2, sampleN: Int = 256): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val cents = emb.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
+    val cents = lloydCentroids(emb, nCentroids, iters, sampleN)
     val aw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
     val assigned = emb.select("vec_id", "embedding")
       .crossJoin(broadcast(cents))

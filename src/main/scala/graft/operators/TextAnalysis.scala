@@ -229,8 +229,12 @@ object TextAnalysis {
       count(lit(1)).as("n_sources"))
     per.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"),
-        (col("total_tokens").cast("double")
-          / (col("n_sources") * col("n_tokens")).cast("double")).as("weight"))
+        // a zero-token source would otherwise emit weight = Infinity —
+        // a non-finite multiplier downstream samplers can't use; NULL
+        // states "no tokens to weight" honestly (mirrored in oracle)
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(col("total_tokens").cast("double")
+            / (col("n_sources") * col("n_tokens")).cast("double")).as("weight"))
   }
 
   /** Sequence packing (concat-and-chunk): lay every document's tokens
@@ -240,6 +244,10 @@ object TextAnalysis {
     * same two-pass range-partition + broadcast-offset pattern as
     * q17/q65: balanced partitions, no single-partition window, and the
     * persisted frame pins one partition-id assignment for both passes.
+    *
+    * Cache lifecycle contract: see Reindex.chunked — the pin must
+    * outlive the caller's action; release via `clearCache()` (as
+    * Bench/Verify do) or the pins accumulate across invocations.
     */
   def sequencePacking(spark: SparkSession, dir: String,
                       contextLen: Long = 2048L): DataFrame = {

@@ -86,7 +86,11 @@ final class RespKvTransport(url: String) extends KvTransport {
     if (db != 0) command("SELECT", db.toString)
   }
 
-  private def ensure(): Unit = if (sock == null || !sock.isConnected) connect()
+  // isConnected stays true after the peer closes, so it alone would
+  // never trigger a reconnect; readByte()'s EOF path close()s the
+  // socket (null), which is the signal this gate actually acts on
+  private def ensure(): Unit =
+    if (sock == null || sock.isClosed || !sock.isConnected) connect()
 
   /** Send one RESP array command and parse the reply. */
   private def command(args: String*): Any = {
@@ -136,11 +140,18 @@ final class RespKvTransport(url: String) extends KvTransport {
   override def mget(keys: Seq[String]): Seq[Option[String]] =
     if (keys.isEmpty) Seq.empty
     else {
-      ensure()
-      command("MGET" +: keys: _*) match {
-        case s: Seq[_] => s.map(v => Option(v).map(_.toString))
-        case other => throw new java.io.IOException(s"MGET: unexpected reply $other")
+      def once(): Seq[Option[String]] = {
+        ensure()
+        command("MGET" +: keys: _*) match {
+          case s: Seq[_] => s.map(v => Option(v).map(_.toString))
+          case other => throw new java.io.IOException(s"MGET: unexpected reply $other")
+        }
       }
+      // an idle connection the server dropped surfaces as EOF on next
+      // use: readByte() has already close()d the socket, so retry the
+      // (read-only, idempotent) batch ONCE on a fresh connection
+      // before letting the failure cost a full task retry
+      try once() catch { case _: java.io.EOFException => once() }
     }
 
   override def ping(): Either[String, Unit] =
@@ -178,7 +189,13 @@ final class KvAuthorityStore(transport: KvTransport, keyCol: String = "owner",
       rows.grouped(bs).flatMap { batch =>
         val keys = batch.map(r => if (r.isNullAt(idx)) null else r.getString(idx))
         val distinct = keys.filter(_ != null).distinct
-        val found = distinct.zip(t.mget(distinct)).toMap
+        val values = t.mget(distinct)
+        // a short/misaligned reply would silently truncate the zip and
+        // surface later as an opaque NoSuchElementException — fail the
+        // protocol bug loudly at the boundary instead
+        require(values.length == distinct.length,
+          s"${t.name}: mget returned ${values.length} values for ${distinct.length} keys")
+        val found = distinct.zip(values).toMap
         batch.zip(keys).map { case (r, k) =>
           Row.fromSeq(r.toSeq :+ (if (k == null) null else found(k).orNull))
         }

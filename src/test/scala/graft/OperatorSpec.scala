@@ -120,6 +120,23 @@ class OperatorSpec extends SparkSuite {
     assert(labels.exists { case (d, c) => c < d }, "at least one real merge")
   }
 
+  test("connected components: diameter-40 chain converges with bounded plan depth") {
+    // adversarial shape for min-label propagation: a single path graph
+    // 0-1-2-…-40, so the min label needs ~diameter/2 supersteps to
+    // reach the far end.  Without the per-superstep localCheckpoint
+    // the labels-referenced-twice recurrence builds a 2^supersteps
+    // logical plan and this test OOMs during analysis (~superstep 12)
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain)
+    val out = labels.as[(Long, Long)].collect().toMap
+    assert(out.keySet == (0L to 40L).toSet)
+    assert(out.values.forall(_ == 0L), "every chain node labels to the min id 0")
+    // the checkpoint rebased each superstep on a LogicalRDD: the final
+    // plan is scan + projection, not 20 supersteps of nested joins
+    val planNodes = labels.queryExecution.optimizedPlan.collect { case n => n }.size
+    assert(planNodes < 10, s"plan grew with diameter: $planNodes nodes")
+  }
+
   test("contamination: every test-split doc scored, rates bounded, subsets consistent") {
     val c = TextAnalysis.contamination(spark, sf)
       .as[(Long, Long, Long, Double)].collect()

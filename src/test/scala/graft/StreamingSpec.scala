@@ -5,6 +5,13 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
+/** Top level (not nested in the suite): a nested case class has an
+  * outer-pointer field its ExpressionEncoder can't codegen, so every
+  * streaming test would fall back to interpreted encoding with a
+  * Janino error logged per batch.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double, props: String)
+
 /** Streaming tier: drive micro-batches through MemoryStream and check
   * window/session/dedup semantics incl. watermark late-data dropping.
   */
@@ -12,8 +19,6 @@ class StreamingSpec extends SparkSuite {
   import spark.implicits._
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
-
-  private case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double, props: String)
 
   private def run(batches: Seq[Seq[Ev]], build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
                   mode: String = "update"): Seq[org.apache.spark.sql.Row] = {
