@@ -115,7 +115,11 @@ object SparkEntry {
     "q69_contamination" -> (TextAnalysis.contamination(_, _)),
     "q70_mix_weights" -> (TextAnalysis.mixingWeights(_, _)),
     "q71_seq_packing" -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
-    "q72_dedup_clusters" -> (Dedup.dedupClusters(_, _))
+    "q72_dedup_clusters" -> (Dedup.dedupClusters(_, _)),
+    // — round-5 widening: clustering, quality gate, weighted sampling —
+    "q73_kmeans" -> ((s, d) => Similarity.kmeansCells(s, d)),
+    "q74_qgate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
+    "q75_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d))
   )
 
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
@@ -729,6 +733,45 @@ object SparkEntry {
         |  CAST(cum_before // 2048 AS BIGINT) AS pack_id,
         |  CAST(cum_before % 2048 AS BIGINT) AS pack_offset
         |FROM c""".stripMargin,
+    "q73_kmeans" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         |smp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
+         |${lloydIterSql("c0", 1)},
+         |${lloydIterSql("c1", 2)},
+         |a AS (SELECT vec_id, cid,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${dotSql("embedding", "c_emb")} DESC, cid) AS rk
+         |  FROM embeddings CROSS JOIN c2)
+         |SELECT cid, count(*) AS n_vecs, min(vec_id) AS min_vec
+         |FROM a WHERE rk = 1 GROUP BY cid""".stripMargin,
+    "q74_qgate" ->
+      """WITH d AS (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+        |  + least((CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0) * 0.5 AS q
+        |  FROM documents),
+        |s AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot, count(*) AS n FROM d)
+        |SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+        |FROM d CROSS JOIN s
+        |WHERE q >= 0.45 AND CAST(n_tok AS DOUBLE) > CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
+        |GROUP BY source""".stripMargin,
+    "q75_sample" ->
+      """WITH r AS (SELECT * FROM (VALUES ('src0', 100), ('src1', 75), ('src2', 25)) v(source, pct)),
+        |d AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)) % 100 AS b
+        | FROM documents),
+        |k AS (SELECT d.source, n_tok, b < coalesce(r.pct, 50) AS keep
+        |      FROM d LEFT JOIN r USING (source))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS sampled_tokens
+        |FROM k GROUP BY source""".stripMargin,
     "q64_vocab_oov" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
         |vocab AS (SELECT token FROM (SELECT token, count(*) AS freq FROM toks GROUP BY 1

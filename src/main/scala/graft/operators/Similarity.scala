@@ -201,18 +201,40 @@ object Similarity {
     * the candidate set per probe is |n|/|cells|, never all-pairs.  This
     * is the trained-partition upgrade of bucketedAnn's sign-LSH.
     */
-  def ivfAnn(spark: SparkSession, dir: String,
-             nCentroids: Int = 8, numProbes: Int = 6, k: Int = 3,
-             iters: Int = 2, sampleN: Int = 256): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val cents = lloydCentroids(emb, nCentroids, iters, sampleN)
+  /** Nearest-centroid assignment (argmax dot, ties → lowest cid):
+    * broadcast product + per-vector argmax — narrow except the
+    * vec_id-keyed window, shared by ivfAnn and kmeansCells.
+    */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
     val aw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
-    val assigned = emb.select("vec_id", "embedding")
+    emb.select("vec_id", "embedding")
       .crossJoin(broadcast(cents))
       .withColumn("cdot", dot(col("embedding"), col("c_emb")))
       .withColumn("rk", row_number().over(aw))
       .filter(col("rk") === 1)
       .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** Embedding clustering as a first-class operator (q73): train the
+    * Lloyd centroids, assign the whole corpus, report per-cell
+    * population and the smallest member id — the summary a pipeline
+    * uses to check cluster balance before sharding by cell.  Same
+    * broadcast-train + narrow-assign shapes as ivfAnn; output is k
+    * rows.
+    */
+  def kmeansCells(spark: SparkSession, dir: String,
+                  k: Int = 8, iters: Int = 2, sampleN: Int = 256): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    assignCells(emb, lloydCentroids(emb, k, iters, sampleN))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
+  }
+
+  def ivfAnn(spark: SparkSession, dir: String,
+             nCentroids: Int = 8, numProbes: Int = 6, k: Int = 3,
+             iters: Int = 2, sampleN: Int = 256): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = assignCells(emb, lloydCentroids(emb, nCentroids, iters, sampleN))
     val e = assigned.withColumn("nrm", norm(col("embedding")))
     val probes = e.filter(col("vec_id") < numProbes)
       .select(col("vec_id").as("probe_id"), col("cid"), col("embedding").as("p_emb"), col("nrm").as("p_nrm"))

@@ -237,6 +237,61 @@ object TextAnalysis {
             / (col("n_sources") * col("n_tokens")).cast("double")).as("weight"))
   }
 
+  /** Quality gate (q74): the filter stage of a data recipe — keep
+    * documents that clear BOTH a fixed quality-score floor and a
+    * corpus-relative length bar (token count above the corpus mean),
+    * and report the surviving budget per source.  The mean is exact
+    * (integer sum ÷ count, one IEEE divide) and arrives as a broadcast
+    * 1-row frame, so the gate is a single codegen'd scan: nothing
+    * grows with corpus size except that scan.  Sources with no
+    * survivors drop out (consistent in the oracle).
+    *
+    * minQ default 0.45: on this corpus the TTR term anti-correlates
+    * with length (longer docs repeat more tokens), so a floor near
+    * the median is what keeps the intersection non-trivial — 0.55
+    * selects only short docs and the gate goes empty.
+    */
+  def qualityGate(spark: SparkSession, dir: String, minQ: Double = 0.45): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        qualityScore(col("text")).as("q"))
+    val stats = d.agg(sum(col("n_tok")).as("tot"), count(lit(1)).as("n"))
+    d.crossJoin(broadcast(stats))
+      .filter(col("q") >= minQ &&
+        col("n_tok").cast("double") > col("tot").cast("double") / col("n").cast("double"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("kept_tokens"))
+  }
+
+  /** Source-weighted deterministic downsampling (q75): apply a
+    * per-source keep percentage (the knob a mixing recipe turns —
+    * "keep 25% of this crawl, all of that corpus") using the same
+    * stable md5-bucket assignment as trainSplit, but on hex digits
+    * 5-8 so sampling is independent of the split.  Rates are a
+    * broadcast dimension with a default for unlisted sources; the
+    * plan is one broadcast join + filter + aggregate, and membership
+    * is reproducible on any engine and any partitioning — a rerun
+    * keeps exactly the same documents.
+    */
+  def stratifiedSample(spark: SparkSession, dir: String,
+                       rates: Map[String, Int] = Map("src0" -> 100, "src1" -> 75, "src2" -> 25),
+                       defaultPct: Int = 50): DataFrame = {
+    import spark.implicits._
+    val dim = rates.toSeq.toDF("source", "pct")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 5, 4), 16, 10)
+      .cast("int") % 100
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"), bucket.as("b"))
+      .join(broadcast(dim), Seq("source"), "left")
+      .withColumn("keep", col("b") < coalesce(col("pct"), lit(defaultPct)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("sampled_tokens"))
+  }
+
   /** Sequence packing (concat-and-chunk): lay every document's tokens
     * end-to-end in stable doc_id order and cut the stream into
     * fixed-size context windows — each doc learns which pack it starts

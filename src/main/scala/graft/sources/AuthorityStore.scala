@@ -147,11 +147,16 @@ final class RespKvTransport(url: String) extends KvTransport {
           case other => throw new java.io.IOException(s"MGET: unexpected reply $other")
         }
       }
-      // an idle connection the server dropped surfaces as EOF on next
-      // use: readByte() has already close()d the socket, so retry the
-      // (read-only, idempotent) batch ONCE on a fresh connection
-      // before letting the failure cost a full task retry
-      try once() catch { case _: java.io.EOFException => once() }
+      // an idle connection the server dropped surfaces as EOF on the
+      // next read (peer FIN) or as a SocketException on the write
+      // (RST / broken pipe) — retry the (read-only, idempotent) batch
+      // ONCE on a fresh connection before letting the failure cost a
+      // full task retry; protocol-level errors (RESP '-' replies,
+      // framing) are plain IOExceptions and are NOT retried
+      try once() catch {
+        case _: java.io.EOFException | _: java.net.SocketException =>
+          close(); once()
+      }
     }
 
   override def ping(): Either[String, Unit] =

@@ -72,6 +72,14 @@ class AuthoritySpec extends SparkSuite {
       s.close()
     }
 
+    /** Close accepted connections but keep the server up — simulates a
+      * server-side idle-timeout drop (the reconnect-retry scenario).
+      */
+    def dropConnections(): Unit = {
+      conns.forEach(s => try s.close() catch { case _: Exception => () })
+      conns.clear()
+    }
+
     override def close(): Unit = {
       running = false; server.close()
       conns.forEach(s => try s.close() catch { case _: Exception => () })
@@ -150,6 +158,20 @@ class AuthoritySpec extends SparkSuite {
       val enriched = written.filter(col("authority") === "Authority Zero").count()
       assert(enriched == written.filter(col("owner") === "src0").count() && enriched > 0)
     } finally { redis.close(); () }
+  }
+
+  test("RESP transport transparently retries after a server-side idle drop") {
+    val redis = new FakeRedis(Map("k" -> "v"))
+    try {
+      val t = new RespKvTransport(s"redis://localhost:${redis.port}/0")
+      assert(t.mget(Seq("k")) == Seq(Some("v")))
+      redis.dropConnections() // idle-timeout policy: server closes, stays up
+      Thread.sleep(50)
+      // stale socket fails (EOF or RST) → one reconnect+retry inside
+      // mget, NOT a task-level failure
+      assert(t.mget(Seq("k")) == Seq(Some("v")))
+      t.close()
+    } finally redis.close()
   }
 
   test("RESP transport fails cleanly on EOF instead of spinning") {

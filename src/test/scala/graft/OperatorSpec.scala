@@ -137,6 +137,46 @@ class OperatorSpec extends SparkSuite {
     assert(planNodes < 10, s"plan grew with diameter: $planNodes nodes")
   }
 
+  test("kmeans cells partition the whole corpus; training moved some centroid") {
+    val cells = Similarity.kmeansCells(spark, sf).as[(Long, Long, Long)].collect()
+    assert(cells.map(_._2).sum == 500L, "every vector assigned to exactly one cell")
+    assert(cells.length <= 8 && cells.nonEmpty)
+    cells.foreach { case (cid, n, minVec) => assert(n > 0 && minVec >= 0 && cid < 8) }
+    // trained centroids differ from the first-k init: the cell
+    // populations must shift (guards against the Lloyd loop silently
+    // no-opping)
+    val untrained = Similarity.kmeansCells(spark, sf, iters = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(untrained != cells.toSet, "training changed no cell assignment at all")
+  }
+
+  test("quality gate keeps only above-mean-length docs that clear the score floor") {
+    val d = Tables.documents(spark, sf)
+    val nDocs = d.count()
+    val meanTok = d.select(avg(size(split(col("text"), " ")))).as[Double].head()
+    val kept = TextAnalysis.qualityGate(spark, sf).as[(String, Long, Long)].collect()
+    assert(kept.nonEmpty, "gate selects a non-trivial subset")
+    val (nKept, tokKept) = (kept.map(_._2).sum, kept.map(_._3).sum)
+    assert(nKept > 0 && nKept < nDocs)
+    // definitional: every kept doc exceeds the mean, so the kept
+    // average must too
+    assert(tokKept.toDouble / nKept > meanTok)
+  }
+
+  test("stratified sample honors per-source rates and is rerun-stable") {
+    val s1 = TextAnalysis.stratifiedSample(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    val s2 = TextAnalysis.stratifiedSample(spark, sf)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(s1.toSeq == s2.toSeq, "deterministic membership: identical reruns")
+    val bySrc = s1.map(r => r._1 -> r).toMap
+    s1.foreach { case (_, n, k, tok) => assert(k <= n && tok >= 0) }
+    assert(bySrc("src0")._3 == bySrc("src0")._2, "pct=100 keeps every doc")
+    // rate ordering holds in expectation; with 25 docs/source just
+    // check the 25% source kept strictly fewer than the 100% source
+    assert(bySrc("src2")._3 < bySrc("src0")._3)
+  }
+
   test("contamination: every test-split doc scored, rates bounded, subsets consistent") {
     val c = TextAnalysis.contamination(spark, sf)
       .as[(Long, Long, Long, Double)].collect()

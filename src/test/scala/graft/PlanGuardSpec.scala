@@ -151,6 +151,24 @@ class PlanGuardSpec extends SparkSuite {
     assert(ns.count(_.contains("HashAggregate")) >= 2)
   }
 
+  test("q74 quality gate: threshold arrives broadcast; one scan feeds the whole gate") {
+    val df = TextAnalysis.qualityGate(spark, sf)
+    val ns = names(df)
+    // corpus stats are a 1-row broadcast, never a shuffled join key
+    assert(!ns.exists(_.contains("SortMergeJoin")))
+    assert(!ns.exists(_.contains("ShuffledHashJoin")))
+    // two aggregations (stats + per-source rollup), each partial+final
+    assert(ns.count(_.contains("HashAggregate")) >= 4)
+  }
+
+  test("q75 stratified sample: rates dim joins BROADCAST; docs never shuffle for the join") {
+    val df = TextAnalysis.stratifiedSample(spark, sf)
+    val ns = names(df)
+    assert(ns.exists(_.contains("BroadcastHashJoin")))
+    // only the final per-source aggregation shuffles
+    assert(shuffles(df) == 1)
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
