@@ -87,7 +87,8 @@ object Bench {
     // transient host stall, graded as a regression). Each query now runs
     // REPS times in-process and the contract reports the per-query MIN
     // (and total-of-mins); raw per-rep times go to bench_detail.json.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption).getOrElse(3)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
     var errs = List.empty[(String, String)]
     var ioStats = List.empty[(String, (Long, Long))]
     var runDetail = List.empty[(String, Seq[Double])]
@@ -120,11 +121,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:${r2(v)}" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     // reps entries per query were appended; keep the last rep's profile
-    // (prepended list → first occurrence per name is the latest rep)
-    val ios = ioStats.foldLeft(Vector.empty[(String, (Long, Long))]) {
-      case (acc, kv) if acc.exists(_._1 == kv._1) => acc
-      case (acc, kv) => acc :+ kv
-    }.sortBy(_._1).map { case (k, (r, s)) =>
+    // (reverse = oldest-first, so toMap's later-wins keeps the latest)
+    val ios = ioStats.reverse.toMap.toSeq.sortBy(_._1).map { case (k, (r, s)) =>
       s"${jstr(k)}:{" + s""""recordsRead":$r,"shuffleBytes":$s}""" }.mkString("{", ",", "}")
     val runs = runDetail.reverse.map { case (k, ts) =>
       s"${jstr(k)}:" + ts.map(r2).mkString("[", ",", "]") }.mkString("{", ",", "}")

@@ -122,6 +122,15 @@ object SparkEntry {
     "q75_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d))
   )
 
+  // Exact SQL mirror of TextFunctions.qualityScore (IEEE-sequence-
+  // critical): TTR*0.5 + min(avgWordLen/10, 1)*0.5 — ONE definition
+  // shared by q31 and q74 so the two oracle copies cannot drift.
+  private val qualitySql =
+    """(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+      |  + least((CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+      |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0) * 0.5""".stripMargin
+
   // Shared oracle fragments: shingle CTE (word 3-grams, distinct per
   // doc) exactly mirroring TextFunctions.shingles.
   private val shingleCte =
@@ -431,11 +440,8 @@ object SparkEntry {
         |  ELSE 'und' END AS lang_pred, count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "q31_quality" ->
-      """WITH d AS (SELECT source,
-        |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
-        |  + least((CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
-        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0) * 0.5 AS q,
+      s"""WITH d AS (SELECT source,
+        |  $qualitySql AS q,
         |  len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS n_sub
         |FROM documents)
         |SELECT source, count(*) AS n_docs,
@@ -745,12 +751,9 @@ object SparkEntry {
          |SELECT cid, count(*) AS n_vecs, min(vec_id) AS min_vec
          |FROM a WHERE rk = 1 GROUP BY cid""".stripMargin,
     "q74_qgate" ->
-      """WITH d AS (SELECT source,
+      s"""WITH d AS (SELECT source,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-        |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
-        |  + least((CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
-        |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) / 10.0, 1.0) * 0.5 AS q
+        |  $qualitySql AS q
         |  FROM documents),
         |s AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot, count(*) AS n FROM d)
         |SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS kept_tokens

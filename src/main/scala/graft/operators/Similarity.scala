@@ -165,7 +165,6 @@ object Similarity {
   private[operators] def lloydCentroids(emb: DataFrame, k: Int,
                                         iters: Int, sampleN: Int): DataFrame = {
     val sample = emb.filter(col("vec_id") < sampleN).select("vec_id", "embedding")
-    val aw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
     // per-dim mean over members sorted by vec_id: fold matches DuckDB's
     // list_reduce over list(embedding ORDER BY vec_id), then one
     // double→float rounding (round-to-nearest-even in both engines)
@@ -177,11 +176,7 @@ object Similarity {
     var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
     for (_ <- 1 to iters) {
-      val assigned = sample.crossJoin(broadcast(cents))
-        .withColumn("cdot", dot(col("embedding"), col("c_emb")))
-        .withColumn("rk", row_number().over(aw))
-        .filter(col("rk") === 1)
-      val means = assigned.groupBy("cid")
+      val means = assignCells(sample, cents).groupBy("cid")
         .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("members"))
         .select(col("cid"), meanExpr.as("m_emb"))
       cents = cents.join(means, Seq("cid"), "left")
@@ -201,19 +196,26 @@ object Similarity {
     * the candidate set per probe is |n|/|cells|, never all-pairs.  This
     * is the trained-partition upgrade of bucketedAnn's sign-LSH.
     */
-  /** Nearest-centroid assignment (argmax dot, ties → lowest cid):
-    * broadcast product + per-vector argmax — narrow except the
-    * vec_id-keyed window, shared by ivfAnn and kmeansCells.
+  /** Nearest-centroid assignment (argmax dot, ties → lowest cid),
+    * shared by lloydCentroids, ivfAnn and kmeansCells.
+    *
+    * Shape: broadcast product then `max(struct(cdot, -cid, emb))` —
+    * an aggregation, NOT a vec_id-partitioned window.  The window
+    * form shuffles and sorts all n×k scored rows; the aggregation
+    * partial-combines the k candidates per vector map-side, so only n
+    * rows reach the exchange — at 100 TB that is the difference
+    * between shuffling k× the corpus and 1× it.  struct ordering is
+    * field-by-field, so max picks highest cdot, then highest -cid
+    * (= lowest cid) — exactly the window's (cdot DESC, cid ASC) rule;
+    * cid is unique so the embedding field never decides.
     */
-  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val aw = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cid").asc)
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.select("vec_id", "embedding")
       .crossJoin(broadcast(cents))
       .withColumn("cdot", dot(col("embedding"), col("c_emb")))
-      .withColumn("rk", row_number().over(aw))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-  }
+      .groupBy("vec_id")
+      .agg(max(struct(col("cdot"), (-col("cid")).as("ncid"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"), (-col("m.ncid")).as("cid"))
 
   /** Embedding clustering as a first-class operator (q73): train the
     * Lloyd centroids, assign the whole corpus, report per-cell

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis tier over `documents` (SURVEY.md §2.C): corpus stats,
@@ -77,10 +77,20 @@ object TextAnalysis {
     * pipeline actually needs from its splitter; `sampleBy` randomness
     * can't give it cross-engine.
     */
+  /** Stable md5 hex bucket in [0, 100): 4 hex digits starting at
+    * `start` (1-based) of md5(doc_id) — the engine-portable assignment
+    * shared by trainSplit/contamination (digits 1-4) and
+    * stratifiedSample (digits 5-8, so sampling is independent of the
+    * split).  Each use is mirrored by strpos arithmetic in its oracle;
+    * keeping ONE definition here is what keeps those mirrors honest.
+    */
+  private def md5Bucket(start: Int): Column =
+    conv(substring(md5(col("doc_id").cast("string")), start, 4), 16, 10)
+      .cast("int") % 100
+
   def trainSplit(spark: SparkSession, dir: String,
                  trainPct: Int = 80, validPct: Int = 10): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100
+    val bucket = md5Bucket(1)
     Tables.documents(spark, dir)
       .withColumn("split",
         when(bucket < trainPct, "train")
@@ -189,8 +199,7 @@ object TextAnalysis {
     */
   def contamination(spark: SparkSession, dir: String,
                     trainPct: Int = 80, testFrom: Int = 90): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100
+    val bucket = md5Bucket(1)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), bucket.as("bucket"))
     // native one-pass ShingleSet expression (≡ array_distinct(shingles),
@@ -279,8 +288,7 @@ object TextAnalysis {
                        defaultPct: Int = 50): DataFrame = {
     import spark.implicits._
     val dim = rates.toSeq.toDF("source", "pct")
-    val bucket = conv(substring(md5(col("doc_id").cast("string")), 5, 4), 16, 10)
-      .cast("int") % 100
+    val bucket = md5Bucket(5)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         tokenCount(col("text")).cast("long").as("n_tok"), bucket.as("b"))
