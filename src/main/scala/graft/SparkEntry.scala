@@ -119,7 +119,9 @@ object SparkEntry {
     // — round-5 widening: clustering, quality gate, weighted sampling —
     "q73_kmeans" -> ((s, d) => Similarity.kmeansCells(s, d)),
     "q74_qgate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
-    "q75_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d))
+    "q75_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "q76_srcdups" -> (Dedup.sourceDupMatrix(_, _)),
+    "q77_survivor" -> (Dedup.clusterSurvivors(_, _))
   )
 
   // Exact SQL mirror of TextFunctions.qualityScore (IEEE-sequence-
@@ -775,6 +777,31 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS sampled_tokens
         |FROM k GROUP BY source""".stripMargin,
+    "q76_srcdups" ->
+      s"""WITH $minhashPairsCte,
+         |j AS (SELECT least(da.source, db.source) AS source_x,
+         |             greatest(da.source, db.source) AS source_y
+         |      FROM mh_pairs p
+         |      JOIN documents da ON p.doc_a = da.doc_id
+         |      JOIN documents db ON p.doc_b = db.doc_id)
+         |SELECT source_x, source_y, count(*) AS n_pairs FROM j GROUP BY 1, 2""".stripMargin,
+    "q77_survivor" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |      UNION SELECT doc_b, doc_a FROM mh_pairs),
+         |r AS (SELECT src AS doc_id, dst AS peer FROM e
+         |      UNION
+         |      SELECT r.doc_id, e.dst FROM r JOIN e ON r.peer = e.src),
+         |labels AS (SELECT doc_id, CAST(least(doc_id, min(peer)) AS BIGINT) AS cluster_id
+         |           FROM r GROUP BY doc_id),
+         |qs AS (SELECT doc_id, $qualitySql AS q FROM documents),
+         |j AS (SELECT l.cluster_id, l.doc_id, qs.q,
+         |  row_number() OVER (PARTITION BY l.cluster_id ORDER BY qs.q DESC, l.doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+         |  FROM labels l JOIN qs USING (doc_id))
+         |SELECT cluster_id, doc_id AS survivor_id, q AS survivor_q,
+         |  CAST(n_members AS BIGINT) AS n_members
+         |FROM j WHERE rk = 1""".stripMargin,
     "q64_vocab_oov" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
         |vocab AS (SELECT token FROM (SELECT token, count(*) AS freq FROM toks GROUP BY 1

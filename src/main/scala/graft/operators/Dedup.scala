@@ -326,4 +326,43 @@ object Dedup {
       .agg(count(lit(1)).as("total"), sums: _*)
       .select(col("doc_id"), packed.as("simhash"))
   }
+
+  /** Cross-source near-duplication matrix (q76): attribute every LSH
+    * candidate pair to its (source, source) cell — the curation view
+    * that answers "which corpora copy each other" before mixing
+    * weights are set.  Pair endpoints resolve by two doc_id equi-joins
+    * against the documents dimension (the pair list is orders of
+    * magnitude smaller than the corpus, so it is the probe side);
+    * least/greatest canonicalizes the unordered source pair.
+    */
+  def sourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    minhashLsh(spark, dir)
+      .join(src.toDF("doc_a", "src_a"), "doc_a")
+      .join(src.toDF("doc_b", "src_b"), "doc_b")
+      .groupBy(
+        least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Per-cluster survivor selection (q77): the decision a dedup
+    * pipeline actually ships — for every near-dup cluster keep the
+    * highest-quality member (ties → lowest doc_id).  Composes
+    * dedupClusters with the quality score and the same
+    * `max(struct(score, -id))` argmax-by-aggregation shape as IVF
+    * assignment: partial map-side combine, no per-cluster window
+    * sort.  Output is one row per cluster.
+    */
+  def clusterSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
+    dedupClusters(spark, dir)
+      .join(q, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("m.nid")).as("survivor_id"),
+        col("m.q").as("survivor_q"), col("n_members"))
+  }
 }

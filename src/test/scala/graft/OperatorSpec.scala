@@ -137,6 +137,32 @@ class OperatorSpec extends SparkSuite {
     assert(planNodes < 10, s"plan grew with diameter: $planNodes nodes")
   }
 
+  test("source dup matrix accounts for every LSH pair, canonically ordered") {
+    val nPairs = Dedup.minhashLsh(spark, sf).count()
+    val m = Dedup.sourceDupMatrix(spark, sf).as[(String, String, Long)].collect()
+    assert(m.map(_._3).sum == nPairs, "every candidate pair lands in one cell")
+    m.foreach { case (x, y, n) => assert(x <= y && n > 0) }
+  }
+
+  test("cluster survivors: one per cluster, member of it, and quality-maximal") {
+    val labels = Dedup.dedupClusters(spark, sf).as[(Long, Long)].collect()
+    val byCluster = labels.groupBy(_._2)
+    val surv = Dedup.clusterSurvivors(spark, sf)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(surv.length == byCluster.size, "exactly one survivor per cluster")
+    val q = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFunctions.qualityScore(col("text")))
+      .as[(Long, Double)].collect().toMap
+    surv.foreach { case (cid, sid, sq, n) =>
+      val members = byCluster(cid).map(_._1)
+      assert(members.contains(sid), s"survivor $sid not in cluster $cid")
+      assert(n == members.length.toLong)
+      assert(sq == q(sid))
+      // argmax rule: no member strictly beats the survivor on (q, -id)
+      assert(members.forall(m => q(m) < sq || (q(m) == sq && m >= sid)))
+    }
+  }
+
   test("kmeans cells partition the whole corpus; training moved some centroid") {
     val cells = Similarity.kmeansCells(spark, sf).as[(Long, Long, Long)].collect()
     assert(cells.map(_._2).sum == 500L, "every vector assigned to exactly one cell")
