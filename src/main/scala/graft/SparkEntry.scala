@@ -161,6 +161,21 @@ object SparkEntry {
        |mh_pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  // Recursive min-reachable-id closure over the minhash candidate
+  // pairs, ending in `cc_labels(doc_id, cluster_id)` — the exact
+  // oracle of Dedup.connectedComponents' fixpoint, ONE definition
+  // shared by q72 and q77 so the two copies cannot drift.  Callers
+  // must open with WITH RECURSIVE.
+  private val closureCte =
+    s"""$minhashPairsCte,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+       |      UNION SELECT doc_b, doc_a FROM mh_pairs),
+       |r AS (SELECT src AS doc_id, dst AS peer FROM e
+       |      UNION
+       |      SELECT r.doc_id, e.dst FROM r JOIN e ON r.peer = e.src),
+       |cc_labels AS (SELECT doc_id, CAST(least(doc_id, min(peer)) AS BIGINT) AS cluster_id
+       |              FROM r GROUP BY doc_id)""".stripMargin
+
   // Norm CTE mirroring VectorFunctions: sequential left-fold sums via
   // list_reduce (bit-identical to Spark's aggregate() fold).
   private val normCte =
@@ -722,14 +737,8 @@ object SparkEntry {
         |  END AS weight
         |FROM per CROSS JOIN tot""".stripMargin,
     "q72_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
-         |      UNION SELECT doc_b, doc_a FROM mh_pairs),
-         |r AS (SELECT src AS doc_id, dst AS peer FROM e
-         |      UNION
-         |      SELECT r.doc_id, e.dst FROM r JOIN e ON r.peer = e.src)
-         |SELECT doc_id, CAST(least(doc_id, min(peer)) AS BIGINT) AS cluster_id
-         |FROM r GROUP BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $closureCte
+         |SELECT doc_id, cluster_id FROM cc_labels""".stripMargin,
     "q71_seq_packing" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
@@ -786,19 +795,12 @@ object SparkEntry {
          |      JOIN documents db ON p.doc_b = db.doc_id)
          |SELECT source_x, source_y, count(*) AS n_pairs FROM j GROUP BY 1, 2""".stripMargin,
     "q77_survivor" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
-         |      UNION SELECT doc_b, doc_a FROM mh_pairs),
-         |r AS (SELECT src AS doc_id, dst AS peer FROM e
-         |      UNION
-         |      SELECT r.doc_id, e.dst FROM r JOIN e ON r.peer = e.src),
-         |labels AS (SELECT doc_id, CAST(least(doc_id, min(peer)) AS BIGINT) AS cluster_id
-         |           FROM r GROUP BY doc_id),
+      s"""WITH RECURSIVE $closureCte,
          |qs AS (SELECT doc_id, $qualitySql AS q FROM documents),
          |j AS (SELECT l.cluster_id, l.doc_id, qs.q,
          |  row_number() OVER (PARTITION BY l.cluster_id ORDER BY qs.q DESC, l.doc_id) AS rk,
          |  count(*) OVER (PARTITION BY l.cluster_id) AS n_members
-         |  FROM labels l JOIN qs USING (doc_id))
+         |  FROM cc_labels l JOIN qs USING (doc_id))
          |SELECT cluster_id, doc_id AS survivor_id, q AS survivor_q,
          |  CAST(n_members AS BIGINT) AS n_members
          |FROM j WHERE rk = 1""".stripMargin,
