@@ -352,7 +352,10 @@ object Dedup {
     * dedupClusters with the quality score and the same
     * `max(struct(score, -id))` argmax-by-aggregation shape as IVF
     * assignment: partial map-side combine, no per-cluster window
-    * sort.  Output is one row per cluster.
+    * sort.  Output is one row per cluster; singleton documents (never
+    * in any candidate pair) are not listed — they are all survivors
+    * by definition, and a pipeline gets them with a left_anti join
+    * against this result's member set.
     */
   def clusterSurvivors(spark: SparkSession, dir: String): DataFrame = {
     val q = Tables.documents(spark, dir)
