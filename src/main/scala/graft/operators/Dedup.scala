@@ -307,17 +307,26 @@ object Dedup {
     * arithmetic is integral so any engine reproduces it exactly.
     */
   def simhash(spark: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+    // The md5 digest is hashed ONCE per (doc, word) row, in the
+    // pre-aggregation projection: the first ceil(bits/4) hex digits
+    // are folded into a single long `pre` (conv of ≤16 hex chars
+    // fits), from which every bit-sum is a shift+mask.  Spark's
+    // subexpression elimination does not span distinct
+    // AggregateExpressions, so hashing inside each of the `bits`
+    // sum(...) children — the earlier formulation — recomputed the
+    // digest `bits`× per row and tripled q23's runtime.
+    val digits = (bits + 3) / 4
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .distinct()
+      .select(col("doc_id"),
+        conv(substring(md5(col("word")), 1, digits), 16, 10).cast("long").as("pre"))
     // All `bits` bit-sums in ONE partial+final aggregation (no ×bits
-    // row explosion, single shuffle): for bit b, the digest's hex
-    // digit b/4 contributes bit (3 - b%4).
-    def bitOf(b: Int) = {
-      val digitVal = conv(substring(md5(col("word")), b / 4 + 1, 1), 16, 10).cast("long")
-      val divisor = 1L << (3 - b % 4)
-      (floor(digitVal / divisor).cast("long") % 2).as(s"bit$b")
-    }
+    // row explosion, single shuffle): hex digit b/4 contributes bit
+    // (3 - b%4), i.e. bit b of the signature sits at shift
+    // 4*(digits-1-b/4) + (3-b%4) of `pre`.
+    def bitOf(b: Int) =
+      (shiftright(col("pre"), 4 * (digits - 1 - b / 4) + (3 - b % 4)) % 2).as(s"bit$b")
     val sums = (0 until bits).map(b => sum(bitOf(b)).as(s"ones$b"))
     val packed = (0 until bits).map { b =>
       when(col(s"ones$b") * 2 >= col("total"), 1L << b).otherwise(0L)
