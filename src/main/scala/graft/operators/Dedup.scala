@@ -166,8 +166,13 @@ object Dedup {
     * instead of recomputing lineage; retried clean-slate.
     */
   private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // Symmetrize with ONE pass over `pairs`: a union of two selects
+    // evaluates the (expensive) pairs subtree twice when the persist
+    // first materializes — explode of both directions reads it once.
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .persist()
     // seed with the closed-neighborhood minimum — superstep 1 fused
     // into initialization (every node appears as src because edges
@@ -366,10 +371,21 @@ object Dedup {
     * by definition, and a pipeline gets them with a left_anti join
     * against this result's member set.
     */
-  def clusterSurvivors(spark: SparkSession, dir: String): DataFrame = {
+  def clusterSurvivors(spark: SparkSession, dir: String): DataFrame =
+    clusterSurvivors(spark, dir, dedupClusters(spark, dir))
+
+  /** Pipeline-reuse overload: a caller that already materialized the
+    * cluster labels (dedupClusters returns a checkpointed frame — one
+    * CC run can feed survivor selection, the dup matrix, and the
+    * left_anti singleton pass) supplies them here instead of paying
+    * the minhash+CC pipeline again.  `labels` must have columns
+    * (doc_id, cluster_id).
+    */
+  def clusterSurvivors(spark: SparkSession, dir: String,
+                       labels: DataFrame): DataFrame = {
     val q = Tables.documents(spark, dir)
       .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("q"))
-    dedupClusters(spark, dir)
+    labels
       .join(q, "doc_id")
       .groupBy("cluster_id")
       .agg(max(struct(col("q"), (-col("doc_id")).as("nid"))).as("m"),
