@@ -63,14 +63,16 @@ object Reindex {
     * materialization is comparable to the shuffle write the range
     * exchange pays anyway.
     *
-    * Cache lifecycle contract: the returned plan references that
-    * persisted frame, so the pin must outlive the caller's action —
-    * the operator cannot unpersist it itself.  After consuming the
-    * result, callers release it with `df.unpersist()` on their own
-    * frames or `spark.catalog.clearCache()` (what Bench/Verify do per
-    * query); repeated invocations without a release accumulate
-    * executor-cache pins.  Same contract on sequencePacking and
-    * pricePercentilesScalable.
+    * Cache lifecycle: the pin is a *lazy* `localCheckpoint`, not a
+    * `persist` — materialized by the caller's first action, then
+    * released by the ContextCleaner as soon as the returned frame is
+    * unreachable.  Repeated invocations therefore cannot accumulate
+    * executor-cache pins, and nothing registers in the SQL
+    * CacheManager (no `clearCache()` obligation on callers).  The
+    * trade, as in connectedComponents: an executor lost mid-action
+    * fails the job instead of recomputing lineage — retried
+    * clean-slate.  Same lifecycle on sequencePacking,
+    * pricePercentilesScalable and lloydCentroids.
     */
   def chunked(spark: SparkSession, dir: String,
               chunkSize: Int = 20, startId: String = ""): DataFrame = {
@@ -80,7 +82,7 @@ object Reindex {
       .select("id", "owner")
       .repartitionByRange(nParts, col("id"))
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .localCheckpoint(false)
     val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
     // ≤ nParts count rows: partitioning by the constant pmod(pid,1)=0
     // keeps this off WindowExec's no-partition path while the frame is

@@ -344,15 +344,14 @@ object Relational {
     * (global sorted order is what defines the rank), so the output is
     * bit-identical to q51 and shares its oracle.
     *
-    * Cache lifecycle contract: see Reindex.chunked — the persisted
-    * frame's pin must outlive the caller's action; release via
-    * `clearCache()` (as Bench/Verify do) or pins accumulate.
+    * Cache lifecycle: lazy `localCheckpoint`, self-releasing once the
+    * returned frame is unreachable — see Reindex.chunked.
     */
   def pricePercentilesScalable(spark: SparkSession, dir: String, parts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nParts = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    // persist() pins ONE spark_partition_id assignment for both the
-    // counts branch and the join branch — without it, correctness
+    // the checkpoint pins ONE spark_partition_id assignment for both
+    // the counts branch and the join branch — without it, correctness
     // hinges on ReuseExchange deduplicating the two range shuffles,
     // which AQE/pruning divergence could silently break (two shuffles
     // may sample different range boundaries)
@@ -360,7 +359,7 @@ object Relational {
       .select("o_orderpriority", "o_totalprice", "o_orderkey")
       .repartitionByRange(nParts, col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .localCheckpoint(false)
     val counts = sorted.groupBy("pid", "o_orderpriority").agg(count(lit(1)).as("c"))
     val wOff = Window.partitionBy("o_orderpriority").orderBy(col("pid").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -179,14 +179,17 @@ object Similarity {
       val means = assignCells(sample, cents).groupBy("cid")
         .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("members"))
         .select(col("cid"), meanExpr.as("m_emb"))
-      // persist each k-row generation: the recurrence references cents
-      // TWICE (assignment + the empty-cell coalesce join), so without
-      // the cache the training subtree re-executes 2^iters times when
-      // the final plan runs.  Pin is k rows per iteration; released
-      // under the same caller-clearCache lifecycle as Reindex.chunked.
+      // lazily checkpoint each k-row generation: the recurrence
+      // references cents TWICE (assignment + the empty-cell coalesce
+      // join), so without truncation the training subtree re-executes
+      // 2^iters times when the final plan runs.  The checkpoint also
+      // keeps the per-iteration logical plan O(1) instead of
+      // re-analyzing a doubling tree, and the ContextCleaner releases
+      // each generation once the loop drops it — no caller-side
+      // clearCache obligation (see Reindex.chunked).
       cents = cents.join(means, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("m_emb"), col("c_emb")).as("c_emb"))
-        .persist()
+        .localCheckpoint(false)
     }
     cents
   }

@@ -306,11 +306,11 @@ object TextAnalysis {
     * in and at what offset.  The global running token sum uses the
     * same two-pass range-partition + broadcast-offset pattern as
     * q17/q65: balanced partitions, no single-partition window, and the
-    * persisted frame pins one partition-id assignment for both passes.
+    * checkpointed frame pins one partition-id assignment for both
+    * passes.
     *
-    * Cache lifecycle contract: see Reindex.chunked — the pin must
-    * outlive the caller's action; release via `clearCache()` (as
-    * Bench/Verify do) or the pins accumulate across invocations.
+    * Cache lifecycle: lazy `localCheckpoint`, self-releasing once the
+    * returned frame is unreachable — see Reindex.chunked.
     */
   def sequencePacking(spark: SparkSession, dir: String,
                       contextLen: Long = 2048L): DataFrame = {
@@ -320,7 +320,7 @@ object TextAnalysis {
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tok"))
       .repartitionByRange(nParts, col("doc_id"))
       .withColumn("pid", spark_partition_id())
-      .persist()
+      .localCheckpoint(false)
     val counts = sorted.groupBy("pid").agg(sum(col("n_tok")).as("c"))
     val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid").asc)
       .rowsBetween(Window.unboundedPreceding, -1)

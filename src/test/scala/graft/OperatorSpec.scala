@@ -386,6 +386,25 @@ class OperatorSpec extends SparkSuite {
     assert(a == b)
   }
 
+  // — cache lifecycle —
+
+  test("pin-taking operators leave no CacheManager entries across repeated invocations") {
+    // chunked / sequencePacking / pricePercentilesScalable / the Lloyd
+    // loop behind ivfAnn all pin a frame for a two-reference plan; the
+    // pin is a lazy localCheckpoint released by the ContextCleaner, so
+    // N invocations WITHOUT any caller-side clearCache() must leave
+    // the SQL cache empty (a persist-based pin would accumulate here).
+    spark.catalog.clearCache()
+    for (_ <- 1 to 3) {
+      Reindex.chunked(spark, sf).write.format("noop").mode("overwrite").save()
+      TextAnalysis.sequencePacking(spark, sf).write.format("noop").mode("overwrite").save()
+      Relational.pricePercentilesScalable(spark, sf).write.format("noop").mode("overwrite").save()
+      Similarity.ivfAnn(spark, sf).write.format("noop").mode("overwrite").save()
+    }
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "an operator registered a CacheManager pin it never released")
+  }
+
   // — multimodal —
 
   test("stub decoder emits 1..cap frames per payload with the declared schema") {
