@@ -185,20 +185,28 @@ object Dedup {
     try {
       var converged = false
       while (!converged) {
-        val nbrMin = edges
+        // One superstep = ONE join + ONE aggregation: neighbor label
+        // candidates (edges ⋈ labels on dst) are unioned with each
+        // node's own label row and min-reduced per node — the
+        // join-back of nbr_min onto labels that a naive formulation
+        // pays (a third shuffle round per superstep) is folded into
+        // the same aggregate by carrying the old label as a second
+        // min (each node has exactly one non-null `old`, and every
+        // node appears as an edge src, so no coalesce path is
+        // needed).
+        val candidates = edges
           .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-          .groupBy(col("src").as("doc_id"))
-          .agg(min(col("cluster_id")).as("nbr_min"))
+          .select(col("src").as("doc_id"), col("cluster_id").as("cand"),
+            lit(null).cast("long").as("o"))
+          .union(labels.select(col("doc_id"), col("cluster_id").as("cand"),
+            col("cluster_id").as("o")))
         // lazy checkpoint: materialized by the convergence action
         // below (still ONE action per superstep), then the plan is a
         // LogicalRDD — the exponential labels-referenced-twice
         // recurrence never builds up; old checkpoint partitions are
         // released by the ContextCleaner once the loop drops them
-        val next = labels.withColumnRenamed("cluster_id", "old")
-          .join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster_id"),
-            col("old"))
+        val next = candidates.groupBy("doc_id")
+          .agg(min(col("cand")).as("cluster_id"), min(col("o")).as("old"))
           .localCheckpoint(false)
         converged = next
           .agg(coalesce(sum(when(col("cluster_id") =!= col("old"), 1L).otherwise(0L)),
