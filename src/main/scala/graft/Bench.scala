@@ -154,7 +154,11 @@ object Bench {
     println(detail)
     // The contract line: LAST, compact, must fit (with sbt's trailing
     // "[success]" line) inside the driver's 2000-char stdout tail.
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs}""")
+    // A subset run (non-empty args) is an iteration aid, not the
+    // contract run — tag it so a harness scraping stdout can never
+    // mistake a partial total with missing query keys for the record.
+    val partial = if (args.nonEmpty) """"partial":true,""" else ""
+    println(s"""{"metric":"total",$partial"value":${r2(total)},"unit":"sec","queries":$qs}""")
     spark.stop()
   }
 }

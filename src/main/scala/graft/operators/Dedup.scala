@@ -320,6 +320,10 @@ object Dedup {
     * arithmetic is integral so any engine reproduces it exactly.
     */
   def simhash(spark: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+    // digits ≤ 15 keeps conv's value under 2^60: at digits = 16 the
+    // folded prefix can exceed Long.MaxValue, the non-ANSI cast yields
+    // NULL, and those rows would silently vanish from every bit-sum.
+    require(bits >= 1 && bits <= 60, s"simhash supports 1..60 bits, got $bits")
     // The md5 digest is hashed ONCE per (doc, word) row, in the
     // pre-aggregation projection: the first ceil(bits/4) hex digits
     // are folded into a single long `pre` (conv of ≤16 hex chars

@@ -63,5 +63,12 @@ class ErrorCollectorSpec extends SparkSuite {
       s"README says ${m.group(1)} queries but SparkEntry registers ${SparkEntry.queries.size}")
     assert(m.group(2).toInt == SparkEntry.oracleSql.size,
       s"README says ${m.group(2)} oracle-checked but SparkEntry.oracleSql has ${SparkEntry.oracleSql.size}")
+    // The performance-notes sentence carries its own count ("NN.NN s for
+    // all NN queries") and drifted independently in round 6 — pin it too.
+    val perf = """for all (\d+) queries""".r
+      .findFirstMatchIn(readme)
+      .getOrElse(fail("README.md lost its 'for all NN queries' performance sentence"))
+    assert(perf.group(1).toInt == SparkEntry.queries.size,
+      s"README perf notes say ${perf.group(1)} queries but SparkEntry registers ${SparkEntry.queries.size}")
   }
 }
