@@ -121,7 +121,12 @@ object SparkEntry {
     "q74_qgate" -> ((s, d) => TextAnalysis.qualityGate(s, d)),
     "q75_sample" -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "q76_srcdups" -> (Dedup.sourceDupMatrix(_, _)),
-    "q77_survivor" -> (Dedup.clusterSurvivors(_, _))
+    "q77_survivor" -> (Dedup.clusterSurvivors(_, _)),
+    // — round-8 widening: simhash Hamming near-dup join, duplicated-
+    //   span statistics, semantic dedup over the k-means cells —
+    "q78_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d)),
+    "q79_dup_spans" -> ((s, d) => Dedup.dupSpanStats(s, d)),
+    "q80_semdedup" -> ((s, d) => Similarity.semDedup(s, d))
   )
 
   // Exact SQL mirror of TextFunctions.qualityScore (IEEE-sequence-
@@ -804,6 +809,62 @@ object SparkEntry {
          |SELECT cluster_id, doc_id AS survivor_id, q AS survivor_q,
          |  CAST(n_members AS BIGINT) AS n_members
          |FROM j WHERE rk = 1""".stripMargin,
+    // 48-bit simhash over the shared 3-gram shingles (same bit-read
+    // contract as q23: hex digit b/4 of md5, big-endian within the
+    // digit), banded 4×12 for candidates, exact Hamming ≤ 3 filter
+    "q78_simhash_pairs" ->
+      s"""WITH $shingleCte,
+         |bits AS (
+         |  SELECT doc_id, b,
+         |    CASE WHEN 2 * sum(((strpos('0123456789abcdef', substr(md5(shingle), CAST(b // 4 AS INTEGER) + 1, 1)) - 1)
+         |      // (CASE WHEN b % 4 = 0 THEN 8 WHEN b % 4 = 1 THEN 4 WHEN b % 4 = 2 THEN 2 ELSE 1 END)) % 2)
+         |      >= count(*) THEN 1 ELSE 0 END AS maj
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 48)) AS b) bb
+         |  GROUP BY doc_id, b),
+         |sg AS (SELECT doc_id, CAST(sum(maj * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))) AS BIGINT) AS simhash
+         |       FROM bits GROUP BY doc_id),
+         |bands AS (SELECT doc_id, simhash, b, (simhash >> (12 * CAST(b AS INTEGER))) & 4095 AS slice
+         |          FROM sg CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b, a.simhash AS sig_a, c.simhash AS sig_b
+         |         FROM bands a JOIN bands c ON a.b = c.b AND a.slice = c.slice AND a.doc_id < c.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin,
+    "q79_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (SELECT DISTINCT doc_id,
+        |  unnest([array_to_string(w[i:i+7], ' ') FOR i IN range(1, len(w) - 6)]) AS shingle
+        |  FROM w WHERE len(w) >= 8),
+        |df AS (SELECT shingle, count(*) AS df FROM sp GROUP BY shingle),
+        |per AS (SELECT s.doc_id, count(*) AS n_spans,
+        |        CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |        FROM sp s JOIN df d USING (shingle) GROUP BY s.doc_id)
+        |SELECT doc_id, n_spans, n_dup_spans,
+        |  CAST(n_dup_spans AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_frac
+        |FROM per WHERE n_dup_spans > 0""".stripMargin,
+    // same trained-centroid chain as q54/q73; pairs only within a
+    // cell, dropped = lower-id mate with cosine ≥ 0.40
+    "q80_semdedup" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         |smp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
+         |${lloydIterSql("c0", 1)},
+         |${lloydIterSql("c1", 2)},
+         |a AS (SELECT vec_id, embedding, cid,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${dotSql("embedding", "c_emb")} DESC, cid) AS rk
+         |  FROM embeddings CROSS JOIN c2),
+         |e AS (SELECT vec_id, embedding, cid,
+         |  sqrt(list_reduce(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+         |  FROM a WHERE rk = 1),
+         |pr AS (SELECT q.vec_id AS id_b
+         |       FROM e p JOIN e q ON p.cid = q.cid AND p.vec_id < q.vec_id
+         |       WHERE ${dotSql("p.embedding", "q.embedding")} / (p.nrm * q.nrm) >= 0.40),
+         |dropped AS (SELECT DISTINCT id_b FROM pr)
+         |SELECT e.cid, count(*) AS n_vecs,
+         |  CAST(sum(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(count(*) - sum(CASE WHEN d.id_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM e LEFT JOIN dropped d ON e.vec_id = d.id_b
+         |GROUP BY e.cid""".stripMargin,
     "q64_vocab_oov" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
         |vocab AS (SELECT token FROM (SELECT token, count(*) AS freq FROM toks GROUP BY 1

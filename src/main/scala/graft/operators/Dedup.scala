@@ -312,19 +312,20 @@ object Dedup {
       .filter(col("shared") >= minShared)
   }
 
-  /** Per-document SimHash signature over distinct tokens, `bits` wide.
-    *
-    * Bit b of the signature is the majority vote of bit b of md5(token)
-    * across the document's distinct tokens, where bit b is read from
-    * hex digit b/4 of the digest (big-endian within the digit).  All
-    * arithmetic is integral so any engine reproduces it exactly.
+  /** SimHash signature aggregation over a `(doc_id, feature)` frame:
+    * bit b of the signature is the majority vote of bit b of
+    * md5(feature) across the document's features, where bit b is read
+    * from hex digit b/4 of the digest (big-endian within the digit).
+    * All arithmetic is integral so any engine reproduces it exactly.
+    * Shared by the token-feature form (q23) and the shingle-feature
+    * near-dup join (q78).
     */
-  def simhash(spark: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+  private def simhashSignature(features: DataFrame, bits: Int): DataFrame = {
     // digits ≤ 15 keeps conv's value under 2^60: at digits = 16 the
     // folded prefix can exceed Long.MaxValue, the non-ANSI cast yields
     // NULL, and those rows would silently vanish from every bit-sum.
     require(bits >= 1 && bits <= 60, s"simhash supports 1..60 bits, got $bits")
-    // The md5 digest is hashed ONCE per (doc, word) row, in the
+    // The md5 digest is hashed ONCE per (doc, feature) row, in the
     // pre-aggregation projection: the first ceil(bits/4) hex digits
     // are folded into a single long `pre` (conv of ≤16 hex chars
     // fits), from which every bit-sum is a shift+mask.  Spark's
@@ -333,11 +334,8 @@ object Dedup {
     // sum(...) children — the earlier formulation — recomputed the
     // digest `bits`× per row and tripled q23's runtime.
     val digits = (bits + 3) / 4
-    val words = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .distinct()
-      .select(col("doc_id"),
-        conv(substring(md5(col("word")), 1, digits), 16, 10).cast("long").as("pre"))
+    val pre = features.select(col("doc_id"),
+      conv(substring(md5(col("feature")), 1, digits), 16, 10).cast("long").as("pre"))
     // All `bits` bit-sums in ONE partial+final aggregation (no ×bits
     // row explosion, single shuffle): hex digit b/4 contributes bit
     // (3 - b%4), i.e. bit b of the signature sits at shift
@@ -348,9 +346,106 @@ object Dedup {
     val packed = (0 until bits).map { b =>
       when(col(s"ones$b") * 2 >= col("total"), 1L << b).otherwise(0L)
     }.reduce(_ + _)
-    words.groupBy("doc_id")
+    pre.groupBy("doc_id")
       .agg(count(lit(1)).as("total"), sums: _*)
       .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Per-document SimHash signature over distinct tokens, `bits` wide
+    * (q23).  Token features give a topical signature; for near-dup
+    * detection use [[simhashNearDup]]'s shingle features, which stay
+    * discriminative when documents share a small vocabulary.
+    */
+  def simhash(spark: SparkSession, dir: String, bits: Int = 16): DataFrame =
+    simhashSignature(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("feature"))
+        .distinct(),
+      bits)
+
+  /** SimHash near-duplicate pairs (q78): `bits`-wide signatures over
+    * word-`shingleN`-gram features, candidate pairs via band banding
+    * (Manku/Jarvelin-style Hamming-distance search), exact Hamming
+    * filter at the end.
+    *
+    * Exactness: a pair within `maxHamming` bit flips differs in at
+    * most `maxHamming` < `bands` bands, so by pigeonhole at least one
+    * of the `bands` equal-width signature slices matches — the banded
+    * equi-join is a lossless candidate generator for the ≤ maxHamming
+    * set (the same guarantee Manku et al. use for 64-bit simhash at
+    * web scale).  Shingle features — not tokens — keep the signature
+    * discriminative on short-vocabulary corpora: distinct-token sets
+    * collapse when every document samples the same few hundred words.
+    *
+    * Scale shape: one signature aggregation (single shuffle), then an
+    * equi-join on (band, slice) — 500 docs at sf0.01 yield ~150
+    * candidate pairs of 124,750 possible; the slice width
+    * (`bits/bands`) is the selectivity knob to widen as the corpus
+    * grows.  Never all-pairs.
+    */
+  def simhashNearDup(spark: SparkSession, dir: String,
+                     shingleN: Int = 3, bits: Int = 48,
+                     bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bits ($bits) must divide evenly into bands ($bands)")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole exactness requires maxHamming ($maxHamming) < bands ($bands)")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sig = simhashSignature(
+      shingleSet(Tables.documents(spark, dir), shingleN)
+        .withColumnRenamed("shingle", "feature"),
+      bits)
+    // band b = signature bits [b*width, (b+1)*width) — a static
+    // projection per band, exploded positionally so the join key is
+    // (band, slice)
+    val slices = array((0 until bands).map(b =>
+      shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(slices).as(Seq("band", "slice")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      col("band"), col("slice"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("band"), col("slice"))
+    a.join(b, Seq("band", "slice"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .distinct() // a pair may collide in several bands
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Duplicated-span statistics (q79): for every document, the
+    * fraction of its distinct word-`spanN`-gram spans that occur in at
+    * least `minDf` documents — the per-document signal behind exact
+    * substring deduplication (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): a document whose spans are mostly
+    * shared is a near-copy even when no full-text hash matches.
+    *
+    * Long spans (default 8 words) make cross-document collisions of
+    * independent text vanishingly rare, so dup_frac ≈ 1 flags real
+    * copies while topical overlap (which swamps 3-gram features on a
+    * small vocabulary) scores 0.
+    *
+    * Scale shape: span df is one hash aggregation on the span string,
+    * joined back to the exploded spans (the exchange on `shingle` is
+    * reused by both sides), then one doc-keyed aggregation — never
+    * pairwise.  At 100 TB, hash each span to 64 bits first so the df
+    * shuffle carries fixed-width keys instead of strings.
+    */
+  def dupSpanStats(spark: SparkSession, dir: String,
+                   spanN: Int = 8, minDf: Int = 2): DataFrame = {
+    require(spanN >= 1 && minDf >= 2, s"need spanN >= 1, minDf >= 2; got ($spanN, $minDf)")
+    val spans = shingleSet(Tables.documents(spark, dir), spanN)
+    val df = spans.groupBy("shingle").agg(count(lit(1)).as("df"))
+    spans.join(df, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_dup_spans"))
+      .filter(col("n_dup_spans") > 0)
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
   /** Cross-source near-duplication matrix (q76): attribute every LSH

@@ -241,6 +241,47 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
   }
 
+  /** Semantic deduplication (q80, SemDeDup — Abbas et al. 2023):
+    * cluster the corpus with the trained Lloyd centroids, compare
+    * embeddings only WITHIN their cluster, and drop every vector that
+    * has a lower-id cluster-mate with cosine ≥ `threshold`.  Output is
+    * the per-cell pruning summary (n_vecs / n_dropped / n_kept) a
+    * curation pipeline reviews before committing the prune.
+    *
+    * Determinism: the keep-lowest-id rule makes the dropped set a pure
+    * function of the pair list (no iteration order), so the DuckDB
+    * oracle reproduces it exactly.
+    *
+    * Scale shape: training is bounded-sample (see lloydCentroids),
+    * assignment is broadcast(k) + argmax aggregation, and the pair
+    * stage is an equi-join on cell id — the whole point of SemDeDup is
+    * that k grows with the corpus to keep cells bounded, so per-cell
+    * pair cost stays (n/k)² per cell, never corpus-quadratic.  The
+    * assigned frame is lazily checkpointed once: three consumers (both
+    * pair sides + the final summary) reuse one assignment pass instead
+    * of re-scanning the corpus per reference.
+    */
+  def semDedup(spark: SparkSession, dir: String,
+               k: Int = 8, iters: Int = 2, sampleN: Int = 256,
+               threshold: Double = 0.40): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val e = withNorm(assignCells(emb, lloydCentroids(emb, k, iters, sampleN)))
+      .localCheckpoint(false)
+    val a = e.select(col("cid"), col("vec_id").as("id_a"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = e.select(col("cid"), col("vec_id").as("id_b"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")) >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    e.join(broadcast(dropped.withColumn("is_dropped", lit(1L))), Seq("vec_id"), "left")
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce(col("is_dropped"), lit(0L))).as("n_dropped"))
+      .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+  }
+
   def ivfAnn(spark: SparkSession, dir: String,
              nCentroids: Int = 8, numProbes: Int = 6, k: Int = 3,
              iters: Int = 2, sampleN: Int = 256): DataFrame = {

@@ -58,6 +58,61 @@ class OperatorSpec extends SparkSuite {
     assert(sh.forall { case (_, h) => h >= 0 && h < (1 << 16) })
   }
 
+  test("simhash near-dup equals an independent brute-force Hamming scan (pigeonhole exactness)") {
+    // independent JVM oracle: recompute 48-bit shingle simhash from
+    // the raw texts and compare ALL pairs — the banded join must
+    // return exactly the hamming<=3 subset, nothing lost to banding
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def signature(text: String): Long = {
+      val w = text.split(" ", -1)
+      val shingles = (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).distinct
+      val ones = new Array[Int](48)
+      shingles.foreach { s =>
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        for (b <- 0 until 48) {
+          val d = Integer.parseInt(hex.charAt(b / 4).toString, 16)
+          ones(b) += (d >> (3 - b % 4)) & 1
+        }
+      }
+      (0 until 48).map(b => if (2 * ones(b) >= shingles.size) 1L << b else 0L).sum
+    }
+    val sigs = docs.filter(_._2.split(" ", -1).length >= 3)
+      .map { case (id, t) => (id, signature(t)) }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simhashNearDup(spark, sf)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == expected, s"banded=${got.size} brute=${expected.size}")
+    assert(got.nonEmpty, "fixture plants near-dups; empty means the signature broke")
+  }
+
+  test("simhash near-dup rejects parameters that break the pigeonhole guarantee") {
+    intercept[IllegalArgumentException](Dedup.simhashNearDup(spark, sf, maxHamming = 4, bands = 4))
+    intercept[IllegalArgumentException](Dedup.simhashNearDup(spark, sf, bits = 50, bands = 4))
+  }
+
+  test("dup-span stats equal an independent span-df recomputation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val spans = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      (id, (0 to w.length - 8).map(i => w.slice(i, i + 8).mkString(" ")).toSet)
+    }.filter(_._2.nonEmpty)
+    val df = spans.flatMap(_._2).groupBy(identity).map { case (s, xs) => (s, xs.length) }
+    val expected = spans.map { case (id, ss) =>
+      (id, ss.size.toLong, ss.count(df(_) >= 2).toLong)
+    }.filter(_._3 > 0)
+      .map { case (id, n, d) => (id, n, d, d.toDouble / n.toDouble) }.toSet
+    val got = Dedup.dupSpanStats(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected, s"got=${got.size} expected=${expected.size}")
+    assert(got.nonEmpty && got.forall { case (_, n, d, f) => d <= n && f > 0 && f <= 1.0 })
+  }
+
   // — similarity —
 
   test("brute-force top-k: k neighbors per probe, ranked by descending cosine, no self") {
@@ -84,6 +139,20 @@ class OperatorSpec extends SparkSuite {
     val pairs = Similarity.thresholdPairs(spark, sf, threshold = 0.42)
       .select("cos_sim").as[Double].collect()
     assert(pairs.forall(c => c >= 0.42 && c <= 1.0 + 1e-12))
+  }
+
+  test("semDedup partitions the corpus and drops monotonically with the threshold") {
+    val loose = Similarity.semDedup(spark, sf, threshold = 0.35)
+      .as[(Long, Long, Long, Long)].collect()
+    // every vector lands in exactly one cell, kept + dropped = cell size
+    assert(loose.map(_._2).sum == 500L)
+    assert(loose.forall { case (cid, n, d, k) => k + d == n && cid >= 0 && cid < 8 })
+    // within-cell pruning can only shrink as the similarity bar rises,
+    // and a stricter threshold's dropped set is a subset cardinality-wise
+    val strict = Similarity.semDedup(spark, sf, threshold = 0.45)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(strict.map(_._3).sum <= loose.map(_._3).sum)
+    assert(loose.map(_._3).sum > 0, "fixture plants embedding near-dups; zero drops means the pair stage broke")
   }
 
   // — text —

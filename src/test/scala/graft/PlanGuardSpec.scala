@@ -99,6 +99,18 @@ class PlanGuardSpec extends SparkSuite {
     assert(names(df).count(_.contains("BroadcastHashJoin")) >= 1)
   }
 
+  test("q78 simhash near-dup: banded candidate join is an equi-join, never a pair scan") {
+    val df = Dedup.simhashNearDup(spark, sf)
+    assert(!names(df).exists(_.contains("NestedLoop")), names(df).mkString(","))
+    assert(!names(df).exists(_.contains("Cartesian")), "banding must not degrade to all-pairs")
+  }
+
+  test("q80 semDedup: within-cell pairs via equi-join on cid; dropped set joins broadcast") {
+    val df = Similarity.semDedup(spark, sf)
+    assert(!names(df).exists(_.contains("Cartesian")), "cell join must stay an equi-join")
+    assert(names(df).count(_.contains("BroadcastHashJoin")) >= 1, "dropped dim should broadcast")
+  }
+
   test("probe top-k (q24): probe side broadcast, candidate side never shuffles before scoring") {
     val df = Similarity.bruteForceTopK(spark, sf)
     // scoring join is broadcast-NL (probes tiny); the only exchange is
