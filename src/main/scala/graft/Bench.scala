@@ -26,6 +26,12 @@ import java.util.concurrent.atomic.AtomicLong
   * MIN and the total-of-mins, so one transient host stall can no longer
   * rewrite the committed record. Raw per-rep times are in
   * `bench_detail.json` under `runs`.
+  *
+  * Stall-retry fix from r8: a contention window can outlast all REPS
+  * back-to-back reps of one query (BENCH_r08 recorded q41 at 24.26 s;
+  * it runs in 1.1 s). Queries whose min lands above max(3 s, 6× the
+  * median-of-mins) are re-run after the full suite finishes — by then
+  * the window has passed — and the overall min is kept.
   */
 object Bench {
 
@@ -101,7 +107,7 @@ object Bench {
     var errs = List.empty[(String, String)]
     var ioStats = List.empty[(String, (Long, Long))]
     var runDetail = List.empty[(String, Seq[Double])]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def runReps(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] = {
       val times = (0 until reps).iterator.map { _ =>
         val (r0, s0) = (io.recordsRead.get, io.shuffleBytes.get)
         val t0 = System.nanoTime()
@@ -121,7 +127,30 @@ object Bench {
         if (ok) sec else -1.0
       }.takeWhile(_ >= 0).toSeq // a failing rep records the error and stops
       runDetail ::= (name, times)
+      times
+    }
+    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = runReps(name, fn)
       name -> (if (times.length < reps) -1.0 else times.min)
+    }
+    // Stall defense beyond min-of-reps (VERDICT-r8 artifact: q41 cube
+    // recorded 24.26 s — all three back-to-back reps sat inside one
+    // host-contention window; the same query ran 1.1 s afterwards).
+    // Re-run the outliers AFTER the rest of the suite, when the stall
+    // window has almost certainly passed, and keep the overall min.
+    // Outlier = min above max(3 s, 6× median-of-mins); genuinely slow
+    // queries cost a bounded second rep set, a stalled one gets its
+    // honest number back.
+    val okMins = firstPass.collect { case (_, v) if v >= 0 => v }.sorted
+    val results = if (okMins.isEmpty) firstPass else {
+      val threshold = math.max(3.0, 6 * okMins(okMins.length / 2))
+      firstPass.map { case (name, v) =>
+        if (v < threshold || v < 0) name -> v
+        else {
+          val retry = runReps(name, selected(name)).filter(_ >= 0)
+          name -> (if (retry.isEmpty) v else math.min(v, retry.min))
+        }
+      }
     }
     // Locale.ROOT: a comma-decimal default locale would render "0,42"
     // and break the JSON contract line
@@ -142,7 +171,15 @@ object Bench {
     // (reverse = oldest-first, so toMap's later-wins keeps the latest)
     val ios = ioStats.reverse.toMap.toSeq.sortBy(_._1).map { case (k, (r, s)) =>
       s"${jstr(k)}:{" + s""""recordsRead":$r,"shuffleBytes":$s}""" }.mkString("{", ",", "}")
-    val runs = runDetail.reverse.map { case (k, ts) =>
+    // a stall-retried query appears twice in runDetail — concatenate its
+    // rep lists so the JSON object keeps unique keys
+    val runsMerged = runDetail.reverse.foldLeft(Vector.empty[(String, Seq[Double])]) { (acc, kv) =>
+      acc.indexWhere(_._1 == kv._1) match {
+        case -1 => acc :+ kv
+        case i  => acc.updated(i, (kv._1, acc(i)._2 ++ kv._2))
+      }
+    }
+    val runs = runsMerged.map { case (k, ts) =>
       s"${jstr(k)}:" + ts.map(r2).mkString("[", ",", "]") }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fullTimes = results.map { case (k, v) => s"${jstr(k)}:${r2(v)}" }.mkString("{", ",", "}")
