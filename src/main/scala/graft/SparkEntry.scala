@@ -126,8 +126,22 @@ object SparkEntry {
     //   span statistics, semantic dedup over the k-means cells —
     "q78_simhash_pairs" -> ((s, d) => Dedup.simhashNearDup(s, d)),
     "q79_dup_spans" -> ((s, d) => Dedup.dupSpanStats(s, d)),
-    "q80_semdedup" -> ((s, d) => Similarity.semDedup(s, d))
+    "q80_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
+    // — round-9 widening: bloom-prefiltered incremental dedup (the
+    //   100 TB shape of q49 — identical result, so it shares q49's
+    //   exact oracle), TF-IDF salient terms, bigram-LM fluency score —
+    "q81_bloom_diff" -> ((s, d) => Dedup.corpusDiffBloom(s, d))
   )
+
+  // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
+  // (bloom-prefiltered): both compute exactly this set, so ONE
+  // definition keeps the pair honest.
+  private val CorpusDiffSql =
+    """WITH fp AS (SELECT doc_id, source,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      |  FROM documents),
+      |corp AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250)
+      |SELECT f.doc_id, f.source FROM fp f WHERE f.fp NOT IN (SELECT fp FROM corp)""".stripMargin
 
   // Exact SQL mirror of TextFunctions.qualityScore (IEEE-sequence-
   // critical): TTR*0.5 + min(avgWordLen/10, 1)*0.5 — ONE definition
@@ -550,12 +564,10 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand""".stripMargin,
-    "q49_corpus_diff" ->
-      """WITH fp AS (SELECT doc_id, source,
-        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
-        |  FROM documents),
-        |corp AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250)
-        |SELECT f.doc_id, f.source FROM fp f WHERE f.fp NOT IN (SELECT fp FROM corp)""".stripMargin,
+    "q49_corpus_diff" -> CorpusDiffSql,
+    // identical result to q49 by bloom no-false-negatives — the oracle
+    // IS q49's exact formulation (the bloom is a pure prefilter)
+    "q81_bloom_diff" -> CorpusDiffSql,
     "q50_variance" ->
       """WITH s AS (SELECT c_nationkey, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,

@@ -71,6 +71,48 @@ object Dedup {
       .select("doc_id", "source")
   }
 
+  /** Bloom-prefiltered corpusDiff — the 100 TB shape of incremental
+    * dedup, with the identical result set (q49's oracle verifies it
+    * exactly, because a bloom filter has NO false negatives: a
+    * definite-miss is definitely new, and every maybe-hit is settled
+    * by the exact anti-join).
+    *
+    * Why it scales where the plain left_anti doesn't: the anti-join
+    * shuffles BOTH sides on the fingerprint — at 100 TB the probe side
+    * is the whole new crawl.  Here the corpus aggregates into one
+    * bloom bitmap (partial+final merge, a few KB), the bitmap ships to
+    * every task as a scalar subquery (one broadcast, no join), and the
+    * codegen'd `might_contain` drops the overwhelming majority of
+    * probe rows BEFORE the shuffle.  Only the ~fpp false-positive
+    * sliver plus the true duplicates reach the anti-join.  This is the
+    * same machinery Spark's runtime join filters use
+    * (BloomFilterAggregate / BloomFilterMightContain), surfaced as SQL
+    * functions by GraftExtensions.
+    *
+    * Sizing: estItems/numBits are literals here (test corpus ≤ a few
+    * thousand fingerprints); a production job sizes them from the
+    * corpus row-count statistic.  The corpus slice must be non-empty —
+    * an empty aggregate yields a NULL bitmap and might_contain(NULL)
+    * is NULL, which would filter every row.
+    */
+  def corpusDiffBloom(spark: SparkSession, dir: String, split: Long = 250): DataFrame = {
+    Tables.registerAll(spark, dir)
+    graft.plans.RegisterFunctions(spark)
+    spark.sql(
+      s"""WITH fp AS (
+         |  SELECT doc_id, source,
+         |         md5(concat_ws(' ', array_sort(array_distinct(split(text, ' '))))) AS fp
+         |  FROM documents),
+         |corp AS (SELECT DISTINCT fp FROM fp WHERE doc_id < $split),
+         |bloom AS (SELECT graft_bloom_agg(xxhash64(fp), 4096, 262144) AS bf FROM corp)
+         |SELECT doc_id, source FROM fp
+         |WHERE NOT graft_might_contain((SELECT bf FROM bloom), xxhash64(fp))
+         |UNION ALL
+         |SELECT f.doc_id, f.source FROM fp f
+         |WHERE graft_might_contain((SELECT bf FROM bloom), xxhash64(f.fp))
+         |  AND f.fp NOT IN (SELECT fp FROM corp)""".stripMargin)
+  }
+
   /** Distinct word-`n`-gram shingles per document: (doc_id, shingle).
     *
     * Dedup happens per row (array_distinct before the explode, narrow)

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** SparkSessionExtensions hook exposing the engine's native
   * expressions to SQL (`SELECT graft_dot(a.embedding, b.embedding)`),
@@ -51,6 +52,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_repetition(text)")
         RepetitionStats(args.head)
       }))
+    // Spark ships a distributed bloom-filter aggregate + membership
+    // probe for its own runtime join filters but leaves them out of the
+    // public registry; exposing them gives SQL the classic at-scale
+    // prefilter (build once over the small side, broadcast the bitmap
+    // via a scalar subquery, drop definite-misses before any join).
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_bloom_agg(longCol, estItems, numBits)")
+        new BloomFilterAggregate(args.head,
+          Literal(GraftExtensions.longLit(args(1))), Literal(GraftExtensions.longLit(args(2))))
+      }))
+    e.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_might_contain(bloomBinary, longCol)")
+        BloomFilterMightContain(args.head, args(1))
+      }))
   }
 }
 
@@ -64,6 +85,19 @@ object GraftExtensions {
       case i: Int => i
       case l: Long => l.toInt
       case o => throw new IllegalArgumentException(s"expected int literal, got $o")
+    }
+  }
+
+  /** Same, but kept as Long (bloom sizing arguments) so the re-wrapped
+    * literal always reaches BloomFilterAggregate's type check as
+    * LongType regardless of how the SQL parser typed the number.
+    */
+  private[plans] def longLit(e: Expression): Long = {
+    require(e.foldable, s"expected a literal long, got $e")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case o => throw new IllegalArgumentException(s"expected long literal, got $o")
     }
   }
 }

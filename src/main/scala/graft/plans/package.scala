@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Registration helper for sessions that already exist (tests, REPLs —
   * `withExtensions` only applies at session construction).
@@ -22,6 +23,17 @@ object RegisterFunctions {
       "graft_repetition", (args: Seq[Expression]) => {
         require(args.length == 1, "graft_repetition(text)")
         RepetitionStats(args.head)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_bloom_agg(longCol, estItems, numBits)")
+        new BloomFilterAggregate(args.head,
+          Literal(GraftExtensions.longLit(args(1))), Literal(GraftExtensions.longLit(args(2))))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain", (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_might_contain(bloomBinary, longCol)")
+        BloomFilterMightContain(args.head, args(1))
       }, "built-in")
   }
 }

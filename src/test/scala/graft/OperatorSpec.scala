@@ -446,6 +446,14 @@ class OperatorSpec extends SparkSuite {
     assert(fresh.filter(col("doc_id") < 250).count() == 0)
   }
 
+  test("bloom-prefiltered corpus diff == exact corpus diff (no false negatives)") {
+    val exact = Dedup.corpusDiff(spark, sf, split = 250)
+      .as[(Long, String)].collect().toSet
+    val bloom = Dedup.corpusDiffBloom(spark, sf, split = 250)
+      .as[(Long, String)].collect().toSet
+    assert(bloom == exact)
+  }
+
   test("salted revenue equals the broadcast-join revenue, brand for brand") {
     val a = Relational.saltedRevenueByBrand(spark, sf)
       .as[(String, Double, Long)].collect().toSet

@@ -181,6 +181,15 @@ class PlanGuardSpec extends SparkSuite {
     assert(shuffles(df) == 1)
   }
 
+  test("q81 bloom diff: bitmap is a scalar subquery; might_contain prefilters before any join") {
+    val df = Dedup.corpusDiffBloom(spark, sf)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("might_contain(Subquery"),
+      "bloom must arrive as a broadcast scalar subquery, not a join input")
+    assert(s.contains("partial_bloom_filter_agg"),
+      "bloom is built distributed (partial+final merge), never on the driver")
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
