@@ -50,6 +50,22 @@ class ErrorCollectorSpec extends SparkSuite {
     assert(ec.report.head.contains("IllegalStateException"))
   }
 
+  test("priorBenchRecord reads the newest BENCH artifact's qNN minimums") {
+    val dir = Files.createTempDirectory("graft-bench")
+    assert(Bench.priorBenchRecord(dir).isEmpty, "no artifact → empty map")
+    Files.write(dir.resolve("BENCH_r08.json"),
+      """{"queries":{"q01":9.99,"q67":9.99}}""".getBytes("UTF-8"))
+    // the driver's artifact repeats each value (tail + parsed) and may
+    // carry full-name keys and -1 failures; newest round (r9) wins
+    Files.write(dir.resolve("BENCH_r09.json"),
+      ("""{"tail":"{\"q01_pricing\":1.05,\"q67_session_window\":2.27}",""" +
+        """"parsed":{"queries":{"q01":1.05,"q67":2.27,"q99":-1}}}""").getBytes("UTF-8"))
+    val rec = Bench.priorBenchRecord(dir)
+    assert(rec.get("q01").contains(1.05))
+    assert(rec.get("q67").contains(2.27))
+    assert(!rec.contains("q99"), "failed (-1) entries must not become records")
+  }
+
   test("README query counts match the SparkEntry registry (doc-drift gate)") {
     // Three consecutive round verdicts flagged stale README numbers;
     // this pins the contract paragraph to the registry so adding a
