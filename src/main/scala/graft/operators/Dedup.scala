@@ -91,9 +91,14 @@ object Dedup {
     *
     * Sizing: estItems/numBits are literals here (test corpus ≤ a few
     * thousand fingerprints); a production job sizes them from the
-    * corpus row-count statistic.  The corpus slice must be non-empty —
-    * an empty aggregate yields a NULL bitmap and might_contain(NULL)
-    * is NULL, which would filter every row.
+    * corpus row-count statistic.  NULL-safety: an empty corpus slice
+    * aggregates to a NULL bitmap and might_contain(NULL) is NULL, so
+    * the definite-miss branch wraps it in coalesce(…, false) — a NULL
+    * bitmap degrades to "everything is a definite miss", matching the
+    * exact left_anti semantics.  The maybe-hit branch settles via
+    * NOT EXISTS (not NOT IN): a NULL fingerprint on either side can't
+    * NULL-out the predicate, so NULL-text rows stay in the result
+    * exactly as they do under the left_anti join.
     */
   def corpusDiffBloom(spark: SparkSession, dir: String, split: Long = 250): DataFrame = {
     Tables.registerAll(spark, dir)
@@ -106,11 +111,11 @@ object Dedup {
          |corp AS (SELECT DISTINCT fp FROM fp WHERE doc_id < $split),
          |bloom AS (SELECT graft_bloom_agg(xxhash64(fp), 4096, 262144) AS bf FROM corp)
          |SELECT doc_id, source FROM fp
-         |WHERE NOT graft_might_contain((SELECT bf FROM bloom), xxhash64(fp))
+         |WHERE NOT coalesce(graft_might_contain((SELECT bf FROM bloom), xxhash64(fp)), false)
          |UNION ALL
          |SELECT f.doc_id, f.source FROM fp f
-         |WHERE graft_might_contain((SELECT bf FROM bloom), xxhash64(f.fp))
-         |  AND f.fp NOT IN (SELECT fp FROM corp)""".stripMargin)
+         |WHERE coalesce(graft_might_contain((SELECT bf FROM bloom), xxhash64(f.fp)), false)
+         |  AND NOT EXISTS (SELECT 1 FROM corp c WHERE c.fp = f.fp)""".stripMargin)
   }
 
   /** Distinct word-`n`-gram shingles per document: (doc_id, shingle).

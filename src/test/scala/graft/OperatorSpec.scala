@@ -454,6 +454,15 @@ class OperatorSpec extends SparkSuite {
     assert(bloom == exact)
   }
 
+  test("bloom corpus diff: empty corpus (NULL bitmap) degrades to all rows, not zero") {
+    // an empty slice aggregates to a NULL bloom bitmap; the coalesce
+    // guard must make that mean "everything is a definite miss"
+    // (= exact left_anti vs an empty corpus), not "filter everything"
+    val n = Tables.documents(spark, sf).count()
+    assert(Dedup.corpusDiffBloom(spark, sf, split = -1).count() == n)
+    assert(Dedup.corpusDiff(spark, sf, split = -1).count() == n)
+  }
+
   test("salted revenue equals the broadcast-join revenue, brand for brand") {
     val a = Relational.saltedRevenueByBrand(spark, sf)
       .as[(String, Double, Long)].collect().toSet
