@@ -129,8 +129,13 @@ object SparkEntry {
     "q80_semdedup" -> ((s, d) => Similarity.semDedup(s, d)),
     // — round-9 widening: bloom-prefiltered incremental dedup (the
     //   100 TB shape of q49 — identical result, so it shares q49's
-    //   exact oracle), TF-IDF salient terms, bigram-LM fluency score —
-    "q81_bloom_diff" -> ((s, d) => Dedup.corpusDiffBloom(s, d))
+    //   exact oracle) —
+    "q81_bloom_diff" -> ((s, d) => Dedup.corpusDiffBloom(s, d)),
+    // — round-10 widening: TF-IDF salient terms per document, and an
+    //   add-one-smoothed bigram-LM fluency score over the q63 splits;
+    //   both logs go through graft_ln (libm parity, see GraftLn) —
+    "q82_tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
+    "q83_bigram_lm" -> ((s, d) => TextAnalysis.bigramFluency(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81

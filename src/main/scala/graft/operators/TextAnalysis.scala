@@ -300,6 +300,97 @@ object TextAnalysis {
         sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("sampled_tokens"))
   }
 
+  /** TF-IDF salient terms (q82): the top-`k` most characteristic
+    * tokens of each document — the classic curation signal for topic
+    * labeling, keyword extraction and per-domain vocabulary audits.
+    * tf and df are exact integer aggregations; the score is
+    * tf · ln(N/df) with BOTH factors produced by one fixed IEEE
+    * sequence (a divide, a log, a multiply) so ranking order is
+    * engine-exact.  The log goes through MathFunctions.ln (libm
+    * parity — builtin `ln` is StrictMath and drifts a ulp vs DuckDB).
+    *
+    * 100 TB shape: tf = one shuffle on (doc_id, token) with map-side
+    * combine; df = one shuffle on token (vocab-sized output); the
+    * score join is an equi-join ON token between two token-keyed
+    * frames; N arrives as a broadcast 1-row frame; the top-k is a
+    * doc_id-partitioned row_number (high-cardinality key, no
+    * low-cardinality window bottleneck).  Nothing is ever pairwise.
+    */
+  def tfidfTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf").cast("double") *
+        graft.functions.MathFunctions.ln(
+          col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+  }
+
+  /** Bigram-LM fluency score (q83): train an add-one-smoothed bigram
+    * language model on the deterministic train split (md5 bucket < 80,
+    * exactly q63's assignment) and score every held-out test-split
+    * document by its total and per-bigram log-probability — the
+    * model-based fluency filter of a curation pipeline (gibberish and
+    * boilerplate score far below domain text).
+    *
+    * p(w2|w1) = (c(w1w2) + 1) / (c(w1) + V), summed in DOCUMENT ORDER
+    * via sort_array(collect_list(struct(pos, logp))) + a sequential
+    * left fold — a double sum is order-sensitive, and the fold pins
+    * the exact IEEE sequence the DuckDB oracle replays (list(... ORDER
+    * BY pos) + list_reduce).  Each logp is one divide + one libm log
+    * (MathFunctions.ln) of exact integer counts.
+    *
+    * 100 TB shape: bigram and unigram counts are single shuffles with
+    * map-side combine; scoring is two equi-joins ON the count keys
+    * (never pairwise); V is a broadcast 1-row frame; the per-doc fold
+    * shuffles once on doc_id.  A production model would df-cap or
+    * top-M the bigram table (q45's pattern) to bound the join's build
+    * side; the full table keeps the oracle exact here.
+    */
+  def bigramFluency(spark: SparkSession, dir: String,
+                    trainPct: Int = 80, testFrom: Int = 90): DataFrame = {
+    val bucket = md5Bucket(1)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), bucket.as("bucket"))
+    // counts keep multiplicity (LM counts, not the distinct shingle
+    // sets dedup uses); shingles() needs the >= n-token guard
+    val train = docs.filter(col("bucket") < trainPct)
+    val cb = train.filter(size(tokens(col("text"))) >= 2)
+      .select(explode(shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val cu = train
+      .select(explode(tokens(col("text"))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val v = cu.agg(count(lit(1)).as("v"))
+    val scored = docs.filter(col("bucket") >= testFrom)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(col("doc_id"), posexplode(shingles(col("text"), 2)).as(Seq("pos", "bigram")))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(cb, Seq("bigram"), "left")
+      .join(cu, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("logp", graft.functions.MathFunctions.ln(
+        (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")))
+    scored.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("logp")))),
+          lit(0.0), (acc, x) => acc + x.getField("logp")).as("total_logp"))
+      .select(col("doc_id"), col("n_bigrams"), col("total_logp"),
+        (col("total_logp") / col("n_bigrams").cast("double")).as("avg_logp"))
+  }
+
   /** Sequence packing (concat-and-chunk): lay every document's tokens
     * end-to-end in stable doc_id order and cut the stream into
     * fixed-size context windows — each doc learns which pack it starts

@@ -46,6 +46,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashes(args.head, GraftExtensions.intLit(args(1)), GraftExtensions.intLit(args(2)))
       }))
     e.injectFunction((
+      FunctionIdentifier("graft_ln"),
+      new ExpressionInfo(classOf[GraftLn].getName, "graft_ln"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_ln(double)")
+        GraftLn(args.head)
+      }))
+    e.injectFunction((
       FunctionIdentifier("graft_repetition"),
       new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition"),
       (args: Seq[Expression]) => {

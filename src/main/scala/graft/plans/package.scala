@@ -20,6 +20,11 @@ object RegisterFunctions {
       "graft_minhashes", (args: Seq[Expression]) =>
         MinHashes(args.head, GraftExtensions.intLit(args(1)), GraftExtensions.intLit(args(2))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ln", (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_ln(double)")
+        GraftLn(args.head)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_repetition", (args: Seq[Expression]) => {
         require(args.length == 1, "graft_repetition(text)")
         RepetitionStats(args.head)
