@@ -573,6 +573,59 @@ object SparkEntry {
     // identical result to q49 by bloom no-false-negatives — the oracle
     // IS q49's exact formulation (the bloom is a pure prefilter)
     "q81_bloom_diff" -> CorpusDiffSql,
+    // TF-IDF mirror of TextAnalysis.tfidfTerms: tf/df are exact integer
+    // counts; the score replays Spark's IEEE sequence (divide, ln,
+    // multiply — GraftLn is libm `ln`, bit-identical to DuckDB's);
+    // ties on equal tfidf break by token ASC in both engines.
+    "q82_tfidf_terms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |  CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, token ASC) AS rank FROM s)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, token, tf, df, tfidf
+        |FROM r WHERE rank <= 3""".stripMargin,
+    // Bigram-LM mirror of TextAnalysis.bigramFluency: q63's md5-bucket
+    // split, q68's multiplicity-keeping bigram comprehension, add-one
+    // smoothing ln((cb+1)/(cu+V)), and the document-order fold —
+    // list(logp ORDER BY pos) + list_reduce replays Spark's
+    // sort_array(collect_list(struct(pos, logp))) left fold exactly
+    // (the fold's 0.0 seed is absorbed: 0.0 + x == x for every
+    // finite nonzero logp, and logp < 0 always since cb+1 <= cu+V).
+    "q83_bigram_lm" ->
+      """WITH b AS (SELECT doc_id, text,
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+        | FROM documents),
+        |w AS (SELECT doc_id, bucket, string_split(text, ' ') AS w FROM b),
+        |cb AS (SELECT bigram, count(*) AS cb FROM (
+        |  SELECT unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS bigram
+        |  FROM w WHERE bucket < 80 AND len(w) >= 2) GROUP BY bigram),
+        |cu AS (SELECT w1, count(*) AS cu FROM (
+        |  SELECT unnest(w) AS w1 FROM w WHERE bucket < 80) GROUP BY w1),
+        |v AS (SELECT count(*) AS v FROM cu),
+        |t AS (SELECT doc_id,
+        |  unnest(range(0, len(w) - 1)) AS pos,
+        |  unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS bigram
+        |  FROM w WHERE bucket >= 90 AND len(w) >= 2),
+        |s AS (SELECT t.doc_id, t.pos,
+        |  ln(CAST(coalesce(cb.cb, 0) + 1 AS DOUBLE) / CAST(coalesce(cu.cu, 0) + v.v AS DOUBLE)) AS logp
+        |  FROM t LEFT JOIN cb USING (bigram)
+        |       LEFT JOIN cu ON cu.w1 = string_split(t.bigram, ' ')[1]
+        |       CROSS JOIN v),
+        |g AS (SELECT doc_id, count(*) AS n_bigrams,
+        |  list_reduce(list(logp ORDER BY pos), (a, x) -> a + x) AS total_logp
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, total_logp,
+        |  total_logp / CAST(n_bigrams AS DOUBLE) AS avg_logp
+        |FROM g""".stripMargin,
     "q50_variance" ->
       """WITH s AS (SELECT c_nationkey, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,
