@@ -190,6 +190,29 @@ class PlanGuardSpec extends SparkSuite {
       "bloom is built distributed (partial+final merge), never on the driver")
   }
 
+  test("q82 tfidf: token-keyed equi-joins, N broadcast, doc_id-partitioned top-k window") {
+    val df = TextAnalysis.tfidfTerms(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")), "tf⋈df must stay an equi-join")
+    // the only nested-loop is the broadcast 1-row N frame
+    assert(ns.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
+    val windows = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "top-k must window on doc_id, never a single-partition rank")
+    assert(ns.count(_.contains("HashAggregate")) >= 4, "tf and df are partial+final aggs")
+  }
+
+  test("q83 bigram LM: count-keyed equi-joins, V broadcast, no pair scan anywhere") {
+    val df = TextAnalysis.bigramFluency(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    // scoring joins ride the bigram/w1 keys; only V's 1-row frame may
+    // arrive as a broadcast nested loop
+    assert(ns.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
+    assert(ns.count(_.contains("HashAggregate")) >= 4, "cb and cu are partial+final aggs")
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
