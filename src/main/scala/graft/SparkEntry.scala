@@ -135,7 +135,12 @@ object SparkEntry {
     //   add-one-smoothed bigram-LM fluency score over the q63 splits;
     //   both logs go through graft_ln (libm parity, see GraftLn) —
     "q82_tfidf_terms" -> ((s, d) => TextAnalysis.tfidfTerms(s, d)),
-    "q83_bigram_lm" -> ((s, d) => TextAnalysis.bigramFluency(s, d))
+    "q83_bigram_lm" -> ((s, d) => TextAnalysis.bigramFluency(s, d)),
+    // — round-11 widening: corpus-unigram surprisal (CCNet-style
+    //   quality signal) and the Zipf rank-frequency fit per source
+    //   (bounded-heap top-M, never a vocab-sized window) —
+    "q84_surprisal" -> ((s, d) => TextAnalysis.tokenSurprisal(s, d)),
+    "q85_zipf" -> ((s, d) => TextAnalysis.zipfSlope(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -626,6 +631,51 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, total_logp,
         |  total_logp / CAST(n_bigrams AS DOUBLE) AS avg_logp
         |FROM g""".stripMargin,
+    // Unigram-surprisal mirror of TextAnalysis.tokenSurprisal: exact
+    // integer counts, one divide + libm ln per token, document-order
+    // fold (list ORDER BY pos == Spark's sorted-struct fold), and the
+    // final negate-after-divide in the same sequence.
+    "q84_surprisal" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS token FROM w),
+        |c AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |t AS (SELECT sum(c) AS t FROM c),
+        |s AS (SELECT tok.doc_id, tok.pos,
+        |  ln(CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE)) AS logp
+        |  FROM tok JOIN c USING (token) CROSS JOIN t),
+        |g AS (SELECT doc_id, count(*) AS n_tokens,
+        |  list_reduce(list(logp ORDER BY pos), (a, x) -> a + x) AS total_logp
+        |  FROM s GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, total_logp,
+        |  -(total_logp / CAST(n_tokens AS DOUBLE)) AS surprisal_nats
+        |FROM g""".stripMargin,
+    // Zipf-fit mirror of TextAnalysis.zipfSlope: ranks replay the
+    // heap's total order (freq DESC, token ASC), each regression sum
+    // is its own 0.0-seeded left fold in rank order
+    // (list_prepend(0.0, ...) == Spark aggregate's lit(0.0) seed),
+    // and the slope/intercept arithmetic is the same fixed sequence.
+    "q85_zipf" ->
+      """WITH tf AS (SELECT source, token, count(*) AS freq FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY source, token),
+        |r AS (SELECT source, freq,
+        |  row_number() OVER (PARTITION BY source ORDER BY freq DESC, token ASC) AS rank
+        |  FROM tf),
+        |top AS (SELECT source, rank,
+        |  ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM r WHERE rank <= 30),
+        |g AS (SELECT source, count(*) AS n,
+        |  list_reduce(list_prepend(0.0, list(x ORDER BY rank)), (a, b) -> a + b) AS sx,
+        |  list_reduce(list_prepend(0.0, list(y ORDER BY rank)), (a, b) -> a + b) AS sy,
+        |  list_reduce(list_prepend(0.0, list(x * y ORDER BY rank)), (a, b) -> a + b) AS sxy,
+        |  list_reduce(list_prepend(0.0, list(x * x ORDER BY rank)), (a, b) -> a + b) AS sxx
+        |  FROM top GROUP BY source),
+        |g2 AS (SELECT source, n, sx, sy,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS zipf_slope
+        |  FROM g)
+        |SELECT source, n AS n_terms, zipf_slope,
+        |  (sy - zipf_slope * sx) / CAST(n AS DOUBLE) AS intercept
+        |FROM g2""".stripMargin,
     "q50_variance" ->
       """WITH s AS (SELECT c_nationkey, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,

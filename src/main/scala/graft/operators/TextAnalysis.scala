@@ -391,6 +391,118 @@ object TextAnalysis {
         (col("total_logp") / col("n_bigrams").cast("double")).as("avg_logp"))
   }
 
+  /** Corpus-LM token surprisal (q84): score every document by its mean
+    * negative log-likelihood under the corpus unigram distribution —
+    * the CCNet-style "how ordinary is this text" quality signal
+    * (boilerplate scores low, token salad scores high).  Each token's
+    * logp = ln(c(token)/T) is one divide + one libm log of exact
+    * integer counts; the per-document sum folds in DOCUMENT ORDER
+    * (posexplode → sort_array(collect_list) → sequential fold), the
+    * same order-pinning q83 uses, so the DuckDB oracle replays the
+    * exact IEEE sequence.  Surprisal is emitted in NATS, not as
+    * exp-perplexity: JVM `Math.exp` and libm `exp` disagree in the
+    * last ulp on ~0.1% of inputs (measured 5/4000), so an exp-derived
+    * column would break the hash compare while adding no information.
+    *
+    * 100 TB shape: token counts are one keyed shuffle with map-side
+    * combine (vocab-sized output); T is a broadcast 1-row frame; the
+    * scoring join is an equi-join ON token (broadcast when the vocab
+    * fits, keyed shuffle otherwise); the fold shuffles once on doc_id
+    * (high-cardinality key).  Nothing is ever pairwise.
+    */
+  def tokenSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val c = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val t = c.agg(sum(col("c")).as("t"))
+    val scored = toks
+      .join(c, Seq("token")) // every token is in the corpus: inner join is lossless
+      .crossJoin(broadcast(t))
+      .withColumn("logp", graft.functions.MathFunctions.ln(
+        col("c").cast("double") / col("t").cast("double")))
+    scored.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("logp")))),
+          lit(0.0), (acc, x) => acc + x.getField("logp")).as("total_logp"))
+      .select(col("doc_id"), col("n_tokens"), col("total_logp"),
+        (-(col("total_logp") / col("n_tokens").cast("double"))).as("surprisal_nats"))
+  }
+
+  /** Bounded top-M (source, token, freq) heap — q37's Aggregator
+    * pattern applied to token frequencies: O(M) state per source
+    * through partial aggregation, so the per-source ranking never
+    * pushes a vocab-sized stream through a low-cardinality window.
+    * Order: freq DESC, token ASC (total order → oracle-exact ranks).
+    */
+  final case class SrcTokenFreq(source: String, token: String, freq: Long)
+  final class TopTokensByFreq(m: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[SrcTokenFreq, Seq[(Long, String)], Seq[(Long, String)]] {
+    private def trim(xs: Seq[(Long, String)]): Seq[(Long, String)] =
+      xs.sortBy { case (f, tok) => (-f, tok) }.take(m)
+    override def zero: Seq[(Long, String)] = Seq.empty
+    override def reduce(b: Seq[(Long, String)], a: SrcTokenFreq): Seq[(Long, String)] =
+      trim(b :+ ((a.freq, a.token)))
+    override def merge(b1: Seq[(Long, String)], b2: Seq[(Long, String)]): Seq[(Long, String)] =
+      trim(b1 ++ b2)
+    override def finish(r: Seq[(Long, String)]): Seq[(Long, String)] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Long, String)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Zipf rank-frequency fit per source (q85): least-squares slope and
+    * intercept of ln(freq) against ln(rank) over each source's top-M
+    * tokens — the classic corpus-health diagnostic (natural text sits
+    * near slope −1; templated/spammy sources flatten or steepen).
+    *
+    * Determinism contract (oracle-critical):
+    *  - ranks come from the bounded heap's total order (freq DESC,
+    *    token ASC), so rank r is engine-exact;
+    *  - each regression sum (Σx, Σy, Σxy, Σx²) is its OWN sequential
+    *    left fold over rank-ascending values seeded at 0.0 — DuckDB
+    *    replays with list_reduce(list_prepend(0.0, list(... ORDER BY
+    *    rank)));
+    *  - x = ln(rank), y = ln(freq) via GraftLn (libm parity), and the
+    *    closing slope/intercept arithmetic is one fixed expression
+    *    sequence in both engines.
+    *
+    * 100 TB shape: one (source, token) count shuffle with map-side
+    * combine, then the Aggregator's partial+final top-M heap (O(M)
+    * state per source) — the regression itself runs on M-row arrays,
+    * never a window over the vocab.
+    */
+  def zipfSlope(spark: SparkSession, dir: String, m: Int = 30): DataFrame = {
+    import spark.implicits._
+    val ln = graft.functions.MathFunctions.ln _
+    val tf = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("freq"))
+      .as[SrcTokenFreq]
+    val top = tf.groupByKey(_.source)
+      .agg(new TopTokensByFreq(m).toColumn.name("topm"))
+      .toDF("source", "topm")
+    def foldSum(values: Column): Column =
+      aggregate(values, lit(0.0), (acc, x) => acc + x)
+    top
+      .withColumn("n", size(col("topm")).cast("long"))
+      .withColumn("sx", foldSum(transform(col("topm"),
+        (_, i) => ln((i + lit(1)).cast("double")))))
+      .withColumn("sy", foldSum(transform(col("topm"),
+        e => ln(e.getField("_1").cast("double")))))
+      .withColumn("sxy", foldSum(transform(col("topm"),
+        (e, i) => ln((i + lit(1)).cast("double")) * ln(e.getField("_1").cast("double")))))
+      .withColumn("sxx", foldSum(transform(col("topm"),
+        (_, i) => ln((i + lit(1)).cast("double")) * ln((i + lit(1)).cast("double")))))
+      .withColumn("zipf_slope",
+        (col("n").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (col("n").cast("double") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("zipf_slope") * col("sx")) / col("n").cast("double"))
+      .select(col("source"), col("n").as("n_terms"), col("zipf_slope"), col("intercept"))
+  }
+
   /** Sequence packing (concat-and-chunk): lay every document's tokens
     * end-to-end in stable doc_id order and cut the stream into
     * fixed-size context windows — each doc learns which pack it starts

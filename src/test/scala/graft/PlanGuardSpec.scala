@@ -213,6 +213,26 @@ class PlanGuardSpec extends SparkSuite {
     assert(ns.count(_.contains("HashAggregate")) >= 4, "cb and cu are partial+final aggs")
   }
 
+  test("q84 surprisal: token-keyed scoring join, T broadcast, fold is an agg — no window") {
+    val df = TextAnalysis.tokenSurprisal(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    assert(ns.count(_.contains("BroadcastNestedLoopJoin")) <= 1, "only the 1-row T frame")
+    assert(plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "per-doc fold is a hash agg on doc_id, never a window")
+  }
+
+  test("q85 zipf: bounded-heap aggregation — NO vocab-sized window, no pair scan") {
+    val df = TextAnalysis.zipfSlope(spark, sf)
+    val ns = names(df)
+    assert(plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "per-source ranking must ride the top-M heap Aggregator, not a low-cardinality window")
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    assert(!ns.exists(_.contains("NestedLoop")))
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")

@@ -120,6 +120,89 @@ class TfidfLmSpec extends SparkSuite {
     assert(got(14L) == ((1L, t14, t14 / 1.0)))
   }
 
+  // ---- Corpus-unigram surprisal (q84) --------------------------------
+
+  test("tokenSurprisal: hand-computed nats against the corpus unigram LM") {
+    // counts: a=3, b=1, T=4
+    val dir = writeDocs(Seq(1L -> "a b", 2L -> "a a"))
+    val ln = java.lang.Math.log(_: Double)
+    val pa = ln(3.0 / 4.0)
+    val pb = ln(1.0 / 4.0)
+    val got = TextAnalysis.tokenSurprisal(spark, dir)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val t1 = (0.0 + pa) + pb
+    val t2 = (0.0 + pa) + pa
+    assert(got(1L) == ((2L, t1, -(t1 / 2.0))))
+    assert(got(2L) == ((2L, t2, -(t2 / 2.0))))
+  }
+
+  test("tokenSurprisal on real data: rarer-token docs score higher than common-token docs") {
+    val rows = TextAnalysis.tokenSurprisal(spark, sf)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { case (_, n, _, s) =>
+      assert(n >= 1 && s > 0 && s.isFinite, "surprisal in nats must be positive and finite")
+      ()
+    }
+  }
+
+  // ---- Zipf rank-frequency fit (q85) ---------------------------------
+
+  private def writeSourcedDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = Files.createTempDirectory("graft-zipf").toString
+    rows.map { case (id, src, text) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("zipfSlope: hand-computed least-squares fit, freq-tie broken by token") {
+    // s1 freqs: a=4, b=2, c=1 → ranks a:1 b:2 c:3
+    // s2 freqs: a=2, b=2, c=1 → tie a/b broken by token ASC → a:1 b:2 c:3
+    val dir = writeSourcedDocs(Seq(
+      (1L, "s1", "a a a a b b c"),
+      (2L, "s2", "a a b b c")))
+    val ln = java.lang.Math.log(_: Double)
+    def expected(freqs: Seq[Long]): (Double, Double) = {
+      val n = freqs.length.toDouble
+      val xs = freqs.indices.map(i => ln((i + 1).toDouble))
+      val ys = freqs.map(f => ln(f.toDouble))
+      def fold(vs: Seq[Double]) = vs.foldLeft(0.0)(_ + _)
+      val (sx, sy) = (fold(xs), fold(ys))
+      val sxy = fold(xs.zip(ys).map { case (x, y) => x * y })
+      val sxx = fold(xs.map(x => x * x))
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      (slope, (sy - slope * sx) / n)
+    }
+    val got = TextAnalysis.zipfSlope(spark, dir)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (m1, b1) = expected(Seq(4L, 2L, 1L))
+    val (m2, b2) = expected(Seq(2L, 2L, 1L))
+    assert(got("s1") == ((3L, m1, b1)))
+    assert(got("s2") == ((3L, m2, b2)))
+    assert(m1 < 0, "natural rank-frequency decay must fit a negative slope")
+  }
+
+  test("zipfSlope: top-M heap bounds the fit set (m smaller than vocab)") {
+    val dir = writeSourcedDocs(Seq((1L, "s1", "a a a a b b b c c d")))
+    // m=2 keeps only a (4) and b (3): slope = (ln3-ln4)/ln2 exactly
+    val got = TextAnalysis.zipfSlope(spark, dir, m = 2)
+      .as[(String, Long, Double, Double)].collect().head
+    assert(got._2 == 2L)
+    val ln = java.lang.Math.log(_: Double)
+    // two points: slope = (y2-y1)/(x2-x1) — but via the same
+    // least-squares folds the operator runs
+    val n = 2.0
+    val (x1, x2) = (ln(1.0), ln(2.0))
+    val (y1, y2) = (ln(4.0), ln(3.0))
+    val sx = 0.0 + x1 + x2; val sy = 0.0 + y1 + y2
+    val sxy = 0.0 + x1 * y1 + x2 * y2; val sxx = 0.0 + x1 * x1 + x2 * x2
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(got._3 == slope)
+  }
+
   test("bigramFluency on real data: every score is negative and finite") {
     val rows = TextAnalysis.bigramFluency(spark, sf)
       .as[(Long, Long, Double, Double)].collect()
