@@ -140,7 +140,10 @@ object SparkEntry {
     //   quality signal) and the Zipf rank-frequency fit per source
     //   (bounded-heap top-M, never a vocab-sized window) —
     "q84_surprisal" -> ((s, d) => TextAnalysis.tokenSurprisal(s, d)),
-    "q85_zipf" -> ((s, d) => TextAnalysis.zipfSlope(s, d))
+    "q85_zipf" -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
+    // CDC merge: the nightly snapshot-maintenance join (upserts +
+    // deletes applied in one full-outer equi-join, Reindex.cdcMerge)
+    "q86_cdc_merge" -> ((s, d) => Reindex.cdcMerge(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -676,6 +679,23 @@ object SparkEntry {
         |SELECT source, n AS n_terms, zipf_slope,
         |  (sy - zipf_slope * sx) / CAST(n AS DOUBLE) AS intercept
         |FROM g2""".stripMargin,
+    // CDC-merge mirror of Reindex.cdcMerge: same deterministic
+    // snapshot/change derivation, FULL JOIN + the same
+    // kept/updated/inserted classification, deletes dropped last.
+    "q86_cdc_merge" ->
+      """WITH snap AS (SELECT doc_id, text, source FROM documents WHERE doc_id < 450),
+        |ch AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 < 2 THEN 'delete' ELSE 'upsert' END AS op,
+        |  text || ' v2' AS new_text
+        |  FROM documents WHERE doc_id >= 400),
+        |j AS (SELECT coalesce(s.doc_id, c.doc_id) AS doc_id,
+        |  s.text AS old_text, c.op, c.new_text
+        |  FROM snap s FULL JOIN ch c ON s.doc_id = c.doc_id)
+        |SELECT doc_id, coalesce(new_text, old_text) AS text,
+        |  CASE WHEN op IS NULL THEN 'kept'
+        |       WHEN old_text IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS action
+        |FROM j WHERE op IS NULL OR op <> 'delete'""".stripMargin,
     "q50_variance" ->
       """WITH s AS (SELECT c_nationkey, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,

@@ -119,4 +119,45 @@ object Reindex {
     */
   def diff(source: DataFrame, sink: DataFrame): DataFrame =
     source.join(sink, Seq("id"), "left_anti")
+
+  /** CDC merge / upsert (q86): apply a change batch (upserts +
+    * deletes) to a snapshot — the nightly incremental-maintenance
+    * step of a large corpus, and the Spark-native generalization of
+    * the reference's resume-from-checkpoint semantics (re-running a
+    * slice must land as idempotent updates, ingest/ingest.go:29-31's
+    * "add OR update" contract).  One full-outer equi-join on the key
+    * classifies every row: snapshot-only → kept, matched upsert →
+    * updated, change-only upsert → inserted, delete → dropped.
+    *
+    * Fixture derivation (deterministic in both engines): snapshot =
+    * doc_id < 450; changes = doc_id >= 400, delete when doc_id % 10
+    * < 2 else upsert with text || ' v2'.
+    *
+    * 100 TB shape: ONE shuffle on the join key per side (or zero for
+    * the snapshot when both tables are bucketed on the key — the
+    * Bucketing module's co-located-join shape); a typical nightly
+    * change batch is orders of magnitude smaller than the snapshot,
+    * so AQE picks a broadcast and the snapshot never shuffles at all.
+    * No window, no pairwise work; the delete filter runs after the
+    * join by necessity (a delete row must meet its snapshot partner
+    * to remove it) but costs one codegen'd predicate, not a pass.
+    */
+  def cdcMerge(spark: SparkSession, dir: String,
+               snapMax: Long = 450L, changeMin: Long = 400L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val snap = docs.filter(col("doc_id") < snapMax)
+      .select(col("doc_id"), col("text"), col("source"))
+    val changes = docs.filter(col("doc_id") >= changeMin)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 < 2, lit("delete")).otherwise(lit("upsert")).as("op"),
+        concat(col("text"), lit(" v2")).as("new_text"))
+    snap.join(changes, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("op") =!= "delete", lit(true)))
+      .select(
+        col("doc_id"),
+        coalesce(col("new_text"), col("text")).as("text"),
+        when(col("op").isNull, lit("kept"))
+          .when(col("text").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("action"))
+  }
 }

@@ -463,6 +463,23 @@ class OperatorSpec extends SparkSuite {
     assert(Dedup.corpusDiff(spark, sf, split = -1).count() == n)
   }
 
+  test("CDC merge: kept/updated/inserted partition exactly; deletes vanish") {
+    val out = Reindex.cdcMerge(spark, sf)
+      .as[(Long, String, String)].collect()
+    val byAction = out.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    // fixture: snapshot < 450, changes >= 400, delete when id % 10 < 2
+    assert(byAction("kept") == (0L until 400L).toSet,
+      "pre-change-window snapshot rows pass through untouched")
+    assert(byAction("updated") == (400L until 450L).filter(_ % 10 >= 2).toSet)
+    assert(byAction("inserted") == (450L until 500L).filter(_ % 10 >= 2).toSet)
+    val deleted = (400L until 500L).filter(_ % 10 < 2).toSet
+    assert(out.map(_._1).toSet.intersect(deleted).isEmpty, "deletes must vanish")
+    assert(out.filter(r => r._3 != "kept").forall(_._2.endsWith(" v2")),
+      "updated and inserted rows carry the change-batch text")
+    assert(out.filter(_._3 == "kept").forall(!_._2.endsWith(" v2")))
+    assert(out.map(_._1).distinct.length == out.length, "key stays unique after merge")
+  }
+
   test("salted revenue equals the broadcast-join revenue, brand for brand") {
     val a = Relational.saltedRevenueByBrand(spark, sf)
       .as[(String, Double, Long)].collect().toSet

@@ -233,6 +233,16 @@ class PlanGuardSpec extends SparkSuite {
     assert(!ns.exists(_.contains("NestedLoop")))
   }
 
+  test("q86 CDC merge: ONE full-outer equi-join, at most one shuffle per side") {
+    val df = Reindex.cdcMerge(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    assert(!ns.exists(_.contains("NestedLoop")))
+    assert(ns.count(n => n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin")) == 1,
+      "the merge is exactly one keyed join")
+    assert(shuffles(df) <= 2, "one exchange per join side, nothing downstream")
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
