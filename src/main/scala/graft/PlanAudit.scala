@@ -24,6 +24,13 @@ object PlanAudit {
         p.subqueries.flatMap(collectAll)
     }
 
+    // With AQE on, WholeStageCodegen is only inserted per-stage at
+    // execution time, so the pre-execution plan always showed
+    // codegenSpans=0 — a dead metric. The audit inspects the
+    // non-adaptive physical plan instead: same join/exchange/pushdown
+    // properties, plus real codegen spans. (Queries still EXECUTE
+    // with AQE in Bench/Verify; this only changes what's inspected.)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
