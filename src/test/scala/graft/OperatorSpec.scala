@@ -480,6 +480,27 @@ class OperatorSpec extends SparkSuite {
     assert(out.map(_._1).distinct.length == out.length, "key stays unique after merge")
   }
 
+  test("CDC merge boundaries: disjoint windows, empty snapshot, full overlap") {
+    // disjoint: snapshot and change windows never meet → no updates,
+    // deletes are no-ops, every surviving change row is an insert
+    val disjoint = Reindex.cdcMerge(spark, sf, snapMax = 100L, changeMin = 300L)
+      .as[(Long, String, String)].collect()
+    assert(disjoint.count(_._3 == "kept") == 100)
+    assert(disjoint.count(_._3 == "updated") == 0)
+    assert(disjoint.count(_._3 == "inserted") == (300L until 500L).count(_ % 10 >= 2))
+    // empty snapshot: everything surviving is an insert
+    val empty = Reindex.cdcMerge(spark, sf, snapMax = 0L, changeMin = 0L)
+      .as[(Long, String, String)].collect()
+    assert(empty.forall(_._3 == "inserted"))
+    assert(empty.length == (0L until 500L).count(_ % 10 >= 2))
+    // full overlap: no inserts possible, deletes carve the snapshot
+    val full = Reindex.cdcMerge(spark, sf, snapMax = 500L, changeMin = 0L)
+      .as[(Long, String, String)].collect()
+    assert(full.count(_._3 == "inserted") == 0)
+    assert(full.count(_._3 == "kept") == 0)
+    assert(full.length == (0L until 500L).count(_ % 10 >= 2))
+  }
+
   test("salted revenue equals the broadcast-join revenue, brand for brand") {
     val a = Relational.saltedRevenueByBrand(spark, sf)
       .as[(String, Double, Long)].collect().toSet

@@ -106,6 +106,30 @@ class UtilSpec extends AnyFunSuite {
     assert(Bench.blockOutliers(real, Map.empty).isEmpty)
   }
 
+  test("property: blockOutliers flags a stall run iff it spans >=3 neighbors, exactly") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      n <- Gen.choose(3, 12)
+      runLen <- Gen.choose(0, n)
+      start <- Gen.choose(0, n - math.max(runLen, 1))
+    } yield (n, runLen, start)
+    val prop = Prop.forAll(gen) { case (n, runLen, start) =>
+      val names = (1 to n).map(i => f"q$i%02d_query")
+      val prior = names.map(nm => nm.takeWhile(_ != '_') -> 1.0).toMap
+      // clean queries sit at 1.0x prior; the injected stall run at 5x
+      val ordered = names.zipWithIndex.map { case (nm, i) =>
+        nm -> (if (i >= start && i < start + runLen) 5.0 else 1.0)
+      }
+      val flagged = Bench.blockOutliers(ordered, prior)
+      val expected =
+        if (runLen >= 3) names.slice(start, start + runLen).toSet
+        else Set.empty[String]
+      flagged == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("README query counts match the SparkEntry registry (doc-drift gate)") {
     // Rounds 8-10 each shipped stale README numbers; this pins the
     // contract paragraph to the registry so adding a query without
