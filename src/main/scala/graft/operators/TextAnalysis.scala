@@ -353,21 +353,31 @@ object TextAnalysis {
     * 100 TB shape: bigram and unigram counts are single shuffles with
     * map-side combine; scoring is two equi-joins ON the count keys
     * (never pairwise); V is a broadcast 1-row frame; the per-doc fold
-    * shuffles once on doc_id.  A production model would df-cap or
-    * top-M the bigram table (q45's pattern) to bound the join's build
-    * side; the full table keeps the oracle exact here.
+    * shuffles once on doc_id.  `topMBigrams > 0` bounds the bigram
+    * table to the M most frequent bigrams (count DESC, bigram ASC —
+    * a TakeOrderedAndProject: per-partition top-M, merge on the
+    * driver-side heap, never a global sort), the q45 pattern that
+    * bounds the scoring join's build side at production scale;
+    * dropped bigrams degrade to the add-one unseen floor, which only
+    * lowers scores.  The default 0 keeps the full table and the
+    * bit-exact oracle.
     */
   def bigramFluency(spark: SparkSession, dir: String,
-                    trainPct: Int = 80, testFrom: Int = 90): DataFrame = {
+                    trainPct: Int = 80, testFrom: Int = 90,
+                    topMBigrams: Int = 0): DataFrame = {
     val bucket = md5Bucket(1)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), bucket.as("bucket"))
     // counts keep multiplicity (LM counts, not the distinct shingle
     // sets dedup uses); shingles() needs the >= n-token guard
     val train = docs.filter(col("bucket") < trainPct)
-    val cb = train.filter(size(tokens(col("text"))) >= 2)
+    val cbFull = train.filter(size(tokens(col("text"))) >= 2)
       .select(explode(shingles(col("text"), 2)).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val cb =
+      if (topMBigrams > 0)
+        cbFull.orderBy(col("cb").desc, col("bigram").asc).limit(topMBigrams)
+      else cbFull
     val cu = train
       .select(explode(tokens(col("text"))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("cu"))

@@ -203,6 +203,22 @@ class TfidfLmSpec extends SparkSuite {
     assert(got._3 == slope)
   }
 
+  test("bigramFluency topM cap: a cap above the vocab is exact; a tight cap only lowers scores") {
+    val loose = TextAnalysis.bigramFluency(spark, sf, topMBigrams = 1000000)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    val exact = TextAnalysis.bigramFluency(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(loose.sameElements(exact), "a non-binding cap must not change a single bit")
+    val tight = TextAnalysis.bigramFluency(spark, sf, topMBigrams = 5)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    exact.foreach { case (id, _, total, _) =>
+      assert(tight(id) <= total + 1e-12,
+        "dropping bigrams to the unseen floor can only lower a document's log-likelihood")
+      ()
+    }
+  }
+
   test("bigramFluency on real data: every score is negative and finite") {
     val rows = TextAnalysis.bigramFluency(spark, sf)
       .as[(Long, Long, Double, Double)].collect()
