@@ -143,7 +143,10 @@ object SparkEntry {
     "q85_zipf" -> ((s, d) => TextAnalysis.zipfSlope(s, d)),
     // CDC merge: the nightly snapshot-maintenance join (upserts +
     // deletes applied in one full-outer equi-join, Reindex.cdcMerge)
-    "q86_cdc_merge" -> ((s, d) => Reindex.cdcMerge(s, d))
+    "q86_cdc_merge" -> ((s, d) => Reindex.cdcMerge(s, d)),
+    // ANN recall audit: recall@k of the q26 LSH index vs the exact
+    // q24 top-k over the same probes (Similarity.annRecall)
+    "q87_ann_recall" -> ((s, d) => Similarity.annRecall(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -696,6 +699,40 @@ object SparkEntry {
         |       WHEN old_text IS NULL THEN 'inserted'
         |       ELSE 'updated' END AS action
         |FROM j WHERE op IS NULL OR op <> 'delete'""".stripMargin,
+    // Recall-audit mirror of Similarity.annRecall: q24's exact top-k
+    // and q26's bucketed top-k as CTEs over the SAME probe set (10
+    // probes, k=3, 6-bit sign LSH), then one left join + count ratio
+    // of exact integers.
+    "q87_ann_recall" ->
+      s"""WITH $normCte,
+         |eb AS (SELECT *,
+         |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+         | + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+         | + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+         | + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+         | + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+         | + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket FROM e),
+         |xp AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cos
+         |  FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+         |xr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY cos DESC, neighbor_id) AS rank FROM xp),
+         |exact AS (SELECT probe_id, neighbor_id FROM xr WHERE rank <= 3),
+         |ap AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |    ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cos
+         |  FROM eb p JOIN eb c ON p.bucket = c.bucket AND p.vec_id < 10 AND p.vec_id <> c.vec_id),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY cos DESC, neighbor_id) AS rank FROM ap),
+         |approx AS (SELECT probe_id, neighbor_id FROM ar WHERE rank <= 3),
+         |j AS (SELECT x.probe_id,
+         |  CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM exact x LEFT JOIN approx a
+         |    ON x.probe_id = a.probe_id AND x.neighbor_id = a.neighbor_id)
+         |SELECT probe_id, count(*) AS n_exact, CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+         |FROM j GROUP BY probe_id""".stripMargin,
     "q50_variance" ->
       """WITH s AS (SELECT c_nationkey, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,

@@ -87,6 +87,36 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), col("cos").as("cos_sim"), col("rank"))
   }
 
+  /** ANN recall audit (q87): recall@k of the sign-LSH bucketed index
+    * (q26) against the exact brute-force top-k (q24) over the same
+    * probe set — the index-quality gate a production similarity
+    * pipeline runs before trusting an approximate index.  Both sides
+    * rank by the identical bit-exact cosine with the neighbor_id
+    * tiebreak, so the compared sets are deterministic and the recall
+    * ratio is one divide of exact integer counts.
+    *
+    * 100 TB shape: the audit is bounded BY CONSTRUCTION — it scores
+    * `numProbes` sampled probes, not the corpus — so it inherits
+    * q24's broadcast-probe scan and q26's bucket equi-join, then adds
+    * one (probe, neighbor)-keyed left join between two k·numProbes-row
+    * frames and a probe_id aggregation.  Nothing scales with corpus
+    * size except the two audited index paths themselves.
+    */
+  def annRecall(spark: SparkSession, dir: String,
+                numProbes: Int = 10, k: Int = 3): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, numProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val approx = bucketedAnn(spark, dir, numProbes, k)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .select(col("probe_id"), col("n_exact"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall"))
+  }
+
   final case class ScoredNeighbor(probe_id: Long, neighbor_id: Long, cos: Double)
 
   /** Bounded top-k typed Aggregator (SURVEY §2.C: "TypedImperativeAggregate

@@ -501,6 +501,25 @@ class OperatorSpec extends SparkSuite {
     assert(full.length == (0L until 500L).count(_ % 10 >= 2))
   }
 
+  test("ANN recall audit == set-intersection of the exact and bucketed top-k") {
+    val exact = Similarity.bruteForceTopK(spark, sf, numProbes = 10, k = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.bucketedAnn(spark, sf, numProbes = 10, k = 3)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Similarity.annRecall(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(_._1).toSet == exact.keySet)
+    got.foreach { case (p, nExact, nHits, recall) =>
+      val expHits = exact(p).intersect(approx.getOrElse(p, Set.empty)).size.toLong
+      assert(nExact == exact(p).size.toLong)
+      assert(nHits == expHits, s"probe $p")
+      assert(recall == nHits.toDouble / nExact.toDouble && recall >= 0.0 && recall <= 1.0)
+      ()
+    }
+  }
+
   test("salted revenue equals the broadcast-join revenue, brand for brand") {
     val a = Relational.saltedRevenueByBrand(spark, sf)
       .as[(String, Double, Long)].collect().toSet
