@@ -146,7 +146,20 @@ object SparkEntry {
     "q86_cdc_merge" -> ((s, d) => Reindex.cdcMerge(s, d)),
     // ANN recall audit: recall@k of the q26 LSH index vs the exact
     // q24 top-k over the same probes (Similarity.annRecall)
-    "q87_ann_recall" -> ((s, d) => Similarity.annRecall(s, d))
+    "q87_ann_recall" -> ((s, d) => Similarity.annRecall(s, d)),
+    // — round-11 widening, batch 2: BM25 query-by-example retrieval
+    //   (the reference's Solr sink ranks with exactly this function),
+    //   per-source KL drift, and the two product-analytics staples —
+    "q88_bm25" -> ((s, d) => TextAnalysis.bm25Search(s, d)),
+    "q89_source_drift" -> ((s, d) => TextAnalysis.sourceDrift(s, d)),
+    "q90_funnel" -> ((s, d) => EventOps.funnel(s, d)),
+    "q91_retention" -> ((s, d) => EventOps.retentionCohorts(s, d)),
+    // — round-11 widening, batch 3: product-quantization ANN (the
+    //   memory-bound scale path — search touches codes + codebooks,
+    //   never raw vectors), robust MAD length gate, session paths —
+    "q92_pq_ann" -> ((s, d) => Similarity.pqAnn(s, d)),
+    "q93_mad_outliers" -> ((s, d) => TextAnalysis.madOutliers(s, d)),
+    "q94_session_paths" -> ((s, d) => EventOps.sessionPaths(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -242,6 +255,37 @@ object SparkEntry {
        |  FOR d IN range(1, 65)] AS c_emb FROM u$i),
        |c$i AS (SELECT p.cid, coalesce(m$i.c_emb, p.c_emb) AS c_emb
        |  FROM $prev p LEFT JOIN m$i USING (cid))""".stripMargin
+
+  /** Per-subspace PQ codebook CTEs (q92), mirroring Similarity.pqAnn:
+    * slice the embedding to subspace `s`, q54's Lloyd contract at
+    * subDim dims (first-k init, bounded sample, ONE iteration,
+    * argmax-dot ties→lowest-cid, vec_id-ordered mean fold, float32
+    * round-back, empty cells keep previous), then the full-corpus code
+    * assignment.  Emits CTEs sub$s/psmp$s/pc${s}0/pa$s/pu$s/pm$s/
+    * pc${s}1 (the trained codebook) and pk$s (the code column).
+    */
+  private def pqSubspaceSql(s: Int, subDim: Int, k: Int, sampleN: Int): String = {
+    val lo = s * subDim + 1
+    val hi = (s + 1) * subDim
+    s"""sub$s AS (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings),
+       |psmp$s AS (SELECT vec_id, embedding FROM sub$s WHERE vec_id < $sampleN),
+       |pc${s}0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM sub$s WHERE vec_id < $k),
+       |pa$s AS (SELECT t.vec_id, t.embedding, c.cid,
+       |  row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |    ${dotSql("t.embedding", "c.c_emb")} DESC, c.cid) AS rk
+       |  FROM psmp$s t CROSS JOIN pc${s}0 c),
+       |pu$s AS (SELECT cid, list(embedding ORDER BY vec_id) AS embs
+       |  FROM pa$s WHERE rk = 1 GROUP BY cid),
+       |pm$s AS (SELECT cid, [CAST(list_reduce(list_transform(embs,
+       |    x -> CAST(x[d] AS DOUBLE)), (a, b) -> a + b) / len(embs) AS REAL)
+       |  FOR d IN range(1, ${subDim + 1})] AS c_emb FROM pu$s),
+       |pc${s}1 AS (SELECT p.cid, coalesce(pm$s.c_emb, p.c_emb) AS c_emb
+       |  FROM pc${s}0 p LEFT JOIN pm$s USING (cid)),
+       |pk$s AS (SELECT vec_id, cid FROM (
+       |  SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY
+       |    ${dotSql("t.embedding", "c.c_emb")} DESC, c.cid) AS rk
+       |  FROM sub$s t CROSS JOIN pc${s}1 c) z WHERE rk = 1)""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables.  Omitted for q33 (HLL sketch), q34 (stub
@@ -733,6 +777,175 @@ object SparkEntry {
          |SELECT probe_id, count(*) AS n_exact, CAST(sum(hit) AS BIGINT) AS n_hits,
          |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
          |FROM j GROUP BY probe_id""".stripMargin,
+    // BM25 mirror of TextAnalysis.bm25Search: q82's tf/df/tfidf CTEs
+    // pick each probe's top-3 query terms; the Okapi score replays
+    // Spark's IEEE sequence exactly — idf = ln((N-df+0.5)/(df+0.5))
+    // (GraftLn is libm ln, bit-identical to DuckDB's), the length
+    // norm's constants fold identically ((1.0-0.75) → 0.25, (1.2+1.0)
+    // → 2.2 — the same two IEEE ops both engines), avgdl is ONE
+    // divide of exact integers, and the per-(probe,doc) sum folds in
+    // token order with a 0.0 seed (list_prepend == Spark's lit(0.0)
+    // aggregate seed).  Ranking ties break on doc_id.
+    "q88_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        |ts AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |  CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |qr AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, token ASC) AS rank FROM ts),
+        |probes AS (SELECT doc_id AS probe_id, token FROM qr
+        |  WHERE rank <= 3 AND doc_id < 10),
+        |terms AS (SELECT p.probe_id, tf.doc_id, tf.token,
+        |  ln((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+        |     / (CAST(df.df AS DOUBLE) + 0.5))
+        |  * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |     / (CAST(tf.tf AS DOUBLE)
+        |        + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))) AS s
+        |  FROM probes p JOIN tf ON p.token = tf.token
+        |  JOIN df ON df.token = tf.token
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN st),
+        |g AS (SELECT probe_id, doc_id, count(*) AS n_hits,
+        |  list_reduce(list_prepend(0.0, list(s ORDER BY token)), (a, x) -> a + x) AS score
+        |  FROM terms GROUP BY probe_id, doc_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |       ORDER BY score DESC, doc_id ASC) AS rank FROM g)
+        |SELECT probe_id, CAST(rank AS INTEGER) AS rank, doc_id, n_hits, score
+        |FROM r WHERE rank <= 5""".stripMargin,
+    // KL-drift mirror of TextAnalysis.sourceDrift: corpus counts and
+    // per-source totals RE-aggregate the (source, token) frame exactly
+    // as Spark does (sum of cs, not a second scan); p, q, p/q are each
+    // one divide; the per-source fold is token-ordered with the 0.0
+    // seed.  n_tokens surfaces as BIGINT (DuckDB sum() is HUGEINT).
+    "q89_source_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cs AS (SELECT source, token, count(*) AS cs FROM tok GROUP BY source, token),
+        |c AS (SELECT token, CAST(sum(cs) AS BIGINT) AS c FROM cs GROUP BY token),
+        |tsrc AS (SELECT source, CAST(sum(cs) AS BIGINT) AS t_src FROM cs GROUP BY source),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_all FROM c),
+        |s AS (SELECT cs.source, cs.token,
+        |  CAST(cs.cs AS DOUBLE) / CAST(t_src AS DOUBLE) AS p,
+        |  CAST(c.c AS DOUBLE) / CAST(t_all AS DOUBLE) AS q
+        |  FROM cs JOIN c USING (token) JOIN tsrc USING (source) CROSS JOIN tot),
+        |s2 AS (SELECT source, token, p * ln(p / q) AS contrib FROM s),
+        |g AS (SELECT source, count(*) AS n_terms,
+        |  list_reduce(list_prepend(0.0, list(contrib ORDER BY token)), (a, x) -> a + x) AS kl_nats
+        |  FROM s2 GROUP BY source)
+        |SELECT g.source, g.n_terms, tsrc.t_src AS n_tokens, g.kl_nats
+        |FROM g JOIN tsrc ON g.source = tsrc.source""".stripMargin,
+    // Funnel mirror of EventOps.funnel: the same min-after-previous
+    // cascade in integer epoch-millis; strict > at each stage; the
+    // only double is the final ratio.
+    "q90_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |u1 AS (SELECT user_id, min(ms) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |u2 AS (SELECT e.user_id, min(e.ms) AS t2 FROM e JOIN u1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ms > u1.t1 GROUP BY e.user_id),
+        |u3 AS (SELECT e.user_id, min(e.ms) AS t3 FROM e JOIN u2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ms > u2.t2 GROUP BY e.user_id),
+        |c AS (SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users FROM u1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM u2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM u3),
+        |f AS (SELECT count(*) AS n_first FROM u1)
+        |SELECT stage_idx, stage, n_users,
+        |  CAST(n_users AS DOUBLE) / CAST(n_first AS DOUBLE) AS pct_of_first
+        |FROM c CROSS JOIN f""".stripMargin,
+    // Retention mirror of EventOps.retentionCohorts: weeks are integer
+    // epoch-ms // 604800000 (DuckDB's // == Spark's div on positive
+    // BIGINTs); distinct (user, week), min-week cohorts, equi-join,
+    // one final divide.
+    "q91_retention" ->
+      """WITH w AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id),
+        |s AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY cohort_week),
+        |a AS (SELECT f.cohort_week, w.week - f.cohort_week AS week_offset,
+        |  count(*) AS n_active
+        |  FROM w JOIN f ON w.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.week_offset, a.n_active, s.cohort_size,
+        |  CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+        |FROM a JOIN s ON a.cohort_week = s.cohort_week""".stripMargin,
+    // PQ-ANN mirror of Similarity.pqAnn: four independent subspace
+    // codebooks (q54's Lloyd contract at 16 dims each), integer code
+    // assignment (argmax dot, ties → lowest cid == assignCells'
+    // max-struct rule), and ADC scoring — probe's EXACT subvector ·
+    // assigned centroid, four sequential-fold dots added left to
+    // right, the same IEEE sequence Spark's reduce(_ + _) emits.
+    "q92_pq_ann" ->
+      s"""WITH ${(0 until 4).map(pqSubspaceSql(_, 16, 8, 256)).mkString(",\n")},
+         |codes AS (SELECT pk0.vec_id, pk0.cid AS k0, pk1.cid AS k1,
+         |    pk2.cid AS k2, pk3.cid AS k3
+         |  FROM pk0 JOIN pk1 USING (vec_id) JOIN pk2 USING (vec_id)
+         |  JOIN pk3 USING (vec_id)),
+         |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |  ${dotSql("p.embedding[1:16]", "z0.c_emb")}
+         |  + ${dotSql("p.embedding[17:32]", "z1.c_emb")}
+         |  + ${dotSql("p.embedding[33:48]", "z2.c_emb")}
+         |  + ${dotSql("p.embedding[49:64]", "z3.c_emb")} AS adc
+         |  FROM embeddings p JOIN codes c ON p.vec_id < 10 AND p.vec_id <> c.vec_id
+         |  JOIN pc01 z0 ON z0.cid = c.k0
+         |  JOIN pc11 z1 ON z1.cid = c.k1
+         |  JOIN pc21 z2 ON z2.cid = c.k2
+         |  JOIN pc31 z3 ON z3.cid = c.k3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY adc DESC, neighbor_id) AS rank FROM sc)
+         |SELECT probe_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // MAD mirror of TextAnalysis.madOutliers: both medians are the
+    // lower-median rn == ceil(0.5·n) row of a (value, doc_id) ranking
+    // (q51's exact-percentile rule); the gate compares exact integers
+    // through two exact int→double conversions; one final ratio.
+    "q93_mad_outliers" ->
+      """WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+        |r1 AS (SELECT source, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n FROM d),
+        |med AS (SELECT source, n_chars AS med_chars FROM r1
+        |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+        |dv AS (SELECT d.source, d.doc_id, d.n_chars, med.med_chars,
+        |  abs(d.n_chars - med.med_chars) AS dev FROM d JOIN med USING (source)),
+        |r2 AS (SELECT source, doc_id, dev,
+        |  row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n FROM dv),
+        |mad AS (SELECT source, dev AS mad_chars FROM r2
+        |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+        |g AS (SELECT dv.source, count(*) AS n_docs,
+        |  max(dv.med_chars) AS med_chars, max(mad.mad_chars) AS mad_chars,
+        |  CAST(sum(CASE WHEN CAST(dv.dev AS DOUBLE) > 3.0 * CAST(mad.mad_chars AS DOUBLE)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |  FROM dv JOIN mad USING (source) GROUP BY dv.source)
+        |SELECT source, n_docs, med_chars, mad_chars, n_outliers,
+        |  CAST(n_outliers AS DOUBLE) / CAST(n_docs AS DOUBLE) AS outlier_pct
+        |FROM g""".stripMargin,
+    // Session-path mirror of EventOps.sessionPaths: q67's strict
+    // >30-min-gap session rule computed on epoch MICROseconds (the
+    // precision Tables.events normalizes to, so both engines order by
+    // the identical integer key), per-session event-type lists in
+    // (us, event_id) order, trigram comprehension, top-20 by
+    // (count DESC, path ASC) — a total order, so LIMIT is exact.
+    "q94_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us FROM e),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |  THEN 1 ELSE 0 END AS new_session FROM l),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |seq AS (SELECT user_id, sid, list(event_type ORDER BY us, event_id) AS evs
+        |  FROM s GROUP BY user_id, sid),
+        |p AS (SELECT unnest([array_to_string(evs[i:i+2], '->')
+        |    FOR i IN range(1, len(evs) - 1)]) AS path
+        |  FROM seq WHERE len(evs) >= 3)
+        |SELECT path, count(*) AS n_paths FROM p GROUP BY path
+        |ORDER BY n_paths DESC, path ASC LIMIT 20""".stripMargin,
     "q50_variance" ->
       """WITH s AS (SELECT c_nationkey, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,

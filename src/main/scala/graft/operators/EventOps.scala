@@ -197,4 +197,110 @@ object EventOps {
       .agg(count(col("c_id")).as("n_prev_24h"))
       .select(col("e_id").as("event_id"), col("e_user").as("user_id"), col("n_prev_24h"))
   }
+
+  /** Ordered conversion funnel (q90): how many users reach
+    * view → click → purchase IN ORDER — stage n counts users with a
+    * stage-n event strictly after their first stage-(n−1) completion.
+    * The product-analytics staple, and a pure relational cascade:
+    *
+    *   u1 = min ts of 'view' per user
+    *   u2 = min ts of 'click' after u1,  u3 = min ts of 'purchase' after u2
+    *
+    * Time is integer epoch-millis (exact both engines); the only
+    * double is the final count ratio (one IEEE divide of exact
+    * integers).
+    *
+    * 100 TB shape: each stage is one equi-join ON user_id against the
+    * previous stage's per-user frame (which SHRINKS monotonically —
+    * stage n+1's build side is at most stage n's users) plus a
+    * min-agg with map-side combine; the final three counts are 1-row
+    * frames unioned and divided against a broadcast denominator.  No
+    * window over a low-cardinality key, nothing pairwise.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val u1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("t1"))
+    val u2 = e.filter(col("event_type") === "click")
+      .join(u1, Seq("user_id")).filter(col("ms") > col("t1"))
+      .groupBy("user_id").agg(min(col("ms")).as("t2"))
+    val u3 = e.filter(col("event_type") === "purchase")
+      .join(u2, Seq("user_id")).filter(col("ms") > col("t2"))
+      .groupBy("user_id").agg(min(col("ms")).as("t3"))
+    def stage(u: DataFrame, idx: Int, name: String) =
+      u.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"), col("n_users"))
+    val first = u1.agg(count(lit(1)).as("n_first"))
+    stage(u1, 1, "view").union(stage(u2, 2, "click")).union(stage(u3, 3, "purchase"))
+      .crossJoin(broadcast(first))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        (col("n_users").cast("double") / col("n_first").cast("double")).as("pct_of_first"))
+  }
+
+  /** Retention cohorts (q91): users grouped by first-seen week; each
+    * (cohort, week-offset) cell counts users from that cohort active
+    * that many weeks later.  Weeks are integer epoch-millis DIV
+    * 604800000 — integral division, never a float boundary (`ms /
+    * weekMs` in doubles can land one ulp under an exact multiple and
+    * floor() off by one; `div` can't).
+    *
+    * 100 TB shape: the distinct (user, week) frame is one shuffle;
+    * first-seen is a min-agg on user_id reusing that partitioning;
+    * the activity join is an equi-join ON user_id; cohort sizes are a
+    * tiny (weeks × 1) frame broadcast onto the cells.  Retention is
+    * one IEEE divide of exact integers.
+    */
+  /** Top session paths (q94): the `n`-step event-type sequences users
+    * actually walk inside a session, ranked by frequency — the "what
+    * do people do before purchasing" path-analysis staple.  Sessions
+    * use the q67 rule (strict > 30-min gap starts a new one) computed
+    * in MICROseconds, the precision Tables.events normalizes to, so
+    * the DuckDB oracle orders by the identical integer key.
+    *
+    * 100 TB shape: sessionization is the classic two-window pass, one
+    * shuffle on user_id (high-cardinality); per-session event lists
+    * are session-bounded (collect_list state ≤ events-per-session,
+    * never per-user unbounded); the n-gram expansion is a narrow
+    * generator; the final top-M is a TakeOrderedAndProject bounded
+    * heap, never a global sort.
+    */
+  def sessionPaths(spark: SparkSession, dir: String,
+                   gapUs: Long = 1800000000L, n: Int = 3, topM: Int = 20): DataFrame = {
+    val wOrd = byUser.orderBy(col("us").asc, col("event_id").asc)
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wOrd))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_session"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    e.groupBy("user_id", "sid")
+      .agg(sort_array(collect_list(struct(col("us"), col("event_id"), col("event_type"))))
+        .as("evs"))
+      .filter(size(col("evs")) >= n)
+      .select(explode(expr(
+        s"""transform(sequence(0, size(evs) - $n),
+           |  i -> concat_ws('->', transform(slice(evs, i + 1, $n), x -> x.event_type)))"""
+          .stripMargin)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("path").asc)
+      .limit(topM)
+  }
+
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val wk = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("week"))
+      .distinct()
+    val cohort = wk.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    wk.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double")).as("retention"))
+  }
 }

@@ -193,16 +193,17 @@ object Similarity {
     * vectors total.  No all-pairs, no driver collect.
     */
   private[operators] def lloydCentroids(emb: DataFrame, k: Int,
-                                        iters: Int, sampleN: Int): DataFrame = {
+                                        iters: Int, sampleN: Int,
+                                        dims: Int = 64): DataFrame = {
     val sample = emb.filter(col("vec_id") < sampleN).select("vec_id", "embedding")
     // per-dim mean over members sorted by vec_id: fold matches DuckDB's
     // list_reduce over list(embedding ORDER BY vec_id), then one
     // double→float rounding (round-to-nearest-even in both engines)
     val meanExpr = expr(
-      """transform(sequence(0, 63), d ->
-        |  cast(aggregate(members, cast(0.0 as double),
-        |         (acc, m) -> acc + cast(m.embedding[d] as double))
-        |       / size(members) as float))""".stripMargin)
+      s"""transform(sequence(0, ${dims - 1}), d ->
+         |  cast(aggregate(members, cast(0.0 as double),
+         |         (acc, m) -> acc + cast(m.embedding[d] as double))
+         |       / size(members) as float))""".stripMargin)
     var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("c_emb"))
     for (_ <- 1 to iters) {
@@ -343,4 +344,59 @@ object Similarity {
         count(lit(1)).as("n_vecs"),
         min(col("nrm")).as("min_norm"),
         max(col("nrm")).as("max_norm"))
+
+  /** Product-quantization ANN (q92, Jégou et al. 2011): the embedding
+    * splits into `m` subvectors of `subDim` dims; each subspace trains
+    * its own `k`-centroid codebook (the SAME deterministic Lloyd
+    * contract as ivfAnn, per subspace) and every vector is encoded as
+    * `m` small centroid ids — 64 floats compress to 4 bytes here.
+    * Search is asymmetric distance computation (ADC): the probe keeps
+    * its EXACT subvectors and scores a candidate by summing, subspace
+    * by subspace in fixed order, the dot product of the probe
+    * subvector with the candidate's ASSIGNED centroid.
+    *
+    * Determinism: codes are integers (argmax-dot assignment, ties →
+    * lowest cid — assignCells' rule); each ADC contribution is the
+    * native sequential-fold dot product; the m contributions add
+    * left-to-right; ranking ties break on neighbor_id.
+    *
+    * 100 TB shape: this is THE memory-bound ANN scale path — the
+    * search never touches raw candidate vectors, only the m-byte code
+    * table and m broadcast codebooks (k rows each).  Training is
+    * bounded-sample per subspace; encoding is m broadcast(k)-argmax
+    * passes; the probe set broadcasts onto the code table (q24's
+    * bounded probe shape); nothing is ever corpus-pairwise.  A
+    * production variant composes this with ivfAnn's cells (IVF-PQ:
+    * coarse cell equi-join, then ADC inside the cell).
+    */
+  def pqAnn(spark: SparkSession, dir: String, m: Int = 4, subDim: Int = 16,
+            k: Int = 8, iters: Int = 1, sampleN: Int = 256,
+            nProbes: Int = 10, topK: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val parts = (0 until m).map { s =>
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
+      val cents = lloydCentroids(sub, k, iters, sampleN, subDim)
+      val codes = assignCells(sub, cents)
+        .select(col("vec_id"), col("cid").as(s"k$s"))
+      val book = cents.select(col("cid").as(s"cid$s"), col("c_emb").as(s"cemb$s"))
+      (codes, book)
+    }
+    val codeTable = parts.map(_._1).reduce((a, b) => a.join(b, Seq("vec_id")))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val cand = parts.zipWithIndex.foldLeft(
+      broadcast(probes).join(codeTable, col("probe_id") =!= col("vec_id"))) {
+      case (df, ((_, book), s)) => df.join(broadcast(book), col(s"k$s") === col(s"cid$s"))
+    }
+    val adc = (0 until m)
+      .map(s => dot(slice(col("p_emb"), s * subDim + 1, subDim), col(s"cemb$s")))
+      .reduce(_ + _)
+    val w = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("neighbor_id").asc)
+    cand.withColumn("adc", adc)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adc"))
+  }
 }

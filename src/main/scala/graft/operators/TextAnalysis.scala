@@ -550,4 +550,162 @@ object TextAnalysis {
         expr(s"cum_before DIV $contextLen").as("pack_id"),
         (col("cum_before") % contextLen).as("pack_offset"))
   }
+
+  /** BM25 keyword retrieval (q88): score every document against each
+    * probe document's top-3 TF-IDF terms (query-by-example search —
+    * the native analog of the Solr collection the reference feeds,
+    * whose default ranking IS BM25) and keep the top-`topK` matches
+    * per probe.  Okapi BM25 with k1=1.2, b=0.75:
+    *
+    *   score(q,d) = Σ_t  ln((N - df + 0.5)/(df + 0.5))
+    *                · tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    *
+    * Determinism: tf/df/dl are exact integer aggregations; avgdl is
+    * ONE divide of exact integers; each term score is a fixed IEEE
+    * sequence (the log through MathFunctions.ln — libm parity); the
+    * per-(probe,doc) sum folds in TOKEN order via
+    * sort_array(collect_list) so the oracle replays the exact
+    * sequence; ranking ties break on doc_id.
+    *
+    * 100 TB shape: tf/df/dl are single keyed shuffles with map-side
+    * combine; the probe term list (nProbes·3 rows) broadcasts onto
+    * the token-keyed tf — the classic tiny-query-against-giant-index
+    * probe; corpus stats arrive as a broadcast 1-row frame; the
+    * top-k is a probe_id-partitioned row_number.  Nothing is ever
+    * pairwise in the corpus.
+    */
+  def bm25Search(spark: SparkSession, dir: String, nProbes: Int = 10,
+                 topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val queryTerms = tfidfTerms(spark, dir, 3)
+      .filter(col("doc_id") < nProbes)
+      .select(col("doc_id").as("probe_id"), col("token"))
+    val terms = broadcast(queryTerms)
+      .join(tf, Seq("token"))
+      .join(df, Seq("token"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", graft.functions.MathFunctions.ln(
+        (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))))
+      .withColumn("s", col("idf") *
+        ((col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * ((lit(1.0) - lit(b)) +
+              lit(b) * (col("dl").cast("double") / col("avgdl"))))))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    terms.groupBy("probe_id", "doc_id")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        aggregate(sort_array(collect_list(struct(col("token"), col("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("doc_id"), col("n_hits"), col("score"))
+  }
+
+  /** Per-source distribution drift (q89): KL(P_source ‖ P_corpus) over
+    * token unigram distributions — the mixture-monitoring signal of a
+    * curation pipeline (a source whose language drifts away from the
+    * corpus mix lights up here; KL ≥ 0 with equality iff the source
+    * matches the corpus distribution exactly).
+    *
+    *   KL = Σ_t p_t · ln(p_t / q_t),  p = c_src/T_src,  q = c/T
+    *
+    * Every source token occurs in the corpus, so q_t > 0 always and
+    * the sum is finite.  Determinism: counts are exact integers; p, q
+    * and p/q are each ONE divide; the log is MathFunctions.ln (libm
+    * parity); the per-source sum folds in TOKEN order with a 0.0 seed
+    * (the oracle mirrors it as list_prepend(0.0, list(... ORDER BY
+    * token)) + list_reduce).
+    *
+    * 100 TB shape: (source, token) counts are one shuffle with
+    * map-side combine; corpus counts and per-source totals RE-aggregate
+    * that frame (no second corpus scan); the score join is an
+    * equi-join ON token between vocab-sized frames; the grand total is
+    * a broadcast 1-row frame.  The order-pinned fold gathers one
+    * vocab-sized list per source — vocab-bounded, not corpus-bounded;
+    * a production variant that tolerates last-ulp drift would use a
+    * plain sum and skip the collect entirely.
+    */
+  /** MAD outlier gate (q93): per-source robust document-length
+    * outliers — median and median-absolute-deviation instead of
+    * mean/stddev, so a handful of monster documents can't drag the
+    * threshold toward themselves (the reason curation pipelines gate
+    * on MAD, not z-scores).  A document is an outlier when
+    * |n_chars − median| > cutoff · MAD.
+    *
+    * Determinism: both medians are LOWER medians — the rn ==
+    * ceil(0.5·n) row of a (value, doc_id)-ordered ranking, q51's
+    * exact-percentile rule — so every statistic is an actual data
+    * value and the whole gate is integer arithmetic except the final
+    * ratio (and the cutoff·MAD compare, two exact int→double
+    * conversions).
+    *
+    * 100 TB shape: the same two-pass story as q51/q65 — the ranking
+    * windows partition on source; a source too hot for one partition
+    * switches to the q65 two-pass range-partition form (documented
+    * there); medians and MADs are per-source 1-row frames that join
+    * back BROADCAST.  Everything else is partial+final aggregation.
+    */
+  def madOutliers(spark: SparkSession, dir: String, cutoff: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("source").orderBy(col(valueCol).asc, col("doc_id").asc)
+      val wc = Window.partitionBy("source")
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .filter(col("rn") === ceil(lit(0.5) * col("n")).cast("long"))
+        .select(col("source"), col(valueCol).as(out))
+    }
+    val med = lowerMedian(docs, "n_chars", "med_chars")
+    val dev = docs.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs(col("n_chars") - col("med_chars")))
+    val mad = lowerMedian(dev.select(col("source"), col("doc_id"), col("dev")),
+      "dev", "mad_chars")
+    dev.join(broadcast(mad), Seq("source"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("med_chars")).as("med_chars"),
+        max(col("mad_chars")).as("mad_chars"),
+        sum(when(col("dev").cast("double") > lit(cutoff) * col("mad_chars").cast("double"),
+          1L).otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_pct",
+        col("n_outliers").cast("double") / col("n_docs").cast("double"))
+  }
+
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("cs"))
+    val c = cs.groupBy("token").agg(sum(col("cs")).as("c"))
+    val tsrc = cs.groupBy("source").agg(sum(col("cs")).as("t_src"))
+    val tot = c.agg(sum(col("c")).as("t_all"))
+    cs.join(c, Seq("token"))
+      .join(broadcast(tsrc), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", col("cs").cast("double") / col("t_src").cast("double"))
+      .withColumn("q", col("c").cast("double") / col("t_all").cast("double"))
+      .withColumn("contrib",
+        col("p") * graft.functions.MathFunctions.ln(col("p") / col("q")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max(col("t_src")).as("n_tokens"),
+        aggregate(sort_array(collect_list(struct(col("token"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("kl_nats"))
+  }
 }

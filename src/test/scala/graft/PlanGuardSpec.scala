@@ -243,6 +243,93 @@ class PlanGuardSpec extends SparkSuite {
     assert(shuffles(df) <= 2, "one exchange per join side, nothing downstream")
   }
 
+  test("q88 BM25: query terms broadcast onto the token-keyed index; top-k windows on probe_id") {
+    val df = TextAnalysis.bm25Search(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    // two 1-row broadcast frames (tfidf's N inside the probe subtree,
+    // the corpus stats outside) may ride nested loops; nothing else
+    assert(ns.count(_.contains("BroadcastNestedLoopJoin")) <= 2)
+    assert(ns.exists(_.contains("BroadcastHashJoin")),
+      "the nProbes·3 query-term frame must broadcast onto tf")
+    val windows = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "ranking windows partition on a key, never single-partition")
+  }
+
+  test("q89 KL drift: corpus totals RE-aggregate the (source,token) frame; token-keyed join; no window") {
+    val df = TextAnalysis.sourceDrift(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    assert(ns.count(_.contains("BroadcastNestedLoopJoin")) <= 1, "only the 1-row grand total")
+    assert(plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty,
+      "the per-source fold is a hash agg, never a window")
+    assert(ns.count(_.contains("HashAggregate")) >= 6,
+      "cs / c / t_src are all partial+final aggs")
+  }
+
+  test("q90 funnel: each stage is an equi-join on user_id against a shrinking build side") {
+    val df = EventOps.funnel(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    // the only nested loop is the 1-row denominator broadcast
+    assert(ns.count(_.contains("BroadcastNestedLoopJoin")) <= 1)
+    assert(ns.count(n => n.contains("HashJoin") || n.contains("SortMergeJoin")) >= 2,
+      "stage 2 and stage 3 are keyed joins")
+  }
+
+  test("q91 retention: cohort sizes broadcast; activity join is keyed; no window, no pair scan") {
+    val df = EventOps.retentionCohorts(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    assert(!ns.exists(_.contains("NestedLoop")))
+    assert(ns.exists(_.contains("BroadcastHashJoin")), "cohort sizes arrive broadcast")
+    assert(plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+  }
+
+  test("q92 PQ-ANN: codebooks join broadcast-hash; the only nested loop is the bounded probe product") {
+    val df = Similarity.pqAnn(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    // probe × code-table is ONE bounded BroadcastNestedLoopJoin (q24's
+    // probe shape); training's broadcast(k)-centroid products are
+    // equi-keyed or bounded the same way — no unbounded nested loop
+    assert(ns.count(_.contains("BroadcastHashJoin")) >= 4,
+      "four codebook lookups must be broadcast hash joins")
+    val windows = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "ADC ranking windows on probe_id, never single-partition")
+  }
+
+  test("q93 MAD gate: medians join back BROADCAST; ranking windows partition on source") {
+    val df = TextAnalysis.madOutliers(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    assert(!ns.exists(_.contains("NestedLoop")))
+    assert(ns.exists(_.contains("BroadcastHashJoin")),
+      "per-source median/MAD frames arrive broadcast")
+    val windows = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("q94 session paths: one user_id shuffle feeds sessionization; top-M is a bounded heap") {
+    val df = EventOps.sessionPaths(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    assert(!ns.exists(_.contains("NestedLoop")))
+    assert(ns.exists(_.contains("TakeOrderedAndProject")),
+      "top-M paths ride the heap, never a global sort")
+    val windows = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "session windows partition on user_id")
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
