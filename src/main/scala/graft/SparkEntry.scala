@@ -159,7 +159,14 @@ object SparkEntry {
     //   never raw vectors), robust MAD length gate, session paths —
     "q92_pq_ann" -> ((s, d) => Similarity.pqAnn(s, d)),
     "q93_mad_outliers" -> ((s, d) => TextAnalysis.madOutliers(s, d)),
-    "q94_session_paths" -> ((s, d) => EventOps.sessionPaths(s, d))
+    "q94_session_paths" -> ((s, d) => EventOps.sessionPaths(s, d)),
+    // — round-11 widening, batch 4: the IVF-PQ composition (coarse
+    //   cell equi-join + ADC-over-codes), shingle-level source
+    //   overlap, PMI collocations, fixed-count stratified sample —
+    "q95_ivfpq_ann" -> ((s, d) => Similarity.ivfPqAnn(s, d)),
+    "q96_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
+    "q97_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
+    "q98_fixed_sample" -> ((s, d) => TextAnalysis.fixedSample(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -946,6 +953,90 @@ object SparkEntry {
         |  FROM seq WHERE len(evs) >= 3)
         |SELECT path, count(*) AS n_paths FROM p GROUP BY path
         |ORDER BY n_paths DESC, path ASC LIMIT 20""".stripMargin,
+    // IVF-PQ mirror of Similarity.ivfPqAnn: q54's coarse Lloyd at ONE
+    // iteration assigns every vector a cell; q92's four subspace
+    // codebooks encode it; candidates are same-cell only (equi-join),
+    // scored by the identical fixed-sequence ADC sum.
+    "q95_ivfpq_ann" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         |smp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
+         |${lloydIterSql("c0", 1)},
+         |cellasg AS (SELECT vec_id, cid AS cell FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    ${dotSql("e.embedding", "c.c_emb")} DESC, c.cid) AS rk
+         |  FROM embeddings e CROSS JOIN c1 c) z WHERE rk = 1),
+         |${(0 until 4).map(pqSubspaceSql(_, 16, 8, 256)).mkString(",\n")},
+         |codes AS (SELECT pk0.vec_id, ca.cell, pk0.cid AS k0, pk1.cid AS k1,
+         |    pk2.cid AS k2, pk3.cid AS k3
+         |  FROM pk0 JOIN pk1 USING (vec_id) JOIN pk2 USING (vec_id)
+         |  JOIN pk3 USING (vec_id) JOIN cellasg ca USING (vec_id)),
+         |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+         |  ${dotSql("p.embedding[1:16]", "z0.c_emb")}
+         |  + ${dotSql("p.embedding[17:32]", "z1.c_emb")}
+         |  + ${dotSql("p.embedding[33:48]", "z2.c_emb")}
+         |  + ${dotSql("p.embedding[49:64]", "z3.c_emb")} AS adc
+         |  FROM embeddings p JOIN cellasg pc ON pc.vec_id = p.vec_id
+         |  JOIN codes c ON p.vec_id < 10 AND p.vec_id <> c.vec_id AND c.cell = pc.cell
+         |  JOIN pc01 z0 ON z0.cid = c.k0
+         |  JOIN pc11 z1 ON z1.cid = c.k1
+         |  JOIN pc21 z2 ON z2.cid = c.k2
+         |  JOIN pc31 z3 ON z3.cid = c.k3),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY adc DESC, neighbor_id) AS rank FROM sc)
+         |SELECT probe_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // Overlap mirror of Dedup.sourceOverlap: distinct (source,
+    // trigram) frame (q69's comprehension), self-equi-join on the
+    // shingle with src_a < src_b, per-source sizes, integer Jaccard
+    // arithmetic up to one divide.
+    "q96_source_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |  unnest([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS shingle
+        |  FROM w WHERE len(w) >= 3),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |inter AS (SELECT a.source AS source_x, b.source AS source_y, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.source_x, i.source_y, sa.n AS n_a, sb.n AS n_b, i.n_inter,
+        |  CAST(i.n_inter AS DOUBLE) / CAST(sa.n + sb.n - i.n_inter AS DOUBLE) AS jaccard
+        |FROM inter i JOIN sizes sa ON sa.source = i.source_x
+        |JOIN sizes sb ON sb.source = i.source_y""".stripMargin,
+    // PMI mirror of TextAnalysis.pmiCollocations: q83's
+    // multiplicity-keeping bigram comprehension, exact counts, one
+    // divide per probability, one multiply + one divide + libm ln per
+    // score, (pmi DESC, bigram ASC) total order for the LIMIT.
+    "q97_pmi" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |cb AS (SELECT bigram, count(*) AS cb FROM (
+        |  SELECT unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS bigram
+        |  FROM w WHERE len(w) >= 2) GROUP BY bigram),
+        |cu AS (SELECT w1, count(*) AS cu FROM (SELECT unnest(w) AS w1 FROM w) GROUP BY w1),
+        |tot AS (SELECT (SELECT CAST(sum(cb) AS BIGINT) FROM cb) AS b_total,
+        |               (SELECT CAST(sum(cu) AS BIGINT) FROM cu) AS t_total),
+        |s AS (SELECT cb.bigram, cb.cb, c1.cu AS c1, c2.cu AS c2,
+        |  CAST(cb.cb AS DOUBLE) / CAST(tot.b_total AS DOUBLE) AS p_ab,
+        |  CAST(c1.cu AS DOUBLE) / CAST(tot.t_total AS DOUBLE) AS p_a,
+        |  CAST(c2.cu AS DOUBLE) / CAST(tot.t_total AS DOUBLE) AS p_b
+        |  FROM cb JOIN cu c1 ON c1.w1 = string_split(cb.bigram, ' ')[1]
+        |  JOIN cu c2 ON c2.w1 = string_split(cb.bigram, ' ')[2]
+        |  CROSS JOIN tot WHERE cb.cb >= 5)
+        |SELECT bigram, cb, c1, c2, ln(p_ab / (p_a * p_b)) AS pmi
+        |FROM s ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin,
+    // Fixed-sample mirror of TextAnalysis.fixedSample: md5 hex digits
+    // 9-12 as the integer priority (independent of q63's 1-4 and
+    // q75's 5-8), (priority, doc_id) ranking, rank <= 10.
+    "q98_fixed_sample" ->
+      """WITH pr AS (SELECT source, doc_id, CAST(
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 9, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 10, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 11, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 12, 1)) - 1)) AS INTEGER) AS priority
+        | FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY priority, doc_id) AS rank FROM pr)
+        |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, priority
+        |FROM r WHERE rank <= 10""".stripMargin,
     "q50_variance" ->
       """WITH s AS (SELECT c_nationkey, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,

@@ -514,6 +514,44 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Source-overlap matrix (q96): shingle-level Jaccard between every
+    * source PAIR — the data-mixing diagnostic that catches two
+    * "different" crawls feeding the recipe the same text (q76 counts
+    * near-dup DOC pairs; this measures raw content overlap even when
+    * no document pair trips the near-dup threshold).
+    *
+    * |A∩B| comes from a self-equi-join of the distinct (source,
+    * shingle) frame on the shingle key; |A| and |B| are per-source
+    * distinct counts; Jaccard = inter / (|A| + |B| − inter) is
+    * integer arithmetic up to ONE divide.
+    *
+    * 100 TB shape: the (source, shingle) frame is one distinct
+    * shuffle; the self-join fans out per shingle by (sources sharing
+    * it)² — bounded by the SOURCE count squared, not by document
+    * frequency, because the frame is distinct-per-source (a shingle
+    * in a million docs of the same crawl is ONE row per source).
+    * Source counts are physical datasets (dozens), so the fan-out is
+    * trivially bounded; per-source sizes join back broadcast.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val ss = Tables.documents(spark, dir)
+      .filter(size(TextFunctions.tokens(col("text"))) >= n)
+      .select(col("source"), explode(TextFunctions.shingleSet(col("text"), n)).as("shingle"))
+      .distinct()
+    val sizes = ss.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+    val inter = ss.toDF("src_a", "shingle")
+      .join(ss.toDF("src_b", "shingle_b"),
+        col("shingle") === col("shingle_b") && col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.toDF("src_a", "n_a")), Seq("src_a"))
+      .join(broadcast(sizes.toDF("src_b", "n_b")), Seq("src_b"))
+      .select(col("src_a").as("source_x"), col("src_b").as("source_y"),
+        col("n_a"), col("n_b"), col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+  }
+
   /** Per-cluster survivor selection (q77): the decision a dedup
     * pipeline actually ships — for every near-dup cluster keep the
     * highest-quality member (ties → lowest doc_id).  Composes

@@ -369,10 +369,12 @@ object Similarity {
     * production variant composes this with ivfAnn's cells (IVF-PQ:
     * coarse cell equi-join, then ADC inside the cell).
     */
-  def pqAnn(spark: SparkSession, dir: String, m: Int = 4, subDim: Int = 16,
-            k: Int = 8, iters: Int = 1, sampleN: Int = 256,
-            nProbes: Int = 10, topK: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  /** Per-subspace PQ codebooks + code table, shared by pqAnn and
+    * ivfPqAnn: returns the (vec_id, k0..k{m-1}) code table and the m
+    * broadcast-sized codebooks (cid$s, cemb$s).
+    */
+  private def pqCodebooks(emb: DataFrame, m: Int, subDim: Int, k: Int,
+                          iters: Int, sampleN: Int): (DataFrame, Seq[DataFrame]) = {
     val parts = (0 until m).map { s =>
       val sub = emb.select(col("vec_id"),
         slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
@@ -382,21 +384,69 @@ object Similarity {
       val book = cents.select(col("cid").as(s"cid$s"), col("c_emb").as(s"cemb$s"))
       (codes, book)
     }
-    val codeTable = parts.map(_._1).reduce((a, b) => a.join(b, Seq("vec_id")))
-    val probes = emb.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
-    val cand = parts.zipWithIndex.foldLeft(
-      broadcast(probes).join(codeTable, col("probe_id") =!= col("vec_id"))) {
-      case (df, ((_, book), s)) => df.join(broadcast(book), col(s"k$s") === col(s"cid$s"))
+    (parts.map(_._1).reduce((a, b) => a.join(b, Seq("vec_id"))), parts.map(_._2))
+  }
+
+  /** ADC scoring + per-probe top-k over a (probe × coded-candidate)
+    * frame: joins the m broadcast codebooks, sums the m subspace dot
+    * products left-to-right, ranks per probe (ties → neighbor_id).
+    */
+  private def adcTopK(cand: DataFrame, books: Seq[DataFrame],
+                      subDim: Int, topK: Int): DataFrame = {
+    val joined = books.zipWithIndex.foldLeft(cand) {
+      case (df, (book, s)) => df.join(broadcast(book), col(s"k$s") === col(s"cid$s"))
     }
-    val adc = (0 until m)
+    val adc = books.indices
       .map(s => dot(slice(col("p_emb"), s * subDim + 1, subDim), col(s"cemb$s")))
       .reduce(_ + _)
     val w = Window.partitionBy("probe_id").orderBy(col("adc").desc, col("neighbor_id").asc)
-    cand.withColumn("adc", adc)
+    joined.withColumn("adc", adc)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("adc"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("probe_id"), col("rank"), col("neighbor_id"), col("adc"))
+  }
+
+  def pqAnn(spark: SparkSession, dir: String, m: Int = 4, subDim: Int = 16,
+            k: Int = 8, iters: Int = 1, sampleN: Int = 256,
+            nProbes: Int = 10, topK: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (codeTable, books) = pqCodebooks(emb, m, subDim, k, iters, sampleN)
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val cand = broadcast(probes).join(codeTable, col("probe_id") =!= col("vec_id"))
+    adcTopK(cand, books, subDim, topK)
+  }
+
+  /** IVF-PQ ANN (q95): the production composition SCALING.md's q92
+    * entry promises — ivfAnn's coarse trained cells prune the
+    * candidate set via an EQUI-join on cell id, then PQ's ADC scores
+    * only within-cell candidates from their codes.  This is the
+    * FAISS IVFPQ architecture re-expressed relationally: at 100 TB
+    * the scan reads the (cell, codes) table — a few bytes per vector
+    * — the coarse search is an equi-join on a selective key, and the
+    * fine search never touches a raw candidate vector.
+    *
+    * Determinism: coarse cells and PQ codes are integers from the
+    * q54 Lloyd contract (ONE coarse iteration here; q54 itself keeps
+    * iters=2 so the two stay distinct fixtures); ADC is the q92
+    * fixed-sequence sum; ranking ties break on neighbor_id.
+    */
+  def ivfPqAnn(spark: SparkSession, dir: String,
+               nCells: Int = 8, coarseIters: Int = 1,
+               m: Int = 4, subDim: Int = 16, k: Int = 8, pqIters: Int = 1,
+               sampleN: Int = 256, nProbes: Int = 10, topK: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cells = assignCells(emb, lloydCentroids(emb, nCells, coarseIters, sampleN))
+      .select(col("vec_id"), col("cid").as("cell"))
+    val (codeTable, books) = pqCodebooks(emb, m, subDim, k, pqIters, sampleN)
+    val coded = codeTable.join(cells, Seq("vec_id"))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      .join(cells.select(col("vec_id").as("probe_id"), col("cell").as("p_cell")),
+        Seq("probe_id"))
+    val cand = broadcast(probes)
+      .join(coded, col("p_cell") === col("cell") && col("probe_id") =!= col("vec_id"))
+    adcTopK(cand, books, subDim, topK)
   }
 }

@@ -638,6 +638,80 @@ object TextAnalysis {
     * a production variant that tolerates last-ulp drift would use a
     * plain sum and skip the collect entirely.
     */
+  /** PMI collocations (q97): the top bigrams by pointwise mutual
+    * information — word pairs that co-occur far more than their
+    * unigram frequencies predict, the classic collocation /
+    * multi-word-expression detector (and a tokenizer-merge signal).
+    *
+    *   pmi(a b) = ln( p(ab) / (p(a)·p(b)) ),  p(ab) = c(ab)/B,
+    *   p(a) = c(a)/T — with a minimum count floor so hapax pairs
+    *   don't dominate (PMI's known low-frequency bias).
+    *
+    * Determinism: counts are exact integers; each probability is ONE
+    * divide; the ratio is one multiply + one divide; the log is
+    * MathFunctions.ln (libm parity); the top-M rides (pmi DESC,
+    * bigram ASC) — pmi values are bit-identical cross-engine, so the
+    * cut is a total order.
+    *
+    * 100 TB shape: bigram + unigram counts are single keyed shuffles
+    * with map-side combine (q83's shapes); the scoring joins are
+    * equi-joins ON the two unigram keys; B and T arrive as ONE
+    * broadcast 1-row frame; the top-M is a TakeOrderedAndProject
+    * bounded heap over the minCount-filtered bigram table.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String,
+                      minCount: Long = 5L, topM: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cb = docs.filter(size(tokens(col("text"))) >= 2)
+      .select(explode(shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cb"))
+    val cu = docs
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val totals = cb.agg(sum(col("cb")).as("b_total"))
+      .crossJoin(cu.agg(sum(col("cu")).as("t_total")))
+    cb.filter(col("cb") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+      .join(cu.toDF("w1", "c1"), Seq("w1"))
+      .join(cu.toDF("w2", "c2"), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .withColumn("p_ab", col("cb").cast("double") / col("b_total").cast("double"))
+      .withColumn("p_a", col("c1").cast("double") / col("t_total").cast("double"))
+      .withColumn("p_b", col("c2").cast("double") / col("t_total").cast("double"))
+      .withColumn("pmi", graft.functions.MathFunctions.ln(
+        col("p_ab") / (col("p_a") * col("p_b"))))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topM)
+      .select(col("bigram"), col("cb"), col("c1"), col("c2"), col("pmi"))
+  }
+
+  /** Fixed-count stratified sample (q98): exactly `perSource`
+    * documents from every source, chosen by md5-hash priority — the
+    * deterministic replacement for per-group reservoir sampling.  The
+    * hash key uses md5 digits 9-12, independent of both the q63 split
+    * (digits 1-4) and q75's rate sampler (digits 5-8), so composing
+    * the three never correlates.  q75 answers "keep X% of each
+    * stratum"; this answers "give me exactly N per stratum" (eval
+    * sets, human-review batches).
+    *
+    * 100 TB shape: ONE shuffle on source for the ranking window; a
+    * source too hot for a single partition switches to the q65
+    * two-pass form; there is no global sort and no driver collect.
+    * Ties can't happen — doc_id is the window's second key.
+    */
+  def fixedSample(spark: SparkSession, dir: String, perSource: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val priority = conv(substring(md5(col("doc_id").cast("string")), 9, 4), 16, 10)
+      .cast("int")
+    val w = Window.partitionBy("source").orderBy(col("priority").asc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), priority.as("priority"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perSource)
+      .select(col("source"), col("rank"), col("doc_id"), col("priority"))
+  }
+
   /** MAD outlier gate (q93): per-source robust document-length
     * outliers — median and median-absolute-deviation instead of
     * mean/stddev, so a handful of monster documents can't drag the

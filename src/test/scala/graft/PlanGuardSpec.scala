@@ -330,6 +330,46 @@ class PlanGuardSpec extends SparkSuite {
       "session windows partition on user_id")
   }
 
+  test("q95 IVF-PQ: probe-to-candidate join is an EQUI-join on the cell key, not a pair scan") {
+    val df = Similarity.ivfPqAnn(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    assert(ns.exists(_.contains("BroadcastHashJoin")),
+      "cell-keyed probe join and codebook lookups are broadcast hash joins")
+    val windows = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("q96 source overlap: self-join rides the shingle key; sizes join broadcast") {
+    val df = Dedup.sourceOverlap(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    assert(!ns.exists(_.contains("NestedLoop")))
+    assert(ns.exists(n => n.contains("SortMergeJoin") || n.contains("ShuffledHashJoin") ||
+      n.contains("BroadcastHashJoin")), "the intersection is a keyed join")
+  }
+
+  test("q97 PMI: unigram joins are keyed; totals broadcast; top-M is a bounded heap") {
+    val df = TextAnalysis.pmiCollocations(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    // two 1-row nested loops: B×T composing the totals frame, and the
+    // totals broadcast onto the scored bigrams — both trivially bounded
+    assert(ns.count(_.contains("BroadcastNestedLoopJoin")) <= 2)
+    assert(ns.exists(_.contains("TakeOrderedAndProject")), "top-M never global-sorts")
+  }
+
+  test("q98 fixed sample: ONE shuffle (the source-partitioned ranking window), no joins") {
+    val df = TextAnalysis.fixedSample(spark, sf)
+    val ns = names(df)
+    assert(shuffles(df) == 1)
+    assert(!ns.exists(_.contains("Join")))
+    val windows = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")

@@ -72,6 +72,77 @@ class PqMadPathsSpec extends SparkSuite {
     }
   }
 
+  // ---- IVF-PQ ANN (q95) ------------------------------------------------
+
+  test("ivfPqAnn: identical vectors land in one cell; ADC ties rank by neighbor_id") {
+    val v = (0 until 64).map(i => (0.1f * ((i % 7) + 1)))
+    val dir = writeEmbeddings((0L until 12L).map(id => id -> v))
+    val got = Similarity.ivfPqAnn(spark, dir, nProbes = 2, topK = 3)
+      .orderBy("probe_id", "rank")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+      (0L, 1, 1L), (0L, 2, 2L), (0L, 3, 3L),
+      (1L, 1, 0L), (1L, 2, 2L), (1L, 3, 3L)))
+    assert(got.map(_._4).distinct.length == 1, "all ADC scores equal")
+  }
+
+  test("ivfPqAnn: real corpus — cell pruning returns a subset of pqAnn's candidate scores") {
+    // same codebooks, so any (probe, neighbor) pair ivfPq returns must
+    // carry pqAnn's exact ADC value for that pair (cell filter only
+    // drops candidates, never changes scores)
+    val pq = Similarity.pqAnn(spark, sf, topK = 1000)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    val ivf = Similarity.ivfPqAnn(spark, sf).as[(Long, Int, Long, Double)].collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (p, _, nb, adc) =>
+      assert(pq((p, nb)) == adc, s"ADC mismatch for ($p, $nb)")
+    }
+  }
+
+  // ---- Source overlap (q96) ---------------------------------------------
+
+  test("sourceOverlap: hand-computed trigram Jaccard; disjoint pairs absent") {
+    val dir = writeDocs(Seq(
+      (1L, "a b c d", "srcA"),   // trigrams {a b c, b c d}
+      (2L, "a b c x", "srcB"),   // trigrams {a b c, b c x}
+      (3L, "p q r", "srcC")))    // trigrams {p q r} — overlaps nothing
+    val got = graft.operators.Dedup.sourceOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("srcA", "srcB", 2L, 2L, 1L, 1.0 / 3.0)))
+  }
+
+  // ---- PMI collocations (q97) ---------------------------------------------
+
+  test("pmiCollocations: hand-computed PMI with the min-count floor") {
+    // "x y" ×6 docs + "p q" ×2 docs: cb(x y)=6 ≥ 5, cb(p q)=2 < 5
+    // (filtered); cu(x)=cu(y)=6; B=8 bigrams, T=16 tokens
+    val dir = writeDocs(
+      (1L to 6L).map(i => (i, "x y", "s")) ++ Seq((7L, "p q", "s"), (8L, "p q", "s")))
+    val got = TextAnalysis.pmiCollocations(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    val pmi = math.log((6.0 / 8.0) / ((6.0 / 16.0) * (6.0 / 16.0)))
+    assert(got == Seq(("x y", 6L, 6L, 6L, pmi)))
+  }
+
+  // ---- Fixed-count sample (q98) ---------------------------------------------
+
+  test("fixedSample: exactly perSource rows per stratum, dense ranks, priority-ordered") {
+    val got = TextAnalysis.fixedSample(spark, sf)
+      .as[(String, Int, Long, Int)].collect()
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length == 10, s"$src must contribute exactly 10 docs")
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 10))
+      val keys = sorted.map(r => (r._4, r._3))
+      assert(keys.zip(keys.tail).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) },
+        s"$src ranks must follow (priority, doc_id) order")
+    }
+  }
+
   // ---- MAD outlier gate (q93) ----------------------------------------
 
   test("madOutliers: lower medians, zero-MAD degeneracy, exact outlier counts") {
