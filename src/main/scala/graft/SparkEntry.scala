@@ -166,7 +166,11 @@ object SparkEntry {
     "q95_ivfpq_ann" -> ((s, d) => Similarity.ivfPqAnn(s, d)),
     "q96_source_overlap" -> ((s, d) => Dedup.sourceOverlap(s, d)),
     "q97_pmi" -> ((s, d) => TextAnalysis.pmiCollocations(s, d)),
-    "q98_fixed_sample" -> ((s, d) => TextAnalysis.fixedSample(s, d))
+    "q98_fixed_sample" -> ((s, d) => TextAnalysis.fixedSample(s, d)),
+    // — round-11 widening, batch 5: a true time-RANGE window frame
+    //   and the TPC-H Q5 six-table join-order workout —
+    "q99_rolling_24h" -> ((s, d) => EventOps.rolling24h(s, d)),
+    "q100_tpch_q5" -> ((s, d) => Relational.localSupplierVolume(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -1037,6 +1041,38 @@ object SparkEntry {
         |  ORDER BY priority, doc_id) AS rank FROM pr)
         |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, priority
         |FROM r WHERE rank <= 10""".stripMargin,
+    // Rolling-window mirror of EventOps.rolling24h: the identical
+    // RANGE frame over integer epoch-millis ([ms-86399999, ms], peers
+    // included in both engines), DECIMAL(18,2) exact value sums
+    // surfacing as DOUBLE.
+    "q99_rolling_24h" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ms,
+        |  CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |SELECT event_id, user_id, ms,
+        |  count(*) OVER w AS n_24h,
+        |  CAST(sum(v) OVER w AS DOUBLE) AS sum_24h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+        |  RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // TPC-H Q5 mirror of Relational.localSupplierVolume: same join
+    // graph, date/region constants, and the house DECIMAL(18,4)
+    // revenue sum; revenue doubles are bit-identical so the ORDER BY
+    // is a shared total order (n_name tiebreak regardless).
+    "q100_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q50_variance" ->
       """WITH s AS (SELECT c_nationkey, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,

@@ -290,6 +290,32 @@ object EventOps {
       .limit(topM)
   }
 
+  /** Rolling 24-hour activity (q99): per event, the count and value
+    * sum of the SAME USER's events in the trailing 24h — a true
+    * time-RANGE window frame ([ms−24h+1, ms], peers included), not a
+    * row frame; the feature-engineering staple for burst/abuse
+    * detection.  The value sum rides DECIMAL(18,2) so frame
+    * aggregation order can't perturb it (house rule), surfacing as
+    * DOUBLE; time is integer epoch-millis, so frame bounds are exact
+    * in both engines.
+    *
+    * 100 TB shape: ONE shuffle on user_id, then per-partition sorted
+    * frame evaluation — the same story as every window here; no
+    * self-join (q47 solves the bucketed-join variant of this shape
+    * when the predicate can't be a frame).
+    */
+  def rolling24h(spark: SparkSession, dir: String,
+                 windowMs: Long = 86400000L): DataFrame = {
+    val w = byUser.orderBy(col("ms").asc)
+      .rangeBetween(-(windowMs - 1), 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_24h", sum(col("v")).over(w).cast("double"))
+      .select("event_id", "user_id", "ms", "n_24h", "sum_24h")
+  }
+
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val wk = Tables.events(spark, dir)
       .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("week"))

@@ -527,4 +527,42 @@ object Relational {
         sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** TPC-H Q5 local-supplier volume (q100): the six-table join —
+    * lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region, with
+    * the "local" twist that the supplying and buying nations must
+    * match — the classic planner workout for join ORDER and strategy
+    * mixing.  The fact chain (lineitem→orders→customer) shuffles on
+    * its keys; supplier/nation/region are dims and broadcast (the
+    * nation-match predicate rides the supplier broadcast as an extra
+    * equi-key); revenue is the house DECIMAL(18,4) exact sum.  The
+    * date filter pushes to the orders parquet scan; region pruning
+    * reaches nation before anything joins the fact side.
+    */
+  def localSupplierVolume(spark: SparkSession, dir: String,
+                          regionName: String = "ASIA",
+                          from: String = "1996-01-01",
+                          until: String = "1997-01-01"): DataFrame = {
+    val rn = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
 }

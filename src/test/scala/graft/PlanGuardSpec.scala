@@ -370,6 +370,29 @@ class PlanGuardSpec extends SparkSuite {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("q99 rolling window: ONE user_id shuffle, partitioned frame, no self-join") {
+    val df = EventOps.rolling24h(spark, sf)
+    val ns = names(df)
+    assert(shuffles(df) == 1)
+    assert(!ns.exists(_.contains("Join")))
+    val windows = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("q100 TPC-H Q5: dims broadcast, date filter pushed to the orders scan, columns pruned") {
+    val df = Relational.localSupplierVolume(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    assert(ns.count(_.contains("BroadcastHashJoin")) >= 2,
+      "supplier and nation⋈region arrive broadcast")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    val orders = scans.find(_.metadata("Location").contains("orders")).get
+    assert(orders.metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate"),
+      "date range must reach the parquet scan")
+    assert(orders.requiredSchema.fieldNames.length <= 3, "orders scan pruned")
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")

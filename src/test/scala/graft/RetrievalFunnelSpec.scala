@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{EventOps, TextAnalysis}
+import graft.operators.{EventOps, Relational, TextAnalysis}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -148,6 +148,36 @@ class RetrievalFunnelSpec extends SparkSuite {
       (0L, 1L, 1L, 2L, 0.5),
       (1L, 0L, 1L, 1L, 1.0),
       (1L, 2L, 1L, 1L, 1.0)))
+  }
+
+  // ---- Rolling 24h window (q99) -------------------------------------
+
+  test("rolling24h: RANGE frame includes the 24h-minus-1ms boundary and same-ms peers") {
+    val day = 86400000L
+    val dir = writeEvents(Seq(
+      // user 1: the third event's frame [1, day] drops the ms=0 event
+      (1L, 0L, 1L, "view"), (2L, 1000L, 1L, "view"), (3L, day, 1L, "view"),
+      // user 2: same-ms peers — each sees BOTH (RANGE, not ROWS)
+      (4L, 500L, 2L, "view"), (5L, 500L, 2L, "view")))
+    val got = EventOps.rolling24h(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._4, r._5)).toMap
+    assert(got(1L) == ((1L, 1.0)))
+    assert(got(2L) == ((2L, 2.0)))
+    assert(got(3L) == ((2L, 2.0)), "frame [1, day] holds events 2 and 3, not 1")
+    assert(got(4L) == ((2L, 2.0)) && got(5L) == ((2L, 2.0)), "peers see each other")
+  }
+
+  // ---- TPC-H Q5 (q100) -----------------------------------------------
+
+  test("localSupplierVolume: one row per region nation, revenue-descending, local-only") {
+    val got = Relational.localSupplierVolume(spark, sf)
+      .as[(String, Double, Long)].collect()
+    assert(got.nonEmpty && got.length <= 25)
+    assert(got.map(_._1).distinct.length == got.length)
+    val revs = got.map(_._2)
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "ORDER BY revenue DESC")
+    got.foreach { case (_, rev, n) => assert(n > 0 && rev > 0.0) }
   }
 
   test("retentionCohorts: offset-0 cell equals cohort size (first week is always active)") {
