@@ -299,10 +299,11 @@ object SparkEntry {
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables.  Omitted for q33 (HLL sketch), q34 (stub
-    * media decode in mapPartitions), and q58 (GK quantile sketch) —
-    * sketch/stub internals are engine-specific, so the driver records a
-    * rows-only check for those three; q51 anchors q58 exactly.
+    * the same parquet tables.  Omitted for q33 (HLL sketch) and q58
+    * (GK quantile sketch) — sketch internals are engine-specific, so
+    * the driver records a rows-only check for those two; q51 anchors
+    * q58 exactly.  (q34's stub decode became oracle-able in round 11:
+    * the payload fixture is ASCII text, so the byte math is pure SQL.)
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1073,6 +1074,31 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    // Stub-decode mirror of Multimodal.featureSummary: the payload is
+    // the document's ASCII text, so every step is exact SQL — frame
+    // count len//100 in [1, 4], 100-byte slices, integer byte sums,
+    // ONE divide per mean, and floor(x·1e6 + 0.5)/1e6 for BOTH
+    // roundings (JVM Math.round is floor(x+0.5); Spark's round() was
+    // deliberately NOT used, its decimal-string HALF_UP has no DuckDB
+    // twin).  The per-doc avg folds in frame order (a payload's frames
+    // are consecutive rows of one partition, so Spark's partial sum is
+    // frame-ordered; list(feature ORDER BY f) replays it).
+    "q34_media_features" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |fr AS (SELECT doc_id, text, len,
+        |  unnest(range(0, least(greatest(len // 100, 1), 4))) AS f FROM d),
+        |sl AS (SELECT doc_id, f, substr(text, CAST(f * 100 + 1 AS INTEGER), 100) AS slice FROM fr),
+        |ft AS (SELECT doc_id, f,
+        |  floor((CAST(list_aggregate(list_transform(range(1, length(slice) + 1),
+        |      i -> unicode(slice[i])), 'sum') AS DOUBLE)
+        |    / CAST(length(slice) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS feature
+        |  FROM sl),
+        |g AS (SELECT doc_id, count(*) AS n_frames,
+        |  list_reduce(list_prepend(0.0, list(feature ORDER BY f)), (a, b) -> a + b) AS s
+        |  FROM ft GROUP BY doc_id)
+        |SELECT doc_id, n_frames,
+        |  floor((s / CAST(n_frames AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_feature
+        |FROM g""".stripMargin,
     "q50_variance" ->
       """WITH s AS (SELECT c_nationkey, count(*) AS n,
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sx,

@@ -77,10 +77,20 @@ object Multimodal {
 
   /** Frame-sample aggregate over the decoded features (the downstream
     * consumer shape: per-payload feature summary).
+    *
+    * The 1e-6 rounding replicates the stub's own `math.round(x·1e6)/1e6`
+    * (floor(x+0.5), exact in both engines) instead of `round(col, 6)`,
+    * whose HALF_UP-on-decimal-string semantics DuckDB doesn't share —
+    * that ONE substitution is what upgrades q34 from rows-only to
+    * hash-exact oracle-checked.  The double avg is deterministic: a
+    * payload's frames are consecutive rows of one mapPartitions output
+    * partition, so the partial sum folds in frame order, which the
+    * oracle replays with an ORDER BY frame_idx fold.
     */
   def featureSummary(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(spark, dir).groupBy("doc_id")
-      .agg(count(lit(1)).as("n_frames"), round(avg(col("feature")), 6).as("mean_feature"))
+      .agg(count(lit(1)).as("n_frames"),
+        (floor(avg(col("feature")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean_feature"))
 
   /** STUB RESIZE — the binary→binary transform shape (image downscale,
     * audio resample).  The deterministic fake keeps every 2nd byte; a
