@@ -375,16 +375,43 @@ object Similarity {
     */
   private def pqCodebooks(emb: DataFrame, m: Int, subDim: Int, k: Int,
                           iters: Int, sampleN: Int): (DataFrame, Seq[DataFrame]) = {
-    val parts = (0 until m).map { s =>
+    val books = (0 until m).map { s =>
       val sub = emb.select(col("vec_id"),
         slice(col("embedding"), s * subDim + 1, subDim).as("embedding"))
-      val cents = lloydCentroids(sub, k, iters, sampleN, subDim)
-      val codes = assignCells(sub, cents)
-        .select(col("vec_id"), col("cid").as(s"k$s"))
-      val book = cents.select(col("cid").as(s"cid$s"), col("c_emb").as(s"cemb$s"))
-      (codes, book)
+      lloydCentroids(sub, k, iters, sampleN, subDim)
+        .select(col("cid").as(s"cid$s"), col("c_emb").as(s"cemb$s"))
     }
-    (parts.map(_._1).reduce((a, b) => a.join(b, Seq("vec_id"))), parts.map(_._2))
+    // ONE-PASS encoding: training is bounded-sample per subspace, but
+    // encoding touches the whole corpus — so it must be a single scan.
+    // The m codebooks union into one (s, cid, c_emb) broadcast (m·k
+    // rows); each vector meets all of them in one broadcast product
+    // and ONE grouped aggregation computes the m argmaxes side by side
+    // (max-of-struct per subspace tag — assignCells' exact tie rule).
+    // The per-subspace form (m aggregations + m−1 vec_id joins) costs
+    // m shuffles of corpus-sized frames; this costs one.
+    // EAGER localCheckpoint: the union stacks m lazily-checkpointed
+    // codebook lineages, and materializing a lazy checkpoint inside a
+    // broadcast-exchange thread deadlocks against the DAG scheduler
+    // (broadcast thread holds the global RDDCheckpointData lock and
+    // wants the RDD's partitions lock; the scheduler holds the RDD
+    // lock and wants the global one — observed wedged in the r11
+    // bench).  Eager materialization runs the m·k-row job HERE on the
+    // main thread, so every broadcast that follows only reads blocks.
+    val tagged = books.zipWithIndex.map { case (b, s) =>
+      b.select(lit(s).as("s"), col(s"cid$s").as("cid"), col(s"cemb$s").as("c_emb"))
+    }.reduce(_ union _).localCheckpoint(true)
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(tagged))
+      .withColumn("cdot",
+        dot(slice(col("embedding"), col("s") * lit(subDim) + lit(1), lit(subDim)),
+          col("c_emb")))
+    val aggs = (0 until m).map(s =>
+      max(when(col("s") === s, struct(col("cdot"), (-col("cid")).as("ncid")))).as(s"m$s"))
+    val codeTable = scored.groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +:
+        (0 until m).map(s => (-col(s"m$s.ncid")).as(s"k$s")): _*)
+    (codeTable, books)
   }
 
   /** ADC scoring + per-probe top-k over a (probe × coded-candidate)
