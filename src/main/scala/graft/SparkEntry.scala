@@ -170,7 +170,10 @@ object SparkEntry {
     // — round-11 widening, batch 5: a true time-RANGE window frame
     //   and the TPC-H Q5 six-table join-order workout —
     "q99_rolling_24h" -> ((s, d) => EventOps.rolling24h(s, d)),
-    "q100_tpch_q5" -> ((s, d) => Relational.localSupplierVolume(s, d))
+    "q100_tpch_q5" -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    // all-pairs sparse TF-IDF cosine through the inverted index —
+    // the lexical twin of the dense ANN tier (Bayardo et al. 2007)
+    "q101_sparse_sim" -> ((s, d) => TextAnalysis.sparseCosinePairs(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -1074,6 +1077,34 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    // Sparse-cosine mirror of TextAnalysis.sparseCosinePairs: q82's
+    // exact tf·ln(N/df) weights, token-ordered 0.0-seeded folds for
+    // BOTH the norms (all tokens) and the pair dots (df-capped inverted
+    // index, shared tokens only), one multiply + one divide per cosine,
+    // (cos DESC, doc_a, doc_b) total order for the LIMIT.
+    "q101_sparse_sim" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT tf.doc_id, tf.token, df.df,
+        |  CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS w
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |nr AS (SELECT doc_id,
+        |  sqrt(list_reduce(list_prepend(0.0, list(w * w ORDER BY token)), (a, x) -> a + x)) AS nrm
+        |  FROM w GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,
+        |  list_reduce(list_prepend(0.0, list(a.w * b.w ORDER BY a.token)), (a2, x) -> a2 + x) AS dot
+        |  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  WHERE a.df <= 50 AND b.df <= 50
+        |  GROUP BY 1, 2),
+        |c AS (SELECT p.doc_a, p.doc_b, p.n_shared,
+        |  p.dot / (na.nrm * nb.nrm) AS cos
+        |  FROM p JOIN nr na ON na.doc_id = p.doc_a
+        |  JOIN nr nb ON nb.doc_id = p.doc_b)
+        |SELECT doc_a, doc_b, n_shared, cos FROM c
+        |ORDER BY cos DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     // Stub-decode mirror of Multimodal.featureSummary: the payload is
     // the document's ASCII text, so every step is exact SQL — frame
     // count len//100 in [1, 4], 100-byte slices, integer byte sums,

@@ -712,6 +712,74 @@ object TextAnalysis {
       .select(col("source"), col("rank"), col("doc_id"), col("priority"))
   }
 
+  /** Sparse TF-IDF cosine pairs (q101, the all-pairs-similarity shape
+    * of Bayardo et al. 2007): the top document pairs by cosine over
+    * their TF-IDF vectors, computed through the INVERTED INDEX — pairs
+    * meet only on tokens they share, so the join is token-keyed and
+    * the corpus is never paired.  This is the sparse twin of the dense
+    * embedding tier (q24–q26): same query, lexical vectors.
+    *
+    * Determinism: weights are q82's exact sequence (tf·ln(N/df), libm
+    * ln); each norm is a token-ordered 0.0-seeded fold of w², one
+    * sqrt; each pair dot is a token-ordered fold of w_a·w_b; cosine is
+    * dot/(n_a·n_b) — one multiply, one divide; top-M rides (cos DESC,
+    * doc_a, doc_b), a total order.
+    *
+    * 100 TB shape: the index is the (token, doc, weight) frame — one
+    * keyed shuffle; the pair generation is a self-EQUI-join on token
+    * with fan-out df² per token, bounded by `maxDf` (drop tokens in
+    * more than maxDf docs — exactly q45's hot-shingle cap; stopwords
+    * contribute ~zero cosine mass and all the fan-out, so the cap is
+    * also the quality move); per-pair state is the shared-token list,
+    * bounded by document vocab; norms join back from a doc-keyed frame.
+    */
+  def sparseCosinePairs(spark: SparkSession, dir: String,
+                        maxDf: Long = 50L, topM: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // The weighted index has FOUR consumers (norms, both pair-join
+    // sides, and norms joins back twice) — without a pin the whole
+    // tf/df/weight pipeline re-executes per consumer.  EAGER
+    // localCheckpoint materializes it once, here on the main thread:
+    // eager rather than lazy because the two norm join-backs may
+    // arrive as concurrent broadcasts, and racing broadcast threads
+    // materializing one lazy checkpoint is the r11 deadlock (see
+    // pqCodebooks).  At scale this IS the design: build the inverted
+    // index once, then every downstream stage reads it.
+    val w = tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("w", col("tf").cast("double") *
+        graft.functions.MathFunctions.ln(
+          col("n_docs").cast("double") / col("df").cast("double")))
+      .select(col("doc_id"), col("token"), col("w"), col("df"))
+      .localCheckpoint(true)
+    // norms use EVERY token (the vector is the vector); only the pair
+    // join is df-capped
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(aggregate(sort_array(collect_list(struct(col("token"), (col("w") * col("w")).as("w2")))),
+        lit(0.0), (acc, x) => acc + x.getField("w2"))).as("nrm"))
+    val idx = w.filter(col("df") <= maxDf)
+    val pairs = idx.toDF("doc_a", "token", "w_a", "df_a")
+      .join(idx.toDF("doc_b", "token_b", "w_b", "df_b"),
+        col("token") === col("token_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        count(lit(1)).as("n_shared"),
+        aggregate(sort_array(collect_list(struct(col("token"), (col("w_a") * col("w_b")).as("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")).as("dot"))
+    pairs
+      .join(norms.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(norms.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .withColumn("cos", col("dot") / (col("n_a") * col("n_b")))
+      .orderBy(col("cos").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(topM)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("cos"))
+  }
+
   /** MAD outlier gate (q93): per-source robust document-length
     * outliers — median and median-absolute-deviation instead of
     * mean/stddev, so a handful of monster documents can't drag the

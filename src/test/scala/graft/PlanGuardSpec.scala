@@ -393,6 +393,18 @@ class PlanGuardSpec extends SparkSuite {
     assert(orders.requiredSchema.fieldNames.length <= 3, "orders scan pruned")
   }
 
+  test("q101 sparse cosine: index materialized ONCE, pair join keyed, top-M a bounded heap") {
+    val df = TextAnalysis.sparseCosinePairs(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    // the eager index checkpoint truncates the tf/df/weight lineage, so
+    // the 1-row N cross join must NOT appear in the final plan at all —
+    // its presence would mean the index is being recomputed per consumer
+    assert(!ns.exists(_.contains("BroadcastNestedLoopJoin")),
+      "index pipeline must not re-execute downstream of the checkpoint")
+    assert(ns.exists(_.contains("TakeOrderedAndProject")), "top-M never global-sorts")
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")

@@ -100,6 +100,31 @@ class RetrievalFunnelSpec extends SparkSuite {
     }
   }
 
+  // ---- Sparse TF-IDF cosine pairs (q101) -----------------------------
+
+  test("sparseCosinePairs: hand-computed cosines; corpus-wide tokens carry zero mass") {
+    // docs 1,2 = "a b" (identical); doc 3 = "a c".  df(a)=3=N so w(a)=0:
+    // pair (1,2) shares {a,b} -> cos ~ 1; pairs with doc 3 share only
+    // "a" -> dot exactly 0.0.
+    val dir = writeDocs(Seq((1L, "a b", "s"), (2L, "a b", "s"), (3L, "a c", "s")))
+    val got = TextAnalysis.sparseCosinePairs(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val wb = math.log(3.0 / 2.0)
+    val nrm12 = math.sqrt(0.0 + 0.0 * 0.0 + wb * wb)
+    val cos12 = (0.0 + 0.0 * 0.0 + wb * wb) / (nrm12 * nrm12)
+    assert(got == Seq(
+      (1L, 2L, 2L, cos12), (1L, 3L, 1L, 0.0), (2L, 3L, 1L, 0.0)))
+  }
+
+  test("sparseCosinePairs: the df cap prunes hot tokens from the PAIR join only") {
+    // maxDf=2 drops "a" (df 3) from the index: doc-3 pairs disappear,
+    // the (1,2) pair survives through "b", and norms still use "a"
+    val dir = writeDocs(Seq((1L, "a b", "s"), (2L, "a b", "s"), (3L, "a c", "s")))
+    val got = TextAnalysis.sparseCosinePairs(spark, dir, maxDf = 2L)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) == Seq((1L, 2L, 1L)))
+  }
+
   // ---- Conversion funnel (q90) -------------------------------------
 
   test("funnel: stages are strictly ordered; same-ms and out-of-order events don't convert") {
