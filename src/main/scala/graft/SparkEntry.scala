@@ -173,7 +173,19 @@ object SparkEntry {
     "q100_tpch_q5" -> ((s, d) => Relational.localSupplierVolume(s, d)),
     // all-pairs sparse TF-IDF cosine through the inverted index —
     // the lexical twin of the dense ANN tier (Bayardo et al. 2007)
-    "q101_sparse_sim" -> ((s, d) => TextAnalysis.sparseCosinePairs(s, d))
+    "q101_sparse_sim" -> ((s, d) => TextAnalysis.sparseCosinePairs(s, d)),
+    // — round-12 widening: information/chunking/bucketing text ops,
+    //   time-series monitoring (anomaly z-scores, zero-filled
+    //   resample, rolling DAU/WAU), market-basket lift over sessions,
+    //   and the external clustering-quality audit —
+    "q102_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropy(s, d)),
+    "q103_doc_chunks" -> ((s, d) => TextAnalysis.slidingChunks(s, d)),
+    "q104_len_deciles" -> ((s, d) => TextAnalysis.lengthDeciles(s, d)),
+    "q105_hourly_anomaly" -> ((s, d) => EventOps.hourlyAnomalies(s, d)),
+    "q106_resample" -> ((s, d) => EventOps.hourlyResample(s, d)),
+    "q107_cooccurrence" -> ((s, d) => EventOps.sessionCooccurrence(s, d)),
+    "q108_rolling_dau" -> ((s, d) => EventOps.rollingActiveUsers(s, d)),
+    "q109_cell_purity" -> ((s, d) => Similarity.cellPurity(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -302,11 +314,14 @@ object SparkEntry {
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables.  Omitted for q33 (HLL sketch) and q58
-    * (GK quantile sketch) — sketch internals are engine-specific, so
-    * the driver records a rows-only check for those two; q51 anchors
-    * q58 exactly.  (q34's stub decode became oracle-able in round 11:
-    * the payload fixture is ASCII text, so the byte math is pure SQL.)
+    * the same parquet tables — one entry per query, no rows-only rows
+    * left.  The two sketch queries (q33 HLL, q58 GK) are audit-form:
+    * engine-specific sketch internals never reach the output; instead
+    * Spark verifies the sketch's error contract against its own exact
+    * recount and emits exact values + 0/1 flags that DuckDB's exact
+    * SQL (with literal 1s) hash-matches.  (q34's stub decode became
+    * oracle-able in round 11: the payload fixture is ASCII text, so
+    * the byte math is pure SQL.)
     */
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -613,6 +628,13 @@ object SparkEntry {
         |  md5(text) AS content_md5,
         |  CASE WHEN regexp_matches(substr(text, 1, 1), '[a-m]') THEN 'typeA' ELSE 'typeB' END AS sniffed_format
         |FROM documents""".stripMargin,
+    // q33: HLL sketch internals are engine-specific, so the query is
+    // audit-form — Spark computes approx AND exact and emits a 0/1
+    // within-5σ flag; the oracle is the exact count plus a literal 1
+    "q33_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  CAST(1 AS BIGINT) AS within_rsd
+        |FROM events GROUP BY event_type""".stripMargin,
     "q46_asof_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
         |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag FROM events),
@@ -1212,8 +1234,14 @@ object SparkEntry {
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM orders WHERE o_totalprice > 400000.0
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
-    // q58_approx_quantile: GK-sketch internals are engine-specific →
-    // rows-only check (exact anchor = q51_percentile)
+    // q58: GK-sketch internals are engine-specific, so the query is
+    // audit-form — Spark recounts the returned elements' exact rank
+    // intervals and emits 0/1 contract flags; the oracle is the exact
+    // count plus literal 1s (q51 stays the exact-value anchor)
+    "q58_approx_quantile" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q59_collect_sets" ->
       """SELECT user_id,
         |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
@@ -1448,6 +1476,125 @@ object SparkEntry {
         |SELECT source, count(*) AS n_tokens,
         |  CAST(sum(in_vocab) AS BIGINT) AS n_in_vocab,
         |  CAST(count(*) - sum(in_vocab) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS oov_rate
-        |FROM j GROUP BY source""".stripMargin
+        |FROM j GROUP BY source""".stripMargin,
+    // — round-12 oracles —
+    // entropy folds in token order, SUBTRACTING each p·ln p term (the
+    // seed-prepend + a−b fold mirrors Spark's aggregate exactly and
+    // keeps single-type docs at +0.0, never IEEE −0.0)
+    "q102_token_entropy" ->
+      """WITH tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT doc_id, token, count(*) AS c FROM tc GROUP BY doc_id, token),
+        |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS n_types,
+        |      list(c ORDER BY token) AS lst FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_types,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(lst,
+        |    c -> (CAST(c AS DOUBLE) / CAST(n_tok AS DOUBLE))
+        |         * ln(CAST(c AS DOUBLE) / CAST(n_tok AS DOUBLE)))),
+        |    (a, b) -> a - b) AS entropy
+        |FROM d""".stripMargin,
+    "q103_doc_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w, len(w) AS n, unnest(range(0, len(w), 24)) AS start
+        |      FROM t WHERE len(w) >= 1)
+        |SELECT doc_id,
+        |  CAST(start // 24 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(least(32, n - start) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(w[start + 1 : start + 32], ' ')) AS chunk_md5
+        |FROM s""".stripMargin,
+    // the Spark side computes ntile arithmetically over a two-pass
+    // global rank (no single-partition window); the declarative form
+    // here is bucket-for-bucket identical by ntile's definition
+    "q104_len_deciles" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS decile
+        |  FROM documents)
+        |SELECT decile, count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM d GROUP BY decile""".stripMargin,
+    "q105_hourly_anomaly" ->
+      """WITH h AS (SELECT event_type,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  count(*) AS c FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS DOUBLE) AS sx,
+        |      CAST(sum(c * c) AS DOUBLE) AS sxx FROM h GROUP BY event_type),
+        |z AS (SELECT h.event_type, h.hour, h.c,
+        |      (CAST(h.c AS DOUBLE) - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS z
+        |      FROM h JOIN s ON h.event_type = s.event_type)
+        |SELECT event_type, hour, c, z FROM z
+        |ORDER BY abs(z) DESC, event_type, hour LIMIT 20""".stripMargin,
+    "q106_resample" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |           date_trunc('hour', max(ts)) AS h1 FROM events),
+        |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |hc AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c
+        |       FROM events GROUP BY 1, 2),
+        |g AS (SELECT ty.event_type, spine.h, coalesce(hc.c, 0) AS n
+        |      FROM spine CROSS JOIN ty
+        |      LEFT JOIN hc ON hc.h = spine.h AND hc.event_type = ty.event_type)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY h
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+        |FROM g""".stripMargin,
+    // q12's exact session CTEs (ts+event_id order, strict >30 min)
+    "q107_cooccurrence" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms,
+        |    ts
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |  THEN 1 ELSE 0 END AS new_session FROM e),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM f),
+        |st AS (SELECT DISTINCT user_id, session_idx, event_type FROM s),
+        |tot AS (SELECT count(*) AS sn FROM (SELECT DISTINCT user_id, session_idx FROM st) q),
+        |ct AS (SELECT event_type, count(*) AS c FROM st GROUP BY event_type),
+        |p AS (SELECT a.event_type AS t_a, b.event_type AS t_b, count(*) AS n_ab
+        |      FROM st a JOIN st b ON a.user_id = b.user_id
+        |        AND a.session_idx = b.session_idx AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.t_a, p.t_b, p.n_ab,
+        |  (CAST(p.n_ab AS DOUBLE) * CAST(tot.sn AS DOUBLE)) /
+        |  (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+        |FROM p JOIN ct ca ON ca.event_type = p.t_a
+        |  JOIN ct cb ON cb.event_type = p.t_b
+        |  CROSS JOIN tot""".stripMargin,
+    "q108_rolling_dau" ->
+      """WITH du AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+        |b AS (SELECT max(epoch_ms(ts)) // 86400000 AS d1 FROM events),
+        |x AS (SELECT du.user_id, du.day + k.k AS t_day, k.k
+        |      FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS k) k CROSS JOIN b
+        |      WHERE du.day + k.k <= b.d1)
+        |SELECT t_day AS day,
+        |  CAST(DATE '1970-01-01' + CAST(t_day AS INTEGER) AS VARCHAR) AS day_date,
+        |  count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS dau,
+        |  count(DISTINCT user_id) AS wau
+        |FROM x GROUP BY t_day""".stripMargin,
+    // q73's trained cells + a per-cell majority-label argmax (count
+    // DESC, ties → lowest label — the house max-of-struct rule)
+    "q109_cell_purity" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+         |smp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
+         |${lloydIterSql("c0", 1)},
+         |${lloydIterSql("c1", 2)},
+         |a AS (SELECT vec_id, label, cid,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ${dotSql("embedding", "c_emb")} DESC, cid) AS rk
+         |  FROM embeddings CROSS JOIN c2),
+         |cl AS (SELECT cid, label, count(*) AS cl FROM a WHERE rk = 1 GROUP BY cid, label),
+         |r AS (SELECT cid, label, cl,
+         |      row_number() OVER (PARTITION BY cid ORDER BY cl DESC, label ASC) AS rk2,
+         |      CAST(sum(cl) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs
+         |      FROM cl)
+         |SELECT cid, n_vecs, CAST(label AS INTEGER) AS top_label, cl AS n_top,
+         |  CAST(cl AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS purity
+         |FROM r WHERE rk2 = 1""".stripMargin
   )
 }

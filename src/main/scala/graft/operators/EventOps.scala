@@ -220,8 +220,12 @@ object EventOps {
   def funnel(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
-    val u1 = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min(col("ms")).as("t1"))
+    // u1 has THREE consumers in one plan (u2's join — possibly as a
+    // broadcast — plus the stage and denominator counts): eager-pin it
+    // per the house rule so no broadcast thread ever materializes it
+    val u1 = graft.util.Pins.eager(
+      e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ms")).as("t1")))
     val u2 = e.filter(col("event_type") === "click")
       .join(u1, Seq("user_id")).filter(col("ms") > col("t1"))
       .groupBy("user_id").agg(min(col("ms")).as("t2"))
@@ -328,5 +332,157 @@ object EventOps {
       .join(broadcast(sizes), Seq("cohort_week"))
       .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
         (col("n_active").cast("double") / col("cohort_size").cast("double")).as("retention"))
+  }
+
+  /** Hourly volume anomalies (q105): the top-`topM` most anomalous
+    * (event_type, hour) cells by z-score against that type's hourly
+    * mean/stddev — the pipeline-monitoring alarm (an ingest stall or a
+    * bot burst shows up here first).  Variance uses q50's exact-sums
+    * form: Σc and Σc² are exact integer aggregations, mean/sd/z each
+    * ONE fixed IEEE sequence over them — engine-portable, partition-
+    * order-independent.  Stats cover PRESENT hours only (an hour with
+    * zero events contributes no cell; q106 is the zero-filled view).
+    *
+    * 100 TB shape: one (type, hour) shuffle with map-side combine
+    * collapses the stream to a time-bounded frame (types × hours);
+    * per-type stats re-aggregate that tiny frame and join back
+    * BROADCAST; the top-M is a TakeOrderedAndProject bounded heap.
+    */
+  def hourlyAnomalies(spark: SparkSession, dir: String, topM: Int = 20): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val stats = hourly.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).cast("double").as("sx"),
+        sum(col("c") * col("c")).cast("double").as("sxx"))
+      .select(col("event_type"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("sd"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("c").cast("double") - col("mean")) / col("sd"))
+      .orderBy(abs(col("z")).desc, col("event_type").asc, col("hour").asc)
+      .limit(topM)
+      .select(col("event_type"), col("hour"), col("c"), col("z"))
+  }
+
+  /** Zero-filled hourly resample (q106): the dense (event_type, hour)
+    * time series with gaps filled at 0 and a cumulative count per
+    * type — the gap-fill/resample primitive every time-series chart
+    * and SLA monitor needs (a MISSING hour is the incident; q105's
+    * present-hours stats can't see it).
+    *
+    * The spine is generated, not scanned: sequence(min_hour,
+    * max_hour, 1 hour) exploded from a broadcast 1-row bounds frame,
+    * crossed with the distinct type dimension.
+    *
+    * 100 TB shape: the ONLY stream-sized work is one (hour, type)
+    * count with map-side combine; the result is time-bounded (8766
+    * hours/year × types), so it BROADCASTS into the left join against
+    * the spine, and the cumulative window partitions on type over
+    * that same tiny frame.  The stream is never joined row-wise.
+    */
+  def hourlyResample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bounds = e.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = broadcast(bounds)
+      .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = e.select(col("event_type")).distinct()
+    val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy(col("h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.crossJoin(broadcast(types))
+      .join(broadcast(hourly), Seq("h", "event_type"), "left")
+      .withColumn("n", coalesce(col("c"), lit(0L)))
+      .withColumn("cum_n", sum(col("n")).over(wCum))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+        col("n"), col("cum_n"))
+  }
+
+  /** Within-session event-type co-occurrence lift (q107): for every
+    * unordered type pair, how much more often they share a session
+    * than independence predicts — lift = P(a,b)/(P(a)·P(b)) over
+    * sessions.  The market-basket staple on the q12 session rule
+    * (strict >30 min gap, epoch-millis).
+    *
+    * Determinism: all counts are exact integers over the distinct
+    * (user, session, type) frame; lift is (n_ab·S)/(c_a·c_b) with
+    * both products computed in doubles — ONE fixed IEEE sequence.
+    *
+    * 100 TB shape: sessionizing is one user_id window shuffle; the
+    * distinct frame is one more keyed shuffle, EAGER-pinned (four
+    * consumers — both pair-join sides, the per-type counts, the
+    * session total — and the count frames return as broadcasts, so
+    * the pin must not be lazy: util/Pins.scala).  The pair join is a
+    * session-keyed self-equi-join whose fan-out is bounded by the
+    * type-vocabulary² per session, never user- or event-pairwise.
+    */
+  def sessionCooccurrence(spark: SparkSession, dir: String,
+                          gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val w = byUser.orderBy(col("ts").asc, col("event_id").asc)
+    val st = graft.util.Pins.eager(
+      Tables.events(spark, dir)
+        .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull ||
+            unix_millis(col("ts")) - col("prev_ms") > gapMs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("session_idx"), col("event_type"))
+        .distinct())
+    val total = st.select("user_id", "session_idx").distinct()
+      .agg(count(lit(1)).as("s"))
+    val ct = st.groupBy("event_type").agg(count(lit(1)).as("c"))
+    st.withColumnRenamed("event_type", "t_a")
+      .join(st.withColumnRenamed("event_type", "t_b"), Seq("user_id", "session_idx"))
+      .filter(col("t_a") < col("t_b"))
+      .groupBy("t_a", "t_b").agg(count(lit(1)).as("n_ab"))
+      .join(broadcast(ct.toDF("t_a", "c_a")), Seq("t_a"))
+      .join(broadcast(ct.toDF("t_b", "c_b")), Seq("t_b"))
+      .crossJoin(broadcast(total))
+      .select(col("t_a"), col("t_b"), col("n_ab"),
+        ((col("n_ab").cast("double") * col("s").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double"))).as("lift"))
+  }
+
+  /** Rolling 7-day active users (q108): per day, the distinct users
+    * active that day (DAU) and in the trailing 7-day window (WAU) —
+    * the growth-analytics pair, computed WITHOUT a distinct-over-
+    * window (which no engine has): each (user, day) contributes
+    * itself to the 7 target days it can influence via a bounded
+    * explode, then one exact distinct count per target day.
+    *
+    * 100 TB shape: the stream collapses to the distinct (user, day)
+    * frame in one shuffle; the explode fans out a CONSTANT 7×; the
+    * count-distinct is one more keyed shuffle.  Day bounds come from
+    * a separate min/max scan of the ts column (parquet footer stats
+    * make it ~free) so the big frame keeps a single consumer and
+    * needs no pin.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String,
+                         window: Int = 7): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bounds = broadcast(e.agg(
+      expr("unix_millis(max(ts)) div 86400000").as("d1")))
+    e.select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .distinct()
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(window - 1))).as("k"))
+      .withColumn("t_day", col("day") + col("k"))
+      .crossJoin(bounds)
+      .filter(col("t_day") <= col("d1"))
+      .groupBy(col("t_day").as("day"))
+      .agg(
+        countDistinct(when(col("k") === 0, col("user_id"))).as("dau"),
+        countDistinct(col("user_id")).as("wau"))
+      .select(col("day"),
+        expr("CAST(DATE_ADD(DATE '1970-01-01', CAST(day AS INT)) AS STRING)").as("day_date"),
+        col("dau"), col("wau"))
   }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -43,13 +43,19 @@ object Relational {
         count(lit(1)).as("count_order"))
   }
 
-  /** Broadcast-join: lineitem ⋈ part (small dim, explicitly broadcast —
-    * no shuffle of the fact table at any scale), revenue by brand.
+  /** Dimension join: lineitem ⋈ part, revenue by brand.  `part` is
+    * SF-LINEAR (200k·SF rows), so there is deliberately NO broadcast
+    * hint here: the size threshold + AQE broadcast it while it fits
+    * (every bench scale) and switch to a shuffled hash join on
+    * l_partkey once it doesn't — an unconditional hint would OOM the
+    * executors at the 100 TB design point (SF ≈ 10⁵ → ~20 B part
+    * rows).  Hints in this file are reserved for genuinely bounded
+    * frames (nation 25, region 5, 1-row stats, probe sets).
     */
   def revenueByBrand(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy("p_brand")
       .agg(
         sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"),
@@ -275,13 +281,29 @@ object Relational {
 
   /** approx_count_distinct (HyperLogLog++) per event_type — the
     * at-scale form of eventTypeStats (no exact-distinct shuffle of the
-    * key universe).  Sketch internals differ between engines, so this
-    * query is registered rows-only (no DuckDB oracle).
+    * key universe) — in AUDIT form: sketch internals differ between
+    * engines, so instead of exposing the raw estimate (which no oracle
+    * can reproduce) the query verifies the sketch's ERROR CONTRACT and
+    * outputs the exact count plus a 0/1 within-tolerance flag.  The
+    * DuckDB oracle computes the exact distinct count and asserts the
+    * flag is 1, which hash-matches — the q87-recall-audit pattern
+    * applied to a sketch: the approximate path is the operator under
+    * test, the exact side is the validation-scale audit (at 100 TB you
+    * run the approx aggregate alone; the audit runs on samples).
+    * Tolerance: 5× the configured rsd (0.01) — HLL++'s rsd is a
+    * standard deviation, not a bound, so the audit allows 5σ.
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(
+        col("event_type"), col("exact_users"),
+        when(abs(col("approx").cast("double") - col("exact_users").cast("double"))
+          <= lit(0.05) * col("exact_users").cast("double"), 1L).otherwise(0L)
+          .as("within_rsd"))
 
   /** Exact variance/stddev per group WITHOUT a second pass and without
     * order-dependent double accumulation: Σx and Σx² run through exact
@@ -448,16 +470,47 @@ object Relational {
   /** approx_percentile (Greenwald-Khanna sketch) per priority — the
     * quantile counterpart of q33's HLL: bounded-memory mergeable
     * sketch, the only viable percentile at 100 TB when rank selection's
-    * full sort is too much.  Sketch internals are engine-specific →
-    * registered rows-only, with the exact q51 as its correctness
-    * anchor.
+    * full sort is too much.  Like q33, registered in AUDIT form:
+    * sketch internals are engine-specific, so the query verifies the
+    * sketch's RANK-ERROR contract instead of exposing the raw
+    * estimate.  percentile_approx at accuracy a returns an actual
+    * element whose rank is within n/a of the target rank; the audit
+    * recounts each returned value's rank interval [#\{<v\}+1, #\{≤v\}]
+    * exactly and flags 1 iff it overlaps target ± ε·n with ε = 10/a
+    * (10× slack — the guarantee is per-merge and small-n granularity
+    * adds a row or two).  Output is the exact group count plus the
+    * two 0/1 flags, which the DuckDB oracle (exact count, literal 1s)
+    * hash-matches; q51 stays the exact-value anchor.
+    *
+    * 100 TB shape: sketch = one partial+final agg; the audit joins the
+    * 5-row stats frame back BROADCAST onto orders for one more
+    * partial+final count — no sort anywhere.
     */
-  def approxPricePercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+  def approxPricePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select("o_orderpriority", "o_totalprice")
+    val sk = o.groupBy("o_orderpriority")
+      .agg(
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)).as("p90"))
+    val eps = 10.0 / 1000.0
+    def rankOk(p: Double, le: Column, lt: Column): Column = {
+      val n = col("n_orders").cast("double")
+      (le.cast("double") >= (lit(p) - lit(eps)) * n) &&
+        (lt.cast("double") <= (lit(p) + lit(eps)) * n)
+    }
+    o.join(broadcast(sk), Seq("o_orderpriority"))
       .groupBy("o_orderpriority")
       .agg(
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("p50_approx"),
-        percentile_approx(col("o_totalprice"), lit(0.9), lit(1000)).as("p90_approx"))
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("o_totalprice") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("o_totalprice") <= col("p90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("o_totalprice") < col("p90"), 1L).otherwise(0L)).as("lt90"))
+      .select(
+        col("o_orderpriority"), col("n_orders"),
+        when(rankOk(0.5, col("le50"), col("lt50")), 1L).otherwise(0L).as("p50_ok"),
+        when(rankOk(0.9, col("le90"), col("lt90")), 1L).otherwise(0L).as("p90_ok"))
+  }
 
   /** Collection aggregation: per user, the sorted distinct set of event
     * types as one string — collect_set is order-nondeterministic by
@@ -533,11 +586,15 @@ object Relational {
     * the "local" twist that the supplying and buying nations must
     * match — the classic planner workout for join ORDER and strategy
     * mixing.  The fact chain (lineitem→orders→customer) shuffles on
-    * its keys; supplier/nation/region are dims and broadcast (the
-    * nation-match predicate rides the supplier broadcast as an extra
-    * equi-key); revenue is the house DECIMAL(18,4) exact sum.  The
-    * date filter pushes to the orders parquet scan; region pruning
-    * reaches nation before anything joins the fact side.
+    * its keys; nation⋈region is scale-CONSTANT (25·5 rows) and hinted
+    * broadcast.  `supplier` is SF-LINEAR (10k·SF rows), so it carries
+    * NO hint — threshold/AQE broadcast it while it fits (every bench
+    * scale) and fall back to a shuffled hash join on (l_suppkey,
+    * c_nationkey) beyond that; the nation-match predicate rides the
+    * supplier join as an extra equi-key either way.  Revenue is the
+    * house DECIMAL(18,4) exact sum.  The date filter pushes to the
+    * orders parquet scan; region pruning reaches nation before
+    * anything joins the fact side.
     */
   def localSupplierVolume(spark: SparkSession, dir: String,
                           regionName: String = "ASIA",
@@ -558,7 +615,7 @@ object Relational {
         dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(rn), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name")

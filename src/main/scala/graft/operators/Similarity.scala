@@ -272,6 +272,35 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
   }
 
+  /** Cluster–label purity (q109): per trained k-means cell, the
+    * majority ground-truth label and its share — the standard external
+    * clustering-quality check (does the unsupervised cell structure
+    * recover the labels the embedding model was trained on?).  Trains
+    * q73's exact cells; the argmax rides the house max-of-struct rule
+    * (count DESC, ties → LOWEST label via negated key).
+    *
+    * 100 TB shape: training is bounded-sample (broadcast centroids);
+    * assignment is the narrow broadcast-product argmax; the label
+    * join-back is a vec_id equi-join; per-cell counts are two nested
+    * partial+final aggregations of a (k × labels)-bounded frame.
+    */
+  def cellPurity(spark: SparkSession, dir: String,
+                 k: Int = 8, iters: Int = 2, sampleN: Int = 256): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = assignCells(emb, lloydCentroids(emb, k, iters, sampleN))
+      .select("vec_id", "cid")
+    assigned.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy("cid", "label").agg(count(lit(1)).as("cl"))
+      .groupBy("cid")
+      .agg(
+        sum(col("cl")).as("n_vecs"),
+        max(struct(col("cl"), (-col("label")).as("nl"))).as("m"))
+      .select(col("cid"), col("n_vecs"),
+        (-col("m.nl")).cast("int").as("top_label"),
+        col("m.cl").as("n_top"),
+        (col("m.cl").cast("double") / col("n_vecs").cast("double")).as("purity"))
+  }
+
   /** Semantic deduplication (q80, SemDeDup — Abbas et al. 2023):
     * cluster the corpus with the trained Lloyd centroids, compare
     * embeddings only WITHIN their cluster, and drop every vector that
@@ -389,17 +418,15 @@ object Similarity {
     // (max-of-struct per subspace tag — assignCells' exact tie rule).
     // The per-subspace form (m aggregations + m−1 vec_id joins) costs
     // m shuffles of corpus-sized frames; this costs one.
-    // EAGER localCheckpoint: the union stacks m lazily-checkpointed
-    // codebook lineages, and materializing a lazy checkpoint inside a
-    // broadcast-exchange thread deadlocks against the DAG scheduler
-    // (broadcast thread holds the global RDDCheckpointData lock and
-    // wants the RDD's partitions lock; the scheduler holds the RDD
-    // lock and wants the global one — observed wedged in the r11
-    // bench).  Eager materialization runs the m·k-row job HERE on the
-    // main thread, so every broadcast that follows only reads blocks.
+    // EAGER pin (Pins.eager): the m codebooks feed concurrent
+    // broadcast exchanges, and a lazy pin materialized from a
+    // broadcast thread deadlocks against the DAG scheduler — the r11
+    // lock cycle documented in util/Pins.scala.  The eager pin runs
+    // the m·k-row job HERE on the main thread, so every broadcast
+    // that follows only reads blocks.
     val tagged = books.zipWithIndex.map { case (b, s) =>
       b.select(lit(s).as("s"), col(s"cid$s").as("cid"), col(s"cemb$s").as("c_emb"))
-    }.reduce(_ union _).localCheckpoint(true)
+    }.reduce(_ union _).transform(graft.util.Pins.eager)
     val scored = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(tagged))
       .withColumn("cdot",

@@ -316,24 +316,60 @@ object TextAnalysis {
     * doc_id-partitioned row_number (high-cardinality key, no
     * low-cardinality window bottleneck).  Nothing is ever pairwise.
     */
-  def tfidfTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def tfidfTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    topTerms(weightedIndex(spark, dir, pin = false), k)
+
+  /** The shared TF-IDF weighted inverted index — ONE tokenize→tf→df
+    * pass producing (doc_id, token, tf, df, w, n_docs), consumed by
+    * q82 (salient terms), q88 (BM25 probe terms + postings) and q101
+    * (all-pairs cosine).  tf and df are exact integer aggregations;
+    * w = tf · ln(N/df) with the log through MathFunctions.ln (libm
+    * parity) — one fixed IEEE sequence, so every consumer's oracle
+    * replays it bit-exactly.
+    *
+    * `pin = true` EAGERLY materializes the frame via localCheckpoint —
+    * required whenever more than one consumer reads it (q88 reads it
+    * three times: probe ranking, postings join, dl recount; q101 four
+    * times), both to build the index once and because lazy checkpoints
+    * materialized from concurrent broadcast-exchange threads deadlock
+    * against the DAG scheduler (the r11 pqCodebooks lock cycle —
+    * see SCALING.md "Eager checkpoint pins").  Single-consumer q82
+    * passes pin = false and stays a pure pipeline.
+    *
+    * 100 TB shape: tf = one (doc_id, token) shuffle with map-side
+    * combine; df = one token shuffle (vocab-sized); the weight join is
+    * token-keyed; N arrives as a broadcast 1-row frame.  Build the
+    * inverted index once, then every retrieval/similarity stage reads
+    * it — never re-tokenize the corpus per consumer.
+    */
+  def weightedIndex(spark: SparkSession, dir: String, pin: Boolean): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("tfidf").desc, col("token").asc)
-    tf.join(df, Seq("token"))
+    val idx = tf.join(df, Seq("token"))
       .crossJoin(broadcast(n))
-      .withColumn("tfidf", col("tf").cast("double") *
+      .withColumn("w", col("tf").cast("double") *
         graft.functions.MathFunctions.ln(
           col("n_docs").cast("double") / col("df").cast("double")))
-      .withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("w"), col("n_docs"))
+    if (pin) graft.util.Pins.eager(idx) else idx
+  }
+
+  /** Top-k terms per document by weight over a prebuilt index —
+    * doc_id-partitioned row_number (high-cardinality key, no
+    * low-cardinality window bottleneck), ties on token.
+    */
+  private def topTerms(idx: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("w").desc, col("token").asc)
+    idx.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"), col("df"),
+        col("w").as("tfidf"))
   }
 
   /** Bigram-LM fluency score (q83): train an add-one-smoothed bigram
@@ -567,31 +603,32 @@ object TextAnalysis {
     * sort_array(collect_list) so the oracle replays the exact
     * sequence; ranking ties break on doc_id.
     *
-    * 100 TB shape: tf/df/dl are single keyed shuffles with map-side
-    * combine; the probe term list (nProbes·3 rows) broadcasts onto
-    * the token-keyed tf — the classic tiny-query-against-giant-index
-    * probe; corpus stats arrive as a broadcast 1-row frame; the
-    * top-k is a probe_id-partitioned row_number.  Nothing is ever
-    * pairwise in the corpus.
+    * 100 TB shape: the corpus is tokenized ONCE — the shared
+    * weightedIndex frame (eagerly pinned) serves as probe-term source
+    * AND postings list AND doc-length source; dl is recounted from the
+    * index (Σ tf per doc ≡ token count); the probe term list
+    * (nProbes·3 rows) broadcasts onto the token-keyed index — the
+    * classic tiny-query-against-giant-index probe; corpus stats arrive
+    * as a broadcast 1-row frame; the top-k is a probe_id-partitioned
+    * row_number.  Nothing is ever pairwise in the corpus.
     */
   def bm25Search(spark: SparkSession, dir: String, nProbes: Int = 10,
                  topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val dl = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"),
-      (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-    val queryTerms = tfidfTerms(spark, dir, 3)
+    val idx = weightedIndex(spark, dir, pin = true)
+    // dl = Σ tf per doc — identical to the raw token count, no second
+    // corpus scan; avgdl = (Σ all tf) / N, both exact integers before
+    // the ONE divide (bit-equal to summing per-doc lengths directly;
+    // token-less docs contribute 0 to both forms)
+    val dl = idx.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = idx.agg(
+      max(col("n_docs")).as("n_docs"),
+      (sum(col("tf")).cast("double") / max(col("n_docs")).cast("double")).as("avgdl"))
+    val queryTerms = topTerms(idx, 3)
       .filter(col("doc_id") < nProbes)
       .select(col("doc_id").as("probe_id"), col("token"))
     val terms = broadcast(queryTerms)
-      .join(tf, Seq("token"))
-      .join(df, Seq("token"))
+      .join(idx.select("doc_id", "token", "tf", "df"), Seq("token"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("idf", graft.functions.MathFunctions.ln(
@@ -668,8 +705,8 @@ object TextAnalysis {
     val cu = docs
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
-    val totals = cb.agg(sum(col("cb")).as("b_total"))
-      .crossJoin(cu.agg(sum(col("cu")).as("t_total")))
+    val totals = broadcast(cb.agg(sum(col("cb")).as("b_total")))
+      .crossJoin(broadcast(cu.agg(sum(col("cu")).as("t_total"))))
     cb.filter(col("cb") >= minCount)
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
@@ -735,28 +772,15 @@ object TextAnalysis {
     */
   def sparseCosinePairs(spark: SparkSession, dir: String,
                         maxDf: Long = 50L, topM: Int = 20): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    // The weighted index has FOUR consumers (norms, both pair-join
-    // sides, and norms joins back twice) — without a pin the whole
-    // tf/df/weight pipeline re-executes per consumer.  EAGER
-    // localCheckpoint materializes it once, here on the main thread:
-    // eager rather than lazy because the two norm join-backs may
-    // arrive as concurrent broadcasts, and racing broadcast threads
-    // materializing one lazy checkpoint is the r11 deadlock (see
-    // pqCodebooks).  At scale this IS the design: build the inverted
-    // index once, then every downstream stage reads it.
-    val w = tf.join(df, Seq("token"))
-      .crossJoin(broadcast(n))
-      .withColumn("w", col("tf").cast("double") *
-        graft.functions.MathFunctions.ln(
-          col("n_docs").cast("double") / col("df").cast("double")))
+    // The weighted index has FOUR consumers here (norms, both pair-
+    // join sides, and norms joins back twice) — the shared builder's
+    // EAGER pin materializes it once on the main thread (lazy
+    // checkpoints under concurrent broadcast threads are the r11
+    // deadlock — see weightedIndex/SCALING.md).  At scale this IS the
+    // design: build the inverted index once, then every downstream
+    // stage reads it.
+    val w = weightedIndex(spark, dir, pin = true)
       .select(col("doc_id"), col("token"), col("w"), col("df"))
-      .localCheckpoint(true)
     // norms use EVERY token (the vector is the vector); only the pair
     // join is df-capped
     val norms = w.groupBy("doc_id")
@@ -849,5 +873,121 @@ object TextAnalysis {
         max(col("t_src")).as("n_tokens"),
         aggregate(sort_array(collect_list(struct(col("token"), col("contrib")))),
           lit(0.0), (acc, x) => acc + x.getField("contrib")).as("kl_nats"))
+  }
+
+  /** Per-document token entropy (q102): H = −Σ p·ln p over the
+    * document's unigram distribution — the information-density twin of
+    * q68's repetition metrics (boilerplate and keyword-stuffed docs
+    * sit far below fluent text at the same length; H=0 means one
+    * token repeated).
+    *
+    * Determinism: counts are exact integers; each p is ONE divide by
+    * the exact doc total; the log is MathFunctions.ln (libm parity);
+    * the sum folds in TOKEN order with a 0.0 seed, SUBTRACTING each
+    * p·ln p term — folding the negation (rather than negating the
+    * fold) keeps single-type docs at exact +0.0, where `-(0.0)` would
+    * surface IEEE −0.0 and hash-split the engines.
+    *
+    * 100 TB shape: one (doc_id, token) shuffle with map-side combine,
+    * then one doc_id shuffle for the fold — per-doc state is bounded
+    * by document vocabulary, nothing global, nothing pairwise.
+    */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(
+        sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_types"),
+        sort_array(collect_list(struct(col("token"), col("c")))).as("lst"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        aggregate(col("lst"), lit(0.0), (acc, x) => {
+          val p = x.getField("c").cast("double") / col("n_tok").cast("double")
+          acc - p * graft.functions.MathFunctions.ln(p)
+        }).as("entropy"))
+  }
+
+  /** Sliding-window document chunking (q103): cut every document's
+    * token stream into fixed-size windows with stride overlap — the
+    * RAG/embedding-ingest chunker (win=32, stride=24 → 8-token
+    * overlap so no boundary-straddling phrase is lost).  Emits one
+    * row per chunk with its md5 content fingerprint rather than the
+    * text itself (the downstream embed/dedup key).  The tail chunk is
+    * short by design; a start index exists for every stride multiple
+    * below the token count.
+    *
+    * 100 TB shape: embarrassingly parallel — a narrow explode whose
+    * fan-out is ~n/stride per document, NO shuffle at all (the one
+    * plan property that matters: chunking a corpus is a map).  The
+    * within-doc slice is O(win) per chunk.
+    */
+  def slidingChunks(spark: SparkSession, dir: String,
+                    win: Int = 32, stride: Int = 24): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"CAST(start DIV $stride AS BIGINT)").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(win), col("n") - col("start")).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(win)))).as("chunk_md5"))
+
+  /** Equal-frequency length buckets (q104): ntile(10) over document
+    * length — the batch-composition view a sequence-packing pipeline
+    * plans against (how much of the corpus is short-tail, where the
+    * padding waste lives).  Computed in the SCALABLE two-pass form:
+    * range-partition by (n_chars, doc_id), per-partition local
+    * row_number + broadcast partition offsets = the exact global rank
+    * with NO single-partition window (q17/q65/q71's pattern), then
+    * the standard-SQL ntile bucket is pure integer arithmetic over
+    * (rank, N) — bit-equal to the declarative `ntile(10) OVER (ORDER
+    * BY ...)` the DuckDB oracle runs, remainder buckets first.
+    *
+    * Cache lifecycle: lazy `localCheckpoint` pins one partition-id
+    * assignment for both passes (see sequencePacking).
+    */
+  def lengthDeciles(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nParts = spark.sparkContext.defaultParallelism
+    val sorted = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        tokenCount(col("text")).cast("long").as("n_tok"))
+      .repartitionByRange(nParts, col("n_chars").asc, col("doc_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
+    val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("pid", "off")
+    val total = broadcast(counts.agg(sum(col("c")).as("n")))
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    // ntile semantics in integer math (ALL divisions integral `DIV` —
+    // a float divide could land one ulp under a bucket boundary): the
+    // first (N mod k) buckets hold ceil(N/k) rows, the rest floor(N/k)
+    val decile = expr(
+      s"""CAST(CASE WHEN rank - 1 < (n % $k) * ((n DIV $k) + 1)
+         |  THEN (rank - 1) DIV ((n DIV $k) + 1)
+         |  ELSE (n % $k) + ((rank - 1) - (n % $k) * ((n DIV $k) + 1)) DIV (n DIV $k)
+         |END + 1 AS INT)""".stripMargin)
+    sorted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rank", row_number().over(wLocal).cast("long") + col("off"))
+      .crossJoin(total)
+      .withColumn("decile", decile)
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tok")).as("sum_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"))
   }
 }

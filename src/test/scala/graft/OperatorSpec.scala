@@ -558,4 +558,99 @@ class OperatorSpec extends SparkSuite {
     assert(f.forall(m => m.feature >= 0 && m.feature <= 255))
     assert(byDoc.values.forall(v => v.length >= 1 && v.length <= 4))
   }
+
+  // — round-12: entropy / chunking / deciles / time series / purity —
+
+  test("token entropy: 0 ≤ H ≤ ln(n_types), uniform docs hit the ceiling") {
+    val rows = TextAnalysis.tokenEntropy(spark, sf)
+      .select("doc_id", "n_tok", "n_types", "entropy")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.length == 500)
+    assert(rows.forall { case (_, _, t, h) =>
+      h >= 0.0 && h <= math.log(t.toDouble) + 1e-9 })
+    // a doc whose tokens are all distinct must sit exactly at ln(n)
+    rows.filter { case (_, n, t, _) => n == t }.foreach { case (_, n, _, h) =>
+      assert(math.abs(h - math.log(n.toDouble)) < 1e-9) }
+  }
+
+  test("sliding chunks tile each document: stride-spaced starts, capped length, tail covered") {
+    val ch = TextAnalysis.slidingChunks(spark, sf, win = 32, stride = 24)
+      .select("doc_id", "chunk_id", "start_tok", "chunk_len")
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    val nTok = TextAnalysis.tokenEntropy(spark, sf)
+      .select("doc_id", "n_tok").as[(Long, Long)].collect().toMap
+    assert(ch.keySet == nTok.keySet, "every non-empty doc chunks")
+    ch.foreach { case (doc, rows) =>
+      val n = nTok(doc)
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong), "chunk ids consecutive")
+      assert(sorted.forall { case (_, id, start, len) =>
+        start == id * 24 && len == math.min(32L, n - start) && len >= 1 })
+      assert(sorted.last._3 + sorted.last._4 == n, "tail chunk reaches the last token")
+    }
+  }
+
+  test("length deciles: balanced ±1 populations, monotone boundaries, total preserved") {
+    val d = TextAnalysis.lengthDeciles(spark, sf)
+      .select("decile", "n_docs", "min_chars", "max_chars")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(d.map(_._1).toSeq == (1 to 10))
+    assert(d.map(_._2).sum == 500L)
+    assert(d.map(_._2).max - d.map(_._2).min <= 1, "ntile balance")
+    d.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"decile ${a._1} max must not exceed decile ${b._1} min") }
+  }
+
+  test("hourly anomalies: exactly top-M cells, ranked by |z| descending") {
+    val z = EventOps.hourlyAnomalies(spark, sf, topM = 20)
+      .select("z").as[Double].collect()
+    assert(z.length == 20)
+    val abs = z.map(math.abs)
+    assert(abs.sliding(2).forall(p => p(0) >= p(1) - 1e-12), "|z| monotone")
+  }
+
+  test("hourly resample: dense equal-length spine per type, non-negative, cum matches sum") {
+    val r = EventOps.hourlyResample(spark, sf)
+      .select("event_type", "hour", "n", "cum_n")
+      .as[(String, String, Long, Long)].collect()
+    val byType = r.groupBy(_._1)
+    assert(byType.values.map(_.length).toSet.size == 1, "identical spine per type")
+    byType.values.foreach { rows =>
+      val s = rows.sortBy(_._2)
+      assert(s.forall(_._3 >= 0))
+      assert(s.last._4 == s.map(_._3).sum, "cumulative reaches the per-type total")
+      assert(s.map(_._4).sliding(2).forall(p => p(0) <= p(1)), "cum monotone")
+    }
+  }
+
+  test("session co-occurrence: unordered pairs, positive lift, bounded by the type universe") {
+    val p = EventOps.sessionCooccurrence(spark, sf)
+      .select("t_a", "t_b", "n_ab", "lift")
+      .as[(String, String, Long, Double)].collect()
+    assert(p.nonEmpty && p.length <= 10, "at most C(5,2) type pairs")
+    assert(p.forall { case (a, b, n, l) => a < b && n >= 1 && l > 0.0 })
+  }
+
+  test("rolling actives: WAU ≥ DAU everywhere; window never exceeds 7 distinct days of users") {
+    val r = EventOps.rollingActiveUsers(spark, sf)
+      .select("day", "dau", "wau").as[(Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall { case (_, dau, wau) => wau >= dau })
+    // WAU of day d can't exceed the sum of the 7 contributing DAUs
+    val dau = r.map(t => t._1 -> t._2).toMap
+    r.foreach { case (d, _, wau) =>
+      val cap = (0L to 6L).map(k => dau.getOrElse(d - k, 0L)).sum
+      assert(wau <= cap, s"day $d wau=$wau exceeds 7-day dau sum $cap")
+    }
+  }
+
+  test("cell purity: majority share in (0,1], populations sum to the corpus") {
+    val p = Similarity.cellPurity(spark, sf)
+      .select("n_vecs", "n_top", "purity").as[(Long, Long, Double)].collect()
+    assert(p.nonEmpty)
+    assert(p.forall { case (n, t, pu) =>
+      t >= 1 && t <= n && math.abs(pu - t.toDouble / n) < 1e-12 && pu > 0.0 && pu <= 1.0 })
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(p.map(_._1).sum == total)
+  }
 }

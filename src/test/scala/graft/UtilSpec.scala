@@ -152,6 +152,64 @@ class UtilSpec extends AnyFunSuite {
     assert(perf.group(1).toInt == SparkEntry.queries.size,
       s"README perf notes say ${perf.group(1)} queries but SparkEntry registers ${SparkEntry.queries.size}")
   }
+
+  test("eager-pin source gate: multi-broadcast-consumer frames route through Pins.eager") {
+    // The r11 deadlock (broadcast thread materializing a lazy
+    // checkpoint vs the DAG scheduler — see util/Pins.scala) recurs if
+    // either hot site is "optimized" back to a lazy or raw checkpoint.
+    // This pins the call sites; PinsSpec pins the helper's eagerness.
+    def body(path: String, fn: String): String = {
+      val src = new String(
+        Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      val from = src.indexOf(s"def $fn")
+      assert(from >= 0, s"$fn not found in $path")
+      val next = src.indexOf("\n  def ", from)
+      src.substring(from, if (next > 0) next else src.length)
+    }
+    for ((path, fn) <- Seq(
+      "src/main/scala/graft/operators/TextAnalysis.scala" -> "weightedIndex",
+      "src/main/scala/graft/operators/Similarity.scala" -> "pqCodebooks")) {
+      val b = body(path, fn)
+      assert(b.contains("Pins.eager"), s"$fn must pin via Pins.eager")
+      assert(!b.contains("localCheckpoint"),
+        s"$fn must not checkpoint directly — route through Pins.eager")
+    }
+    // and nobody reintroduces a raw eager checkpoint elsewhere: every
+    // localCheckpoint outside Pins.scala must be the lazy (false) form
+    import scala.jdk.CollectionConverters._
+    val offenders = Files.walk(java.nio.file.Paths.get("src/main/scala/graft"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filterNot(_.toString.endsWith("util/Pins.scala"))
+      .filter(p => new String(Files.readAllBytes(p), "UTF-8")
+        .contains("localCheckpoint(true)"))
+      .toList
+    assert(offenders.isEmpty,
+      s"raw localCheckpoint(true) outside Pins.eager: $offenders")
+  }
+}
+
+/** Pins.eager must materialize BEFORE returning — the whole point of
+  * the helper (see util/Pins.scala for the r11 lock cycle).
+  */
+class PinsSpec extends SparkSuite {
+  test("eager pin runs the checkpoint job during the call, not at first consumer") {
+    import org.apache.spark.sql.functions._
+    val acc = spark.sparkContext.longAccumulator("pins-eager")
+    val bump = udf((x: Long) => { acc.add(1L); x })
+    val src = spark.range(0, 64, 1, 4).select(bump(col("id")).as("id"))
+    // lazy form: nothing runs until an action — the hazard this guards
+    val lazyPin = src.localCheckpoint(false)
+    assert(acc.value == 0L, "lazy checkpoint must not have materialized yet")
+    lazyPin.unpersist(true)
+    // eager form: the materializing job runs inside the call itself
+    val pinned = graft.util.Pins.eager(src)
+    assert(acc.value >= 64L,
+      "Pins.eager must materialize before returning (accumulator bumped in-call)")
+    assert(pinned.count() == 64L)
+    assert(acc.value < 128L, "consumers read blocks, they do not recompute")
+    pinned.unpersist(true)
+  }
 }
 
 /** Accumulator-based soft-error accounting inside Spark tasks. */
