@@ -185,7 +185,13 @@ object SparkEntry {
     "q106_resample" -> ((s, d) => EventOps.hourlyResample(s, d)),
     "q107_cooccurrence" -> ((s, d) => EventOps.sessionCooccurrence(s, d)),
     "q108_rolling_dau" -> ((s, d) => EventOps.rollingActiveUsers(s, d)),
-    "q109_cell_purity" -> ((s, d) => Similarity.cellPurity(s, d))
+    "q109_cell_purity" -> ((s, d) => Similarity.cellPurity(s, d)),
+    // — round-12 widening, batch 2: originality ratio, forward-fill
+    //   imputation, cumulative user growth, next-token suggestions —
+    "q110_originality" -> ((s, d) => Dedup.originality(s, d)),
+    "q111_forward_fill" -> ((s, d) => EventOps.forwardFill(s, d)),
+    "q112_user_growth" -> ((s, d) => EventOps.userGrowth(s, d)),
+    "q113_next_token" -> ((s, d) => TextAnalysis.nextTokenSuggest(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -1595,6 +1601,60 @@ object SparkEntry {
          |      FROM cl)
          |SELECT cid, n_vecs, CAST(label AS INTEGER) AS top_label, cl AS n_top,
          |  CAST(cl AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS purity
-         |FROM r WHERE rk2 = 1""".stripMargin
+         |FROM r WHERE rk2 = 1""".stripMargin,
+    "q110_originality" ->
+      s"""WITH $shingleCte,
+         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS originality
+         |FROM sh s JOIN df d USING (shingle) GROUP BY s.doc_id""".stripMargin,
+    "q111_forward_fill" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+        |           date_trunc('hour', max(ts)) AS h1 FROM events),
+        |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+        |ty AS (SELECT DISTINCT event_type FROM events),
+        |hc AS (SELECT date_trunc('hour', ts) AS h, event_type,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_obs
+        |       FROM events GROUP BY 1, 2),
+        |g AS (SELECT ty.event_type, spine.h, hc.avg_obs
+        |      FROM spine CROSS JOIN ty
+        |      LEFT JOIN hc ON hc.h = spine.h AND hc.event_type = ty.event_type),
+        |f AS (SELECT event_type, h, avg_obs,
+        |      last_value(avg_obs IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |      FROM g)
+        |SELECT event_type, strftime(h, '%Y-%m-%d %H:00') AS hour,
+        |  CAST(CASE WHEN avg_obs IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS has_data,
+        |  coalesce(avg_obs, 0.0) AS hour_avg,
+        |  coalesce(filled, 0.0) AS filled_avg
+        |FROM f""".stripMargin,
+    "q112_user_growth" ->
+      """WITH f AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS day
+        |           FROM events GROUP BY user_id),
+        |g AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+        |SELECT day,
+        |  CAST(DATE '1970-01-01' + CAST(day AS INTEGER) AS VARCHAR) AS day_date,
+        |  new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM g""".stripMargin,
+    // q97's bigram CTE re-read as an autocomplete table: top-20 heads
+    // by continuation total, top-3 continuations per head
+    "q113_next_token" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT bigram, count(*) AS cnt FROM (
+        |  SELECT unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS bigram
+        |  FROM w WHERE len(w) >= 2) GROUP BY bigram),
+        |x AS (SELECT string_split(bigram, ' ')[1] AS head_tok,
+        |             string_split(bigram, ' ')[2] AS next_tok, cnt FROM bi),
+        |hd AS (SELECT head_tok, CAST(sum(cnt) AS BIGINT) AS tot FROM x GROUP BY head_tok
+        |       ORDER BY tot DESC, head_tok ASC LIMIT 20),
+        |r AS (SELECT x.head_tok, x.next_tok, x.cnt, hd.tot,
+        |      row_number() OVER (PARTITION BY x.head_tok
+        |        ORDER BY x.cnt DESC, x.next_tok ASC) AS rank
+        |      FROM x JOIN hd USING (head_tok))
+        |SELECT head_tok, CAST(rank AS INTEGER) AS rank, next_tok, cnt, tot,
+        |  CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p_next
+        |FROM r WHERE rank <= 3""".stripMargin
   )
 }

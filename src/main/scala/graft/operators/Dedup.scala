@@ -585,4 +585,31 @@ object Dedup {
       .select(col("cluster_id"), (-col("m.nid")).as("survivor_id"),
         col("m.q").as("survivor_q"), col("n_members"))
   }
+
+  /** Document originality ratio (q110): the fraction of a document's
+    * distinct shingles that occur in NO other document — the
+    * continuous inverse of the dup-span view (q79 ranks the most
+    * copied spans; this scores each document by how much of it is
+    * corpus-unique).  A curation pipeline reads it as a boilerplate/
+    * template gauge: originality ~1 is fresh text, ~0 is assembled
+    * from shared fragments.  Documents shorter than the shingle width
+    * have no shingles and no row, by contract.
+    *
+    * 100 TB shape: the distinct (doc, shingle) frame is one keyed
+    * shuffle off the narrow one-pass ShingleSet expression; shingle
+    * df is one more (vocab-sized); the score join is an equi-join ON
+    * shingle; the ratio is ONE IEEE divide of exact counts.  Nothing
+    * pairwise — this reads the same frames q76/q79/q96 read.
+    */
+  def originality(spark: SparkSession, dir: String, shingleN: Int = 3): DataFrame = {
+    val sh = shingleSet(Tables.documents(spark, dir), shingleN)
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        (col("n_unique").cast("double") / col("n_shingles").cast("double")).as("originality"))
+  }
 }

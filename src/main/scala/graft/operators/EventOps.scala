@@ -485,4 +485,69 @@ object EventOps {
         expr("CAST(DATE_ADD(DATE '1970-01-01', CAST(day AS INT)) AS STRING)").as("day_date"),
         col("dau"), col("wau"))
   }
+
+  /** Forward-fill imputation (q111): the dense hourly mean-value
+    * series per event type with gaps carried forward from the last
+    * observed hour — the missing-data imputation primitive (a sensor
+    * that skipped an hour reports its last reading, not zero; q106 is
+    * the zero-fill counting twin).  `has_data` keeps the observed/
+    * imputed distinction; both value columns coalesce to 0.0 BEFORE
+    * any observation exists (identically in the oracle), so the
+    * output carries no NULL doubles.
+    *
+    * Determinism: hourly means are exact DECIMAL sums ÷ exact counts
+    * (one IEEE divide); the carry-forward picks an existing value —
+    * no arithmetic.
+    *
+    * 100 TB shape: q106's exact story — one (hour, type) combine
+    * shuffle collapses the stream to a time-bounded frame that
+    * broadcasts into the generated spine; the IGNORE-NULLS window
+    * runs over the tiny dense frame, partitioned by type.
+    */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val bounds = e.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1"))
+    val spine = broadcast(bounds)
+      .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val types = e.select(col("event_type")).distinct()
+    val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_obs"))
+    val wf = Window.partitionBy("event_type").orderBy(col("h").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.crossJoin(broadcast(types))
+      .join(broadcast(hourly), Seq("h", "event_type"), "left")
+      .withColumn("filled", last(col("avg_obs"), ignoreNulls = true).over(wf))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"),
+        when(col("avg_obs").isNotNull, 1L).otherwise(0L).as("has_data"),
+        coalesce(col("avg_obs"), lit(0.0)).as("hour_avg"),
+        coalesce(col("filled"), lit(0.0)).as("filled_avg"))
+  }
+
+  /** Cumulative user growth (q112): first-seen day per user → new
+    * users per day → running total — the growth curve every product
+    * dashboard opens with, and the q91 cohort machinery's 1-D
+    * projection.  Day math is integral epoch-millis DIV.
+    *
+    * 100 TB shape: first-seen is one user_id min-agg with map-side
+    * combine; the per-day counts are a second keyed agg of a
+    * users-sized frame; the running total windows over the tiny
+    * (days × 1) frame — deliberately unpartitioned, it has one row
+    * per calendar day by construction.
+    */
+  def userGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val first = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_millis(ts) div 86400000").as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("day"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    first.groupBy("day").agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("day"),
+        expr("CAST(DATE_ADD(DATE '1970-01-01', CAST(day AS INT)) AS STRING)").as("day_date"),
+        col("new_users"), col("cum_users"))
+  }
 }

@@ -937,6 +937,44 @@ object TextAnalysis {
         least(lit(win), col("n") - col("start")).cast("long").as("chunk_len"),
         md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(win)))).as("chunk_md5"))
 
+  /** Next-token suggestions (q113): for the `topHeads` most
+    * continued head tokens, the `topK` most frequent next tokens with
+    * their conditional probability — q83's bigram counts re-read as
+    * an autocomplete/markov-inspection table (the "what follows
+    * 'the'" view a tokenizer or LM debugging session asks for).
+    *
+    * Determinism: counts are exact; heads rank by (total DESC, head
+    * ASC) through a bounded heap; continuations by (count DESC, next
+    * ASC) through a head-partitioned row_number; p(next|head) is ONE
+    * divide of exact integers.
+    *
+    * 100 TB shape: ONE bigram-count shuffle with map-side combine
+    * (vocab²-bounded output, q83's shape); head totals re-aggregate
+    * that frame; the topHeads cut is a TakeOrderedAndProject bounded
+    * heap that then joins back BROADCAST — the continuation window
+    * never sees more than topHeads × per-head-vocab rows.
+    */
+  def nextTokenSuggest(spark: SparkSession, dir: String,
+                       topHeads: Int = 20, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = Tables.documents(spark, dir)
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(explode(shingles(col("text"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("head_tok", split(col("bigram"), " ").getItem(0))
+      .withColumn("next_tok", split(col("bigram"), " ").getItem(1))
+    val heads = bi.groupBy("head_tok").agg(sum(col("cnt")).as("tot"))
+      .orderBy(col("tot").desc, col("head_tok").asc)
+      .limit(topHeads)
+    val w = Window.partitionBy("head_tok")
+      .orderBy(col("cnt").desc, col("next_tok").asc)
+    bi.join(broadcast(heads), Seq("head_tok"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("head_tok"), col("rank"), col("next_tok"), col("cnt"), col("tot"),
+        (col("cnt").cast("double") / col("tot").cast("double")).as("p_next"))
+  }
+
   /** Equal-frequency length buckets (q104): ntile(10) over document
     * length — the batch-composition view a sequence-packing pipeline
     * plans against (how much of the corpus is short-tail, where the

@@ -644,6 +644,57 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("originality: ratio in [0,1], unique ≤ total, short docs absent by contract") {
+    val o = Dedup.originality(spark, sf)
+      .select("n_shingles", "n_unique", "originality")
+      .as[(Long, Long, Double)].collect()
+    assert(o.nonEmpty)
+    assert(o.forall { case (n, u, r) =>
+      u >= 0 && u <= n && math.abs(r - u.toDouble / n) < 1e-12 })
+  }
+
+  test("forward fill: imputed rows carry the last observed value, observed rows themselves") {
+    val f = EventOps.forwardFill(spark, sf)
+      .select("event_type", "hour", "has_data", "hour_avg", "filled_avg")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(f.exists(_._3 == 0L), "sf0.001 is sparse enough to have gaps")
+    f.groupBy(_._1).values.foreach { rows =>
+      val s = rows.sortBy(_._2)
+      var lastSeen = 0.0
+      s.foreach { case (_, _, has, obs, filled) =>
+        if (has == 1L) { assert(filled == obs); lastSeen = obs }
+        else assert(filled == lastSeen, "gap must carry the last observation (or 0.0 before any)")
+      }
+    }
+  }
+
+  test("user growth: new-user counts sum to the user universe; cumulative is monotone") {
+    val g = EventOps.userGrowth(spark, sf)
+      .select("day", "new_users", "cum_users").as[(Long, Long, Long)].collect().sortBy(_._1)
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(g.map(_._2).sum == users)
+    assert(g.last._3 == users)
+    assert(g.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+  }
+
+  test("next-token suggestions: ≤3 per head, probabilities in (0,1], ranked by count") {
+    val s = TextAnalysis.nextTokenSuggest(spark, sf)
+      .select("head_tok", "rank", "cnt", "tot", "p_next")
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(s.nonEmpty)
+    val byHead = s.groupBy(_._1)
+    assert(byHead.size <= 20)
+    byHead.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.length <= 3)
+      assert(sorted.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        "continuations ranked by count desc")
+      assert(rows.forall { case (_, _, c, t, p) =>
+        p > 0.0 && p <= 1.0 && math.abs(p - c.toDouble / t) < 1e-12 })
+    }
+  }
+
   test("cell purity: majority share in (0,1], populations sum to the corpus") {
     val p = Similarity.cellPurity(spark, sf)
       .select("n_vecs", "n_top", "purity").as[(Long, Long, Double)].collect()
