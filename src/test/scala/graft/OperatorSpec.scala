@@ -543,6 +543,12 @@ class OperatorSpec extends SparkSuite {
       TextAnalysis.sequencePacking(spark, sf).write.format("noop").mode("overwrite").save()
       Relational.pricePercentilesScalable(spark, sf).write.format("noop").mode("overwrite").save()
       Similarity.ivfAnn(spark, sf).write.format("noop").mode("overwrite").save()
+      // the Pins.eager takers (r12): shared TF-IDF index, session
+      // co-occurrence distinct frame, funnel's u1 — eager checkpoints
+      // must self-release exactly like the lazy ones
+      TextAnalysis.bm25Search(spark, sf).write.format("noop").mode("overwrite").save()
+      EventOps.sessionCooccurrence(spark, sf).write.format("noop").mode("overwrite").save()
+      EventOps.funnel(spark, sf).write.format("noop").mode("overwrite").save()
     }
     assert(spark.sharedState.cacheManager.isEmpty,
       "an operator registered a CacheManager pin it never released")
