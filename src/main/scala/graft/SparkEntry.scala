@@ -191,7 +191,12 @@ object SparkEntry {
     "q110_originality" -> ((s, d) => Dedup.originality(s, d)),
     "q111_forward_fill" -> ((s, d) => EventOps.forwardFill(s, d)),
     "q112_user_growth" -> ((s, d) => EventOps.userGrowth(s, d)),
-    "q113_next_token" -> ((s, d) => TextAnalysis.nextTokenSuggest(s, d))
+    "q113_next_token" -> ((s, d) => TextAnalysis.nextTokenSuggest(s, d)),
+    // — round-12 widening, batch 3: feature scaling, class balancing,
+    //   and the skyline operator in window form —
+    "q114_feature_scale" -> ((s, d) => TextAnalysis.normalizedQuality(s, d)),
+    "q115_class_balance" -> ((s, d) => Similarity.balancedSample(s, d)),
+    "q116_pareto" -> ((s, d) => Relational.paretoFrontier(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -1655,6 +1660,38 @@ object SparkEntry {
         |      FROM x JOIN hd USING (head_tok))
         |SELECT head_tok, CAST(rank AS INTEGER) AS rank, next_tok, cnt, tot,
         |  CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS p_next
-        |FROM r WHERE rank <= 3""".stripMargin
+        |FROM r WHERE rank <= 3""".stripMargin,
+    "q114_feature_scale" ->
+      s"""WITH d AS (SELECT source, doc_id, $qualitySql AS q FROM documents),
+         |s AS (SELECT source, min(q) AS qmin, max(q) AS qmax FROM d GROUP BY source)
+         |SELECT d.source, d.doc_id, d.q,
+         |  CASE WHEN s.qmax > s.qmin THEN (d.q - s.qmin) / (s.qmax - s.qmin)
+         |       ELSE 0.5 END AS q_norm
+         |FROM d JOIN s USING (source)""".stripMargin,
+    // md5 hex digits 13-16 as the priority (the house digit registry:
+    // q63 split 1-4, q75 rates 5-8, q98 fixed sample 9-12)
+    "q115_class_balance" ->
+      """WITH pr AS (SELECT vec_id, label, CAST(
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 13, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 14, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 15, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 16, 1)) - 1)) AS INTEGER) AS priority
+        | FROM embeddings),
+        |mn AS (SELECT min(n) AS min_n FROM (SELECT label, count(*) AS n
+        |       FROM embeddings GROUP BY label)),
+        |r AS (SELECT label, vec_id, priority, row_number() OVER (
+        |        PARTITION BY label ORDER BY priority, vec_id) AS rank FROM pr)
+        |SELECT label, CAST(rank AS INTEGER) AS rank, vec_id, priority
+        |FROM r CROSS JOIN mn WHERE rank <= min_n""".stripMargin,
+    "q116_pareto" ->
+      """WITH lvl AS (SELECT p_brand, p_retailprice, max(p_size) AS lvl_max
+        |             FROM part GROUP BY 1, 2),
+        |pre AS (SELECT p_brand, p_retailprice,
+        |        max(lvl_max) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cheaper_max
+        |        FROM lvl)
+        |SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p JOIN pre USING (p_brand, p_retailprice)
+        |WHERE cheaper_max IS NULL OR p.p_size > cheaper_max""".stripMargin
   )
 }

@@ -596,6 +596,45 @@ object Relational {
     * orders parquet scan; region pruning reaches nation before
     * anything joins the fact side.
     */
+  /** Per-brand Pareto frontier (q116): the parts not dominated within
+    * their brand — minimize price, maximize size; a part is ON the
+    * frontier iff it is strictly larger than every strictly cheaper
+    * brand-mate (vacuously, each brand's cheapest price level).  The
+    * skyline operator, in the O(n log n) window form instead of the
+    * quadratic dominance self-join:
+    *
+    *   1. collapse to one row per (brand, price): max size at that
+    *      exact price — an agg, so equal-price peers can't leak into
+    *      their own "strictly cheaper" prefix;
+    *   2. running max of size over the price-ordered collapsed frame,
+    *      ROWS ... 1 PRECEDING (strictly cheaper prices only);
+    *   3. join back on (brand, price); keep size > prefix-max (or no
+    *      cheaper price).
+    *
+    * All comparisons are on raw column values — no arithmetic at all,
+    * so cross-engine parity is unconditional.
+    *
+    * 100 TB shape: one brand-price agg with map-side combine, one
+    * window over the collapsed (brands × price-levels) frame
+    * partitioned by brand, one equi-join back.  The self-join form is
+    * brand-size-quadratic; this never pairs rows.
+    */
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val byPrice = p.groupBy("p_brand", "p_retailprice")
+      .agg(max(col("p_size")).as("lvl_max"))
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = byPrice
+      .withColumn("cheaper_max", max(col("lvl_max")).over(w))
+    p.join(prefix.select("p_brand", "p_retailprice", "cheaper_max"),
+        Seq("p_brand", "p_retailprice"))
+      .filter(col("cheaper_max").isNull || col("p_size") > col("cheaper_max"))
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"), col("p_size"))
+  }
+
   def localSupplierVolume(spark: SparkSession, dir: String,
                           regionName: String = "ASIA",
                           from: String = "1996-01-01",

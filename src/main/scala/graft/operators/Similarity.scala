@@ -272,6 +272,35 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
   }
 
+  /** Class-balanced undersampling (q115): keep exactly min-class-size
+    * vectors from EVERY label, chosen by md5-hash priority — the
+    * deterministic class-balancing resample a training pipeline runs
+    * before fitting on skewed labels.  The hash key uses md5 hex
+    * digits 13-16, extending the house digit registry (q63 split 1-4,
+    * q75 rates 5-8, q98 fixed sample 9-12) so composing all four
+    * samplers never correlates.
+    *
+    * 100 TB shape: class sizes are one partial+final agg whose min is
+    * a broadcast 1-row frame; the pick is one label-partitioned
+    * ranking window (q98's shape — a label too hot for one partition
+    * switches to the q65 two-pass form); membership is reproducible
+    * on any engine and any partitioning.
+    */
+  def balancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val minN = broadcast(
+      e.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("min_n")))
+    val priority = conv(substring(md5(col("vec_id").cast("string")), 13, 4), 16, 10)
+      .cast("int")
+    val w = Window.partitionBy("label").orderBy(col("priority").asc, col("vec_id").asc)
+    e.withColumn("priority", priority)
+      .withColumn("rank", row_number().over(w))
+      .crossJoin(minN)
+      .filter(col("rank") <= col("min_n"))
+      .select(col("label"), col("rank"), col("vec_id"), col("priority"))
+  }
+
   /** Cluster–label purity (q109): per trained k-means cell, the
     * majority ground-truth label and its share — the standard external
     * clustering-quality check (does the unsupervised cell structure

@@ -937,6 +937,34 @@ object TextAnalysis {
         least(lit(win), col("n") - col("start")).cast("long").as("chunk_len"),
         md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(win)))).as("chunk_md5"))
 
+  /** Per-source min-max feature scaling (q114): the standard
+    * normalization step before mixing quality signals ACROSS sources —
+    * raw q31 quality scores are only comparable within a source
+    * (template-heavy crawls compress the range), so each score maps to
+    * (q − min)/(max − min) within its source; a degenerate
+    * single-value source pins to 0.5 identically in both engines.
+    *
+    * Determinism: q is the shared qualityScore IEEE sequence; min/max
+    * SELECT existing values (no arithmetic); the normalization is one
+    * fixed subtract/subtract/divide sequence.
+    *
+    * 100 TB shape: one partial+final min/max agg per source (a
+    * sources × 2 frame) joins back BROADCAST — the feature-scaling
+    * join every training pipeline runs, never a window over the
+    * corpus.
+    */
+  def normalizedQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), qualityScore(col("text")).as("q"))
+    val stats = d.groupBy("source")
+      .agg(min(col("q")).as("qmin"), max(col("q")).as("qmax"))
+    d.join(broadcast(stats), Seq("source"))
+      .select(col("source"), col("doc_id"), col("q"),
+        when(col("qmax") > col("qmin"),
+          (col("q") - col("qmin")) / (col("qmax") - col("qmin")))
+          .otherwise(lit(0.5)).as("q_norm"))
+  }
+
   /** Next-token suggestions (q113): for the `topHeads` most
     * continued head tokens, the `topK` most frequent next tokens with
     * their conditional probability — q83's bigram counts re-read as

@@ -701,6 +701,53 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("feature scaling: q_norm in [0,1] with per-source extremes at exactly 0 and 1") {
+    val n = TextAnalysis.normalizedQuality(spark, sf)
+      .select("source", "q", "q_norm").as[(String, Double, Double)].collect()
+    assert(n.length == 500)
+    assert(n.forall { case (_, _, qn) => qn >= 0.0 && qn <= 1.0 })
+    n.groupBy(_._1).values.foreach { rows =>
+      if (rows.map(_._2).distinct.length > 1) {
+        assert(rows.exists(_._3 == 0.0) && rows.exists(_._3 == 1.0),
+          "min and max of each source must map to the interval ends")
+      } else assert(rows.forall(_._3 == 0.5))
+    }
+  }
+
+  test("class balance: every label keeps exactly the min class size, disjoint hash digits") {
+    val b = Similarity.balancedSample(spark, sf)
+      .select("label", "rank", "vec_id").as[(Int, Int, Long)].collect()
+    val sizes = spark.read.parquet(s"$sf/embeddings.parquet")
+      .groupBy("label").count().select("count").as[Long].collect()
+    val minN = sizes.min
+    val byLabel = b.groupBy(_._1)
+    assert(byLabel.size == sizes.length, "every label represented")
+    assert(byLabel.values.forall(_.length == minN), "exactly min-class-size kept per label")
+    assert(b.map(_._3).distinct.length == b.length, "no vector picked twice")
+  }
+
+  test("pareto frontier: no member is dominated; every brand contributes its cheapest level") {
+    val f = Relational.paretoFrontier(spark, sf)
+      .select("p_brand", "p_partkey", "p_retailprice", "p_size")
+      .as[(String, Long, Double, Long)].collect()
+    val all = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_brand", "p_retailprice", "p_size")
+      .as[(String, Double, Long)].collect()
+    assert(f.nonEmpty)
+    // frontier contract: strictly larger than every strictly cheaper brand-mate
+    f.foreach { case (b, _, price, size) =>
+      val cheaper = all.filter(p => p._1 == b && p._2 < price)
+      assert(cheaper.forall(_._3 < size),
+        s"$b part at $price/$size is dominated by a cheaper larger part")
+    }
+    // each brand's cheapest price level is vacuously on the frontier
+    all.groupBy(_._1).foreach { case (b, parts) =>
+      val minPrice = parts.map(_._2).min
+      assert(f.exists(m => m._1 == b && m._3 == minPrice),
+        s"brand $b cheapest level missing from frontier")
+    }
+  }
+
   test("cell purity: majority share in (0,1], populations sum to the corpus") {
     val p = Similarity.cellPurity(spark, sf)
       .select("n_vecs", "n_top", "purity").as[(Long, Long, Double)].collect()
