@@ -292,13 +292,21 @@ object Relational {
     * run the approx aggregate alone; the audit runs on samples).
     * Tolerance: 5× the configured rsd (0.01) — HLL++'s rsd is a
     * standard deviation, not a bound, so the audit allows 5σ.
+    *
+    * Both aggregates run over the pre-distincted (type, user) frame:
+    * HLL is a pure function of the value SET (duplicates re-touch the
+    * same registers), so the estimate is bit-identical to sketching
+    * the raw stream, while the exact side becomes a plain count —
+    * one distinct shuffle instead of an expand-based count-distinct
+    * that scans everything twice.
     */
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.01).as("approx"),
-        countDistinct(col("user_id")).as("exact_users"))
+        count(lit(1)).as("exact_users"))
       .select(
         col("event_type"), col("exact_users"),
         when(abs(col("approx").cast("double") - col("exact_users").cast("double"))

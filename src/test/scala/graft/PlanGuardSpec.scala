@@ -471,6 +471,21 @@ class PlanGuardSpec extends SparkSuite {
       plan(df).count(_.nodeName.contains("BroadcastNestedLoop")) <= 1)
   }
 
+  test("q33 sketch audit: one distinct shuffle, no expand-based double scan") {
+    val df = Relational.approxDistinctUsers(spark, sf)
+    assert(!names(df).exists(_.contains("Expand")),
+      "count-distinct must ride the pre-distincted frame, not an Expand")
+  }
+
+  test("q115/q116: ranking and skyline windows stay partitioned (label / brand)") {
+    for (df <- Seq(Similarity.balancedSample(spark, sf),
+                   Relational.paretoFrontier(spark, sf))) {
+      val windows = plan(df).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+    }
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
