@@ -701,6 +701,18 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("sketch audits hold at sf0.001 too: every q33/q58 contract flag is 1") {
+    // verify covers sf0.01 and a manual run covered sf0.1; this pins
+    // the smallest scale, where sketch relative error is largest
+    val hll = Relational.approxDistinctUsers(spark, sf)
+      .select("within_rsd").as[Long].collect()
+    assert(hll.nonEmpty && hll.forall(_ == 1L), "HLL outside 5x rsd at sf0.001")
+    val gk = Relational.approxPricePercentiles(spark, sf)
+      .select("p50_ok", "p90_ok").as[(Long, Long)].collect()
+    assert(gk.nonEmpty && gk.forall(t => t._1 == 1L && t._2 == 1L),
+      "GK rank outside 10/accuracy at sf0.001")
+  }
+
   test("feature scaling: q_norm in [0,1] with per-source extremes at exactly 0 and 1") {
     val n = TextAnalysis.normalizedQuality(spark, sf)
       .select("source", "q", "q_norm").as[(String, Double, Double)].collect()
