@@ -378,11 +378,16 @@ object EventOps {
     * max_hour, 1 hour) exploded from a broadcast 1-row bounds frame,
     * crossed with the distinct type dimension.
     *
-    * 100 TB shape: the ONLY stream-sized work is one (hour, type)
+    * 100 TB shape: the ONLY stream-sized work is ONE (hour, type)
     * count with map-side combine; the result is time-bounded (8766
-    * hours/year × types), so it BROADCASTS into the left join against
-    * the spine, and the cumulative window partitions on type over
-    * that same tiny frame.  The stream is never joined row-wise.
+    * hours/year × types) and EAGER-pinned — it has three consumers
+    * (the type dimension derives from it, it broadcasts into the
+    * spine join, and the bounds could) and two return as broadcasts,
+    * so the pin must not be lazy (util/Pins.scala); deriving types
+    * from the pinned frame instead of the raw stream keeps the
+    * whole query at one stream scan plus the footer-stats min/max.
+    * The cumulative window partitions on type over the same tiny
+    * frame.  The stream is never joined row-wise.
     */
   def hourlyResample(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -391,9 +396,10 @@ object EventOps {
       date_trunc("hour", max(col("ts"))).as("h1"))
     val spine = broadcast(bounds)
       .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
-    val types = e.select(col("event_type")).distinct()
-    val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
-      .agg(count(lit(1)).as("c"))
+    val hourly = graft.util.Pins.eager(
+      e.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("c")))
+    val types = hourly.select(col("event_type")).distinct()
     val wCum = Window.partitionBy("event_type").orderBy(col("h").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.crossJoin(broadcast(types))
@@ -500,9 +506,11 @@ object EventOps {
     * no arithmetic.
     *
     * 100 TB shape: q106's exact story — one (hour, type) combine
-    * shuffle collapses the stream to a time-bounded frame that
-    * broadcasts into the generated spine; the IGNORE-NULLS window
-    * runs over the tiny dense frame, partitioned by type.
+    * shuffle collapses the stream to a time-bounded frame,
+    * EAGER-pinned with the type dimension derived from it (one
+    * stream scan total; two consumers return as broadcasts, so the
+    * pin must not be lazy); the IGNORE-NULLS window runs over the
+    * tiny dense frame, partitioned by type.
     */
   def forwardFill(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -511,10 +519,11 @@ object EventOps {
       date_trunc("hour", max(col("ts"))).as("h1"))
     val spine = broadcast(bounds)
       .select(explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
-    val types = e.select(col("event_type")).distinct()
-    val hourly = e.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
-      .agg((sum(col("value").cast(DecimalType(18, 2))).cast("double") /
-        count(lit(1))).as("avg_obs"))
+    val hourly = graft.util.Pins.eager(
+      e.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg((sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("avg_obs")))
+    val types = hourly.select(col("event_type")).distinct()
     val wf = Window.partitionBy("event_type").orderBy(col("h").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.crossJoin(broadcast(types))

@@ -1014,18 +1014,23 @@ object TextAnalysis {
     * (rank, N) — bit-equal to the declarative `ntile(10) OVER (ORDER
     * BY ...)` the DuckDB oracle runs, remainder buckets first.
     *
-    * Cache lifecycle: lazy `localCheckpoint` pins one partition-id
-    * assignment for both passes (see sequencePacking).
+    * Cache lifecycle: EAGER pin (Pins.eager), not the lazy form
+    * sequencePacking uses — `sorted` here feeds TWO broadcast
+    * lineages (offsets and the 1-row total), and two broadcast
+    * threads racing to materialize one lazy checkpoint is the r11
+    * deadlock (util/Pins.scala).  The eager pin also freezes the
+    * partition-id assignment for both passes, which the two-pass
+    * rank requires anyway.
     */
   def lengthDeciles(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nParts = spark.sparkContext.defaultParallelism
-    val sorted = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
-        tokenCount(col("text")).cast("long").as("n_tok"))
-      .repartitionByRange(nParts, col("n_chars").asc, col("doc_id").asc)
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(false)
+    val sorted = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          tokenCount(col("text")).cast("long").as("n_tok"))
+        .repartitionByRange(nParts, col("n_chars").asc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id()))
     val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
     val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
