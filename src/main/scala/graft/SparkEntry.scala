@@ -196,7 +196,11 @@ object SparkEntry {
     //   and the skyline operator in window form —
     "q114_feature_scale" -> ((s, d) => TextAnalysis.normalizedQuality(s, d)),
     "q115_class_balance" -> ((s, d) => Similarity.balancedSample(s, d)),
-    "q116_pareto" -> ((s, d) => Relational.paretoFrontier(s, d))
+    "q116_pareto" -> ((s, d) => Relational.paretoFrontier(s, d)),
+    // — round-12 widening, batch 4: the cross-split contamination
+    //   audit and the exact-moments correlation —
+    "q117_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
+    "q118_len_quality_corr" -> ((s, d) => TextAnalysis.lengthQualityCorr(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -1692,6 +1696,45 @@ object SparkEntry {
         |        FROM lvl)
         |SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
         |FROM part p JOIN pre USING (p_brand, p_retailprice)
-        |WHERE cheaper_max IS NULL OR p.p_size > cheaper_max""".stripMargin
+        |WHERE cheaper_max IS NULL OR p.p_size > cheaper_max""".stripMargin,
+    // q21's candidate pairs × q63's exact split buckets, oriented
+    // train-side / eval-side
+    "q117_split_leakage" ->
+      s"""WITH $minhashPairsCte,
+         |lab AS (SELECT doc_id,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+         |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+         |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+         |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+         |   FROM documents)),
+         |j AS (SELECT p.doc_a, p.doc_b, la.split AS split_a, lb.split AS split_b
+         |      FROM mh_pairs p JOIN lab la ON la.doc_id = p.doc_a
+         |      JOIN lab lb ON lb.doc_id = p.doc_b)
+         |SELECT CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END AS train_doc,
+         |  CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END AS eval_doc,
+         |  CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS eval_split
+         |FROM j WHERE split_a <> split_b
+         |  AND (split_a = 'train' OR split_b = 'train')""".stripMargin,
+    // integer features (quality in millionths via the q34 floor
+    // trick): every sum is a pure integer, so the only double
+    // conversions are correctly-rounded int→double on both sides
+    "q118_len_quality_corr" ->
+      s"""WITH d AS (SELECT source,
+         |  n_chars AS x,
+         |  CAST(floor(($qualitySql) * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM documents),
+         |s AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |  CAST(sum(x * y) AS DOUBLE) AS sxy,
+         |  CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |  CAST(sum(y * y) AS DOUBLE) AS syy
+         |  FROM d GROUP BY source)
+         |SELECT source, n_docs,
+         |  (n_docs * sxy - sx * sy) /
+         |  (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy)) AS pearson_r
+         |FROM s""".stripMargin
   )
 }

@@ -601,6 +601,39 @@ object Dedup {
     * shingle; the ratio is ONE IEEE divide of exact counts.  Nothing
     * pairwise — this reads the same frames q76/q79/q96 read.
     */
+  /** Train/test split leakage audit (q117): near-duplicate pairs that
+    * CROSS the q63 split boundary — a training document with a
+    * near-identical twin in valid/test silently inflates every eval
+    * metric, which is why LLM pipelines dedup ACROSS splits, not just
+    * within the corpus.  Candidates come from the q21 MinHash-LSH
+    * join; split labels are q63's exact md5-bucket assignment (ONE
+    * shared definition, md5Bucket(1)); a pair leaks iff exactly one
+    * side is train (valid↔test twins don't contaminate training).
+    * Output orients each pair as (train_doc, eval_doc, eval_split).
+    *
+    * 100 TB shape: q21's banded self-join produces the pairs (never
+    * corpus-pairwise); the split label is a narrow md5 projection
+    * joined on via two doc_id equi-joins.  An empty result is the
+    * healthy state — the audit exists to fail loudly when it isn't.
+    */
+  def splitLeakage(spark: SparkSession, dir: String,
+                   trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val lab = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(TextAnalysis.md5Bucket(1) < trainPct, "train")
+          .when(TextAnalysis.md5Bucket(1) < trainPct + validPct, "valid")
+          .otherwise("test").as("split"))
+    minhashLsh(spark, dir)
+      .join(lab.toDF("doc_a", "split_a"), Seq("doc_a"))
+      .join(lab.toDF("doc_b", "split_b"), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b") &&
+        (col("split_a") === "train" || col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "train", col("doc_a")).otherwise(col("doc_b")).as("train_doc"),
+        when(col("split_a") === "train", col("doc_b")).otherwise(col("doc_a")).as("eval_doc"),
+        when(col("split_a") === "train", col("split_b")).otherwise(col("split_a")).as("eval_split"))
+  }
+
   def originality(spark: SparkSession, dir: String, shingleN: Int = 3): DataFrame = {
     val sh = shingleSet(Tables.documents(spark, dir), shingleN)
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))

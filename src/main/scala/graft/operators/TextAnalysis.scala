@@ -84,7 +84,7 @@ object TextAnalysis {
     * split).  Each use is mirrored by strpos arithmetic in its oracle;
     * keeping ONE definition here is what keeps those mirrors honest.
     */
-  private def md5Bucket(start: Int): Column =
+  private[operators] def md5Bucket(start: Int): Column =
     conv(substring(md5(col("doc_id").cast("string")), start, 4), 16, 10)
       .cast("int") % 100
 
@@ -936,6 +936,48 @@ object TextAnalysis {
         col("start").cast("long").as("start_tok"),
         least(lit(win), col("n") - col("start")).cast("long").as("chunk_len"),
         md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(win)))).as("chunk_md5"))
+
+  /** Per-source length↔quality Pearson correlation (q118): does
+    * document length predict quality within a source?  The covariance
+    * member of the q50 exact-moments family, on INTEGER features:
+    * x = n_chars and y = quality in millionths (the q34 floor trick,
+    * floor(q·1e6 + 0.5) — bit-identical in both engines since q
+    * itself is).  Pearson r is scale-invariant, so the millionth
+    * quantization IS the statistic's definition, and every sum
+    * (Σx, Σy, Σxy, Σx², Σy²) is a pure integer through DECIMAL(38,0)
+    * partial+final aggregation — order-independent, overflow-proof,
+    * and the only double conversions are correctly-rounded
+    * integer→double in both engines.  (A fractional-scale DECIMAL
+    * here is NOT oracle-safe: DuckDB's decimal→double divides by
+    * 10^scale in double space and double-rounds once the numerator
+    * exceeds 2^53, measured one-ulp drift on Σxy at scale 14.)
+    * Spark's builtin corr() is a running-moment double aggregation
+    * whose result depends on partition order; this formulation is
+    * bit-stable on any cluster.
+    *
+    * 100 TB shape: one partial+final agg with map-side combine; the
+    * output is sources × 1.  Nothing else.
+    */
+  def lengthQualityCorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val d = Tables.documents(spark, dir).select(
+      col("source"),
+      col("n_chars").as("x"),
+      floor(qualityScore(col("text")) * lit(1.0e6) + lit(0.5)).cast("long").as("y"))
+    val n = col("n_docs").cast("double")
+    d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+      .select(col("source"), col("n_docs"),
+        ((n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+            sqrt(n * col("syy") - col("sy") * col("sy")))).as("pearson_r"))
+  }
 
   /** Per-source min-max feature scaling (q114): the standard
     * normalization step before mixing quality signals ACROSS sources —

@@ -713,6 +713,35 @@ class OperatorSpec extends SparkSuite {
       "GK rank outside 10/accuracy at sf0.001")
   }
 
+  test("split leakage: every reported pair is a candidate dup crossing the train boundary") {
+    val leaks = Dedup.splitLeakage(spark, sf)
+      .select("train_doc", "eval_doc", "eval_split")
+      .as[(Long, Long, String)].collect()
+    val cands = Dedup.minhashLsh(spark, sf).as[(Long, Long)].collect()
+      .flatMap(p => Seq(p, p.swap)).toSet
+    val bucketOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int").mod(100).as("b"))
+      .as[(Long, Int)].collect().toMap
+    assert(leaks.nonEmpty)
+    leaks.foreach { case (tr, ev, sp) =>
+      assert(cands.contains((tr, ev)), "leak must be an LSH candidate pair")
+      assert(bucketOf(tr) < 80, "train side must be in the train bucket")
+      assert(if (sp == "valid") bucketOf(ev) >= 80 && bucketOf(ev) < 90
+             else bucketOf(ev) >= 90, "eval side split label must match its bucket")
+    }
+  }
+
+  test("pearson correlation: r in [-1,1]; sign matches the covariance of the raw features") {
+    val r = TextAnalysis.lengthQualityCorr(spark, sf)
+      .select("source", "n_docs", "pearson_r")
+      .as[(String, Long, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.forall { case (_, _, p) => p >= -1.0 - 1e-12 && p <= 1.0 + 1e-12 })
+    assert(r.map(_._2).sum == 500L, "every document contributes to exactly one source")
+  }
+
   test("feature scaling: q_norm in [0,1] with per-source extremes at exactly 0 and 1") {
     val n = TextAnalysis.normalizedQuality(spark, sf)
       .select("source", "q", "q_norm").as[(String, Double, Double)].collect()
