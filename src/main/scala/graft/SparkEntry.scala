@@ -200,7 +200,10 @@ object SparkEntry {
     // — round-12 widening, batch 4: the cross-split contamination
     //   audit and the exact-moments correlation —
     "q117_split_leakage" -> ((s, d) => Dedup.splitLeakage(s, d)),
-    "q118_len_quality_corr" -> ((s, d) => TextAnalysis.lengthQualityCorr(s, d))
+    "q118_len_quality_corr" -> ((s, d) => TextAnalysis.lengthQualityCorr(s, d)),
+    // — round-12 widening, batch 5: graph centrality over the
+    //   near-dup graph —
+    "q119_pagerank" -> ((s, d) => Dedup.pageRank(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -1735,6 +1738,33 @@ object SparkEntry {
          |SELECT source, n_docs,
          |  (n_docs * sxy - sx * sy) /
          |  (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy)) AS pearson_r
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+    // 4 unrolled power iterations over the symmetrized q21 pair
+    // graph; each neighbor sum is a list_reduce in neighbor-id order
+    // mirroring the Spark sorted fold, damping constants written as
+    // the same literal arithmetic both sides so both engines fold
+    // them to identical doubles
+    "q119_pagerank" -> {
+      val iterCte = (k: Int) =>
+        s"""i$k AS (SELECT ed.dst AS id,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(r.r / ed.deg ORDER BY ed.src)), (a, b) -> a + b) AS s
+           |  FROM ed JOIN r${k - 1} r ON r.id = ed.src GROUP BY ed.dst),
+           |r$k AS (SELECT id,
+           |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
+           |    + CAST(0.85 AS DOUBLE) * s AS r FROM i$k, tot)""".stripMargin
+      s"""WITH $minhashPairsCte,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+         |tot AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) / n AS r FROM deg, tot),
+         |${iterCte(1)},
+         |${iterCte(2)},
+         |${iterCte(3)},
+         |${iterCte(4)}
+         |SELECT id AS doc_id, r AS pagerank FROM r4""".stripMargin
+    }
   )
 }

@@ -266,6 +266,69 @@ object Dedup {
     } finally { edges.unpersist(); () }
   }
 
+  /** PageRank over the near-duplicate graph (q119): centrality of each
+    * document in the MinHash-LSH candidate graph — hub documents (the
+    * template a hundred variants were stamped from) rank high, isolated
+    * near-dup pairs rank near the floor.  Complements q72's connected
+    * components (WHICH cluster) and q77's survivor pick (WHO represents
+    * it) with HOW CENTRAL each member is — the signal used to pick
+    * canonical pages and to down-weight boilerplate hubs in corpus
+    * curation.
+    *
+    * Fixed `iters` power iterations with damping d over the symmetrized
+    * pair list: r₀ = 1/N; rₖ₊₁(v) = (1−d)/N + d·Σ rₖ(u)/deg(u) over
+    * neighbors u.  No dangling-mass term is needed — every node of an
+    * undirected pair graph has degree ≥ 1 by construction.  For
+    * bit-parity with the oracle the neighbor sum folds in NEIGHBOR-ID
+    * ORDER (sort_array(collect_list) + sequential fold, mirrored by
+    * DuckDB list_reduce over list(… ORDER BY src)), and the damping
+    * constants are written as the same literal arithmetic on both
+    * sides so both engines fold them identically.
+    *
+    * 100 TB shape: the edge frame (with degree pre-joined) is pinned
+    * eagerly ONCE via [[graft.util.Pins.eager]] — the LSH join and
+    * degree shuffle never re-run — and each iteration is one
+    * equi-join + one keyed aggregation on the (tiny relative to the
+    * corpus) graph frame.  The rank frame re-shuffles on the same id
+    * key every iteration; plan depth is linear in `iters` (each
+    * iteration references the previous rank frame exactly once), so
+    * no per-iteration checkpoint is needed at fixed small `iters` —
+    * unlike q72's fixpoint, whose superstep recurrence references its
+    * state twice and grows exponentially without truncation.
+    */
+  def pageRank(spark: SparkSession, dir: String,
+               iters: Int = 4, damping: Double = 0.85): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // one materialization of the graph: every iteration reads these
+    // blocks instead of re-running the LSH join (Pins.eager also
+    // keeps any broadcast of the small rank frames off the lazy-
+    // checkpoint deadlock path, SCALING.md)
+    val g = graft.util.Pins.eager(edges.join(deg, "src"))
+    val tot = broadcast(g.select(col("src")).distinct()
+      .agg(count(lit(1)).as("n")))
+    var ranks = g.select(col("src").as("id")).distinct()
+      .crossJoin(tot)
+      .select(col("id"), (lit(1.0) / col("n").cast("double")).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = g.join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), col("src"),
+          (col("r") / col("deg").cast("double")).as("c"))
+      ranks = contribs.groupBy("dst")
+        .agg(aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+        .crossJoin(tot)
+        .select(col("dst").as("id"),
+          ((lit(1.0) - lit(damping)) / col("n").cast("double") +
+            lit(damping) * col("s")).as("r"))
+    }
+    ranks.select(col("id").as("doc_id"), col("r").as("pagerank"))
+  }
+
   /** Exact n-gram Jaccard over inverted-index candidates: pairs sharing
     * ≥1 shingle, scored |A∩B| / |A∪B|, thresholded.
     *

@@ -733,6 +733,19 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("pagerank: mass conserved at 1, every rank above the teleport floor, nodes = LSH graph") {
+    val pr = Dedup.pageRank(spark, sf)
+      .select("doc_id", "pagerank").as[(Long, Double)].collect()
+    val nodes = Dedup.minhashLsh(spark, sf).as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(pr.nonEmpty)
+    assert(pr.map(_._1).toSet == nodes, "rank exactly the LSH-graph nodes")
+    // undirected graph has no dangling nodes, so total rank is conserved
+    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-9, "total rank mass must stay 1")
+    val floor = (1.0 - 0.85) / nodes.size
+    assert(pr.forall(_._2 >= floor - 1e-15), "every rank at or above (1-d)/N")
+  }
+
   test("pearson correlation: r in [-1,1]; sign matches the covariance of the raw features") {
     val r = TextAnalysis.lengthQualityCorr(spark, sf)
       .select("source", "n_docs", "pearson_r")
