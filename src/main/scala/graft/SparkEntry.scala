@@ -203,7 +203,11 @@ object SparkEntry {
     "q118_len_quality_corr" -> ((s, d) => TextAnalysis.lengthQualityCorr(s, d)),
     // — round-12 widening, batch 5: graph centrality over the
     //   near-dup graph —
-    "q119_pagerank" -> ((s, d) => Dedup.pageRank(s, d))
+    "q119_pagerank" -> ((s, d) => Dedup.pageRank(s, d)),
+    // — round-12 widening, batch 6: the third sketch (CMS point
+    //   frequencies) and the blocked fuzzy join —
+    "q120_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsHeavyHitters(s, d)),
+    "q121_fuzzy_join" -> ((s, d) => Dedup.fuzzyNamePairs(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -1765,6 +1769,23 @@ object SparkEntry {
          |${iterCte(3)},
          |${iterCte(4)}
          |SELECT id AS doc_id, r AS pagerank FROM r4""".stripMargin
-    }
+    },
+    // audit form (q33/q58 pattern): exact top-k token counts +
+    // literal-1 error-contract flags; Spark computes the sketch AND
+    // its own exact recount, so a broken estimate flips a flag and
+    // fails the hash
+    "q120_cms_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS exact_cnt FROM t GROUP BY token)
+        |SELECT token, exact_cnt,
+        |  CAST(1 AS BIGINT) AS never_under, CAST(1 AS BIGINT) AS within_eps
+        |FROM c ORDER BY exact_cnt DESC, token LIMIT 20""".stripMargin,
+    // the oracle runs the naive all-pairs comparison the blocked join
+    // provably equals (symmetric-delete candidates are a superset of
+    // the true dist-1 pairs; the exact filter removes the rest)
+    "q121_fuzzy_join" ->
+      """SELECT a.s_name AS name_a, b.s_name AS name_b
+        |FROM supplier a JOIN supplier b
+        |ON a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) = 1""".stripMargin
   )
 }

@@ -937,6 +937,60 @@ object TextAnalysis {
         least(lit(win), col("n") - col("start")).cast("long").as("chunk_len"),
         md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(win)))).as("chunk_md5"))
 
+  /** Count-Min-Sketch heavy-hitter audit (q120): the frequency-sketch
+    * member of the sketch tier (q33 HLL for distinct counts, q58 GK
+    * for quantiles, CMS here for point frequencies).  A d×w counter
+    * grid — cell (i, hᵢ(token) mod w) accumulates every occurrence;
+    * the estimate for a probe is the MINIMUM over its d cells, which
+    * can only overcount (collisions add, never subtract).  Audit form
+    * like q33/q58: the top-k exact heavy hitters are probed against
+    * the sketch and two error-contract flags come out — `never_under`
+    * (est ≥ exact, deterministically true by construction) and
+    * `within_eps` (est − exact ≤ (e/w)·N, the standard CMS bound) —
+    * so exact DuckDB SQL with literal-1 flags hash-checks the sketch.
+    *
+    * The sketch frame is built from the per-token count frame rather
+    * than the raw occurrence stream — the cell counters are IDENTICAL
+    * either way (a counter is a sum over a token multiset; summing
+    * pre-aggregated counts is the same sum), and the audit needs the
+    * exact counts anyway.  At production scale with an unbounded
+    * vocabulary the sketch side would aggregate the occurrence stream
+    * straight to its FIXED d·w = 2048 cells (map-side combine onto
+    * 2048 keys — no vocab-sized shuffle at any corpus size); that is
+    * the property that makes CMS the scale path when exact counting
+    * stops fitting.
+    *
+    * 100 TB shape: one corpus scan → one vocab-keyed count shuffle
+    * (pinned once, three vocab-sized consumers); sketch ≤ 2048 rows,
+    * probes ≤ k rows — both broadcast-sized by construction.
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String,
+                      d: Int = 4, w: Int = 512, k: Int = 20): DataFrame = {
+    val counts = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt")))
+    val cells = (0 until d).map(i =>
+      struct(lit(i).as("row_i"), pmod(hash(lit(i), col("token")), lit(w)).as("cell")))
+    val sketch = counts
+      .select(explode(array(cells: _*)).as("c"), col("cnt"))
+      .groupBy(col("c.row_i").as("row_i"), col("c.cell").as("cell"))
+      .agg(sum(col("cnt")).as("counter"))
+    val total = broadcast(counts.agg(sum(col("cnt")).cast("double").as("n_total")))
+    val probes = broadcast(
+      counts.orderBy(col("cnt").desc, col("token").asc).limit(k))
+    probes
+      .select(col("token"), col("cnt"), explode(array(cells: _*)).as("c"))
+      .select(col("token"), col("cnt"), col("c.row_i").as("row_i"), col("c.cell").as("cell"))
+      .join(broadcast(sketch), Seq("row_i", "cell"))
+      .groupBy("token", "cnt").agg(min(col("counter")).as("est"))
+      .crossJoin(total)
+      .select(col("token"), col("cnt").as("exact_cnt"),
+        when(col("est") >= col("cnt"), 1L).otherwise(0L).as("never_under"),
+        when((col("est") - col("cnt")).cast("double") <= lit(math.E / w) * col("n_total"), 1L)
+          .otherwise(0L).as("within_eps"))
+  }
+
   /** Per-source length↔quality Pearson correlation (q118): does
     * document length predict quality within a source?  The covariance
     * member of the q50 exact-moments family, on INTEGER features:

@@ -746,6 +746,37 @@ class OperatorSpec extends SparkSuite {
     assert(pr.forall(_._2 >= floor - 1e-15), "every rank at or above (1-d)/N")
   }
 
+  test("cms: flags hold at defaults and never_under survives collision pressure") {
+    val audit = TextAnalysis.cmsHeavyHitters(spark, sf)
+      .select("token", "exact_cnt", "never_under", "within_eps")
+      .as[(String, Long, Long, Long)].collect()
+    assert(audit.length == 20)
+    assert(audit.forall(r => r._3 == 1L && r._4 == 1L), "error contract at defaults")
+    // w=2, d=1 forces nearly every token into a shared cell: estimates
+    // inflate but the min-of-counters can still never undercount
+    val crushed = TextAnalysis.cmsHeavyHitters(spark, sf, d = 1, w = 2)
+      .select("never_under").as[Long].collect()
+    assert(crushed.forall(_ == 1L), "CMS must never undercount, even fully collided")
+  }
+
+  test("fuzzy join: blocked symmetric-delete result equals the naive all-pairs join") {
+    val blocked = Dedup.fuzzyNamePairs(spark, sf)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    val names = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_name").as[String].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = (for {
+      a <- names; b <- names if a < b && lev(a, b) == 1
+    } yield (a, b)).toSet
+    assert(naive.nonEmpty && blocked == naive, "blocking must lose no pair and admit no extra")
+  }
+
   test("pearson correlation: r in [-1,1]; sign matches the covariance of the raw features") {
     val r = TextAnalysis.lengthQualityCorr(spark, sf)
       .select("source", "n_docs", "pearson_r")

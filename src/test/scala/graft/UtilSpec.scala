@@ -168,7 +168,9 @@ class UtilSpec extends AnyFunSuite {
     }
     for ((path, fn) <- Seq(
       "src/main/scala/graft/operators/TextAnalysis.scala" -> "weightedIndex",
-      "src/main/scala/graft/operators/Similarity.scala" -> "pqCodebooks")) {
+      "src/main/scala/graft/operators/TextAnalysis.scala" -> "cmsHeavyHitters",
+      "src/main/scala/graft/operators/Similarity.scala" -> "pqCodebooks",
+      "src/main/scala/graft/operators/Dedup.scala" -> "pageRank")) {
       val b = body(path, fn)
       assert(b.contains("Pins.eager"), s"$fn must pin via Pins.eager")
       assert(!b.contains("localCheckpoint"),
