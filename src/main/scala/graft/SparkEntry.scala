@@ -207,7 +207,11 @@ object SparkEntry {
     // — round-12 widening, batch 6: the third sketch (CMS point
     //   frequencies) and the blocked fuzzy join —
     "q120_cms_heavy_hitters" -> ((s, d) => TextAnalysis.cmsHeavyHitters(s, d)),
-    "q121_fuzzy_join" -> ((s, d) => Dedup.fuzzyNamePairs(s, d))
+    "q121_fuzzy_join" -> ((s, d) => Dedup.fuzzyNamePairs(s, d)),
+    // — round-12 widening, batch 7: robust statistics (winsorized
+    //   means) and the arrival-process fingerprint —
+    "q122_winsorized" -> ((s, d) => TextAnalysis.winsorizedStats(s, d)),
+    "q123_interarrival" -> ((s, d) => EventOps.interArrivalStats(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -1786,6 +1790,37 @@ object SparkEntry {
     "q121_fuzzy_join" ->
       """SELECT a.s_name AS name_a, b.s_name AS name_b
         |FROM supplier a JOIN supplier b
-        |ON a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) = 1""".stripMargin
+        |ON a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) = 1""".stripMargin,
+    // exact-rank percentile cuts with PURE-INTEGER rank arithmetic
+    // ((n+19)//20, (19n+19)//20) — float rank math is a cross-engine
+    // trap for fractions with no exact binary form (see q104 ntile)
+    "q122_winsorized" ->
+      """WITH r AS (SELECT source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n FROM documents),
+        |c AS (SELECT source,
+        |  max(CASE WHEN rn = (n + 19) // 20 THEN n_chars END) AS p05,
+        |  max(CASE WHEN rn = (19 * n + 19) // 20 THEN n_chars END) AS p95
+        |  FROM r GROUP BY source)
+        |SELECT d.source, count(*) AS n_docs, max(c.p05) AS p05, max(c.p95) AS p95,
+        |  CAST(sum(greatest(least(d.n_chars, c.p95), c.p05)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS win_mean,
+        |  CAST(sum(d.n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS raw_mean
+        |FROM documents d JOIN c ON d.source = c.source GROUP BY d.source""".stripMargin,
+    // integer-µs gaps (epoch_us, the q94 convention), lower median at
+    // (n+1)//2 and p90 at (9n+9)//10, ties by event_id — all BIGINT
+    "q123_interarrival" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (SELECT user_id, event_id,
+        |  us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap FROM e),
+        |gg AS (SELECT user_id, gap, event_id FROM g WHERE gap IS NOT NULL),
+        |rk AS (SELECT user_id, gap,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY gap, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n FROM gg)
+        |SELECT user_id, max(n) AS n_gaps, min(gap) AS min_gap_us,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS median_gap_us,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END) AS p90_gap_us,
+        |  max(gap) AS max_gap_us
+        |FROM rk GROUP BY user_id""".stripMargin
   )
 }

@@ -320,6 +320,45 @@ object EventOps {
       .select("event_id", "user_id", "ms", "n_24h", "sum_24h")
   }
 
+  /** Per-user inter-arrival gap statistics (q123): the arrival-process
+    * fingerprint — median / p90 / extreme gaps between consecutive
+    * events per user, the raw material for rate limiting, bot
+    * detection (metronomic gaps) and session-timeout calibration
+    * (q94's 30-min cutoff should sit between the gap median and p90
+    * body, not inside it).
+    *
+    * Gaps are exact integer microseconds (`unix_micros`, the q94
+    * convention: events carry µs precision, so integer epoch ordering
+    * cannot diverge between engines); ties order by event_id.  The
+    * median and p90 are exact-rank selections with PURE-INTEGER rank
+    * arithmetic — lower median at (n+1) div 2 (the q93 convention),
+    * p90 at ceil(9n/10) = (9n+9) div 10 — no float rank math (see
+    * q122).  Every output column is a BIGINT.
+    *
+    * 100 TB shape: ONE user_id shuffle serves both windows (the gap
+    * lag and the gap rank reuse the same partitioning; Spark plans a
+    * single exchange), then one combine-friendly agg.  Output is
+    * users × 1.
+    */
+  def interArrivalStats(spark: SparkSession, dir: String): DataFrame = {
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(
+        byUser.orderBy(col("us").asc, col("event_id").asc)))
+      .filter(col("gap").isNotNull)
+    gaps
+      .withColumn("rn", row_number().over(
+        byUser.orderBy(col("gap").asc, col("event_id").asc)))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .groupBy("user_id")
+      .agg(
+        max(col("n")).as("n_gaps"),
+        min(col("gap")).as("min_gap_us"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("gap"))).as("median_gap_us"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("gap"))).as("p90_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+  }
+
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val wk = Tables.events(spark, dir)
       .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("week"))

@@ -937,6 +937,55 @@ object TextAnalysis {
         least(lit(win), col("n") - col("start")).cast("long").as("chunk_len"),
         md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(win)))).as("chunk_md5"))
 
+  /** Winsorized per-source length statistics (q122): the robust-mean
+    * companion to the q93 MAD gate — clip each source's n_chars into
+    * its exact [p05, p95] band, then compare the winsorized mean with
+    * the raw mean.  The standard pre-normalization step before length
+    * features feed a mixing model: a handful of megadocs can drag a
+    * source's raw mean arbitrarily; the winsorized mean is bounded by
+    * construction.
+    *
+    * Percentile cut ranks use PURE INTEGER arithmetic —
+    * ceil(n/20) = (n+19) div 20 and ceil(19n/20) = (19n+19) div 20 —
+    * because float rank math (`ceil(0.05 * n)`) is a cross-engine
+    * trap: 0.05/0.95 have no exact binary form, so Spark's double
+    * product can land one ulp above an integer and ceil one rank past
+    * DuckDB's exact-decimal product (the q104 ntile lesson; 0.5/0.9
+    * at q51's magnitudes happen to round clean, these do not have to).
+    * Clipped sums are exact integers through DECIMAL(38,0); the means
+    * are one int→double conversion + one IEEE divide on both engines.
+    *
+    * 100 TB shape: one per-source rank window (q65's two-pass escape
+    * documented there applies verbatim if a single source outgrows a
+    * partition), broadcast join-back of the sources×1 cut frame, one
+    * combine-friendly agg.
+    */
+  def winsorizedStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val r = Tables.documents(spark, dir).select("source", "doc_id", "n_chars")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("n_chars").asc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    val cuts = r.groupBy("source").agg(
+      max(when(col("rn") === expr("(n + 19) div 20"), col("n_chars"))).as("p05"),
+      max(when(col("rn") === expr("(19 * n + 19) div 20"), col("n_chars"))).as("p95"))
+    Tables.documents(spark, dir).select("source", "n_chars")
+      .join(broadcast(cuts), "source")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("p05")).as("p05"),
+        max(col("p95")).as("p95"),
+        sum(greatest(least(col("n_chars"), col("p95")), col("p05")).cast(dec))
+          .cast("double").as("win_sum"),
+        sum(col("n_chars").cast(dec)).cast("double").as("raw_sum"))
+      .select(col("source"), col("n_docs"), col("p05"), col("p95"),
+        (col("win_sum") / col("n_docs").cast("double")).as("win_mean"),
+        (col("raw_sum") / col("n_docs").cast("double")).as("raw_mean"))
+  }
+
   /** Count-Min-Sketch heavy-hitter audit (q120): the frequency-sketch
     * member of the sketch tier (q33 HLL for distinct counts, q58 GK
     * for quantiles, CMS here for point frequencies).  A d×w counter

@@ -777,6 +777,46 @@ class OperatorSpec extends SparkSuite {
     assert(naive.nonEmpty && blocked == naive, "blocking must lose no pair and admit no extra")
   }
 
+  test("winsorized stats: hand-computed clip per source; win_mean inside the cut band") {
+    val got = TextAnalysis.winsorizedStats(spark, sf)
+      .select("source", "n_docs", "p05", "p95", "win_mean", "raw_mean")
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    val raw = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._2)).map(_._3)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (src, n, p05, p95, winMean, rawMean) =>
+      val xs = raw(src)
+      assert(n == xs.length)
+      val lo = xs((xs.length + 19) / 20 - 1)
+      val hi = xs((19 * xs.length + 19) / 20 - 1)
+      assert(p05 == lo && p95 == hi, s"$src cut ranks")
+      val win = xs.map(x => math.max(math.min(x, hi), lo).toLong).sum.toDouble / n
+      assert(winMean == win, s"$src winsorized mean must be exact")
+      assert(winMean >= p05 && winMean <= p95, "clipped mean stays inside the band")
+      assert(rawMean == xs.map(_.toLong).sum.toDouble / n)
+    }
+  }
+
+  test("inter-arrival stats: order invariants and a hand-checked user") {
+    val got = EventOps.interArrivalStats(spark, sf)
+      .select("user_id", "n_gaps", "min_gap_us", "median_gap_us", "p90_gap_us", "max_gap_us")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, mn, med, p90, mx) =>
+      assert(n >= 1 && mn >= 0 && mn <= med && med <= p90 && p90 <= mx)
+    }
+    val perUser = graft.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val (uid, n0, _, med0, _, _) = got.head
+    val evs = perUser(uid).sortBy(r => (r._2, r._3))
+    val gaps = evs.sliding(2).map(p => p(1)._2 - p(0)._2).toArray.sorted
+    assert(n0 == gaps.length, "n_gaps = events - 1 per user")
+    assert(med0 == gaps((gaps.length + 1) / 2 - 1), "lower median hand-check")
+  }
+
   test("pearson correlation: r in [-1,1]; sign matches the covariance of the raw features") {
     val r = TextAnalysis.lengthQualityCorr(spark, sf)
       .select("source", "n_docs", "pearson_r")
