@@ -211,7 +211,12 @@ object SparkEntry {
     // — round-12 widening, batch 7: robust statistics (winsorized
     //   means) and the arrival-process fingerprint —
     "q122_winsorized" -> ((s, d) => TextAnalysis.winsorizedStats(s, d)),
-    "q123_interarrival" -> ((s, d) => EventOps.interArrivalStats(s, d))
+    "q123_interarrival" -> ((s, d) => EventOps.interArrivalStats(s, d)),
+    // — round-12 widening, batch 8: asymmetric containment (the
+    //   subset-dup detector Jaccard misses) and embedding-cluster
+    //   geometry —
+    "q124_containment" -> ((s, d) => Dedup.containment(s, d)),
+    "q125_centroid_sim" -> ((s, d) => Similarity.centroidSimilarity(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -1821,6 +1826,46 @@ object SparkEntry {
         |  max(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS median_gap_us,
         |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN gap END) AS p90_gap_us,
         |  max(gap) AS max_gap_us
-        |FROM rk GROUP BY user_id""".stripMargin
+        |FROM rk GROUP BY user_id""".stripMargin,
+    // two-stage mirror: rare-shingle candidates (df <= 8, the q45
+    // rule), then EXACT intersection over the full shingle sets —
+    // containment is true, not the capped undercount
+    "q124_containment" ->
+      s"""WITH $shingleCte,
+         |dfc AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) t
+         |        WHERE df <= 8),
+         |shc AS (SELECT doc_id, sh.shingle FROM sh JOIN dfc USING (shingle)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |i AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT i.doc_a, i.doc_b, inter, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment_a,
+         |  CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS containment_b
+         |FROM i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+         |WHERE greatest(CAST(inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+         |               CAST(inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) >= 0.9""".stripMargin,
+    // centroid sums fold by vec_id, pair dot/norm sums fold by dim —
+    // the zipped-unnest posexplode mirror + list_reduce ordered folds
+    "q125_centroid_sim" ->
+      """WITH ex AS (SELECT label, vec_id,
+        |  unnest(range(0, len(embedding))) AS dim,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |cent AS (SELECT label, dim,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
+        |    (a, b) -> a + b) / count(*) AS m
+        |  FROM ex GROUP BY label, dim)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(a.m * b.m ORDER BY a.dim)),
+        |    (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(a.m * a.m ORDER BY a.dim)),
+        |       (x, y) -> x + y))
+        |   * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(b.m * b.m ORDER BY a.dim)),
+        |       (x, y) -> x + y))) AS cos_sim
+        |FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        |GROUP BY a.label, b.label""".stripMargin
   )
 }

@@ -367,6 +367,59 @@ object Dedup {
       .filter(levenshtein(col("name_a"), col("name_b")) === 1)
   }
 
+  /** Asymmetric shingle containment (q124): |A∩B| / |A| — the
+    * subset-duplication detector symmetric Jaccard is blind to.  A
+    * short document pasted verbatim inside a much longer one has
+    * Jaccard ≈ |A|/|B| (arbitrarily small) but containment ≈ 1; LSH
+    * (q21) won't collide such pairs either, since minhash estimates
+    * Jaccard.  This is the "quotes/boilerplate/embedded copy" audit
+    * in LLM dedup pipelines.
+    *
+    * Two stages, both exact where it matters: (1) CANDIDATES — pairs
+    * sharing at least one rare shingle (document frequency ≤
+    * `maxShingleDf`, the q45 rule; a contained copy shares ALL of A's
+    * shingles, so requiring one rare shared shingle only loses pairs
+    * whose every common shingle is corpus-hot); (2) EXACT per-pair
+    * intersection — candidates joined back to the FULL shingle sets
+    * of both sides, so the reported containment is the true value,
+    * not the capped index's undercount (the difference from q45,
+    * where the capped counts themselves are reported).
+    *
+    * 100 TB shape: the capped inverted index bounds candidate fan-out
+    * at (cap choose 2) per shingle; the exact-intersection join
+    * touches candidate pairs × their shingles only.  The all-pairs
+    * form never exists in the plan.
+    */
+  def containment(spark: SparkSession, dir: String, shingleN: Int = 3,
+                  threshold: Double = 0.9, maxShingleDf: Int = 8): DataFrame = {
+    // four consumers read the shingle frame (df filter, candidate
+    // join, both sides of the exact intersection, sizes) — pin it
+    // once; eager, since AQE may broadcast small descendants (rare,
+    // sz) and a lazy pin must never first materialize inside a
+    // broadcast thread (see util/Pins.scala)
+    val sh = graft.util.Pins.eager(
+      shingleSet(Tables.documents(spark, dir), shingleN))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf).select("shingle")
+    val shc = sh.join(rare, "shingle")
+    val cand = shc.as("a").join(shc.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.toDF("doc_a", "shingle"), "doc_a")
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.toDF("doc_a", "n_a"), "doc_a")
+      .join(sz.toDF("doc_b", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        (col("inter").cast("double") / col("n_a").cast("double")).as("containment_a"),
+        (col("inter").cast("double") / col("n_b").cast("double")).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+  }
+
   /** Exact n-gram Jaccard over inverted-index candidates: pairs sharing
     * ≥1 shingle, scored |A∩B| / |A∪B|, thresholded.
     *

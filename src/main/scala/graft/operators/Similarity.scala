@@ -286,6 +286,52 @@ object Similarity {
     * switches to the q65 two-pass form); membership is reproducible
     * on any engine and any partitioning.
     */
+  /** Per-label centroid cosine matrix (q125): how separable are the
+    * embedding clusters?  The mean vector of each label, then pairwise
+    * cosine between the centroids — the domain-signature / cluster-
+    * overlap audit (labels whose centroids sit at cos ≈ 1 are one
+    * population wearing two names; q109 purity measures assignment
+    * quality, this measures geometry).
+    *
+    * Bit-parity discipline for float sums: every reduction over
+    * doubles folds in a PINNED order mirrored by the oracle —
+    * per-dimension centroid sums fold by vec_id, per-pair dot/norm
+    * sums fold by dimension (sort_array+aggregate ↔ list_reduce over
+    * list(… ORDER BY …)); float→double widening is exact in both
+    * engines.
+    *
+    * 100 TB shape: one (label, dim) keyed aggregation over the
+    * exploded embeddings — labels × dims cells — then all pairwise
+    * work happens on that tiny centroid frame.  The ordered-fold
+    * collect_list is per (label, dim) and bounded by per-label row
+    * count; at extreme scale the same shape survives by folding
+    * per-partition subtotals instead (documented trade: exact
+    * reproducibility vs one wider shuffle — same as q84's choice).
+    */
+  def centroidSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val cent = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((aggregate(
+          sort_array(collect_list(struct(col("vec_id"), col("v").cast("double").as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v"))
+        / count(lit(1)).cast("double")).as("m"))
+    val a = cent.toDF("label_a", "dim", "ma")
+    val b = cent.toDF("label_b", "dim", "mb")
+    a.join(b, Seq("dim"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(
+        aggregate(sort_array(collect_list(struct(col("dim"), (col("ma") * col("mb")).as("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")).as("dot"),
+        aggregate(sort_array(collect_list(struct(col("dim"), (col("ma") * col("ma")).as("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")).as("na"),
+        aggregate(sort_array(collect_list(struct(col("dim"), (col("mb") * col("mb")).as("p")))),
+          lit(0.0), (acc, x) => acc + x.getField("p")).as("nb"))
+      .select(col("label_a"), col("label_b"),
+        (col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).as("cos_sim"))
+  }
+
   def balancedSample(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
     val minN = broadcast(

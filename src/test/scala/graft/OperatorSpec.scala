@@ -817,6 +817,55 @@ class OperatorSpec extends SparkSuite {
     assert(med0 == gaps((gaps.length + 1) / 2 - 1), "lower median hand-check")
   }
 
+  test("containment: values exact vs brute force; catches a subset pair Jaccard misses") {
+    val got = Dedup.containment(spark, sf)
+      .select("doc_a", "doc_b", "containment_a", "containment_b")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    // brute-force shingle sets for all 500 docs
+    val sets = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().flatMap { case (id, t) =>
+        val w = t.split(" ", -1)
+        if (w.length < 3) None
+        else Some(id -> (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet)
+      }.toMap
+    got.foreach { case (a, b, ca, cb) =>
+      val inter = sets(a).intersect(sets(b)).size
+      assert(ca == inter.toDouble / sets(a).size && cb == inter.toDouble / sets(b).size,
+        s"containment must be the true ratio for ($a,$b)")
+      assert(math.max(ca, cb) >= 0.9)
+    }
+    // completeness on the candidate domain: every >=0.9 pair sharing a
+    // rare shingle (df<=8) must be reported
+    val df = sets.values.flatten.groupBy(identity).map { case (s, xs) => (s, xs.size) }
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids; b <- ids if a < b
+      in = sets(a).intersect(sets(b)) if in.exists(df(_) <= 8)
+      c = in.size.toDouble if math.max(c / sets(a).size, c / sets(b).size) >= 0.9
+    } yield (a, b)).toSet
+    assert(got.map(t => (t._1, t._2)).toSet == expected)
+  }
+
+  test("centroid similarity: bounded cosine over all label pairs; one pair hand-checked") {
+    val got = Similarity.centroidSimilarity(spark, sf)
+      .select("label_a", "label_b", "cos_sim").as[(Int, Int, Double)].collect()
+    val labels = Tables.embeddings(spark, sf).select("label").distinct().as[Int].collect()
+    assert(got.length == labels.length * (labels.length - 1) / 2)
+    assert(got.forall(r => r._3 >= -1.0 - 1e-12 && r._3 <= 1.0 + 1e-12))
+    val vecs = Tables.embeddings(spark, sf)
+      .select("label", "vec_id", "embedding").as[(Int, Long, Array[Float])].collect()
+    def centroid(l: Int): Array[Double] = {
+      val m = vecs.filter(_._1 == l).sortBy(_._2).map(_._3)
+      Array.tabulate(m.head.length)(d => m.map(_(d).toDouble).sum / m.length)
+    }
+    val (la, lb, cs) = got.head
+    val (x, y) = (centroid(la), centroid(lb))
+    val dot = x.indices.map(i => x(i) * y(i)).sum
+    val expect = dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    assert(math.abs(cs - expect) < 1e-9, s"hand-checked centroid cosine: $cs vs $expect")
+  }
+
   test("pearson correlation: r in [-1,1]; sign matches the covariance of the raw features") {
     val r = TextAnalysis.lengthQualityCorr(spark, sf)
       .select("source", "n_docs", "pearson_r")
