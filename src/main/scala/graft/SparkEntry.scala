@@ -216,7 +216,11 @@ object SparkEntry {
     //   subset-dup detector Jaccard misses) and embedding-cluster
     //   geometry —
     "q124_containment" -> ((s, d) => Dedup.containment(s, d)),
-    "q125_centroid_sim" -> ((s, d) => Similarity.centroidSimilarity(s, d))
+    "q125_centroid_sim" -> ((s, d) => Similarity.centroidSimilarity(s, d)),
+    // — round-12 widening, batch 9: funnel timing and the Heaps'-law
+    //   growth diagnostic —
+    "q126_conversion_latency" -> ((s, d) => EventOps.conversionLatency(s, d)),
+    "q127_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -1866,6 +1870,59 @@ object SparkEntry {
         |   * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(b.m * b.m ORDER BY a.dim)),
         |       (x, y) -> x + y))) AS cos_sim
         |FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
-        |GROUP BY a.label, b.label""".stripMargin
+        |GROUP BY a.label, b.label""".stripMargin,
+    // conditional-min firsts, integer-µs latencies, pure-integer
+    // exact ranks over the converted-user set
+    "q126_conversion_latency" ->
+      """WITH f AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS fv,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+        |  FROM events GROUP BY user_id),
+        |l AS (SELECT user_id, fp - fv AS lat FROM f
+        |      WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv),
+        |r AS (SELECT lat, row_number() OVER (ORDER BY lat, user_id) AS rn,
+        |      count(*) OVER () AS n FROM l)
+        |SELECT max(n) AS n_converted,
+        |  max(CASE WHEN rn = 1 THEN lat END) AS min_lat_us,
+        |  max(CASE WHEN rn = (n + 3) // 4 THEN lat END) AS p25_lat_us,
+        |  max(CASE WHEN rn = (n + 1) // 2 THEN lat END) AS median_lat_us,
+        |  max(CASE WHEN rn = (3 * n + 3) // 4 THEN lat END) AS p75_lat_us,
+        |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN lat END) AS p90_lat_us,
+        |  max(CASE WHEN rn = n THEN lat END) AS max_lat_us
+        |FROM r""".stripMargin,
+    // first-occurrence construction of the cumulative-distinct curve
+    // (min doc_id per token → per-doc new counts → running sums),
+    // decile checkpoints at pure-integer ranks, q85's fold-ordered
+    // least-squares over ln(T)/ln(V)
+    "q127_vocab_growth" ->
+      """WITH tk AS (SELECT source, doc_id,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |fst AS (SELECT source, token, min(doc_id) AS doc_id FROM tk GROUP BY source, token),
+        |nv AS (SELECT source, doc_id, count(*) AS nv FROM fst GROUP BY source, doc_id),
+        |nt AS (SELECT source, doc_id, count(*) AS nt FROM tk GROUP BY source, doc_id),
+        |pd AS (SELECT nt.source, nt.doc_id, nt.nt, coalesce(nv.nv, 0) AS nv
+        |       FROM nt LEFT JOIN nv ON nv.source = nt.source AND nv.doc_id = nt.doc_id),
+        |cur AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+        |  sum(nt) OVER (PARTITION BY source ORDER BY doc_id) AS tokens_seen,
+        |  sum(nv) OVER (PARTITION BY source ORDER BY doc_id) AS vocab_seen,
+        |  count(*) OVER (PARTITION BY source) AS n
+        |  FROM pd),
+        |cp AS (SELECT source, k.decile, rn AS docs_seen,
+        |  CAST(tokens_seen AS BIGINT) AS tokens_seen, CAST(vocab_seen AS BIGINT) AS vocab_seen
+        |  FROM cur CROSS JOIN (SELECT unnest(range(1, 11)) AS decile) k
+        |  WHERE rn = (k.decile * n + 9) // 10),
+        |pts AS (SELECT source, decile, tokens_seen, vocab_seen,
+        |  ln(CAST(tokens_seen AS DOUBLE)) AS x, ln(CAST(vocab_seen AS DOUBLE)) AS y FROM cp),
+        |g AS (SELECT source, count(*) AS np,
+        |  list_reduce(list_prepend(0.0, list(x ORDER BY decile)), (a, b) -> a + b) AS sx,
+        |  list_reduce(list_prepend(0.0, list(y ORDER BY decile)), (a, b) -> a + b) AS sy,
+        |  list_reduce(list_prepend(0.0, list(x * y ORDER BY decile)), (a, b) -> a + b) AS sxy,
+        |  list_reduce(list_prepend(0.0, list(x * x ORDER BY decile)), (a, b) -> a + b) AS sxx
+        |  FROM pts GROUP BY source)
+        |SELECT cp.source, CAST(cp.decile AS INTEGER) AS decile,
+        |  CAST(cp.docs_seen AS BIGINT) AS docs_seen, cp.tokens_seen, cp.vocab_seen,
+        |  (CAST(np AS DOUBLE) * sxy - sx * sy) / (CAST(np AS DOUBLE) * sxx - sx * sx) AS heaps_b
+        |FROM cp JOIN g ON g.source = cp.source""".stripMargin
   )
 }

@@ -359,6 +359,58 @@ object EventOps {
         max(col("gap")).as("max_gap_us"))
   }
 
+  /** First-view → first-purchase conversion latency (q126): the
+    * funnel-timing companion to q90 (which counts WHO converts, this
+    * measures HOW LONG conversion takes).  Per user the first 'view'
+    * and first 'purchase' timestamps reduce in ONE user_id aggregation
+    * (conditional mins — no per-type scans); users with a purchase at
+    * or after their first view contribute one integer-µs latency, and
+    * the output is one row of exact latency percentiles.
+    *
+    * The global rank over per-user latencies deliberately avoids a
+    * single-partition `Window.orderBy` (the naive form funnels every
+    * row through one task): it is the q65 two-pass escape —
+    * repartitionByRange on (lat, user_id), per-partition row_number +
+    * broadcast partition offsets — so the total order is computed
+    * without any single-task bottleneck.  Rank arithmetic is pure
+    * integer per the q122 rule; every output column is BIGINT µs.
+    */
+  def conversionLatency(spark: SparkSession, dir: String,
+                        parts: Int = 0): DataFrame = {
+    val nParts = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val lat = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("us"))).as("fv"),
+        min(when(col("event_type") === "purchase", col("us"))).as("fp"))
+      .filter(col("fv").isNotNull && col("fp").isNotNull && col("fp") >= col("fv"))
+      .select(col("user_id"), (col("fp") - col("fv")).as("lat"))
+    // q65 two-pass global rank: one range shuffle, no 1-task window
+    val sorted = lat
+      .repartitionByRange(nParts, col("lat"), col("user_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false) // pin ONE pid assignment for both branches
+    val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.orderBy(col("pid").asc).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .select("pid", "off", "n")
+    sorted
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("lat").asc, col("user_id").asc)) + col("off"))
+      .agg(
+        max(col("n")).as("n_converted"),
+        max(when(col("rn") === 1, col("lat"))).as("min_lat_us"),
+        max(when(col("rn") === expr("(n + 3) div 4"), col("lat"))).as("p25_lat_us"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("lat"))).as("median_lat_us"),
+        max(when(col("rn") === expr("(3 * n + 3) div 4"), col("lat"))).as("p75_lat_us"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("lat"))).as("p90_lat_us"),
+        max(when(col("rn") === col("n"), col("lat"))).as("max_lat_us"))
+  }
+
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val wk = Tables.events(spark, dir)
       .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("week"))

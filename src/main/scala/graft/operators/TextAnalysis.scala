@@ -937,6 +937,74 @@ object TextAnalysis {
         least(lit(win), col("n") - col("start")).cast("long").as("chunk_len"),
         md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(win)))).as("chunk_md5"))
 
+  /** Per-source vocabulary growth curve + Heaps' law fit (q127): how
+    * fast does each source's vocabulary grow as documents accumulate?
+    * Natural text follows Heaps' law V ≈ K·T^b with b ≈ 0.4–0.6;
+    * templated or looping sources flatten early (tiny b), and token
+    * salad grows near-linearly (b → 1).  The q85 Zipf fit's companion
+    * diagnostic — Zipf reads the frequency SPECTRUM, this reads the
+    * GROWTH curve.
+    *
+    * Scalable construction of an inherently sequential quantity: the
+    * cumulative-distinct curve V(d) needs no sequential scan — a
+    * token first "appears" at its MINIMUM doc_id, so one
+    * (source, token) min-aggregation turns the curve into per-doc
+    * new-token counts, and V(d)/T(d) are running sums over the
+    * per-source doc order (one window each, same partitioning).  Ten
+    * decile checkpoints per source (rank (k·n+9) div 10, pure-integer
+    * per the q122 rule) feed the same fold-ordered least-squares as
+    * q85: x = ln(tokens_seen), y = ln(vocab_seen) via GraftLn.
+    *
+    * 100 TB shape: one (source, token) shuffle + one (source, doc)
+    * shuffle + per-source windows; the regression runs on 10 rows per
+    * source.  Output: 10 checkpoint rows per source, the fitted
+    * exponent repeated on each (sources × 10 rows total).
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ln = graft.functions.MathFunctions.ln _
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val newPerDoc = toks.groupBy("source", "token")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("nv"))
+    val perDoc = toks.groupBy("source", "doc_id").agg(count(lit(1)).as("nt"))
+      .join(newPerDoc, Seq("source", "doc_id"), "left")
+      .withColumn("nv", coalesce(col("nv"), lit(0L)))
+    val bySrc = Window.partitionBy("source").orderBy(col("doc_id").asc)
+    val curve = perDoc
+      .withColumn("rn", row_number().over(bySrc))
+      .withColumn("tokens_seen", sum(col("nt")).over(bySrc))
+      .withColumn("vocab_seen", sum(col("nv")).over(bySrc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    val checkpoints = curve
+      .select(col("source"), col("rn"), col("n"), col("tokens_seen"), col("vocab_seen"),
+        explode(sequence(lit(1), lit(10))).as("decile"))
+      .filter(col("rn") === expr("(decile * n + 9) div 10"))
+      .select(col("source"), col("decile"), col("rn").cast("long").as("docs_seen"),
+        col("tokens_seen"), col("vocab_seen"))
+    val fit = checkpoints
+      .select(col("source"), col("decile"),
+        ln(col("tokens_seen").cast("double")).as("x"),
+        ln(col("vocab_seen").cast("double")).as("y"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("np"),
+        aggregate(sort_array(collect_list(struct(col("decile"), col("x")))),
+          lit(0.0), (acc, e) => acc + e.getField("x")).as("sx"),
+        aggregate(sort_array(collect_list(struct(col("decile"), col("y")))),
+          lit(0.0), (acc, e) => acc + e.getField("y")).as("sy"),
+        aggregate(sort_array(collect_list(struct(col("decile"), (col("x") * col("y")).as("p")))),
+          lit(0.0), (acc, e) => acc + e.getField("p")).as("sxy"),
+        aggregate(sort_array(collect_list(struct(col("decile"), (col("x") * col("x")).as("p")))),
+          lit(0.0), (acc, e) => acc + e.getField("p")).as("sxx"))
+      .select(col("source"),
+        ((col("np").cast("double") * col("sxy") - col("sx") * col("sy"))
+          / (col("np").cast("double") * col("sxx") - col("sx") * col("sx"))).as("heaps_b"))
+    checkpoints.join(broadcast(fit), "source")
+      .select("source", "decile", "docs_seen", "tokens_seen", "vocab_seen", "heaps_b")
+  }
+
   /** Winsorized per-source length statistics (q122): the robust-mean
     * companion to the q93 MAD gate — clip each source's n_chars into
     * its exact [p05, p95] band, then compare the winsorized mean with

@@ -866,6 +866,54 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(cs - expect) < 1e-9, s"hand-checked centroid cosine: $cs vs $expect")
   }
 
+  test("conversion latency: ordered percentiles; median hand-checked vs raw events") {
+    val r = EventOps.conversionLatency(spark, sf)
+      .select("n_converted", "min_lat_us", "p25_lat_us", "median_lat_us",
+        "p75_lat_us", "p90_lat_us", "max_lat_us")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    val (n, mn, p25, med, p75, p90, mx) = r
+    assert(n > 0 && mn <= p25 && p25 <= med && med <= p75 && p75 <= p90 && p90 <= mx)
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(Long, String, Long)].collect()
+    val lats = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      val fv = rows.filter(_._2 == "view").map(_._3).minOption
+      val fp = rows.filter(_._2 == "purchase").map(_._3).minOption
+      (fv, fp) match {
+        case (Some(v), Some(p)) if p >= v => Some(p - v)
+        case _ => None
+      }
+    }.toArray.sorted
+    assert(n == lats.length)
+    assert(med == lats((lats.length + 1) / 2 - 1), "lower median vs brute force")
+  }
+
+  test("vocab growth: curves monotone, endpoints exact, heaps_b in a sane band") {
+    val rows = TextAnalysis.vocabGrowth(spark, sf)
+      .select("source", "decile", "docs_seen", "tokens_seen", "vocab_seen", "heaps_b")
+      .as[(String, Int, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length % 10 == 0)
+    val docs = Tables.documents(spark, sf).select("source", "doc_id", "text")
+      .as[(String, Long, String)].collect()
+    rows.groupBy(_._1).foreach { case (src, cps) =>
+      assert(cps.map(_._2).sorted.toSeq == (1 to 10), s"$src: one row per decile")
+      val byDecile = cps.sortBy(_._2)
+      assert(byDecile.sliding(2).forall(p =>
+        p(0)._4 <= p(1)._4 && p(0)._5 <= p(1)._5), s"$src: running sums must not decrease")
+      assert(cps.forall(c => c._5 <= c._4), "vocab cannot exceed tokens")
+      // decile 10 endpoint = full-source totals
+      val mine = docs.filter(_._1 == src)
+      val last = byDecile.last
+      assert(last._3 == mine.length)
+      assert(last._4 == mine.map(_._3.split(" ", -1).length.toLong).sum)
+      assert(last._5 == mine.flatMap(_._3.split(" ", -1)).distinct.length.toLong)
+      // the synthetic 31-word vocab saturates fast: b ≈ 0 (flat tail,
+      // float-noise ulps below zero included) is legitimate here;
+      // real corpora sit near 0.4-0.6
+      assert(cps.head._6 >= -1e-12 && cps.head._6 <= 1.05, s"$src heaps_b=${cps.head._6}")
+    }
+  }
+
   test("pearson correlation: r in [-1,1]; sign matches the covariance of the raw features") {
     val r = TextAnalysis.lengthQualityCorr(spark, sf)
       .select("source", "n_docs", "pearson_r")
