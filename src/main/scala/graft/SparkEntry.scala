@@ -220,7 +220,11 @@ object SparkEntry {
     // — round-12 widening, batch 9: funnel timing and the Heaps'-law
     //   growth diagnostic —
     "q126_conversion_latency" -> ((s, d) => EventOps.conversionLatency(s, d)),
-    "q127_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d))
+    "q127_vocab_growth" -> ((s, d) => TextAnalysis.vocabGrowth(s, d)),
+    // — round-12 widening, batch 10: symmetric source divergence and
+    //   behavioral predictability —
+    "q128_source_hellinger" -> ((s, d) => TextAnalysis.sourceHellinger(s, d)),
+    "q129_transition_entropy" -> ((s, d) => EventOps.transitionEntropy(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -1923,6 +1927,47 @@ object SparkEntry {
         |SELECT cp.source, CAST(cp.decile AS INTEGER) AS decile,
         |  CAST(cp.docs_seen AS BIGINT) AS docs_seen, cp.tokens_seen, cp.vocab_seen,
         |  (CAST(np AS DOUBLE) * sxy - sx * sy) / (CAST(np AS DOUBLE) * sxx - sx * sx) AS heaps_b
-        |FROM cp JOIN g ON g.source = cp.source""".stripMargin
+        |FROM cp JOIN g ON g.source = cp.source""".stripMargin,
+    // inner self-join on token (one-sided tokens contribute 0 to
+    // BC); every op is correctly rounded IEEE — sqrt, divides, one
+    // multiply, order-pinned fold — so parity is by-standard, not
+    // sampled (the ln-based JSD variant hash-failed on a measured
+    // Math.log/glibc last-ulp split; see the operator scaladoc)
+    "q128_source_hellinger" ->
+      """WITH cs AS (SELECT source, token, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY source, token),
+        |ts AS (SELECT source, sum(c) AS t FROM cs GROUP BY source),
+        |w AS (SELECT cs.source, token, CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS p
+        |      FROM cs JOIN ts ON ts.source = cs.source),
+        |g AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared_terms,
+        |    list_reduce(list_prepend(0.0, list(sqrt(a.p * b.p) ORDER BY a.token)),
+        |      (x, y) -> x + y) AS bc_affinity
+        |  FROM w a JOIN w b ON a.token = b.token AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT source_a, source_b, n_shared_terms, bc_affinity,
+        |  sqrt(greatest(0.0, 1.0 - bc_affinity)) AS hellinger
+        |FROM g""".stripMargin,
+    // q94's ordered lag → exact transition counts → one divide per
+    // probability, GraftLn, fold in (prev, next) order
+    "q129_transition_entropy" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        |tr AS (SELECT user_id, event_type AS next,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        |  FROM e),
+        |c AS (SELECT user_id, prev, next, count(*) AS c FROM tr
+        |      WHERE prev IS NOT NULL GROUP BY user_id, prev, next),
+        |t AS (SELECT user_id, prev, sum(c) AS t FROM c GROUP BY user_id, prev),
+        |tt AS (SELECT user_id, sum(c) AS tt FROM c GROUP BY user_id),
+        |sc AS (SELECT c.user_id, c.prev, c.next,
+        |    -((CAST(c.c AS DOUBLE) / CAST(tt.tt AS DOUBLE))
+        |      * ln(CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE))) AS contrib, tt.tt
+        |  FROM c JOIN t ON t.user_id = c.user_id AND t.prev = c.prev
+        |  JOIN tt ON tt.user_id = c.user_id)
+        |SELECT user_id, max(tt) AS n_transitions, count(*) AS n_patterns,
+        |  list_reduce(list_prepend(0.0, list(contrib ORDER BY prev, next)), (a, b) -> a + b)
+        |    AS entropy_nats
+        |FROM sc GROUP BY user_id""".stripMargin
   )
 }

@@ -411,6 +411,49 @@ object EventOps {
         max(when(col("rn") === col("n"), col("lat"))).as("max_lat_us"))
   }
 
+  /** Per-user behavioral predictability (q129): the first-order Markov
+    * transition entropy rate over each user's event-type stream —
+    *   H = −Σ_{prev,next} (c/T)·ln(c/t_prev)
+    * (T = the user's transitions, t_prev = transitions leaving
+    * `prev`).  Metronomic bots collapse toward 0 nats; erratic
+    * explorers approach ln(#types).  The dynamics companion to q123:
+    * inter-arrival gaps fingerprint WHEN a user acts, this
+    * fingerprints WHAT they do next.
+    *
+    * Determinism: transition counts are exact integers off the q94
+    * (us, event_id)-ordered lag; each probability is one divide; the
+    * log is MathFunctions.ln; the per-user sum folds in
+    * (prev, next) order, mirrored by list_reduce ORDER BY.
+    *
+    * 100 TB shape: one user_id shuffle for the lag, one
+    * (user, prev, next) agg with map-side combine, per-user
+    * re-aggregations of that frame (no second event scan), and a fold
+    * bounded by event-type² per user.
+    */
+  def transitionEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ln = graft.functions.MathFunctions.ln _
+    val tr = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(
+        byUser.orderBy(col("us").asc, col("event_id").asc)))
+      .filter(col("prev").isNotNull)
+    val c = tr.groupBy(col("user_id"), col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("c"))
+    val t = c.groupBy("user_id", "prev").agg(sum(col("c")).as("t"))
+    val tt = c.groupBy("user_id").agg(sum(col("c")).as("tt"))
+    c.join(t, Seq("user_id", "prev"))
+      .join(tt, Seq("user_id"))
+      .withColumn("contrib",
+        -((col("c").cast("double") / col("tt").cast("double")) *
+          ln(col("c").cast("double") / col("t").cast("double"))))
+      .groupBy("user_id")
+      .agg(
+        max(col("tt")).as("n_transitions"),
+        count(lit(1)).as("n_patterns"),
+        aggregate(sort_array(collect_list(struct(col("prev"), col("next"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")).as("entropy_nats"))
+  }
+
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
     val wk = Tables.events(spark, dir)
       .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("week"))

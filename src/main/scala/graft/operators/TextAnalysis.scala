@@ -875,6 +875,57 @@ object TextAnalysis {
           lit(0.0), (acc, x) => acc + x.getField("contrib")).as("kl_nats"))
   }
 
+  /** Pairwise Hellinger distance between sources (q128): the
+    * symmetric, bounded ([0, 1]) companion to q89's KL drift — KL
+    * answers "how far is each source from the corpus mix", this
+    * answers "which PAIRS of sources are interchangeable vs disjoint"
+    * (the deduplication-of-sources / mixture-design signal).
+    *
+    *   H²(P,Q) = 1 − BC,  BC = Σ_t √(p_t · q_t)
+    * (the Bhattacharyya affinity).  Hellinger is chosen over the more
+    * common JSD DELIBERATELY, for a determinism reason worth the
+    * record: JSD needs ln, and last-ulp ln behavior is
+    * implementation-defined — measured here, `java.lang.Math.log`
+    * (GraftLn) and glibc/DuckDB `ln` disagree by one ulp at input
+    * 0x3feb97e869a164e3 (≈0.8603, a q/m ratio this very query
+    * produced), so an ln-based pair matrix hash-fails sporadically.
+    * Hellinger's every operation — integer-count divides, one
+    * multiply, sqrt, an order-pinned fold — is CORRECTLY ROUNDED by
+    * IEEE 754 in both engines: parity is guaranteed by the standard,
+    * not sampled.  Tokens present in only one source contribute 0 to
+    * BC, so the plain inner self-join on token suffices (no one-sided
+    * bookkeeping).
+    *
+    * 100 TB shape: the (source, token) count shuffle (q89's frame),
+    * self-joined on token — fan-out bounded by sources² per token,
+    * the q96 rule — then a vocab-bounded fold per pair.
+    */
+  def sourceHellinger(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val tsrc = broadcast(cs.groupBy("source").agg(sum(col("c")).as("t")))
+    val w = cs.join(tsrc, "source")
+      .select(col("source"), col("token"),
+        (col("c").cast("double") / col("t").cast("double")).as("p"))
+    val a = w.toDF("source_a", "token", "pa")
+    val b = w.toDF("source_b", "token", "pb")
+    a.join(b, Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(
+        count(lit(1)).as("n_shared_terms"),
+        aggregate(sort_array(collect_list(struct(col("token"),
+          sqrt(col("pa") * col("pb")).as("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("bc_affinity"))
+      .select(col("source_a"), col("source_b"), col("n_shared_terms"),
+        col("bc_affinity"),
+        // BC ≤ 1 mathematically, but the rounded sum can sit ulps
+        // above 1 for near-identical sources — clamp before sqrt so
+        // no NaN reaches the hash compare (same clamp in the oracle)
+        sqrt(greatest(lit(0.0), lit(1.0) - col("bc_affinity"))).as("hellinger"))
+  }
+
   /** Per-document token entropy (q102): H = −Σ p·ln p over the
     * document's unigram distribution — the information-density twin of
     * q68's repetition metrics (boilerplate and keyword-stuffed docs

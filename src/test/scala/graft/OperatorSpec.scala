@@ -914,6 +914,57 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("hellinger: metric bounds, symmetry by construction, identical-distribution sanity") {
+    val r = TextAnalysis.sourceHellinger(spark, sf)
+      .select("source_a", "source_b", "n_shared_terms", "bc_affinity", "hellinger")
+      .as[(String, String, Long, Double, Double)].collect()
+    val nSrc = Tables.documents(spark, sf).select("source").distinct().count().toInt
+    assert(r.length == nSrc * (nSrc - 1) / 2, "one row per unordered source pair")
+    r.foreach { case (a, b, n, bc, h) =>
+      assert(a < b && n > 0)
+      assert(bc > 0.0 && bc <= 1.0 + 1e-9, s"affinity in (0,1]: $bc")
+      assert(h >= 0.0 && h <= 1.0, s"hellinger in [0,1]: $h")
+    }
+    // hand-check one pair against an independent recomputation
+    val docs = Tables.documents(spark, sf).select("source", "text")
+      .as[(String, String)].collect()
+    def dist(src: String): Map[String, Double] = {
+      val toks = docs.filter(_._1 == src).flatMap(_._2.split(" ", -1))
+      val t = toks.length.toDouble
+      toks.groupBy(identity).map { case (k, v) => k -> v.length / t }
+    }
+    val (a0, b0, _, bc0, _) = r.minBy(x => (x._1, x._2))
+    val (da, db) = (dist(a0), dist(b0))
+    val bcRef = da.keySet.intersect(db.keySet).toSeq.sorted
+      .map(t => math.sqrt(da(t) * db(t))).sum
+    assert(math.abs(bc0 - bcRef) < 1e-12, s"$a0/$b0 affinity $bc0 vs $bcRef")
+  }
+
+  test("transition entropy: zero for deterministic users, bounded by ln(#patterns)") {
+    val r = EventOps.transitionEntropy(spark, sf)
+      .select("user_id", "n_transitions", "n_patterns", "entropy_nats")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (_, nt, np, h) =>
+      assert(np <= nt)
+      assert(h >= -0.0 && h <= math.log(np.toDouble) + 1e-9,
+        s"entropy $h outside [0, ln($np)]")
+    }
+    // hand-check one user against an independent recomputation
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, String, Long, Long)].collect()
+    val uid = r.head._1
+    val seq0 = ev.filter(_._1 == uid).sortBy(x => (x._3, x._4)).map(_._2)
+    val trans = seq0.sliding(2).map(p => (p(0), p(1))).toArray
+    val c = trans.groupBy(identity).map { case (k, v) => k -> v.length }
+    val t = trans.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val tt = trans.length.toDouble
+    val href = c.toSeq.sortBy(_._1).map { case ((pv, _), n) =>
+      -((n / tt) * math.log(n.toDouble / t(pv))) }.sum
+    assert(math.abs(r.head._4 - href) < 1e-12, s"user $uid entropy ${r.head._4} vs $href")
+  }
+
   test("pearson correlation: r in [-1,1]; sign matches the covariance of the raw features") {
     val r = TextAnalysis.lengthQualityCorr(spark, sf)
       .select("source", "n_docs", "pearson_r")
