@@ -224,7 +224,11 @@ object SparkEntry {
     // — round-12 widening, batch 10: symmetric source divergence and
     //   behavioral predictability —
     "q128_source_hellinger" -> ((s, d) => TextAnalysis.sourceHellinger(s, d)),
-    "q129_transition_entropy" -> ((s, d) => EventOps.transitionEntropy(s, d))
+    "q129_transition_entropy" -> ((s, d) => EventOps.transitionEntropy(s, d)),
+    // — round-12 widening, batch 11: near-dup graph structure and
+    //   corpus-balance concentration —
+    "q130_triangles" -> ((s, d) => Dedup.triangles(s, d)),
+    "q131_gini" -> ((s, d) => TextAnalysis.giniConcentration(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -1968,6 +1972,51 @@ object SparkEntry {
         |SELECT user_id, max(tt) AS n_transitions, count(*) AS n_patterns,
         |  list_reduce(list_prepend(0.0, list(contrib ORDER BY prev, next)), (a, b) -> a + b)
         |    AS entropy_nats
-        |FROM sc GROUP BY user_id""".stripMargin
+        |FROM sc GROUP BY user_id""".stripMargin,
+    // degree-oriented triangle enumeration: each triangle generated
+    // once from its minimum-(deg, id) corner; integer counts, one
+    // mul + one divide for the coefficient — parity by-standard
+    "q130_triangles" ->
+      s"""WITH $minhashPairsCte,
+         |deg AS (SELECT id, count(*) AS deg FROM (
+         |    SELECT doc_a AS id FROM mh_pairs UNION ALL SELECT doc_b FROM mh_pairs)
+         |  GROUP BY id),
+         |e AS (SELECT
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+         |         THEN p.doc_a ELSE p.doc_b END AS src,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.doc_a < p.doc_b)
+         |         THEN p.doc_b ELSE p.doc_a END AS dst
+         |  FROM mh_pairs p
+         |  JOIN deg da ON da.id = p.doc_a JOIN deg db ON db.id = p.doc_b),
+         |f AS (SELECT e.src, e.dst, d.deg AS ddeg FROM e JOIN deg d ON d.id = e.dst),
+         |tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |  FROM f e1 JOIN f e2 ON e2.src = e1.src
+         |    AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+         |  JOIN f e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+         |tc AS (SELECT id, count(*) AS n_tri FROM (
+         |    SELECT u AS id FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+         |  GROUP BY id)
+         |SELECT d.id AS doc_id, d.deg AS degree,
+         |  coalesce(tc.n_tri, 0) AS n_triangles,
+         |  CASE WHEN d.deg >= 2
+         |       THEN (2.0 * CAST(coalesce(tc.n_tri, 0) AS DOUBLE))
+         |            / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+         |       ELSE 0.0 END AS clustering
+         |FROM deg d LEFT JOIN tc ON tc.id = d.id""".stripMargin,
+    // exact integer rank formula: HUGEINT sums mirror Spark's
+    // DECIMAL(38,0); the only float ops are two int→double casts and
+    // one divide
+    "q131_gini" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rank
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |    sum(CAST(n_chars AS HUGEINT)) AS sx,
+        |    sum(CAST(rank AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS rs
+        |  FROM r GROUP BY source)
+        |SELECT source, n_docs, CAST(sx AS BIGINT) AS total_chars,
+        |  CAST(2 * rs - (CAST(n_docs AS HUGEINT) + 1) * sx AS DOUBLE)
+        |    / CAST(CAST(n_docs AS HUGEINT) * sx AS DOUBLE) AS gini
+        |FROM g""".stripMargin
   )
 }

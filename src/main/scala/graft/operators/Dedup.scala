@@ -799,4 +799,71 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles"), col("n_unique"),
         (col("n_unique").cast("double") / col("n_shingles").cast("double")).as("originality"))
   }
+
+  /** Per-document triangle count and local clustering coefficient
+    * over the near-duplicate graph (q130) — how CLIQUE-LIKE each
+    * dup neighborhood is.  A doc whose neighbors are all pairwise
+    * near-dups of each other (clustering → 1) sits inside one
+    * coherent template family; a hub with clustering → 0 bridges
+    * unrelated families and is the classic false-merge risk for the
+    * q72 connected-components dedup (one bad edge glues two
+    * families; triangles quantify how well-supported each node's
+    * neighborhood is).
+    *
+    * Algorithm: degree-oriented node-iterator (Chiba–Nishizeki /
+    * the GraphX-style "count only from the lowest-(deg,id) corner"
+    * orientation).  Each undirected edge is oriented from its
+    * lower-(deg, id) endpoint to the higher; a wedge enumerates two
+    * out-edges of one center u with the (deg, id)-smaller spoke
+    * first, and the triangle closes via an equi-join back on the
+    * oriented edge (v, w).  Every triangle is generated EXACTLY once
+    * (its minimum-(deg, id) corner is the only valid center), so the
+    * counts are exact — no dedup pass, no double counting.
+    *
+    * 100 TB shape: the orientation is the whole point — out-degree
+    * under the (deg, id) order is bounded by O(sqrt(2m)) on any
+    * graph (a node keeps only edges toward HIGHER-degree peers), so
+    * the wedge self-join fans out by at most sqrt(2m) per node
+    * instead of the raw max-degree.  A hub of degree 10^6 in the raw
+    * graph contributes zero wedges from itself; its triangles are
+    * counted from its low-degree corners.  All three steps are
+    * equi-joins/aggregations on keyed shuffles; the edge frame is
+    * Pins.eager-pinned because three join lineages consume it.
+    */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.util.Pins.eager(
+      minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+    val deg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient a<b edges by (deg, id): src is the smaller endpoint
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val oriented = pairs
+      .join(deg.select(col("id").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
+      .join(deg.select(col("id").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
+      .select(
+        when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+    val fwd = graft.util.Pins.eager(oriented)
+    val e1 = fwd.select(col("src").as("u"), col("dst").as("v"), col("ddeg").as("dv"))
+    val e2 = fwd.select(col("src").as("u"), col("dst").as("w"), col("ddeg").as("dw"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges.join(
+      fwd.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val corners = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("id"), "left")
+      .select(
+        col("id").as("doc_id"),
+        col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          (lit(2.0) * coalesce(col("n_tri"), lit(0L)).cast("double")) /
+            (col("deg") * (col("deg") - lit(1L))).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
 }

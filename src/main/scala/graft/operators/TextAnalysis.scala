@@ -1325,4 +1325,61 @@ object TextAnalysis {
         sum(col("n_tok")).as("sum_tokens"),
         (sum(col("n_chars")).cast("double") / count(lit(1)).cast("double")).as("avg_chars"))
   }
+
+  /** Per-source Gini coefficient of document length (q131) — the
+    * corpus-balance concentration metric: gini → 0 means every doc
+    * contributes equally to the source's character mass, gini → 1
+    * means a few giant docs ARE the source (and a doc-level sampler
+    * badly misrepresents its token-level mix — the reweighting
+    * signal for the q70 mixture planner).
+    *
+    * Uses the classic rank formula over ascending lengths,
+    * G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ), which needs only the
+    * exact global rank i within each source — computed in the q104
+    * two-pass form (range-partition by (source, n_chars, doc_id),
+    * local row_number + broadcast per-(source, pid) offsets) so no
+    * window ever sees a whole source in one partition.  Every sum
+    * is exact integer arithmetic in DECIMAL(38,0) (mirrored by
+    * DuckDB's HUGEINT sums); the ONLY floating-point ops are the two
+    * final int→double conversions and one divide, all correctly
+    * rounded by IEEE in both engines — no fold-order anywhere.
+    *
+    * 100 TB shape: one range-exchange + one keyed agg; the offsets
+    * frame is (sources × partitions) rows — broadcast-bounded.  The
+    * eager pin freezes partition ids across the two passes and keeps
+    * the offsets broadcast off the lazy-checkpoint deadlock path
+    * (SCALING.md, util/Pins.scala).
+    */
+  def giniConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nParts = spark.sparkContext.defaultParallelism
+    val sorted = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .repartitionByRange(nParts, col("source").asc, col("n_chars").asc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id()))
+    val counts = sorted.groupBy("source", "pid").agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy("source").orderBy(col("pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("source", "pid", "off")
+    val wLocal = Window.partitionBy("pid", "source")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val ranked = sorted.join(broadcast(offsets), Seq("source", "pid"))
+      .withColumn("rank", row_number().over(wLocal).cast("long") + col("off"))
+    val g = ranked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars").cast("decimal(38,0)")).as("sx"),
+      sum((col("rank").cast("decimal(19,0)") * col("n_chars").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("rs"))
+    val num = col("rs") * lit(2L).cast("decimal(38,0)") -
+      (col("n_docs") + lit(1L)).cast("decimal(38,0)") * col("sx")
+    val den = col("n_docs").cast("decimal(38,0)") * col("sx")
+    g.select(
+      col("source"),
+      col("n_docs"),
+      col("sx").cast("long").as("total_chars"),
+      (num.cast("double") / den.cast("double")).as("gini"))
+  }
 }

@@ -1030,4 +1030,58 @@ class OperatorSpec extends SparkSuite {
     val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
     assert(p.map(_._1).sum == total)
   }
+
+  test("triangles: exact vs brute-force recount; clustering bounds; 3x corner identity") {
+    val r = Dedup.triangles(spark, sf)
+      .select("doc_id", "degree", "n_triangles", "clustering")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (_, d, t, c) =>
+      assert(d >= 1 && t >= 0)
+      assert(c >= 0.0 && c <= 1.0 + 1e-12, s"clustering $c out of [0,1]")
+      if (d < 2) assert(t == 0 && c == 0.0, "a degree-1 node cannot close a triangle")
+      else assert(math.abs(c - 2.0 * t / (d * (d - 1.0))) < 1e-12)
+    }
+    // brute-force reference on the collected edge set
+    val edges = Dedup.minhashLsh(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val adj = (edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def triOf(v: Long): Long = {
+      val ns = adj(v).toSeq
+      ns.combinations(2).count(p => edges.contains((p(0) min p(1), p(0) max p(1)))).toLong
+    }
+    assert(r.length == adj.size, "one row per node with degree >= 1")
+    r.foreach { case (id, d, t, _) =>
+      assert(d == adj(id).size, s"degree mismatch for $id")
+      assert(t == triOf(id), s"triangle count mismatch for $id")
+    }
+    // global identity: each triangle contributes one count at 3 corners
+    assert(r.map(_._3).sum % 3 == 0)
+  }
+
+  test("gini: bounds, totals conserved, exact vs independent rank-formula recompute") {
+    val r = TextAnalysis.giniConcentration(spark, sf)
+      .select("source", "n_docs", "total_chars", "gini")
+      .as[(String, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.map(_._2).sum == 500L, "every doc lands in exactly one source")
+    r.foreach { case (_, n, tc, g) =>
+      assert(tc > 0)
+      // rank-formula bounds: 0 (all equal) to (n-1)/n (one doc owns it all)
+      assert(g >= 0.0 && g < (n - 1.0) / n + 1e-12, s"gini $g out of bounds for n=$n")
+    }
+    val docs = Tables.documents(spark, sf).select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect()
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val xs = ds.sortBy(d => (d._3, d._2)).map(_._3)
+      val n = xs.length.toLong
+      val sx = xs.sum
+      val rs = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      val gRef = (2.0 * rs - (n + 1.0) * sx) / (n.toDouble * sx)
+      val mine = r.find(_._1 == src).get
+      assert(mine._2 == n && mine._3 == sx)
+      assert(math.abs(mine._4 - gRef) < 1e-12, s"$src gini ${mine._4} vs $gRef")
+    }
+  }
 }
