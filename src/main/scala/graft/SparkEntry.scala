@@ -228,7 +228,11 @@ object SparkEntry {
     // — round-12 widening, batch 11: near-dup graph structure and
     //   corpus-balance concentration —
     "q130_triangles" -> ((s, d) => Dedup.triangles(s, d)),
-    "q131_gini" -> ((s, d) => TextAnalysis.giniConcentration(s, d))
+    "q131_gini" -> ((s, d) => TextAnalysis.giniConcentration(s, d)),
+    // — round-12 widening, batch 12: corpus-composition independence
+    //   test and the production hybrid-retrieval stack —
+    "q132_chi_square" -> ((s, d) => TextAnalysis.chiSquareIndependence(s, d)),
+    "q133_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2017,6 +2021,78 @@ object SparkEntry {
         |SELECT source, n_docs, CAST(sx AS BIGINT) AS total_chars,
         |  CAST(2 * rs - (CAST(n_docs AS HUGEINT) + 1) * sx AS DOUBLE)
         |    / CAST(CAST(n_docs AS HUGEINT) * sx AS DOUBLE) AS gini
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    // marginals RE-aggregate the observed cell frame (one corpus
+    // scan, like Spark); expected is mul+div of int→double casts,
+    // contrib sub+mul+div — per-cell, no cross-cell fold
+    "q132_chi_square" ->
+      """WITH o AS (SELECT source, lang, count(*) AS o FROM documents
+        |  GROUP BY source, lang),
+        |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM o GROUP BY source),
+        |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM o GROUP BY lang),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |c AS (SELECT o.source, o.lang, o.o,
+        |  CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS expected
+        |  FROM o JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN n)
+        |SELECT source, lang, o AS n_obs, expected,
+        |  (CAST(o AS DOUBLE) - expected) * (CAST(o AS DOUBLE) - expected)
+        |    / expected AS contrib
+        |FROM c""".stripMargin,
+    // the q88 BM25 chain (self-excluded, top-20) fused with the q24
+    // dense-cosine chain (top-20) by reciprocal-rank fusion: each RRF
+    // term is one int add + one divide, absent list → literal 0.0;
+    // absent ranks surface as 0 ints, never NULL
+    "q133_hybrid_rrf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+         |st AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+         |ts AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         |  CAST(tf.tf AS DOUBLE) * ln(CAST(nd.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf
+         |  FROM tf JOIN df USING (token) CROSS JOIN nd),
+         |qr AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tfidf DESC, token ASC) AS trank FROM ts),
+         |probes AS (SELECT doc_id AS probe_id, token FROM qr
+         |  WHERE trank <= 3 AND doc_id < 10),
+         |terms AS (SELECT p.probe_id, tf.doc_id, tf.token,
+         |  ln((CAST(st.n_docs AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+         |     / (CAST(df.df AS DOUBLE) + 0.5))
+         |  * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+         |     / (CAST(tf.tf AS DOUBLE)
+         |        + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))) AS s
+         |  FROM probes p JOIN tf ON p.token = tf.token AND tf.doc_id <> p.probe_id
+         |  JOIN df ON df.token = tf.token
+         |  JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN st),
+         |g AS (SELECT probe_id, doc_id,
+         |  list_reduce(list_prepend(0.0, list(s ORDER BY token)), (a, x) -> a + x) AS score
+         |  FROM terms GROUP BY probe_id, doc_id),
+         |lr AS (SELECT probe_id, doc_id, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY score DESC, doc_id ASC) AS lex_rank FROM g),
+         |lex AS (SELECT * FROM lr WHERE lex_rank <= 20),
+         |$normCte,
+         |dp AS (SELECT p.vec_id AS probe_id, c.vec_id AS doc_id,
+         |    ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cos
+         |  FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+         |dr AS (SELECT probe_id, doc_id, row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY cos DESC, doc_id ASC) AS dense_rank FROM dp),
+         |den AS (SELECT * FROM dr WHERE dense_rank <= 20),
+         |f AS (SELECT coalesce(l.probe_id, d.probe_id) AS probe_id,
+         |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |    l.lex_rank, d.dense_rank,
+         |    coalesce(1.0 / CAST(60 + l.lex_rank AS DOUBLE), 0.0)
+         |      + coalesce(1.0 / CAST(60 + d.dense_rank AS DOUBLE), 0.0) AS rrf_score
+         |  FROM lex l FULL OUTER JOIN den d
+         |    ON l.probe_id = d.probe_id AND l.doc_id = d.doc_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |       ORDER BY rrf_score DESC, doc_id ASC) AS rank FROM f)
+         |SELECT probe_id, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  CAST(coalesce(lex_rank, 0) AS INTEGER) AS lex_rank,
+         |  CAST(coalesce(dense_rank, 0) AS INTEGER) AS dense_rank, rrf_score
+         |FROM r WHERE rank <= 10""".stripMargin
   )
 }

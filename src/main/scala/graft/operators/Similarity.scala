@@ -578,4 +578,69 @@ object Similarity {
       .join(coded, col("p_cell") === col("cell") && col("probe_id") =!= col("vec_id"))
     adcTopK(cand, books, subDim, topK)
   }
+
+  /** Hybrid lexical+dense retrieval with reciprocal-rank fusion
+    * (q133) — the standard production search stack: BM25 over the
+    * inverted index (q88's scorer) and exact cosine over embeddings
+    * retrieve top-`kEach` candidates independently per probe, and the
+    * two rankings fuse by RRF (Cormack, Clarke & Buettcher, SIGIR'09):
+    *
+    *   rrf(d) = Σ_lists 1/(rrfK + rank_list(d)),  missing list → 0
+    *
+    * Rank fusion deliberately uses RANKS, not scores — BM25 logits and
+    * cosine live on incomparable scales, and RRF needs no calibration.
+    * The probe identity is shared because vec_id ≡ doc_id in the
+    * corpus; both retrievers exclude the probe document itself.
+    *
+    * Determinism: both input ranks are row_number over (score desc,
+    * doc_id) total orders; each RRF term is one int add + one divide,
+    * the fusion one add of two doubles — all correctly rounded, no
+    * fold (exactly two lists).  Absent-from-list contributes literal
+    * 0.0 via coalesce on BOTH engines; absent ranks surface as 0 ints,
+    * never NULL (NULL-in-output hash rule).
+    *
+    * 100 TB shape: each retriever keeps its own scale path (BM25
+    * probes broadcast onto the token-keyed index; dense probes
+    * broadcast over the candidate scan — swap in ivfPqAnn for the
+    * dense leg when the corpus outgrows brute force); the fusion
+    * itself touches only 2·nProbes·kEach rank rows — a full-outer
+    * equi-join on (probe_id, doc_id) over a frame whose size is set by
+    * the query, not the corpus.
+    */
+  def hybridRrf(spark: SparkSession, dir: String, nProbes: Int = 10,
+                kEach: Int = 20, topK: Int = 10, rrfK: Int = 60): DataFrame = {
+    val wLex = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val lex = TextAnalysis
+      .bm25Scored(spark, dir, nProbes, k1 = 1.2, b = 0.75, excludeSelf = true)
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= kEach)
+      .select("probe_id", "doc_id", "lex_rank")
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nrm").as("p_nrm"))
+    val cands = emb.select(col("vec_id").as("doc_id"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val wDen = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("doc_id").asc)
+    val dense = broadcast(probes)
+      .join(cands, col("probe_id") =!= col("doc_id"))
+      .withColumn("cos", dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
+      .withColumn("dense_rank", row_number().over(wDen))
+      .filter(col("dense_rank") <= kEach)
+      .select("probe_id", "doc_id", "dense_rank")
+    val wFuse = Window.partitionBy("probe_id")
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    lex.join(dense, Seq("probe_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")).cast("double"), lit(0.0)))
+      .withColumn("rank", row_number().over(wFuse))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
+        col("rrf_score"))
+  }
 }

@@ -615,6 +615,22 @@ object TextAnalysis {
   def bm25Search(spark: SparkSession, dir: String, nProbes: Int = 10,
                  topK: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    bm25Scored(spark, dir, nProbes, k1, b, excludeSelf = false)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("probe_id"), col("rank"), col("doc_id"), col("n_hits"), col("score"))
+  }
+
+  /** Unranked BM25 candidate scores (probe_id, doc_id, n_hits, score),
+    * shared by q88 and the hybrid-RRF fusion (q133).  `excludeSelf`
+    * drops each probe document from its own candidate list (the
+    * retrieval form the fusion wants; q88 keeps self as the sanity
+    * anchor).  Scoring math and plan shape are q88's — see bm25Search.
+    */
+  private[operators] def bm25Scored(spark: SparkSession, dir: String,
+      nProbes: Int, k1: Double, b: Double, excludeSelf: Boolean): DataFrame = {
     val idx = weightedIndex(spark, dir, pin = true)
     // dl = Σ tf per doc — identical to the raw token count, no second
     // corpus scan; avgdl = (Σ all tf) / N, both exact integers before
@@ -639,16 +655,13 @@ object TextAnalysis {
           (col("tf").cast("double") +
             lit(k1) * ((lit(1.0) - lit(b)) +
               lit(b) * (col("dl").cast("double") / col("avgdl"))))))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    terms.groupBy("probe_id", "doc_id")
+    val cand = if (excludeSelf) terms.filter(col("doc_id") =!= col("probe_id"))
+               else terms
+    cand.groupBy("probe_id", "doc_id")
       .agg(
         count(lit(1)).as("n_hits"),
         aggregate(sort_array(collect_list(struct(col("token"), col("s")))),
           lit(0.0), (acc, x) => acc + x.getField("s")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
-      .select(col("probe_id"), col("rank"), col("doc_id"), col("n_hits"), col("score"))
   }
 
   /** Per-source distribution drift (q89): KL(P_source ‖ P_corpus) over
@@ -1381,5 +1394,47 @@ object TextAnalysis {
       col("n_docs"),
       col("sx").cast("long").as("total_chars"),
       (num.cast("double") / den.cast("double")).as("gini"))
+  }
+
+  /** Chi-square test of independence, source × lang (q132) — the
+    * corpus-composition audit: is language mix independent of source,
+    * or do some sources skew the language distribution?  Emits the
+    * full contingency table with per-cell expected counts and
+    * chi-square contributions ((O−E)²/E), so hot cells are directly
+    * attributable; the global statistic is the (cell-bounded) sum of
+    * `contrib` downstream.
+    *
+    * Determinism: observed counts and both marginals are exact
+    * integers (the marginals RE-aggregate the observed frame — one
+    * scan, no second pass over documents); `expected` is one multiply
+    * + one divide of int→double casts, `contrib` one subtract + one
+    * multiply + one divide — every op correctly rounded by IEEE in
+    * both engines, no fold anywhere (per-cell output deliberately
+    * avoids a cross-cell double sum).
+    *
+    * 100 TB shape: one (source, lang) keyed shuffle with map-side
+    * combine; marginals and N re-aggregate the cell frame (bounded by
+    * sources × langs) and broadcast back.  The cell frame has four
+    * consumers, so it is eager-pinned per the multi-broadcast rule
+    * (util/Pins.scala).
+    */
+  def chiSquareIndependence(spark: SparkSession, dir: String): DataFrame = {
+    val obs = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .groupBy("source", "lang").agg(count(lit(1)).as("o")))
+    val rt = obs.groupBy("source").agg(sum(col("o")).as("rt"))
+    val ct = obs.groupBy("lang").agg(sum(col("o")).as("ct"))
+    val n = obs.agg(sum(col("o")).as("n"))
+    obs.join(broadcast(rt), Seq("source"))
+      .join(broadcast(ct), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected",
+        col("rt").cast("double") * col("ct").cast("double") / col("n").cast("double"))
+      .withColumn("dev", col("o").cast("double") - col("expected"))
+      .select(
+        col("source"), col("lang"),
+        col("o").as("n_obs"),
+        col("expected"),
+        (col("dev") * col("dev") / col("expected")).as("contrib"))
   }
 }

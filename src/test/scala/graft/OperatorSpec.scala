@@ -1084,4 +1084,54 @@ class OperatorSpec extends SparkSuite {
       assert(math.abs(mine._4 - gRef) < 1e-12, s"$src gini ${mine._4} vs $gRef")
     }
   }
+
+  test("chi-square: marginal conservation and hand-recomputed expected/contrib") {
+    val r = TextAnalysis.chiSquareIndependence(spark, sf)
+      .select("source", "lang", "n_obs", "expected", "contrib")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(r.nonEmpty)
+    assert(r.map(_._3).sum == 500L, "cells partition the corpus")
+    val docs = Tables.documents(spark, sf).select("source", "lang")
+      .as[(String, String)].collect()
+    val cells = docs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val rowT = docs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val colT = docs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val n = docs.length.toDouble
+    assert(r.length == cells.size, "one row per non-empty cell")
+    r.foreach { case (s, l, o, e, c) =>
+      assert(o == cells((s, l)))
+      val eRef = rowT(s).toDouble * colT(l).toDouble / n
+      assert(math.abs(e - eRef) < 1e-9, s"expected($s,$l)")
+      val d = o.toDouble - eRef
+      assert(math.abs(c - d * d / eRef) < 1e-9, s"contrib($s,$l)")
+      assert(c >= 0.0)
+    }
+  }
+
+  test("hybrid rrf: rank arithmetic, self-exclusion, dense leg matches brute force") {
+    val r = Similarity.hybridRrf(spark, sf)
+      .select("probe_id", "rank", "doc_id", "lex_rank", "dense_rank", "rrf_score")
+      .as[(Long, Int, Long, Int, Int, Double)].collect()
+    assert(r.length == 100, "10 probes x top-10 (each leg retrieves 20)")
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to 10), "contiguous fused ranks")
+      val byRank = rows.sortBy(_._2).map(_._6)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "rrf_score non-increasing in rank")
+    }
+    r.foreach { case (p, _, d, lr, dr, s) =>
+      assert(d != p, "probe excluded from its own results")
+      assert(lr >= 0 && lr <= 20 && dr >= 0 && dr <= 20)
+      assert(lr > 0 || dr > 0, "a fused doc came from at least one list")
+      val ref = (if (lr > 0) 1.0 / (60 + lr) else 0.0) +
+        (if (dr > 0) 1.0 / (60 + dr) else 0.0)
+      assert(math.abs(s - ref) < 1e-15, s"rrf identity for ($p,$d)")
+    }
+    val bf = Similarity.bruteForceTopK(spark, sf, numProbes = 10, k = 20)
+      .select("probe_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+      .map { case (p, nn, rk) => (p, nn) -> rk }.toMap
+    r.filter(_._5 > 0).foreach { case (p, _, d, _, dr, _) =>
+      assert(bf((p, d)) == dr, s"dense rank mismatch for ($p,$d)")
+    }
+  }
 }
