@@ -232,7 +232,11 @@ object SparkEntry {
     // — round-12 widening, batch 12: corpus-composition independence
     //   test and the production hybrid-retrieval stack —
     "q132_chi_square" -> ((s, d) => TextAnalysis.chiSquareIndependence(s, d)),
-    "q133_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d))
+    "q133_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
+    // — round-12 widening, batch 13: weighted sampling with an
+    //   unbiased mass estimator and the distribution-shape test —
+    "q134_priority_sample" -> ((s, d) => TextAnalysis.prioritySample(s, d)),
+    "q135_ks_matrix" -> ((s, d) => TextAnalysis.ksMatrix(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2093,6 +2097,61 @@ object SparkEntry {
          |SELECT probe_id, CAST(rank AS INTEGER) AS rank, doc_id,
          |  CAST(coalesce(lex_rank, 0) AS INTEGER) AS lex_rank,
          |  CAST(coalesce(dense_rank, 0) AS INTEGER) AS dense_rank, rrf_score
-         |FROM r WHERE rank <= 10""".stripMargin
+         |FROM r WHERE rank <= 10""".stripMargin,
+    // priority q = w/u is ONE divide (ES keys would need ln — parity
+    // is sampled luck, measured 57/65536 mismatches on these md5
+    // ratios); u from md5 hex digits 13-16, disjoint from the q63/q75
+    // and q98 digits; τ = the 11th priority, ŵ = max(w, τ)
+    "q134_priority_sample" ->
+      """WITH pr AS (SELECT source, doc_id, n_chars, CAST(
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 13, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 14, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 15, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 16, 1)) - 1)) AS INTEGER) AS h
+        | FROM documents),
+        |p2 AS (SELECT source, doc_id, n_chars,
+        |  CAST(n_chars AS DOUBLE) / (CAST(h + 1 AS DOUBLE) / 65537.0) AS priority
+        |  FROM pr),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY priority DESC, doc_id) AS rank FROM p2),
+        |tau AS (SELECT source, priority AS tau FROM r WHERE rank = 11)
+        |SELECT r.source, CAST(r.rank AS INTEGER) AS rank, r.doc_id,
+        |  r.n_chars AS weight, r.priority,
+        |  coalesce(tau.tau, 0.0) AS tau,
+        |  greatest(CAST(r.n_chars AS DOUBLE), coalesce(tau.tau, 0.0)) AS w_est
+        |FROM r LEFT JOIN tau USING (source) WHERE r.rank <= 10""".stripMargin,
+    // exact ECDF sup over the union of step points; integer window
+    // cums, one divide per ECDF value, abs + max — no fold, no
+    // transcendental
+    "q135_ks_matrix" ->
+      """WITH cells AS (SELECT source, n_chars AS len, count(*) AS cnt
+        |  FROM documents GROUP BY source, n_chars),
+        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY source),
+        |srcs AS (SELECT source FROM tot),
+        |lft AS (SELECT c.source AS s1, s.source AS s2, c.len,
+        |    c.cnt AS c1, CAST(0 AS BIGINT) AS c2
+        |  FROM cells c JOIN srcs s ON c.source < s.source),
+        |rgt AS (SELECT s.source AS s1, c.source AS s2, c.len,
+        |    CAST(0 AS BIGINT) AS c1, c.cnt AS c2
+        |  FROM cells c JOIN srcs s ON s.source < c.source),
+        |m AS (SELECT s1, s2, len, CAST(sum(c1) AS BIGINT) AS c1,
+        |    CAST(sum(c2) AS BIGINT) AS c2
+        |  FROM (SELECT * FROM lft UNION ALL SELECT * FROM rgt) u
+        |  GROUP BY s1, s2, len),
+        |cum AS (SELECT s1, s2, len,
+        |  CAST(sum(c1) OVER (PARTITION BY s1, s2 ORDER BY len
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+        |  CAST(sum(c2) OVER (PARTITION BY s1, s2 ORDER BY len
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+        |  FROM m),
+        |g AS (SELECT cum.s1, cum.s2, max(ta.n) AS n_a, max(tb.n) AS n_b,
+        |    count(*) AS n_steps,
+        |    max(abs(CAST(cum1 AS DOUBLE) / CAST(ta.n AS DOUBLE)
+        |          - CAST(cum2 AS DOUBLE) / CAST(tb.n AS DOUBLE))) AS ks_stat
+        |  FROM cum JOIN tot ta ON ta.source = cum.s1
+        |  JOIN tot tb ON tb.source = cum.s2
+        |  GROUP BY cum.s1, cum.s2)
+        |SELECT s1 AS source_a, s2 AS source_b, n_a, n_b, n_steps, ks_stat
+        |FROM g""".stripMargin
   )
 }

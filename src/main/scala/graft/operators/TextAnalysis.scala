@@ -762,6 +762,107 @@ object TextAnalysis {
       .select(col("source"), col("rank"), col("doc_id"), col("priority"))
   }
 
+  /** Deterministic weighted sample via priority sampling (q134,
+    * Duffield–Lund–Thorup, JACM 54(6) 2007): per source, keep the k
+    * documents with the largest priority q = w/u, where w = n_chars
+    * (sample long documents proportionally more — token-mass-aware
+    * subsampling for mixture planning) and u is a stable md5-derived
+    * uniform.  Alongside each kept row, the (k+1)-th priority τ and
+    * the DLT estimator ŵ = max(w, τ) — Σŵ over the sample unbiasedly
+    * estimates the source's total character mass, which is what makes
+    * priority sampling a SUMMARY, not just a subset.
+    *
+    * Priority sampling is chosen over Efraimidis–Spirakis keys
+    * (u^(1/w) / −ln(u)/w) deliberately: the ES key needs a
+    * transcendental whose cross-engine parity is sampled luck
+    * (measured 57/65536 last-ulp ln mismatches on exactly these
+    * md5-derived ratios), while q = w/u is ONE correctly-rounded
+    * divide — bit-exact everywhere.  u = (h+1)/65537 over md5 hex
+    * digits 13–16 (independent of the q63/q75 split digits and the
+    * q98 priority digits), strictly inside (0,1).
+    *
+    * 100 TB shape: one source-partitioned top-(k+1) window — the
+    * q56/q98 shape — then a broadcast join of the bounded τ frame
+    * back onto the k kept rows; nothing global, nothing pairwise.
+    */
+  def prioritySample(spark: SparkSession, dir: String, perSource: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("doc_id").cast("string")), 13, 4), 16, 10)
+      .cast("int")
+    val w = Window.partitionBy("source")
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    val ranked = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"), h.as("h"))
+      .withColumn("u", (col("h") + lit(1)).cast("double") / lit(65537.0))
+      .withColumn("priority", col("n_chars").cast("double") / col("u"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perSource + 1)
+    val tau = ranked.filter(col("rank") === perSource + 1)
+      .select(col("source"), col("priority").as("tau"))
+    ranked.filter(col("rank") <= perSource)
+      .join(broadcast(tau), Seq("source"), "left")
+      .select(col("source"), col("rank"), col("doc_id"),
+        col("n_chars").as("weight"), col("priority"),
+        coalesce(col("tau"), lit(0.0)).as("tau"),
+        greatest(col("n_chars").cast("double"), coalesce(col("tau"), lit(0.0)))
+          .as("w_est"))
+  }
+
+  /** Pairwise two-sample Kolmogorov–Smirnov statistic over document
+    * lengths (q135): D = sup_x |F_a(x) − F_b(x)| for every source
+    * pair — the distribution-shape companion to q128's Hellinger
+    * (which compares token MIXES; KS compares LENGTH profiles, the
+    * signal that two sources need different chunking/packing even
+    * when their vocabulary matches).
+    *
+    * Exact, not sampled: ECDFs step only at observed lengths, so the
+    * sup is the max over the UNION of the two sources' distinct
+    * lengths of |cum_a/n_a − cum_b/n_b| evaluated just after each
+    * step.  Cumulative counts are exact integer window sums; each
+    * ECDF value is one int→double divide, the deviation one subtract
+    * + abs, the sup a max — every op correctly rounded or exact, no
+    * fold, no transcendental.
+    *
+    * 100 TB shape: the (source, length) cell frame (bounded by
+    * sources × distinct lengths, eager-pinned for its three
+    * consumers) fans out to source pairs via broadcast of the bounded
+    * source list; per-pair windows order by length over cell rows,
+    * never documents.  The sources² pair fan-out is the same bounded
+    * shape as q96/q128.
+    */
+  def ksMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("cnt")))
+    val totals = cells.groupBy("source").agg(sum(col("cnt")).as("n"))
+    val srcs = totals.select("source")
+    val left = cells.toDF("s1", "len", "c1")
+      .join(broadcast(srcs.toDF("s2")), col("s1") < col("s2"))
+      .select(col("s1"), col("s2"), col("len"), col("c1"), lit(0L).as("c2"))
+    val right = cells.toDF("s2", "len", "c2")
+      .join(broadcast(srcs.toDF("s1")), col("s1") < col("s2"))
+      .select(col("s1"), col("s2"), col("len"), lit(0L).as("c1"), col("c2"))
+    val merged = left.union(right)
+      .groupBy("s1", "s2", "len")
+      .agg(sum(col("c1")).as("c1"), sum(col("c2")).as("c2"))
+    val wc = Window.partitionBy("s1", "s2").orderBy(col("len").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    merged
+      .withColumn("cum1", sum(col("c1")).over(wc))
+      .withColumn("cum2", sum(col("c2")).over(wc))
+      .join(broadcast(totals.toDF("s1", "n1")), Seq("s1"))
+      .join(broadcast(totals.toDF("s2", "n2")), Seq("s2"))
+      .withColumn("d", abs(
+        col("cum1").cast("double") / col("n1").cast("double") -
+          col("cum2").cast("double") / col("n2").cast("double")))
+      .groupBy("s1", "s2")
+      .agg(max(col("n1")).as("n_a"), max(col("n2")).as("n_b"),
+        count(lit(1)).as("n_steps"), max(col("d")).as("ks_stat"))
+      .select(col("s1").as("source_a"), col("s2").as("source_b"),
+        col("n_a"), col("n_b"), col("n_steps"), col("ks_stat"))
+  }
+
   /** Sparse TF-IDF cosine pairs (q101, the all-pairs-similarity shape
     * of Bayardo et al. 2007): the top document pairs by cosine over
     * their TF-IDF vectors, computed through the INVERTED INDEX — pairs

@@ -1134,4 +1134,60 @@ class OperatorSpec extends SparkSuite {
       assert(bf((p, d)) == dr, s"dense rank mismatch for ($p,$d)")
     }
   }
+
+  test("priority sample: hand-recomputed priorities, threshold semantics, estimator floor") {
+    val r = TextAnalysis.prioritySample(spark, sf)
+      .select("source", "rank", "doc_id", "weight", "priority", "tau", "w_est")
+      .as[(String, Int, Long, Long, Double, Double, Double)].collect()
+    assert(r.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("source", "doc_id", "n_chars")
+      .as[(String, Long, Long)].collect()
+    def prio(docId: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val h = Integer.parseInt(hex.substring(12, 16), 16)
+      w.toDouble / ((h + 1).toDouble / 65537.0)
+    }
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val ordered = ds.map(d => (d._2, d._3, prio(d._2, d._3)))
+        .sortBy(t => (-t._3, t._1))
+      val expectK = math.min(10, ordered.length)
+      val mine = r.filter(_._1 == src).sortBy(_._2)
+      assert(mine.length == expectK)
+      val tauRef = if (ordered.length > 10) ordered(10)._3 else 0.0
+      mine.zip(ordered.take(10)).zipWithIndex.foreach {
+        case (((_, rk, id, w, p, tau, wEst), (refId, refW, refP)), i) =>
+          assert(rk == i + 1 && id == refId && w == refW)
+          assert(p == refP, s"priority mismatch for $src/$id")
+          assert(tau == tauRef, s"tau mismatch for $src")
+          assert(wEst == math.max(w.toDouble, tauRef))
+      }
+    }
+  }
+
+  test("ks matrix: hand-recomputed ECDF sup for every source pair; bounds") {
+    val r = TextAnalysis.ksMatrix(spark, sf)
+      .select("source_a", "source_b", "n_a", "n_b", "n_steps", "ks_stat")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("source", "n_chars")
+      .as[(String, Long)].collect()
+    val bySrc = docs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val srcs = bySrc.keys.toSeq.sorted
+    assert(r.length == srcs.length * (srcs.length - 1) / 2, "one row per unordered pair")
+    r.foreach { case (a, b, na, nb, steps, ks) =>
+      assert(a < b)
+      val xa = bySrc(a); val xb = bySrc(b)
+      assert(na == xa.length && nb == xb.length)
+      val lens = (xa ++ xb).distinct.sorted
+      assert(steps == lens.length)
+      val ksRef = lens.map { t =>
+        math.abs(xa.count(_ <= t).toDouble / xa.length -
+          xb.count(_ <= t).toDouble / xb.length)
+      }.max
+      assert(math.abs(ks - ksRef) < 1e-12, s"ks($a,$b) $ks vs $ksRef")
+      assert(ks >= 0.0 && ks <= 1.0)
+    }
+  }
 }
