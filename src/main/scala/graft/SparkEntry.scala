@@ -236,7 +236,11 @@ object SparkEntry {
     // — round-12 widening, batch 13: weighted sampling with an
     //   unbiased mass estimator and the distribution-shape test —
     "q134_priority_sample" -> ((s, d) => TextAnalysis.prioritySample(s, d)),
-    "q135_ks_matrix" -> ((s, d) => TextAnalysis.ksMatrix(s, d))
+    "q135_ks_matrix" -> ((s, d) => TextAnalysis.ksMatrix(s, d)),
+    // — round-12 widening, batch 14: sketch-vs-exact calibration at
+    //   pair granularity and the boilerplate detector —
+    "q136_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
+    "q137_boilerplate" -> ((s, d) => Dedup.boilerplate(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2152,6 +2156,48 @@ object SparkEntry {
         |  JOIN tot tb ON tb.source = cum.s2
         |  GROUP BY cum.s1, cum.s2)
         |SELECT s1 AS source_a, s2 AS source_b, n_a, n_b, n_steps, ks_stat
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+    // signature match count is an order-independent integer sum over
+    // the 8 seeds; exact Jaccard is the q22 intersection/union; a
+    // band collision without shared shingles left-joins to a 0 floor
+    "q136_minhash_calibration" ->
+      s"""WITH $minhashPairsCte,
+         |m AS (SELECT p.doc_a, p.doc_b,
+         |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |  FROM mh_pairs p
+         |  JOIN mh a ON a.doc_id = p.doc_a
+         |  JOIN mh b ON b.doc_id = p.doc_b AND b.seed = a.seed
+         |  GROUP BY p.doc_a, p.doc_b),
+         |ix AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+         |  FROM mh_pairs p
+         |  JOIN sh sa ON sa.doc_id = p.doc_a
+         |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY p.doc_a, p.doc_b),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+         |SELECT m.doc_a, m.doc_b, m.n_match,
+         |  CAST(m.n_match AS DOUBLE) / 8.0 AS est_jac,
+         |  CAST(coalesce(ix.i, 0) AS DOUBLE)
+         |    / CAST(na.n + nb.n - coalesce(ix.i, 0) AS DOUBLE) AS exact_jac,
+         |  abs(CAST(m.n_match AS DOUBLE) / 8.0
+         |    - CAST(coalesce(ix.i, 0) AS DOUBLE)
+         |      / CAST(na.n + nb.n - coalesce(ix.i, 0) AS DOUBLE)) AS abs_err
+         |FROM m LEFT JOIN ix ON ix.doc_a = m.doc_a AND ix.doc_b = m.doc_b
+         |JOIN sz na ON na.doc_id = m.doc_a
+         |JOIN sz nb ON nb.doc_id = m.doc_b""".stripMargin,
+    // within-source document frequency over the DISTINCT shingle
+    // frame; ties on shingle text; coverage one int->double divide
+    "q137_boilerplate" ->
+      s"""WITH $shingleCte,
+         |bs AS (SELECT d.source, s.shingle, count(*) AS n_docs_with
+         |  FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+         |  GROUP BY d.source, s.shingle),
+         |nd AS (SELECT source, count(*) AS n_docs_source FROM documents
+         |  GROUP BY source),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |  ORDER BY n_docs_with DESC, shingle ASC) AS rank FROM bs)
+         |SELECT r.source, CAST(r.rank AS INTEGER) AS rank, r.shingle,
+         |  r.n_docs_with, nd.n_docs_source,
+         |  CAST(r.n_docs_with AS DOUBLE) / CAST(nd.n_docs_source AS DOUBLE) AS coverage
+         |FROM r JOIN nd USING (source) WHERE r.rank <= 5""".stripMargin
   )
 }

@@ -866,4 +866,100 @@ object Dedup {
             (col("deg") * (col("deg") - lit(1L))).cast("double"))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** MinHash-estimate calibration audit (q136): for every LSH
+    * candidate pair, the signature's Jaccard ESTIMATE (matching
+    * minhash positions / numHashes) against the EXACT shingle-set
+    * Jaccard — the per-pair companion to q87's set-level recall
+    * audit.  |est − exact| quantifies how much the 8-hash signature
+    * can be trusted before committing a merge; the answer sets the
+    * numHashes/band budget at production scale (E[est] = J, σ =
+    * sqrt(J(1−J)/numHashes) — the audit verifies the engine delivers
+    * that contract on real pairs).
+    *
+    * Determinism: the match count is an integer fold over the two
+    * signatures (zip, compare, sum — no doubles until the final
+    * divides); exact Jaccard is the q22 integer intersection/union;
+    * est_jac, exact_jac, abs_err are one divide each + one subtract
+    * + abs — all correctly rounded.  A band collision without any
+    * shared shingle is possible (hash collision), so the exact side
+    * left-joins with a 0 floor rather than assuming intersection.
+    *
+    * 100 TB shape: candidates only — signatures equi-join back onto
+    * the pair frame (narrow per-pair zip over 8 longs); the exact
+    * intersection touches candidate pairs × their shingles (the q124
+    * discipline).  The pair frame is eager-pinned for its three join
+    * consumers.
+    */
+  def minhashCalibration(spark: SparkSession, dir: String,
+                         shingleN: Int = 3, numHashes: Int = 8): DataFrame = {
+    val pairs = graft.util.Pins.eager(
+      minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+    val mh = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= shingleN)
+      .select(col("doc_id"),
+        TextFunctions.minHashes(col("text"), shingleN, numHashes).as("mhs"))
+    val est = pairs
+      .join(mh.select(col("doc_id").as("doc_a"), col("mhs").as("ma")), Seq("doc_a"))
+      .join(mh.select(col("doc_id").as("doc_b"), col("mhs").as("mb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("ma"), col("mb"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _).as("n_match"))
+    val sh = graft.util.Pins.eager(
+      shingleSet(Tables.documents(spark, dir), shingleN))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.toDF("doc_a", "shingle"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match").cast("double") / lit(numHashes.toDouble)).as("est_jac"),
+        (col("i").cast("double") /
+          (col("na") + col("nb") - col("i")).cast("double")).as("exact_jac"),
+        abs(col("n_match").cast("double") / lit(numHashes.toDouble) -
+          col("i").cast("double") /
+            (col("na") + col("nb") - col("i")).cast("double")).as("abs_err"))
+  }
+
+  /** Per-source boilerplate shingles (q137): the top-k shingles by
+    * within-source document frequency, with coverage = the fraction
+    * of the source's documents containing the shingle — the
+    * C4/RefinedWeb-style boilerplate detector (navigation chrome,
+    * license banners, template headers light up as near-1.0-coverage
+    * shingles; the downstream filter strips spans matching them).
+    *
+    * Determinism: document frequencies are exact integer counts over
+    * the DISTINCT (doc_id, shingle) frame; top-k breaks ties on
+    * shingle text; coverage is one int→double divide.
+    *
+    * 100 TB shape: one (source, shingle) keyed shuffle with map-side
+    * combine over the shingle frame, a source-partitioned top-k
+    * window over the (source, shingle) counts — cardinality bounded
+    * by per-source vocabulary, not documents — and a broadcast
+    * join-back of the bounded per-source doc counts.
+    */
+  def boilerplate(spark: SparkSession, dir: String,
+                  shingleN: Int = 3, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val bySrc = shingleSet(docs, shingleN)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source", "shingle").agg(count(lit(1)).as("n_docs_with"))
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs_source"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_docs_with").desc, col("shingle").asc)
+    bySrc
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .join(broadcast(nd), Seq("source"))
+      .select(col("source"), col("rank"), col("shingle"),
+        col("n_docs_with"), col("n_docs_source"),
+        (col("n_docs_with").cast("double") / col("n_docs_source").cast("double"))
+          .as("coverage"))
+  }
 }

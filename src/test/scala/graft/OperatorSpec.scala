@@ -1190,4 +1190,55 @@ class OperatorSpec extends SparkSuite {
       assert(ks >= 0.0 && ks <= 1.0)
     }
   }
+
+  private def shinglesOf(text: String): Set[String] = {
+    val toks = text.split(" ")
+    if (toks.length < 3) Set.empty
+    else toks.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  test("minhash calibration: exact jaccard recomputed from raw shingles; est identity") {
+    val r = Dedup.minhashCalibration(spark, sf)
+      .select("doc_a", "doc_b", "n_match", "est_jac", "exact_jac", "abs_err")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(r.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    r.foreach { case (a, b, m, est, exact, err) =>
+      assert(m >= 0 && m <= 8)
+      assert(est == m.toDouble / 8.0, "estimate is the matching-position fraction")
+      val sa = shinglesOf(texts(a)); val sb = shinglesOf(texts(b))
+      val i = (sa intersect sb).size.toDouble
+      val u = (sa.size + sb.size - i)
+      assert(math.abs(exact - i / u) < 1e-12, s"exact jaccard ($a,$b)")
+      assert(math.abs(err - math.abs(est - exact)) < 1e-15)
+      // the LSH banding (2 rows/band) implies some band has 2 matching
+      // hashes — so every candidate pair matches on >= 2 positions
+      assert(m >= 2, s"candidate ($a,$b) must share a full band")
+    }
+  }
+
+  test("boilerplate: top-k shingle document frequencies recomputed from raw text") {
+    val r = Dedup.boilerplate(spark, sf)
+      .select("source", "rank", "shingle", "n_docs_with", "n_docs_source", "coverage")
+      .as[(String, Int, String, Long, Long, Double)].collect()
+    assert(r.nonEmpty)
+    val docs = Tables.documents(spark, sf).select("source", "text")
+      .as[(String, String)].collect()
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val df = scala.collection.mutable.Map.empty[String, Long]
+      ds.foreach { case (_, t) =>
+        shinglesOf(t).foreach(s => df(s) = df.getOrElse(s, 0L) + 1) }
+      val top = df.toSeq.sortBy { case (s, n) => (-n, s) }.take(5)
+      val mine = r.filter(_._1 == src).sortBy(_._2)
+      assert(mine.length == math.min(5, top.length))
+      mine.zip(top).zipWithIndex.foreach {
+        case (((_, rk, sh, n, nd, cov), (refSh, refN)), i) =>
+          assert(rk == i + 1 && sh == refSh && n == refN,
+            s"top-$rk for $src: got ($sh,$n) want ($refSh,$refN)")
+          assert(nd == ds.length)
+          assert(cov == n.toDouble / nd.toDouble)
+      }
+    }
+  }
 }
