@@ -240,7 +240,11 @@ object SparkEntry {
     // — round-12 widening, batch 14: sketch-vs-exact calibration at
     //   pair granularity and the boilerplate detector —
     "q136_minhash_calibration" -> ((s, d) => Dedup.minhashCalibration(s, d)),
-    "q137_boilerplate" -> ((s, d) => Dedup.boilerplate(s, d))
+    "q137_boilerplate" -> ((s, d) => Dedup.boilerplate(s, d)),
+    // — round-12 widening, batch 15: censoring-aware survival and
+    //   leakage-free categorical encoding —
+    "q138_kaplan_meier" -> ((s, d) => EventOps.kaplanMeier(s, d)),
+    "q139_loo_encoding" -> ((s, d) => Similarity.looEncoding(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2198,6 +2202,46 @@ object SparkEntry {
          |SELECT r.source, CAST(r.rank AS INTEGER) AS rank, r.shingle,
          |  r.n_docs_with, nd.n_docs_source,
          |  CAST(r.n_docs_with AS DOUBLE) / CAST(nd.n_docs_source AS DOUBLE) AS coverage
-         |FROM r JOIN nd USING (source) WHERE r.rank <= 5""".stripMargin
+         |FROM r JOIN nd USING (source) WHERE r.rank <= 5""".stripMargin,
+    // integer day durations (epoch-ms DIV, the q91 rule); each
+    // survival factor one divide of exact integers; the running
+    // product is the windowed list fold with a 1.0 seed (exact under
+    // multiplication), day-ordered on both engines
+    "q138_kaplan_meier" ->
+      """WITH pu AS (SELECT user_id,
+        |    min(epoch_ms(ts)) AS t0,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS tconv,
+        |    max(epoch_ms(ts)) AS tlast
+        |  FROM events GROUP BY user_id),
+        |du AS (SELECT user_id,
+        |    CASE WHEN tconv IS NOT NULL THEN 1 ELSE 0 END AS converted,
+        |    (coalesce(tconv, tlast) - t0) // 86400000 AS dur_day
+        |  FROM pu),
+        |tot AS (SELECT count(*) AS n_total FROM du),
+        |bd AS (SELECT dur_day, CAST(sum(converted) AS BIGINT) AS n_conv,
+        |    CAST(sum(1 - converted) AS BIGINT) AS n_censor
+        |  FROM du GROUP BY dur_day),
+        |cr AS (SELECT dur_day, n_conv, n_censor,
+        |    n_total - coalesce(CAST(sum(n_conv + n_censor) OVER (ORDER BY dur_day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+        |  FROM bd CROSS JOIN tot),
+        |f AS (SELECT *, CAST(n_risk - n_conv AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+        |  FROM cr)
+        |SELECT dur_day, n_risk, n_conv, n_censor,
+        |  list_reduce(list_prepend(1.0, list(factor) OVER (ORDER BY dur_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), (a, b) -> a * b) AS survival
+        |FROM f""".stripMargin,
+    // group sums/counts exact integers; one subtract + one divide;
+    // singleton groups emit literal 0.0 behind the n > 1 guard
+    "q139_loo_encoding" ->
+      """WITH j AS (SELECT e.vec_id AS doc_id, d.source, e.label
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+        |g AS (SELECT source, CAST(sum(label) AS BIGINT) AS s, count(*) AS n
+        |  FROM j GROUP BY source)
+        |SELECT j.doc_id, j.source, j.label,
+        |  CASE WHEN g.n > 1
+        |       THEN CAST(g.s - j.label AS DOUBLE) / CAST(g.n - 1 AS DOUBLE)
+        |       ELSE 0.0 END AS loo_mean
+        |FROM j JOIN g USING (source)""".stripMargin
   )
 }

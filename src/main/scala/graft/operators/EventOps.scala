@@ -693,4 +693,67 @@ object EventOps {
         expr("CAST(DATE_ADD(DATE '1970-01-01', CAST(day AS INT)) AS STRING)").as("day_date"),
         col("new_users"), col("cum_users"))
   }
+
+  /** Kaplan–Meier survival curve for time-to-conversion (q138): the
+    * censoring-aware answer to "how long until a user purchases?" —
+    * the mean-duration answer q126 gives is biased because users who
+    * never purchase are silently dropped; KM keeps them AT RISK until
+    * their last observed day, which is the whole point of survival
+    * analysis.
+    *
+    *   S(t_i) = Π_{j ≤ i} (n_j − d_j) / n_j
+    *
+    * where d_j = conversions on day j and n_j = users still at risk
+    * (neither converted nor censored before day j).  Durations are
+    * integer DAYS from each user's first event (epoch-ms integer
+    * div — the q91 rule); a user's first purchase converts them, no
+    * purchase censors them at their last event.
+    *
+    * Determinism: d/c/n are exact integer counts and window sums;
+    * each survival factor is ONE divide of exact integers; the
+    * running product folds in DAY order via the windowed
+    * collect-then-fold (seed 1.0 — exact under multiplication),
+    * which DuckDB replays as list(... ORDER BY) + list_reduce.
+    *
+    * 100 TB shape: per-user reduction is one user_id shuffle with
+    * map-side combine; the curve frame is bounded by DISTINCT
+    * OBSERVED DAYS (the observation window, not the user count), so
+    * the single-partition curve window is a deliberate q85-style
+    * tiny-frame escape — at any corpus size the curve has at most
+    * `horizon` rows.
+    */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        min(unix_millis(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", unix_millis(col("ts"))))
+          .as("tconv"),
+        max(unix_millis(col("ts"))).as("tlast"))
+      .select(
+        col("user_id"),
+        when(col("tconv").isNotNull, lit(1L)).otherwise(lit(0L)).as("converted"),
+        (coalesce(col("tconv"), col("tlast")) - col("t0")).as("dur_ms"))
+      .withColumn("dur_day", expr("dur_ms DIV 86400000"))
+    val total = perUser.agg(count(lit(1)).as("n_total"))
+    val byDay = perUser.groupBy("dur_day")
+      .agg(
+        sum(col("converted")).as("n_conv"),
+        sum(lit(1L) - col("converted")).as("n_censor"))
+    val wPrev = Window.orderBy(col("dur_day").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("dur_day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDay
+      .crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") -
+          coalesce(sum(col("n_conv") + col("n_censor")).over(wPrev), lit(0L)))
+      .withColumn("factor",
+        (col("n_risk") - col("n_conv")).cast("double") / col("n_risk").cast("double"))
+      .withColumn("survival",
+        aggregate(collect_list(col("factor")).over(wCum), lit(1.0), _ * _))
+      .select(col("dur_day"), col("n_risk"), col("n_conv"), col("n_censor"),
+        col("survival"))
+  }
 }

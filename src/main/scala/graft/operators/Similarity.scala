@@ -579,6 +579,41 @@ object Similarity {
     adcTopK(cand, books, subDim, topK)
   }
 
+  /** Leave-one-out target encoding (q139): encode the categorical
+    * `source` by the mean of the label over the OTHER documents of
+    * the same source — the standard high-cardinality-categorical
+    * feature for downstream models, with the self-exclusion that
+    * prevents target leakage (a plain group mean lets each row see
+    * its own label; LOO is the unbiased train-time form).
+    *
+    *   loo(d) = (Σ_src label − label_d) / (n_src − 1)
+    *
+    * Determinism: group sums and counts are exact integers; the
+    * encoding is one integer subtract + one divide, both correctly
+    * rounded; singleton groups (divide-by-zero) emit literal 0.0
+    * behind an explicit n > 1 guard rather than NULL/NaN.
+    *
+    * 100 TB shape: one source-keyed aggregation with map-side
+    * combine, then the bounded per-source stats broadcast back onto
+    * the row stream — no window, no second shuffle of the fact
+    * frame.  The label joins from embeddings on vec_id ≡ doc_id,
+    * the corpus id contract.
+    */
+  def looEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("label"))
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), Seq("doc_id"))
+    val g = j.groupBy("source")
+      .agg(sum(col("label")).as("s"), count(lit(1)).as("n"))
+    j.join(broadcast(g), Seq("source"))
+      .select(
+        col("doc_id"), col("source"), col("label"),
+        when(col("n") > 1,
+          (col("s") - col("label")).cast("double") /
+            (col("n") - lit(1L)).cast("double"))
+          .otherwise(lit(0.0)).as("loo_mean"))
+  }
+
   /** Hybrid lexical+dense retrieval with reciprocal-rank fusion
     * (q133) — the standard production search stack: BM25 over the
     * inverted index (q88's scorer) and exact cosine over embeddings

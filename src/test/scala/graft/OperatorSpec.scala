@@ -1241,4 +1241,57 @@ class OperatorSpec extends SparkSuite {
       }
     }
   }
+
+  test("kaplan-meier: hand-recomputed curve; monotone survival; risk accounting") {
+    val r = EventOps.kaplanMeier(spark, sf)
+      .select("dur_day", "n_risk", "n_conv", "n_censor", "survival")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_type"))
+      .as[(Long, Long, String)].collect()
+    val perUser = ev.groupBy(_._1).toSeq.map { case (_, es) =>
+      val t0 = es.map(_._2).min
+      val conv = es.filter(_._3 == "purchase").map(_._2)
+      val (converted, end) =
+        if (conv.nonEmpty) (1L, conv.min) else (0L, es.map(_._2).max)
+      (converted, (end - t0) / 86400000L)
+    }
+    val nUsers = perUser.length.toLong
+    assert(r.head._2 == nUsers, "first at-risk count is every user")
+    assert(r.map(t => t._3 + t._4).sum == nUsers, "every user converts or censors once")
+    // non-increasing survival and at-risk; hand-replayed product
+    var atRisk = nUsers
+    var s = 1.0
+    r.foreach { case (day, nr, nc, ncen, surv) =>
+      assert(nr == atRisk, s"risk accounting at day $day")
+      assert(nc == perUser.count(u => u._1 == 1L && u._2 == day))
+      assert(ncen == perUser.count(u => u._1 == 0L && u._2 == day))
+      s *= (nr - nc).toDouble / nr.toDouble
+      assert(math.abs(surv - s) < 1e-12, s"survival at day $day")
+      assert(surv >= 0.0 && surv <= 1.0)
+      atRisk -= (nc + ncen)
+    }
+    assert(r.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-12))
+  }
+
+  test("loo encoding: identity vs hand sums; group-mean reconstruction invariant") {
+    val r = Similarity.looEncoding(spark, sf)
+      .select("doc_id", "source", "label", "loo_mean")
+      .as[(Long, String, Int, Double)].collect()
+    assert(r.length == 500)
+    r.groupBy(_._2).foreach { case (src, rows) =>
+      val s = rows.map(_._3.toLong).sum
+      val n = rows.length
+      rows.foreach { case (_, _, lab, loo) =>
+        val ref = if (n > 1) (s - lab).toDouble / (n - 1).toDouble else 0.0
+        assert(loo == ref, s"loo for $src label=$lab")
+      }
+      if (n > 1) {
+        // algebra: mean of LOO encodings equals the plain group mean
+        val meanLoo = rows.map(_._4).sum / n
+        assert(math.abs(meanLoo - s.toDouble / n) < 1e-9, s"mean invariant $src")
+      }
+    }
+  }
 }
