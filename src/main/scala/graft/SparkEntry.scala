@@ -244,7 +244,9 @@ object SparkEntry {
     // — round-12 widening, batch 15: censoring-aware survival and
     //   leakage-free categorical encoding —
     "q138_kaplan_meier" -> ((s, d) => EventOps.kaplanMeier(s, d)),
-    "q139_loo_encoding" -> ((s, d) => Similarity.looEncoding(s, d))
+    "q139_loo_encoding" -> ((s, d) => Similarity.looEncoding(s, d)),
+    // — round-12 widening, batch 16: diversity-aware re-ranking —
+    "q140_mmr" -> ((s, d) => Similarity.mmrSelect(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -370,6 +372,33 @@ object SparkEntry {
        |  SELECT t.vec_id, c.cid, row_number() OVER (PARTITION BY t.vec_id ORDER BY
        |    ${dotSql("t.embedding", "c.c_emb")} DESC, c.cid) AS rk
        |  FROM sub$s t CROSS JOIN pc${s}1 c) z WHERE rk = 1)""".stripMargin
+  }
+
+  /** One unrolled MMR greedy iteration (q140), mirroring
+    * Similarity.mmrSelect: anti-join the running selection u${i-1}
+    * out of the candidate set, penalty = max pair-cos to any selected
+    * doc, blend with the EXPLICIT double literal
+    * 0.30000000000000004e0 — Catalyst folds (1.0 − 0.7) in binary
+    * doubles to that value, but DuckDB parses bare decimal literals
+    * as DECIMAL and folds (1.0 − 0.7) EXACTLY to 0.3, a DIFFERENT
+    * double (measured: 1 ulp off on 9/50 rows); the e0 suffix forces
+    * DuckDB's parser into DOUBLE and replays Java's fold.  Pick via
+    * the q54 argmax contract.  Emits CTEs r$i/p$i/m$i/s$i/u$i.
+    */
+  private def mmrIterSql(i: Int): String = {
+    val prev = s"u${i - 1}"
+    s"""r$i AS (SELECT q.* FROM qs q WHERE NOT EXISTS (
+       |  SELECT 1 FROM $prev s WHERE s.probe_id = q.probe_id AND s.doc_id = q.doc_id)),
+       |p$i AS (SELECT pp.probe_id, pp.doc_a AS doc_id, max(pp.cos) AS pen
+       |  FROM pp JOIN $prev s ON s.probe_id = pp.probe_id AND s.doc_id = pp.doc_b
+       |  GROUP BY pp.probe_id, pp.doc_a),
+       |m$i AS (SELECT r.probe_id, r.doc_id, r.rel,
+       |    0.7 * r.rel - 0.30000000000000004e0 * p.pen AS mmr
+       |  FROM r$i r JOIN p$i p ON p.probe_id = r.probe_id AND p.doc_id = r.doc_id),
+       |s$i AS (SELECT probe_id, doc_id, rel, mmr AS mmr_score, $i AS sel_rank
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY mmr DESC, doc_id) AS rk FROM m$i) z WHERE rk = 1),
+       |u$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$i)""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2242,6 +2271,34 @@ object SparkEntry {
         |  CASE WHEN g.n > 1
         |       THEN CAST(g.s - j.label AS DOUBLE) / CAST(g.n - 1 AS DOUBLE)
         |       ELSE 0.0 END AS loo_mean
-        |FROM j JOIN g USING (source)""".stripMargin
+        |FROM j JOIN g USING (source)""".stripMargin,
+    // unrolled greedy MMR: candidate top-10 per probe from the q24
+    // chain, within-probe pair sims, then four mmrIterSql iterations
+    // on top of the pure-relevance first pick
+    "q140_mmr" ->
+      s"""WITH $normCte,
+         |qp AS (SELECT p.vec_id AS probe_id, c.vec_id AS doc_id,
+         |    ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS rel
+         |  FROM e p JOIN e c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+         |qs AS (SELECT probe_id, doc_id, rel FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY rel DESC, doc_id) AS rk FROM qp) z
+         |  WHERE rk <= 10),
+         |pp AS (SELECT a.probe_id, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    ${dotSql("ea.embedding", "eb.embedding")} / (ea.nrm * eb.nrm) AS cos
+         |  FROM qs a JOIN qs b ON a.probe_id = b.probe_id AND a.doc_id <> b.doc_id
+         |  JOIN e ea ON ea.vec_id = a.doc_id
+         |  JOIN e eb ON eb.vec_id = b.doc_id),
+         |s1 AS (SELECT probe_id, doc_id, rel, rel AS mmr_score, 1 AS sel_rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY rel DESC, doc_id) AS rk FROM qs) z WHERE rk = 1),
+         |u1 AS (SELECT * FROM s1),
+         |${mmrIterSql(2)},
+         |${mmrIterSql(3)},
+         |${mmrIterSql(4)},
+         |${mmrIterSql(5)}
+         |SELECT probe_id, CAST(sel_rank AS INTEGER) AS sel_rank, doc_id,
+         |  rel, mmr_score
+         |FROM u5""".stripMargin
   )
 }

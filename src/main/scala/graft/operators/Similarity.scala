@@ -614,6 +614,84 @@ object Similarity {
           .otherwise(lit(0.0)).as("loo_mean"))
   }
 
+  /** Maximal Marginal Relevance diversified retrieval (q140,
+    * Carbonell & Goldstein, SIGIR'98): greedily re-rank each probe's
+    * top-`kCand` cosine candidates so the selected set trades
+    * relevance against redundancy —
+    *
+    *   pick_i = argmax_d  λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+    *
+    * The first pick is pure relevance (empty S ⇒ zero penalty); each
+    * later pick penalizes similarity to ANYTHING already selected —
+    * the dedup-at-query-time every retrieval stack bolts onto ANN
+    * when near-identical chunks crowd the context window.
+    *
+    * Determinism: every sim is the shared fold-mirrored dot/norm;
+    * the λ blend writes (1.0 − 0.7) literally on BOTH engines so
+    * Catalyst and DuckDB fold the identical double (the q88
+    * constant-folding rule); each greedy pick is the q54 argmax
+    * contract — max(struct(score, −doc_id)) ≡ row_number ORDER BY
+    * score DESC, doc_id.  The greedy loop is UNROLLED (kSel
+    * data-independent iterations), so the whole query is one
+    * declarative plan, replayed CTE-for-CTE by the oracle.
+    *
+    * 100 TB shape: candidate generation delegates to the ANN tier
+    * (swap bruteForceTopK for ivfPqAnn past memory scale); MMR
+    * itself touches only nProbes·kCand candidate rows and their
+    * kCand² within-probe pair sims — bounded by the QUERY, not the
+    * corpus.  Each iteration's selected frame is eager-pinned: it
+    * has two consumers (anti-join + penalty join) and keeps the
+    * unrolled plan linear instead of exponential in kSel.
+    */
+  def mmrSelect(spark: SparkSession, dir: String, nProbes: Int = 10,
+                kCand: Int = 10, kSel: Int = 5, lam: Double = 0.7): DataFrame = {
+    val qsim = graft.util.Pins.eager(
+      bruteForceTopK(spark, dir, nProbes, kCand)
+        .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+          col("cos_sim").as("rel")))
+    val emb = withNorm(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val withVec = qsim.select("probe_id", "doc_id")
+      .join(emb, col("vec_id") === col("doc_id"))
+      .select(col("probe_id"), col("doc_id"), col("embedding"), col("nrm"))
+    val pair = graft.util.Pins.eager(
+      withVec.toDF("probe_id", "doc_a", "a_emb", "a_nrm")
+        .join(withVec.toDF("probe_id", "doc_b", "b_emb", "b_nrm"), Seq("probe_id"))
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(col("probe_id"), col("doc_a"), col("doc_b"),
+          (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+            .as("cos")))
+    // pick 1: pure relevance (empty selected set => zero penalty)
+    var selected = graft.util.Pins.eager(
+      qsim.groupBy("probe_id")
+        .agg(max(struct(col("rel"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("probe_id"), (-col("m.nid")).as("doc_id"),
+          col("m.rel").as("rel"), col("m.rel").as("mmr_score"),
+          lit(1).as("sel_rank")))
+    for (i <- 2 to kSel) {
+      val remaining = qsim.join(
+        selected.select("probe_id", "doc_id"), Seq("probe_id", "doc_id"),
+        "left_anti")
+      val pen = pair
+        .join(selected.select(col("probe_id"), col("doc_id").as("doc_b")),
+          Seq("probe_id", "doc_b"))
+        .groupBy(col("probe_id"), col("doc_a").as("doc_id"))
+        .agg(max(col("cos")).as("pen"))
+      val pick = remaining.join(pen, Seq("probe_id", "doc_id"))
+        .withColumn("mmr",
+          lit(lam) * col("rel") - (lit(1.0) - lit(lam)) * col("pen"))
+        .groupBy("probe_id")
+        .agg(max(struct(col("mmr"), (-col("doc_id")).as("nid"),
+          col("rel"))).as("m"))
+        .select(col("probe_id"), (-col("m.nid")).as("doc_id"),
+          col("m.rel").as("rel"), col("m.mmr").as("mmr_score"),
+          lit(i).as("sel_rank"))
+      selected = graft.util.Pins.eager(selected.unionByName(pick))
+    }
+    selected.select(col("probe_id"), col("sel_rank"), col("doc_id"),
+      col("rel"), col("mmr_score"))
+  }
+
   /** Hybrid lexical+dense retrieval with reciprocal-rank fusion
     * (q133) — the standard production search stack: BM25 over the
     * inverted index (q88's scorer) and exact cosine over embeddings

@@ -1294,4 +1294,48 @@ class OperatorSpec extends SparkSuite {
       }
     }
   }
+
+  test("mmr: greedy selection replayed by hand from candidate sims") {
+    val r = Similarity.mmrSelect(spark, sf)
+      .select("probe_id", "sel_rank", "doc_id", "rel", "mmr_score")
+      .as[(Long, Int, Long, Double, Double)].collect()
+    assert(r.length == 50, "10 probes x 5 picks")
+    val cand = Similarity.bruteForceTopK(spark, sf, numProbes = 10, k = 10)
+      .select("probe_id", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Double)].collect()
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (emb(a), emb(b))
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      va.indices.foreach { i =>
+        d += va(i).toDouble * vb(i).toDouble
+        na += va(i).toDouble * va(i).toDouble
+        nb += vb(i).toDouble * vb(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    cand.groupBy(_._1).foreach { case (p, cs) =>
+      val rel = cs.map(c => c._2 -> c._3).toMap
+      var pool = rel.keySet
+      var sel = Vector.empty[Long]
+      val mine = r.filter(_._1 == p).sortBy(_._2)
+      (1 to 5).foreach { i =>
+        val pick =
+          if (sel.isEmpty) pool.toSeq.map(d => (d, rel(d))).maxBy(t => (t._2, -t._1))
+          else pool.toSeq.map { d =>
+            val pen = sel.map(s => cos(d, s)).max
+            (d, 0.7 * rel(d) - (1.0 - 0.7) * pen)
+          }.maxBy(t => (t._2, -t._1))
+        val (_, rk, doc, mrel, mscore) = mine(i - 1)
+        assert(rk == i && doc == pick._1, s"probe $p pick $i: got $doc want ${pick._1}")
+        assert(mrel == rel(doc), s"probe $p pick $i rel")
+        assert(math.abs(mscore - pick._2) < 1e-12, s"probe $p pick $i score")
+        sel :+= pick._1
+        pool -= pick._1
+      }
+      // selected docs are distinct and never the probe itself
+      assert(sel.distinct.length == 5 && !sel.contains(p))
+    }
+  }
 }
