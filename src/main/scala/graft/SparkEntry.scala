@@ -246,7 +246,15 @@ object SparkEntry {
     "q138_kaplan_meier" -> ((s, d) => EventOps.kaplanMeier(s, d)),
     "q139_loo_encoding" -> ((s, d) => Similarity.looEncoding(s, d)),
     // — round-12 widening, batch 16: diversity-aware re-ranking —
-    "q140_mmr" -> ((s, d) => Similarity.mmrSelect(s, d))
+    "q140_mmr" -> ((s, d) => Similarity.mmrSelect(s, d)),
+    // — round-12 widening, batch 17: signal eval and distribution
+    //   alignment —
+    "q141_roc_auc" -> ((s, d) => TextAnalysis.rocAuc(s, d)),
+    "q142_quantile_norm" -> ((s, d) => TextAnalysis.quantileNormalize(s, d)),
+    // — round-12 widening, batch 18: label-noise audit and
+    //   reciprocal-neighbor precision filtering —
+    "q143_knn_label_noise" -> ((s, d) => Similarity.knnLabelNoise(s, d)),
+    "q144_mutual_knn" -> ((s, d) => Similarity.mutualKnn(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -322,6 +330,31 @@ object SparkEntry {
   private def dotSql(aEmb: String, bEmb: String): String =
     s"""list_reduce(list_transform(range(1, len($aEmb) + 1),
        |  i -> CAST($aEmb[i] AS DOUBLE) * CAST($bEmb[i] AS DOUBLE)), (a, b) -> a + b)""".stripMargin
+
+  /** Bucketed all-vector kNN CTE chain (q143/q144), mirroring
+    * Similarity.bucketedAllKnn: label-carrying norm frame, 6-bit
+    * axis-sign buckets (the q26 rule), within-bucket cosine ranking,
+    * rank ≤ k.  Emits CTEs el / ebk / bpairs / br / knn.
+    */
+  private def allKnnCte(k: Int): String =
+    s"""el AS (SELECT vec_id, label, embedding,
+       |  sqrt(list_reduce(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |ebk AS (SELECT *,
+       |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END
+       | + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+       | + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END
+       | + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END
+       | + CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END
+       | + CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END) AS bucket FROM el),
+       |bpairs AS (SELECT a.vec_id, a.label, c.vec_id AS neighbor_id,
+       |    c.label AS n_label,
+       |    ${dotSql("a.embedding", "c.embedding")} / (a.nrm * c.nrm) AS cos
+       |  FROM ebk a JOIN ebk c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+       |br AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |  ORDER BY cos DESC, neighbor_id) AS rank FROM bpairs),
+       |knn AS (SELECT * FROM br WHERE rank <= $k)""".stripMargin
 
   /** One Lloyd iteration (q54), mirroring Similarity.lloydCentroids:
     * assign sample vectors to argmax-dot centroid (ties → lowest cid),
@@ -2299,6 +2332,83 @@ object SparkEntry {
          |${mmrIterSql(5)}
          |SELECT probe_id, CAST(sel_rank AS INTEGER) AS sel_rank, doc_id,
          |  rel, mmr_score
-         |FROM u5""".stripMargin
+         |FROM u5""".stripMargin,
+    // tie-aware Mann-Whitney AUC from per-score class counts: all
+    // integer until the single final divide; the half-tie term stays
+    // integral by doubling (num2 / 2PN)
+    "q141_roc_auc" ->
+      """WITH cells AS (SELECT source, n_chars AS score,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+        |  sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+        |  FROM documents GROUP BY source, n_chars),
+        |w AS (SELECT source, pos, neg,
+        |  coalesce(sum(neg) OVER (PARTITION BY source ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |  FROM cells),
+        |s AS (SELECT source,
+        |  CAST(sum(pos * (2 * cumneg + neg)) AS DOUBLE) AS num2,
+        |  CAST(sum(pos) AS DOUBLE) AS p, CAST(sum(neg) AS DOUBLE) AS n
+        |  FROM w GROUP BY source)
+        |SELECT source, CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg,
+        |  CASE WHEN p > 0 AND n > 0 THEN num2 / (2.0 * p * n) ELSE 0.5 END AS auc
+        |FROM s""".stripMargin,
+    // quantile mapping: within-source percent-rank as-of-joined onto
+    // the pooled step table; both percent-ranks are single divides of
+    // exact integers, the as-of pick argmax over distinct gp values
+    "q142_quantile_norm" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |r AS (SELECT doc_id, source, n_chars,
+        |  rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+        |  count(*) OVER (PARTITION BY source) AS ns
+        |  FROM d),
+        |p AS (SELECT doc_id, source, n_chars,
+        |  CASE WHEN ns > 1 THEN CAST(rk - 1 AS DOUBLE) / CAST(ns - 1 AS DOUBLE)
+        |       ELSE 0.0 END AS p
+        |  FROM r),
+        |cells AS (SELECT n_chars AS v, count(*) AS c FROM d GROUP BY n_chars),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot FROM cells),
+        |steps AS (SELECT v,
+        |  CAST(coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    / CAST(n_tot - 1 AS DOUBLE) AS gp
+        |  FROM cells, tot)
+        |SELECT p.doc_id, p.source, p.n_chars, p.p AS src_pct,
+        |  arg_max(s.v, s.gp) AS norm_chars
+        |FROM p JOIN steps s ON s.gp <= p.p
+        |GROUP BY p.doc_id, p.source, p.n_chars, p.p""".stripMargin,
+    // per-label disagreement over the bucketed kNN frame; integer
+    // counts, one final divide, argmax confusion with the
+    // smaller-label tiebreak, (-1, 0) sentinel for clean labels
+    "q143_knn_label_noise" ->
+      s"""WITH ${allKnnCte(5)},
+         |kd AS (SELECT *, CASE WHEN label <> n_label THEN 1 ELSE 0 END AS dis
+         |  FROM knn),
+         |pv AS (SELECT vec_id, label, count(*) AS nn, sum(dis) AS dis
+         |  FROM kd GROUP BY vec_id, label),
+         |pl AS (SELECT label, count(*) AS n_vecs,
+         |    CAST(sum(nn) AS BIGINT) AS knn_rows,
+         |    CAST(sum(dis) AS BIGINT) AS dis_total
+         |  FROM pv GROUP BY label),
+         |cf AS (SELECT label, n_label, count(*) AS cnt
+         |  FROM kd WHERE dis = 1 GROUP BY label, n_label),
+         |top AS (SELECT label, n_label AS top_confusion, cnt AS top_confusion_n
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY label
+         |    ORDER BY cnt DESC, n_label) AS rk FROM cf) z WHERE rk = 1)
+         |SELECT pl.label, pl.n_vecs, pl.knn_rows,
+         |  CAST(pl.dis_total AS DOUBLE) / CAST(pl.knn_rows AS DOUBLE)
+         |    AS disagree_frac,
+         |  coalesce(top.top_confusion, -1) AS top_confusion,
+         |  CAST(coalesce(top.top_confusion_n, 0) AS BIGINT) AS top_confusion_n
+         |FROM pl LEFT JOIN top ON top.label = pl.label""".stripMargin,
+    // reciprocity = equi-join of the kNN frame with itself on the
+    // swapped id pair; cos is the identical dimension fold in both
+    // directions so the a->b double is emitted
+    "q144_mutual_knn" ->
+      s"""WITH ${allKnnCte(5)}
+         |SELECT f.vec_id AS vec_a, f.neighbor_id AS vec_b, f.cos AS cos_sim,
+         |  CAST(f.rank AS INTEGER) AS rank_ab, CAST(r2.rank AS INTEGER) AS rank_ba
+         |FROM knn f JOIN knn r2
+         |  ON r2.vec_id = f.neighbor_id AND r2.neighbor_id = f.vec_id
+         |WHERE f.vec_id < f.neighbor_id""".stripMargin
   )
 }

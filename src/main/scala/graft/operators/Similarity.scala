@@ -614,6 +614,108 @@ object Similarity {
           .otherwise(lit(0.0)).as("loo_mean"))
   }
 
+  /** Bucketed all-vector kNN: EVERY vector probes its own sign-LSH
+    * bucket (the q26 index turned inward — no sampled probe set).
+    * One bucket equi-join + one vec_id-keyed window; candidates per
+    * probe are bounded by the bucket occupancy (~n/2^nBits), so the
+    * pair fanout is n²/2^nBits, not n² — the same contract that
+    * makes q26 the q25 scale path.  Labels ride along for the
+    * consumers that need them.
+    */
+  private def bucketedAllKnn(spark: SparkSession, dir: String,
+                             k: Int, nBits: Int = 6): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("bucket", signLshBucket(col("embedding"), nBits))
+    val a = emb.select(col("vec_id"), col("label"), col("bucket"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = emb.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+      col("bucket"), col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    a.join(b, "bucket")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("label"), col("neighbor_id"),
+        col("n_label"), col("cos"), col("rank"))
+  }
+
+  /** kNN label-disagreement noise audit (q143) — confident-learning
+    * lite: for each labeled vector, how many of its k nearest
+    * (bucketed) neighbors carry a DIFFERENT label?  Per-label
+    * aggregation surfaces the classes whose embeddings don't support
+    * their labels (mislabeled slices, ambiguous class boundaries) and
+    * the single most-confused other label — the audit that decides
+    * whether a labeled corpus is clean enough to train on.
+    *
+    * Determinism: neighbor ranking is the shared bit-exact cosine
+    * with the neighbor_id tiebreak; disagreement counts and row
+    * counts are exact integers; disagree_frac is one final divide;
+    * the top-confusion pick is argmax over integer counts with the
+    * smaller-label tiebreak (max(struct(cnt, −n_label))); labels with
+    * zero disagreements emit the (−1, 0) sentinel, never NULL.
+    *
+    * 100 TB shape: inherits bucketedAllKnn's bounded fanout (swap
+    * nBits up as n grows, or swap the bucket leg for the IVF/PQ tier);
+    * everything after the kNN frame is two keyed aggregations of a
+    * k·n-row frame and one broadcast join of a labels×labels
+    * confusion table.
+    */
+  def knnLabelNoise(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val knn = graft.util.Pins.eager(
+      bucketedAllKnn(spark, dir, k)
+        .withColumn("dis", when(col("label") =!= col("n_label"), 1L).otherwise(0L)))
+    val perVec = knn.groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("nn"), sum(col("dis")).as("dis"))
+    val perLabel = perVec.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("nn")).as("knn_rows"),
+        sum(col("dis")).as("dis_total"))
+    val confusion = knn.filter(col("dis") === 1L)
+      .groupBy("label", "n_label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("label")
+      .agg(max(struct(col("cnt"), (-col("n_label")).cast("long").as("neg"))).as("m"))
+      .select(col("label"),
+        (-col("m.neg")).cast("int").as("top_confusion"),
+        col("m.cnt").as("top_confusion_n"))
+    perLabel.join(broadcast(confusion), Seq("label"), "left")
+      .select(col("label"), col("n_vecs"), col("knn_rows"),
+        (col("dis_total").cast("double") / col("knn_rows").cast("double"))
+          .as("disagree_frac"),
+        coalesce(col("top_confusion"), lit(-1)).as("top_confusion"),
+        coalesce(col("top_confusion_n"), lit(0L)).as("top_confusion_n"))
+  }
+
+  /** Mutual-kNN (reciprocal nearest neighbor) pairs (q144): pairs
+    * where EACH side ranks the other inside its own bucketed top-k —
+    * the high-precision near-duplicate signal (a one-way top-k hit is
+    * often a hub artifact; a reciprocal hit almost never is).  The
+    * RNN test is the standard precision filter layered on any ANN
+    * index before an aggressive dedup merge.
+    *
+    * Determinism: the kNN frame is the shared bit-exact ranking; the
+    * reciprocity test is an equi-join on exact ids; cos is computed
+    * once per direction over the identical dimension fold, so the
+    * a→b and b→a doubles are bit-equal and either can be emitted.
+    *
+    * 100 TB shape: one equi-join of the k·n-row kNN frame with
+    * itself on (vec, neighbor) = (neighbor, vec) — keyed, linear in
+    * k·n; the frame is eager-pinned for its two consumers (the
+    * multi-broadcast rule, util/Pins.scala).
+    */
+  def mutualKnn(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val knn = graft.util.Pins.eager(bucketedAllKnn(spark, dir, k))
+    val fwd = knn.select(col("vec_id").as("vec_a"), col("neighbor_id").as("vec_b"),
+      col("cos"), col("rank").as("rank_ab"))
+    val rev = knn.select(col("neighbor_id").as("vec_a"), col("vec_id").as("vec_b"),
+      col("rank").as("rank_ba"))
+    fwd.join(rev, Seq("vec_a", "vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cos").as("cos_sim"),
+        col("rank_ab"), col("rank_ba"))
+  }
+
   /** Maximal Marginal Relevance diversified retrieval (q140,
     * Carbonell & Goldstein, SIGIR'98): greedily re-rank each probe's
     * top-`kCand` cosine candidates so the selected set trades

@@ -1538,4 +1538,109 @@ object TextAnalysis {
         col("expected"),
         (col("dev") * col("dev") / col("expected")).as("contrib"))
   }
+
+  /** Per-source ROC-AUC of document length as an English-language
+    * classifier (q141) — the standard eval for any scalar quality /
+    * filter signal before it gates a training mix: does n_chars
+    * separate lang='en' docs from the rest within each source?  AUC
+    * is the Mann–Whitney U statistic normalized by P·N, computed
+    * tie-aware from per-score class counts:
+    *
+    *   AUC = Σ_s pos_s · (neg_below(s) + ½·neg_s) / (P·N)
+    *
+    * Determinism: everything is INTEGER until one final divide — the
+    * ½-tie term stays integral by doubling (contrib2 = pos·(2·cumneg
+    * + neg), AUC = Σcontrib2 / (2PN)); per-score counts are exact
+    * longs, the running negative count is an integer window sum, and
+    * the totals go through DECIMAL(38,0) partial+final aggregation
+    * (the q118 rule).  Degenerate sources (no positives or no
+    * negatives) emit 0.5 behind a guard, never NULL/NaN.
+    *
+    * 100 TB shape: one (source, score) keyed shuffle with map-side
+    * combine collapses the corpus to cells bounded by sources ×
+    * distinct lengths; the window and final agg run on that bounded
+    * frame.  Nothing downstream touches raw documents.
+    */
+  def rocAuc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("is_pos"))
+      .groupBy("source", "score")
+      .agg(sum(col("is_pos")).as("pos"),
+        sum(lit(1L) - col("is_pos")).as("neg"))
+    val w = Window.partitionBy("source").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells
+      .withColumn("cumneg", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .withColumn("contrib2",
+        col("pos") * (lit(2L) * col("cumneg") + col("neg")))
+      .groupBy("source")
+      .agg(sum(col("contrib2").cast(dec)).cast("double").as("num2"),
+        sum(col("pos").cast(dec)).cast("double").as("p"),
+        sum(col("neg").cast(dec)).cast("double").as("n"))
+      .select(col("source"),
+        col("p").cast("long").as("n_pos"),
+        col("n").cast("long").as("n_neg"),
+        when(col("p") > 0 && col("n") > 0,
+          col("num2") / (lit(2.0) * col("p") * col("n")))
+          .otherwise(lit(0.5)).as("auc"))
+  }
+
+  /** Quantile normalization of document lengths across sources
+    * (q142): map each doc's WITHIN-SOURCE percent-rank onto the
+    * POOLED length distribution, so every source's length profile
+    * becomes comparable on one scale — the standard pre-mix
+    * transform when per-source length distributions diverge (the
+    * q135 KS matrix measures the divergence; this removes it).
+    * norm_chars is the largest pooled length whose global
+    * percent-rank ≤ the doc's within-source percent-rank (as-of /
+    * step-function semantics, the exact discrete analogue of
+    * quantile mapping).
+    *
+    * Determinism: both percent-ranks are single divides of exact
+    * integers ((rank−1)/(n−1), rank() giving ties the min rank), so
+    * the doubles are bit-identical in both engines and the ≤
+    * comparison agrees; the as-of pick is argmax over DISTINCT gp
+    * values (distinct values ⇒ distinct first-occurrence ranks ⇒ no
+    * tie).  Single-doc sources pin p = 0.0 behind a guard.
+    *
+    * 100 TB shape: the pooled step table is bounded by DISTINCT
+    * lengths, not docs — built from a (score → count) cell agg and
+    * broadcast; the Spark-side as-of is the argmax equi-less join
+    * against that broadcast frame (at unbounded distinct-value
+    * domains, swap in the q46 union-window as-of: one sort shuffle,
+    * no fanout).  The per-doc percent-rank is one source-keyed
+    * window — one shuffle total.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val wSrc = Window.partitionBy("source").orderBy("n_chars")
+    val perDoc = docs
+      .withColumn("rk", rank().over(wSrc))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("p",
+        when(col("ns") > 1,
+          (col("rk") - lit(1)).cast("double") / (col("ns") - lit(1)).cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("p"))
+    val cells = graft.util.Pins.eager(
+      docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c")))
+    val nTot = cells.agg(sum(col("c")).as("n_tot"))
+    val steps = cells
+      .withColumn("below", coalesce(sum(col("c")).over(
+        Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(nTot))
+      .select(col("v"),
+        (col("below").cast("double") / (col("n_tot") - lit(1)).cast("double")).as("gp"))
+    perDoc.join(broadcast(steps), col("gp") <= col("p"))
+      .groupBy("doc_id", "source", "n_chars", "p")
+      .agg(max(struct(col("gp"), col("v"))).as("m"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("p").as("src_pct"), col("m.v").as("norm_chars"))
+  }
 }

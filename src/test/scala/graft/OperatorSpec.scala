@@ -1338,4 +1338,136 @@ class OperatorSpec extends SparkSuite {
       assert(sel.distinct.length == 5 && !sel.contains(p))
     }
   }
+
+  // hand-built bucketed kNN used by the q143/q144 specs: 6-bit
+  // axis-sign buckets, within-bucket cosine, rank by (cos desc, id)
+  private def handKnn(k: Int): Map[Long, Seq[(Long, Double, Int)]] = {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def bucket(v: Seq[Float]): Int =
+      (0 until 6).map(i => if (v(i) > 0) 1 << i else 0).sum
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    emb.map { case (id, v, _) =>
+      val b = bucket(v)
+      val nbrs = emb.filter(e => e._1 != id && bucket(e._2) == b)
+        .map(e => (e._1, cos(v, e._2), e._3))
+        .sortBy(t => (-t._2, t._1))
+        .take(k)
+      id -> nbrs.toSeq
+    }.toMap
+  }
+
+  test("knn_label_noise: per-label disagreement replayed by hand") {
+    val labels = Tables.embeddings(spark, sf).select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    val knn = handKnn(5)
+    val got = Similarity.knnLabelNoise(spark, sf)
+      .select("label", "n_vecs", "knn_rows", "disagree_frac",
+        "top_confusion", "top_confusion_n")
+      .as[(Int, Long, Long, Double, Int, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val byLabel = knn.toSeq.filter(_._2.nonEmpty).groupBy(p => labels(p._1))
+    assert(got.keySet == byLabel.keySet)
+    byLabel.foreach { case (lbl, vecs) =>
+      val rows = vecs.map(_._2.size).sum
+      val dis = vecs.flatMap(_._2).count(_._3 != lbl)
+      val (_, nv, kr, frac, topC, topN) = got(lbl)
+      assert(nv == vecs.size && kr == rows)
+      assert(math.abs(frac - dis.toDouble / rows) < 1e-15)
+      val conf = vecs.flatMap(_._2).filter(_._3 != lbl)
+        .groupBy(_._3).view.mapValues(_.size).toSeq
+      if (conf.isEmpty) assert(topC == -1 && topN == 0L)
+      else {
+        val want = conf.maxBy(t => (t._2, -t._1))
+        assert(topC == want._1 && topN == want._2.toLong, s"label $lbl")
+      }
+    }
+  }
+
+  test("mutual_knn: reciprocal pairs replayed by hand") {
+    val knn = handKnn(5)
+    val rankOf = knn.flatMap { case (id, ns) =>
+      ns.zipWithIndex.map { case ((n, _, _), i) => (id, n) -> (i + 1) }
+    }
+    val want = rankOf.collect {
+      case ((a, b), rab) if a < b && rankOf.contains((b, a)) =>
+        (a, b, rab, rankOf((b, a)))
+    }.toSet
+    val got = Similarity.mutualKnn(spark, sf)
+      .select("vec_a", "vec_b", "rank_ab", "rank_ba", "cos_sim")
+      .as[(Long, Long, Int, Int, Double)].collect()
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSet == want)
+    // cos matches the hand fold and the pair really is reciprocal
+    got.foreach { case (a, b, _, _, c) =>
+      val hand = knn(a).find(_._1 == b).get._2
+      assert(math.abs(c - hand) < 1e-12)
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("roc_auc: matches brute-force pair counting per source") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "n_chars", "lang")
+      .as[(String, Long, String)].collect()
+    val got = TextAnalysis.rocAuc(spark, sf)
+      .select("source", "n_pos", "n_neg", "auc")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.nonEmpty && got.keySet == docs.map(_._1).toSet)
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val pos = ds.filter(_._3 == "en").map(_._2)
+      val neg = ds.filter(_._3 != "en").map(_._2)
+      val (_, np, nn, auc) = got(src)
+      assert(np == pos.length && nn == neg.length)
+      if (pos.isEmpty || neg.isEmpty) assert(auc == 0.5)
+      else {
+        // Mann-Whitney by exhaustive pair enumeration
+        val wins = (for (p <- pos; n <- neg)
+          yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+        val want = wins.toDouble / (2.0 * pos.length * neg.length)
+        assert(math.abs(auc - want) < 1e-15, s"$src: $auc vs $want")
+        assert(auc >= 0.0 && auc <= 1.0)
+      }
+    }
+  }
+
+  test("quantile_norm: as-of pick replayed from pooled step table") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars")
+      .as[(Long, String, Long)].collect()
+    val got = TextAnalysis.quantileNormalize(spark, sf)
+      .select("doc_id", "src_pct", "norm_chars")
+      .as[(Long, Double, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == docs.length)
+    val all = docs.map(_._3).sorted
+    val nTot = all.length
+    // pooled step table: gp(v) = (#values strictly below v)/(N-1)
+    val gp = all.distinct.map(v => v -> all.count(_ < v).toDouble / (nTot - 1))
+    docs.groupBy(_._2).foreach { case (_, ds) =>
+      val lens = ds.map(_._3).sorted
+      ds.foreach { case (id, _, len) =>
+        val p = if (lens.length > 1)
+          lens.count(_ < len).toDouble / (lens.length - 1) else 0.0
+        val want = gp.filter(_._2 <= p).maxBy(_._2)._1
+        val (gotP, gotV) = got(id)
+        assert(gotP == p, s"doc $id pct: $gotP vs $p")
+        assert(gotV == want, s"doc $id norm: $gotV vs $want")
+      }
+    }
+    // monotone within source: longer doc never maps lower
+    docs.groupBy(_._2).foreach { case (_, ds) =>
+      val bySrc = ds.sortBy(_._3).map(d => got(d._1)._2)
+      assert(bySrc.zip(bySrc.tail).forall { case (a, b) => a <= b })
+    }
+  }
 }
