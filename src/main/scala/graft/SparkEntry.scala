@@ -254,7 +254,11 @@ object SparkEntry {
     // — round-12 widening, batch 18: label-noise audit and
     //   reciprocal-neighbor precision filtering —
     "q143_knn_label_noise" -> ((s, d) => Similarity.knnLabelNoise(s, d)),
-    "q144_mutual_knn" -> ((s, d) => Similarity.mutualKnn(s, d))
+    "q144_mutual_knn" -> ((s, d) => Similarity.mutualKnn(s, d)),
+    // — round-12 widening, batch 19: scale-native uncertainty and
+    //   dup-graph topology —
+    "q145_bootstrap_ci" -> ((s, d) => TextAnalysis.bootstrapCi(s, d)),
+    "q146_assortativity" -> ((s, d) => Dedup.assortativity(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2409,6 +2413,63 @@ object SparkEntry {
          |  CAST(f.rank AS INTEGER) AS rank_ab, CAST(r2.rank AS INTEGER) AS rank_ba
          |FROM knn f JOIN knn r2
          |  ON r2.vec_id = f.neighbor_id AND r2.neighbor_id = f.vec_id
-         |WHERE f.vec_id < f.neighbor_id""".stripMargin
+         |WHERE f.vec_id < f.neighbor_id""".stripMargin,
+    // Poisson bootstrap: per-(doc, replicate) inverse-CDF weight from
+    // md5 digits 1-4 of "doc#rep"; per-replicate integer sums, one
+    // divide per mean, order-statistic CI picks; every CDF threshold
+    // e0-suffixed so DuckDB parses DOUBLE, not DECIMAL
+    "q145_bootstrap_ci" ->
+      """WITH reps AS (SELECT unnest(generate_series(1, 64)) AS b),
+        |hh AS (SELECT d.n_chars, r.b, CAST(
+        |   (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(r.b AS VARCHAR)), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(r.b AS VARCHAR)), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(r.b AS VARCHAR)), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(r.b AS VARCHAR)), 4, 1)) - 1) AS INTEGER) AS h
+        | FROM documents d CROSS JOIN reps r),
+        |uu AS (SELECT b, n_chars,
+        |  (CAST(h AS DOUBLE) + 0.5e0) / 65536.0e0 AS u FROM hh),
+        |ww AS (SELECT b, n_chars, CASE
+        |  WHEN u < 0.36787944117144233e0 THEN 0
+        |  WHEN u < 0.7357588823428847e0 THEN 1
+        |  WHEN u < 0.9196986029286058e0 THEN 2
+        |  WHEN u < 0.9810118431238462e0 THEN 3
+        |  WHEN u < 0.9963401531726563e0 THEN 4
+        |  WHEN u < 0.9994058151824183e0 THEN 5
+        |  ELSE 6 END AS w FROM uu),
+        |m AS (SELECT b, CAST(sum(w) AS DOUBLE) AS sw,
+        |  CAST(sum(w * n_chars) AS DOUBLE) AS swx FROM ww GROUP BY b),
+        |m0 AS (SELECT b, CASE WHEN sw > 0 THEN swx / sw ELSE 0.0 END AS mn FROM m),
+        |mm AS (SELECT b, mn, row_number() OVER (ORDER BY mn, b) AS rk FROM m0),
+        |lo AS (SELECT mn AS ci_lo FROM mm WHERE rk = 2),
+        |hi AS (SELECT mn AS ci_hi FROM mm WHERE rk = 63),
+        |pt AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars
+        |  FROM documents)
+        |SELECT pt.n_docs, pt.mean_chars, lo.ci_lo, hi.ci_hi,
+        |  CAST(64 AS INTEGER) AS b_reps
+        |FROM pt CROSS JOIN lo CROSS JOIN hi""".stripMargin,
+    // endpoint-degree Pearson over directed near-dup edges: exact
+    // integer moments (the q118 rule), one fixed-order double
+    // expression, zero-variance guard to 0.0
+    "q146_assortativity" ->
+      s"""WITH $minhashPairsCte,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY src),
+         |ed AS (SELECT dx.deg AS dx, dy.deg AS dy FROM e
+         |  JOIN deg dx ON dx.id = e.src JOIN deg dy ON dy.id = e.dst),
+         |s AS (SELECT count(*) AS n,
+         |  CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+         |  CAST(sum(dx * dy) AS DOUBLE) AS sxy,
+         |  CAST(sum(dx * dx) AS DOUBLE) AS sxx,
+         |  CAST(sum(dy * dy) AS DOUBLE) AS syy FROM ed)
+         |SELECT CAST(CAST(n AS DOUBLE) / 2.0e0 AS BIGINT) AS n_edges,
+         |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+         |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+         |    THEN (CAST(n AS DOUBLE) * sxy - sx * sy) /
+         |      (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
+         |       sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
+         |    ELSE 0.0 END AS assortativity
+         |FROM s""".stripMargin
   )
 }

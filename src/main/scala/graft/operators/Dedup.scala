@@ -962,4 +962,53 @@ object Dedup {
         (col("n_docs_with").cast("double") / col("n_docs_source").cast("double"))
           .as("coverage"))
   }
+
+  /** Degree assortativity of the near-duplicate graph (q146,
+    * Newman 2002): the Pearson correlation of endpoint degrees over
+    * every directed edge.  Template families (cliques of mutual
+    * near-dups) drive assortativity positive; a hub-and-spoke shape
+    * (one boilerplate page linked to many singletons — the q130
+    * false-merge risk) drives it negative.  One scalar that says
+    * which failure mode the q72 connected-components dedup is
+    * exposed to BEFORE committing the merge.
+    *
+    * Determinism: degrees are exact integer counts; all five moment
+    * sums (Σx, Σy, Σxy, Σx², Σy²) run through DECIMAL(38,0)
+    * partial+final aggregation (the q118 exact-moments rule); the
+    * only double arithmetic is the final correlation expression in a
+    * fixed operation order.  A degenerate graph (all degrees equal ⇒
+    * zero variance) emits 0.0 behind an explicit guard, never NaN.
+    *
+    * 100 TB shape: edges from the q21 banded MinHash join (never
+    * all-pairs); degree is one keyed count; the edge↔degree joins
+    * are equi-joins on node id; the moments collapse in ONE
+    * partial+final agg to a single row.  The pair frame is
+    * eager-pinned for its two join lineages.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val pairs = graft.util.Pins.eager(
+      minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val n = col("n").cast("double")
+    e.join(deg.select(col("id").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dx").cast(dec)).cast("double").as("sx"),
+        sum(col("dy").cast(dec)).cast("double").as("sy"),
+        sum((col("dx") * col("dy")).cast(dec)).cast("double").as("sxy"),
+        sum((col("dx") * col("dx")).cast(dec)).cast("double").as("sxx"),
+        sum((col("dy") * col("dy")).cast(dec)).cast("double").as("syy"))
+      .select(
+        ((col("n").cast("double") / lit(2.0))).cast("long").as("n_edges"),
+        when(n * col("sxx") - col("sx") * col("sx") > 0 &&
+          n * col("syy") - col("sy") * col("sy") > 0,
+          (n * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+              sqrt(n * col("syy") - col("sy") * col("sy"))))
+          .otherwise(lit(0.0)).as("assortativity"))
+  }
 }

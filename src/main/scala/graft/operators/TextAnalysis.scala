@@ -1589,6 +1589,70 @@ object TextAnalysis {
           .otherwise(lit(0.5)).as("auc"))
   }
 
+  /** Poisson-bootstrap confidence interval for mean document length
+    * (q145) — THE bootstrap that works at 100 TB: instead of drawing
+    * B independent resamples (impossible without B full shuffles),
+    * every row carries a deterministic pseudo-Poisson(1) weight per
+    * replicate (Poisson bootstrap, Chamandy et al., Google 2012 —
+    * "Estimating uncertainty for massive data streams"), and each
+    * replicate's weighted mean is one keyed aggregation.  The CI is
+    * the 2nd / 63rd order statistic of the B = 64 replicate means
+    * (~the 2.5 / 97.5 percentiles).
+    *
+    * Determinism: the weight is an inverse-CDF lookup on u = (h +
+    * 0.5)/65536 where h is md5 digits 1–4 of "doc_id#replicate" (a
+    * hash input disjoint from the q63/q75/q98/q134 sampling keys);
+    * the CDF thresholds are literal doubles written e0-suffixed in
+    * the oracle so DuckDB parses them as DOUBLE, not DECIMAL (the
+    * q140 lesson); per-replicate sums are exact integers through
+    * DECIMAL(38,0); each mean is ONE divide; order statistics pick
+    * by row_number with the replicate-id tiebreak.  A zero-weight
+    * replicate (P = e^{-N}) pins 0.0 behind a guard.
+    *
+    * 100 TB shape: the explode is a ×B narrow blowup that map-side
+    * combine collapses to B rows per partition BEFORE the shuffle —
+    * one keyed shuffle of B·partitions tiny rows, then the order
+    * statistics run on a B-row frame.  No resample materialization,
+    * no per-replicate pass.
+    */
+  def bootstrapCi(spark: SparkSession, dir: String, b: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
+      col("b").cast("string"))), 1, 4), 16, 10).cast("int")
+    val u = (col("h").cast("double") + lit(0.5)) / lit(65536.0)
+    // Poisson(1) CDF: cumulative e^{-1} * sum 1/k!
+    val w = when(col("u") < lit(0.36787944117144233), 0L)
+      .when(col("u") < lit(0.7357588823428847), 1L)
+      .when(col("u") < lit(0.9196986029286058), 2L)
+      .when(col("u") < lit(0.9810118431238462), 3L)
+      .when(col("u") < lit(0.9963401531726563), 4L)
+      .when(col("u") < lit(0.9994058151824183), 5L)
+      .otherwise(6L)
+    // eager-pinned: two order-statistic consumers (lo + hi) below
+    val means = graft.util.Pins.eager(docs
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(1), lit(b))).as("b"))
+      .withColumn("h", h).withColumn("u", u).withColumn("w", w)
+      .groupBy("b")
+      .agg(sum(col("w").cast(dec)).cast("double").as("sw"),
+        sum((col("w") * col("n_chars")).cast(dec)).cast("double").as("swx"))
+      .select(col("b"),
+        when(col("sw") > 0, col("swx") / col("sw")).otherwise(lit(0.0)).as("m"))
+      .withColumn("rk", row_number().over(Window.orderBy(col("m"), col("b")))))
+    val lo = means.filter(col("rk") === 2).select(col("m").as("ci_lo"))
+    val hi = means.filter(col("rk") === b - 1).select(col("m").as("ci_hi"))
+    val point = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_chars").cast(dec)).cast("double").as("sx"))
+      .select(col("n_docs"),
+        (col("sx") / col("n_docs").cast("double")).as("mean_chars"))
+    broadcast(point).crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_docs"), col("mean_chars"), col("ci_lo"), col("ci_hi"),
+        lit(b).as("b_reps"))
+  }
+
   /** Quantile normalization of document lengths across sources
     * (q142): map each doc's WITHIN-SOURCE percent-rank onto the
     * POOLED length distribution, so every source's length profile

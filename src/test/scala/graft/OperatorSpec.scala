@@ -1414,6 +1414,60 @@ class OperatorSpec extends SparkSuite {
     assert(got.nonEmpty)
   }
 
+  test("bootstrap_ci: replicate means and CI picks replayed by hand") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .as[(Long, Long)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cdf = Array(0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+      0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+    def weight(id: Long, b: Int): Long = {
+      val h = Integer.parseInt(md5hex(s"$id#$b").substring(0, 4), 16)
+      val u = (h + 0.5) / 65536.0
+      val k = cdf.indexWhere(u < _)
+      if (k < 0) 6L else k.toLong
+    }
+    val means = (1 to 64).map { b =>
+      val sw = docs.map(d => weight(d._1, b)).sum
+      val swx = docs.map(d => weight(d._1, b) * d._2).sum
+      b -> (if (sw > 0) swx.toDouble / sw else 0.0)
+    }
+    val sorted = means.sortBy { case (b, m) => (m, b) }.map(_._2)
+    val Array((nDocs, meanChars, ciLo, ciHi, bReps)) =
+      TextAnalysis.bootstrapCi(spark, sf)
+        .select("n_docs", "mean_chars", "ci_lo", "ci_hi", "b_reps")
+        .as[(Long, Double, Double, Double, Int)].collect()
+    assert(nDocs == docs.length && bReps == 64)
+    assert(meanChars == docs.map(_._2).sum.toDouble / docs.length)
+    assert(ciLo == sorted(1) && ciHi == sorted(62),
+      s"got ($ciLo, $ciHi) want (${sorted(1)}, ${sorted(62)})")
+    assert(ciLo <= meanChars && meanChars <= ciHi)
+  }
+
+  test("assortativity: endpoint-degree Pearson replayed by hand") {
+    val pairs = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val e = pairs.flatMap(p => Seq((p._1, p._2), (p._2, p._1)))
+    val deg = e.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xs = e.map(p => (deg(p._1), deg(p._2)))
+    val n = xs.length.toDouble
+    val sx = xs.map(_._1).sum.toDouble; val sy = xs.map(_._2).sum.toDouble
+    val sxy = xs.map(p => p._1 * p._2).sum.toDouble
+    val sxx = xs.map(p => p._1 * p._1).sum.toDouble
+    val syy = xs.map(p => p._2 * p._2).sum.toDouble
+    val want =
+      if (n * sxx - sx * sx > 0 && n * syy - sy * sy > 0)
+        (n * sxy - sx * sy) /
+          (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      else 0.0
+    val Array((nEdges, r)) = Dedup.assortativity(spark, sf)
+      .select("n_edges", "assortativity").as[(Long, Double)].collect()
+    assert(nEdges == pairs.length)
+    assert(math.abs(r - want) < 1e-12, s"$r vs $want")
+    assert(r >= -1.0 && r <= 1.0)
+  }
+
   test("roc_auc: matches brute-force pair counting per source") {
     val docs = Tables.documents(spark, sf)
       .select("source", "n_chars", "lang")
