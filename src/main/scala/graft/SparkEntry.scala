@@ -258,7 +258,11 @@ object SparkEntry {
     // — round-12 widening, batch 19: scale-native uncertainty and
     //   dup-graph topology —
     "q145_bootstrap_ci" -> ((s, d) => TextAnalysis.bootstrapCi(s, d)),
-    "q146_assortativity" -> ((s, d) => Dedup.assortativity(s, d))
+    "q146_assortativity" -> ((s, d) => Dedup.assortativity(s, d)),
+    // — round-12 widening, batch 20: contrastive mining and
+    //   vocabulary burstiness —
+    "q147_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    "q148_burstiness" -> ((s, d) => TextAnalysis.tokenBurstiness(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2470,6 +2474,36 @@ object SparkEntry {
          |      (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) *
          |       sqrt(CAST(n AS DOUBLE) * syy - sy * sy))
          |    ELSE 0.0 END AS assortativity
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+    // q24's probe scan with the label filter before ranking: top-k
+    // most-similar DIFFERENT-label candidates per probe
+    "q147_hard_negatives" ->
+      s"""WITH el AS (SELECT vec_id, label, embedding,
+         |  sqrt(list_reduce(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+         |  FROM embeddings),
+         |pairs AS (SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         |    c.vec_id AS neighbor_id, c.label AS neg_label,
+         |    ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cos
+         |  FROM el p JOIN el c ON p.vec_id < 10 AND p.label <> c.label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+         |SELECT probe_id, probe_label, neighbor_id, neg_label,
+         |  cos AS cos_sim, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 5""".stripMargin,
+    // index of dispersion from exact integer sums over containing
+    // docs (zero cells cancel); minDf before the bounded cut
+    "q148_burstiness" ->
+      """WITH tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT doc_id, token, count(*) AS c FROM tc GROUP BY doc_id, token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT token, count(*) AS df,
+        |    CAST(sum(c) AS DOUBLE) AS sc, CAST(sum(c * c) AS DOUBLE) AS sc2
+        |  FROM c GROUP BY token HAVING count(*) >= 5)
+        |SELECT token, df, CAST(sc AS BIGINT) AS tf_total,
+        |  (CAST(n_docs AS DOUBLE) * sc2 - sc * sc)
+        |    / (CAST(n_docs AS DOUBLE) * sc) AS dispersion
+        |FROM s, n ORDER BY dispersion DESC, token LIMIT 50""".stripMargin
   )
 }

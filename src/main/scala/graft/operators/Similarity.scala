@@ -716,6 +716,45 @@ object Similarity {
         col("rank_ab"), col("rank_ba"))
   }
 
+  /** Hard-negative mining for contrastive training (q147): for each
+    * probe, the top-k most-similar vectors carrying a DIFFERENT
+    * label — the negatives that actually move a contrastive loss
+    * (random negatives are trivially separable; the ones nearest the
+    * decision boundary are the training signal).  The standard
+    * mining pass behind every dense-retriever / embedding-model
+    * training pipeline.
+    *
+    * Determinism: the shared bit-exact cosine with the neighbor_id
+    * tiebreak; the label filter happens BEFORE ranking so rank is
+    * dense over negatives only.
+    *
+    * 100 TB shape: identical to q24's broadcast-probe scan (probes
+    * bounded by construction, one pass over candidates, per-probe
+    * top-k via the window / bounded-heap contract); past memory
+    * scale the candidate leg swaps for the IVF/PQ tier exactly as
+    * q26/q95 do, with the label filter pushed into the candidate
+    * scan.
+    */
+  def hardNegatives(spark: SparkSession, dir: String,
+                    numProbes: Int = 10, k: Int = 5): DataFrame = {
+    val emb = withNorm(Tables.embeddings(spark, dir))
+    val probes = emb.filter(col("vec_id") < numProbes)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("embedding").as("p_emb"), col("nrm").as("p_nrm"))
+    val cands = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("neg_label"),
+      col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(probes)
+      .join(cands, col("probe_label") =!= col("neg_label"))
+      .withColumn("cos", dot(col("p_emb"), col("c_emb")) / (col("p_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("probe_label"), col("neighbor_id"),
+        col("neg_label"), col("cos").as("cos_sim"), col("rank"))
+  }
+
   /** Maximal Marginal Relevance diversified retrieval (q140,
     * Carbonell & Goldstein, SIGIR'98): greedily re-rank each probe's
     * top-`kCand` cosine candidates so the selected set trades

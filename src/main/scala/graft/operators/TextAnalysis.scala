@@ -1653,6 +1653,51 @@ object TextAnalysis {
         lit(b).as("b_reps"))
   }
 
+  /** Token burstiness — index of dispersion (q148, Church & Gale
+    * 1995): variance-to-mean ratio of a token's per-document count
+    * over ALL documents (zeros included).  Function words arrive
+    * ~Poisson (D ≈ 1); content/topic words are bursty (D ≫ 1 — a doc
+    * that mentions them mentions them many times); template
+    * boilerplate sits at the extreme.  The top-M bursty tokens are
+    * the vocabulary a keyword extractor or stop-list builder should
+    * look at first.
+    *
+    *   D = Var/mean = (N·Σc² − (Σc)²) / (N·Σc)
+    *
+    * computed from exact integer sums over CONTAINING docs only —
+    * the zero cells contribute nothing to Σc or Σc², so the full-N
+    * statistic never materializes a dense token×doc frame.
+    * Determinism: Σc, Σc² through DECIMAL(38,0) (the q118 rule); N
+    * broadcast; one fixed-order double expression; (dispersion desc,
+    * token) total order at the cut.
+    *
+    * 100 TB shape: one (doc, token) keyed shuffle with map-side
+    * combine, one token-keyed re-agg, minDf filter BEFORE the sort,
+    * TakeOrderedAndProject for the bounded cut — the q29/q85 vocab
+    * contract; nothing dense, nothing all-pairs.
+    */
+  def tokenBurstiness(spark: SparkSession, dir: String,
+                      minDf: Int = 5, m: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    perDoc.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sum(col("c").cast(dec)).cast("double").as("sc"),
+        sum((col("c") * col("c")).cast(dec)).cast("double").as("sc2"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"), col("df"),
+        col("sc").cast("long").as("tf_total"),
+        ((col("n_docs").cast("double") * col("sc2") - col("sc") * col("sc")) /
+          (col("n_docs").cast("double") * col("sc"))).as("dispersion"))
+      .orderBy(col("dispersion").desc, col("token").asc)
+      .limit(m)
+  }
+
   /** Quantile normalization of document lengths across sources
     * (q142): map each doc's WITHIN-SOURCE percent-rank onto the
     * POOLED length distribution, so every source's length profile

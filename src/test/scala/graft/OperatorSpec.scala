@@ -1468,6 +1468,64 @@ class OperatorSpec extends SparkSuite {
     assert(r >= -1.0 && r <= 1.0)
   }
 
+  test("hard_negatives: top-k different-label neighbors by hand") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = Similarity.hardNegatives(spark, sf)
+      .select("probe_id", "probe_label", "neighbor_id", "neg_label",
+        "cos_sim", "rank")
+      .as[(Long, Int, Long, Int, Double, Int)].collect()
+      .groupBy(_._1)
+    emb.filter(_._1 < 10).foreach { case (pid, pv, pl) =>
+      val want = emb.filter(e => e._3 != pl)
+        .map(e => (e._1, cos(pv, e._2), e._3))
+        .sortBy(t => (-t._2, t._1)).take(5)
+      val mine = got(pid).sortBy(_._6)
+      assert(mine.length == want.length)
+      mine.zip(want).foreach { case ((_, gpl, nid, nl, c, _), (wid, wc, wl)) =>
+        assert(gpl == pl && nid == wid && nl == wl, s"probe $pid")
+        assert(math.abs(c - wc) < 1e-12)
+        assert(nl != pl, "a hard negative must carry a different label")
+      }
+    }
+  }
+
+  test("burstiness: dispersion replayed from per-doc token counts") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    val n = docs.length.toDouble
+    val counts = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (tok, xs) => (tok, xs.length.toLong) }
+    }
+    val want = counts.groupBy(_._1).collect {
+      case (tok, cs) if cs.length >= 5 =>
+        val sc = cs.map(_._2).sum.toDouble
+        val sc2 = cs.map(c => c._2 * c._2).sum.toDouble
+        (tok, cs.length.toLong, sc.toLong, (n * sc2 - sc * sc) / (n * sc))
+    }.toSeq.sortBy(t => (-t._4, t._1)).take(50)
+    val got = TextAnalysis.tokenBurstiness(spark, sf)
+      .select("token", "df", "tf_total", "dispersion")
+      .as[(String, Long, Long, Double)].collect()
+    assert(got.length == want.length)
+    got.sortBy(t => (-t._4, t._1)).zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3, s"${g._1} vs ${w._1}")
+      assert(math.abs(g._4 - w._4) < 1e-12)
+      // dispersion of any real token is >= its Poisson floor... bursty
+      // tokens exceed 1; all are positive
+      assert(g._4 > 0.0)
+    }
+  }
+
   test("roc_auc: matches brute-force pair counting per source") {
     val docs = Tables.documents(spark, sf)
       .select("source", "n_chars", "lang")
