@@ -262,7 +262,11 @@ object SparkEntry {
     // — round-12 widening, batch 20: contrastive mining and
     //   vocabulary burstiness —
     "q147_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
-    "q148_burstiness" -> ((s, d) => TextAnalysis.tokenBurstiness(s, d))
+    "q148_burstiness" -> ((s, d) => TextAnalysis.tokenBurstiness(s, d)),
+    // — round-12 widening, batch 21: as-of attribution and
+    //   chance-corrected label agreement —
+    "q149_last_touch" -> ((s, d) => EventOps.lastTouchAttribution(s, d)),
+    "q150_centroid_kappa" -> ((s, d) => Similarity.centroidKappa(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2504,6 +2508,71 @@ object SparkEntry {
         |SELECT token, df, CAST(sc AS BIGINT) AS tf_total,
         |  (CAST(n_docs AS DOUBLE) * sc2 - sc * sc)
         |    / (CAST(n_docs AS DOUBLE) * sc) AS dispersion
-        |FROM s, n ORDER BY dispersion DESC, token LIMIT 50""".stripMargin
+        |FROM s, n ORDER BY dispersion DESC, token LIMIT 50""".stripMargin,
+    // quadratic mirror of the union-window as-of: per purchase, the
+    // max-(tus, t_id) strictly-earlier touch; ('none', -1, -1)
+    // sentinel for untouched purchases
+    "q149_last_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS purchase_id, us AS pus FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS t_id, event_type AS t_type, us AS tus
+        |      FROM e WHERE event_type IN ('click', 'view')),
+        |j AS (SELECT p.purchase_id, t.t_type, t.t_id, t.tus,
+        |  row_number() OVER (PARTITION BY p.purchase_id
+        |    ORDER BY t.tus DESC, t.t_id DESC) AS rk
+        |  FROM p JOIN t ON t.user_id = p.user_id AND t.tus < p.pus),
+        |j1 AS (SELECT * FROM j WHERE rk = 1)
+        |SELECT p.purchase_id, p.user_id, p.pus AS purchase_us,
+        |  coalesce(j1.t_type, 'none') AS touch_type,
+        |  CAST(coalesce(j1.t_id, -1) AS BIGINT) AS touch_event_id,
+        |  CAST(coalesce(p.pus - j1.tus, -1) AS BIGINT) AS gap_us
+        |FROM p LEFT JOIN j1 ON j1.purchase_id = p.purchase_id""".stripMargin,
+    // q125's centroid folds -> per-vec argmax assignment -> integer
+    // confusion sums; kappa = (N*A - B)/(N^2 - B), one divide
+    "q150_centroid_kappa" ->
+      """WITH ex AS (SELECT label, vec_id,
+        |  unnest(range(0, len(embedding))) AS dim,
+        |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |cent AS (SELECT label AS label_c, dim,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY vec_id)),
+        |    (a, b) -> a + b) / count(*) AS m
+        |  FROM ex GROUP BY label, dim),
+        |cn AS (SELECT label_c, sqrt(list_reduce(
+        |    list_prepend(CAST(0.0 AS DOUBLE), list(m * m ORDER BY dim)),
+        |    (a, b) -> a + b)) AS nc
+        |  FROM cent GROUP BY label_c),
+        |vn AS (SELECT vec_id, sqrt(list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nv
+        |  FROM embeddings),
+        |d AS (SELECT ex.vec_id, ex.label AS label_true, c.label_c,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(ex.v * c.m ORDER BY ex.dim)),
+        |    (a, b) -> a + b) AS dot
+        |  FROM ex JOIN cent c ON c.dim = ex.dim
+        |  GROUP BY ex.vec_id, ex.label, c.label_c),
+        |a1 AS (SELECT d.vec_id, d.label_true, d.label_c,
+        |    d.dot / (vn.nv * cn.nc) AS cos
+        |  FROM d JOIN vn ON vn.vec_id = d.vec_id JOIN cn ON cn.label_c = d.label_c),
+        |asg AS (SELECT vec_id, label_true, label_c AS assigned FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, label_c) AS rk FROM a1) z WHERE rk = 1),
+        |conf AS (SELECT label_true, assigned, count(*) AS c FROM asg
+        |  GROUP BY label_true, assigned),
+        |ag AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS a FROM conf
+        |  WHERE label_true = assigned),
+        |rk_ AS (SELECT label_true AS k, sum(c) AS rk FROM conf GROUP BY label_true),
+        |ck_ AS (SELECT assigned AS k, sum(c) AS ck FROM conf GROUP BY assigned),
+        |bb AS (SELECT CAST(coalesce(sum(coalesce(rk, 0) * coalesce(ck, 0)), 0) AS DOUBLE) AS b
+        |  FROM rk_ FULL JOIN ck_ USING (k)),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM conf)
+        |SELECT nn.n AS n_vecs, ag.a AS agree,
+        |  CAST(ag.a AS DOUBLE) / CAST(nn.n AS DOUBLE) AS po,
+        |  bb.b / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)) AS pe,
+        |  CASE WHEN CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) - bb.b > 0
+        |    THEN (CAST(nn.n AS DOUBLE) * CAST(ag.a AS DOUBLE) - bb.b) /
+        |         (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) - bb.b)
+        |    ELSE 0.0 END AS kappa
+        |FROM nn CROSS JOIN ag CROSS JOIN bb""".stripMargin
   )
 }

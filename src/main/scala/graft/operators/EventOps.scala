@@ -756,4 +756,48 @@ object EventOps {
       .select(col("dur_day"), col("n_risk"), col("n_conv"), col("n_censor"),
         col("survival"))
   }
+
+  /** Last-touch conversion attribution (q149): for every purchase,
+    * the most recent STRICTLY-earlier click/view by the same user —
+    * the marketing-attribution primitive (which channel gets credit)
+    * and the generic "latest preceding state" as-of pattern.  A
+    * same-microsecond touch never attributes (strictly earlier); the
+    * latest-µs touch wins, ties broken toward the larger event_id;
+    * untouched purchases emit the ('none', −1, −1) sentinel.
+    *
+    * Determinism: timestamps are exact integer µs (unix_micros ↔
+    * epoch_us); the carry-forward ordering (us, is_touch, event_id)
+    * is total because event_id is unique; gaps are integer
+    * subtraction.
+    *
+    * 100 TB shape: the union-window as-of — touches and purchases
+    * interleave in ONE user_id-keyed sort window, and each purchase
+    * reads the running last-touch struct (last(_, ignoreNulls) over
+    * rows-unbounded-preceding).  No per-purchase self-join, no
+    * fanout; the oracle mirrors the semantics with the quadratic
+    * join form.  Purchases sort BEFORE same-µs touches (is_touch
+    * asc), which is what makes "strictly earlier" hold inside a
+    * running frame.
+    */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .withColumn("is_touch",
+        when(col("event_type") =!= "purchase", 1).otherwise(0))
+    val w = byUser
+      .orderBy(col("us").asc, col("is_touch").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("t",
+        last(when(col("is_touch") === 1,
+          struct(col("us").as("t_us"), col("event_id").as("t_id"),
+            col("event_type").as("t_type"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"),
+        coalesce(col("t.t_type"), lit("none")).as("touch_type"),
+        coalesce(col("t.t_id"), lit(-1L)).as("touch_event_id"),
+        coalesce(col("us") - col("t.t_us"), lit(-1L)).as("gap_us"))
+  }
 }

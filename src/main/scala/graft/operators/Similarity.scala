@@ -716,6 +716,85 @@ object Similarity {
         col("rank_ab"), col("rank_ba"))
   }
 
+  /** Cohen's kappa of nearest-centroid assignment vs the true label
+    * (q150): assign every vector to its argmax-cosine label centroid
+    * (q125's geometry turned into a classifier) and measure
+    * chance-corrected agreement with the given label —
+    *
+    *   κ = (p_o − p_e)/(1 − p_e) = (N·A − B)/(N² − B)
+    *
+    * with A = Σ_k diag_k (agreements) and B = Σ_k row_k·col_k (the
+    * chance term), so κ reduces to ONE divide of exact integers —
+    * the algebra keeps the whole statistic integer until the end.
+    * κ ≈ 0 means the labels are no better than chance w.r.t. the
+    * embedding geometry (labeling noise or non-separable classes —
+    * the aggregate twin of q143's per-label audit).
+    *
+    * Determinism: centroid means and per-(vec, centroid) dots fold
+    * in pinned order (by vec_id / by dim — the q125 contract); the
+    * vector norm is the shared native fold; argmax breaks cosine
+    * ties toward the smaller centroid label; A, B, N are exact
+    * integers.
+    *
+    * 100 TB shape: centroids are one (label, dim) keyed agg (labels
+    * × dims cells, broadcast); scoring joins each exploded vector
+    * dim against the tiny centroid frame — labels× fanout, linear in
+    * corpus; the confusion matrix is labels² and aggregates to one
+    * row.  The ordered-fold trade at extreme scale is q125's,
+    * documented there.
+    */
+  def centroidKappa(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+    val cent = graft.util.Pins.eager(
+      ex.groupBy(col("label").as("label_c"), col("dim"))
+        .agg((aggregate(
+            sort_array(collect_list(struct(col("vec_id"), col("v")))),
+            lit(0.0), (acc, x) => acc + x.getField("v"))
+          / count(lit(1)).cast("double")).as("m")))
+    val cnorm = cent.groupBy("label_c")
+      .agg(sqrt(aggregate(
+        sort_array(collect_list(struct(col("dim"), (col("m") * col("m")).as("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p"))).as("nc"))
+    val vnorm = withNorm(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("nrm").as("nv"))
+    val dots = ex.join(broadcast(cent), Seq("dim"))
+      .groupBy(col("vec_id"), col("label").as("label_true"), col("label_c"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("dim"), (col("v") * col("m")).as("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")).as("dot"))
+    val assigned = dots
+      .join(broadcast(cnorm), Seq("label_c"))
+      .join(vnorm, Seq("vec_id"))
+      .withColumn("cos", col("dot") / (col("nv") * col("nc")))
+      .groupBy("vec_id", "label_true")
+      .agg(max(struct(col("cos"), (-col("label_c")).cast("long").as("neg"))).as("mx"))
+      .select(col("vec_id"), col("label_true"),
+        (-col("mx.neg")).cast("int").as("assigned"))
+    val conf = graft.util.Pins.eager(
+      assigned.groupBy("label_true", "assigned").agg(count(lit(1)).as("c")))
+    val diag = conf.filter(col("label_true") === col("assigned"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("a"))
+    val rows = conf.groupBy(col("label_true").as("k")).agg(sum(col("c")).as("rk"))
+    val cols = conf.groupBy(col("assigned").as("k")).agg(sum(col("c")).as("ck"))
+    val b = rows.join(cols, Seq("k"), "full")
+      .agg(coalesce(sum((coalesce(col("rk"), lit(0L)) * coalesce(col("ck"), lit(0L))).cast(dec)),
+        lit(java.math.BigDecimal.ZERO).cast(dec)).cast("double").as("b"))
+    val n = conf.agg(sum(col("c")).as("n"))
+    broadcast(n).crossJoin(broadcast(diag)).crossJoin(broadcast(b))
+      .select(col("n").as("n_vecs"), col("a").as("agree"),
+        (col("a").cast("double") / col("n").cast("double")).as("po"),
+        (col("b") / (col("n").cast("double") * col("n").cast("double"))).as("pe"),
+        when(col("n").cast("double") * col("n").cast("double") - col("b") > 0,
+          (col("n").cast("double") * col("a").cast("double") - col("b")) /
+            (col("n").cast("double") * col("n").cast("double") - col("b")))
+          .otherwise(lit(0.0)).as("kappa"))
+  }
+
   /** Hard-negative mining for contrastive training (q147): for each
     * probe, the top-k most-similar vectors carrying a DIFFERENT
     * label — the negatives that actually move a contrastive loss

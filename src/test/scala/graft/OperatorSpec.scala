@@ -1526,6 +1526,72 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("last_touch: latest strictly-earlier touch replayed by hand") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)].collect()
+    val touches = ev.filter(e => e._3 == "click" || e._3 == "view")
+    val got = EventOps.lastTouchAttribution(spark, sf)
+      .select("purchase_id", "user_id", "purchase_us", "touch_type",
+        "touch_event_id", "gap_us")
+      .as[(Long, Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(got.size == purchases.length)
+    purchases.foreach { case (uid, pid, _, pus) =>
+      val prior = touches.filter(t => t._1 == uid && t._4 < pus)
+      val (_, guid, gus, ttype, tid, gap) = got(pid)
+      assert(guid == uid && gus == pus)
+      if (prior.isEmpty)
+        assert(ttype == "none" && tid == -1L && gap == -1L)
+      else {
+        val w = prior.maxBy(t => (t._4, t._2))
+        assert(tid == w._2 && ttype == w._3, s"purchase $pid")
+        assert(gap == pus - w._4 && gap > 0)
+      }
+    }
+  }
+
+  test("centroid_kappa: confusion algebra replayed by hand") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect().sortBy(_._1)
+    val dims = emb.head._2.length
+    val byLabel = emb.groupBy(_._3)
+    val cents = byLabel.map { case (l, vs) =>
+      l -> (0 until dims).map(d =>
+        vs.map(_._2(d).toDouble).sum / vs.length)
+    }
+    def cosTo(v: Seq[Float], c: Seq[Double]): Double = {
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      v.indices.foreach { i =>
+        dot += v(i).toDouble * c(i); nv += v(i).toDouble * v(i).toDouble
+        nc += c(i) * c(i)
+      }
+      dot / (math.sqrt(nv) * math.sqrt(nc))
+    }
+    val assigned = emb.map { case (_, v, l) =>
+      val best = cents.toSeq.map { case (cl, c) => (cl, cosTo(v, c)) }
+        .maxBy { case (cl, c) => (c, -cl) }._1
+      (l, best)
+    }
+    val n = assigned.length.toDouble
+    val a = assigned.count(p => p._1 == p._2).toDouble
+    val rows = assigned.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cols = assigned.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val b = (rows.keySet ++ cols.keySet).toSeq
+      .map(k => rows.getOrElse(k, 0L) * cols.getOrElse(k, 0L)).sum.toDouble
+    val wantKappa = (n * a - b) / (n * n - b)
+    val Array((gn, ga, po, pe, kappa)) = Similarity.centroidKappa(spark, sf)
+      .select("n_vecs", "agree", "po", "pe", "kappa")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(gn == assigned.length && ga == a.toLong)
+    assert(math.abs(po - a / n) < 1e-15 && math.abs(pe - b / (n * n)) < 1e-15)
+    assert(math.abs(kappa - wantKappa) < 1e-12, s"$kappa vs $wantKappa")
+    assert(kappa >= -1.0 && kappa <= 1.0 && po >= 0.0 && po <= 1.0)
+  }
+
   test("roc_auc: matches brute-force pair counting per source") {
     val docs = Tables.documents(spark, sf)
       .select("source", "n_chars", "lang")
