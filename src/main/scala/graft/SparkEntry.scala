@@ -266,7 +266,11 @@ object SparkEntry {
     // — round-12 widening, batch 21: as-of attribution and
     //   chance-corrected label agreement —
     "q149_last_touch" -> ((s, d) => EventOps.lastTouchAttribution(s, d)),
-    "q150_centroid_kappa" -> ((s, d) => Similarity.centroidKappa(s, d))
+    "q150_centroid_kappa" -> ((s, d) => Similarity.centroidKappa(s, d)),
+    // — round-12 widening, batch 22: split-distribution audit and
+    //   packing fragmentation —
+    "q151_split_affinity" -> ((s, d) => TextAnalysis.splitAffinity(s, d)),
+    "q152_packing_audit" -> ((s, d) => TextAnalysis.packingEfficiency(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2573,6 +2577,54 @@ object SparkEntry {
         |    THEN (CAST(nn.n AS DOUBLE) * CAST(ag.a AS DOUBLE) - bb.b) /
         |         (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) - bb.b)
         |    ELSE 0.0 END AS kappa
-        |FROM nn CROSS JOIN ag CROSS JOIN bb""".stripMargin
+        |FROM nn CROSS JOIN ag CROSS JOIN bb""".stripMargin,
+    // q128's Bhattacharyya fold over the q63 split assignment: inner
+    // join IS the statistic (missing tokens contribute exactly 0)
+    "q151_split_affinity" ->
+      """WITH b AS (SELECT text,
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+        | FROM documents),
+        |sp AS (SELECT CASE WHEN bucket < 80 THEN 'train'
+        |    WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  unnest(string_split(text, ' ')) AS token FROM b),
+        |cs AS (SELECT split, token, count(*) AS c FROM sp GROUP BY split, token),
+        |ts AS (SELECT split, sum(c) AS t FROM cs GROUP BY split),
+        |w AS (SELECT cs.split, token,
+        |    CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS p
+        |  FROM cs JOIN ts ON ts.split = cs.split),
+        |g AS (SELECT a.split AS split_a, b2.split AS split_b,
+        |    count(*) AS n_shared_terms,
+        |    list_reduce(list_prepend(0.0, list(sqrt(a.p * b2.p) ORDER BY a.token)),
+        |      (x, y) -> x + y) AS bc_affinity
+        |  FROM w a JOIN w b2 ON a.token = b2.token AND a.split < b2.split
+        |  GROUP BY a.split, b2.split)
+        |SELECT split_a, split_b, n_shared_terms, bc_affinity,
+        |  sqrt(greatest(0.0, 1.0 - bc_affinity)) AS hellinger
+        |FROM g""".stripMargin,
+    // q71's exact integer offsets replayed with a plain global
+    // window (quadratic-safe oracle mirror), then pure integer
+    // crossing arithmetic and two final divides
+    "q152_packing_audit" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM d),
+        |x AS (SELECT n_tok,
+        |  (cum_before + n_tok - 1) // 2048 - cum_before // 2048 AS crossings
+        |  FROM c),
+        |s AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN crossings > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossing_docs,
+        |  CAST(sum(crossings) AS BIGINT) AS total_crossings FROM x)
+        |SELECT n_docs, total_tokens,
+        |  (total_tokens + 2047) // 2048 AS n_packs,
+        |  n_crossing_docs, total_crossings,
+        |  CAST(n_crossing_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS crossing_rate,
+        |  1.0e0 + CAST(total_crossings AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_fragments
+        |FROM s""".stripMargin
   )
 }

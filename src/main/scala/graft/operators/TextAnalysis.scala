@@ -1698,6 +1698,97 @@ object TextAnalysis {
       .limit(m)
   }
 
+  /** Split-vocabulary affinity audit (q151): Bhattacharyya affinity
+    * (and Hellinger distance) between the token distributions of the
+    * q63 train/valid/test splits — the distributional companion to
+    * q117's doc-identity leakage check.  A hash split is supposed to
+    * be exchangeable: BC ≈ 1 for every pair.  A pair drifting low
+    * means the split correlated with content (id assignment bias) and
+    * eval numbers won't transfer.  Hellinger over JSD deliberately —
+    * the q128 determinism record: last-ulp ln is
+    * implementation-defined across engines, √ is correctly rounded.
+    *
+    * Determinism: the split is the q63 md5 bucket rule verbatim;
+    * probabilities are one divide of exact integer counts; the
+    * affinity folds √(p·q) in token order (sort_array ↔ list ORDER
+    * BY); missing tokens contribute exactly 0 so the inner join IS
+    * the statistic.
+    *
+    * 100 TB shape: one (split, token) keyed shuffle with map-side
+    * combine (3 × vocab cells), split totals broadcast back, and the
+    * pair work runs on the bounded weighted-vocab frame (eager-pinned
+    * for its two self-join lineages) — q128's shape with splits for
+    * sources.
+    */
+  def splitAffinity(spark: SparkSession, dir: String,
+                    trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val split = when(md5Bucket(1) < trainPct, "train")
+      .when(md5Bucket(1) < trainPct + validPct, "valid")
+      .otherwise("test")
+    val cs = Tables.documents(spark, dir)
+      .select(split.as("split"), explode(tokens(col("text"))).as("token"))
+      .groupBy("split", "token").agg(count(lit(1)).as("c"))
+    val ts = cs.groupBy("split").agg(sum(col("c")).as("t"))
+    val w = graft.util.Pins.eager(
+      cs.join(broadcast(ts), Seq("split"))
+        .select(col("split"), col("token"),
+          (col("c").cast("double") / col("t").cast("double")).as("p")))
+    val a = w.toDF("split_a", "token", "pa")
+    val b = w.toDF("split_b", "token", "pb")
+    a.join(b, Seq("token"))
+      .filter(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_shared_terms"),
+        aggregate(
+          sort_array(collect_list(struct(col("token"),
+            sqrt(col("pa") * col("pb")).as("s")))),
+          lit(0.0), (acc, x) => acc + x.getField("s")).as("bc_affinity"))
+      .select(col("split_a"), col("split_b"), col("n_shared_terms"),
+        col("bc_affinity"),
+        sqrt(greatest(lit(0.0), lit(1.0) - col("bc_affinity"))).as("hellinger"))
+  }
+
+  /** Sequence-packing efficiency audit (q152): given q71's
+    * boundary-agnostic greedy packing (documents laid head-to-tail
+    * into fixed context windows), how much document FRAGMENTATION
+    * does the context length cause?  Every pack is 100% full by
+    * construction; the cost dimension is documents split across pack
+    * boundaries (a fragment loses its left context — more crossings
+    * ⇒ more truncation damage at train time).  The audit that picks
+    * contextLen.
+    *
+    *   crossings(d) = (cum+len−1) div L − cum div L
+    *
+    * Determinism: pure integer arithmetic end-to-end (the q71
+    * offsets are exact integer token positions); the two rates are
+    * single divides at the end.
+    *
+    * 100 TB shape: inherits q71's two-pass global offset (range
+    * shuffle + broadcast partition offsets — no single-task window),
+    * then ONE partial+final agg to a single row.
+    */
+  def packingEfficiency(spark: SparkSession, dir: String,
+                        contextLen: Long = 2048L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val per = sequencePacking(spark, dir, contextLen)
+      .select(col("n_tok"),
+        (expr(s"(cum_before + n_tok - 1) DIV $contextLen") -
+          expr(s"cum_before DIV $contextLen")).as("crossings"))
+    per.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast(dec)).cast("long").as("total_tokens"),
+        sum(when(col("crossings") > 0, 1L).otherwise(0L)).as("n_crossing_docs"),
+        sum(col("crossings").cast(dec)).cast("long").as("total_crossings"))
+      .select(col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + $contextLen - 1) DIV $contextLen").as("n_packs"),
+        col("n_crossing_docs"), col("total_crossings"),
+        (col("n_crossing_docs").cast("double") / col("n_docs").cast("double"))
+          .as("crossing_rate"),
+        (lit(1.0) + col("total_crossings").cast("double") /
+          col("n_docs").cast("double")).as("mean_fragments"))
+  }
+
   /** Quantile normalization of document lengths across sources
     * (q142): map each doc's WITHIN-SOURCE percent-rank onto the
     * POOLED length distribution, so every source's length profile

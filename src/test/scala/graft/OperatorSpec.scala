@@ -1592,6 +1592,67 @@ class OperatorSpec extends SparkSuite {
     assert(kappa >= -1.0 && kappa <= 1.0 && po >= 0.0 && po <= 1.0)
   }
 
+  test("split_affinity: Bhattacharyya replayed from the q63 buckets") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val b = Integer.parseInt(md5hex(id.toString).substring(0, 4), 16) % 100
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    val counts = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).map(tok => (splitOf(id), tok))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tot = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val p = counts.map { case ((s, tok), c) => (s, tok) -> c.toDouble / tot(s) }
+    val got = TextAnalysis.splitAffinity(spark, sf)
+      .select("split_a", "split_b", "n_shared_terms", "bc_affinity", "hellinger")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(got.length == 3)
+    got.foreach { case (sa, sb, n, bc, h) =>
+      assert(sa < sb)
+      val shared = p.keySet.filter(_._1 == sa).map(_._2)
+        .intersect(p.keySet.filter(_._1 == sb).map(_._2)).toSeq.sorted
+      assert(n == shared.length)
+      val wantBc = shared.foldLeft(0.0)((acc, tok) =>
+        acc + math.sqrt(p((sa, tok)) * p((sb, tok))))
+      assert(math.abs(bc - wantBc) < 1e-12, s"$sa/$sb: $bc vs $wantBc")
+      assert(bc > 0.0 && bc <= 1.0 + 1e-12)
+      assert(math.abs(h - math.sqrt(math.max(0.0, 1.0 - bc))) < 1e-15)
+    }
+  }
+
+  test("packing_audit: crossing arithmetic replayed by hand") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    val lens = docs.map(_._2.split(" ", -1).length.toLong)
+    val ctx = 2048L
+    var cum = 0L
+    var crossings = 0L
+    var crossingDocs = 0L
+    lens.foreach { n =>
+      val c = (cum + n - 1) / ctx - cum / ctx
+      crossings += c
+      if (c > 0) crossingDocs += 1
+      cum += n
+    }
+    val Array((nd, tt, np, ncd, tc, rate, frag)) =
+      TextAnalysis.packingEfficiency(spark, sf)
+        .select("n_docs", "total_tokens", "n_packs", "n_crossing_docs",
+          "total_crossings", "crossing_rate", "mean_fragments")
+        .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(nd == lens.length && tt == lens.sum)
+    assert(np == (lens.sum + ctx - 1) / ctx)
+    assert(ncd == crossingDocs && tc == crossings)
+    assert(rate == crossingDocs.toDouble / lens.length)
+    assert(frag == 1.0 + crossings.toDouble / lens.length)
+    // every pack except possibly the last is exactly full by
+    // construction; fragments >= 1
+    assert(frag >= 1.0 && rate >= 0.0 && rate <= 1.0)
+  }
+
   test("roc_auc: matches brute-force pair counting per source") {
     val docs = Tables.documents(spark, sf)
       .select("source", "n_chars", "lang")
