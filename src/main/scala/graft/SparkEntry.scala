@@ -270,7 +270,11 @@ object SparkEntry {
     // — round-12 widening, batch 22: split-distribution audit and
     //   packing fragmentation —
     "q151_split_affinity" -> ((s, d) => TextAnalysis.splitAffinity(s, d)),
-    "q152_packing_audit" -> ((s, d) => TextAnalysis.packingEfficiency(s, d))
+    "q152_packing_audit" -> ((s, d) => TextAnalysis.packingEfficiency(s, d)),
+    // — round-12 widening, batch 23: tail diagnostics and behavioral
+    //   cohorts —
+    "q153_hill_tail" -> ((s, d) => TextAnalysis.hillTailIndex(s, d)),
+    "q154_rfm" -> ((s, d) => EventOps.rfmSegments(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2625,6 +2629,63 @@ object SparkEntry {
         |  n_crossing_docs, total_crossings,
         |  CAST(n_crossing_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS crossing_rate,
         |  1.0e0 + CAST(total_crossings AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_fragments
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+    // top-21 order statistics, ln on integer-valued doubles (away
+    // from the q128 near-1 ulp region), rank-ordered fold, one
+    // divide; alpha guards the all-tied case
+    "q153_hill_tail" ->
+      """WITH t AS (SELECT n_chars, doc_id FROM documents
+        |  ORDER BY n_chars DESC, doc_id LIMIT 21),
+        |r AS (SELECT n_chars, row_number() OVER
+        |  (ORDER BY n_chars DESC, doc_id) AS rn FROM t),
+        |k1 AS (SELECT n_chars AS x_k1 FROM r WHERE rn = 21),
+        |h AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(ln(CAST(r.n_chars AS DOUBLE)) - ln(CAST(k1.x_k1 AS DOUBLE))
+        |      ORDER BY r.rn)), (a, b) -> a + b) / 20.0e0 AS hill
+        |  FROM r, k1 WHERE rn <= 20)
+        |SELECT CAST(20 AS INTEGER) AS k, k1.x_k1, h.hill,
+        |  CASE WHEN h.hill > 0 THEN 1.0e0 / h.hill ELSE 0.0 END AS alpha
+        |FROM h, k1""".stripMargin,
+    // exact quartile cut values at ranks ceil(n/4)/ceil(n/2)/
+    // ceil(3n/4), value-threshold scoring (ties share a score),
+    // DECIMAL(18,2) money sums per the q09 rule
+    "q154_rfm" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        |mx AS (SELECT max(us) AS ref FROM e),
+        |u AS (SELECT user_id, max(us) AS last_us, count(*) AS f, sum(v) AS m
+        |  FROM e GROUP BY user_id),
+        |r AS (SELECT user_id, (ref - last_us) // 86400000000 AS r_days, f, m
+        |  FROM u, mx),
+        |rr AS (SELECT *,
+        |  row_number() OVER (ORDER BY r_days, user_id) AS rn_r,
+        |  row_number() OVER (ORDER BY f, user_id) AS rn_f,
+        |  row_number() OVER (ORDER BY m, user_id) AS rn_m,
+        |  count(*) OVER () AS n FROM r),
+        |q AS (SELECT
+        |  max(CASE WHEN rn_r = ceil(0.25 * n) THEN r_days END) AS r_q1,
+        |  max(CASE WHEN rn_r = ceil(0.5 * n) THEN r_days END) AS r_q2,
+        |  max(CASE WHEN rn_r = ceil(0.75 * n) THEN r_days END) AS r_q3,
+        |  max(CASE WHEN rn_f = ceil(0.25 * n) THEN f END) AS f_q1,
+        |  max(CASE WHEN rn_f = ceil(0.5 * n) THEN f END) AS f_q2,
+        |  max(CASE WHEN rn_f = ceil(0.75 * n) THEN f END) AS f_q3,
+        |  max(CASE WHEN rn_m = ceil(0.25 * n) THEN m END) AS m_q1,
+        |  max(CASE WHEN rn_m = ceil(0.5 * n) THEN m END) AS m_q2,
+        |  max(CASE WHEN rn_m = ceil(0.75 * n) THEN m END) AS m_q3
+        |  FROM rr),
+        |s AS (SELECT r.user_id, r.m,
+        |  1 + (CASE WHEN r.r_days > q.r_q1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r.r_days > q.r_q2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r.r_days > q.r_q3 THEN 1 ELSE 0 END) AS r_score,
+        |  1 + (CASE WHEN r.f > q.f_q1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r.f > q.f_q2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r.f > q.f_q3 THEN 1 ELSE 0 END) AS f_score,
+        |  1 + (CASE WHEN r.m > q.m_q1 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r.m > q.m_q2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN r.m > q.m_q3 THEN 1 ELSE 0 END) AS m_score
+        |  FROM r, q)
+        |SELECT r_score, f_score, m_score, count(*) AS n_users,
+        |  CAST(sum(m) AS DOUBLE) AS total_monetary
+        |FROM s GROUP BY r_score, f_score, m_score""".stripMargin
   )
 }

@@ -757,6 +757,90 @@ object EventOps {
         col("survival"))
   }
 
+  /** RFM segmentation (q154): every user scored 1–4 on Recency
+    * (days since last event), Frequency (event count), and Monetary
+    * (exact DECIMAL(18,2) value sum — the q09 money rule), then the
+    * population of each of the ≤64 segments.  The classic
+    * behavioral-cohort primitive: "444" is the core audience, "144"
+    * a lapsing big spender (win-back list), "411" fresh low-value.
+    *
+    * Scores come from exact quartile CUT VALUES — order statistics
+    * at ranks ⌈n/4⌉, ⌈n/2⌉, ⌈3n/4⌉ — computed with the q65 two-pass
+    * escape (range shuffle + broadcast partition offsets; NO
+    * single-task global window over users), then applied as
+    * broadcast thresholds: score = 1 + (v>q1) + (v>q2) + (v>q3).
+    * Value-based scoring means ties share a score deterministically
+    * on any engine and any partitioning (rank-based ntile would be
+    * partition-stable but splits ties arbitrarily).
+    *
+    * Determinism: recency is integer µs-to-days division; frequency
+    * an exact count; monetary an exact decimal sum; cuts SELECT
+    * existing values; scores are integer comparisons.  The per-user
+    * frame is eager-pinned (four consumers) and the two-pass
+    * checkpoints are EAGER — their lineages feed broadcast joins,
+    * the exact deadlock geometry of the r11 lazy-checkpoint bug
+    * (Similarity.scala pqCodebooks note).
+    *
+    * 100 TB shape: one user-keyed agg of events; three range
+    * shuffles of the (much smaller) users frame for the cuts; one
+    * broadcast of 9 scalars back onto users; one ≤64-cell agg.
+    */
+  def rfmSegments(spark: SparkSession, dir: String, parts: Int = 0): DataFrame = {
+    val dec2 = DecimalType(18, 2)
+    val nParts = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value").cast(dec2).as("v"))
+    val ref = e.agg(max(col("us")).as("ref"))
+    val users = graft.util.Pins.eager(
+      e.groupBy("user_id")
+        .agg(max(col("us")).as("last_us"), count(lit(1)).as("f"),
+          sum(col("v")).as("m"))
+        .crossJoin(broadcast(ref))
+        .select(col("user_id"),
+          expr("(ref - last_us) DIV 86400000000").as("r_days"),
+          col("f"), col("m")))
+    // exact quartile cuts via the q65 two-pass escape, eager-pinned
+    def cuts(metric: String): DataFrame = {
+      val sorted = users
+        .select(col(metric).as("x"), col("user_id"))
+        .repartitionByRange(nParts, col("x"), col("user_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true) // EAGER: lineage feeds a broadcast join
+      val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
+      val offsets = counts
+        .withColumn("off", coalesce(sum(col("c")).over(
+          Window.orderBy(col("pid").asc).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+        .select("pid", "off", "n")
+      sorted.join(broadcast(offsets), Seq("pid"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("pid").orderBy(col("x").asc, col("user_id").asc))
+          + col("off"))
+        .agg(
+          max(when(col("rn") === ceil(lit(0.25) * col("n")), col("x"))).as(s"${metric}_q1"),
+          max(when(col("rn") === ceil(lit(0.5) * col("n")), col("x"))).as(s"${metric}_q2"),
+          max(when(col("rn") === ceil(lit(0.75) * col("n")), col("x"))).as(s"${metric}_q3"))
+    }
+    def score(v: org.apache.spark.sql.Column, q1: org.apache.spark.sql.Column,
+              q2: org.apache.spark.sql.Column,
+              q3: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(1) + when(v > q1, 1).otherwise(0) + when(v > q2, 1).otherwise(0) +
+        when(v > q3, 1).otherwise(0)
+    users
+      .crossJoin(broadcast(cuts("r_days")))
+      .crossJoin(broadcast(cuts("f")))
+      .crossJoin(broadcast(cuts("m")))
+      .select(col("user_id"), col("m"),
+        score(col("r_days"), col("r_days_q1"), col("r_days_q2"), col("r_days_q3")).as("r_score"),
+        score(col("f"), col("f_q1"), col("f_q2"), col("f_q3")).as("f_score"),
+        score(col("m"), col("m_q1"), col("m_q2"), col("m_q3")).as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("m")).cast("double").as("total_monetary"))
+  }
+
   /** Last-touch conversion attribution (q149): for every purchase,
     * the most recent STRICTLY-earlier click/view by the same user —
     * the marketing-attribution primitive (which channel gets credit)

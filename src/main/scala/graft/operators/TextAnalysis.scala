@@ -1789,6 +1789,51 @@ object TextAnalysis {
           col("n_docs").cast("double")).as("mean_fragments"))
   }
 
+  /** Hill tail-index estimator for document lengths (q153, Hill
+    * 1975): over the top-k order statistics X₍₁₎ ≥ … ≥ X₍ₖ₊₁₎,
+    *
+    *   Ĥ = (1/k) Σᵢ [ln X₍ᵢ₎ − ln X₍ₖ₊₁₎],   α̂ = 1/Ĥ
+    *
+    * α̂ ≈ 1–2 means a genuinely heavy (infinite-variance-ish) length
+    * tail — chunking and packing budgets must plan for extreme docs;
+    * large α̂ means the tail is benign.  The distribution-shape
+    * companion to q131's Gini and q85's Zipf fit, aimed at the TAIL
+    * rather than the body.
+    *
+    * Determinism: the top-(k+1) cut is (n_chars desc, doc_id) total
+    * order; ln runs on INTEGER-valued doubles (well away from the
+    * near-1 region of the q128 ulp record) through the shared
+    * GraftLn ↔ libm pair; the k contributions fold in rank order;
+    * α̂ guards Ĥ = 0 (all top-k tied) to 0.0.
+    *
+    * 100 TB shape: TakeOrderedAndProject — the top-(k+1) frame is
+    * bounded by construction (per-partition heaps, no global sort);
+    * everything after is a k-row fold.
+    */
+  def hillTailIndex(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables.documents(spark, dir)
+      .select(col("n_chars"), col("doc_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+      .limit(k + 1)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_chars").desc, col("doc_id").asc)))
+    val xk1 = ranked.filter(col("rn") === k + 1)
+      .select(col("n_chars").as("x_k1"))
+    val hill = ranked.filter(col("rn") <= k)
+      .crossJoin(broadcast(xk1))
+      .select(col("rn"), col("x_k1"),
+        (graft.functions.MathFunctions.ln(col("n_chars").cast("double")) -
+          graft.functions.MathFunctions.ln(col("x_k1").cast("double"))).as("contrib"))
+      .groupBy("x_k1")
+      .agg((aggregate(
+          sort_array(collect_list(struct(col("rn"), col("contrib")))),
+          lit(0.0), (acc, x) => acc + x.getField("contrib"))
+        / lit(k.toDouble)).as("hill"))
+    hill.select(lit(k).as("k"), col("x_k1"), col("hill"),
+      when(col("hill") > 0, lit(1.0) / col("hill")).otherwise(lit(0.0)).as("alpha"))
+  }
+
   /** Quantile normalization of document lengths across sources
     * (q142): map each doc's WITHIN-SOURCE percent-rank onto the
     * POOLED length distribution, so every source's length profile

@@ -1653,6 +1653,65 @@ class OperatorSpec extends SparkSuite {
     assert(frag >= 1.0 && rate >= 0.0 && rate <= 1.0)
   }
 
+  test("hill_tail: top-k order statistics and ln fold by hand") {
+    val lens = Tables.documents(spark, sf).select("n_chars", "doc_id")
+      .as[(Long, Long)].collect()
+      .sortBy(t => (-t._1, t._2)).map(_._1)
+    assert(lens.length >= 21)
+    val xk1 = lens(20)
+    val hill = (0 until 20).map(i =>
+      math.log(lens(i).toDouble) - math.log(xk1.toDouble)).sum / 20.0
+    val Array((k, gx, gh, ga)) = TextAnalysis.hillTailIndex(spark, sf)
+      .select("k", "x_k1", "hill", "alpha")
+      .as[(Int, Long, Double, Double)].collect()
+    assert(k == 20 && gx == xk1)
+    assert(math.abs(gh - hill) < 1e-12)
+    if (hill > 0) assert(math.abs(ga - 1.0 / hill) < 1e-9)
+    else assert(ga == 0.0)
+    assert(gh >= 0.0, "top-k values never fall below x_(k+1)")
+  }
+
+  test("rfm: quartile cuts, scores, segment counts by hand") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .as[(Long, Long, BigDecimal)].collect()
+    val ref = ev.map(_._2).max
+    val users = ev.groupBy(_._1).map { case (uid, es) =>
+      (uid, (ref - es.map(_._2).max) / 86400000000L,
+        es.length.toLong, es.map(_._3).sum)
+    }.toSeq
+    val n = users.length
+    def cuts[T](xs: Seq[(T, Long)])(implicit o: Ordering[T]): (T, T, T) = {
+      val s = xs.sortBy(identity)(Ordering.Tuple2(o, implicitly[Ordering[Long]]))
+        .map(_._1)
+      (s(math.ceil(0.25 * n).toInt - 1), s(math.ceil(0.5 * n).toInt - 1),
+        s(math.ceil(0.75 * n).toInt - 1))
+    }
+    val (r1, r2, r3) = cuts(users.map(u => (u._2, u._1)))
+    val (f1, f2, f3) = cuts(users.map(u => (u._3, u._1)))
+    val (m1, m2, m3) = cuts(users.map(u => (u._4, u._1)))
+    def sc[T](v: T, q: (T, T, T))(implicit o: Ordering[T]): Int =
+      1 + (if (o.gt(v, q._1)) 1 else 0) + (if (o.gt(v, q._2)) 1 else 0) +
+        (if (o.gt(v, q._3)) 1 else 0)
+    val want = users.groupBy(u =>
+        (sc(u._2, (r1, r2, r3)), sc(u._3, (f1, f2, f3)), sc(u._4, (m1, m2, m3))))
+      .map { case (k, us) => k -> (us.size.toLong, us.map(_._4).sum.toDouble) }
+    val got = EventOps.rfmSegments(spark, sf)
+      .select("r_score", "f_score", "m_score", "n_users", "total_monetary")
+      .as[(Int, Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (nu, tm)) =>
+      assert(got(k)._1 == nu, s"segment $k count")
+      assert(got(k)._2 == tm, s"segment $k monetary")
+    }
+    assert(got.values.map(_._1).sum == n.toLong)
+    got.keys.foreach { case (r, f, m) =>
+      assert(r >= 1 && r <= 4 && f >= 1 && f <= 4 && m >= 1 && m <= 4)
+    }
+  }
+
   test("roc_auc: matches brute-force pair counting per source") {
     val docs = Tables.documents(spark, sf)
       .select("source", "n_chars", "lang")
