@@ -274,7 +274,11 @@ object SparkEntry {
     // — round-12 widening, batch 23: tail diagnostics and behavioral
     //   cohorts —
     "q153_hill_tail" -> ((s, d) => TextAnalysis.hillTailIndex(s, d)),
-    "q154_rfm" -> ((s, d) => EventOps.rfmSegments(s, d))
+    "q154_rfm" -> ((s, d) => EventOps.rfmSegments(s, d)),
+    // — round-12 widening, batch 24: channel economics and dedup
+    //   shardability —
+    "q155_channel_revenue" -> ((s, d) => EventOps.channelRevenue(s, d)),
+    "q156_modularity" -> ((s, d) => Dedup.sourceModularity(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -350,6 +354,23 @@ object SparkEntry {
   private def dotSql(aEmb: String, bEmb: String): String =
     s"""list_reduce(list_transform(range(1, len($aEmb) + 1),
        |  i -> CAST($aEmb[i] AS DOUBLE) * CAST($bEmb[i] AS DOUBLE)), (a, b) -> a + b)""".stripMargin
+
+  /** Shared q149/q155 attribution chain: events in integer µs,
+    * purchases, touches, and the per-purchase argmax-(tus, t_id)
+    * strictly-earlier touch (j1).  Emits CTEs e / p / t / j / j1.
+    */
+  private val lastTouchCte =
+    """e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |p AS (SELECT user_id, event_id AS purchase_id, us AS pus FROM e
+      |      WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, event_id AS t_id, event_type AS t_type, us AS tus
+      |      FROM e WHERE event_type IN ('click', 'view')),
+      |j AS (SELECT p.purchase_id, t.t_type, t.t_id, t.tus,
+      |  row_number() OVER (PARTITION BY p.purchase_id
+      |    ORDER BY t.tus DESC, t.t_id DESC) AS rk
+      |  FROM p JOIN t ON t.user_id = p.user_id AND t.tus < p.pus),
+      |j1 AS (SELECT * FROM j WHERE rk = 1)""".stripMargin
 
   /** Bucketed all-vector kNN CTE chain (q143/q144), mirroring
     * Similarity.bucketedAllKnn: label-carrying norm frame, 6-bit
@@ -2521,22 +2542,12 @@ object SparkEntry {
     // max-(tus, t_id) strictly-earlier touch; ('none', -1, -1)
     // sentinel for untouched purchases
     "q149_last_touch" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-        |  FROM events),
-        |p AS (SELECT user_id, event_id AS purchase_id, us AS pus FROM e
-        |      WHERE event_type = 'purchase'),
-        |t AS (SELECT user_id, event_id AS t_id, event_type AS t_type, us AS tus
-        |      FROM e WHERE event_type IN ('click', 'view')),
-        |j AS (SELECT p.purchase_id, t.t_type, t.t_id, t.tus,
-        |  row_number() OVER (PARTITION BY p.purchase_id
-        |    ORDER BY t.tus DESC, t.t_id DESC) AS rk
-        |  FROM p JOIN t ON t.user_id = p.user_id AND t.tus < p.pus),
-        |j1 AS (SELECT * FROM j WHERE rk = 1)
-        |SELECT p.purchase_id, p.user_id, p.pus AS purchase_us,
-        |  coalesce(j1.t_type, 'none') AS touch_type,
-        |  CAST(coalesce(j1.t_id, -1) AS BIGINT) AS touch_event_id,
-        |  CAST(coalesce(p.pus - j1.tus, -1) AS BIGINT) AS gap_us
-        |FROM p LEFT JOIN j1 ON j1.purchase_id = p.purchase_id""".stripMargin,
+      s"""WITH $lastTouchCte
+         |SELECT p.purchase_id, p.user_id, p.pus AS purchase_us,
+         |  coalesce(j1.t_type, 'none') AS touch_type,
+         |  CAST(coalesce(j1.t_id, -1) AS BIGINT) AS touch_event_id,
+         |  CAST(coalesce(p.pus - j1.tus, -1) AS BIGINT) AS gap_us
+         |FROM p LEFT JOIN j1 ON j1.purchase_id = p.purchase_id""".stripMargin,
     // q125's centroid folds -> per-vec argmax assignment -> integer
     // confusion sums; kappa = (N*A - B)/(N^2 - B), one divide
     "q150_centroid_kappa" ->
@@ -2646,6 +2657,46 @@ object SparkEntry {
         |SELECT CAST(20 AS INTEGER) AS k, k1.x_k1, h.hill,
         |  CASE WHEN h.hill > 0 THEN 1.0e0 / h.hill ELSE 0.0 END AS alpha
         |FROM h, k1""".stripMargin,
+    // q149's chain rolled up per channel with DECIMAL(18,2) money
+    // sums and an exact integer gap mean over the attributed subset
+    "q155_channel_revenue" ->
+      s"""WITH $lastTouchCte,
+         |att AS (SELECT p.purchase_id,
+         |    coalesce(j1.t_type, 'none') AS touch_type,
+         |    CAST(coalesce(p.pus - j1.tus, -1) AS BIGINT) AS gap_us
+         |  FROM p LEFT JOIN j1 ON j1.purchase_id = p.purchase_id),
+         |v AS (SELECT event_id AS purchase_id,
+         |  CAST(value AS DECIMAL(18,2)) AS v FROM events)
+         |SELECT touch_type, count(*) AS n_conversions,
+         |  CAST(sum(v.v) AS DOUBLE) AS revenue,
+         |  CAST(sum(CASE WHEN gap_us >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+         |  CASE WHEN sum(CASE WHEN gap_us >= 0 THEN 1 ELSE 0 END) > 0
+         |    THEN CAST(sum(CASE WHEN gap_us >= 0 THEN gap_us ELSE 0 END) AS DOUBLE)
+         |       / CAST(sum(CASE WHEN gap_us >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    ELSE 0.0 END AS mean_gap_us
+         |FROM att JOIN v USING (purchase_id)
+         |GROUP BY touch_type""".stripMargin,
+    // fixed-community Newman modularity: e_cc, d_c, m exact integer
+    // counts; per-source contribution one fixed divide/square/
+    // subtract sequence, no cross-row double sum
+    "q156_modularity" ->
+      s"""WITH $minhashPairsCte,
+         |tg AS (SELECT p.doc_a, p.doc_b, sa.source AS src_a, sb.source AS src_b
+         |  FROM mh_pairs p JOIN documents sa ON sa.doc_id = p.doc_a
+         |  JOIN documents sb ON sb.doc_id = p.doc_b),
+         |mm AS (SELECT count(*) AS m FROM tg),
+         |ein AS (SELECT src_a AS source, count(*) AS e_in FROM tg
+         |  WHERE src_a = src_b GROUP BY src_a),
+         |en AS (SELECT doc_a AS id, src_a AS source FROM tg
+         |       UNION ALL SELECT doc_b, src_b FROM tg),
+         |dg AS (SELECT source, count(*) AS deg_sum,
+         |  count(DISTINCT id) AS n_nodes FROM en GROUP BY source)
+         |SELECT dg.source, dg.n_nodes,
+         |  CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, dg.deg_sum,
+         |  CAST(coalesce(ein.e_in, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+         |  - (CAST(dg.deg_sum AS DOUBLE) / (2.0e0 * CAST(mm.m AS DOUBLE)))
+         |    * (CAST(dg.deg_sum AS DOUBLE) / (2.0e0 * CAST(mm.m AS DOUBLE))) AS contrib
+         |FROM dg LEFT JOIN ein ON ein.source = dg.source CROSS JOIN mm""".stripMargin,
     // exact quartile cut values at ranks ceil(n/4)/ceil(n/2)/
     // ceil(3n/4), value-threshold scoring (ties share a score),
     // DECIMAL(18,2) money sums per the q09 rule

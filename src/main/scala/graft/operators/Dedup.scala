@@ -963,6 +963,56 @@ object Dedup {
           .as("coverage"))
   }
 
+  /** Newman modularity of the source partition over the near-dup
+    * graph (q156): with communities fixed to the `source` column,
+    *
+    *   Q = Σ_c [ e_cc/m − (d_c/2m)² ]
+    *
+    * per-source contributions tell whether near-duplicates
+    * concentrate INSIDE sources (contrib > 0 — dedup can shard by
+    * source and stay cheap) or cross source boundaries (the
+    * cross-source syndication q96 measures at shingle level, seen
+    * here at graph level — dedup MUST run globally).  A direct
+    * 100 TB planning signal: high modularity licenses per-source
+    * dedup partitioning.
+    *
+    * Determinism: e_cc, d_c, m are exact integer counts; each
+    * contribution is a fixed divide/square/subtract sequence; rows
+    * are per-source (no cross-row double sum).
+    *
+    * 100 TB shape: edges from the banded MinHash join; two id-keyed
+    * joins attach sources to endpoints; everything aggregates to
+    * sources-bounded frames; m broadcasts as one row.  The
+    * source-tagged edge frame is eager-pinned for its two consumers
+    * (within-edge count + degree sum).
+    */
+  def sourceModularity(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val tagged = graft.util.Pins.eager(
+      minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+        .join(src.toDF("doc_a", "src_a"), Seq("doc_a"))
+        .join(src.toDF("doc_b", "src_b"), Seq("doc_b")))
+    val m = tagged.agg(count(lit(1)).as("m"))
+    val eIn = tagged.filter(col("src_a") === col("src_b"))
+      .groupBy(col("src_a").as("source")).agg(count(lit(1)).as("e_in"))
+    val degs = tagged
+      .select(explode(array(
+        struct(col("doc_a").as("id"), col("src_a").as("source")),
+        struct(col("doc_b").as("id"), col("src_b").as("source")))).as("x"))
+      .select(col("x.id"), col("x.source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("deg_sum"),
+        countDistinct(col("id")).as("n_nodes"))
+    degs.join(eIn, Seq("source"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("source"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"),
+        (coalesce(col("e_in"), lit(0L)).cast("double") / col("m").cast("double") -
+          (col("deg_sum").cast("double") / (lit(2.0) * col("m").cast("double"))) *
+            (col("deg_sum").cast("double") / (lit(2.0) * col("m").cast("double"))))
+          .as("contrib"))
+  }
+
   /** Degree assortativity of the near-duplicate graph (q146,
     * Newman 2002): the Pearson correlation of endpoint degrees over
     * every directed edge.  Template families (cliques of mutual

@@ -841,6 +841,40 @@ object EventOps {
         sum(col("m")).cast("double").as("total_monetary"))
   }
 
+  /** Attributed revenue by touch channel (q155): q149's last-touch
+    * assignment rolled up to the channel level with money attached —
+    * the report the attribution exists FOR: per channel, how many
+    * conversions it closed, the revenue it gets credit for, and how
+    * long before purchase the touch happened.  'none' rows price the
+    * organic/untracked share.
+    *
+    * Determinism: inherits q149's deterministic assignment; revenue
+    * is the purchase event's value through DECIMAL(18,2) (the q09
+    * money rule — order-independent exact sums); mean gap is one
+    * divide of an exact integer-µs sum over the attributed subset.
+    *
+    * 100 TB shape: q149's single user-keyed sort window, one
+    * equi-join back to events on the purchase id for the value
+    * column (id-keyed, no fanout), one ≤3-cell agg.
+    */
+  def channelRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val dec2 = DecimalType(18, 2)
+    val value = Tables.events(spark, dir)
+      .select(col("event_id").as("purchase_id"), col("value").cast(dec2).as("v"))
+    lastTouchAttribution(spark, dir)
+      .join(value, Seq("purchase_id"))
+      .groupBy("touch_type")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("v")).cast("double").as("revenue"),
+        sum(when(col("gap_us") >= 0, col("gap_us")).otherwise(lit(0L))).as("gap_sum"),
+        sum(when(col("gap_us") >= 0, 1L).otherwise(0L)).as("n_attributed"))
+      .select(col("touch_type"), col("n_conversions"), col("revenue"),
+        col("n_attributed"),
+        when(col("n_attributed") > 0,
+          col("gap_sum").cast("double") / col("n_attributed").cast("double"))
+          .otherwise(lit(0.0)).as("mean_gap_us"))
+  }
+
   /** Last-touch conversion attribution (q149): for every purchase,
     * the most recent STRICTLY-earlier click/view by the same user —
     * the marketing-attribution primitive (which channel gets credit)

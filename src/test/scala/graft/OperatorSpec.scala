@@ -1712,6 +1712,61 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("channel_revenue: rollup consistent with q149 + money rule") {
+    val att = EventOps.lastTouchAttribution(spark, sf)
+      .select("purchase_id", "touch_type", "gap_us")
+      .as[(Long, String, Long)].collect()
+    val vals = Tables.events(spark, sf)
+      .select(col("event_id"), col("value").cast("decimal(18,2)"))
+      .as[(Long, BigDecimal)].collect().toMap
+    val got = EventOps.channelRevenue(spark, sf)
+      .select("touch_type", "n_conversions", "revenue", "n_attributed",
+        "mean_gap_us")
+      .as[(String, Long, Double, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val byType = att.groupBy(_._2)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (tt, as) =>
+      val (_, n, rev, nAtt, meanGap) = got(tt)
+      assert(n == as.length)
+      assert(rev == as.map(a => vals(a._1)).sum.toDouble, s"$tt revenue")
+      val attributed = as.filter(_._3 >= 0)
+      assert(nAtt == attributed.length)
+      if (tt == "none") assert(nAtt == 0 && meanGap == 0.0)
+      else {
+        assert(nAtt == n, "every non-none row carries a real gap")
+        assert(meanGap ==
+          attributed.map(_._3).sum.toDouble / attributed.length)
+      }
+    }
+    assert(got.values.map(_._2).sum == att.length)
+  }
+
+  test("modularity: per-source contributions replayed by hand") {
+    val pairs = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val src = Tables.documents(spark, sf).select("doc_id", "source")
+      .as[(Long, String)].collect().toMap
+    val m = pairs.length.toDouble
+    val endpoints = pairs.flatMap(p => Seq(p._1, p._2))
+    val got = Dedup.sourceModularity(spark, sf)
+      .select("source", "n_nodes", "e_in", "deg_sum", "contrib")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val bySrc = endpoints.groupBy(src)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, eps) =>
+      val (_, nn, ein, ds, contrib) = got(s)
+      assert(nn == eps.distinct.length && ds == eps.length)
+      val wantEin = pairs.count(p => src(p._1) == s && src(p._2) == s)
+      assert(ein == wantEin)
+      val want = ein / m - (ds / (2.0 * m)) * (ds / (2.0 * m))
+      assert(math.abs(contrib - want) < 1e-15, s"$s: $contrib vs $want")
+    }
+    val q = got.values.map(_._5).sum
+    assert(q >= -1.0 && q <= 1.0, s"modularity $q out of range")
+  }
+
   test("roc_auc: matches brute-force pair counting per source") {
     val docs = Tables.documents(spark, sf)
       .select("source", "n_chars", "lang")
