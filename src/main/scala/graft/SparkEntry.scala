@@ -278,7 +278,11 @@ object SparkEntry {
     // — round-12 widening, batch 24: channel economics and dedup
     //   shardability —
     "q155_channel_revenue" -> ((s, d) => EventOps.channelRevenue(s, d)),
-    "q156_modularity" -> ((s, d) => Dedup.sourceModularity(s, d))
+    "q156_modularity" -> ((s, d) => Dedup.sourceModularity(s, d)),
+    // — round-12 widening, batch 25: LSH tuning and weighted-sample
+    //   planning —
+    "q157_band_curve" -> ((s, d) => Dedup.bandOperatingCurve(s, d)),
+    "q158_ess" -> ((s, d) => TextAnalysis.effectiveSampleSize(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -371,6 +375,23 @@ object SparkEntry {
       |    ORDER BY t.tus DESC, t.t_id DESC) AS rk
       |  FROM p JOIN t ON t.user_id = p.user_id AND t.tus < p.pus),
       |j1 AS (SELECT * FROM j WHERE rk = 1)""".stripMargin
+
+  /** One band-width row of the q157 operating curve: band keys by
+    * seed-order string_agg (the q21 contract), bucket sizes, then
+    * exact integer occupancy statistics.  Emits CTEs sw$w / bw$w /
+    * st$w; assumes the `mh` CTE (doc_id, seed, mh) is in scope.
+    */
+  private def bandStatsCte(w: Int, numHashes: Int = 8): String =
+    s"""sw$w AS (SELECT doc_id, seed // $w AS band,
+       |  string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS sig
+       |  FROM mh GROUP BY doc_id, seed // $w),
+       |bw$w AS (SELECT band, sig, count(*) AS s FROM sw$w GROUP BY band, sig),
+       |st$w AS (SELECT CAST($w AS INTEGER) AS rows_per_band,
+       |  CAST(${numHashes / w} AS INTEGER) AS n_bands,
+       |  count(*) AS n_buckets,
+       |  CAST(sum(CASE WHEN s > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets,
+       |  CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS join_pairs,
+       |  CAST(max(s) AS BIGINT) AS max_bucket FROM bw$w)""".stripMargin
 
   /** Bucketed all-vector kNN CTE chain (q143/q144), mirroring
     * Similarity.bucketedAllKnn: label-carrying norm frame, 6-bit
@@ -2697,6 +2718,28 @@ object SparkEntry {
          |  - (CAST(dg.deg_sum AS DOUBLE) / (2.0e0 * CAST(mm.m AS DOUBLE)))
          |    * (CAST(dg.deg_sum AS DOUBLE) / (2.0e0 * CAST(mm.m AS DOUBLE))) AS contrib
          |FROM dg LEFT JOIN ein ON ein.source = dg.source CROSS JOIN mm""".stripMargin,
+    // the q21 signature chain once, then one bucket-count pass per
+    // band width; join_pairs = sum s(s-1)/2 IS the band-join row
+    // count at that width
+    "q157_band_curve" ->
+      s"""WITH $minhashPairsCte,
+         |${bandStatsCte(1)},
+         |${bandStatsCte(2)},
+         |${bandStatsCte(4)},
+         |${bandStatsCte(8)}
+         |SELECT * FROM st1 UNION ALL SELECT * FROM st2
+         |UNION ALL SELECT * FROM st4 UNION ALL SELECT * FROM st8""".stripMargin,
+    // Kish effective sample size from exact integer moment sums;
+    // two divides at the end
+    "q158_ess" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS DOUBLE) AS sw,
+        |  CAST(sum(n_chars * n_chars) AS DOUBLE) AS sw2
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, CAST(sw AS BIGINT) AS total_chars,
+        |  sw * sw / sw2 AS ess,
+        |  sw * sw / sw2 / CAST(n_docs AS DOUBLE) AS ess_ratio
+        |FROM s""".stripMargin,
     // exact quartile cut values at ranks ceil(n/4)/ceil(n/2)/
     // ceil(3n/4), value-threshold scoring (ties share a score),
     // DECIMAL(18,2) money sums per the q09 rule

@@ -1013,6 +1013,56 @@ object Dedup {
           .as("contrib"))
   }
 
+  /** LSH band operating curve (q157): bucket-occupancy statistics of
+    * the 8-hash MinHash signature under every band width r ∈
+    * {1, 2, 4, 8} — the tuning audit run BEFORE committing a band
+    * budget at production scale.  `join_pairs` = Σ s(s−1)/2 over
+    * buckets is EXACTLY the candidate-join row count the q21 band
+    * self-join would produce at that width (before pair dedup), i.e.
+    * the shuffle cost; `max_bucket` is the skew ceiling a single
+    * task would absorb.  Narrow bands (r=1) recall more at quadratic
+    * bucket cost; wide bands (r=8) collapse the candidate set to
+    * near-exact matches (the theoretical S-curve threshold is
+    * J* ≈ (1/b)^(1/r) — left to the scaladoc; pow parity is not
+    * oracle-safe).
+    *
+    * Determinism: signatures are the shared MinHashes expression;
+    * band keys are seed-order string concatenation (the q21
+    * contract); every statistic is an exact integer count.
+    *
+    * 100 TB shape: the signature frame is computed ONCE (eager-
+    * pinned, four consumers) and each width costs one (band, sig)
+    * keyed count with map-side combine — the audit never materializes
+    * a candidate pair.
+    */
+  def bandOperatingCurve(spark: SparkSession, dir: String,
+                         shingleN: Int = 3, numHashes: Int = 8): DataFrame = {
+    val mh = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .filter(size(split(col("text"), " ")) >= shingleN)
+        .select(col("doc_id"),
+          TextFunctions.minHashes(col("text"), shingleN, numHashes).as("mhs")))
+    val perW = Seq(1, 2, 4, 8).map { w =>
+      val numBands = numHashes / w
+      val bandStructs = (0 until numBands).map { b =>
+        val sigCols = (0 until w).map(r =>
+          element_at(col("mhs"), b * w + r + 1).cast("string"))
+        struct(lit(b.toLong).as("band"), concat_ws(",", sigCols: _*).as("sig"))
+      }
+      mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+        .groupBy(col("bs.band").as("band"), col("bs.sig").as("sig"))
+        .agg(count(lit(1)).as("s"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("s") > 1, 1L).otherwise(0L)).as("n_multi_buckets"),
+          sum(expr("(s * (s - 1)) DIV 2")).as("join_pairs"),
+          max(col("s")).as("max_bucket"))
+        .select(lit(w).as("rows_per_band"), lit(numBands).as("n_bands"),
+          col("n_buckets"), col("n_multi_buckets"), col("join_pairs"),
+          col("max_bucket"))
+    }
+    perW.reduce(_ unionByName _)
+  }
+
   /** Degree assortativity of the near-duplicate graph (q146,
     * Newman 2002): the Pearson correlation of endpoint degrees over
     * every directed edge.  Template families (cliques of mutual

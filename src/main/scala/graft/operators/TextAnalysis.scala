@@ -1834,6 +1834,42 @@ object TextAnalysis {
       when(col("hill") > 0, lit(1.0) / col("hill")).otherwise(lit(0.0)).as("alpha"))
   }
 
+  /** Length-weighted effective sample size per source (q158, Kish
+    * 1965): if documents are sampled proportional to length (what
+    * token-budget sampling like q134 does), how many EFFECTIVE
+    * documents does each source contribute?
+    *
+    *   ESS = (Σw)² / Σw²,  w = n_chars
+    *
+    * ESS/n → 1 means uniform lengths (weighting is harmless);
+    * ESS/n → 0 means a few giant docs dominate the source's sampled
+    * mass — the variance-inflation warning for any length-weighted
+    * mixture, and the planning twin of q131's Gini (same skew, read
+    * as a sample-size discount instead of a concentration index).
+    *
+    * Determinism: Σw and Σw² are exact integers through
+    * DECIMAL(38,0); ESS is one fixed multiply/divide sequence; the
+    * ratio one more divide.
+    *
+    * 100 TB shape: one source-keyed partial+final agg; output is
+    * sources × 1.  Nothing else.
+    */
+  def effectiveSampleSize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast(dec)).cast("double").as("sw"),
+        sum((col("w") * col("w")).cast(dec)).cast("double").as("sw2"))
+      .select(col("source"), col("n_docs"),
+        col("sw").cast("long").as("total_chars"),
+        (col("sw") * col("sw") / col("sw2")).as("ess"),
+        (col("sw") * col("sw") / col("sw2") / col("n_docs").cast("double"))
+          .as("ess_ratio"))
+  }
+
   /** Quantile normalization of document lengths across sources
     * (q142): map each doc's WITHIN-SOURCE percent-rank onto the
     * POOLED length distribution, so every source's length profile

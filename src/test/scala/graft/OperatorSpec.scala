@@ -1767,6 +1767,55 @@ class OperatorSpec extends SparkSuite {
     assert(q >= -1.0 && q <= 1.0, s"modularity $q out of range")
   }
 
+  test("band_curve: occupancy stats replayed from raw signatures") {
+    import graft.functions.TextFunctions
+    val sigs = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), TextFunctions.minHashes(col("text"), 3, 8).as("mhs"))
+      .as[(Long, Seq[Long])].collect()
+    val got = Dedup.bandOperatingCurve(spark, sf)
+      .select("rows_per_band", "n_bands", "n_buckets", "n_multi_buckets",
+        "join_pairs", "max_bucket")
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1, 2, 4, 8))
+    Seq(1, 2, 4, 8).foreach { w =>
+      val buckets = sigs.flatMap { case (_, mhs) =>
+        (0 until 8 / w).map(b =>
+          (b, mhs.slice(b * w, b * w + w).mkString(",")))
+      }.groupBy(identity).values.map(_.length.toLong)
+      val (_, nb, nbk, nmb, jp, mx) = got(w)
+      assert(nb == 8 / w)
+      assert(nbk == buckets.size && nmb == buckets.count(_ > 1))
+      assert(jp == buckets.map(s => s * (s - 1) / 2).sum)
+      assert(mx == buckets.max)
+    }
+    // a width-2r collision implies collisions in BOTH width-r halves
+    assert(got(1)._5 >= 2 * got(2)._5 && got(2)._5 >= 2 * got(4)._5 &&
+      got(4)._5 >= 2 * got(8)._5)
+  }
+
+  test("ess: Kish effective sample size replayed by hand") {
+    val docs = Tables.documents(spark, sf).select("source", "n_chars")
+      .as[(String, Long)].collect()
+    val got = TextAnalysis.effectiveSampleSize(spark, sf)
+      .select("source", "n_docs", "total_chars", "ess", "ess_ratio")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, ds) =>
+      val sw = ds.map(_._2).sum.toDouble
+      val sw2 = ds.map(d => d._2 * d._2).sum.toDouble
+      val (_, n, tc, ess, ratio) = got(s)
+      assert(n == ds.length && tc == sw.toLong)
+      assert(ess == sw * sw / sw2)
+      assert(ratio == sw * sw / sw2 / ds.length)
+      // 1 <= ESS <= n always (Cauchy-Schwarz)
+      assert(ess >= 1.0 - 1e-9 && ess <= ds.length + 1e-9)
+    }
+  }
+
   test("roc_auc: matches brute-force pair counting per source") {
     val docs = Tables.documents(spark, sf)
       .select("source", "n_chars", "lang")
