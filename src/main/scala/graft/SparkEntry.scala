@@ -282,7 +282,11 @@ object SparkEntry {
     // — round-12 widening, batch 25: LSH tuning and weighted-sample
     //   planning —
     "q157_band_curve" -> ((s, d) => Dedup.bandOperatingCurve(s, d)),
-    "q158_ess" -> ((s, d) => TextAnalysis.effectiveSampleSize(s, d))
+    "q158_ess" -> ((s, d) => TextAnalysis.effectiveSampleSize(s, d)),
+    // — round-12 widening, batch 26: stream compaction and long-run
+    //   behavior —
+    "q159_run_lengths" -> ((s, d) => EventOps.runLengths(s, d)),
+    "q160_stationary" -> ((s, d) => EventOps.stationaryDistribution(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -392,6 +396,16 @@ object SparkEntry {
        |  CAST(sum(CASE WHEN s > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_buckets,
        |  CAST(sum((s * (s - 1)) // 2) AS BIGINT) AS join_pairs,
        |  CAST(max(s) AS BIGINT) AS max_bucket FROM bw$w)""".stripMargin
+
+  /** One q160 power iteration, mirroring
+    * EventOps.stationaryDistribution: neighbor sums fold in prev
+    * order (the q119 contract).  Emits CTE v$i referencing v${i-1}.
+    */
+  private def statIterCte(i: Int): String =
+    s"""v$i AS (SELECT p.next AS state,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(v.prob * p.p ORDER BY p.prev)), (a, b) -> a + b) AS prob
+       |  FROM v${i - 1} v JOIN p ON p.prev = v.state GROUP BY p.next)""".stripMargin
 
   /** Bucketed all-vector kNN CTE chain (q143/q144), mirroring
     * Similarity.bucketedAllKnn: label-carrying norm frame, 6-bit
@@ -2740,6 +2754,52 @@ object SparkEntry {
         |  sw * sw / sw2 AS ess,
         |  sw * sw / sw2 / CAST(n_docs AS DOUBLE) AS ess_ratio
         |FROM s""".stripMargin,
+    // gaps-and-islands: island id = running sum of integer change
+    // flags over the (us, event_id) total order
+    "q159_run_lengths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |f AS (SELECT user_id, event_type, us, event_id,
+        |  CASE WHEN lag(event_type) OVER w IS NULL
+        |    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |r AS (SELECT user_id, event_type,
+        |  sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+        |  FROM f),
+        |runs AS (SELECT user_id, run_id, event_type, count(*) AS len
+        |  FROM r GROUP BY user_id, run_id, event_type)
+        |SELECT event_type, count(*) AS n_runs,
+        |  CAST(sum(len) AS BIGINT) AS total_events,
+        |  CAST(max(len) AS BIGINT) AS max_run_len,
+        |  CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_run_len
+        |FROM runs GROUP BY event_type""".stripMargin,
+    // q129's transition counts -> row-normalized matrix -> 8 unrolled
+    // v*P iterations, neighbor sums folded in prev order
+    "q160_stationary" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+         |  FROM events),
+         |tr0 AS (SELECT event_type AS next,
+         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+         |  FROM e),
+         |c AS (SELECT prev, next, count(*) AS c FROM tr0
+         |  WHERE prev IS NOT NULL GROUP BY prev, next),
+         |t AS (SELECT prev, sum(c) AS t FROM c GROUP BY prev),
+         |p AS (SELECT c.prev, c.next,
+         |  CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+         |  FROM c JOIN t ON t.prev = c.prev),
+         |kk AS (SELECT count(DISTINCT prev) AS k FROM p),
+         |v0 AS (SELECT DISTINCT prev AS state,
+         |  1.0e0 / CAST(k AS DOUBLE) AS prob FROM p, kk),
+         |${statIterCte(1)},
+         |${statIterCte(2)},
+         |${statIterCte(3)},
+         |${statIterCte(4)},
+         |${statIterCte(5)},
+         |${statIterCte(6)},
+         |${statIterCte(7)},
+         |${statIterCte(8)}
+         |SELECT state AS event_type, prob AS stationary_prob FROM v8""".stripMargin,
     // exact quartile cut values at ranks ceil(n/4)/ceil(n/2)/
     // ceil(3n/4), value-threshold scoring (ties share a score),
     // DECIMAL(18,2) money sums per the q09 rule

@@ -841,6 +841,47 @@ object EventOps {
         sum(col("m")).cast("double").as("total_monetary"))
   }
 
+  /** Event-type run-length statistics (q159) — the gaps-and-islands
+    * pattern made explicit: consecutive same-type events in a user's
+    * timeline form a RUN (island); a type change starts a new one.
+    * Long runs of 'error' are retry storms; long 'click' runs are
+    * rage-clicks; the run-length profile per type is the
+    * stream-compaction signal (RLE-collapse candidates) a pipeline
+    * checks before storing raw event streams.
+    *
+    * Determinism: the timeline order is (µs, event_id) — total; the
+    * island id is the running sum of integer change flags over that
+    * order; run lengths and counts are exact integers; the mean is
+    * one divide.
+    *
+    * 100 TB shape: ONE user_id-keyed sort window evaluates both the
+    * change flag (lag) and the island id (running sum) — same
+    * WindowSpec, one shuffle; per-run and per-type aggregations are
+    * keyed with map-side combine; output is event-types × 1.
+    */
+  def runLengths(spark: SparkSession, dir: String): DataFrame = {
+    val ord = byUser.orderBy(col("us").asc, col("event_id").asc)
+    val runs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(ord).isNull ||
+          lag(col("event_type"), 1).over(ord) =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "run_id", "event_type")
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("len")).as("total_events"),
+        max(col("len")).as("max_run_len"))
+      .select(col("event_type"), col("n_runs"), col("total_events"),
+        col("max_run_len"),
+        (col("total_events").cast("double") / col("n_runs").cast("double"))
+          .as("mean_run_len"))
+  }
+
   /** Attributed revenue by touch channel (q155): q149's last-touch
     * assignment rolled up to the channel level with money attached —
     * the report the attribution exists FOR: per channel, how many
@@ -873,6 +914,53 @@ object EventOps {
         when(col("n_attributed") > 0,
           col("gap_sum").cast("double") / col("n_attributed").cast("double"))
           .otherwise(lit(0.0)).as("mean_gap_us"))
+  }
+
+  /** Stationary distribution of the event-type Markov chain (q160):
+    * 8 unrolled power iterations of v·P over the GLOBAL observed
+    * transition matrix (q129's per-user entropy reads the same
+    * matrix per user; this is the corpus-level long-run behavior
+    * mix — where user attention settles if the observed dynamics
+    * keep running, vs the raw frequency mix which measures where it
+    * has been).
+    *
+    * Determinism: transition counts are exact integers; each
+    * P(next|prev) is one divide; every neighbor sum folds in prev
+    * order (sort_array ↔ list ORDER BY — the q119 contract); the
+    * uniform start is 1/k with integer k.  The matrix is bounded by
+    * event-types², so the iteration runs on a broadcast-size frame;
+    * the transition-count agg is the only corpus-scale shuffle.
+    *
+    * 100 TB shape: one (prev, next) keyed count with map-side
+    * combine; 8 iterations on a ≤types² frame (eager-pinned — 8 join
+    * consumers feed broadcast joins, the lazy-checkpoint hazard).
+    */
+  def stationaryDistribution(spark: SparkSession, dir: String,
+                             iters: Int = 8): DataFrame = {
+    val ord = byUser.orderBy(col("us").asc, col("event_id").asc)
+    val tr = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type").as("next"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("next"), 1).over(ord))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "next").agg(count(lit(1)).as("c"))
+    val p = graft.util.Pins.eager(
+      tr.join(broadcast(tr.groupBy("prev").agg(sum(col("c")).as("t"))), Seq("prev"))
+        .select(col("prev"), col("next"),
+          (col("c").cast("double") / col("t").cast("double")).as("p")))
+    val states = p.select(col("prev").as("state")).distinct()
+    val k = broadcast(states.agg(count(lit(1)).as("k")))
+    var v = states.crossJoin(k)
+      .select(col("state"), (lit(1.0) / col("k").cast("double")).as("prob"))
+    for (_ <- 1 to iters) {
+      v = v.join(p, col("state") === col("prev"))
+        .groupBy(col("next"))
+        .agg(aggregate(
+          sort_array(collect_list(struct(col("prev"), (col("prob") * col("p")).as("m")))),
+          lit(0.0), (acc, x) => acc + x.getField("m")).as("prob"))
+        .select(col("next").as("state"), col("prob"))
+    }
+    v.select(col("state").as("event_type"), col("prob").as("stationary_prob"))
   }
 
   /** Last-touch conversion attribution (q149): for every purchase,

@@ -1816,6 +1816,65 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("run_lengths: RLE islands replayed by hand") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val runs = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._4)
+      sorted.foldLeft(List.empty[(String, Long)]) {
+        case ((t, n) :: rest, x) if t == x => (t, n + 1) :: rest
+        case (acc, x) => (x, 1L) :: acc
+      }
+    }
+    val got = EventOps.runLengths(spark, sf)
+      .select("event_type", "n_runs", "total_events", "max_run_len",
+        "mean_run_len")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val byType = runs.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, rs) =>
+      val (_, nr, te, mx, mean) = got(t)
+      assert(nr == rs.length && te == rs.map(_._2).sum && mx == rs.map(_._2).max)
+      assert(mean == rs.map(_._2).sum.toDouble / rs.length)
+    }
+    assert(got.values.map(_._3).sum == ev.length)
+  }
+
+  test("stationary: 8 power iterations replayed by hand") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.tail)
+    }
+    val c = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tPrev = c.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val p = c.map { case ((a, b), n) => (a, b) -> n.toDouble / tPrev(a) }
+    val states = tPrev.keys.toSeq.sorted
+    var v = states.map(s => s -> 1.0 / states.length).toMap
+    (1 to 8).foreach { _ =>
+      v = states.map { next =>
+        // fold in prev order, mirroring the engine's pinned order
+        next -> states.filter(pr => p.contains((pr, next)))
+          .foldLeft(0.0)((acc, pr) => acc + v.getOrElse(pr, 0.0) * p((pr, next)))
+      }.toMap.filter(_._2 != 0.0)
+    }
+    val got = EventOps.stationaryDistribution(spark, sf)
+      .select("event_type", "stationary_prob")
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == v.keySet)
+    v.foreach { case (s, prob) =>
+      assert(math.abs(got(s) - prob) < 1e-12, s"$s: ${got(s)} vs $prob")
+    }
+    val mass = got.values.sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass")
+  }
+
   test("roc_auc: matches brute-force pair counting per source") {
     val docs = Tables.documents(spark, sf)
       .select("source", "n_chars", "lang")
