@@ -286,7 +286,11 @@ object SparkEntry {
     // — round-12 widening, batch 26: stream compaction and long-run
     //   behavior —
     "q159_run_lengths" -> ((s, d) => EventOps.runLengths(s, d)),
-    "q160_stationary" -> ((s, d) => EventOps.stationaryDistribution(s, d))
+    "q160_stationary" -> ((s, d) => EventOps.stationaryDistribution(s, d)),
+    // — round-12 widening, batch 27: probability calibration and
+    //   targeting curves —
+    "q161_calibration" -> ((s, d) => TextAnalysis.sourceCalibration(s, d)),
+    "q162_gains" -> ((s, d) => TextAnalysis.gainsTable(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2800,6 +2804,53 @@ object SparkEntry {
          |${statIterCte(7)},
          |${statIterCte(8)}
          |SELECT state AS event_type, prob AS stationary_prob FROM v8""".stripMargin,
+    // binary Brier expanded to (p^2 n - 2pk + k)/n: exact-integer
+    // counts, fixed-order double arithmetic, inner-join semantics
+    "q161_calibration" ->
+      """WITH b AS (SELECT source, lang,
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+        | FROM documents),
+        |c AS (SELECT source,
+        |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'valid'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |  FROM b GROUP BY source, 2),
+        |tr AS (SELECT source, n AS train_n, k AS train_k FROM c WHERE split = 'train'),
+        |te AS (SELECT source, n AS test_n, k AS test_k FROM c WHERE split = 'test'),
+        |j AS (SELECT tr.source, train_n, test_n, train_k, test_k,
+        |  CAST(train_k AS DOUBLE) / CAST(train_n AS DOUBLE) AS p
+        |  FROM tr JOIN te ON te.source = tr.source
+        |  WHERE train_n > 0 AND test_n > 0)
+        |SELECT source, train_n, test_n, p AS p_train,
+        |  CAST(test_k AS DOUBLE) / CAST(test_n AS DOUBLE) AS test_rate,
+        |  (p * p * CAST(test_n AS DOUBLE) - 2.0e0 * p * CAST(test_k AS DOUBLE)
+        |   + CAST(test_k AS DOUBLE)) / CAST(test_n AS DOUBLE) AS brier
+        |FROM j""".stripMargin,
+    // explicit decile formula ((rn-1)*10) div n + 1 (never engine
+    // ntile), integer cums over the 10-row frame, single divides
+    "q162_gains" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+        |  count(*) OVER () AS n FROM d),
+        |dc AS (SELECT CAST(((rn - 1) * 10) // n + 1 AS INTEGER) AS decile,
+        |  count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_pos
+        |  FROM r GROUP BY 1),
+        |g AS (SELECT *, CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+        |  CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+        |  CAST(sum(n_docs) OVER () AS BIGINT) AS tot_docs,
+        |  CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+        |  FROM dc WINDOW w AS (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile, n_docs, n_pos, cum_docs, cum_pos,
+        |  CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) AS capture_rate,
+        |  (CAST(cum_pos AS DOUBLE) / CAST(cum_docs AS DOUBLE)) /
+        |  (CAST(tot_pos AS DOUBLE) / CAST(tot_docs AS DOUBLE)) AS lift
+        |FROM g""".stripMargin,
     // exact quartile cut values at ranks ceil(n/4)/ceil(n/2)/
     // ceil(3n/4), value-threshold scoring (ties share a score),
     // DECIMAL(18,2) money sums per the q09 rule

@@ -1870,6 +1870,108 @@ object TextAnalysis {
           .as("ess_ratio"))
   }
 
+  /** Train→test calibration audit per source (q161): predict each
+    * test doc's P(lang = en) with its source's TRAIN-split base rate
+    * and score the prediction with the Brier score — the calibration
+    * companion to q141's AUC (discrimination asks "does the signal
+    * rank positives first"; calibration asks "is the predicted
+    * probability honest").  For a binary outcome the Brier expands to
+    *
+    *   B = (p²·n − 2p·k + k)/n,   k = test positives
+    *
+    * so the whole statistic is exact-integer until fixed-order
+    * double arithmetic on (p, n, k).  Sources missing from either
+    * split are dropped (inner semantics — no rate exists to test).
+    *
+    * Determinism: the split is the q63 md5 rule; p and every output
+    * is a fixed divide/multiply sequence over exact integers.
+    *
+    * 100 TB shape: ONE (source, split) keyed count agg over the
+    * corpus; the calibration math runs on the sources-bounded frame.
+    */
+  def sourceCalibration(spark: SparkSession, dir: String,
+                        trainPct: Int = 80, validPct: Int = 10): DataFrame = {
+    val split = when(md5Bucket(1) < trainPct, "train")
+      .when(md5Bucket(1) < trainPct + validPct, "valid")
+      .otherwise("test")
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), split.as("split"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("en"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n"), sum(col("en")).as("k"))
+    val tr = cells.filter(col("split") === "train")
+      .select(col("source"), col("n").as("train_n"), col("k").as("train_k"))
+    val te = cells.filter(col("split") === "test")
+      .select(col("source"), col("n").as("test_n"), col("k").as("test_k"))
+    tr.join(te, Seq("source"))
+      .filter(col("train_n") > 0 && col("test_n") > 0)
+      .withColumn("p", col("train_k").cast("double") / col("train_n").cast("double"))
+      .select(col("source"), col("train_n"), col("test_n"), col("p").as("p_train"),
+        (col("test_k").cast("double") / col("test_n").cast("double")).as("test_rate"),
+        ((col("p") * col("p") * col("test_n").cast("double") -
+          lit(2.0) * col("p") * col("test_k").cast("double") +
+          col("test_k").cast("double")) / col("test_n").cast("double")).as("brier"))
+  }
+
+  /** Cumulative gains / lift table (q162): rank documents by the
+    * quality signal (n_chars desc), cut into 10 explicit deciles,
+    * and report each decile's cumulative capture of the positive
+    * class (lang = en) and its lift over random targeting — the
+    * decile-ranked companion to q141 (AUC integrates this curve; the
+    * table is what a filtering budget actually reads: "the top 30%
+    * by length captures X% of English docs").
+    *
+    * Decile = ((rank−1)·10) div n + 1 — an explicit integer formula,
+    * not engine ntile (whose tie-splitting is implementation-
+    * defined); rank is (n_chars desc, doc_id) total order.
+    *
+    * Determinism: ranks via the q65 two-pass escape (no single-task
+    * window over the corpus); per-decile counts exact integers;
+    * cumulative sums integer windows over the 10-row frame; capture
+    * and lift single divides.
+    *
+    * 100 TB shape: one range shuffle for the global rank, one
+    * 10-cell agg, windows on 10 rows.
+    */
+  def gainsTable(spark: SparkSession, dir: String, parts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nParts = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val sorted = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .repartitionByRange(nParts, col("n_chars").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true) // EAGER: lineage feeds a broadcast join
+    val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(
+        Window.orderBy(col("pid").asc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .select("pid", "off", "n")
+    val deciles = sorted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy(col("n_chars").desc, col("doc_id").asc))
+        + col("off"))
+      .withColumn("decile", (expr("((rn - 1) * 10) DIV n") + lit(1)).cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("tot_docs", sum(col("n_docs")).over(Window.partitionBy()))
+      .withColumn("tot_pos", sum(col("n_pos")).over(Window.partitionBy()))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        col("cum_docs"), col("cum_pos"),
+        (col("cum_pos").cast("double") / col("tot_pos").cast("double"))
+          .as("capture_rate"),
+        ((col("cum_pos").cast("double") / col("cum_docs").cast("double")) /
+          (col("tot_pos").cast("double") / col("tot_docs").cast("double")))
+          .as("lift"))
+  }
+
   /** Quantile normalization of document lengths across sources
     * (q142): map each doc's WITHIN-SOURCE percent-rank onto the
     * POOLED length distribution, so every source's length profile

@@ -1875,6 +1875,73 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass")
   }
 
+  test("calibration: Brier algebra replayed from the split counts") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "lang")
+      .as[(Long, String, String)].collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val b = Integer.parseInt(md5hex(id.toString).substring(0, 4), 16) % 100
+      if (b < 80) "train" else if (b < 90) "valid" else "test"
+    }
+    val got = TextAnalysis.sourceCalibration(spark, sf)
+      .select("source", "train_n", "test_n", "p_train", "test_rate", "brier")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val bySrc = docs.groupBy(_._2)
+    bySrc.foreach { case (src, ds) =>
+      val tr = ds.filter(d => splitOf(d._1) == "train")
+      val te = ds.filter(d => splitOf(d._1) == "test")
+      if (tr.isEmpty || te.isEmpty) assert(!got.contains(src))
+      else {
+        val p = tr.count(_._3 == "en").toDouble / tr.length
+        val k = te.count(_._3 == "en").toDouble
+        val n = te.length.toDouble
+        val (_, tn, en, gp, rate, brier) = got(src)
+        assert(tn == tr.length && en == te.length)
+        assert(gp == p && rate == k / n)
+        val wantBrier = te.map { d =>
+          val y = if (d._3 == "en") 1.0 else 0.0
+          (p - y) * (p - y)
+        }.sum / n
+        assert(math.abs(brier - wantBrier) < 1e-12, s"$src: $brier vs $wantBrier")
+        assert(brier >= 0.0 && brier <= 1.0)
+      }
+    }
+  }
+
+  test("gains: decile capture and lift replayed by hand") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "n_chars", "lang")
+      .as[(Long, Long, String)].collect()
+      .sortBy(d => (-d._2, d._1))
+    val n = docs.length
+    val decOf = docs.zipWithIndex.map { case (d, i) =>
+      (i * 10 / n + 1, if (d._3 == "en") 1L else 0L)
+    }
+    val cells = decOf.groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val totPos = decOf.map(_._2).sum.toDouble
+    val got = TextAnalysis.gainsTable(spark, sf)
+      .select("decile", "n_docs", "n_pos", "cum_docs", "cum_pos",
+        "capture_rate", "lift")
+      .as[(Int, Long, Long, Long, Long, Double, Double)].collect()
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to 10))
+    var cd = 0L; var cp = 0L
+    got.foreach { case (d, nd, np, gcd, gcp, cap, lift) =>
+      val (wn, wp) = cells(d)
+      assert(nd == wn && np == wp, s"decile $d")
+      cd += nd; cp += np
+      assert(gcd == cd && gcp == cp)
+      assert(cap == cp.toDouble / totPos)
+      assert(lift == (cp.toDouble / cd) / (totPos / n))
+    }
+    assert(cd == n.toLong)
+    // capture is monotone non-decreasing and ends at 1
+    assert(math.abs(got.last._6 - 1.0) < 1e-15)
+  }
+
   test("roc_auc: matches brute-force pair counting per source") {
     val docs = Tables.documents(spark, sf)
       .select("source", "n_chars", "lang")
