@@ -290,7 +290,11 @@ object SparkEntry {
     // — round-12 widening, batch 27: probability calibration and
     //   targeting curves —
     "q161_calibration" -> ((s, d) => TextAnalysis.sourceCalibration(s, d)),
-    "q162_gains" -> ((s, d) => TextAnalysis.gainsTable(s, d))
+    "q162_gains" -> ((s, d) => TextAnalysis.gainsTable(s, d)),
+    // — round-12 widening, batch 28: grouped-jackknife error bars and
+    //   value forensics —
+    "q163_jackknife" -> ((s, d) => TextAnalysis.jackknifeRatio(s, d)),
+    "q164_benford" -> ((s, d) => EventOps.benfordAudit(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2851,6 +2855,48 @@ object SparkEntry {
         |  (CAST(cum_pos AS DOUBLE) / CAST(cum_docs AS DOUBLE)) /
         |  (CAST(tot_pos AS DOUBLE) / CAST(tot_docs AS DOUBLE)) AS lift
         |FROM g""".stripMargin,
+    // exact HUGEINT group sums, one divide per leave-one-out theta,
+    // both cross-source reductions folded in source order
+    "q163_jackknife" ->
+      """WITH cells AS (SELECT source, sum(n_chars) AS cj,
+        |  sum(len(string_split(text, ' '))) AS tj
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(cj) AS ct, sum(tj) AS tt, count(*) AS j FROM cells),
+        |th AS (SELECT source, CAST(ct AS DOUBLE) AS ct, CAST(tt AS DOUBLE) AS tt, j,
+        |  CAST(ct - cj AS DOUBLE) / CAST(tt - tj AS DOUBLE) AS theta_j
+        |  FROM cells, tot),
+        |bar AS (SELECT j, ct, tt, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(theta_j ORDER BY source)), (a, b) -> a + b)
+        |    / CAST(j AS DOUBLE) AS theta_bar
+        |  FROM th GROUP BY j, ct, tt),
+        |ss AS (SELECT th.j, th.ct, th.tt, bar.theta_bar,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list((theta_j - theta_bar) * (theta_j - theta_bar) ORDER BY source)),
+        |    (a, b) -> a + b) AS ss
+        |  FROM th, bar GROUP BY th.j, th.ct, th.tt, bar.theta_bar)
+        |SELECT j AS n_sources, ct / tt AS theta, theta_bar,
+        |  CAST(j - 1 AS DOUBLE) / CAST(j AS DOUBLE) * ss AS var_jack,
+        |  sqrt(CAST(j - 1 AS DOUBLE) / CAST(j AS DOUBLE) * ss) AS se_jack
+        |FROM ss""".stripMargin,
+    // leading digit by string inspection of the scale-2 decimal (no
+    // log10 in the comparison path); Benford rates stamped as the
+    // identical literal doubles the plan uses
+    "q164_benford" -> {
+      val bfCase = graft.operators.EventOps.benfordRates
+        .map { case (d, p) => s"WHEN digit = '$d' THEN ${p}e0" }
+        .mkString(" ")
+      s"""WITH v AS (SELECT CAST(value AS DECIMAL(18,2)) AS v FROM events
+         |  WHERE CAST(value AS DECIMAL(18,2)) > 0),
+         |d AS (SELECT regexp_extract(CAST(v AS VARCHAR), '[1-9]', 0) AS digit
+         |  FROM v),
+         |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+         |t AS (SELECT sum(n_obs) AS n FROM c)
+         |SELECT digit, n_obs,
+         |  CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_rate,
+         |  CASE $bfCase END AS benford_rate,
+         |  CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - CASE $bfCase END AS dev
+         |FROM c, t""".stripMargin
+    },
     // exact quartile cut values at ranks ceil(n/4)/ceil(n/2)/
     // ceil(3n/4), value-threshold scoring (ties share a score),
     // DECIMAL(18,2) money sums per the q09 rule

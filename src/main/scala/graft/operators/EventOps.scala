@@ -882,6 +882,50 @@ object EventOps {
           .as("mean_run_len"))
   }
 
+  /** Benford first-digit audit of event values (q164): the leading
+    * significant digit of naturally-grown monetary amounts follows
+    * log₁₀(1 + 1/d); a synthetic, capped, or fraud-injected value
+    * stream does not — the cheapest data-quality canary there is,
+    * run per ingest batch before values feed revenue metrics.
+    *
+    * The digit comes from STRING inspection of the DECIMAL(18,2)
+    * rendering (first [1-9] character) — both engines render a
+    * scale-2 decimal identically, so no log10/pow arithmetic is
+    * needed to locate the leading digit (and the q128 rule keeps
+    * transcendentals out of the comparison path).  The Benford
+    * reference rates are PRECOMPUTED literal doubles stamped
+    * identically into the plan and the oracle.
+    *
+    * Determinism: counts exact; obs_rate one divide; dev one
+    * subtract of a shared literal.
+    *
+    * 100 TB shape: one digit-keyed count with map-side combine (≤9
+    * cells) + a broadcast 1-row total.  Nothing else.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val dec2 = DecimalType(18, 2)
+    val digits = Tables.events(spark, dir)
+      .select(col("value").cast(dec2).as("v"))
+      .filter(col("v") > 0)
+      .select(regexp_extract(col("v").cast("string"), "[1-9]", 0).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).as("n"))
+    val bf = EventOps.benfordRates.foldLeft(lit(Double.NaN)) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    digits.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        (col("n_obs").cast("double") / col("n").cast("double")).as("obs_rate"),
+        bf.as("benford_rate"),
+        ((col("n_obs").cast("double") / col("n").cast("double")) - bf).as("dev"))
+  }
+
+  /** log₁₀(1 + 1/d) for d = 1..9 — shared by the q164 plan and its
+    * oracle so both engines stamp bit-identical literals.
+    */
+  val benfordRates: Seq[(String, Double)] =
+    (1 to 9).map(d => d.toString -> math.log(1.0 + 1.0 / d) / math.log(10.0))
+
   /** Attributed revenue by touch channel (q155): q149's last-touch
     * assignment rolled up to the channel level with money attached —
     * the report the attribution exists FOR: per channel, how many

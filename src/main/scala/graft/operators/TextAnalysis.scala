@@ -1972,6 +1972,67 @@ object TextAnalysis {
           .as("lift"))
   }
 
+  /** Delete-one-source jackknife for the chars-per-token ratio
+    * (q163, Quenouille/Tukey; delete-a-GROUP jackknife per Kott
+    * 2001): the corpus ratio θ = ΣC/ΣT is a ratio of sums, so its
+    * variance has no closed form — the jackknife recomputes θ with
+    * each source deleted (θ₍ⱼ₎ = (C−cⱼ)/(T−tⱼ)) and reads the
+    * spread.  Deleting SOURCES (not docs) is what makes this the
+    * right error bar at corpus scale: sources are the correlated
+    * sampling unit, and J stays bounded.
+    *
+    *   var_jack = (J−1)/J · Σⱼ (θ₍ⱼ₎ − θ̄)²
+    *
+    * Determinism: per-source char/token sums are exact integers
+    * (DECIMAL(38,0)); each θ₍ⱼ₎ is one divide; both cross-source
+    * reductions (θ̄ and the squared devs) fold in source order on
+    * the J-bounded frame; se = √ is correctly rounded.
+    *
+    * 100 TB shape: ONE source-keyed partial+final agg over the
+    * corpus; everything after runs on the J-row frame (eager-pinned
+    * — totals, θ̄ and dev folds all consume it).
+    */
+  def jackknifeRatio(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val cells = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .select(col("source"), col("n_chars").as("c"),
+          tokenCount(col("text")).cast("long").as("t"))
+        .groupBy("source")
+        .agg(sum(col("c").cast(dec)).as("cj"),
+          sum(col("t").cast(dec)).as("tj")))
+    // totals stay DECIMAL: a double total would re-order the fold
+    val tot = cells.agg(sum(col("cj")).cast(dec).as("ct"),
+      sum(col("tj")).cast(dec).as("tt"), count(lit(1)).as("j"))
+    val thetas = graft.util.Pins.eager(
+      cells.crossJoin(broadcast(tot))
+        .select(col("source"),
+          col("ct").cast("double").as("ct"), col("tt").cast("double").as("tt"),
+          col("j"),
+          ((col("ct") - col("cj")).cast("double") /
+            (col("tt") - col("tj")).cast("double")).as("theta_j")))
+    val bar = thetas.groupBy("j", "ct", "tt")
+      .agg((aggregate(
+          sort_array(collect_list(struct(col("source"), col("theta_j")))),
+          lit(0.0), (acc, x) => acc + x.getField("theta_j"))
+        / col("j").cast("double")).as("theta_bar"))
+    thetas.crossJoin(broadcast(bar.select("theta_bar")))
+      .groupBy("j", "ct", "tt", "theta_bar")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("source"),
+          ((col("theta_j") - col("theta_bar")) *
+            (col("theta_j") - col("theta_bar"))).as("d2")))),
+        lit(0.0), (acc, x) => acc + x.getField("d2")).as("ss"))
+      .select(col("j").as("n_sources"),
+        (col("ct") / col("tt")).as("theta"),
+        col("theta_bar"),
+        ((col("j") - lit(1L)).cast("double") / col("j").cast("double") *
+          col("ss")).as("var_jack"),
+        sqrt((col("j") - lit(1L)).cast("double") / col("j").cast("double") *
+          col("ss")).as("se_jack"))
+  }
+
   /** Quantile normalization of document lengths across sources
     * (q142): map each doc's WITHIN-SOURCE percent-rank onto the
     * POOLED length distribution, so every source's length profile

@@ -1942,6 +1942,55 @@ class OperatorSpec extends SparkSuite {
     assert(math.abs(got.last._6 - 1.0) < 1e-15)
   }
 
+  test("jackknife: delete-one-source ratio variance by hand") {
+    val docs = Tables.documents(spark, sf).select("source", "n_chars", "text")
+      .as[(String, Long, String)].collect()
+    val cells = docs.groupBy(_._1).view.mapValues { ds =>
+      (ds.map(_._2).sum, ds.map(_._3.split(" ", -1).length.toLong).sum)
+    }.toMap
+    val ct = cells.values.map(_._1).sum.toDouble
+    val tt = cells.values.map(_._2).sum.toDouble
+    val j = cells.size
+    val srcs = cells.keys.toSeq.sorted
+    val thetas = srcs.map(s => (ct - cells(s)._1) / (tt - cells(s)._2))
+    val bar = thetas.foldLeft(0.0)(_ + _) / j
+    val ss = thetas.foldLeft(0.0)((a, t) => a + (t - bar) * (t - bar))
+    val wantVar = (j - 1).toDouble / j * ss
+    val Array((gj, gt, gbar, gvar, gse)) = TextAnalysis.jackknifeRatio(spark, sf)
+      .select("n_sources", "theta", "theta_bar", "var_jack", "se_jack")
+      .as[(Long, Double, Double, Double, Double)].collect()
+    assert(gj == j && gt == ct / tt)
+    assert(math.abs(gbar - bar) < 1e-12)
+    assert(math.abs(gvar - wantVar) < 1e-15 ||
+      math.abs(gvar - wantVar) / wantVar < 1e-9)
+    assert(gse == math.sqrt(gvar) && gvar >= 0.0)
+    // the leave-one-out mean should hug the full-sample ratio
+    assert(math.abs(gbar - gt) < 0.1)
+  }
+
+  test("benford: leading-digit counts and reference rates by hand") {
+    val vals = Tables.events(spark, sf)
+      .select(col("value").cast("decimal(18,2)"))
+      .as[BigDecimal].collect().filter(_ > 0)
+    val digits = vals.map(_.bigDecimal.toPlainString.dropWhile(c => !('1' to '9').contains(c)).head.toString)
+    val counts = digits.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = digits.length.toDouble
+    val got = EventOps.benfordAudit(spark, sf)
+      .select("digit", "n_obs", "obs_rate", "benford_rate", "dev")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == counts.keySet)
+    counts.foreach { case (d, c) =>
+      val (_, gn, rate, bf, dev) = got(d)
+      assert(gn == c && rate == c / n)
+      val wantBf = math.log(1.0 + 1.0 / d.toInt) / math.log(10.0)
+      assert(bf == wantBf && dev == rate - wantBf)
+    }
+    // rates are a distribution; Benford reference sums to 1
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-12 ||
+      got.size < 9)
+  }
+
   test("roc_auc: matches brute-force pair counting per source") {
     val docs = Tables.documents(spark, sf)
       .select("source", "n_chars", "lang")
