@@ -294,7 +294,11 @@ object SparkEntry {
     // — round-12 widening, batch 28: grouped-jackknife error bars and
     //   value forensics —
     "q163_jackknife" -> ((s, d) => TextAnalysis.jackknifeRatio(s, d)),
-    "q164_benford" -> ((s, d) => EventOps.benfordAudit(s, d))
+    "q164_benford" -> ((s, d) => EventOps.benfordAudit(s, d)),
+    // — round-12 widening, batch 29: retrieval eval and dedup
+    //   capacity planning —
+    "q165_label_mrr" -> ((s, d) => Similarity.labelMrr(s, d)),
+    "q166_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2897,6 +2901,44 @@ object SparkEntry {
          |  CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - CASE $bfCase END AS dev
          |FROM c, t""".stripMargin
     },
+    // rank over all candidates, first same-label hit within top-20,
+    // reciprocals folded in probe_id order, one divide per label
+    "q165_label_mrr" ->
+      s"""WITH el AS (SELECT vec_id, label, embedding,
+         |  sqrt(list_reduce(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+         |  FROM embeddings),
+         |pairs AS (SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         |    c.vec_id AS neighbor_id, c.label AS n_label,
+         |    ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cos
+         |  FROM el p JOIN el c ON p.vec_id < 50 AND p.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY cos DESC, neighbor_id) AS rank FROM pairs),
+         |fh AS (SELECT probe_id, min(rank) AS first_rank FROM r
+         |  WHERE rank <= 20 AND n_label = probe_label GROUP BY probe_id),
+         |pr AS (SELECT vec_id AS probe_id, label AS probe_label
+         |  FROM embeddings WHERE vec_id < 50),
+         |rr AS (SELECT pr.probe_id, pr.probe_label,
+         |  CASE WHEN fh.first_rank IS NOT NULL
+         |    THEN 1.0e0 / CAST(fh.first_rank AS DOUBLE) ELSE 0.0 END AS rr
+         |  FROM pr LEFT JOIN fh ON fh.probe_id = pr.probe_id)
+         |SELECT probe_label, count(*) AS n_probes,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(rr ORDER BY probe_id)), (a, b) -> a + b)
+         |    / CAST(count(*) AS DOUBLE) AS mrr
+         |FROM rr GROUP BY probe_label""".stripMargin,
+    // the q72 fixpoint reduced to its size histogram; shares are
+    // single divides over broadcast totals
+    "q166_cluster_sizes" ->
+      s"""WITH RECURSIVE $closureCte,
+         |sz AS (SELECT cluster_id, count(*) AS size FROM cc_labels
+         |  GROUP BY cluster_id),
+         |cells AS (SELECT size, count(*) AS n_clusters FROM sz GROUP BY size),
+         |t AS (SELECT sum(size * n_clusters) AS ndt FROM cells)
+         |SELECT size, n_clusters, size * n_clusters AS n_docs,
+         |  CAST(size * n_clusters AS DOUBLE) / CAST(ndt AS DOUBLE) AS doc_share,
+         |  (size - 1) * n_clusters AS n_removed
+         |FROM cells, t""".stripMargin,
     // exact quartile cut values at ranks ceil(n/4)/ceil(n/2)/
     // ceil(3n/4), value-threshold scoring (ties share a score),
     // DECIMAL(18,2) money sums per the q09 rule

@@ -1063,6 +1063,38 @@ object Dedup {
     perW.reduce(_ unionByName _)
   }
 
+  /** Near-dup cluster-size histogram (q166): the q72 connected
+    * components reduced to their size distribution — how much of the
+    * corpus sits in 2-doc pairs vs. big template families, and what
+    * the dedup will actually delete (every cluster keeps one
+    * survivor, so docs − clusters rows die).  The histogram is the
+    * capacity-planning view of the dedup: a fat tail here means a
+    * few giant families dominate the removal and the CC iteration
+    * depth.
+    *
+    * Determinism: cluster ids are the q72 min-label fixpoint
+    * (engine-independent); sizes and counts exact integers; shares
+    * single divides.
+    *
+    * 100 TB shape: two keyed re-aggs of the CC label frame (cluster
+    * → size, size → count) + one broadcast totals row.  The CC cost
+    * itself is q72's, already audited.
+    */
+  def clusterSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = dedupClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+    val cells = graft.util.Pins.eager(
+      sizes.groupBy("size").agg(count(lit(1)).as("n_clusters")))
+    val tot = cells.agg(sum(col("size") * col("n_clusters")).as("n_docs_total"),
+      sum(col("n_clusters")).as("n_clusters_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") * col("n_clusters")).cast("double") /
+          col("n_docs_total").cast("double")).as("doc_share"),
+        ((col("size") - lit(1L)) * col("n_clusters")).as("n_removed"))
+  }
+
   /** Degree assortativity of the near-duplicate graph (q146,
     * Newman 2002): the Pearson correlation of endpoint degrees over
     * every directed edge.  Template families (cliques of mutual

@@ -795,6 +795,48 @@ object Similarity {
           .otherwise(lit(0.0)).as("kappa"))
   }
 
+  /** Mean reciprocal rank of same-label retrieval (q165): for each
+    * probe, rank ALL other vectors by exact cosine and take the
+    * reciprocal rank of the FIRST same-label hit within the top-k
+    * (0 if none — standard MRR@k).  Per-label MRR is the
+    * dense-retrieval eval: "when I query with a class member, how
+    * high does its class surface?" — low MRR for a label means its
+    * embeddings don't retrieve each other (the retrieval twin of
+    * q143's noise audit and q150's kappa).
+    *
+    * Determinism: the shared bit-exact cosine ranking with the
+    * neighbor_id tiebreak; first-hit rank is an integer min;
+    * reciprocals (1/3 is inexact) sum in probe_id order via the
+    * pinned fold; one final divide per label.
+    *
+    * 100 TB shape: probes bounded by construction (q24's broadcast
+    * scan; the candidate leg swaps for the ANN tier at scale); the
+    * per-label reduction folds ≤ nProbes values.
+    */
+  def labelMrr(spark: SparkSession, dir: String,
+               numProbes: Int = 50, k: Int = 20): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val probes = graft.util.Pins.eager(
+      labels.filter(col("vec_id") < numProbes)
+        .select(col("vec_id").as("probe_id"), col("label").as("probe_label")))
+    val firstHit = bruteForceTopK(spark, dir, numProbes, k)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .filter(col("n_label") === col("probe_label"))
+      .groupBy("probe_id").agg(min(col("rank")).as("first_rank"))
+    probes.join(firstHit, Seq("probe_id"), "left")
+      .withColumn("rr",
+        when(col("first_rank").isNotNull, lit(1.0) / col("first_rank").cast("double"))
+          .otherwise(lit(0.0)))
+      .groupBy(col("probe_label"))
+      .agg(count(lit(1)).as("n_probes"),
+        (aggregate(
+          sort_array(collect_list(struct(col("probe_id"), col("rr")))),
+          lit(0.0), (acc, x) => acc + x.getField("rr"))
+          / count(lit(1)).cast("double")).as("mrr"))
+  }
+
   /** Hard-negative mining for contrastive training (q147): for each
     * probe, the top-k most-similar vectors carrying a DIFFERENT
     * label — the negatives that actually move a contrastive loss

@@ -1991,6 +1991,74 @@ class OperatorSpec extends SparkSuite {
       got.size < 9)
   }
 
+  test("label_mrr: first same-label hit replayed by hand") {
+    val emb = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = emb.filter(_._1 < 50)
+    val rrByProbe = probes.map { case (pid, pv, pl) =>
+      val ranked = emb.filter(_._1 != pid)
+        .map(e => (e._1, cos(pv, e._2), e._3))
+        .sortBy(t => (-t._2, t._1)).take(20)
+      val hit = ranked.zipWithIndex.find(_._1._3 == pl).map(_._2 + 1)
+      (pid, pl, hit.map(1.0 / _).getOrElse(0.0))
+    }
+    val want = rrByProbe.groupBy(_._2).view.mapValues { ps =>
+      val sorted = ps.sortBy(_._1)
+      (ps.length.toLong, sorted.foldLeft(0.0)(_ + _._3) / ps.length)
+    }.toMap
+    val got = Similarity.labelMrr(spark, sf)
+      .select("probe_label", "n_probes", "mrr")
+      .as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (l, (n, mrr)) =>
+      assert(got(l)._1 == n)
+      assert(math.abs(got(l)._2 - mrr) < 1e-12, s"label $l")
+      assert(got(l)._2 >= 0.0 && got(l)._2 <= 1.0)
+    }
+  }
+
+  test("cluster_sizes: histogram replayed via union-find") {
+    val pairs = Dedup.minhashLsh(spark, sf).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val sizes = nodes.groupBy(find).values.map(_.length.toLong)
+    val want = sizes.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totDocs = nodes.length.toDouble
+    val got = Dedup.clusterSizeHistogram(spark, sf)
+      .select("size", "n_clusters", "n_docs", "doc_share", "n_removed")
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (s, nc) =>
+      val (_, gnc, nd, share, rem) = got(s)
+      assert(gnc == nc && nd == s * nc && rem == (s - 1) * nc)
+      assert(share == s * nc / totDocs)
+    }
+    assert(got.values.map(_._3).sum == nodes.length)
+    // a dup cluster has at least 2 members by construction
+    assert(got.keys.min >= 2)
+  }
+
   test("roc_auc: matches brute-force pair counting per source") {
     val docs = Tables.documents(spark, sf)
       .select("source", "n_chars", "lang")
