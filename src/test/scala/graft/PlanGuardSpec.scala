@@ -486,6 +486,64 @@ class PlanGuardSpec extends SparkSuite {
     }
   }
 
+  test("q143/q144 kNN: bucket equi-join only — no pair scan, no nested loop") {
+    for (df <- Seq(Similarity.knnLabelNoise(spark, sf),
+                   Similarity.mutualKnn(spark, sf))) {
+      val ns = names(df)
+      assert(!ns.exists(_.contains("CartesianProduct")))
+      assert(!ns.exists(_.contains("BroadcastNestedLoop")),
+        "candidates must come from the bucket equi-join, not an all-pairs scan")
+    }
+  }
+
+  test("q149 last touch: ONE user-keyed sort window, ZERO joins") {
+    val df = EventOps.lastTouchAttribution(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(n => n.contains("Join") || n.contains("CartesianProduct")),
+      "the union-window as-of needs no self-join")
+    val windows = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("q154 RFM: cut pipelines pinned (checkpoint scans), cuts broadcast back, no SMJ") {
+    val df = EventOps.rfmSegments(spark, sf)
+    // the three quartile range shuffles happen at EAGER checkpoint
+    // time (lineage truncated — the r11 deadlock fix); downstream the
+    // plan must read the pinned RDDs and broadcast the cut rows
+    val rddScans = names(df).count(_.contains("ExistingRDD"))
+    assert(rddScans >= 3, s"expected >=3 pinned cut/users scans, saw $rddScans")
+    assert(names(df).count(_.contains("BroadcastHashJoin")) >= 3,
+      "each metric's cut thresholds broadcast onto users")
+    assert(!names(df).exists(_.contains("SortMergeJoin")),
+      "cut thresholds must broadcast onto users, never sort-merge")
+  }
+
+  test("q157 band curve: pure aggregation — no join ever materializes a candidate pair") {
+    val ns = names(Dedup.bandOperatingCurve(spark, sf))
+    assert(!ns.exists(n => n.contains("Join") || n.contains("CartesianProduct")),
+      "the operating curve reads bucket counts, not the pair join it prices")
+  }
+
+  test("q159 run lengths: the island windows stay user-keyed") {
+    val windows = plan(EventOps.runLengths(spark, sf)).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("q162 gains: two-pass rank reads the pinned range-shuffled frame, no SMJ") {
+    val df = TextAnalysis.gainsTable(spark, sf)
+    // the range shuffle lives behind the eager checkpoint; the final
+    // plan must read it as a pinned scan, rank per-pid, broadcast offsets
+    assert(names(df).exists(_.contains("ExistingRDD")),
+      "the range-shuffled frame must be pinned (eager checkpoint)")
+    val pidWindows = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.nonEmpty => w }
+    assert(pidWindows.nonEmpty, "the corpus-scale rank window must stay pid-keyed")
+    assert(!names(df).exists(_.contains("SortMergeJoin")))
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
