@@ -298,7 +298,11 @@ object SparkEntry {
     // — round-12 widening, batch 29: retrieval eval and dedup
     //   capacity planning —
     "q165_label_mrr" -> ((s, d) => Similarity.labelMrr(s, d)),
-    "q166_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d))
+    "q166_cluster_sizes" -> ((s, d) => Dedup.clusterSizeHistogram(s, d)),
+    // — round-12 widening, batch 30: token-weighted quantiles and
+    //   ingestion-duplicate forensics —
+    "q167_weighted_quantiles" -> ((s, d) => TextAnalysis.weightedLengthQuantiles(s, d)),
+    "q168_event_dups" -> ((s, d) => EventOps.eventDupAudit(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2939,6 +2943,30 @@ object SparkEntry {
          |  CAST(size * n_clusters AS DOUBLE) / CAST(ndt AS DOUBLE) AS doc_share,
          |  (size - 1) * n_clusters AS n_removed
          |FROM cells, t""".stripMargin,
+    // integer cumulative token weights over the (n_chars, doc_id)
+    // order; quantile picks are integer comparisons, no division
+    "q167_weighted_quantiles" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |  len(string_split(text, ' ')) AS tok FROM documents),
+        |w AS (SELECT source, n_chars,
+        |  CAST(sum(tok) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw,
+        |  CAST(sum(tok) OVER (PARTITION BY source) AS BIGINT) AS tot
+        |  FROM d)
+        |SELECT source, count(*) AS n_docs, max(tot) AS total_tokens,
+        |  min(CASE WHEN 2 * cumw >= tot THEN n_chars END) AS w_median_chars,
+        |  min(CASE WHEN 10 * cumw >= 9 * tot THEN n_chars END) AS w_p90_chars
+        |FROM w GROUP BY source""".stripMargin,
+    // exact-value grouping (the double is compared, never summed);
+    // two-level keyed counts, one divide
+    "q168_event_dups" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS us, event_type, value,
+        |  count(*) AS c FROM events GROUP BY user_id, us, event_type, value)
+        |SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        |  count(*) AS n_distinct,
+        |  CAST(sum(c - 1) AS BIGINT) AS n_dup_events,
+        |  CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_rate
+        |FROM g GROUP BY event_type""".stripMargin,
     // exact quartile cut values at ranks ceil(n/4)/ceil(n/2)/
     // ceil(3n/4), value-threshold scoring (ties share a score),
     // DECIMAL(18,2) money sums per the q09 rule

@@ -926,6 +926,40 @@ object EventOps {
   val benfordRates: Seq[(String, Double)] =
     (1 to 9).map(d => d.toString -> math.log(1.0 + 1.0 / d) / math.log(10.0))
 
+  /** Exact-duplicate event audit (q168): how many events are
+    * byte-identical re-deliveries of another (same user, µs
+    * timestamp, type, and value)?  At-least-once ingestion and
+    * client retries both manifest here; the per-type duplication
+    * rate is the signal that decides whether q19-style dedup must
+    * run on the EVENT stream too, and which event types need it
+    * (the streaming tier's dedup-on-ingest sizes its state store
+    * from exactly this number).
+    *
+    * Determinism: grouping on exact values (the double `value` is
+    * compared, never summed); counts exact integers; the rate one
+    * divide.
+    *
+    * 100 TB shape: one (user, ts, type, value) keyed count with
+    * map-side combine, re-aggregated per type — the same two-level
+    * shape as every dedup audit here; nothing row-wise survives the
+    * first agg.
+    */
+  def eventDupAudit(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .groupBy("user_id", "us", "event_type", "value")
+      .agg(count(lit(1)).as("c"))
+    groups.groupBy("event_type")
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") - lit(1L)).as("n_dup_events"))
+      .select(col("event_type"), col("n_events"), col("n_distinct"),
+        col("n_dup_events"),
+        (col("n_dup_events").cast("double") / col("n_events").cast("double"))
+          .as("dup_rate"))
+  }
+
   /** Attributed revenue by touch channel (q155): q149's last-touch
     * assignment rolled up to the channel level with money attached —
     * the report the attribution exists FOR: per channel, how many

@@ -2033,6 +2033,44 @@ object TextAnalysis {
           col("ss")).as("se_jack"))
   }
 
+  /** Token-weighted length quantiles per source (q167): the q51
+    * family asks "the median DOCUMENT is this long"; this asks "the
+    * median TOKEN lives in a document this long" — the quantity that
+    * governs chunking and packing budgets, because compute is spent
+    * per token, not per document.  A source whose weighted median is
+    * 5× its plain median hides most of its mass in a few giants
+    * (q158's ESS says how much; this says WHERE the cut points are).
+    *
+    *   wQ(p) = min{ x : Σ_{len ≤ x} tok ≥ p·T }
+    *
+    * Determinism: cumulative token weights are exact integer window
+    * sums over the (n_chars, doc_id) total order; the quantile picks
+    * are integer comparisons (2·cum ≥ T, 10·cum ≥ 9·T — no division
+    * anywhere); outputs are exact integers.
+    *
+    * 100 TB shape: ONE source-keyed sort window computes both the
+    * running and total weights; the picks are conditional mins in the
+    * same keyed agg.  No global sort, no second pass.
+    */
+  def weightedLengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source")
+    val ord = bySrc.orderBy(col("n_chars").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        tokenCount(col("text")).cast("long").as("tok"))
+      .withColumn("cumw", sum(col("tok")).over(ord))
+      .withColumn("tot", sum(col("tok")).over(bySrc))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("tot")).as("total_tokens"),
+        min(when(lit(2L) * col("cumw") >= col("tot"), col("n_chars")))
+          .as("w_median_chars"),
+        min(when(lit(10L) * col("cumw") >= lit(9L) * col("tot"), col("n_chars")))
+          .as("w_p90_chars"))
+  }
+
   /** Quantile normalization of document lengths across sources
     * (q142): map each doc's WITHIN-SOURCE percent-rank onto the
     * POOLED length distribution, so every source's length profile

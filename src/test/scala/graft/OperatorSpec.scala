@@ -2059,6 +2059,57 @@ class OperatorSpec extends SparkSuite {
     assert(got.keys.min >= 2)
   }
 
+  test("weighted_quantiles: token-weighted picks replayed by hand") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars", "text")
+      .as[(String, Long, Long, String)].collect()
+    val got = TextAnalysis.weightedLengthQuantiles(spark, sf)
+      .select("source", "n_docs", "total_tokens", "w_median_chars", "w_p90_chars")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, ds) =>
+      val sorted = ds.sortBy(d => (d._3, d._2))
+        .map(d => (d._3, d._4.split(" ", -1).length.toLong))
+      val tot = sorted.map(_._2).sum
+      var cum = 0L
+      var med = -1L; var p90 = -1L
+      sorted.foreach { case (len, tok) =>
+        cum += tok
+        if (med < 0 && 2 * cum >= tot) med = len
+        if (p90 < 0 && 10 * cum >= 9 * tot) p90 = len
+      }
+      val (_, n, t, gm, gp) = got(s)
+      assert(n == ds.length && t == tot)
+      assert(gm == med && gp == p90, s"$s: ($gm,$gp) vs ($med,$p90)")
+      // the weighted quantile never precedes the weighted median
+      assert(gp >= gm)
+    }
+  }
+
+  test("event_dups: exact-duplicate groups replayed by hand") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)].collect()
+    val groups = ev.groupBy(identity).view.mapValues(_.length.toLong)
+    val byType = groups.toSeq.groupBy(_._1._3)
+    val got = EventOps.eventDupAudit(spark, sf)
+      .select("event_type", "n_events", "n_distinct", "n_dup_events", "dup_rate")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, gs) =>
+      val ne = gs.map(_._2).sum
+      val nd = gs.size.toLong
+      val (_, gne, gnd, gdup, rate) = got(t)
+      assert(gne == ne && gnd == nd && gdup == ne - nd)
+      assert(rate == (ne - nd).toDouble / ne)
+    }
+    assert(got.values.map(_._2).sum == ev.length)
+  }
+
   test("roc_auc: matches brute-force pair counting per source") {
     val docs = Tables.documents(spark, sf)
       .select("source", "n_chars", "lang")
