@@ -802,11 +802,11 @@ object EventOps {
           col("f"), col("m")))
     // exact quartile cuts via the q65 two-pass escape, eager-pinned
     def cuts(metric: String): DataFrame = {
-      val sorted = users
-        .select(col(metric).as("x"), col("user_id"))
-        .repartitionByRange(nParts, col("x"), col("user_id"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true) // EAGER: lineage feeds a broadcast join
+      val sorted = graft.util.Pins.eager( // EAGER: feeds a broadcast join
+        users
+          .select(col(metric).as("x"), col("user_id"))
+          .repartitionByRange(nParts, col("x"), col("user_id"))
+          .withColumn("pid", spark_partition_id()))
       val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
       val offsets = counts
         .withColumn("off", coalesce(sum(col("c")).over(

@@ -1936,12 +1936,12 @@ object TextAnalysis {
   def gainsTable(spark: SparkSession, dir: String, parts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val nParts = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    val sorted = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-      .repartitionByRange(nParts, col("n_chars").desc, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint(true) // EAGER: lineage feeds a broadcast join
+    val sorted = graft.util.Pins.eager( // EAGER: feeds a broadcast join
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        .repartitionByRange(nParts, col("n_chars").desc, col("doc_id"))
+        .withColumn("pid", spark_partition_id()))
     val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
     val offsets = counts
       .withColumn("off", coalesce(sum(col("c")).over(
