@@ -302,7 +302,15 @@ object SparkEntry {
     // — round-12 widening, batch 30: token-weighted quantiles and
     //   ingestion-duplicate forensics —
     "q167_weighted_quantiles" -> ((s, d) => TextAnalysis.weightedLengthQuantiles(s, d)),
-    "q168_event_dups" -> ((s, d) => EventOps.eventDupAudit(s, d))
+    "q168_event_dups" -> ((s, d) => EventOps.eventDupAudit(s, d)),
+    // — round-12 widening, batch 31: rank association and the length
+    //   prior regression —
+    "q169_spearman" -> ((s, d) => TextAnalysis.spearmanCorr(s, d)),
+    "q170_grouped_ols" -> ((s, d) => TextAnalysis.groupedOls(s, d)),
+    // — round-12 widening, batch 32: do-sources-differ hypothesis
+    //   tests (omnibus + flagship pair) —
+    "q171_anova" -> ((s, d) => TextAnalysis.anovaLength(s, d)),
+    "q172_welch" -> ((s, d) => TextAnalysis.welchTest(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2967,6 +2975,109 @@ object SparkEntry {
         |  CAST(sum(c - 1) AS BIGINT) AS n_dup_events,
         |  CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dup_rate
         |FROM g GROUP BY event_type""".stripMargin,
+    // doubled midranks (2·rank + peers − 1, exact integers) so tied
+    // runs carry their average rank without leaving the integer
+    // domain; Pearson-on-ranks with the q118 integer-moment rule and
+    // the identical fixed-order final formula
+    "q169_spearman" ->
+      s"""WITH d AS (SELECT source, n_chars AS x,
+         |  CAST(floor(($qualitySql) * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM documents),
+         |r AS (SELECT source,
+         |  2 * rank() OVER (PARTITION BY source ORDER BY x)
+         |    + count(*) OVER (PARTITION BY source, x) - 1 AS rx2,
+         |  2 * rank() OVER (PARTITION BY source ORDER BY y)
+         |    + count(*) OVER (PARTITION BY source, y) - 1 AS ry2
+         |  FROM d),
+         |s AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(rx2) AS DOUBLE) AS sx, CAST(sum(ry2) AS DOUBLE) AS sy,
+         |  CAST(sum(rx2 * ry2) AS DOUBLE) AS sxy,
+         |  CAST(sum(rx2 * rx2) AS DOUBLE) AS sxx,
+         |  CAST(sum(ry2 * ry2) AS DOUBLE) AS syy
+         |  FROM r GROUP BY source)
+         |SELECT source, n_docs,
+         |  (n_docs * sxy - sx * sy) /
+         |  (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy)) AS spearman_rho
+         |FROM s""".stripMargin,
+    // cross-group Σ(Σx)²/n_g folds in source order (the q119/q163
+    // ordered-fold rule); every moment is HUGEINT-exact until ONE
+    // cast per term, formulas written in the Spark operation order
+    "q171_anova" ->
+      """WITH cells AS (SELECT source, count(*) AS ng,
+        |  sum(n_chars) AS sg, sum(n_chars * n_chars) AS qg
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT count(*) AS k, sum(ng) AS n,
+        |  sum(sg) AS s, sum(qg) AS q FROM cells),
+        |f AS (SELECT k, n, s, q,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list(CAST(sg * sg AS DOUBLE) / CAST(ng AS DOUBLE) ORDER BY source)),
+        |    (a, b) -> a + b) AS fold
+        |  FROM cells, tot GROUP BY k, n, s, q)
+        |SELECT k AS n_sources, CAST(n AS BIGINT) AS n_docs,
+        |  fold - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE) AS ss_between,
+        |  CAST(q AS DOUBLE) - fold AS ss_within,
+        |  ((fold - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+        |    / ((CAST(q AS DOUBLE) - fold) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat,
+        |  (fold - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(q AS DOUBLE) - CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE)) AS eta_sq
+        |FROM f""".stripMargin,
+    // deterministic pair pick (n DESC, source ASC); v/n subterms
+    // spelled identically everywhere so both engines share one IEEE
+    // sequence for t, Welch-Satterthwaite df, and Cohen's d
+    "q172_welch" ->
+      """WITH cells AS (SELECT source, count(*) AS ng,
+        |  sum(n_chars) AS sg, sum(n_chars * n_chars) AS qg
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT *, row_number() OVER (ORDER BY ng DESC, source ASC) AS rn
+        |  FROM cells),
+        |p AS (SELECT
+        |  max(CASE WHEN rn = 1 THEN source END) AS source_a,
+        |  max(CASE WHEN rn = 2 THEN source END) AS source_b,
+        |  max(CASE WHEN rn = 1 THEN ng END) AS na,
+        |  max(CASE WHEN rn = 2 THEN ng END) AS nb,
+        |  max(CASE WHEN rn = 1 THEN sg END) AS sa,
+        |  max(CASE WHEN rn = 2 THEN sg END) AS sb,
+        |  max(CASE WHEN rn = 1 THEN qg END) AS qa,
+        |  max(CASE WHEN rn = 2 THEN qg END) AS qb
+        |  FROM r WHERE rn <= 2),
+        |v AS (SELECT source_a, source_b, na, nb,
+        |  CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |  CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |  CAST(na * qa - sa * sa AS DOUBLE) / CAST(na * (na - 1) AS DOUBLE) AS va,
+        |  CAST(nb * qb - sb * sb AS DOUBLE) / CAST(nb * (nb - 1) AS DOUBLE) AS vb
+        |  FROM p)
+        |SELECT source_a, source_b,
+        |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  ma AS mean_a, mb AS mean_b,
+        |  (ma - mb) / sqrt(va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)) AS t_stat,
+        |  ((va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE))
+        |    * (va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE)))
+        |    / ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0)
+        |      + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0)) AS df_welch,
+        |  (ma - mb) / sqrt(((CAST(na AS DOUBLE) - 1.0) * va
+        |    + (CAST(nb AS DOUBLE) - 1.0) * vb)
+        |    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0)) AS cohen_d
+        |FROM v""".stripMargin,
+    // q118's integer moments reused for the fit: slope/intercept/R²
+    // written in the same operation order as the Spark select so both
+    // engines perform the identical IEEE sequence
+    "q170_grouped_ols" ->
+      s"""WITH d AS (SELECT source, n_chars AS x,
+         |  CAST(floor(($qualitySql) * 1000000.0 + 0.5) AS BIGINT) AS y
+         |  FROM documents),
+         |s AS (SELECT source, count(*) AS n_docs,
+         |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         |  CAST(sum(x * y) AS DOUBLE) AS sxy,
+         |  CAST(sum(x * x) AS DOUBLE) AS sxx,
+         |  CAST(sum(y * y) AS DOUBLE) AS syy
+         |  FROM d GROUP BY source)
+         |SELECT source, n_docs,
+         |  (n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx) AS slope,
+         |  (sy - ((n_docs * sxy - sx * sy) / (n_docs * sxx - sx * sx)) * sx)
+         |    / n_docs AS intercept,
+         |  ((n_docs * sxy - sx * sy) * (n_docs * sxy - sx * sy)) /
+         |  ((n_docs * sxx - sx * sx) * (n_docs * syy - sy * sy)) AS r2
+         |FROM s""".stripMargin,
     // exact quartile cut values at ranks ceil(n/4)/ceil(n/2)/
     // ceil(3n/4), value-threshold scoring (ties share a score),
     // DECIMAL(18,2) money sums per the q09 rule

@@ -2125,4 +2125,208 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("p").as("src_pct"), col("m.v").as("norm_chars"))
   }
+
+  /** Per-source Spearman rank correlation between document length and
+    * quality (q169) — the monotone-association twin of q118's Pearson:
+    * crawls where "longer is better" holds as a ranking (but not
+    * linearly) show ρ >> r, which tells the pipeline whether a linear
+    * length prior or a rank-based one belongs in the quality mix.
+    *
+    * Ranks with midrank ties, doubled to stay integral: a tied run of
+    * c values starting at min-rank k has average rank k + (c−1)/2, so
+    * 2·avg = 2·rank() + peers − 1 is an exact integer (`rx2`/`ry2`),
+    * and Pearson on the doubled ranks equals Pearson on the averages
+    * (affine invariance). All five moments are integer-exact
+    * DECIMAL(38,0) sums; the only doubles are correctly-rounded
+    * int→double casts and one fixed-order final formula — the q118
+    * determinism rule.
+    *
+    * 100 TB shape: one sort per axis, and both the rank and the
+    * peer count reuse the SAME window sort (peer count = count over a
+    * RANGE current-row frame, which Spark evaluates on the rank's
+    * sort) — two keyed sort shuffles bounded by the per-source doc
+    * count, then one partial+final agg down to a sources-sized frame.
+    * Spearman is rank-based, so per-key sorts are irreducible; what
+    * matters is that no extra exchange sneaks in for the tie counts.
+    */
+  def spearmanCorr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val d = Tables.documents(spark, dir).select(
+      col("source"),
+      col("n_chars").as("x"),
+      floor(qualityScore(col("text")) * lit(1.0e6) + lit(0.5)).cast("long").as("y"))
+    val wx = Window.partitionBy("source").orderBy("x")
+    val wy = Window.partitionBy("source").orderBy("y")
+    val peers = (w: org.apache.spark.sql.expressions.WindowSpec) =>
+      count(lit(1)).over(w.rangeBetween(Window.currentRow, Window.currentRow))
+    val r = d
+      .withColumn("rx2", lit(2L) * rank().over(wx) + peers(wx) - lit(1L))
+      .withColumn("ry2", lit(2L) * rank().over(wy) + peers(wy) - lit(1L))
+    val n = col("n_docs").cast("double")
+    r.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("rx2").cast(dec)).cast("double").as("sx"),
+        sum(col("ry2").cast(dec)).cast("double").as("sy"),
+        sum((col("rx2") * col("ry2")).cast(dec)).cast("double").as("sxy"),
+        sum((col("rx2") * col("rx2")).cast(dec)).cast("double").as("sxx"),
+        sum((col("ry2") * col("ry2")).cast(dec)).cast("double").as("syy"))
+      .select(col("source"), col("n_docs"),
+        ((n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+            sqrt(n * col("syy") - col("sy") * col("sy")))).as("spearman_rho"))
+  }
+
+  /** One-way ANOVA of document length across sources (q171): F-test
+    * of "do sources differ in mean length at all", plus the effect
+    * size η² — the gatekeeper statistic before any per-source length
+    * normalization (q142/q170) is worth its cost.
+    *
+    * Decomposition from integer moments only: per-source n_g, Σx, Σx²
+    * are DECIMAL(38,0)-exact; the single cross-group double sum
+    * Σ_g (Σx)²/n_g folds in source order over the sources-sized frame
+    * (the q119/q163 ordered-fold rule), so the IEEE sequence is fixed
+    * and both engines agree bitwise. SSB = that fold − S²/N,
+    * SSW = ΣΣx² − fold, F = (SSB/(k−1))/(SSW/(N−k)).
+    *
+    * 100 TB shape: ONE partial+final hash agg over the corpus down to
+    * a sources-sized frame; everything after — the broadcast totals
+    * crossJoin and the ordered fold — is O(sources). The fold is the
+    * price of determinism: a plain `sum` over per-group doubles would
+    * re-associate across partitions.
+    */
+  def anovaLength(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("ng"),
+        sum(col("x").cast(dec)).as("sg"),
+        sum((col("x") * col("x")).cast(dec)).as("qg"))
+    val tot = cells.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).cast(dec).as("s"), sum(col("qg")).cast(dec).as("q"))
+    val nD = col("n").cast("double")
+    val sb = col("fold") - (col("s") * col("s")).cast("double") / nD
+    val sw = col("q").cast("double") - col("fold")
+    val sst = col("q").cast("double") - (col("s") * col("s")).cast("double") / nD
+    cells.crossJoin(broadcast(tot))
+      .groupBy("k", "n", "s", "q")
+      .agg(aggregate(
+          sort_array(collect_list(struct(col("source"),
+            ((col("sg") * col("sg")).cast("double") /
+              col("ng").cast("double")).as("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")).as("fold"))
+      .select(col("k").as("n_sources"), col("n").as("n_docs"),
+        sb.as("ss_between"), sw.as("ss_within"),
+        ((sb / (col("k") - lit(1L)).cast("double")) /
+          (sw / (nD - col("k").cast("double")))).as("f_stat"),
+        (sb / sst).as("eta_sq"))
+  }
+
+  /** Welch's unequal-variance t-test between the two largest sources
+    * (q172), with Welch–Satterthwaite degrees of freedom and Cohen's d
+    * — the pairwise drill-down after q171's ANOVA says "they differ":
+    * is the flagship pair's length gap real, and how big in
+    * pooled-SD units?
+    *
+    * Group selection is deterministic: rank sources by (n_docs DESC,
+    * source ASC) on the sources-sized frame and keep ranks 1–2. All
+    * inputs are the same integer moments as q171; means and sample
+    * variances convert to double once (exact decimal numerators), and
+    * t/df/d are one fixed-order formula written identically in the
+    * oracle, with v/n subterms spelled the same way everywhere so the
+    * engines share the IEEE sequence.
+    *
+    * 100 TB shape: the corpus work is the same single partial+final
+    * moment agg as q171; the rank window runs single-partition but on
+    * a SOURCES-sized frame (bounded by the catalog, not the corpus —
+    * the q163 exemption), and the pivot to one row is an O(k) agg.
+    */
+  def welchTest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val cells = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("ng"),
+        sum(col("x").cast(dec)).as("sg"),
+        sum((col("x") * col("x")).cast(dec)).as("qg"))
+    val ranked = cells
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("ng").desc, col("source").asc)))
+      .filter(col("rn") <= 2)
+    val side = (i: Int, c: String) => max(when(col("rn") === i, col(c)))
+    val one = ranked.groupBy().agg(
+      side(1, "source").as("source_a"), side(2, "source").as("source_b"),
+      side(1, "ng").as("na"), side(2, "ng").as("nb"),
+      side(1, "sg").as("sa"), side(2, "sg").as("sb"),
+      side(1, "qg").as("qa"), side(2, "qg").as("qb"))
+    val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+    val ma = col("sa").cast("double") / naD
+    val mb = col("sb").cast("double") / nbD
+    val va = (col("na").cast(dec) * col("qa") - col("sa") * col("sa")).cast("double") /
+      (col("na") * (col("na") - lit(1L))).cast("double")
+    val vb = (col("nb").cast(dec) * col("qb") - col("sb") * col("sb")).cast("double") /
+      (col("nb") * (col("nb") - lit(1L))).cast("double")
+    val se2 = va / naD + vb / nbD
+    val df = (se2 * se2) /
+      ((va / naD) * (va / naD) / (naD - lit(1.0)) +
+        (vb / nbD) * (vb / nbD) / (nbD - lit(1.0)))
+    val pooled = sqrt(((naD - lit(1.0)) * va + (nbD - lit(1.0)) * vb) /
+      (naD + nbD - lit(2.0)))
+    one.select(col("source_a"), col("source_b"),
+      col("na").as("n_a"), col("nb").as("n_b"),
+      ma.as("mean_a"), mb.as("mean_b"),
+      ((ma - mb) / sqrt(se2)).as("t_stat"),
+      df.as("df_welch"),
+      ((ma - mb) / pooled).as("cohen_d"))
+  }
+
+  /** Per-source ordinary-least-squares fit of quality on length
+    * (q170): slope, intercept, and R² of quality_millionths ~ n_chars
+    * — the "how much quality does a character buy" regression that
+    * turns q118's correlation into an actionable length prior (and
+    * whose residual scale feeds length-normalized quality gates).
+    *
+    * Same exact-moment discipline as q118/q169: x is the raw length,
+    * y the millionths-quantized quality, all five sums integer-exact
+    * in DECIMAL(38,0); slope/intercept/R² are one fixed-order double
+    * formula over the cast moments, written identically in the DuckDB
+    * oracle so both engines round identically.
+    *
+    * 100 TB shape: a single partial+final hash agg (map-side combine
+    * does virtually all the work — five running integer sums per
+    * source) producing a sources-sized frame; no sort, no join, no
+    * window. This is the cheapest possible shape for grouped
+    * regression, and it is exactly what `regr_slope`-style built-ins
+    * compute — but those stream float updates in partition order,
+    * which is non-deterministic under shuffle; the decimal moments
+    * make the result reproducible run-to-run.
+    */
+  def groupedOls(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val d = Tables.documents(spark, dir).select(
+      col("source"),
+      col("n_chars").as("x"),
+      floor(qualityScore(col("text")) * lit(1.0e6) + lit(0.5)).cast("long").as("y"))
+    val n = col("n_docs").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("y").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).cast("double").as("syy"))
+      .select(col("source"), col("n_docs"),
+        (cov / varx).as("slope"),
+        ((col("sy") - (cov / varx) * col("sx")) / n).as("intercept"),
+        ((cov * cov) / (varx * vary)).as("r2"))
+  }
 }

@@ -2166,4 +2166,143 @@ class OperatorSpec extends SparkSuite {
       assert(bySrc.zip(bySrc.tail).forall { case (a, b) => a <= b })
     }
   }
+
+  // doubled midranks replayed by hand: 2·avg-rank of v within vs
+  private def midranks2(vs: Array[Long]): Map[Long, Long] = {
+    val sorted = vs.sorted
+    vs.distinct.map { v =>
+      val lo = sorted.indexWhere(_ == v) + 1L
+      val c = sorted.count(_ == v).toLong
+      v -> (2 * lo + c - 1)
+    }.toMap
+  }
+
+  test("spearman: equals Pearson on hand-computed midranks; rank-invariant") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"),
+        floor(graft.functions.TextFunctions.qualityScore(col("text")) * lit(1.0e6) + lit(0.5))
+          .cast("long"))
+      .as[(String, Long, Long)].collect()
+    val got = TextAnalysis.spearmanCorr(spark, sf)
+      .select("source", "n_docs", "spearman_rho")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, ds) =>
+      val rx = midranks2(ds.map(_._2))
+      val ry = midranks2(ds.map(_._3))
+      val pts = ds.map(d => (rx(d._2), ry(d._3)))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+      val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+      val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+      val syy = pts.map(p => p._2 * p._2).sum.toDouble
+      val want = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val (_, gn, rho) = got(s)
+      assert(gn == ds.length)
+      assert(math.abs(rho - want) < 1e-12, s"$s: $rho vs $want")
+      assert(rho >= -1.0 - 1e-12 && rho <= 1.0 + 1e-12)
+    }
+    // doubled midranks of each axis sum to n(n+1) (rank bookkeeping)
+    bySrc.foreach { case (_, ds) =>
+      val rx = midranks2(ds.map(_._2))
+      assert(ds.map(d => rx(d._2)).sum == ds.length.toLong * (ds.length + 1))
+    }
+  }
+
+  test("grouped_ols: slope/intercept/r2 replayed from integer moments") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"),
+        floor(graft.functions.TextFunctions.qualityScore(col("text")) * lit(1.0e6) + lit(0.5))
+          .cast("long"))
+      .as[(String, Long, Long)].collect()
+    val got = TextAnalysis.groupedOls(spark, sf)
+      .select("source", "n_docs", "slope", "intercept", "r2")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, ds) =>
+      val n = ds.length.toDouble
+      val sx = ds.map(_._2).sum.toDouble
+      val sy = ds.map(_._3).sum.toDouble
+      val sxy = ds.map(d => d._2 * d._3).sum.toDouble
+      val sxx = ds.map(d => d._2 * d._2).sum.toDouble
+      val syy = ds.map(d => d._3 * d._3).sum.toDouble
+      val cov = n * sxy - sx * sy
+      val varx = n * sxx - sx * sx
+      val vary = n * syy - sy * sy
+      val (_, gn, slope, icept, r2) = got(s)
+      assert(gn == ds.length)
+      assert(slope == cov / varx, s"$s slope: $slope vs ${cov / varx}")
+      assert(icept == (sy - (cov / varx) * sx) / n)
+      assert(r2 == (cov * cov) / (varx * vary))
+      // r2 is the square of q118's Pearson r: bounded, and the fit
+      // line passes through the centroid by construction
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12)
+      assert(math.abs((sy / n) - (slope * (sx / n) + icept)) < 1e-6)
+    }
+  }
+
+  test("anova: SSB+SSW=SST replayed from per-source moments; F matches by hand") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "n_chars").as[(String, Long)].collect()
+    val row = TextAnalysis.anovaLength(spark, sf)
+      .select("n_sources", "n_docs", "ss_between", "ss_within", "f_stat", "eta_sq")
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = bySrc.size
+    val n = docs.length
+    assert(row._1 == k && row._2 == n)
+    // hand replay with the same source-ordered fold
+    val s = docs.map(_._2).sum.toDouble
+    val q = docs.map(d => d._2 * d._2).sum.toDouble
+    val fold = bySrc.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (_, xs)) =>
+      acc + xs.sum.toDouble * xs.sum.toDouble / xs.length.toDouble
+    }
+    val ssb = fold - s * s / n
+    val ssw = q - fold
+    assert(math.abs(row._3 - ssb) < 1e-6 * math.abs(ssb))
+    assert(math.abs(row._4 - ssw) < 1e-6 * math.abs(ssw))
+    // partition identity and positivity
+    assert(math.abs((row._3 + row._4) - (q - s * s / n)) < 1e-6 * q)
+    assert(row._5 > 0 && row._6 >= 0 && row._6 <= 1)
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(row._5 - f) < 1e-9 * f)
+  }
+
+  test("welch: picks the two largest sources; t/df/d replayed by hand") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "n_chars").as[(String, Long)].collect()
+    val row = TextAnalysis.welchTest(spark, sf)
+      .select("source_a", "source_b", "n_a", "n_b", "mean_a", "mean_b",
+        "t_stat", "df_welch", "cohen_d")
+      .as[(String, String, Long, Long, Double, Double, Double, Double, Double)]
+      .head()
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val order = bySrc.toSeq.sortBy { case (s, xs) => (-xs.length, s) }
+    val (sa, xa) = order(0); val (sbn, xb) = order(1)
+    assert(row._1 == sa && row._2 == sbn)
+    assert(row._3 == xa.length && row._4 == xb.length)
+    def mv(xs: Array[Long]) = {
+      val n = xs.length.toDouble
+      val m = xs.sum.toDouble / n
+      val v = (xs.length.toDouble * xs.map(x => x * x).sum.toDouble -
+        xs.sum.toDouble * xs.sum.toDouble) / (xs.length.toDouble * (xs.length - 1))
+      (n, m, v)
+    }
+    val (na, ma, va) = mv(xa); val (nb, mb, vb) = mv(xb)
+    assert(math.abs(row._5 - ma) < 1e-9 && math.abs(row._6 - mb) < 1e-9)
+    val se2 = va / na + vb / nb
+    val t = (ma - mb) / math.sqrt(se2)
+    val df = se2 * se2 /
+      ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+    val d = (ma - mb) / math.sqrt(((na - 1) * va + (nb - 1) * vb) / (na + nb - 2))
+    assert(math.abs(row._7 - t) < 1e-9 * math.max(1, math.abs(t)))
+    assert(math.abs(row._8 - df) < 1e-6 * df)
+    assert(math.abs(row._9 - d) < 1e-9 * math.max(1, math.abs(d)))
+    // Welch df is bounded by the classic bracket [min−1, n_a+n_b−2]
+    assert(df >= math.min(na, nb) - 1 && df <= na + nb - 2)
+  }
 }

@@ -544,6 +544,45 @@ class PlanGuardSpec extends SparkSuite {
     assert(!names(df).exists(_.contains("SortMergeJoin")))
   }
 
+  test("q169 spearman: rank windows stay source-keyed; peer counts reuse the rank sort") {
+    val df = TextAnalysis.spearmanCorr(spark, sf)
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "no single-partition window may rank the corpus")
+    // both axes share the source hash partitioning: one exchange per
+    // branch at most, and the tie count must NOT add an exchange over
+    // (source, x) — it rides the rank's RANGE frame
+    assert(shuffles(df) <= 2, s"expected <=2 shuffles, got ${shuffles(df)}")
+    assert(!names(df).exists(_.contains("Join")))
+  }
+
+  test("q170 grouped OLS: a single partial+final hash agg — no window, no join") {
+    val df = TextAnalysis.groupedOls(spark, sf)
+    assert(shuffles(df) == 1, s"expected 1 shuffle, got ${shuffles(df)}")
+    assert(plan(df).count(_.nodeName.contains("HashAggregate")) >= 2,
+      "map-side partial aggregation must carry the moment sums")
+    assert(!names(df).exists(_.contains("Window")))
+    assert(!names(df).exists(_.contains("Join")))
+  }
+
+  test("q171/q172 moment tests: corpus work is ONE agg; folds/windows ride the sources frame") {
+    val anova = TextAnalysis.anovaLength(spark, sf)
+    // one corpus shuffle (the moment agg); the fold's groupBy and the
+    // broadcast totals add no corpus-sized exchange
+    assert(!names(anova).exists(_.contains("SortMergeJoin")))
+    assert(plan(anova).count(_.nodeName.contains("HashAggregate")) >= 2)
+    val welch = TextAnalysis.welchTest(spark, sf)
+    // the rank window is single-partition BY DESIGN but runs on the
+    // sources-sized agg output, never the corpus: the window's child
+    // must aggregate before it
+    val ws = plan(welch).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.size == 1)
+    assert(nodes(ws.head.child).exists(_.nodeName.contains("HashAggregate")),
+      "rank window must consume the aggregated sources frame")
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
