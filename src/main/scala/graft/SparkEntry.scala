@@ -310,7 +310,11 @@ object SparkEntry {
     // — round-12 widening, batch 32: do-sources-differ hypothesis
     //   tests (omnibus + flagship pair) —
     "q171_anova" -> ((s, d) => TextAnalysis.anovaLength(s, d)),
-    "q172_welch" -> ((s, d) => TextAnalysis.welchTest(s, d))
+    "q172_welch" -> ((s, d) => TextAnalysis.welchTest(s, d)),
+    // — round-12 widening, batch 33: time-series diagnostics on the
+    //   zero-filled daily stream —
+    "q173_autocorr" -> ((s, d) => EventOps.dailyAutocorrelation(s, d)),
+    "q174_mann_kendall" -> ((s, d) => EventOps.mannKendall(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -2999,6 +3003,52 @@ object SparkEntry {
          |  (n_docs * sxy - sx * sy) /
          |  (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy)) AS spearman_rho
          |FROM s""".stripMargin,
+    // X_t = N·c_t − S keeps the ACF a ratio of exact integers (the
+    // N² factors cancel); zero-filled calendar via range(); the lag
+    // fan-out is the same day+k equi-join as the Spark plan
+    "q173_autocorr" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |cal AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM b),
+        |z AS (SELECT cal.day AS day, coalesce(d.c, 0) AS c
+        |  FROM cal LEFT JOIN d ON d.day = cal.day),
+        |t AS (SELECT count(*) AS n, sum(c) AS s FROM z),
+        |x AS (SELECT day, CAST(n AS HUGEINT) * c - CAST(s AS HUGEINT) AS x
+        |  FROM z, t),
+        |den AS (SELECT sum(x * x) AS den, count(*) AS n_days FROM x),
+        |lags AS (SELECT unnest(range(1, 8)) AS lag),
+        |num AS (SELECT lag, sum(a.x * bb.x) AS num
+        |  FROM x a CROSS JOIN lags JOIN x bb ON bb.day = a.day + lag
+        |  GROUP BY lag)
+        |SELECT lag, n_days, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+        |FROM num, den""".stripMargin,
+    // S and both variance terms are exact integer sums over the
+    // calendar-bounded pair scan; one /18.0 and one sqrt at the end,
+    // continuity-corrected z as the identical CASE
+    "q174_mann_kendall" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |cal AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM b),
+        |z AS (SELECT cal.day AS day, coalesce(d.c, 0) AS c
+        |  FROM cal LEFT JOIN d ON d.day = cal.day),
+        |s AS (SELECT CAST(sum(CASE WHEN bb.c > a.c THEN 1
+        |  WHEN bb.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM z a JOIN z bb ON bb.day > a.day),
+        |ties AS (SELECT CAST(coalesce(sum(CASE WHEN t > 1
+        |  THEN t * (t - 1) * (2 * t + 5) END), 0) AS BIGINT) AS tie_term
+        |  FROM (SELECT c, count(*) AS t FROM z GROUP BY c)),
+        |n AS (SELECT count(*) AS n_days FROM z)
+        |SELECT n_days, s_stat,
+        |  CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE)
+        |    / 18.0 AS var_s,
+        |  CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+        |    / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0)
+        |  WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+        |    / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE) / 18.0)
+        |  ELSE 0.0 END AS z_stat
+        |FROM s, ties, n""".stripMargin,
     // cross-group Σ(Σx)²/n_g folds in source order (the q119/q163
     // ordered-fold rule); every moment is HUGEINT-exact until ONE
     // cast per term, formulas written in the Spark operation order

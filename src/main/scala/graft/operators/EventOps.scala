@@ -1084,4 +1084,104 @@ object EventOps {
         coalesce(col("t.t_id"), lit(-1L)).as("touch_event_id"),
         coalesce(col("us") - col("t.t_us"), lit(-1L)).as("gap_us"))
   }
+
+  /** The zero-filled daily event-count series shared by q173/q174:
+    * epoch-day → count with calendar gaps filled by an explicit
+    * sequence join, so lagged comparisons see real zeros instead of
+    * silently skipping missing days.  Day ids are integers (the q108
+    * epoch-day idiom) — no timestamp arithmetic downstream.
+    */
+  private def dailyCounts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+    val counts = e.groupBy("day").agg(count(lit(1)).as("c"))
+    val cal = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    cal.join(counts, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+  }
+
+  /** Lag-1..7 autocorrelation of the daily event-count series (q173)
+    * — the seasonality detector: a spike at lag 7 says weekly
+    * periodicity, slow decay says trend, and that decides whether
+    * day-of-week stratification belongs in sampling (q75) and
+    * anomaly baselines (q105).
+    *
+    * Exactness: with X_t = N·c_t − S (integers), the N² factors
+    * cancel in r_k = Σ(x_t−m)(x_{t+k}−m) / Σ(x_t−m)², so
+    * r_k = ΣX_tX_{t+k} / ΣX_t² is a ratio of DECIMAL(38,0)-exact
+    * integers — ONE double division per lag, no mean ever
+    * materializes as a double.
+    *
+    * 100 TB shape: the corpus collapses to per-day counts in one
+    * partial+final agg (map-side combine does the 100 TB); the
+    * calendar frame is bounded by the time span (365 rows/year —
+    * O(days), not O(events)), so the zero-fill join, the 7-way lag
+    * self-join (an equi-join on day+k), and the per-lag sums are all
+    * catalog-sized.  Lags via a 7-row crossJoin, NOT 7 window
+    * passes: one joined frame, one grouped agg.
+    */
+  def dailyAutocorrelation(spark: SparkSession, dir: String,
+                           maxLag: Int = 7): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val z = dailyCounts(spark, dir)
+    val tot = z.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val x = z.crossJoin(broadcast(tot))
+      .select(col("day"),
+        (col("n").cast(dec) * col("c") - col("s").cast(dec)).as("x"))
+    val den = x.agg(sum(col("x") * col("x")).cast(dec).as("den"),
+      count(lit(1)).as("n_days"))
+    val lags = spark.range(1, maxLag + 1).select(col("id").as("lag"))
+    val a = x.select(col("day").as("a_day"), col("x").as("ax"))
+    val b = x.select(col("day").as("b_day"), col("x").as("bx"))
+    a.crossJoin(broadcast(lags))
+      .join(b, col("b_day") === col("a_day") + col("lag"))
+      .groupBy("lag")
+      .agg(sum(col("ax") * col("bx")).cast(dec).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_days"),
+        (col("num").cast("double") / col("den").cast("double")).as("acf"))
+  }
+
+  /** Mann–Kendall trend test on the daily event-count series (q174):
+    * S = Σ_{i<j} sign(c_j − c_i) with the tie-corrected variance and
+    * the continuity-corrected z — the standard nonparametric "is
+    * volume drifting" monitor (no distributional assumption, robust
+    * to the spikes that wreck an OLS-on-time slope).
+    *
+    * Everything is integer until the last step: S and both variance
+    * terms are exact sums; var_s divides once by 18.0 and z is one
+    * CASE with a single sqrt — written identically in the oracle.
+    *
+    * 100 TB shape: same one-agg corpus collapse as q173; the pair
+    * scan is O(days²) on the CALENDAR frame — 365² ≈ 133k rows per
+    * decade-year, constant in corpus size (documented all-pairs
+    * exemption: the frame is bounded by time, not data).  Tie groups
+    * are one more tiny agg on distinct counts.
+    */
+  def mannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val z = dailyCounts(spark, dir)
+    val a = z.select(col("day").as("a_day"), col("c").as("ac"))
+    val b = z.select(col("day").as("b_day"), col("c").as("bc"))
+    val s = a.join(b, col("b_day") > col("a_day"))
+      .agg(sum(when(col("bc") > col("ac"), 1L)
+        .when(col("bc") < col("ac"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = z.groupBy("c").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(when(col("t") > 1,
+          col("t") * (col("t") - lit(1L)) * (lit(2L) * col("t") + lit(5L)))),
+        lit(0L)).as("tie_term"))
+    val n = z.agg(count(lit(1)).as("n_days"))
+    val varS = (
+      (col("n_days") * (col("n_days") - lit(1L)) *
+        (lit(2L) * col("n_days") + lit(5L)) - col("tie_term")).cast("double")
+        / lit(18.0))
+    s.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .select(col("n_days"), col("s_stat"), varS.as("var_s"),
+        when(col("s_stat") > 0,
+            (col("s_stat") - lit(1L)).cast("double") / sqrt(varS))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + lit(1L)).cast("double") / sqrt(varS))
+          .otherwise(lit(0.0)).as("z_stat"))
+  }
 }

@@ -2305,4 +2305,54 @@ class OperatorSpec extends SparkSuite {
     // Welch df is bounded by the classic bracket [min−1, n_a+n_b−2]
     assert(df >= math.min(na, nb) - 1 && df <= na + nb - 2)
   }
+
+  // zero-filled daily counts replayed by hand (shared by q173/q174)
+  private def dailySeries(): Array[Long] = {
+    val days = Tables.events(spark, sf)
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+      .as[Long].collect()
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    (days.min to days.max).map(d => byDay.getOrElse(d, 0L)).toArray
+  }
+
+  test("autocorr: r_k matches the exact-integer ratio on the zero-filled series") {
+    val c = dailySeries()
+    val n = c.length
+    val s = c.sum
+    val x = c.map(v => n * v - s)
+    val den = x.map(v => v * v).sum.toDouble
+    val got = EventOps.dailyAutocorrelation(spark, sf)
+      .select("lag", "n_days", "acf")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == (1L to 7L).toSet)
+    (1 to 7).foreach { k =>
+      val num = (0 until n - k).map(t => x(t) * x(t + k)).sum.toDouble
+      val (_, nd, acf) = got(k.toLong)
+      assert(nd == n)
+      assert(acf == num / den, s"lag $k: $acf vs ${num / den}")
+      assert(acf >= -1.0 - 1e-12 && acf <= 1.0 + 1e-12)
+    }
+  }
+
+  test("mann-kendall: S, tie-corrected variance, and z replayed by hand") {
+    val c = dailySeries()
+    val n = c.length
+    var sStat = 0L
+    for (i <- 0 until n; j <- i + 1 until n)
+      sStat += java.lang.Long.signum(c(j) - c(i))
+    val tieTerm = c.groupBy(identity).values.map(_.length.toLong)
+      .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val varS = (n.toLong * (n - 1) * (2L * n + 5) - tieTerm).toDouble / 18.0
+    val zWant =
+      if (sStat > 0) (sStat - 1).toDouble / math.sqrt(varS)
+      else if (sStat < 0) (sStat + 1).toDouble / math.sqrt(varS)
+      else 0.0
+    val row = EventOps.mannKendall(spark, sf)
+      .select("n_days", "s_stat", "var_s", "z_stat")
+      .as[(Long, Long, Double, Double)].head()
+    assert(row._1 == n && row._2 == sStat)
+    assert(row._3 == varS && row._4 == zWant)
+    // tie correction only ever shrinks the no-tie variance
+    assert(varS <= n.toLong * (n - 1) * (2L * n + 5) / 18.0)
+  }
 }
