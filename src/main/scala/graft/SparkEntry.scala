@@ -314,7 +314,11 @@ object SparkEntry {
     // — round-12 widening, batch 33: time-series diagnostics on the
     //   zero-filled daily stream —
     "q173_autocorr" -> ((s, d) => EventOps.dailyAutocorrelation(s, d)),
-    "q174_mann_kendall" -> ((s, d) => EventOps.mannKendall(s, d))
+    "q174_mann_kendall" -> ((s, d) => EventOps.mannKendall(s, d)),
+    // — round-12 widening, batch 34: the reshape surface's missing
+    //   half and a log-free diversity audit —
+    "q175_unpivot" -> ((s, d) => Relational.monthlyMetricsLong(s, d)),
+    "q176_token_hhi" -> ((s, d) => Relational.tokenHhi(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3003,6 +3007,30 @@ object SparkEntry {
          |  (n_docs * sxy - sx * sy) /
          |  (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy)) AS spearman_rho
          |FROM s""".stripMargin,
+    // melt as UNION ALL over the aggregated month frame — metric
+    // names and the value arithmetic (exact decimal sum → one cast,
+    // one divide for avg) mirror the Spark Expand branches
+    "q175_unpivot" ->
+      """WITH m AS (SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+        |  count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  max(o_totalprice) AS mx
+        |  FROM orders GROUP BY 1)
+        |SELECT order_month, 'n_orders' AS metric, CAST(n AS DOUBLE) AS value FROM m
+        |UNION ALL SELECT order_month, 'revenue', rev FROM m
+        |UNION ALL SELECT order_month, 'avg_price', rev / CAST(n AS DOUBLE) FROM m
+        |UNION ALL SELECT order_month, 'max_price', mx FROM m""".stripMargin,
+    // HHI = Σc²/T² — both HUGEINT-exact, ONE divide each for hhi /
+    // eff_vocab / top_share; log-free by design (the q128 ulp rule)
+    "q176_token_hhi" ->
+      """WITH cs AS (SELECT source, token, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY source, token)
+        |SELECT source, count(*) AS vocab,
+        |  CAST(sum(c) AS BIGINT) AS total_tokens,
+        |  CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE) AS hhi,
+        |  1.0 / (CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE)) AS eff_vocab,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
+        |FROM cs GROUP BY source""".stripMargin,
     // X_t = N·c_t − S keeps the ACF a ratio of exact integers (the
     // N² factors cancel); zero-filled calendar via range(); the lag
     // fan-out is the same day+k equi-join as the Spark plan

@@ -669,4 +669,77 @@ object Relational {
       .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
+
+  /** Wide-to-long unpivot/melt (q175): the inverse of q39's pivot and
+    * the missing half of the reshape surface — monthly order metrics
+    * (count, revenue, avg and max price) melted to (month, metric,
+    * value) rows, the shape every metrics store and plotting layer
+    * ingests.
+    *
+    * Uses the native `Dataset.unpivot`, which plans as ONE Expand
+    * node (each input row emits 4 tagged rows) — no join, no extra
+    * shuffle, no UDTF.  Values unify to double: counts convert
+    * exactly, money converts once from the exact DECIMAL(18,2) sum,
+    * avg divides the exact sum by the exact count (one IEEE divide,
+    * same sequence in the oracle's UNION ALL).
+    *
+    * 100 TB shape: one partial+final agg to a months-sized frame,
+    * then the Expand's constant 4× fan-out on that tiny frame.
+    * Melt-at-scale costs nothing when it happens AFTER aggregation —
+    * the plan pins that order.
+    */
+  def monthlyMetricsLong(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(spark, dir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+        .as("order_month"))
+      .agg(
+        count(lit(1)).cast("double").as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("revenue"),
+        (sum(dec2(col("o_totalprice"))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_price"),
+        max(col("o_totalprice")).as("max_price"))
+    wide.unpivot(
+      Array(col("order_month")),
+      Array(col("n_orders"), col("revenue"), col("avg_price"), col("max_price")),
+      "metric", "value")
+  }
+
+  /** Herfindahl–Hirschman token concentration per source (q176): the
+    * inverse-Simpson diversity audit — HHI = Σ_t (c_t/T)² and its
+    * reciprocal, the "effective vocabulary size" (how many tokens the
+    * source behaves as if it uses uniformly).  A template-generated
+    * crawl shows eff_vocab ≪ vocab; a diverse corpus approaches it.
+    * Log-free by construction (the q128 rule: no ln in a
+    * hash-compared statistic), so it complements q84's entropy view
+    * with guaranteed-by-IEEE parity.
+    *
+    * Exactness: HHI = Σc² / T² is a ratio of DECIMAL(38,0)-exact
+    * integers — one double divide; top_share = max(c)/T likewise.
+    *
+    * 100 TB shape: the (source, token) count frame (q89's shuffle,
+    * map-side combined), re-aggregated per source — both keyed hash
+    * aggs, no sort, no join, no window.
+    */
+  def tokenHhi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val dec = DecimalType(38, 0)
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("c")).as("total_tokens"),
+        sum((col("c") * col("c")).cast(dec)).as("c2"),
+        max(col("c")).as("cmax"))
+      .select(col("source"), col("vocab"), col("total_tokens"),
+        (col("c2").cast("double") /
+          (col("total_tokens").cast(dec) * col("total_tokens")).cast("double"))
+          .as("hhi"),
+        (lit(1.0) / (col("c2").cast("double") /
+          (col("total_tokens").cast(dec) * col("total_tokens")).cast("double")))
+          .as("eff_vocab"),
+        (col("cmax").cast("double") / col("total_tokens").cast("double"))
+          .as("top_share"))
+  }
 }

@@ -2355,4 +2355,52 @@ class OperatorSpec extends SparkSuite {
     // tie correction only ever shrinks the no-tie variance
     assert(varS <= n.toLong * (n - 1) * (2L * n + 5) / 18.0)
   }
+
+  test("unpivot: one long row per (month, metric); values replay the wide agg") {
+    val orders = Tables.orders(spark, sf)
+      .select(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM"),
+        col("o_totalprice"))
+      .as[(String, Double)].collect()
+    val got = Relational.monthlyMetricsLong(spark, sf)
+      .select("order_month", "metric", "value")
+      .as[(String, String, Double)].collect()
+    val byMonth = orders.groupBy(_._1)
+    assert(got.length == byMonth.size * 4)
+    assert(got.map(_._2).distinct.sorted.toSeq ==
+      Seq("avg_price", "max_price", "n_orders", "revenue"))
+    byMonth.foreach { case (m, os) =>
+      val vals = got.filter(_._1 == m).map(r => r._2 -> r._3).toMap
+      assert(vals("n_orders") == os.length.toDouble)
+      val rev = os.map(o => BigDecimal(o._2).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(vals("revenue") == rev)
+      assert(vals("avg_price") == rev / os.length)
+      assert(vals("max_price") == os.map(_._2).max)
+    }
+  }
+
+  test("token_hhi: concentration replayed by hand; uniform-source bounds hold") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val got = Relational.tokenHhi(spark, sf)
+      .select("source", "vocab", "total_tokens", "hhi", "eff_vocab", "top_share")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, ds) =>
+      val counts = ds.flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+      val t = counts.values.sum
+      val c2 = counts.values.map(c => c * c).sum
+      val (_, vocab, tot, hhi, eff, top) = got(s)
+      assert(vocab == counts.size && tot == t)
+      assert(hhi == c2.toDouble / (t.toDouble * t))
+      assert(eff == 1.0 / hhi)
+      assert(top == counts.values.max.toDouble / t)
+      // bounds: 1/vocab <= HHI <= 1, eff_vocab <= vocab
+      assert(hhi >= 1.0 / vocab - 1e-12 && hhi <= 1.0)
+      assert(eff <= vocab + 1e-9)
+    }
+  }
 }

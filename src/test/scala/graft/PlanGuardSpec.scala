@@ -583,6 +583,38 @@ class PlanGuardSpec extends SparkSuite {
       "rank window must consume the aggregated sources frame")
   }
 
+  test("q173/q174 calendar series: corpus collapses to ONE count agg before any join") {
+    Seq(EventOps.dailyAutocorrelation(spark, sf), EventOps.mannKendall(spark, sf))
+      .foreach { df =>
+        // joins exist (zero-fill / lag / pair scan) but all run on the
+        // calendar frame: every join input must already be aggregated
+        val joins = plan(df).filter(_.nodeName.contains("Join"))
+        assert(joins.nonEmpty)
+        assert(!names(df).exists(_.contains("CartesianProduct")) ||
+          df.queryExecution.executedPlan.toString.contains("lag"),
+          "no unbounded cartesian on the event stream")
+        assert(plan(df).count(_.nodeName.contains("HashAggregate")) >= 2,
+          "daily counts must partial+final aggregate before the calendar work")
+      }
+  }
+
+  test("q175 unpivot: Expand runs AFTER the months agg — melt never touches the fact table") {
+    val df = Relational.monthlyMetricsLong(spark, sf)
+    val expands = plan(df).collect {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }
+    assert(expands.size == 1, "native unpivot must plan as one Expand")
+    assert(nodes(expands.head.child).exists(_.nodeName.contains("HashAggregate")),
+      "Expand must consume the aggregated month frame")
+    assert(!names(df).exists(_.contains("Join")))
+  }
+
+  test("q176 HHI: two keyed hash aggs, no sort/join/window") {
+    val df = Relational.tokenHhi(spark, sf)
+    assert(shuffles(df) == 2, s"expected 2 shuffles, got ${shuffles(df)}")
+    assert(!names(df).exists(_.contains("Window")))
+    assert(!names(df).exists(_.contains("Join")))
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
