@@ -318,7 +318,10 @@ object SparkEntry {
     // — round-12 widening, batch 34: the reshape surface's missing
     //   half and a log-free diversity audit —
     "q175_unpivot" -> ((s, d) => Relational.monthlyMetricsLong(s, d)),
-    "q176_token_hhi" -> ((s, d) => Relational.tokenHhi(s, d))
+    "q176_token_hhi" -> ((s, d) => Relational.tokenHhi(s, d)),
+    // — round-12 widening, batch 35: load-time data-quality audits —
+    "q177_column_profile" -> ((s, d) => Relational.columnProfile(s, d)),
+    "q178_integrity" -> ((s, d) => Relational.integrityAudit(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3007,6 +3010,35 @@ object SparkEntry {
          |  (n_docs * sxy - sx * sy) /
          |  (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy)) AS spearman_rho
          |FROM s""".stripMargin,
+    // per-column null/distinct counts via UNION ALL — integer counts
+    // only, no value formatting crosses the engine boundary
+    "q177_column_profile" ->
+      """SELECT 'o_orderkey' AS column_name,
+        |  count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct FROM orders
+        |UNION ALL SELECT 'o_custkey', count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey) FROM orders
+        |UNION ALL SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus) FROM orders
+        |UNION ALL SELECT 'o_totalprice', count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice) FROM orders
+        |UNION ALL SELECT 'o_orderdate', count(*) - count(o_orderdate),
+        |  count(DISTINCT o_orderdate) FROM orders
+        |UNION ALL SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority) FROM orders""".stripMargin,
+    // FK orphans as NOT EXISTS (the anti-join), date violations as
+    // one keyed join + predicate — all exact integer counts
+    "q178_integrity" ->
+      """SELECT 'lineitem_without_order' AS check_name,
+        |  count(*) AS n_violations FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL SELECT 'order_without_customer', count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL SELECT 'order_without_lineitem', count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        |UNION ALL SELECT 'ship_before_order', count(*)
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE l.l_shipdate < o.o_orderdate""".stripMargin,
     // melt as UNION ALL over the aggregated month frame — metric
     // names and the value arithmetic (exact decimal sum → one cast,
     // one divide for avg) mirror the Spark Expand branches

@@ -704,6 +704,78 @@ object Relational {
       "metric", "value")
   }
 
+  /** Column profiling of the orders table (q177): per column, the
+    * null count and exact distinct cardinality — the dataset "nutrition
+    * label" every ingestion pipeline emits before schema contracts are
+    * signed (null-rate drift and cardinality collapse are the two
+    * classic upstream-breakage signals).
+    *
+    * One pass: a single agg computes count(*), per-column null counts
+    * and six exact count-distincts; `inline` then melts the 1-row wide
+    * frame to (column_name, n_nulls, n_distinct) rows.  Multiple
+    * distinct aggregates plan through Spark's Expand (a 6× row
+    * duplication tagged by grouping id) — the standard multi-distinct
+    * shape, with map-side partial dedup keeping shuffle bytes at
+    * O(Σ distinct values), not 6× the fact table.
+    *
+    * 100 TB shape: the Expand's 6× applies before partial aggregation
+    * prunes to distinct values per column, so the shuffle carries key
+    * cardinalities only; the melt happens on ONE row. Exact distincts
+    * are deliberate (the oracle hashes them); the approximate twin for
+    * quick profiling is q33's HLL audit form.
+    */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    val aggs = cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"))
+    }
+    val wide = Tables.orders(spark, dir).agg(aggs.head, aggs.tail: _*)
+    wide.select(inline(array(cols.map(c =>
+      struct(lit(c).as("column_name"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_distinct").as("n_distinct"))): _*)))
+  }
+
+  /** Referential-integrity and ordering audit across the star schema
+    * (q178): the four FK/invariant checks a warehouse load validates
+    * before publishing — orphaned lineitems (no parent order),
+    * orphaned orders (no customer), childless orders (no lineitem),
+    * and ship-before-order date violations.  Output is the compact
+    * (check_name, n_violations) frame a data-quality dashboard wants.
+    *
+    * Each orphan check is a LEFT ANTI join on the key (broadcastable
+    * only when the build side is a dimension — customer is SF-linear,
+    * so the anti joins shuffle on the key and let threshold/AQE
+    * decide, the q02 rule).  The date check is one INNER equi-join on
+    * l_orderkey with the violation predicate evaluated post-join and
+    * counted — no pair scan anywhere.
+    *
+    * 100 TB shape: three keyed anti/inner joins on primary keys plus
+    * scalar counts; every join is an equi-join on the natural
+    * key, so AQE can pick broadcast vs shuffle per side at runtime.
+    * Union of four 1-row frames costs nothing.
+    */
+  def integrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    def one(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    val orphanLi = one("lineitem_without_order",
+      li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti"))
+    val orphanO = one("order_without_customer",
+      o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"))
+    val childless = one("order_without_lineitem",
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti"))
+    val dateViol = one("ship_before_order",
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .filter(col("l_shipdate") < col("o_orderdate")))
+    orphanLi.unionAll(orphanO).unionAll(childless).unionAll(dateViol)
+  }
+
   /** Herfindahl–Hirschman token concentration per source (q176): the
     * inverse-Simpson diversity audit — HHI = Σ_t (c_t/T)² and its
     * reciprocal, the "effective vocabulary size" (how many tokens the

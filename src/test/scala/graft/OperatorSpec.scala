@@ -2403,4 +2403,43 @@ class OperatorSpec extends SparkSuite {
       assert(eff <= vocab + 1e-9)
     }
   }
+
+  test("column_profile: nulls and exact distincts replayed per column") {
+    val rows = Tables.orders(spark, sf).collect()
+    val got = Relational.columnProfile(spark, sf)
+      .select("column_name", "n_nulls", "n_distinct")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    assert(got.keySet == cols.toSet)
+    cols.foreach { c =>
+      val vs = rows.map(_.getAs[Any](c))
+      val (_, nulls, distinct) = got(c)
+      assert(nulls == vs.count(_ == null).toLong, c)
+      assert(distinct == vs.filter(_ != null).distinct.length.toLong, c)
+    }
+    // PK sanity: o_orderkey is unique and never null
+    assert(got("o_orderkey")._2 == 0 && got("o_orderkey")._3 == rows.length)
+  }
+
+  test("integrity: all four audit counts replayed by hand") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate").as[(Long, java.sql.Timestamp)].collect()
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    val custs = Tables.customer(spark, sf).select("c_custkey")
+      .as[Long].collect().toSet
+    val got = Relational.integrityAudit(spark, sf)
+      .as[(String, Long)].collect().toMap
+    val oKeys = orders.map(_._1).toSet
+    val liKeys = li.map(_._1).toSet
+    val oDate = orders.map(o => o._1 -> o._3).toMap
+    assert(got("lineitem_without_order") == li.count(l => !oKeys(l._1)).toLong)
+    assert(got("order_without_customer") == orders.count(o => !custs(o._2)).toLong)
+    assert(got("order_without_lineitem") == orders.count(o => !liKeys(o._1)).toLong)
+    assert(got("ship_before_order") ==
+      li.count(l => oKeys(l._1) && l._2.before(oDate(l._1))).toLong)
+    assert(got.size == 4)
+  }
 }
