@@ -321,7 +321,11 @@ object SparkEntry {
     "q176_token_hhi" -> ((s, d) => Relational.tokenHhi(s, d)),
     // — round-12 widening, batch 35: load-time data-quality audits —
     "q177_column_profile" -> ((s, d) => Relational.columnProfile(s, d)),
-    "q178_integrity" -> ((s, d) => Relational.integrityAudit(s, d))
+    "q178_integrity" -> ((s, d) => Relational.integrityAudit(s, d)),
+    // — round-12 widening, batch 36: release-gate scrubbing census
+    //   and exact outlier alarms —
+    "q179_pii_scan" -> ((s, d) => TextAnalysis.piiScan(s, d)),
+    "q180_value_outliers" -> ((s, d) => EventOps.valueOutliers(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3010,6 +3014,42 @@ object SparkEntry {
          |  (n_docs * sxy - sx * sy) /
          |  (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy)) AS spearman_rho
          |FROM s""".stripMargin,
+    // patterns restricted to the Java-regex/RE2 common subset
+    // (literal classes + counted quantifiers) so match sets agree;
+    // len(regexp_extract_all) mirrors Spark's size() count
+    "q179_pii_scan" ->
+      """WITH c AS (SELECT source,
+        |  len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS em,
+        |  len(regexp_extract_all(text, 'http[s]?://[a-z0-9./]+')) AS ur,
+        |  len(regexp_extract_all(text, '[0-9]{7,}')) AS dg
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN em > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+        |  CAST(sum(em) AS BIGINT) AS hits_email,
+        |  CAST(sum(CASE WHEN ur > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_url,
+        |  CAST(sum(ur) AS BIGINT) AS hits_url,
+        |  CAST(sum(CASE WHEN dg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_digits,
+        |  CAST(sum(dg) AS BIGINT) AS hits_digits
+        |FROM c GROUP BY source""".stripMargin,
+    // the 3σ test as a pure integer comparison — (N·x−S)² vs
+    // 9(N·Q−S²) in HUGEINT — so boundary events classify identically
+    // by construction; mean converts exact sums with two divides
+    "q180_value_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS x FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS s, sum(CAST(x AS HUGEINT) * x) AS q
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_type, max(n) AS n_events,
+        |  CAST(sum(CASE WHEN (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)
+        |      > 9 * (CAST(n AS HUGEINT) * q - s * s) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(sum(CASE WHEN (CAST(n AS HUGEINT) * x - s) * (CAST(n AS HUGEINT) * x - s)
+        |      > 9 * (CAST(n AS HUGEINT) * q - s * s) THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(max(n) AS DOUBLE) AS outlier_rate,
+        |  (CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE)) / 1000000.0 AS mean_value
+        |FROM e JOIN m ON m.event_type = e.event_type
+        |GROUP BY e.event_type""".stripMargin,
     // per-column null/distinct counts via UNION ALL — integer counts
     // only, no value formatting crosses the engine boundary
     "q177_column_profile" ->

@@ -1144,6 +1144,51 @@ object EventOps {
         (col("num").cast("double") / col("den").cast("double")).as("acf"))
   }
 
+  /** Exact 3σ outlier audit of event values per type (q180): how many
+    * events sit beyond three standard deviations of their type's mean
+    * — the monitoring-rule census that sizes alert volume before a
+    * threshold ships.
+    *
+    * The outlier test never computes z as a double: with x in
+    * millionths (the q118 quantization) and S = Σx, Q = Σx² per type,
+    * z² > 9 ⇔ (N·x − S)² > 9·(N·Q − S²) — a PURE INTEGER comparison
+    * (DECIMAL(38,0) here, HUGEINT in the oracle), so boundary events
+    * classify identically in both engines by construction, not by
+    * rounding luck.  Bound: N·x must stay under 10³⁸ — at 10¹² events
+    * of magnitude ≤10⁹ millionths that is 10²¹ and its square 10⁴²
+    * would overflow; shard the audit by day/tenant at that scale (the
+    * per-type frame is naturally partitioned) — documented rather
+    * than silently approximated.
+    *
+    * 100 TB shape: one partial+final moment agg per type, broadcast
+    * back onto the stream (a types-sized frame), one more counting
+    * agg — two keyed shuffles of the stream total, no sort.
+    */
+  def valueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val e = Tables.events(spark, dir).select(col("event_type"),
+      floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("x"))
+    val m = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("s"),
+      sum((col("x") * col("x")).cast(dec)).as("q"))
+    val dev = col("n").cast(dec) * col("x") - col("s")
+    val varTerm = col("n").cast(dec) * col("q") - col("s") * col("s")
+    e.join(broadcast(m), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(
+        max(col("n")).as("n_events"),
+        max(col("s")).as("s_kept"),
+        sum(when(dev * dev > lit(9L).cast(dec) * varTerm, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n_events"), col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n_events").cast("double"))
+          .as("outlier_rate"),
+        ((col("s_kept").cast("double") / col("n_events").cast("double")) / lit(1.0e6))
+          .as("mean_value"))
+  }
+
   /** Mann–Kendall trend test on the daily event-count series (q174):
     * S = Σ_{i<j} sign(c_j − c_i) with the tie-corrected variance and
     * the continuity-corrected z — the standard nonparametric "is

@@ -2178,6 +2178,41 @@ object TextAnalysis {
             sqrt(n * col("syy") - col("sy") * col("sy")))).as("spearman_rho"))
   }
 
+  /** PII-pattern scan per source (q179): counts of documents and of
+    * total occurrences matching email-, URL- and long-digit-run
+    * shaped patterns — the redaction-triage audit every training-data
+    * pipeline runs before release (the census of WHERE scrubbing
+    * effort goes, not the scrubber itself).
+    *
+    * Cross-engine regex discipline: Java regex (Spark) and RE2
+    * (DuckDB) diverge on backrefs, lookahead and some class escapes —
+    * the three patterns here use only literal classes, `+`/`{n,}`
+    * quantifiers and alternation-free bodies, the common subset where
+    * both engines produce identical non-overlapping match sets.
+    *
+    * 100 TB shape: a pure map over the corpus (regexp_extract_all is
+    * per-row, codegen'd) followed by one partial+final agg per
+    * source — zero joins, zero sorts; integer counts only.
+    */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    val pats = Seq(
+      "email_like" -> "[a-z0-9]+@[a-z0-9]+\\.[a-z]+",
+      "url_like" -> "http[s]?://[a-z0-9./]+",
+      "digit_run" -> "[0-9]{7,}")
+    val d = Tables.documents(spark, dir)
+    val counted = d.select(col("source") +: pats.map { case (n, p) =>
+      size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long").as(n)
+    }: _*)
+    counted.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("email_like") > 0, 1L).otherwise(0L)).as("docs_email"),
+      sum(col("email_like")).as("hits_email"),
+      sum(when(col("url_like") > 0, 1L).otherwise(0L)).as("docs_url"),
+      sum(col("url_like")).as("hits_url"),
+      sum(when(col("digit_run") > 0, 1L).otherwise(0L)).as("docs_digits"),
+      sum(col("digit_run")).as("hits_digits"))
+  }
+
   /** One-way ANOVA of document length across sources (q171): F-test
     * of "do sources differ in mean length at all", plus the effect
     * size η² — the gatekeeper statistic before any per-source length

@@ -2442,4 +2442,58 @@ class OperatorSpec extends SparkSuite {
       li.count(l => oKeys(l._1) && l._2.before(oDate(l._1))).toLong)
     assert(got.size == 4)
   }
+
+  test("pii_scan: match counts replayed with the same regex subset") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").as[(String, String)].collect()
+    val pats = Seq("[a-z0-9]+@[a-z0-9]+\\.[a-z]+", "http[s]?://[a-z0-9./]+",
+      "[0-9]{7,}").map(_.r)
+    val got = TextAnalysis.piiScan(spark, sf)
+      .select("source", "n_docs", "docs_email", "hits_email",
+        "docs_url", "hits_url", "docs_digits", "hits_digits")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val bySrc = docs.groupBy(_._1)
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (s, ds) =>
+      val hits = pats.map(p => ds.map(d => p.findAllIn(d._2).size.toLong))
+      val row = got(s)
+      assert(row._2 == ds.length)
+      assert(row._3 == hits(0).count(_ > 0) && row._4 == hits(0).sum)
+      assert(row._5 == hits(1).count(_ > 0) && row._6 == hits(1).sum)
+      assert(row._7 == hits(2).count(_ > 0) && row._8 == hits(2).sum)
+      // docs matched never exceeds docs; hits never below docs matched
+      assert(row._3 <= row._2 && row._4 >= row._3)
+    }
+  }
+
+  test("value_outliers: exact-integer 3-sigma classification replayed by hand") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("x"))
+      .as[(String, Long)].collect()
+    val got = EventOps.valueOutliers(spark, sf)
+      .select("event_type", "n_events", "n_outliers", "outlier_rate", "mean_value")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val byType = ev.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, es) =>
+      val xs = es.map(_._2)
+      val n = BigInt(xs.length)
+      val s = xs.map(BigInt(_)).sum
+      val q = xs.map(x => BigInt(x) * x).sum
+      val varTerm = n * q - s * s
+      val outliers = xs.count { x =>
+        val dev = n * x - s
+        dev * dev > 9 * varTerm
+      }
+      val (_, ne, no, rate, mean) = got(t)
+      assert(ne == xs.length && no == outliers.toLong, t)
+      assert(rate == outliers.toDouble / xs.length)
+      assert(math.abs(mean - s.toDouble / xs.length / 1e6) < 1e-9)
+      // Chebyshev: at most 1/9 of any distribution sits beyond 3 sigma
+      assert(no.toDouble / ne <= 1.0 / 9 + 1e-12)
+    }
+  }
 }
