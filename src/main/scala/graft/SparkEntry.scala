@@ -325,7 +325,11 @@ object SparkEntry {
     // — round-12 widening, batch 36: release-gate scrubbing census
     //   and exact outlier alarms —
     "q179_pii_scan" -> ((s, d) => TextAnalysis.piiScan(s, d)),
-    "q180_value_outliers" -> ((s, d) => EventOps.valueOutliers(s, d))
+    "q180_value_outliers" -> ((s, d) => EventOps.valueOutliers(s, d)),
+    // — round-12 widening, batch 37: the native Jaro-Winkler scalar
+    //   and weekly shape —
+    "q181_name_reconcile" -> ((s, d) => Dedup.nameReconcile(s, d)),
+    "q182_weekday_index" -> ((s, d) => EventOps.weekdaySeasonality(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3014,6 +3018,38 @@ object SparkEntry {
          |  (n_docs * sxy - sx * sy) /
          |  (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy)) AS spearman_rho
          |FROM s""".stripMargin,
+    // graft_jw is built to DuckDB's jaro_winkler_similarity contract
+    // (fuzzed bit-identical; see StringExpressions scaladoc), so the
+    // similarity column hash-matches; winner = rank-1 of the same
+    // (jw DESC, name ASC) total order
+    "q181_name_reconcile" ->
+      """WITH names AS (SELECT p_name, count(*) AS n_parts FROM part GROUP BY p_name),
+        |scored AS (SELECT a.p_name AS name_a, a.n_parts AS n_a,
+        |    b.p_name AS name_b, b.n_parts AS n_b,
+        |    jaro_winkler_similarity(a.p_name, b.p_name) AS jw,
+        |    row_number() OVER (PARTITION BY a.p_name
+        |      ORDER BY jaro_winkler_similarity(a.p_name, b.p_name) DESC,
+        |        b.p_name ASC) AS rn
+        |  FROM names a JOIN names b ON a.p_name <> b.p_name)
+        |SELECT name_a, n_a, name_b AS best_match, n_b AS n_best, jw
+        |FROM scored WHERE rn = 1""".stripMargin,
+    // weekday by integer arithmetic only ((day+3) mod 7, 0=Monday);
+    // the two-divide chains written in the Spark order
+    "q182_weekday_index" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |cal AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM b),
+        |z AS (SELECT (cal.day + 3) % 7 AS dow, coalesce(d.c, 0) AS c
+        |  FROM cal LEFT JOIN d ON d.day = cal.day),
+        |t AS (SELECT count(*) AS n_all, sum(c) AS s_all FROM z),
+        |g AS (SELECT dow, count(*) AS n_days, CAST(sum(c) AS BIGINT) AS n_events
+        |  FROM z GROUP BY dow)
+        |SELECT dow, n_days, n_events,
+        |  CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_count,
+        |  (CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)) AS seasonal_index
+        |FROM g, t""".stripMargin,
     // patterns restricted to the Java-regex/RE2 common subset
     // (literal classes + counted quantifiers) so match sets agree;
     // len(regexp_extract_all) mirrors Spark's size() count

@@ -58,6 +58,14 @@ object TextFunctions {
     ColumnBridge.column(graft.plans.ShingleSet(
       ColumnBridge.expression(text), n))
 
+  /** Jaro–Winkler similarity via the native codegen'd expression
+    * (graft.plans.JaroWinkler) — bit-identical to DuckDB's
+    * `jaro_winkler_similarity`; the fuzzy-match scalar Spark lacks.
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ColumnBridge.column(graft.plans.JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Per-doc bigram repetition stats `[n_bigrams, n_distinct,
     * top_count]` in one pass (graft.plans.RepetitionStats) — folds the
     * explode + two doc-keyed aggregations of the definitional

@@ -1143,4 +1143,42 @@ object Dedup {
               sqrt(n * col("syy") - col("sy") * col("sy"))))
           .otherwise(lit(0.0)).as("assortativity"))
   }
+
+  /** Fuzzy catalog reconciliation over the distinct part-name
+    * vocabulary (q181): for every distinct name, its nearest OTHER
+    * name by Jaro–Winkler (the native `graft_jw` expression,
+    * bit-identical to DuckDB's) plus both group sizes — the
+    * "same item, misspelled SKU" survey that decides whether a
+    * catalog needs fuzzy merging at all (q121's symmetric-delete
+    * join is the scalable resolver once it does).
+    *
+    * Determinism: JW doubles are bit-equal across engines by the
+    * expression's contract; the winner per name is rank-1 of
+    * (jw DESC, name_b ASC) — a total order, ties broken
+    * lexicographically.
+    *
+    * 100 TB shape: parts are SF-linear but their NAMES draw from a
+    * bounded vocabulary (adjective×noun), so the distinct-name frame
+    * is catalog-bounded: one distinct agg collapses the fact table,
+    * then the all-pairs scoring and rank window run on vocab² —
+    * constant in SF (the q173 calendar argument, applied to a
+    * vocabulary).  The window partitions by name_a; no
+    * single-partition corpus window exists.
+    */
+  def nameReconcile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.jaroWinkler
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+    val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"))
+    val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_b"))
+    a.crossJoin(b)
+      .filter(col("name_a") =!= col("name_b"))
+      .withColumn("jw", jaroWinkler(col("name_a"), col("name_b")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("name_a").orderBy(col("jw").desc, col("name_b").asc)))
+      .filter(col("rn") === 1)
+      .select(col("name_a"), col("n_a"), col("name_b").as("best_match"),
+        col("n_b").as("n_best"), col("jw"))
+  }
 }

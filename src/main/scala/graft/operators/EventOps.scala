@@ -1189,6 +1189,37 @@ object EventOps {
           .as("mean_value"))
   }
 
+  /** Day-of-week seasonality index (q182): mean daily event count per
+    * weekday over the zero-filled calendar, divided by the overall
+    * daily mean — the multiplicative profile (index 1.0 = a flat
+    * week) that q173's lag-7 spike only hints at, and the correction
+    * factor day-of-week-stratified sampling multiplies in.
+    *
+    * Weekday from the epoch day by pure integer arithmetic —
+    * (day + 3) mod 7, 0 = Monday (1970-01-01 was a Thursday) — no
+    * timezone or date-function semantics cross the engine boundary.
+    * Sums stay integers; each output is a fixed two-divide chain
+    * written identically in the oracle.
+    *
+    * 100 TB shape: the q173 collapse (one corpus agg to daily
+    * counts), then everything runs on the ≤7-row weekday frame with
+    * the 2-value totals broadcast.
+    */
+  def weekdaySeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val z = dailyCounts(spark, dir)
+      .select(((col("day") + lit(3L)) % lit(7L)).as("dow"), col("c"))
+    val tot = z.agg(count(lit(1)).as("n_all"), sum(col("c")).as("s_all"))
+    z.groupBy("dow")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("n_events"))
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("n_events"),
+        (col("n_events").cast("double") / col("n_days").cast("double"))
+          .as("mean_count"),
+        ((col("n_events").cast("double") / col("n_days").cast("double")) /
+          (col("s_all").cast("double") / col("n_all").cast("double")))
+          .as("seasonal_index"))
+  }
+
   /** Mann–Kendall trend test on the daily event-count series (q174):
     * S = Σ_{i<j} sign(c_j − c_i) with the tie-corrected variance and
     * the continuity-corrected z — the standard nonparametric "is

@@ -59,6 +59,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "graft_repetition(text)")
         RepetitionStats(args.head)
       }))
+    e.injectFunction((
+      FunctionIdentifier("graft_jw"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jw"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jw(string, string)")
+        JaroWinkler(args.head, args(1))
+      }))
     // Spark ships a distributed bloom-filter aggregate + membership
     // probe for its own runtime join filters but leaves them out of the
     // public registry; exposing them gives SQL the classic at-scale

@@ -30,6 +30,11 @@ object RegisterFunctions {
         RepetitionStats(args.head)
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jw", (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_jw(string, string)")
+        JaroWinkler(args(0), args(1))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg", (args: Seq[Expression]) => {
         require(args.length == 3, "graft_bloom_agg(longCol, estItems, numBits)")
         new BloomFilterAggregate(args.head,

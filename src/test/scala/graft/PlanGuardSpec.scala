@@ -615,6 +615,21 @@ class PlanGuardSpec extends SparkSuite {
     assert(!names(df).exists(_.contains("Join")))
   }
 
+  test("q181 reconcile: all-pairs scoring runs on the DISTINCT-name frame, windows stay keyed") {
+    val df = Dedup.nameReconcile(spark, sf)
+    // the cross join is vocabulary² by construction: both inputs must
+    // aggregate (distinct names) before the join
+    val joins = plan(df).filter(p => p.nodeName.contains("Join") ||
+      p.nodeName.contains("CartesianProduct"))
+    assert(joins.nonEmpty)
+    joins.foreach(j => j.children.foreach(c =>
+      assert(nodes(c).exists(_.nodeName.contains("HashAggregate")),
+        "cross join sides must be the aggregated name vocabulary")))
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
