@@ -329,7 +329,11 @@ object SparkEntry {
     // — round-12 widening, batch 37: the native Jaro-Winkler scalar
     //   and weekly shape —
     "q181_name_reconcile" -> ((s, d) => Dedup.nameReconcile(s, d)),
-    "q182_weekday_index" -> ((s, d) => EventOps.weekdaySeasonality(s, d))
+    "q182_weekday_index" -> ((s, d) => EventOps.weekdaySeasonality(s, d)),
+    // — round-12 widening, batch 38: level-shift location and the
+    //   mix-shift gate —
+    "q183_cusum" -> ((s, d) => EventOps.cusumChangepoint(s, d)),
+    "q184_prop_test" -> ((s, d) => EventOps.purchaseShiftTest(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3018,6 +3022,49 @@ object SparkEntry {
          |  (n_docs * sxy - sx * sy) /
          |  (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy)) AS spearman_rho
          |FROM s""".stripMargin,
+    // D_t = N·P_t − t·S stays integral (the deferred-/N trick), so
+    // the argmax of |D| is an integer sort; one divide at the end
+    "q183_cusum" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |cal AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM b),
+        |z AS (SELECT cal.day AS day, coalesce(d.c, 0) AS c
+        |  FROM cal LEFT JOIN d ON d.day = cal.day),
+        |t AS (SELECT count(*) AS n, sum(c) AS s FROM z),
+        |p AS (SELECT day,
+        |  row_number() OVER (ORDER BY day) AS t_idx,
+        |  sum(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pf
+        |  FROM z),
+        |dv AS (SELECT day, n,
+        |  CAST(n AS HUGEINT) * pf - CAST(t_idx AS HUGEINT) * s AS dev
+        |  FROM p, t)
+        |SELECT n AS n_days, day AS change_day,
+        |  CAST(dev AS DOUBLE) / CAST(n AS DOUBLE) AS cusum_dev,
+        |  CASE WHEN dev > 0 THEN 1 WHEN dev < 0 THEN -1 ELSE 0 END AS direction
+        |FROM dv ORDER BY abs(dev) DESC, day ASC LIMIT 1""".stripMargin,
+    // integer midpoint split ((d0+d1+1)//2); one conditional-count
+    // agg; p-hat/z written in the Spark operation order
+    "q184_prop_test" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |g AS (SELECT
+        |  CAST(sum(CASE WHEN day < (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN day < (d0 + d1 + 1) // 2
+        |    AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |  CAST(sum(CASE WHEN day >= (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN day >= (d0 + d1 + 1) // 2
+        |    AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        |  FROM e, b)
+        |SELECT n1, x1, n2, x2,
+        |  CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |  CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS p2,
+        |  (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |    - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+        |  / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |    * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+        |    * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) AS z_stat
+        |FROM g""".stripMargin,
     // graft_jw is built to DuckDB's jaro_winkler_similarity contract
     // (fuzzed bit-identical; see StringExpressions scaladoc), so the
     // similarity column hash-matches; winner = rank-1 of the same

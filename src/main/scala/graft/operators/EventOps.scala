@@ -1189,6 +1189,79 @@ object EventOps {
           .as("mean_value"))
   }
 
+  /** CUSUM changepoint locator on the daily series (q183): the day
+    * where the cumulative deviation from the overall mean peaks in
+    * magnitude — the classic "when did the level shift" estimator
+    * that turns q174's "a trend exists" into "it started HERE".
+    *
+    * Exact arithmetic: with prefix sums P_t = Σ_{i≤t} c_i, the
+    * cumulative deviation is D_t = N·P_t − t·S (integers; the /N
+    * factor deferred), so the argmax of |D_t| — tie-broken earliest —
+    * is an integer comparison and the reported deviation converts
+    * once (D/N).  No running double sum exists.
+    *
+    * 100 TB shape: the q173 collapse, a calendar-frame prefix-sum
+    * window (single partition BY DESIGN, bounded by time — the q172
+    * exemption), and a 1-row top-1 via the same (|D| DESC, day ASC)
+    * total order both engines sort by.
+    */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val z = dailyCounts(spark, dir)
+    val tot = z.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val d = z.crossJoin(broadcast(tot))
+      .withColumn("t", count(lit(1)).over(w))
+      .withColumn("p", sum(col("c")).over(w))
+      .select(col("day"), col("n"), col("s"),
+        (col("n").cast(dec) * col("p") - col("t").cast(dec) * col("s")).as("dev"))
+    d.select(col("day"), col("n"),
+        abs(col("dev")).as("mag"), col("dev"))
+      .orderBy(col("mag").desc, col("day").asc)
+      .limit(1)
+      .select(col("n").as("n_days"), col("day").as("change_day"),
+        (col("dev").cast("double") / col("n").cast("double")).as("cusum_dev"),
+        when(col("dev") > 0, lit(1L)).when(col("dev") < 0, lit(-1L))
+          .otherwise(lit(0L)).as("direction"))
+  }
+
+  /** Two-proportion z-test on purchase share, first half of the time
+    * range vs the second (q184): the release-gate A/B primitive — is
+    * the purchase mix shifting across the observation window, in
+    * standard errors?  (q174 asks about volume; this asks about MIX.)
+    *
+    * The split day is integer arithmetic ((d0+d1+1)/2 over epoch
+    * days); x/n counts are exact; p̂₁, p̂₂, the pooled p̂ and z are one
+    * fixed-order double chain written identically in the oracle.
+    *
+    * 100 TB shape: ONE conditional-count agg over the stream (four
+    * sums, map-side combined) after a broadcast of the 2-value day
+    * bounds — no join of event rows, no second pass.
+    */
+  def purchaseShiftTest(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      expr("unix_millis(ts) div 86400000").as("day"), col("event_type"))
+    val bounds = broadcast(e.agg(min(col("day")).as("d0"), max(col("day")).as("d1")))
+    val tagged = e.crossJoin(bounds)
+      .select((col("day") < expr("(d0 + d1 + 1) div 2")).as("first_half"),
+        (col("event_type") === "purchase").as("isp"))
+    val one = tagged.agg(
+      sum(when(col("first_half"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("first_half") && col("isp"), 1L).otherwise(0L)).as("x1"),
+      sum(when(!col("first_half"), 1L).otherwise(0L)).as("n2"),
+      sum(when(!col("first_half") && col("isp"), 1L).otherwise(0L)).as("x2"))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val p1 = col("x1").cast("double") / n1
+    val p2 = col("x2").cast("double") / n2
+    val pp = (col("x1") + col("x2")).cast("double") / (col("n1") + col("n2")).cast("double")
+    one.select(col("n1"), col("x1"), col("n2"), col("x2"),
+      p1.as("p1"), p2.as("p2"),
+      ((p1 - p2) / sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / n1 + lit(1.0) / n2)))
+        .as("z_stat"))
+  }
+
   /** Day-of-week seasonality index (q182): mean daily event count per
     * weekday over the zero-filled calendar, divided by the overall
     * daily mean — the multiplicative profile (index 1.0 = a flat

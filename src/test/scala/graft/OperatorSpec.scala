@@ -2496,4 +2496,48 @@ class OperatorSpec extends SparkSuite {
       assert(no.toDouble / ne <= 1.0 / 9 + 1e-12)
     }
   }
+
+  test("cusum: change day is the argmax of the exact integer deviation") {
+    val c = dailySeries()
+    val n = c.length
+    val s = c.sum
+    var p = 0L
+    val devs = c.zipWithIndex.map { case (v, i) =>
+      p += v
+      (i, BigInt(n) * p - BigInt(i + 1) * s)
+    }
+    val best = devs.minBy { case (i, d) => (-d.abs, i) }
+    val row = EventOps.cusumChangepoint(spark, sf)
+      .select("n_days", "change_day", "cusum_dev", "direction")
+      .as[(Long, Long, Double, Long)].head()
+    val days = Tables.events(spark, sf)
+      .select(expr("unix_millis(ts) div 86400000")).as[Long].collect()
+    assert(row._1 == n)
+    assert(row._2 == days.min + best._1)
+    assert(row._3 == best._2.toDouble / n)
+    assert(row._4 == best._2.signum.toLong)
+    // the deviation series telescopes to zero at the end
+    assert(devs.last._2 == 0)
+  }
+
+  test("prop_test: split counts and z replayed by hand") {
+    val ev = Tables.events(spark, sf)
+      .select(expr("unix_millis(ts) div 86400000").as("day"), col("event_type"))
+      .as[(Long, String)].collect()
+    val mid = (ev.map(_._1).min + ev.map(_._1).max + 1) / 2
+    val (h1, h2) = ev.partition(_._1 < mid)
+    val (n1, x1) = (h1.length.toLong, h1.count(_._2 == "purchase").toLong)
+    val (n2, x2) = (h2.length.toLong, h2.count(_._2 == "purchase").toLong)
+    val row = EventOps.purchaseShiftTest(spark, sf)
+      .select("n1", "x1", "n2", "x2", "p1", "p2", "z_stat")
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert((row._1, row._2, row._3, row._4) == ((n1, x1, n2, x2)))
+    val (p1, p2) = (x1.toDouble / n1, x2.toDouble / n2)
+    val pp = (x1 + x2).toDouble / (n1 + n2)
+    val z = (p1 - p2) / math.sqrt(pp * (1.0 - pp) * (1.0 / n1 + 1.0 / n2))
+    assert(row._5 == p1 && row._6 == p2)
+    assert(row._7 == z)
+    // the two halves cover the stream
+    assert(n1 + n2 == ev.length)
+  }
 }
