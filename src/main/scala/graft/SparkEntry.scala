@@ -333,7 +333,11 @@ object SparkEntry {
     // — round-12 widening, batch 38: level-shift location and the
     //   mix-shift gate —
     "q183_cusum" -> ((s, d) => EventOps.cusumChangepoint(s, d)),
-    "q184_prop_test" -> ((s, d) => EventOps.purchaseShiftTest(s, d))
+    "q184_prop_test" -> ((s, d) => EventOps.purchaseShiftTest(s, d)),
+    // — round-12 widening, batch 39: behavioral implication mining
+    //   and the smoothing baseline —
+    "q185_assoc_rules" -> ((s, d) => EventOps.associationRules(s, d)),
+    "q186_ewma" -> ((s, d) => EventOps.ewmaDaily(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3022,6 +3026,44 @@ object SparkEntry {
          |  (n_docs * sxy - sx * sy) /
          |  (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy)) AS spearman_rho
          |FROM s""".stripMargin,
+    // support/confidence/lift as one-divide ratios of exact basket
+    // counts, lift written as confidence/(n_b/U) in the same order
+    "q185_assoc_rules" ->
+      """WITH dt AS (SELECT DISTINCT user_id, event_type FROM events),
+        |u AS (SELECT count(DISTINCT user_id) AS u FROM dt),
+        |marg AS (SELECT event_type, count(*) AS n_t FROM dt GROUP BY event_type),
+        |pairs AS (SELECT a.event_type AS antecedent, b.event_type AS consequent,
+        |    count(*) AS n_both
+        |  FROM dt a JOIN dt b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT antecedent, consequent, n_both,
+        |  ma.n_t AS n_a, mb.n_t AS n_b,
+        |  CAST(n_both AS DOUBLE) / CAST(u AS DOUBLE) AS support,
+        |  CAST(n_both AS DOUBLE) / CAST(ma.n_t AS DOUBLE) AS confidence,
+        |  (CAST(n_both AS DOUBLE) / CAST(ma.n_t AS DOUBLE))
+        |    / (CAST(mb.n_t AS DOUBLE) / CAST(u AS DOUBLE)) AS lift
+        |FROM pairs JOIN marg ma ON ma.event_type = antecedent
+        |JOIN marg mb ON mb.event_type = consequent, u""".stripMargin,
+    // the recursion folds the ordered prefix with the head as seed —
+    // DuckDB list_reduce's implicit-init semantics, mirrored by the
+    // Spark aggregate over the tail; only mult/add in the lambda
+    "q186_ewma" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |cal AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM b),
+        |z AS (SELECT cal.day AS day, coalesce(d.c, 0) AS c
+        |  FROM cal LEFT JOIN d ON d.day = cal.day),
+        |arr AS (SELECT list(struct_pack(day := day, c := c) ORDER BY day) AS arr
+        |  FROM z),
+        |p AS (SELECT unnest(arr) AS e,
+        |  unnest(generate_series(1, len(arr))) AS pos, arr FROM arr),
+        |s AS (SELECT e.day AS day, e.c AS c,
+        |  list_reduce(list_transform(arr[1:pos], x -> CAST(x.c AS DOUBLE)),
+        |    (acc, x) -> 0.2 * x + (1.0 - 0.2) * acc) AS ewma
+        |  FROM p)
+        |SELECT day, c, ewma, CAST(c AS DOUBLE) - ewma AS residual FROM s""".stripMargin,
     // D_t = N·P_t − t·S stays integral (the deferred-/N trick), so
     // the argmax of |D| is an integer sort; one divide at the end
     "q183_cusum" ->

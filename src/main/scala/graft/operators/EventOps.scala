@@ -1189,6 +1189,85 @@ object EventOps {
           .as("mean_value"))
   }
 
+  /** Association rules over user event-type baskets (q185):
+    * support / confidence / lift for every ordered type pair — the
+    * market-basket census ("users who error also purchase?") that
+    * ranks which behavioral implications are real (lift > 1) vs
+    * popularity artifacts, beyond q107's co-occurrence counts.
+    *
+    * All three metrics are ratios of exact integers (n_both, n_a,
+    * n_b, U) with one divide each — confidence/support — and lift as
+    * confidence/(n_b/U), written in the identical order in the
+    * oracle.
+    *
+    * 100 TB shape: the stream collapses to the distinct (user, type)
+    * frame in one shuffle (map-side combined); the pair self-join is
+    * user-keyed with fan-out ≤ |types|² per user (bounded by the
+    * event vocabulary, the q107 rule); type marginals and U arrive
+    * broadcast.  No corpus-sized window, no all-pairs over users.
+    */
+  def associationRules(spark: SparkSession, dir: String): DataFrame = {
+    val dt = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val users = dt.agg(countDistinct(col("user_id")).as("u"))
+    val marg = dt.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val a = dt.select(col("user_id"), col("event_type").as("antecedent"))
+    val b = dt.select(col("user_id"), col("event_type").as("consequent"))
+    val conf = col("n_both").cast("double") / col("n_a").cast("double")
+    a.join(b, Seq("user_id"))
+      .filter(col("antecedent") =!= col("consequent"))
+      .groupBy("antecedent", "consequent")
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(marg.select(col("event_type").as("antecedent"),
+        col("n_t").as("n_a"))), Seq("antecedent"))
+      .join(broadcast(marg.select(col("event_type").as("consequent"),
+        col("n_t").as("n_b"))), Seq("consequent"))
+      .crossJoin(broadcast(users))
+      .select(col("antecedent"), col("consequent"),
+        col("n_both"), col("n_a"), col("n_b"),
+        (col("n_both").cast("double") / col("u").cast("double")).as("support"),
+        conf.as("confidence"),
+        (conf / (col("n_b").cast("double") / col("u").cast("double"))).as("lift"))
+  }
+
+  /** Exponentially weighted moving average of the daily series
+    * (q186, α = 0.2): the standard smoothing baseline an anomaly
+    * monitor subtracts before alerting — reported per day alongside
+    * the raw count and the residual.
+    *
+    * EWMA is a RECURSION (y_t = α·c_t + (1−α)·y_{t−1}, seeded
+    * y_1 = c_1), and floating-point recursions are order-sensitive —
+    * so both engines evaluate the identical per-day fold over the
+    * ordered prefix: DuckDB's `list_reduce` has no explicit init (the
+    * head seeds the accumulator), and the Spark `aggregate` mirrors
+    * that exactly by folding the tail with `element_at(vals, 1)` as
+    * init.  pow() is deliberately avoided: the closed form
+    * α(1−α)^(t−i) needs pow, which IEEE does NOT require correctly
+    * rounded — the fold uses only multiplies and adds.
+    *
+    * 100 TB shape: the q173 collapse to daily counts, then the
+    * calendar-bounded O(days²) prefix-fold (366² ≈ 134k mult-adds
+    * per year — constant in corpus size, the q174 exemption).
+    */
+  def ewmaDaily(spark: SparkSession, dir: String, alpha: Double = 0.2): DataFrame = {
+    val z = dailyCounts(spark, dir)
+    val series = z.agg(transform(
+      sort_array(collect_list(struct(col("day"), col("c")))),
+      x => x.getField("c").cast("double")).as("vals"),
+      sort_array(collect_list(struct(col("day"), col("c")))).as("arr"))
+    series
+      .select(posexplode(col("arr")).as(Seq("pos", "e")), col("vals"))
+      .select(col("e.day").as("day"), col("e.c").as("c"),
+        // seed y_1 = c_1: fold the tail with the head as init — the
+        // same no-explicit-init reduce DuckDB's list_reduce performs
+        aggregate(
+          slice(col("vals"), lit(2), col("pos")),
+          element_at(col("vals"), 1),
+          (acc, x) => lit(alpha) * x + (lit(1.0) - lit(alpha)) * acc).as("ewma"))
+      .select(col("day"), col("c"),
+        col("ewma"), (col("c").cast("double") - col("ewma")).as("residual"))
+  }
+
   /** CUSUM changepoint locator on the daily series (q183): the day
     * where the cumulative deviation from the overall mean peaks in
     * magnitude — the classic "when did the level shift" estimator

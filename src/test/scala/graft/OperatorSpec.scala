@@ -2540,4 +2540,53 @@ class OperatorSpec extends SparkSuite {
     // the two halves cover the stream
     assert(n1 + n2 == ev.length)
   }
+
+  test("assoc_rules: support/confidence/lift replayed from user baskets") {
+    val dt = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .as[(Long, String)].collect()
+    val u = dt.map(_._1).distinct.length.toLong
+    val byType = dt.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byUser = dt.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = EventOps.associationRules(spark, sf)
+      .select("antecedent", "consequent", "n_both", "n_a", "n_b",
+        "support", "confidence", "lift")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, nb, na, nbm, sup, conf, lift) =>
+      val both = byUser.values.count(s => s(a) && s(b)).toLong
+      assert(nb == both, s"$a->$b")
+      assert(na == byType(a) && nbm == byType(b))
+      assert(sup == both.toDouble / u)
+      assert(conf == both.toDouble / byType(a))
+      assert(lift == (both.toDouble / byType(a)) / (byType(b).toDouble / u))
+    }
+    // rule table is symmetric in n_both (a,b) vs (b,a)
+    val nbMap = got.map(r => (r._1, r._2) -> r._3).toMap
+    nbMap.foreach { case ((a, b), v) => assert(nbMap((b, a)) == v) }
+  }
+
+  test("ewma: the fold reproduces the recursion seeded at the first day") {
+    val c = dailySeries()
+    var y = 0.0
+    val want = c.zipWithIndex.map { case (v, i) =>
+      y = if (i == 0) v.toDouble else 0.2 * v + (1.0 - 0.2) * y
+      y
+    }
+    val got = EventOps.ewmaDaily(spark, sf)
+      .orderBy("day").select("c", "ewma", "residual")
+      .as[(Long, Double, Double)].collect()
+    assert(got.length == c.length)
+    got.zipWithIndex.foreach { case ((cv, e, r), i) =>
+      assert(cv == c(i))
+      assert(e == want(i), s"day $i: $e vs ${want(i)}")
+      assert(r == cv.toDouble - e)
+    }
+    // smoothing: EWMA variance never exceeds raw variance
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    assert(variance(got.map(_._2).toSeq) <= variance(c.map(_.toDouble).toSeq) + 1e-9)
+  }
 }
