@@ -337,7 +337,15 @@ object SparkEntry {
     // — round-12 widening, batch 39: behavioral implication mining
     //   and the smoothing baseline —
     "q185_assoc_rules" -> ((s, d) => EventOps.associationRules(s, d)),
-    "q186_ewma" -> ((s, d) => EventOps.ewmaDaily(s, d))
+    "q186_ewma" -> ((s, d) => EventOps.ewmaDaily(s, d)),
+    // — round-12 widening, batch 40: the trained lang-id classifier
+    //   (q30's twin) and position-sensitive retrieval quality —
+    "q187_naive_bayes" -> ((s, d) => TextAnalysis.naiveBayesLang(s, d)),
+    "q188_ndcg" -> ((s, d) => Similarity.labelNdcg(s, d)),
+    // — round-12 widening, batch 41: the lead/lag detector (q173's
+    //   bivariate twin) and the robust trend slope (q174's partner) —
+    "q189_ccf" -> ((s, d) => EventOps.crossCorrelation(s, d)),
+    "q190_theil_sen" -> ((s, d) => EventOps.theilSen(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3064,6 +3072,131 @@ object SparkEntry {
         |    (acc, x) -> 0.2 * x + (1.0 - 0.2) * acc) AS ewma
         |  FROM p)
         |SELECT day, c, ewma, CAST(c AS DOUBLE) - ewma AS residual FROM s""".stripMargin,
+    // every probability is a ratio of exact integer counts; the
+    // per-(doc, lang) log-likelihood folds in document order from a
+    // 0.0 seed (q84's pinning); argmax tie-breaks (joint DESC, lang)
+    "q187_naive_bayes" ->
+      """WITH b AS (SELECT doc_id, lang, text,
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+        | FROM documents),
+        |tr AS (SELECT lang, text FROM b WHERE bucket < 80),
+        |trtok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM tr),
+        |m AS (SELECT lang, token, count(*) AS ctl FROM trtok GROUP BY 1, 2),
+        |cl AS (SELECT lang, sum(ctl) AS cl FROM m GROUP BY 1),
+        |v AS (SELECT count(DISTINCT token) AS v FROM m),
+        |pri AS (SELECT lang, count(*) AS nl FROM tr GROUP BY 1),
+        |n AS (SELECT sum(nl) AS n FROM pri),
+        |te AS (SELECT doc_id, lang AS true_lang, string_split(text, ' ') AS w
+        |  FROM b WHERE bucket >= 90),
+        |tok AS (SELECT doc_id, true_lang, unnest(range(0, len(w))) AS pos,
+        |  unnest(w) AS token FROM te),
+        |sc AS (SELECT t.doc_id, t.true_lang, t.pos, c.lang,
+        |  ln(CAST(coalesce(x.ctl, 0) + 1 AS DOUBLE) / CAST(c.cl + v.v AS DOUBLE)) AS logp
+        |  FROM tok t CROSS JOIN cl c CROSS JOIN v
+        |  LEFT JOIN m x ON x.lang = c.lang AND x.token = t.token),
+        |g AS (SELECT doc_id, true_lang, lang, count(*) AS n_tokens,
+        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(logp ORDER BY pos)),
+        |    (a, x) -> a + x) AS total_logp
+        |  FROM sc GROUP BY 1, 2, 3),
+        |j AS (SELECT g.doc_id, g.true_lang, g.lang, g.n_tokens,
+        |  g.total_logp + ln(CAST(p.nl AS DOUBLE) / CAST(n.n AS DOUBLE)) AS joint
+        |  FROM g JOIN pri p ON p.lang = g.lang CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY joint DESC, lang) AS rk FROM j)
+        |SELECT doc_id, true_lang, lang AS predicted, n_tokens, joint AS log_joint,
+        |  CASE WHEN lang = true_lang THEN 1 ELSE 0 END AS is_correct
+        |FROM r WHERE rk = 1""".stripMargin,
+    // q173's deferred-divide centering on both series: the N² factors
+    // cancel, numerator/denominators are HUGEINT-exact, and per lag
+    // the only floating steps are two sqrts, one multiply, one divide
+    "q189_ccf" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day FROM events
+        |  WHERE event_type IN ('view', 'purchase')),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |cal AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM b),
+        |cx AS (SELECT day, count(*) AS c FROM e WHERE event_type = 'view' GROUP BY 1),
+        |cy AS (SELECT day, count(*) AS c FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        |sx AS (SELECT cal.day AS day, coalesce(cx.c, 0) AS c
+        |  FROM cal LEFT JOIN cx ON cx.day = cal.day),
+        |sy AS (SELECT cal.day AS day, coalesce(cy.c, 0) AS c
+        |  FROM cal LEFT JOIN cy ON cy.day = cal.day),
+        |tx AS (SELECT count(*) AS n, sum(c) AS s FROM sx),
+        |ty AS (SELECT count(*) AS n, sum(c) AS s FROM sy),
+        |x AS (SELECT day, CAST(tx.n AS HUGEINT) * c - CAST(tx.s AS HUGEINT) AS v
+        |  FROM sx, tx),
+        |y AS (SELECT day, CAST(ty.n AS HUGEINT) * c - CAST(ty.s AS HUGEINT) AS v
+        |  FROM sy, ty),
+        |dx AS (SELECT sum(v * v) AS dx FROM x),
+        |dy AS (SELECT sum(v * v) AS dy, count(*) AS n_days FROM y),
+        |lags AS (SELECT unnest(range(-7, 8)) AS lag),
+        |num AS (SELECT lag, sum(x.v * y.v) AS num
+        |  FROM x CROSS JOIN lags JOIN y ON y.day = x.day + lag
+        |  GROUP BY lag)
+        |SELECT lag, n_days, CAST(num AS DOUBLE)
+        |  / (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))) AS ccf
+        |FROM num, dx, dy""".stripMargin,
+    // each slope is one divide of exact integer differences; the
+    // median is picked explicitly by rank (no engine median()),
+    // and the even-count mean is one add+divide of two doubles
+    "q190_theil_sen" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |cal AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM b),
+        |z AS (SELECT cal.day AS day, coalesce(d.c, 0) AS c
+        |  FROM cal LEFT JOIN d ON d.day = cal.day),
+        |nd AS (SELECT count(*) AS n_days FROM z),
+        |p AS (SELECT CAST(bb.c - aa.c AS DOUBLE) / CAST(bb.day - aa.day AS DOUBLE) AS slope
+        |  FROM z aa JOIN z bb ON bb.day > aa.day),
+        |np AS (SELECT count(*) AS n_pairs FROM p),
+        |r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rn FROM p),
+        |mid AS (SELECT r.slope FROM r, np
+        |  WHERE (n_pairs % 2 = 1 AND rn = (n_pairs + 1) // 2)
+        |     OR (n_pairs % 2 = 0 AND (rn = n_pairs // 2 OR rn = n_pairs // 2 + 1))),
+        |m AS (SELECT sum(slope) AS s, count(*) AS c FROM mid)
+        |SELECT n_days, n_pairs, m.s / CAST(m.c AS DOUBLE) AS sen_slope
+        |FROM nd, np, m""".stripMargin,
+    // discount terms ln(2)/ln(rank+1); DCG and ideal-DCG fold in rank
+    // order from a 0.0 seed, the per-label mean in probe order (q165)
+    "q188_ndcg" ->
+      s"""WITH el AS (SELECT vec_id, label, embedding,
+         |  sqrt(list_reduce(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+         |  FROM embeddings),
+         |pairs AS (SELECT p.vec_id AS probe_id, p.label AS probe_label,
+         |    c.vec_id AS neighbor_id, c.label AS n_label,
+         |    ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cos
+         |  FROM el p JOIN el c ON p.vec_id < 50 AND p.vec_id <> c.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |  ORDER BY cos DESC, neighbor_id) AS rank FROM pairs),
+         |h AS (SELECT probe_id,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(list(rank ORDER BY rank),
+         |      x -> ln(CAST(2.0 AS DOUBLE)) / ln(CAST(x + 1 AS DOUBLE)))),
+         |    (a, b) -> a + b) AS dcg
+         |  FROM r WHERE rank <= 20 AND n_label = probe_label GROUP BY probe_id),
+         |ls AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY label),
+         |pr AS (SELECT vec_id AS probe_id, label AS probe_label
+         |  FROM embeddings WHERE vec_id < 50),
+         |pp AS (SELECT pr.probe_id, pr.probe_label,
+         |  least(ls.n_label - 1, 20) AS m, coalesce(h.dcg, 0.0) AS dcg
+         |  FROM pr JOIN ls ON ls.label = pr.probe_label
+         |  LEFT JOIN h ON h.probe_id = pr.probe_id),
+         |nd AS (SELECT probe_id, probe_label, dcg,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(range(1, m + 1),
+         |      i -> ln(CAST(2.0 AS DOUBLE)) / ln(CAST(i + 1 AS DOUBLE)))),
+         |    (a, b) -> a + b) AS idcg
+         |  FROM pp),
+         |f AS (SELECT probe_id, probe_label,
+         |  CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END AS ndcg FROM nd)
+         |SELECT probe_label, count(*) AS n_probes,
+         |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(ndcg ORDER BY probe_id)),
+         |    (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS mean_ndcg
+         |FROM f GROUP BY probe_label""".stripMargin,
     // D_t = N·P_t − t·S stays integral (the deferred-/N trick), so
     // the argmax of |D| is an integer sort; one divide at the end
     "q183_cusum" ->

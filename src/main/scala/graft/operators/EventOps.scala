@@ -1412,4 +1412,101 @@ object EventOps {
             (col("s_stat") + lit(1L)).cast("double") / sqrt(varS))
           .otherwise(lit(0.0)).as("z_stat"))
   }
+
+  /** Lagged cross-correlation between two event-type daily series
+    * (q189): r(ℓ) = corr(view_t, purchase_{t+ℓ}) for ℓ ∈ [−7, 7] —
+    * the lead/lag detector behind "do views predict purchases, and
+    * by how many days?"; the bivariate twin of q173's ACF (a peak at
+    * positive ℓ says X leads Y by ℓ days).
+    *
+    * Exactness: q173's deferred-divide centering on BOTH series —
+    * X_t = N·x_t − Sx, Y_t = N·y_t − Sy stay DECIMAL(38,0)-exact and
+    * the N² factors cancel in X·Y / (√ΣX²·√ΣY²); per lag the only
+    * floating steps are two correctly-rounded sqrts, one multiply,
+    * one divide, written identically in the oracle.
+    *
+    * 100 TB shape: the stream collapses to (day, type) counts in ONE
+    * keyed shuffle; everything after runs on two zero-filled
+    * calendar frames (q173's exemption) with the lag fan-out a
+    * broadcast 15-row frame.
+    */
+  def crossCorrelation(spark: SparkSession, dir: String,
+                       typeX: String = "view", typeY: String = "purchase",
+                       maxLag: Int = 7): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin(typeX, typeY))
+      .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+    val counts = e.groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+    // shared calendar over the union of both types' activity
+    val cal = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    def centered(t: String, dcol: String, xcol: String): DataFrame = {
+      val s = cal.join(
+        counts.filter(col("event_type") === t).select(col("day"), col("c")),
+        Seq("day"), "left")
+        .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+      val tot = s.agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+      s.crossJoin(broadcast(tot))
+        .select(col("day").as(dcol),
+          (col("n").cast(dec) * col("c") - col("s").cast(dec)).as(xcol))
+    }
+    val x = centered(typeX, "a_day", "ax")
+    val y = centered(typeY, "b_day", "by")
+    val denx = x.agg(sum(col("ax") * col("ax")).cast(dec).as("dx"))
+    val deny = y.agg(sum(col("by") * col("by")).cast(dec).as("dy"),
+      count(lit(1)).as("n_days"))
+    val lags = spark.range(-maxLag, maxLag + 1).select(col("id").as("lag"))
+    x.crossJoin(broadcast(lags))
+      .join(y, col("b_day") === col("a_day") + col("lag"))
+      .groupBy("lag")
+      .agg(sum(col("ax") * col("by")).cast(dec).as("num"))
+      .crossJoin(broadcast(denx)).crossJoin(broadcast(deny))
+      .select(col("lag"), col("n_days"),
+        (col("num").cast("double") /
+          (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double"))))
+          .as("ccf"))
+  }
+
+  /** Theil–Sen robust trend slope of the daily event-count series
+    * (q190, Sen 1968): the median of all pairwise slopes
+    * (c_j − c_i)/(j − i) over the zero-filled calendar — the
+    * estimator that pairs with q174's Mann-Kendall test (MK says
+    * WHETHER the trend is real, Sen says HOW STEEP), immune to the
+    * outlier days that wreck the q170-style least-squares fit.
+    *
+    * Determinism: each slope is ONE divide of exact integer
+    * differences; the median is picked EXPLICITLY by rank (middle
+    * element, or the mean of the two middles — a single add+divide
+    * of two doubles) rather than an engine `median()` whose
+    * interpolation rules differ; equal-slope rank ties can permute
+    * rows but never the selected VALUES.
+    *
+    * 100 TB shape: the stream collapses to daily counts in one
+    * keyed shuffle; the O(days²) pair scan and the single-partition
+    * rank window run on the calendar frame (q174's exemption —
+    * bounded by time, not data).
+    */
+  def theilSen(spark: SparkSession, dir: String): DataFrame = {
+    val z = dailyCounts(spark, dir)
+    val a = z.select(col("day").as("i"), col("c").as("ci"))
+    val b = z.select(col("day").as("j"), col("c").as("cj"))
+    val slopes = a.join(b, col("j") > col("i"))
+      .select(((col("cj") - col("ci")).cast("double") /
+        (col("j") - col("i")).cast("double")).as("slope"))
+    val np = slopes.agg(count(lit(1)).as("n_pairs"))
+    val nd = z.agg(count(lit(1)).as("n_days"))
+    val w = Window.orderBy(col("slope"))
+    slopes.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(np))
+      .filter(
+        (col("n_pairs") % 2 === 1 && col("rn") === (col("n_pairs") + 1) / 2) ||
+          (col("n_pairs") % 2 === 0 &&
+            (col("rn") === col("n_pairs") / 2 || col("rn") === col("n_pairs") / 2 + 1)))
+      .agg(max(col("n_pairs")).as("n_pairs"),
+        count(lit(1)).as("n_mid"), sum(col("slope")).as("sum_mid"))
+      .crossJoin(broadcast(nd))
+      .select(col("n_days"), col("n_pairs"),
+        (col("sum_mid") / col("n_mid").cast("double")).as("sen_slope"))
+  }
 }

@@ -1018,4 +1018,61 @@ object Similarity {
         coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
         col("rrf_score"))
   }
+
+  /** Per-label nDCG@k of same-label retrieval (q188): binary gain
+    * (same label = relevant), DCG = Σ 1/log2(rank+1) over the hits in
+    * the exact top-k, normalized by the ideal DCG for the number of
+    * same-label candidates actually available (capped at k) — the
+    * position-sensitive complement of q165's MRR (first hit only) and
+    * q87's recall (set overlap only): nDCG is what moves when a
+    * relevant result slides from rank 2 to rank 9.
+    *
+    * Determinism: the shared bit-exact cosine ranking with the
+    * neighbor_id tiebreak; each discount term is ln(2)/ln(rank+1)
+    * through graft_ln (libm parity) and both the DCG and ideal-DCG
+    * sums fold in RANK order from a 0.0 seed, so the DuckDB oracle
+    * replays the exact IEEE sequence; the per-label mean folds in
+    * probe order (q165's pinning).
+    *
+    * 100 TB shape: probes bounded by construction (q24's broadcast
+    * scan — the candidate leg swaps for the ANN tier at scale); label
+    * sizes are one class-bounded agg joined back by broadcast; the
+    * ideal-DCG fold runs over a generated ≤k sequence, never data.
+    */
+  def labelNdcg(spark: SparkSession, dir: String,
+                numProbes: Int = 50, k: Int = 20): DataFrame = {
+    val ln = graft.functions.MathFunctions.ln _
+    val ln2 = ln(lit(2.0))
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val labelSizes = labels.groupBy("label").agg(count(lit(1)).as("n_label"))
+    val probes = graft.util.Pins.eager(
+      labels.filter(col("vec_id") < numProbes)
+        .select(col("vec_id").as("probe_id"), col("label").as("probe_label")))
+    val dcg = bruteForceTopK(spark, dir, numProbes, k)
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+        col("label").as("n_label")), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .filter(col("n_label") === col("probe_label"))
+      .groupBy("probe_id")
+      .agg(aggregate(sort_array(collect_list(col("rank"))),
+        lit(0.0), (acc, r) => acc + ln2 / ln(r.cast("double") + lit(1.0))).as("dcg"))
+    probes
+      .join(broadcast(labelSizes), probes("probe_label") === labelSizes("label"))
+      .withColumn("m", least(col("n_label") - 1, lit(k)).cast("int"))
+      .join(dcg, Seq("probe_id"), "left")
+      .withColumn("dcg", coalesce(col("dcg"), lit(0.0)))
+      // sequence(1, 0) would count DOWN; guard the empty-ideal case
+      .withColumn("idcg", when(col("m") >= 1,
+        aggregate(sequence(lit(1), col("m")),
+          lit(0.0), (acc, i) => acc + ln2 / ln(i.cast("double") + lit(1.0))))
+        .otherwise(lit(0.0)))
+      .withColumn("ndcg",
+        when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)))
+      .groupBy(col("probe_label"))
+      .agg(count(lit(1)).as("n_probes"),
+        (aggregate(
+          sort_array(collect_list(struct(col("probe_id"), col("ndcg")))),
+          lit(0.0), (acc, x) => acc + x.getField("ndcg"))
+          / count(lit(1)).cast("double")).as("mean_ndcg"))
+  }
 }

@@ -2364,4 +2364,72 @@ object TextAnalysis {
         ((col("sy") - (cov / varx) * col("sx")) / n).as("intercept"),
         ((cov * cov) / (varx * vary)).as("r2"))
   }
+
+  /** Multinomial Naive Bayes language scoring (q187): train add-one-
+    * smoothed per-language token models on the q63 train split and
+    * predict the language of every test-split document — the TRAINED
+    * twin of q30's closed-form n-gram heuristic, and the standard
+    * first-pass lang-id / topic-routing classifier in ingest
+    * pipelines (McCallum & Nigam, AAAI'98 workshop).
+    *
+    * Determinism: every probability is a ratio of exact integer
+    * counts — log P(token|lang) = ln((c_tl+1)/(c_l+V)), prior
+    * ln(n_l/N) — through graft_ln (libm parity); the per-(doc, lang)
+    * log-likelihood folds in DOCUMENT ORDER (posexplode →
+    * sort_array(collect_list) → fold, q84's pinning) so the DuckDB
+    * oracle replays the exact IEEE add sequence; argmax tie-breaks
+    * (joint desc, lang asc) on bit-identical doubles.
+    *
+    * 100 TB shape: (lang, token) counts are ONE keyed shuffle with
+    * map-side combine producing a vocab×|langs|-bounded model; class
+    * totals, priors, and V reduce that model, never the corpus; the
+    * scoring join fans test tokens out only |langs|× (langs is a
+    * broadcast class-bounded frame) and equi-joins the model on
+    * (lang, token); the fold shuffles once on the high-cardinality
+    * doc key and the argmax is a per-doc window over ≤|langs| rows.
+    */
+  def naiveBayesLang(spark: SparkSession, dir: String,
+                     trainPct: Int = 80, testFrom: Int = 90): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = md5Bucket(1)
+    val ln = graft.functions.MathFunctions.ln _
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), bucket.as("bucket"))
+    val train = docs.filter(col("bucket") < trainPct)
+    val ctl = train
+      .select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("ctl"))
+    val cl = ctl.groupBy("lang").agg(sum(col("ctl")).as("cl"))
+    val v = ctl.agg(countDistinct(col("token")).as("v"))
+    val pri = train.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val n = pri.agg(sum(col("nl")).as("n"))
+    // class-bounded frame: one row per trained language
+    val classes = cl.join(pri, Seq("lang"))
+    val testToks = docs.filter(col("bucket") >= testFrom)
+      .select(col("doc_id"), col("lang").as("true_lang"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+    val scored = testToks
+      .crossJoin(broadcast(classes))
+      .join(ctl, Seq("lang", "token"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("logp", ln(
+        (coalesce(col("ctl"), lit(0L)) + lit(1L)).cast("double") /
+          (col("cl") + col("v")).cast("double")))
+    val joint = scored
+      .groupBy("doc_id", "true_lang", "lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        aggregate(sort_array(collect_list(struct(col("pos"), col("logp")))),
+          lit(0.0), (acc, x) => acc + x.getField("logp")).as("total_logp"),
+        first(col("nl")).as("nl"))
+      .crossJoin(broadcast(n))
+      .withColumn("joint",
+        col("total_logp") + ln(col("nl").cast("double") / col("n").cast("double")))
+    val w = Window.partitionBy("doc_id").orderBy(col("joint").desc, col("lang").asc)
+    joint.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("true_lang"), col("lang").as("predicted"),
+        col("n_tokens"), col("joint").as("log_joint"),
+        when(col("lang") === col("true_lang"), lit(1)).otherwise(lit(0)).as("is_correct"))
+  }
 }

@@ -630,6 +630,45 @@ class PlanGuardSpec extends SparkSuite {
     assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("q187 naive bayes: model aggs partial+final, class fan-out broadcast, argmax window keyed") {
+    val df = TextAnalysis.naiveBayesLang(spark, sf)
+    // the (lang, token) model and the fold agg must map-side combine
+    assert(plan(df).count(_.nodeName.contains("HashAggregate")) >= 4)
+    // the |langs|× fan-out must ride a broadcast, never a shuffle pair
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).exists(_.contains("BroadcastNestedLoopJoin")),
+      "classes frame must broadcast onto the test tokens")
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "the argmax window must stay keyed by doc_id")
+  }
+
+  test("q188 ndcg: probe-bounded scan, keyed windows, no corpus-sized sort-merge join") {
+    val df = Similarity.labelNdcg(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "ranking window must stay keyed by probe_id")
+    // label sizes are a class-bounded agg: partial+final, joined back
+    // by broadcast (the probe frame is checkpoint-pinned and tiny)
+    assert(plan(df).count(_.nodeName.contains("HashAggregate")) >= 2)
+    assert(names(df).exists(_.contains("BroadcastHashJoin")))
+  }
+
+  test("q189/q190 calendar trends: corpus collapses to ONE count agg before the pair/lag work") {
+    Seq(EventOps.crossCorrelation(spark, sf), EventOps.theilSen(spark, sf))
+      .foreach { df =>
+        // the event stream must partial+final aggregate to daily
+        // counts; pair scans and lag joins ride the calendar frame
+        // (q173/q174's shape)
+        assert(plan(df).count(_.nodeName.contains("HashAggregate")) >= 2,
+          "daily counts must partial+final aggregate before calendar work")
+        assert(plan(df).exists(_.nodeName.contains("Join")))
+      }
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
