@@ -345,7 +345,11 @@ object SparkEntry {
     // — round-12 widening, batch 41: the lead/lag detector (q173's
     //   bivariate twin) and the robust trend slope (q174's partner) —
     "q189_ccf" -> ((s, d) => EventOps.crossCorrelation(s, d)),
-    "q190_theil_sen" -> ((s, d) => EventOps.theilSen(s, d))
+    "q190_theil_sen" -> ((s, d) => EventOps.theilSen(s, d)),
+    // — round-12 widening, batch 42: TPC-H Q7's two-dimension join
+    //   shape and the Fightin'-Words corpus comparison —
+    "q191_tpch_q7" -> ((s, d) => Relational.nationVolume(s, d)),
+    "q192_log_odds" -> ((s, d) => TextAnalysis.logOddsTerms(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3159,6 +3163,47 @@ object SparkEntry {
         |m AS (SELECT sum(slope) AS s, count(*) AS c FROM mid)
         |SELECT n_days, n_pairs, m.s / CAST(m.c AS DOUBLE) AS sen_slope
         |FROM nd, np, m""".stripMargin,
+    // q100's decimal-revenue rule with the Q7 disjunctive nation pair;
+    // the ship-year is integer extraction
+    "q191_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // α = 0.5 keeps every smoothed term exactly representable; the
+    // δ and σ² chains run in ONE fixed operation order (two lns, one
+    // subtract, two divides, one add, one sqrt), mirrored verbatim
+    "q192_log_odds" ->
+      """WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, count(*) AS y FROM st GROUP BY 1, 2),
+        |tot AS (SELECT token, sum(y) AS yt FROM c GROUP BY 1),
+        |ns AS (SELECT source, sum(y) AS ns FROM c GROUP BY 1),
+        |nn AS (SELECT sum(y) AS n FROM c),
+        |v AS (SELECT count(*) AS v FROM tot),
+        |sc AS (SELECT c.source, c.token, c.y, tot.yt - c.y AS yr,
+        |    ns.ns AS ns, nn.n - ns.ns AS nr
+        |  FROM c JOIN tot USING (token) JOIN ns USING (source) CROSS JOIN nn
+        |  WHERE c.y >= 5),
+        |z AS (SELECT source, token, y,
+        |  (ln((y + 0.5) / (ns + 0.5 * v - y - 0.5))
+        |    - ln((yr + 0.5) / (nr + 0.5 * v - yr - 0.5)))
+        |   / sqrt(1.0 / (y + 0.5) + 1.0 / (yr + 0.5)) AS z
+        |  FROM sc CROSS JOIN v),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY z DESC, token) AS rank FROM z)
+        |SELECT source, rank, token, y AS y_source, z FROM r WHERE rank <= 10""".stripMargin,
     // discount terms ln(2)/ln(rank+1); DCG and ideal-DCG fold in rank
     // order from a 0.0 seed, the per-label mean in probe order (q165)
     "q188_ndcg" ->

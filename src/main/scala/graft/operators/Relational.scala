@@ -814,4 +814,52 @@ object Relational {
         (col("cmax").cast("double") / col("total_tokens").cast("double"))
           .as("top_share"))
   }
+
+  /** TPC-H Q7 volume shipping (q191): revenue shipped between two
+    * named nations by year — the second classic TPC-H join workout
+    * next to q100's Q5, exercising the shape Q5 doesn't: TWO
+    * independent nation dimensions (supplier's and customer's) with
+    * a disjunctive pair predicate, plus a date-derived group key.
+    *
+    * Plan: the nation dim is filtered to the two named rows BEFORE
+    * its broadcast joins, so supplier and customer rows of every
+    * other nation drop AT the join (the broadcast is 2 rows, and the
+    * pair disjunction runs on the joined 2×2 name space, never the
+    * fact table).  Revenue sums in DECIMAL(18,4) (q01's exactness
+    * rule); the ship-year is integer extraction pushed onto the
+    * lineitem scan.
+    *
+    * 100 TB shape: lineitem shuffles only on its join keys
+    * (order/supp — AQE picks broadcast while orders/customer fit,
+    * shuffle joins beyond); nation stays a bounded 2-row broadcast
+    * at every SF.  No SF-linear table carries a hint (the q02/q100
+    * rule).
+    */
+  def nationVolume(spark: SparkSession, dir: String,
+                   nationA: String = "NATION_1", nationB: String = "NATION_2",
+                   from: String = "1996-01-01",
+                   until: String = "1998-01-01"): DataFrame = {
+    val pair = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nationA, nationB))
+    val n1 = pair.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = pair.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+  }
 }

@@ -669,6 +669,32 @@ class PlanGuardSpec extends SparkSuite {
       }
   }
 
+  test("q191 tpch q7: shipdate pushed to parquet, only the 2-row nation dims carry hints") {
+    val df = Relational.nationVolume(spark, sf)
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.exists(_.metadata("PushedFilters").contains("l_shipdate")),
+      "lineitem date filter must reach the parquet scan")
+    // broadcast HINTS stay reserved for the scale-bounded nation dim
+    // (the q02/q100 rule: no hint on SF-linear tables)
+    val hinted = hintedOutputs(df)
+    assert(hinted.nonEmpty && hinted.forall(cols =>
+      cols.toSet == Set("s_nk", "supp_nation") ||
+        cols.toSet == Set("c_nk", "cust_nation")),
+      s"only nation-dim frames may carry hints, got $hinted")
+    assert(names(df).exists(_.contains("BroadcastHashJoin")))
+  }
+
+  test("q192 log-odds: one corpus shuffle to (source, token), scoring rides the vocab frame") {
+    val df = TextAnalysis.logOddsTerms(spark, sf)
+    assert(plan(df).count(_.nodeName.contains("HashAggregate")) >= 4,
+      "counts, totals, and the reductions must all partial+final aggregate")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "the top-M window must stay keyed by source")
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
