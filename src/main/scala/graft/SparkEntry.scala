@@ -349,7 +349,11 @@ object SparkEntry {
     // — round-12 widening, batch 42: TPC-H Q7's two-dimension join
     //   shape and the Fightin'-Words corpus comparison —
     "q191_tpch_q7" -> ((s, d) => Relational.nationVolume(s, d)),
-    "q192_log_odds" -> ((s, d) => TextAnalysis.logOddsTerms(s, d))
+    "q192_log_odds" -> ((s, d) => TextAnalysis.logOddsTerms(s, d)),
+    // — round-12 widening, batch 43: trend-aware smoothing (q186's
+    //   partner) and the Good-Turing frequency spectrum (q83's) —
+    "q193_holt" -> ((s, d) => EventOps.holtDaily(s, d)),
+    "q194_good_turing" -> ((s, d) => TextAnalysis.goodTuring(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3204,6 +3208,59 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY source
         |  ORDER BY z DESC, token) AS rank FROM z)
         |SELECT source, rank, token, y AS y_source, z FROM r WHERE rank <= 10""".stripMargin,
+    // q186's rule for floating recursions: both engines replay the
+    // SAME struct fold — Spark seeds (l1, b1) explicitly, DuckDB
+    // list_prepends that seed; coefficients stay written as 1.0 - a
+    // (a pre-simplified literal can differ in the last ulp); the
+    // level update is duplicated in the trend line on BOTH sides
+    "q193_holt" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+        |cal AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM b),
+        |z AS (SELECT cal.day AS day, coalesce(d.c, 0) AS c
+        |  FROM cal LEFT JOIN d ON d.day = cal.day),
+        |arr AS (SELECT list(struct_pack(day := day, c := c) ORDER BY day) AS arr
+        |  FROM z),
+        |va AS (SELECT arr, list_transform(arr, e -> CAST(e.c AS DOUBLE)) AS vals
+        |  FROM arr),
+        |p AS (SELECT unnest(arr) AS e,
+        |  unnest(generate_series(1, len(arr))) AS t, vals FROM va),
+        |s AS (SELECT e.day AS day, e.c AS c,
+        |  list_reduce(list_prepend(
+        |      struct_pack(l := vals[1], b := vals[2] - vals[1]),
+        |      list_transform(vals[2:t-1], x -> struct_pack(l := x, b := 0.0))),
+        |    (acc, x) -> struct_pack(
+        |      l := 0.2 * x.l + (1.0 - 0.2) * (acc.l + acc.b),
+        |      b := 0.1 * (0.2 * x.l + (1.0 - 0.2) * (acc.l + acc.b) - acc.l)
+        |        + (1.0 - 0.1) * acc.b)) AS prev,
+        |  list_reduce(list_prepend(
+        |      struct_pack(l := vals[1], b := vals[2] - vals[1]),
+        |      list_transform(vals[2:t], x -> struct_pack(l := x, b := 0.0))),
+        |    (acc, x) -> struct_pack(
+        |      l := 0.2 * x.l + (1.0 - 0.2) * (acc.l + acc.b),
+        |      b := 0.1 * (0.2 * x.l + (1.0 - 0.2) * (acc.l + acc.b) - acc.l)
+        |        + (1.0 - 0.1) * acc.b)) AS st
+        |  FROM p WHERE t >= 2)
+        |SELECT day, c, st.l AS level, st.b AS trend,
+        |  prev.l + prev.b AS forecast,
+        |  CAST(c AS DOUBLE) - (prev.l + prev.b) AS residual
+        |FROM s""".stripMargin,
+    // N_r, N, N1 are exact integers; r* is one cast-multiply-divide
+    // chain and p0 a single divide; rows keep r <= 20 with N_{r+1}>0
+    "q194_good_turing" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS r FROM tok GROUP BY 1),
+        |fof AS (SELECT r, count(*) AS n_r FROM c GROUP BY 1),
+        |nt AS (SELECT sum(r) AS n FROM c),
+        |n1 AS (SELECT coalesce(sum(CASE WHEN r = 1 THEN n_r END), 0) AS n_1 FROM fof),
+        |nx AS (SELECT r - 1 AS r, n_r AS n_r1 FROM fof)
+        |SELECT fof.r, fof.n_r, nx.n_r1,
+        |  CAST(fof.r + 1 AS DOUBLE) * CAST(nx.n_r1 AS DOUBLE)
+        |    / CAST(fof.n_r AS DOUBLE) AS r_star,
+        |  CAST(n_1 AS DOUBLE) / CAST(n AS DOUBLE) AS p_unseen
+        |FROM fof JOIN nx USING (r), nt, n1
+        |WHERE fof.r <= 20""".stripMargin,
     // discount terms ln(2)/ln(rank+1); DCG and ideal-DCG fold in rank
     // order from a 0.0 seed, the per-label mean in probe order (q165)
     "q188_ndcg" ->

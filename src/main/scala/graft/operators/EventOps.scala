@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.ArgotFlatten
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1508,5 +1508,61 @@ object EventOps {
       .crossJoin(broadcast(nd))
       .select(col("n_days"), col("n_pairs"),
         (col("sum_mid") / col("n_mid").cast("double")).as("sen_slope"))
+  }
+
+  /** Holt double-exponential smoothing of the daily series (q193):
+    * level + trend recursions l_t = αx_t + (1−α)(l_{t−1}+b_{t−1}),
+    * b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}, seeded l_1 = x_1,
+    * b_1 = x_2−x_1 — q186's EWMA with the trend component the flat
+    * EWMA systematically lags on ramps; the one-step forecast
+    * f_t = l_{t−1}+b_{t−1} and its residual are the standard
+    * short-horizon capacity-planning baseline.
+    *
+    * Determinism: a floating recursion, so (q186's rule) both
+    * engines replay the SAME fold: Spark folds observations 2..t
+    * from an explicit (l_1, b_1) struct seed; DuckDB list_prepends
+    * that seed and reduces with the identical lambda — every
+    * coefficient written as the same `1.0 − α` expression on both
+    * sides (a pre-simplified 0.8 literal can differ from computed
+    * 1.0−0.2 in the last ulp).  O(days²) prefix folds,
+    * calendar-bounded (q174 exemption).
+    *
+    * 100 TB shape: the q173 collapse to daily counts (one keyed
+    * shuffle), then all folds on the calendar frame.
+    */
+  def holtDaily(spark: SparkSession, dir: String,
+                alpha: Double = 0.2, beta: Double = 0.1): DataFrame = {
+    val a = lit(alpha)
+    val bb = lit(beta)
+    val z = dailyCounts(spark, dir)
+    val series = z.agg(
+      transform(sort_array(collect_list(struct(col("day"), col("c")))),
+        x => x.getField("c").cast("double")).as("vals"),
+      sort_array(collect_list(struct(col("day"), col("c")))).as("arr"))
+    val init = struct(
+      element_at(col("vals"), 1).as("l"),
+      (element_at(col("vals"), 2) - element_at(col("vals"), 1)).as("b"))
+    // the level update appears twice in the trend line: HOF lambdas
+    // bind no intermediates, and the duplicated expression is
+    // bit-identical on both engines
+    def step(acc: Column, x: Column): Column = struct(
+      (a * x + (lit(1.0) - a) * (acc.getField("l") + acc.getField("b"))).as("l"),
+      (bb * (a * x + (lit(1.0) - a) * (acc.getField("l") + acc.getField("b"))
+        - acc.getField("l")) + (lit(1.0) - bb) * acc.getField("b")).as("b"))
+    series
+      .select(posexplode(col("arr")).as(Seq("pos", "e")), col("vals"))
+      .filter(col("pos") >= 1) // forecasts exist from the 2nd day on
+      .select(col("e.day").as("day"), col("e.c").as("c"),
+        // state after day t-1: fold observations 2..t-1 from the seed
+        aggregate(slice(col("vals"), lit(2), col("pos") - 1), init, step)
+          .as("prev"),
+        // state after day t: one more observation
+        aggregate(slice(col("vals"), lit(2), col("pos")), init, step)
+          .as("st"))
+      .select(col("day"), col("c"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        (col("prev.l") + col("prev.b")).as("forecast"),
+        (col("c").cast("double") - (col("prev.l") + col("prev.b")))
+          .as("residual"))
   }
 }

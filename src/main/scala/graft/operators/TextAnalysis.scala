@@ -2481,4 +2481,43 @@ object TextAnalysis {
       .filter(col("rank") <= topM)
       .select(col("source"), col("rank"), col("token"), col("y").as("y_source"), col("z"))
   }
+
+  /** Good–Turing frequency-of-frequencies table (q194, Gale &
+    * Sampson 1995): for each observed count r, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r and the unseen-mass estimate
+    * p₀ = N₁/N — the LM-smoothing companion to q83's add-one
+    * baseline (add-one over-discounts frequent tokens; GT discounts
+    * by what the frequency spectrum itself says) and the standard
+    * "how much probability belongs to words we've never seen"
+    * coverage gauge for a crawl.
+    *
+    * Determinism: N_r, N, and N₁ are exact integers; r* is one
+    * fixed-order chain (cast-multiply-divide) and p₀ a single
+    * divide, mirrored verbatim.  Rows keep only r ≤ maxR with
+    * N_{r+1} > 0 (plain GT is undefined on spectrum gaps; the
+    * smoothed-spectrum variant is a regression, out of scope by
+    * design).
+    *
+    * 100 TB shape: token counts are ONE keyed shuffle with map-side
+    * combine; the frequency spectrum re-aggregates the vocab-bounded
+    * frame; the r↔r+1 join and the broadcast totals run on the
+    * ≤maxR-row spectrum.
+    */
+  def goodTuring(spark: SparkSession, dir: String, maxR: Int = 20): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("r"))
+    val fof = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
+    val nTot = counts.agg(sum(col("r")).as("n"))
+    val n1 = fof.agg(
+      coalesce(sum(when(col("r") === 1, col("n_r"))), lit(0L)).as("n_1"))
+    val next = fof.select((col("r") - 1).as("r"), col("n_r").as("n_r1"))
+    fof.filter(col("r") <= maxR)
+      .join(next, Seq("r"))
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(n1))
+      .select(col("r"), col("n_r"), col("n_r1"),
+        ((col("r") + 1).cast("double") * col("n_r1").cast("double")
+          / col("n_r").cast("double")).as("r_star"),
+        (col("n_1").cast("double") / col("n").cast("double")).as("p_unseen"))
+  }
 }
