@@ -353,7 +353,20 @@ object SparkEntry {
     // — round-12 widening, batch 43: trend-aware smoothing (q186's
     //   partner) and the Good-Turing frequency spectrum (q83's) —
     "q193_holt" -> ((s, d) => EventOps.holtDaily(s, d)),
-    "q194_good_turing" -> ((s, d) => TextAnalysis.goodTuring(s, d))
+    "q194_good_turing" -> ((s, d) => TextAnalysis.goodTuring(s, d)),
+    // — round-12 widening, batch 44: the two remaining canonical
+    //   TPC-H join workouts expressible on this schema — Q8's
+    //   seven-table market share and Q10's returned-item top-k —
+    "q195_tpch_q8" -> ((s, d) => Relational.marketShare(s, d)),
+    "q196_tpch_q10" -> ((s, d) => Relational.returnedItemRevenue(s, d)),
+    // — round-12 widening, batch 45: TPC-H Q13's outer-join histogram
+    //   (the k = 0 bin needs the LEFT join) and Q14's promo share —
+    "q197_tpch_q13" -> ((s, d) => Relational.customerOrderDistribution(s, d)),
+    "q198_tpch_q14" -> ((s, d) => Relational.promoRevenueShare(s, d)),
+    // — round-12 widening, batch 46: TPC-H Q3's segment-driven top-k
+    //   and Q18's HAVING-driven large-volume semi-join —
+    "q199_tpch_q3" -> ((s, d) => Relational.shippingPriority(s, d)),
+    "q200_tpch_q18" -> ((s, d) => Relational.largeVolumeCustomers(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3209,47 +3222,47 @@ object SparkEntry {
         |  ORDER BY z DESC, token) AS rank FROM z)
         |SELECT source, rank, token, y AS y_source, z FROM r WHERE rank <= 10""".stripMargin,
     // q186's rule for floating recursions: both engines replay the
-    // SAME struct fold — Spark seeds (l1, b1) explicitly, DuckDB
-    // list_prepends that seed; coefficients stay written as 1.0 - a
-    // (a pre-simplified literal can differ in the last ulp); the
-    // level update is duplicated in the trend line on BOTH sides
+    // SAME scalar recursion with coefficients written as 1.0 - a (a
+    // pre-simplified literal can differ in the last ulp) and the level
+    // update duplicated in the trend line on BOTH sides.  The DuckDB
+    // side is a RECURSIVE CTE, not a list_reduce: DuckDB 1.0's
+    // list_reduce with a STRUCT accumulator mis-evaluates the lambda
+    // (two fields holding the identical expression come back with
+    // different values — reproduced on [364,339,333]); plain scalar
+    // recursion evaluates correctly and bit-matches Spark's aggregate()
     "q193_holt" ->
-      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS c
+      """WITH RECURSIVE d AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS c
         |  FROM events GROUP BY 1),
         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
         |cal AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM b),
         |z AS (SELECT cal.day AS day, coalesce(d.c, 0) AS c
         |  FROM cal LEFT JOIN d ON d.day = cal.day),
-        |arr AS (SELECT list(struct_pack(day := day, c := c) ORDER BY day) AS arr
-        |  FROM z),
-        |va AS (SELECT arr, list_transform(arr, e -> CAST(e.c AS DOUBLE)) AS vals
-        |  FROM arr),
-        |p AS (SELECT unnest(arr) AS e,
-        |  unnest(generate_series(1, len(arr))) AS t, vals FROM va),
-        |s AS (SELECT e.day AS day, e.c AS c,
-        |  list_reduce(list_prepend(
-        |      struct_pack(l := vals[1], b := vals[2] - vals[1]),
-        |      list_transform(vals[2:t-1], x -> struct_pack(l := x, b := 0.0))),
-        |    (acc, x) -> struct_pack(
-        |      l := 0.2 * x.l + (1.0 - 0.2) * (acc.l + acc.b),
-        |      b := 0.1 * (0.2 * x.l + (1.0 - 0.2) * (acc.l + acc.b) - acc.l)
-        |        + (1.0 - 0.1) * acc.b)) AS prev,
-        |  list_reduce(list_prepend(
-        |      struct_pack(l := vals[1], b := vals[2] - vals[1]),
-        |      list_transform(vals[2:t], x -> struct_pack(l := x, b := 0.0))),
-        |    (acc, x) -> struct_pack(
-        |      l := 0.2 * x.l + (1.0 - 0.2) * (acc.l + acc.b),
-        |      b := 0.1 * (0.2 * x.l + (1.0 - 0.2) * (acc.l + acc.b) - acc.l)
-        |        + (1.0 - 0.1) * acc.b)) AS st
-        |  FROM p WHERE t >= 2)
-        |SELECT day, c, st.l AS level, st.b AS trend,
-        |  prev.l + prev.b AS forecast,
-        |  CAST(c AS DOUBLE) - (prev.l + prev.b) AS residual
-        |FROM s""".stripMargin,
+        |va AS (SELECT list(day ORDER BY day) AS days,
+        |  list(c ORDER BY day) AS cs,
+        |  list(CAST(c AS DOUBLE) ORDER BY day) AS vals FROM z),
+        |it(t, l, tr) AS (
+        |  SELECT 1, vals[1], vals[2] - vals[1] FROM va
+        |  UNION ALL
+        |  SELECT t + 1,
+        |    0.2 * vals[t + 1] + (1.0 - 0.2) * (l + tr),
+        |    0.1 * (0.2 * vals[t + 1] + (1.0 - 0.2) * (l + tr) - l)
+        |      + (1.0 - 0.1) * tr
+        |  FROM it, va WHERE t < len(vals)),
+        |s AS (SELECT cur.t AS t, prev.l AS pl, prev.tr AS pb,
+        |    cur.l AS cl, cur.tr AS cb
+        |  FROM it cur JOIN it prev ON prev.t = cur.t - 1)
+        |SELECT days[t] AS day, cs[t] AS c, cl AS level, cb AS trend,
+        |  pl + pb AS forecast,
+        |  CAST(cs[t] AS DOUBLE) - (pl + pb) AS residual
+        |FROM s, va""".stripMargin,
     // N_r, N, N1 are exact integers; r* is one cast-multiply-divide
-    // chain and p0 a single divide; rows keep r <= 20 with N_{r+1}>0
+    // chain and p0 a single divide; rows keep r <= 20 with N_{r+1}>0.
+    // Counts are BIGRAM counts (q83's table) — the fixture vocabulary
+    // is ~31 tokens so the unigram spectrum has no low-r mass at all
     "q194_good_turing" ->
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT unnest([array_to_string(w[i:i+1], ' ') FOR i IN range(1, len(w))]) AS token
+        |  FROM w WHERE len(w) >= 2),
         |c AS (SELECT token, count(*) AS r FROM tok GROUP BY 1),
         |fof AS (SELECT r, count(*) AS n_r FROM c GROUP BY 1),
         |nt AS (SELECT sum(r) AS n FROM c),
@@ -3261,6 +3274,100 @@ object SparkEntry {
         |  CAST(n_1 AS DOUBLE) / CAST(n AS DOUBLE) AS p_unseen
         |FROM fof JOIN nx USING (r), nt, n1
         |WHERE fof.r <= 20""".stripMargin,
+    // Q8's share: exact DECIMAL(18,4) sums on both sides, the divide
+    // on doubles after both sums — never a decimal/decimal divide
+    // (engines round those differently)
+    "q195_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_1'
+        |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS mkt_share,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_volume,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    // Q10 top-20: revenue DESC with c_custkey tie-break makes the
+    // LIMIT deterministic on both engines
+    "q196_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name, c_acctbal,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    // Q13: integer counts only — no float anywhere; the k=0 bin
+    // comes from customers missing in the filtered orders frame
+    "q197_tpch_q13" ->
+      """WITH pc AS (SELECT o_custkey, count(*) AS c_count FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') GROUP BY 1)
+        |SELECT coalesce(pc.c_count, 0) AS c_count, count(*) AS custdist
+        |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+        |GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    // Q14: numerator/denominator as exact DECIMAL sums; the single
+    // 100*x/y divide on doubles after both
+    "q198_tpch_q14" ->
+      """SELECT
+        |  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS promo_pct,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    // Q3: revenue is the house exact-DECIMAL sum; l_orderkey
+    // tie-breaks the top-10
+    "q199_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    // Q18: quantities are integral doubles, so the sum is exact in
+    // any order and the BIGINT cast is lossless on both engines
+    "q200_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
     // discount terms ln(2)/ln(rank+1); DCG and ideal-DCG fold in rank
     // order from a 0.0 seed, the per-label mean in probe order (q165)
     "q188_ndcg" ->

@@ -18,7 +18,23 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Parquet written by pyarrow (isAdjustedToUTC=false) loads as
+    * TIMESTAMP_NTZ under Spark 4's NTZ inference, but the epoch-math
+    * functions the operators use (`unix_millis` & co.) require the
+    * instant-typed TimestampType.  The session time zone is pinned to
+    * UTC (GraftSession), so casting NTZ→LTZ relabels the same wall
+    * clock as the same instant — bit-identical to DuckDB's
+    * naive-timestamp `epoch_ms` arithmetic on the same files.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "nation")

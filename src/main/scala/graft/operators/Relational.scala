@@ -862,4 +862,221 @@ object Relational {
       .groupBy("supp_nation", "cust_nation", "l_year")
       .agg(sum(col("rev")).cast("double").as("revenue"), count(lit(1)).as("n_items"))
   }
+
+  /** TPC-H Q8 national market share (q195): of all ECONOMY-type parts
+    * sold into the ASIA market (customer's nation in the region), what
+    * fraction of yearly volume did a given supplying nation capture?
+    * The widest canonical TPC-H join — lineitem ⋈ part ⋈ orders ⋈
+    * customer ⋈ supplier plus two nation legs and region — with a
+    * conditional-aggregate share on top.
+    *
+    * 100 TB shape: `part` is filtered to one p_type BEFORE its join
+    * (the filter pushes to the parquet scan, pruning the fact side at
+    * the earliest join); the fact chain shuffles on its keys with NO
+    * forced broadcast of any SF-linear table (part/supplier/customer/
+    * orders are threshold/AQE-decided — the q02/q100 rule); nation and
+    * the region-pruned nation list are scale-constant (≤25 rows) and
+    * hinted.  Share = conditional sum / total sum inside ONE aggregate
+    * — a second pass over the joined frame is never needed.  Sums are
+    * exact DECIMAL(18,4); the divide happens on doubles AFTER both
+    * sums, identically on both engines.
+    */
+  def marketShare(spark: SparkSession, dir: String,
+                  regionName: String = "ASIA",
+                  partType: String = "ECONOMY",
+                  suppNation: String = "NATION_1",
+                  from: String = "1996-01-01",
+                  until: String = "1998-01-01"): DataFrame = {
+    val market = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("mkt_nk"))
+    val sn = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(Tables.part(spark, dir).filter(col("p_type") === partType)
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(market), col("c_nationkey") === col("mkt_nk"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .groupBy("o_year")
+      .agg(
+        (sum(when(col("supp_nation") === suppNation, col("rev"))).cast("double")
+          / sum(col("rev")).cast("double")).as("mkt_share"),
+        sum(col("rev")).cast("double").as("total_volume"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q10 returned-item revenue (q196): the top-k customers by
+    * revenue lost to returns (l_returnflag = 'R') in a quarter — the
+    * canonical "who should the account team call" ranking.
+    *
+    * 100 TB shape: both fact filters (returnflag, order-date window)
+    * push to their parquet scans before the fact-fact join; the
+    * customer/nation decoration joins happen AFTER the group-by
+    * collapses the frame to ≤ one row per customer (TPC-H's literal
+    * form drags c_name/c_acctbal through the aggregate as grouping
+    * keys; grouping on the key alone keeps the shuffled rows narrow
+    * and the decoration join probes a customer-sized frame).
+    * The final top-k is orderBy+limit = TakeOrderedAndProject —
+    * per-partition heaps, never a global sort.
+    */
+  def returnedItemRevenue(spark: SparkSession, dir: String,
+                          from: String = "1996-01-01",
+                          until: String = "1996-07-01",
+                          k: Int = 20): DataFrame = {
+    val byCust = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+    byCust
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        col("c_acctbal"), col("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q13 customer distribution (q197): how many customers placed
+    * exactly k urgent-or-high-priority orders, including k = 0 — the
+    * canonical outer-join-then-double-aggregate histogram.
+    *
+    * 100 TB shape: TPC-H's literal form outer-joins the full orders
+    * table to customer and COUNTs non-null keys per customer — a
+    * fact-wide shuffle of (custkey, orderkey) pairs.  Here orders
+    * pre-aggregates to ONE row per customer FIRST (map-side combine
+    * does most of the collapse), and the outer join is then
+    * customer ⋈ customer-sized counts — both sides key-partitioned,
+    * AQE free to broadcast the counts side if it fits.  The k = 0 bin
+    * falls out of the LEFT join's nulls via coalesce, and the final
+    * histogram is an aggregate over at most max-orders-per-customer
+    * distinct keys.
+    */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("c_count"))
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("c_count"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 promotion effect (q198): the share of one month's
+    * revenue that came from PROMO-type parts — a single-row
+    * conditional-aggregate ratio over lineitem ⋈ part.
+    *
+    * 100 TB shape: the ship-date window prunes lineitem at the scan;
+    * part is joined WITHOUT a forced hint (SF-linear — threshold/AQE
+    * decide, the q02/q100 rule).  Numerator and denominator are two
+    * conditional DECIMAL(18,4) sums in ONE aggregate pass; the
+    * percentage divide happens once, on doubles, after both sums.
+    */
+  /** TPC-H Q3 shipping priority (q199): the 10 highest-revenue orders
+    * from one market segment that were placed before a cutoff but
+    * still have lineitems shipping after it — the canonical
+    * filter-join-aggregate-topk chain.
+    *
+    * 100 TB shape: all three single-table filters (segment, order
+    * date, ship date) push to their parquet scans; customer joins
+    * orders BEFORE the fact join so the segment filter prunes the
+    * orders side early (the selective dimension drives); revenue
+    * groups on the already-joined keys and the top-10 is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def shippingPriority(spark: SparkSession, dir: String,
+                       segment: String = "BUILDING",
+                       cutoff: String = "1997-01-01",
+                       k: Int = 10): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === segment).select(col("c_custkey"))
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q18 large-volume customers (q200): orders whose total
+    * lineitem quantity clears a threshold, decorated with their
+    * customer — the canonical HAVING-driven semi-join.
+    *
+    * 100 TB shape: the quantity sum is ONE keyed aggregate over
+    * lineitem with map-side combine; the HAVING filter collapses it
+    * to a tiny frame BEFORE any join, so the orders/customer
+    * decoration joins probe a threshold-selected build side (AQE
+    * broadcasts it at any realistic selectivity).  TPC-H's literal
+    * form re-joins lineitem a second time to re-sum — one aggregate
+    * here carries the sum through instead.
+    */
+  def largeVolumeCustomers(spark: SparkSession, dir: String,
+                           minQty: Int = 250): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), dec2(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+  }
+
+  def promoRevenueShare(spark: SparkSession, dir: String,
+                        from: String = "1996-03-01",
+                        until: String = "1996-04-01"): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_partkey"),
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) * sum(when(col("p_type") === "PROMO", col("rev"))).cast("double")
+          / sum(col("rev")).cast("double")).as("promo_pct"),
+        sum(when(col("p_type") === "PROMO", col("rev"))).cast("double").as("promo_revenue"),
+        sum(col("rev")).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

@@ -2504,8 +2504,13 @@ object TextAnalysis {
     * ≤maxR-row spectrum.
     */
   def goodTuring(spark: SparkSession, dir: String, maxR: Int = 20): DataFrame = {
+    // bigram counts, not unigram: the fixture vocabulary is ~31 tokens,
+    // so every unigram count is in the hundreds and the low-r spectrum
+    // (the part Good-Turing exists for) would be empty; bigram counts
+    // reach down to hapax legomena. Same count table as q83's LM.
     val counts = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("token"))
+      .filter(size(tokens(col("text"))) >= 2)
+      .select(explode(shingles(col("text"), 2)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("r"))
     val fof = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
     val nTot = counts.agg(sum(col("r")).as("n"))
