@@ -695,6 +695,93 @@ class PlanGuardSpec extends SparkSuite {
       "the top-M window must stay keyed by source")
   }
 
+  test("q195 tpch q8: p_type pushed to the part scan, hints only on nation/region frames") {
+    val df = Relational.marketShare(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    val part = scans.find(_.metadata("Location").contains("part.parquet")).get
+    assert(part.metadata("PushedFilters").contains("EqualTo(p_type"),
+      "the selective type filter must reach the part scan")
+    assert(part.requiredSchema.fieldNames.length <= 2,
+      "part scan pruned to the join key + filter column")
+    val orders = scans.find(_.metadata("Location").contains("orders")).get
+    assert(orders.metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate"))
+    // the q02/q100 rule: SF-linear part/supplier/customer/orders stay
+    // hint-free; only the region-pruned market list and the 25-row
+    // nation dim may carry hints
+    val hinted = hintedOutputs(df)
+    assert(hinted.nonEmpty && hinted.forall(cols =>
+      cols == Seq("mkt_nk") || cols.toSet == Set("s_nk", "supp_nation") ||
+        cols.forall(_.startsWith("r_"))),
+      s"only nation/region-derived frames may carry hints, got $hinted")
+  }
+
+  test("q196 tpch q10: top-k is a heap, filters pushed, decoration joins after the aggregate") {
+    val df = Relational.returnedItemRevenue(spark, sf)
+    val ns = names(df)
+    assert(ns.exists(_.contains("TakeOrderedAndProject")), "top-20 must never global-sort")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    val li = scans.find(_.metadata("Location").contains("lineitem")).get
+    assert(li.metadata("PushedFilters").contains("EqualTo(l_returnflag,R)"))
+    assert(scans.find(_.metadata("Location").contains("orders")).get
+      .metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate"))
+    // grouping happens on o_custkey BEFORE customer/nation join: the
+    // aggregate pair sits below both decoration joins in the plan
+    assert(ns.count(_.contains("HashAggregate")) == 2, "one partial+final aggregate, pre-join")
+  }
+
+  test("q197 tpch q13: orders pre-aggregated before the outer join, scans pruned") {
+    val df = Relational.customerOrderDistribution(spark, sf)
+    val ns = names(df)
+    assert(ns.count(_.contains("HashAggregate")) == 4,
+      "two partial+final aggregates: per-customer counts, then the histogram")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    val orders = scans.find(_.metadata("Location").contains("orders")).get
+    assert(orders.metadata("PushedFilters").contains("In(o_orderpriority"),
+      "priority filter must reach the orders scan")
+    assert(orders.requiredSchema.fieldNames.toSeq == Seq("o_custkey", "o_orderpriority"),
+      "orders scan reads exactly the filter + group key")
+    assert(scans.find(_.metadata("Location").contains("customer")).get
+      .requiredSchema.fieldNames.toSeq == Seq("c_custkey"), "customer scan pruned to the key")
+  }
+
+  test("q198 tpch q14: shipdate window pushed, ONE aggregate pass, part join hint-free") {
+    val df = Relational.promoRevenueShare(spark, sf)
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    val li = scans.find(_.metadata("Location").contains("lineitem")).get
+    assert(li.metadata("PushedFilters").contains("GreaterThanOrEqual(l_shipdate"))
+    assert(li.requiredSchema.fieldNames.length <= 4, "lineitem scan pruned")
+    assert(hintedOutputs(df).isEmpty, "SF-linear part must not carry a broadcast hint")
+    assert(names(df).count(_.contains("HashAggregate")) == 2,
+      "numerator and denominator share one partial+final aggregate")
+  }
+
+  test("q199 tpch q3: all three dimension filters pushed, top-10 is a heap") {
+    val df = Relational.shippingPriority(spark, sf)
+    assert(names(df).exists(_.contains("TakeOrderedAndProject")))
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.find(_.metadata("Location").contains("customer")).get
+      .metadata("PushedFilters").contains("EqualTo(c_mktsegment"))
+    assert(scans.find(_.metadata("Location").contains("orders")).get
+      .metadata("PushedFilters").contains("LessThan(o_orderdate"))
+    assert(scans.find(_.metadata("Location").contains("lineitem")).get
+      .metadata("PushedFilters").contains("GreaterThan(l_shipdate"))
+  }
+
+  test("q200 tpch q18: HAVING collapses before the joins, lineitem scan reads 2 columns") {
+    val df = Relational.largeVolumeCustomers(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    // one keyed aggregate (partial+final) feeding the joins — TPC-H's
+    // literal form re-joins lineitem to re-sum; this plan must not
+    assert(ns.count(_.contains("HashAggregate")) == 2)
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.count(_.metadata("Location").contains("lineitem")) == 1,
+      "lineitem is scanned exactly once")
+    assert(scans.find(_.metadata("Location").contains("lineitem")).get
+      .requiredSchema.fieldNames.toSeq == Seq("l_orderkey", "l_quantity"))
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
