@@ -1062,6 +1062,63 @@ object Relational {
       .orderBy(col("total_qty").desc, col("o_orderkey").asc)
   }
 
+  /** TPC-H Q15 top supplier (q201): the supplier(s) whose quarter
+    * revenue equals the maximum — Q15's CREATE VIEW + scalar-subquery
+    * dance collapses to one aggregate and a max-match.
+    *
+    * 100 TB shape: revenue per supplier is ONE keyed aggregate over
+    * the date-pruned lineitem scan; the global max is a 1-row
+    * aggregate of that supplier-sized frame, broadcast back as an
+    * equi-key (never a second scan of lineitem, never a sort); the
+    * supplier decoration join probes the ≤handful of max rows.  Ties
+    * all surface (TPC-H's stated semantics), deterministically ordered
+    * by s_suppkey.
+    */
+  def topSupplier(spark: SparkSession, dir: String,
+                  from: String = "1996-01-01",
+                  until: String = "1996-04-01"): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("total_rev"))
+    val best = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(best), col("total_rev") === col("max_rev"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey").asc)
+  }
+
+  /** TPC-H Q6 forecasting revenue change (q202): the one-table
+    * what-if — revenue gained if discounts in a band had been
+    * eliminated for small-quantity lineitems in one year.
+    *
+    * 100 TB shape: the whole predicate (date year, discount band,
+    * quantity cap) pushes to the parquet scan — row groups outside
+    * the year never decompress; what survives flows through ONE
+    * partial+final aggregate with no join and no shuffle beyond the
+    * 1-row final.  The canonical scan-dominated query: its cost IS
+    * the pruned scan.
+    */
+  def forecastRevenueChange(spark: SparkSession, dir: String,
+                            from: String = "1996-01-01",
+                            until: String = "1997-01-01",
+                            discLo: Double = 0.05, discHi: Double = 0.07,
+                            maxQty: Double = 24): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp") &&
+        col("l_discount").between(discLo, discHi) &&
+        col("l_quantity") < maxQty)
+      .agg(
+        sum(dec4(col("l_extendedprice") * col("l_discount"))).cast("double")
+          .as("revenue_change"),
+        count(lit(1)).as("n_items"))
+  }
+
   def promoRevenueShare(spark: SparkSession, dir: String,
                         from: String = "1996-03-01",
                         until: String = "1996-04-01"): DataFrame = {
