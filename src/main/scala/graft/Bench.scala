@@ -82,19 +82,32 @@ object Bench {
       ()
     } catch { case _: Throwable => Thread.sleep(50) }
 
-  /** Per-query seconds from the newest committed `BENCH_r{N}.json` in
-    * the working directory, keyed by the short "qNN" contract key.
-    * The driver's artifact wraps the contract line in its own object,
-    * so rather than bind to that envelope this scans for every
-    * `"qNN":<number>` pair and keeps the minimum per key (the file
-    * repeats each value in `tail` and `parsed`, identically). Any
-    * failure degrades to an empty map — the prior-record retry rule
-    * is an optimization, never a correctness dependency.
+  /** Per-query seconds from the newest usable committed
+    * `BENCH_r{N}.json` in the working directory, keyed by the short
+    * "qNN" contract key. Any failure degrades to an empty map — the
+    * prior-record retry rule is an optimization, never a correctness
+    * dependency.
+    *
+    * Artifact-robustness fixes from r12's verdict: BENCH_r12.json came
+    * back degraded — the contract line outgrew the driver's 2000-char
+    * stdout tail (`parsed: null`) and the captured fragment stores the
+    * line as a JSON STRING, so every quote is backslash-escaped
+    * (`\"q116\":0.23`). The r11 pair regex (literal quotes) matched 0
+    * of them, which killed the stall-retry prior for a whole round.
+    * Now the parser (a) admits the escaping with `\\?` around quotes,
+    * (b) also harvests full-name pairs (`"q01_pricing_summary": 1.06`)
+    * from detail-line fragments, (c) decodes the r13+ compact array
+    * contract (`"qv":[15,105,...]` centiseconds, qNN numeric order —
+    * see `main`), and (d) when the newest artifact yields zero pairs,
+    * falls back to the next-newest and finally to the committed
+    * `bench_detail.json` (full names + seconds).
     */
   /** @param sfDir when non-empty, a prior artifact is used only if it
-    *   mentions the same scale-factor directory — comparing an sf0.1
-    *   run against an sf0.01 record (or vice versa) would either
-    *   never trigger or retry the whole suite.
+    *   matches the same scale factor — comparing an sf0.1 run against
+    *   an sf0.01 record (or vice versa) would either never trigger or
+    *   retry the whole suite. The full dir path only survives in the
+    *   capture window by luck, so the driver envelope's bare
+    *   `"sf": 0.1` number is accepted as the match too.
     */
   private[graft] def priorBenchRecord(
       dir: java.nio.file.Path = java.nio.file.Paths.get("."),
@@ -104,7 +117,7 @@ object Bench {
       val benchRe = """BENCH_r(\d+)\.json""".r
       // Using: Files.list holds a directory handle until closed — a
       // bare .iterator walk leaked one fd per call (ADVICE r10)
-      val newest = scala.util.Using.resource(java.nio.file.Files.list(dir)) {
+      val artifacts = scala.util.Using.resource(java.nio.file.Files.list(dir)) {
         _.iterator.asScala
           .flatMap { p =>
             p.getFileName.toString match {
@@ -112,23 +125,45 @@ object Bench {
               case _ => None
             }
           }.toSeq
-      }.sortBy(-_._1).headOption
-      newest match {
-        case None => Map.empty
-        case Some((_, p)) =>
-          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-          if (sfDir.nonEmpty && !text.contains(sfDir)) Map.empty
-          else {
-            // \s* after the colon: the driver pretty-prints its BENCH
-            // artifacts (`"q26": 0.28`) — without it this regex matched
-            // ZERO pairs in every real artifact and the prior-record
-            // retry rule never fired (VERDICT r10 #2)
-            val pairRe = """"(q\d+)":\s*(-?\d+(?:\.\d+)?)""".r
-            pairRe.findAllMatchIn(text)
-              .map(m => m.group(1) -> m.group(2).toDouble)
-              .toSeq.filter(_._2 >= 0)
-              .groupMapReduce(_._1)(_._2)(math.min)
-          }
+      }.sortBy(-_._1).map(_._2)
+      def sfMatches(text: String): Boolean =
+        sfDir.isEmpty || text.contains(sfDir) || {
+          val sfNum = sfDir.reverse.takeWhile(c => c.isDigit || c == '.').reverse
+          sfNum.nonEmpty &&
+            """"sf":\s*([0-9.]+)""".r.findFirstMatchIn(text).exists(_.group(1) == sfNum)
+        }
+      def parse(text: String): Map[String, Double] = {
+        // r13+ array contract: digits and commas are immune to the
+        // artifact's string escaping, unlike quoted map keys
+        val arrRe = """\\?"qv\\?":\s*\[([0-9.,\s-]*)\]""".r
+        val fromArray = arrRe.findFirstMatchIn(text).map { m =>
+          m.group(1).split(",").iterator.map(_.trim).filter(_.nonEmpty)
+            .zipWithIndex.flatMap { case (s, i) =>
+              s.toDoubleOption.filter(_ >= 0).map(cs => f"q${i + 1}%02d" -> cs / 100.0)
+            }.toMap
+        }.getOrElse(Map.empty[String, Double])
+        // \s* after the colon: the driver pretty-prints its BENCH
+        // artifacts (`"q26": 0.28`) — without it this regex matched
+        // ZERO pairs in every real artifact and the prior-record
+        // retry rule never fired (VERDICT r10 #2). `\\?` admits the
+        // backslash-escaped quotes of an embedded tail string
+        // (VERDICT r12 #1); the optional `_suffix` harvests full-name
+        // pairs from detail-line fragments.
+        val pairRe = """\\?"(q\d+)(?:_\w+)?\\?":\s*(-?\d+(?:\.\d+)?)""".r
+        val fromPairs = pairRe.findAllMatchIn(text)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .toSeq.filter(_._2 >= 0)
+          .groupMapReduce(_._1)(_._2)(math.min)
+        // min across both decodings, matching the old per-key-min rule
+        (fromArray.toSeq ++ fromPairs.toSeq).groupMapReduce(_._1)(_._2)(math.min)
+      }
+      def parseFile(p: java.nio.file.Path): Map[String, Double] = {
+        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        if (!sfMatches(text)) Map.empty else parse(text)
+      }
+      artifacts.iterator.map(parseFile).find(_.nonEmpty).getOrElse {
+        val bd = dir.resolve("bench_detail.json")
+        if (java.nio.file.Files.exists(bd)) parseFile(bd) else Map.empty
       }
     } catch { case _: Throwable => Map.empty }
 
@@ -269,7 +304,6 @@ object Bench {
     def shortKey(name: String): String = name.takeWhile(_ != '_')
     require(results.map(r => shortKey(r._1)).distinct.size == results.size,
       "query qNN prefixes must stay unique for the contract line")
-    val qs = results.map { case (k, v) => s"${jstr(shortKey(k))}:${r2(v)}" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     // reps entries per query were appended; keep the last rep's profile
     // (reverse = oldest-first, so toMap's later-wins keeps the latest)
@@ -295,11 +329,31 @@ object Bench {
     println(detail)
     // The contract line: LAST, compact, must fit (with sbt's trailing
     // "[success]" line) inside the driver's 2000-char stdout tail.
+    // Format fix from r12's verdict: the 200-query `"qNN":0.23` map hit
+    // ~2.4 KB and the driver recorded `parsed: null` (only the line's
+    // tail survived its capture). A per-query MAP cannot fit 200+ keys
+    // in 2000 chars at any numeric precision (keys alone cost ~1.4 KB),
+    // so the full-suite contract is now a positional ARRAY: `"qv"` is
+    // centisecond integers in qNN NUMERIC order (qv[0] = q01, qv[i] =
+    // q{i+1}; -1 = failed), ~850 chars at 212 queries and linear in
+    // count — headroom to ~5000 queries. `priorBenchRecord` decodes
+    // both this and the legacy map; full names, seconds, sf, io and
+    // raw reps stay in bench_detail.json (committed per round).
     // A subset run (non-empty args) is an iteration aid, not the
-    // contract run — tag it so a harness scraping stdout can never
+    // contract run — it keeps the legacy map (small by construction)
+    // and a "partial" tag so a harness scraping stdout can never
     // mistake a partial total with missing query keys for the record.
-    val partial = if (args.nonEmpty) """"partial":true,""" else ""
-    println(s"""{"metric":"total",$partial"value":${r2(total)},"unit":"sec","queries":$qs}""")
+    if (args.nonEmpty) {
+      val qs = results.map { case (k, v) => s"${jstr(shortKey(k))}:${r2(v)}" }.mkString("{", ",", "}")
+      println(s"""{"metric":"total","partial":true,"value":${r2(total)},"unit":"sec","queries":$qs}""")
+    } else {
+      val byNum = results.map { case (k, v) => (shortKey(k).drop(1).toInt, v) }.sortBy(_._1)
+      require(byNum.map(_._1) == (1 to byNum.size),
+        "qNN numbering must be contiguous from q01 for the array contract line")
+      def cs(v: Double): String = if (v < 0) "-1" else math.round(v * 100).toString
+      val qv = byNum.map(r => cs(r._2)).mkString("[", ",", "]")
+      println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","nq":${byNum.size},"qunit":"cs","qkey":"qv[i]=q(i+1) centisec","qv":$qv}""")
+    }
     spark.stop()
   }
 }

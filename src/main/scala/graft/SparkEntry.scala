@@ -366,7 +366,13 @@ object SparkEntry {
     // — round-12 widening, batch 46: TPC-H Q3's segment-driven top-k
     //   and Q18's HAVING-driven large-volume semi-join —
     "q199_tpch_q3" -> ((s, d) => Relational.shippingPriority(s, d)),
-    "q200_tpch_q18" -> ((s, d) => Relational.largeVolumeCustomers(s, d))
+    "q200_tpch_q18" -> ((s, d) => Relational.largeVolumeCustomers(s, d)),
+    // — round-13 batch 47: TPC-H Q15's max-revenue supplier (the
+    //   CREATE VIEW + scalar subquery collapsed to one aggregate +
+    //   broadcast max-match) and Q6's scan-dominated what-if — both
+    //   landed in r12's final snapshot unregistered (VERDICT r12 #2) —
+    "q201_tpch_q15" -> ((s, d) => Relational.topSupplier(s, d)),
+    "q202_tpch_q6" -> ((s, d) => Relational.forecastRevenueChange(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3368,6 +3374,33 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    // Q15: the max-match compares exact DECIMAL revenue (never the
+    // double projection), so ties and the winner are bit-determined
+    // on both engines; s_suppkey orders any ties
+    "q201_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, s_nationkey,
+        |  CAST(total_rev AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q6: one exact DECIMAL sum over the fully-pushed-down predicate;
+    // the double cast happens once, after the sum
+    "q202_tpch_q6" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue_change,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     // discount terms ln(2)/ln(rank+1); DCG and ideal-DCG fold in rank
     // order from a 0.0 seed, the per-label mean in probe order (q165)
     "q188_ndcg" ->

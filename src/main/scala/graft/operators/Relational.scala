@@ -988,16 +988,6 @@ object Relational {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
-  /** TPC-H Q14 promotion effect (q198): the share of one month's
-    * revenue that came from PROMO-type parts — a single-row
-    * conditional-aggregate ratio over lineitem ⋈ part.
-    *
-    * 100 TB shape: the ship-date window prunes lineitem at the scan;
-    * part is joined WITHOUT a forced hint (SF-linear — threshold/AQE
-    * decide, the q02/q100 rule).  Numerator and denominator are two
-    * conditional DECIMAL(18,4) sums in ONE aggregate pass; the
-    * percentage divide happens once, on doubles, after both sums.
-    */
   /** TPC-H Q3 shipping priority (q199): the 10 highest-revenue orders
     * from one market segment that were placed before a cutoff but
     * still have lineitems shipping after it — the canonical
@@ -1046,10 +1036,16 @@ object Relational {
     */
   def largeVolumeCustomers(spark: SparkSession, dir: String,
                            minQty: Int = 250): DataFrame = {
+    // threshold on the UN-cast sum, exactly like the oracle's HAVING
+    // (a truncating cast before the filter would diverge at the
+    // boundary the moment quantities went fractional — ADVICE r12);
+    // quantities are integral doubles today, so the long cast after
+    // the filter is lossless on both engines
     val big = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
-      .filter(col("total_qty") > minQty)
+      .agg(sum(col("l_quantity")).as("qty_sum"))
+      .filter(col("qty_sum") > minQty)
+      .select(col("l_orderkey"), col("qty_sum").cast("long").as("total_qty"))
     big
       .join(Tables.orders(spark, dir)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
@@ -1119,6 +1115,16 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q14 promotion effect (q198): the share of one month's
+    * revenue that came from PROMO-type parts — a single-row
+    * conditional-aggregate ratio over lineitem ⋈ part.
+    *
+    * 100 TB shape: the ship-date window prunes lineitem at the scan;
+    * part is joined WITHOUT a forced hint (SF-linear — threshold/AQE
+    * decide, the q02/q100 rule).  Numerator and denominator are two
+    * conditional DECIMAL(18,4) sums in ONE aggregate pass; the
+    * percentage divide happens once, on doubles, after both sums.
+    */
   def promoRevenueShare(spark: SparkSession, dir: String,
                         from: String = "1996-03-01",
                         until: String = "1996-04-01"): DataFrame = {

@@ -782,6 +782,42 @@ class PlanGuardSpec extends SparkSuite {
       .requiredSchema.fieldNames.toSeq == Seq("l_orderkey", "l_quantity"))
   }
 
+  test("q201 tpch q15: shipdate pushed, ONE lineitem scan, max-match via broadcast, no second sort") {
+    val df = Relational.topSupplier(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    // Q15's CREATE VIEW form scans lineitem twice (once for the view,
+    // once for the scalar max) — this plan reuses the one aggregate.
+    // AQE may or may not materialize the exchange reuse at this SF, so
+    // pin the scan count rather than the reuse node: <=2 scans means
+    // the revenue aggregate itself was never recomputed per branch.
+    val li = scans.filter(_.metadata("Location").contains("lineitem"))
+    assert(li.nonEmpty && li.size <= 2, s"lineitem scanned ${li.size}x")
+    assert(li.forall(_.metadata("PushedFilters").contains("GreaterThanOrEqual(l_shipdate")),
+      "quarter window must reach every lineitem scan")
+    assert(li.forall(_.requiredSchema.fieldNames.length <= 4), "lineitem scan pruned")
+    // the 1-row max frame is the ONLY hinted side (bounded by
+    // construction — the q02/q100 SF-linear rule does not apply to it)
+    assert(hintedOutputs(df).forall(_.exists(_.contains("max_rev"))),
+      "only the 1-row max frame may carry a hint")
+  }
+
+  test("q202 tpch q6: whole predicate pushed to the scan, no shuffle beyond the 1-row final") {
+    val df = Relational.forecastRevenueChange(spark, sf)
+    val ns = names(df)
+    assert(ns.count(_.contains("HashAggregate")) == 2,
+      "one partial+final aggregate — Q6 is the canonical scan query")
+    assert(!ns.exists(_.contains("Join")), "Q6 must not join anything")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    val li = scans.find(_.metadata("Location").contains("lineitem")).get
+    val pushed = li.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), "date window pushed")
+    assert(pushed.contains("GreaterThanOrEqual(l_discount"), "discount band pushed")
+    assert(pushed.contains("LessThan(l_quantity"), "quantity cap pushed")
+    assert(li.requiredSchema.fieldNames.length <= 5, "lineitem scan pruned")
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")

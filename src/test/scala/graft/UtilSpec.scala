@@ -77,6 +77,61 @@ class UtilSpec extends AnyFunSuite {
     }
   }
 
+  test("priorBenchRecord parses the degraded BENCH_r12-class artifact (escaped tail, parsed null)") {
+    // Replays VERDICT r12 #1: the contract line outgrew the driver's
+    // 2000-char capture, `parsed` came back null, and the only data
+    // left is the backslash-escaped fragment inside the `tail` string.
+    // The r11 regex (literal quotes) matched ZERO of these pairs.
+    val dir = Files.createTempDirectory("graft-bench-r12")
+    Files.write(dir.resolve("BENCH_r12.json"),
+      ("""{
+         |  "n": 12,
+         |  "sf": 0.1,
+         |  "tail": "q116\":0.23,\"q117\":0.46,\"q118\":0.19,\"q16\":0.07}}",
+         |  "parsed": null
+         |}""".stripMargin).getBytes("UTF-8"))
+    val rec = Bench.priorBenchRecord(dir)
+    assert(rec.get("q117").contains(0.46))
+    assert(rec.get("q16").contains(0.07))
+    // sf gating now accepts the driver envelope's bare `"sf": 0.1`
+    // number (the dir path rarely survives the capture window)
+    assert(Bench.priorBenchRecord(dir, sfDir = "/root/testdata/sf0.1").nonEmpty)
+    assert(Bench.priorBenchRecord(dir, sfDir = "/root/testdata/sf0.01").isEmpty,
+      "sf0.1 artifact must not seed an sf0.01 run's priors")
+  }
+
+  test("priorBenchRecord decodes the r13 array contract (qv centiseconds, qNN numeric order)") {
+    val dir = Files.createTempDirectory("graft-bench-qv")
+    // as captured by the driver: the tail is a JSON string, so the qv
+    // key's quotes are escaped but the digit/comma body is untouched
+    Files.write(dir.resolve("BENCH_r13.json"),
+      ("""{
+         |  "sf": 0.1,
+         |  "tail": "{\"metric\":\"total\",\"value\":9.99,\"unit\":\"sec\",\"nq\":4,\"qunit\":\"cs\",\"qv\":[105, 23,-1,7]}",
+         |  "parsed": null
+         |}""".stripMargin).getBytes("UTF-8"))
+    val rec = Bench.priorBenchRecord(dir)
+    assert(rec.get("q01").contains(1.05))
+    assert(rec.get("q02").contains(0.23))
+    assert(!rec.contains("q03"), "failed (-1) entries must not become records")
+    assert(rec.get("q04").contains(0.07))
+  }
+
+  test("priorBenchRecord falls back past a zero-pair newest artifact, then to bench_detail.json") {
+    val dir = Files.createTempDirectory("graft-bench-fb")
+    Files.write(dir.resolve("BENCH_r12.json"),
+      """{"n": 12, "tail": "no pairs survived at all", "parsed": null}""".getBytes("UTF-8"))
+    Files.write(dir.resolve("BENCH_r11.json"),
+      """{"queries": {"q01": 1.23}}""".getBytes("UTF-8"))
+    assert(Bench.priorBenchRecord(dir).get("q01").contains(1.23),
+      "a degraded newest artifact must yield to the next-newest")
+    Files.delete(dir.resolve("BENCH_r11.json"))
+    Files.write(dir.resolve("bench_detail.json"),
+      """{"errors":{},"reps":3,"queries":{"q01_pricing_summary":0.55},"sf":"/root/testdata/sf0.1"}""".getBytes("UTF-8"))
+    assert(Bench.priorBenchRecord(dir).get("q01").contains(0.55),
+      "bench_detail.json is the last-resort prior source")
+  }
+
   test("blockOutliers flags >=3 consecutive 1.5x-prior suspects, not isolated ones") {
     val prior = Map("q25" -> 1.0, "q26" -> 0.28, "q27" -> 0.25, "q28" -> 0.28,
       "q29" -> 1.0, "q40" -> 1.0, "q41" -> 1.0)
