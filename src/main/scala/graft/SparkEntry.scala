@@ -372,7 +372,19 @@ object SparkEntry {
     //   broadcast max-match) and Q6's scan-dominated what-if — both
     //   landed in r12's final snapshot unregistered (VERDICT r12 #2) —
     "q201_tpch_q15" -> ((s, d) => Relational.topSupplier(s, d)),
-    "q202_tpch_q6" -> ((s, d) => Relational.forecastRevenueChange(s, d))
+    "q202_tpch_q6" -> ((s, d) => Relational.forecastRevenueChange(s, d)),
+    // — round-13 batch 48: the rest of the TPC-H relational muscle,
+    //   schema-adapted (no partsupp / receipt dates / phone — each
+    //   scaladoc states the stand-in): Q2's correlated min-cost
+    //   supplier, Q11's scalar-subquery HAVING, Q16's distinct-count
+    //   with blacklist anti-join, Q20's nested-aggregate semi-join,
+    //   Q21's double-EXISTS sole-late-shipper, Q22's idle customers —
+    "q203_tpch_q2" -> ((s, d) => Relational.minCostSupplier(s, d)),
+    "q204_tpch_q11" -> ((s, d) => Relational.importantStock(s, d)),
+    "q205_tpch_q16" -> ((s, d) => Relational.partSupplierCounts(s, d)),
+    "q206_tpch_q20" -> ((s, d) => Relational.partPromotion(s, d)),
+    "q207_tpch_q21" -> ((s, d) => Relational.soleLateShipper(s, d)),
+    "q208_tpch_q22" -> ((s, d) => Relational.idleCustomers(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3401,6 +3413,100 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // Q2: the oracle keeps the canonical correlated-min form; the
+    // derived cost (min unit price per part×supplier) is IEEE double
+    // division + MIN — order-independent on both engines
+    "q203_tpch_q2" ->
+      """WITH nr AS (SELECT n_nationkey, n_name FROM nation
+        |    JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+        |sup AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nr ON s_nationkey = n_nationkey),
+        |ps AS (SELECT l_partkey, l_suppkey,
+        |    min(l_extendedprice / l_quantity) AS supply_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |offers AS (SELECT p_partkey, p_name, s_acctbal, s_name, n_name, supply_cost
+        |  FROM ps JOIN sup ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 10 AND p_type = 'ECONOMY')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+        |FROM offers o
+        |WHERE supply_cost = (SELECT min(supply_cost) FROM offers i
+        |  WHERE i.p_partkey = o.p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    // Q11: exact decimal part values; the fraction threshold compares
+    // doubles both engines derive from the same exact sums
+    "q204_tpch_q11" ->
+      """WITH sup AS (SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3'),
+        |v AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS val
+        |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey GROUP BY 1)
+        |SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+        |FROM v
+        |WHERE CAST(val AS DOUBLE) > (SELECT CAST(sum(val) AS DOUBLE) FROM v) * 0.001
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    // Q16: all-integer output; negative s_acctbal stands in for the
+    // complaints blacklist (no s_comment in this schema)
+    "q205_tpch_q16" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // Q20: lifetime and windowed quantity as exact DECIMAL sums in one
+    // grouped pass; the ½ comparison on doubles from those exact sums
+    "q206_tpch_q20" ->
+      """WITH fp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+        |sq AS (SELECT l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty,
+        |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |          AND l_shipdate < TIMESTAMP '1997-01-01'
+        |        THEN CAST(l_quantity AS DECIMAL(18,2))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS win_qty
+        |  FROM lineitem JOIN fp ON l_partkey = p_partkey
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM sq
+        |  WHERE CAST(total_qty AS DOUBLE) > 50
+        |    AND CAST(win_qty AS DOUBLE) > 0.5 * CAST(total_qty AS DOUBLE))
+        |ORDER BY s_suppkey""".stripMargin,
+    // Q21: per-order distinct/late-distinct counts replace the
+    // EXISTS/NOT EXISTS pair; numwait counts DISTINCT orders
+    "q207_tpch_q21" ->
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |per AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nsupp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+        |  FROM lo GROUP BY 1),
+        |sup AS (SELECT s_suppkey, s_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_9')
+        |SELECT s_name, count(DISTINCT lo.l_orderkey) AS numwait
+        |FROM lo JOIN per ON lo.l_orderkey = per.l_orderkey
+        |JOIN sup ON lo.l_suppkey = s_suppkey
+        |WHERE late AND nsupp > 1 AND nlate = 1
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+    // Q22: the average is exact-decimal sum / count cast once; the
+    // balance compare is double > double, identical on both engines
+    "q208_tpch_q22" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS avg_bal
+        |  FROM cust WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cust, ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
     // discount terms ln(2)/ln(rank+1); DCG and ideal-DCG fold in rank
     // order from a 0.0 seed, the per-label mean in probe order (q165)
     "q188_ndcg" ->

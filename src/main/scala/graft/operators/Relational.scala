@@ -1115,6 +1115,241 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q2 minimum-cost supplier (q203): for every small part of
+    * one type, the supplier(s) in a region offering it at the lowest
+    * unit cost — the canonical correlated-min-subquery, re-expressed
+    * as aggregate + equi-match (the same collapse as Q15/q201).
+    *
+    * Schema adaptation: this star schema has no `partsupp`, so the
+    * part×supplier cost relation is DERIVED from lineitem — the
+    * minimum observed unit price (l_extendedprice / l_quantity) per
+    * (part, supplier) pair stands in for ps_supplycost.  IEEE double
+    * division and MIN are order-independent, so the derivation is
+    * deterministic on both engines.
+    *
+    * 100 TB shape: the derived cost relation is ONE keyed aggregate
+    * over lineitem (map-side combine); the correlated `cost =
+    * (SELECT min … WHERE same part)` becomes a per-part min aggregate
+    * of the REGION-FILTERED offer frame joined back on
+    * (partkey, cost) — no per-row subquery, no second lineitem scan.
+    * Only nation⋈region (bounded, ≤25 rows) is hint-broadcast;
+    * supplier/part stay hint-free (SF-linear, the q02/q100 rule).
+    * The top-k carries a unique (s_name, p_partkey) tiebreak.
+    */
+  def minCostSupplier(spark: SparkSession, dir: String,
+                      region: String = "ASIA",
+                      maxSize: Int = 10,
+                      ptype: String = "ECONOMY",
+                      k: Int = 100): DataFrame = {
+    val nations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val ps = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_size") <= maxSize && col("p_type") === ptype)
+      .select(col("p_partkey"), col("p_name"))
+    val offers = ps
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
+    val minCost = offers.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("supply_cost")).as("min_cost"))
+    offers.join(minCost,
+        col("l_partkey") === col("mc_partkey") && col("supply_cost") === col("min_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q11 important stock (q204): the parts whose value supplied
+    * by one nation's suppliers exceeds a fraction of that nation's
+    * total — keyed aggregate + global-total scalar subquery + HAVING.
+    *
+    * Schema adaptation: no `partsupp`, so "stock value" is the exact
+    * DECIMAL revenue each part earned through the nation's suppliers
+    * (sum over lineitem), standing in for ps_supplycost·ps_availqty.
+    *
+    * 100 TB shape: ONE keyed (partkey) aggregate over the
+    * supplier-filtered fact; the global total is a 1-row re-aggregate
+    * of that already-part-sized frame — never a second fact scan —
+    * attached by broadcast crossJoin.  The threshold compares doubles
+    * both engines derive from the same exact decimal sums.
+    */
+  def importantStock(spark: SparkSession, dir: String,
+                     nationName: String = "NATION_3",
+                     frac: Double = 0.001): DataFrame = {
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    // pinned eagerly: both the HAVING side and the 1-row total consume
+    // this frame, and without the pin each lineage re-scans the fact
+    // (the exact anti-pattern the Q11 scaladoc forbids)
+    val value = graft.util.Pins.eager(Tables.lineitem(spark, dir)
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("val_dec")))
+    val total = value.agg(sum(col("val_dec")).as("total_dec"))
+    value.crossJoin(broadcast(total))
+      .filter(col("val_dec").cast("double") > col("total_dec").cast("double") * frac)
+      .select(col("l_partkey"), col("val_dec").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q16 parts/supplier relationship (q205): how many distinct
+    * suppliers can deliver each surviving (brand, type, size) combo,
+    * excluding blacklisted suppliers — distinct-pair aggregate +
+    * anti-join + count-distinct rollup.
+    *
+    * Schema adaptation: the (part, supplier) relation is the distinct
+    * pair set observed in lineitem (no `partsupp`), and "customer
+    * complaints" is stood in by negative s_acctbal (no s_comment).
+    *
+    * 100 TB shape: the distinct pair set is a keyed aggregate with
+    * map-side combine (never a global distinct barrier); the
+    * blacklist anti-join keys on l_suppkey; count(DISTINCT) rides
+    * Spark's Expand-based exact path.  All-integer output — no float
+    * determinism surface at all.
+    */
+  def partSupplierCounts(spark: SparkSession, dir: String,
+                         excludeBrand: String = "Brand#1",
+                         excludeType: String = "PROMO",
+                         sizes: Seq[Int] = Seq(1, 4, 9, 16, 25, 36, 49)): DataFrame = {
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= excludeBrand && col("p_type") =!= excludeType &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    pairs.join(parts, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 potential part promotion (q206): suppliers who shipped
+    * more than half of their lifetime volume of one part family inside
+    * the target year — nested keyed aggregates feeding a semi-join.
+    *
+    * Schema adaptation: no `partsupp.ps_availqty`, so the Q20
+    * comparison "availqty > ½·year-shipped" becomes "year-shipped >
+    * ½·lifetime-shipped (with a volume floor)" over the same
+    * (supplier, part) grain derived from lineitem.
+    *
+    * 100 TB shape: ONE (suppkey, partkey) aggregate computes both the
+    * lifetime and windowed quantity in the same pass (conditional
+    * exact-DECIMAL sums); the qualifying supplier set is a distinct
+    * projection of that aggregate, and the final decoration is a
+    * LEFT SEMI join into supplier — the fact is scanned once.
+    */
+  def partPromotion(spark: SparkSession, dir: String,
+                    namePrefix: String = "red",
+                    from: String = "1996-01-01", until: String = "1997-01-01",
+                    minQty: Double = 50): DataFrame = {
+    val fp = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith(namePrefix)).select(col("p_partkey"))
+    val inWin = col("l_shipdate") >= lit(from).cast("timestamp") &&
+      col("l_shipdate") < lit(until).cast("timestamp")
+    val perPart = Tables.lineitem(spark, dir)
+      .join(fp, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("total_qty"),
+        sum(when(inWin, dec2(col("l_quantity"))).otherwise(dec2(lit(0)))).as("win_qty"))
+    val qualified = perPart
+      .filter(col("total_qty").cast("double") > minQty &&
+        col("win_qty").cast("double") > lit(0.5) * col("total_qty").cast("double"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q21 suppliers who kept orders waiting (q207): on
+    * multi-supplier orders, the supplier who was the ONLY late one —
+    * Q21's EXISTS / NOT EXISTS pair re-expressed as one per-order
+    * aggregate (distinct suppliers, distinct late suppliers) joined
+    * back, so the fact is scanned once instead of three times.
+    *
+    * Schema adaptation: no l_commitdate / l_receiptdate, so "late" is
+    * shipping more than `lateDays` after the order date — the same
+    * per-lineitem boolean grain Q21 derives from receipt vs commit.
+    *
+    * 100 TB shape: lineitem⋈orders is the one fact-fact shuffle
+    * (both sides keyed on orderkey); the per-order counts are a keyed
+    * aggregate of that join; the nation-filtered supplier decoration
+    * is SF-linear/25 and stays hint-free for AQE.  numwait counts
+    * DISTINCT orders so duplicate late lines can't inflate it.
+    */
+  def soleLateShipper(spark: SparkSession, dir: String,
+                      nationName: String = "NATION_9",
+                      lateDays: Int = 60): DataFrame = {
+    val lo = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
+    val per = lo.groupBy(col("l_orderkey").as("p_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+      .filter(col("nsupp") > 1 && col("nlate") === 1)
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    lo.filter(col("late"))
+      .join(per, col("l_orderkey") === col("p_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  /** TPC-H Q22 global sales opportunity (q208): well-funded customers
+    * in a nation subset with no recent orders — scalar-subquery
+    * average + anti-join + keyed aggregate.
+    *
+    * Schema adaptation: no c_phone, so the "country code IN (…)"
+    * prefix filter is stood in by c_nationkey IN (…); every customer
+    * here has SOME order, so "no orders" becomes "no orders on/after
+    * the cutoff" (the anti-join shape is identical).
+    *
+    * 100 TB shape: the positive-balance average is a 1-row exact
+    * decimal-sum/count aggregate of the already-filtered customer
+    * frame, attached by broadcast crossJoin; the anti-join keys on
+    * o_custkey against the date-pruned orders scan; the final
+    * aggregate groups ≤|nation subset| keys.
+    */
+  def idleCustomers(spark: SparkSession, dir: String,
+                    nationKeys: Seq[Int] = Seq(1, 3, 5, 7, 9, 11, 13),
+                    cutoff: String = "2000-01-01"): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(nationKeys: _*))
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+      .select(col("o_custkey"))
+    cust.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** TPC-H Q14 promotion effect (q198): the share of one month's
     * revenue that came from PROMO-type parts — a single-row
     * conditional-aggregate ratio over lineitem ⋈ part.

@@ -33,6 +33,10 @@ class PlanGuardSpec extends SparkSuite {
 
   private def names(df: DataFrame): Seq[String] = plan(df).map(_.nodeName)
 
+  private def joinTypes(df: DataFrame): Seq[String] = plan(df).collect {
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType.toString
+  }
+
   test("q01 pricing: partial+final hash agg, one shuffle, date filter pushed to parquet") {
     val df = Relational.pricingSummary(spark, sf)
     assert(shuffles(df) == 1)
@@ -816,6 +820,83 @@ class PlanGuardSpec extends SparkSuite {
     assert(pushed.contains("GreaterThanOrEqual(l_discount"), "discount band pushed")
     assert(pushed.contains("LessThan(l_quantity"), "quantity cap pushed")
     assert(li.requiredSchema.fieldNames.length <= 5, "lineitem scan pruned")
+  }
+
+  test("q203 tpch q2: derived cost aggregated once, part filters pushed, only bounded frames hinted") {
+    val df = Relational.minCostSupplier(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("CartesianProduct")))
+    assert(ns.exists(_.contains("TakeOrderedAndProject")), "top-100 must never global-sort")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    val li = scans.filter(_.metadata("Location").contains("lineitem"))
+    assert(li.size <= 2, s"derived cost relation must not re-scan lineitem per branch (${li.size}x)")
+    assert(li.forall(_.requiredSchema.fieldNames.length <= 4), "lineitem pruned to keys + price + qty")
+    val part = scans.find(_.metadata("Location").contains("part.parquet")).get
+    assert(part.metadata("PushedFilters").contains("LessThanOrEqual(p_size") &&
+      part.metadata("PushedFilters").contains("EqualTo(p_type"), "part filters pushed")
+    // q02/q100 rule: hint-broadcast only the bounded nation⋈region frame
+    assert(hintedOutputs(df).forall(_.forall(c => c.startsWith("n_") || c.startsWith("r_"))),
+      s"only nation/region frames may carry hints, got ${hintedOutputs(df)}")
+  }
+
+  test("q204 tpch q11: total is a re-aggregate of the pinned part frame, fact never re-scanned") {
+    val df = Relational.importantStock(spark, sf)
+    // the part-value aggregate is Pins.eager-pinned (both the HAVING
+    // side and the 1-row total consume it): the fact was scanned once
+    // at pin time, and the final plan reads checkpoint blocks only
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.count(_.metadata("Location").contains("lineitem")) == 0,
+      "a lineitem scan in the final plan means a consumer re-ran the fact aggregate")
+    assert(!names(df).exists(_.contains("CartesianProduct")),
+      "the 1-row total attaches via broadcast nested loop, not a cartesian")
+  }
+
+  test("q205 tpch q16: pair-distinct is keyed, blacklist is an anti-join, scans pruned") {
+    val df = Relational.partSupplierCounts(spark, sf)
+    val ns = names(df)
+    assert(joinTypes(df).exists(_.contains("LeftAnti")), "blacklist must anti-join")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.find(_.metadata("Location").contains("lineitem")).get
+      .requiredSchema.fieldNames.toSeq == Seq("l_partkey", "l_suppkey"),
+      "lineitem scan reads exactly the pair columns")
+    assert(scans.find(_.metadata("Location").contains("part.parquet")).get
+      .metadata("PushedFilters").contains("In(p_size"), "size list pushed to the part scan")
+  }
+
+  test("q206 tpch q20: one grouped pass for both sums, name prefix pushed, semi-join decoration") {
+    val df = Relational.partPromotion(spark, sf)
+    val ns = names(df)
+    assert(joinTypes(df).exists(_.contains("LeftSemi")), "supplier decoration is a semi-join")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.count(_.metadata("Location").contains("lineitem")) == 1, "fact scanned once")
+    assert(scans.find(_.metadata("Location").contains("part.parquet")).get
+      .metadata("PushedFilters").contains("StringStartsWith(p_name"), "prefix pushed")
+  }
+
+  test("q207 tpch q21: per-order counts from one keyed aggregate, bounded nation hint only") {
+    val df = Relational.soleLateShipper(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    // lo feeds both the per-order aggregate and the late-line probe;
+    // exchange reuse may or may not collapse them at this SF
+    assert(scans.count(_.metadata("Location").contains("lineitem")) <= 2)
+    assert(scans.filter(_.metadata("Location").contains("lineitem"))
+      .forall(_.requiredSchema.fieldNames.length <= 3), "lineitem pruned")
+    assert(hintedOutputs(df).forall(_.forall(_.startsWith("n_"))),
+      "only the 25-row nation dim may carry a hint")
+  }
+
+  test("q208 tpch q22: cutoff pushed to orders, anti-join, broadcast 1-row average") {
+    val df = Relational.idleCustomers(spark, sf)
+    val ns = names(df)
+    assert(joinTypes(df).exists(_.contains("LeftAnti")), "recent orders anti-join")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    val ord = scans.find(_.metadata("Location").contains("orders")).get
+    assert(ord.metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate"),
+      "cutoff must prune the orders scan")
+    assert(ord.requiredSchema.fieldNames.toSeq == Seq("o_custkey", "o_orderdate"))
+    val cust = scans.find(_.metadata("Location").contains("customer")).get
+    assert(cust.metadata("PushedFilters").contains("In(c_nationkey"), "nation list pushed")
   }
 
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {

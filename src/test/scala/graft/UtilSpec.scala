@@ -226,7 +226,8 @@ class UtilSpec extends AnyFunSuite {
       "src/main/scala/graft/operators/TextAnalysis.scala" -> "cmsHeavyHitters",
       "src/main/scala/graft/operators/Similarity.scala" -> "pqCodebooks",
       "src/main/scala/graft/operators/Dedup.scala" -> "pageRank",
-      "src/main/scala/graft/operators/Dedup.scala" -> "containment")) {
+      "src/main/scala/graft/operators/Dedup.scala" -> "containment",
+      "src/main/scala/graft/operators/Relational.scala" -> "importantStock")) {
       val b = body(path, fn)
       assert(b.contains("Pins.eager"), s"$fn must pin via Pins.eager")
       assert(!b.contains("localCheckpoint"),
