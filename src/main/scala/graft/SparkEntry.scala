@@ -384,7 +384,14 @@ object SparkEntry {
     "q205_tpch_q16" -> ((s, d) => Relational.partSupplierCounts(s, d)),
     "q206_tpch_q20" -> ((s, d) => Relational.partPromotion(s, d)),
     "q207_tpch_q21" -> ((s, d) => Relational.soleLateShipper(s, d)),
-    "q208_tpch_q22" -> ((s, d) => Relational.idleCustomers(s, d))
+    "q208_tpch_q22" -> ((s, d) => Relational.idleCustomers(s, d)),
+    // — round-13 batch 49: recall gates for the ungated ANN tiers
+    //   (VERDICT r12 #5) — q87 audits only the sign-LSH index; these
+    //   give IVF (q54), PQ (q92) and IVF-PQ (q95) each their own
+    //   recall@k row against the exact brute-force top-k —
+    "q209_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
+    "q210_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
+    "q211_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -580,6 +587,110 @@ object SparkEntry {
        |    ${dotSql("t.embedding", "c.c_emb")} DESC, c.cid) AS rk
        |  FROM sub$s t CROSS JOIN pc${s}1 c) z WHERE rk = 1)""".stripMargin
   }
+
+  /** Tier-ANN oracle bodies, shared verbatim by the index queries
+    * (q54/q92/q95) and their recall audits (q209-q211), so the audited
+    * index and the audit can never drift apart.
+    */
+  private def ivfAnnSql: String =
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+       |smp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
+       |${lloydIterSql("c0", 1)},
+       |${lloydIterSql("c1", 2)},
+       |a AS (SELECT vec_id, embedding, cid,
+       |  row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY ${dotSql("embedding", "c_emb")} DESC, cid) AS rk
+       |  FROM embeddings CROSS JOIN c2),
+       |asg AS (SELECT vec_id, embedding, cid FROM a WHERE rk = 1),
+       |e AS (SELECT vec_id, embedding, cid,
+       |  sqrt(list_reduce(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+       |  FROM asg),
+       |pairs AS (SELECT p.vec_id AS probe_id, q.vec_id AS neighbor_id,
+       |  ${dotSql("p.embedding", "q.embedding")} / (p.nrm * q.nrm) AS cos
+       |  FROM e p JOIN e q ON p.cid = q.cid AND p.vec_id < 6 AND p.vec_id <> q.vec_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
+       |SELECT probe_id, neighbor_id, cos AS cos_sim, CAST(rank AS INTEGER) AS rank
+       |FROM r WHERE rank <= 3""".stripMargin
+
+  private def pqAnnSql: String =
+    s"""WITH ${(0 until 4).map(pqSubspaceSql(_, 16, 8, 256)).mkString(",\n")},
+       |codes AS (SELECT pk0.vec_id, pk0.cid AS k0, pk1.cid AS k1,
+       |    pk2.cid AS k2, pk3.cid AS k3
+       |  FROM pk0 JOIN pk1 USING (vec_id) JOIN pk2 USING (vec_id)
+       |  JOIN pk3 USING (vec_id)),
+       |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |  ${dotSql("p.embedding[1:16]", "z0.c_emb")}
+       |  + ${dotSql("p.embedding[17:32]", "z1.c_emb")}
+       |  + ${dotSql("p.embedding[33:48]", "z2.c_emb")}
+       |  + ${dotSql("p.embedding[49:64]", "z3.c_emb")} AS adc
+       |  FROM embeddings p JOIN codes c ON p.vec_id < 10 AND p.vec_id <> c.vec_id
+       |  JOIN pc01 z0 ON z0.cid = c.k0
+       |  JOIN pc11 z1 ON z1.cid = c.k1
+       |  JOIN pc21 z2 ON z2.cid = c.k2
+       |  JOIN pc31 z3 ON z3.cid = c.k3),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY adc DESC, neighbor_id) AS rank FROM sc)
+       |SELECT probe_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  private def ivfPqAnnSql: String =
+    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+       |smp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
+       |${lloydIterSql("c0", 1)},
+       |cellasg AS (SELECT vec_id, cid AS cell FROM (
+       |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    ${dotSql("e.embedding", "c.c_emb")} DESC, c.cid) AS rk
+       |  FROM embeddings e CROSS JOIN c1 c) z WHERE rk = 1),
+       |${(0 until 4).map(pqSubspaceSql(_, 16, 8, 256)).mkString(",\n")},
+       |codes AS (SELECT pk0.vec_id, ca.cell, pk0.cid AS k0, pk1.cid AS k1,
+       |    pk2.cid AS k2, pk3.cid AS k3
+       |  FROM pk0 JOIN pk1 USING (vec_id) JOIN pk2 USING (vec_id)
+       |  JOIN pk3 USING (vec_id) JOIN cellasg ca USING (vec_id)),
+       |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |  ${dotSql("p.embedding[1:16]", "z0.c_emb")}
+       |  + ${dotSql("p.embedding[17:32]", "z1.c_emb")}
+       |  + ${dotSql("p.embedding[33:48]", "z2.c_emb")}
+       |  + ${dotSql("p.embedding[49:64]", "z3.c_emb")} AS adc
+       |  FROM embeddings p JOIN cellasg pc ON pc.vec_id = p.vec_id
+       |  JOIN codes c ON p.vec_id < 10 AND p.vec_id <> c.vec_id AND c.cell = pc.cell
+       |  JOIN pc01 z0 ON z0.cid = c.k0
+       |  JOIN pc11 z1 ON z1.cid = c.k1
+       |  JOIN pc21 z2 ON z2.cid = c.k2
+       |  JOIN pc31 z3 ON z3.cid = c.k3),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY adc DESC, neighbor_id) AS rank FROM sc)
+       |SELECT probe_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** Recall@k audit around any tier's oracle body (q209-q211),
+    * mirroring Similarity.recallAgainstExact: the exact brute-force
+    * top-`kExact` over `nProbes` probes LEFT-joins the tier's
+    * (probe, neighbor) set — which runs unchanged inside a subquery —
+    * then per-probe hit counts and one exact-integer divide.
+    */
+  private def tierRecallSql(tierSql: String, nProbes: Int, kExact: Int): String =
+    s"""WITH el AS (SELECT vec_id, embedding,
+       |  sqrt(list_reduce(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+       |  FROM embeddings),
+       |xp AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    ${dotSql("p.embedding", "c.embedding")} / (p.nrm * c.nrm) AS cos
+       |  FROM el p JOIN el c ON p.vec_id < $nProbes AND p.vec_id <> c.vec_id),
+       |xr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |  ORDER BY cos DESC, neighbor_id) AS rank FROM xp),
+       |exact AS (SELECT probe_id, neighbor_id FROM xr WHERE rank <= $kExact),
+       |approx AS (SELECT probe_id, neighbor_id FROM (
+       |$tierSql
+       |) tier),
+       |j AS (SELECT x.probe_id,
+       |  CASE WHEN a.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM exact x LEFT JOIN approx a
+       |    ON x.probe_id = a.probe_id AND x.neighbor_id = a.neighbor_id)
+       |SELECT probe_id, count(*) AS n_exact, CAST(sum(hit) AS BIGINT) AS n_hits,
+       |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+       |FROM j GROUP BY probe_id""".stripMargin
 
   /** One unrolled MMR greedy iteration (q140), mirroring
     * Similarity.mmrSelect: anti-join the running selection u${i-1}
@@ -1212,26 +1323,7 @@ object SparkEntry {
     // max-struct rule), and ADC scoring — probe's EXACT subvector ·
     // assigned centroid, four sequential-fold dots added left to
     // right, the same IEEE sequence Spark's reduce(_ + _) emits.
-    "q92_pq_ann" ->
-      s"""WITH ${(0 until 4).map(pqSubspaceSql(_, 16, 8, 256)).mkString(",\n")},
-         |codes AS (SELECT pk0.vec_id, pk0.cid AS k0, pk1.cid AS k1,
-         |    pk2.cid AS k2, pk3.cid AS k3
-         |  FROM pk0 JOIN pk1 USING (vec_id) JOIN pk2 USING (vec_id)
-         |  JOIN pk3 USING (vec_id)),
-         |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-         |  ${dotSql("p.embedding[1:16]", "z0.c_emb")}
-         |  + ${dotSql("p.embedding[17:32]", "z1.c_emb")}
-         |  + ${dotSql("p.embedding[33:48]", "z2.c_emb")}
-         |  + ${dotSql("p.embedding[49:64]", "z3.c_emb")} AS adc
-         |  FROM embeddings p JOIN codes c ON p.vec_id < 10 AND p.vec_id <> c.vec_id
-         |  JOIN pc01 z0 ON z0.cid = c.k0
-         |  JOIN pc11 z1 ON z1.cid = c.k1
-         |  JOIN pc21 z2 ON z2.cid = c.k2
-         |  JOIN pc31 z3 ON z3.cid = c.k3),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |  ORDER BY adc DESC, neighbor_id) AS rank FROM sc)
-         |SELECT probe_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc
-         |FROM r WHERE rank <= 5""".stripMargin,
+    "q92_pq_ann" -> pqAnnSql,
     // MAD mirror of TextAnalysis.madOutliers: both medians are the
     // lower-median rn == ceil(0.5·n) row of a (value, doc_id) ranking
     // (q51's exact-percentile rule); the gate compares exact integers
@@ -1282,34 +1374,7 @@ object SparkEntry {
     // iteration assigns every vector a cell; q92's four subspace
     // codebooks encode it; candidates are same-cell only (equi-join),
     // scored by the identical fixed-sequence ADC sum.
-    "q95_ivfpq_ann" ->
-      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
-         |smp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
-         |${lloydIterSql("c0", 1)},
-         |cellasg AS (SELECT vec_id, cid AS cell FROM (
-         |  SELECT e.vec_id, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |    ${dotSql("e.embedding", "c.c_emb")} DESC, c.cid) AS rk
-         |  FROM embeddings e CROSS JOIN c1 c) z WHERE rk = 1),
-         |${(0 until 4).map(pqSubspaceSql(_, 16, 8, 256)).mkString(",\n")},
-         |codes AS (SELECT pk0.vec_id, ca.cell, pk0.cid AS k0, pk1.cid AS k1,
-         |    pk2.cid AS k2, pk3.cid AS k3
-         |  FROM pk0 JOIN pk1 USING (vec_id) JOIN pk2 USING (vec_id)
-         |  JOIN pk3 USING (vec_id) JOIN cellasg ca USING (vec_id)),
-         |sc AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-         |  ${dotSql("p.embedding[1:16]", "z0.c_emb")}
-         |  + ${dotSql("p.embedding[17:32]", "z1.c_emb")}
-         |  + ${dotSql("p.embedding[33:48]", "z2.c_emb")}
-         |  + ${dotSql("p.embedding[49:64]", "z3.c_emb")} AS adc
-         |  FROM embeddings p JOIN cellasg pc ON pc.vec_id = p.vec_id
-         |  JOIN codes c ON p.vec_id < 10 AND p.vec_id <> c.vec_id AND c.cell = pc.cell
-         |  JOIN pc01 z0 ON z0.cid = c.k0
-         |  JOIN pc11 z1 ON z1.cid = c.k1
-         |  JOIN pc21 z2 ON z2.cid = c.k2
-         |  JOIN pc31 z3 ON z3.cid = c.k3),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |  ORDER BY adc DESC, neighbor_id) AS rank FROM sc)
-         |SELECT probe_id, CAST(rank AS INTEGER) AS rank, neighbor_id, adc
-         |FROM r WHERE rank <= 5""".stripMargin,
+    "q95_ivfpq_ann" -> ivfPqAnnSql,
     // Overlap mirror of Dedup.sourceOverlap: distinct (source,
     // trigram) frame (q69's comprehension), self-equi-join on the
     // shingle with src_a < src_b, per-source sizes, integer Jaccard
@@ -1488,27 +1553,7 @@ object SparkEntry {
       """SELECT p_partkey, substr(p_name, 1, 10) AS name_prefix, p_type,
         |  CAST(levenshtein(substr(p_name, 1, 10), p_type) AS INTEGER) AS edit_dist
         |FROM part""".stripMargin,
-    "q54_ivf_ann" ->
-      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
-         |smp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
-         |${lloydIterSql("c0", 1)},
-         |${lloydIterSql("c1", 2)},
-         |a AS (SELECT vec_id, embedding, cid,
-         |  row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY ${dotSql("embedding", "c_emb")} DESC, cid) AS rk
-         |  FROM embeddings CROSS JOIN c2),
-         |asg AS (SELECT vec_id, embedding, cid FROM a WHERE rk = 1),
-         |e AS (SELECT vec_id, embedding, cid,
-         |  sqrt(list_reduce(list_transform(embedding,
-         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
-         |  FROM asg),
-         |pairs AS (SELECT p.vec_id AS probe_id, q.vec_id AS neighbor_id,
-         |  ${dotSql("p.embedding", "q.embedding")} / (p.nrm * q.nrm) AS cos
-         |  FROM e p JOIN e q ON p.cid = q.cid AND p.vec_id < 6 AND p.vec_id <> q.vec_id),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
-         |  ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
-         |SELECT probe_id, neighbor_id, cos AS cos_sim, CAST(rank AS INTEGER) AS rank
-         |FROM r WHERE rank <= 3""".stripMargin,
+    "q54_ivf_ann" -> ivfAnnSql,
     "q55_pos_tokens" ->
       """SELECT doc_id, CAST(pos AS INTEGER) AS pos, token
         |FROM (SELECT doc_id, unnest(range(0, len(w))) AS pos, unnest(w) AS token
@@ -3507,6 +3552,11 @@ object SparkEntry {
         |    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin,
+    // recall audits wrap each tier's oracle body unchanged in a
+    // subquery (tierRecallSql), so index and audit share one SQL
+    "q209_ivf_recall" -> tierRecallSql(ivfAnnSql, 6, 3),
+    "q210_pq_recall" -> tierRecallSql(pqAnnSql, 10, 5),
+    "q211_ivfpq_recall" -> tierRecallSql(ivfPqAnnSql, 10, 5),
     // discount terms ln(2)/ln(rank+1); DCG and ideal-DCG fold in rank
     // order from a 0.0 seed, the per-label mean in probe order (q165)
     "q188_ndcg" ->

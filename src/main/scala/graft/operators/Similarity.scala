@@ -103,19 +103,59 @@ object Similarity {
     * size except the two audited index paths themselves.
     */
   def annRecall(spark: SparkSession, dir: String,
-                numProbes: Int = 10, k: Int = 3): DataFrame = {
-    val exact = bruteForceTopK(spark, dir, numProbes, k)
-      .select(col("probe_id"), col("neighbor_id"))
-    val approx = bucketedAnn(spark, dir, numProbes, k)
-      .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
-    exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
+                numProbes: Int = 10, k: Int = 3): DataFrame =
+    recallAgainstExact(bruteForceTopK(spark, dir, numProbes, k),
+      bucketedAnn(spark, dir, numProbes, k))
+
+  /** Shared recall@k core for every index-tier audit (q87, q209-q211):
+    * LEFT-join the exact top-k set against the tier's top-k on
+    * (probe, neighbor), count hits per probe, one exact-integer
+    * divide.  Both inputs are k·numProbes-row frames — the join and
+    * aggregate are bounded by construction regardless of corpus size.
+    */
+  private def recallAgainstExact(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("probe_id"), col("neighbor_id"))
+      .join(approx.select(col("probe_id"), col("neighbor_id"), lit(1).as("hit")),
+        Seq("probe_id", "neighbor_id"), "left")
       .groupBy("probe_id")
       .agg(
         count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
       .select(col("probe_id"), col("n_exact"), col("n_hits"),
         (col("n_hits").cast("double") / col("n_exact").cast("double")).as("recall"))
-  }
+
+  /** IVF tier recall audit (q209): q54's coarse-cell index against the
+    * exact brute-force top-k over the same 6 probes.  q87 gates only
+    * the sign-LSH index; from r13 every shipped ANN tier carries its
+    * own recall row, because an ungated index is exactly the thing
+    * you cannot trust at 100 TB — cell counts must grow with the
+    * corpus (Similarity scaladoc) and this number is what tells you
+    * when they didn't.
+    */
+  def ivfRecall(spark: SparkSession, dir: String,
+                numProbes: Int = 6, k: Int = 3): DataFrame =
+    recallAgainstExact(bruteForceTopK(spark, dir, numProbes, k),
+      ivfAnn(spark, dir, numProbes = numProbes, k = k))
+
+  /** PQ tier recall audit (q210): q92's asymmetric-distance index vs
+    * exact top-5 over its 10 probes.  ADC ranks by quantized dot
+    * product (not exact cosine), so its recall measures codebook
+    * quality — the m/subDim/k budget — not just bucketing loss.
+    */
+  def pqRecall(spark: SparkSession, dir: String,
+               nProbes: Int = 10, topK: Int = 5): DataFrame =
+    recallAgainstExact(bruteForceTopK(spark, dir, nProbes, topK),
+      pqAnn(spark, dir, nProbes = nProbes, topK = topK))
+
+  /** IVF-PQ tier recall audit (q211): the composed production index
+    * (q95) vs exact top-5 — measures the cell-pruning AND
+    * quantization loss stacked, the number a production deployment
+    * actually cares about.
+    */
+  def ivfPqRecall(spark: SparkSession, dir: String,
+                  nProbes: Int = 10, topK: Int = 5): DataFrame =
+    recallAgainstExact(bruteForceTopK(spark, dir, nProbes, topK),
+      ivfPqAnn(spark, dir, nProbes = nProbes, topK = topK))
 
   final case class ScoredNeighbor(probe_id: Long, neighbor_id: Long, cos: Double)
 
