@@ -31,7 +31,18 @@ object Tables {
   private def normalizeNtz(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    // fail fast at the cast site (ADVICE r12): the NTZ→LTZ relabel is
+    // only an identity under a UTC session — a session built without
+    // the pin would silently shift every timestamp by the local offset
+    if (ntz.nonEmpty) {
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+      require(tz == "UTC",
+        s"normalizeNtz requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+          "the NTZ cast relabels wall-clock values as instants and is only " +
+          "lossless when the session clock is UTC (GraftSession pins it)")
+    }
+    ntz.foldLeft(df) {
       (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
     }
   }

@@ -1115,15 +1115,28 @@ object TextAnalysis {
     * token first "appears" at its MINIMUM doc_id, so one
     * (source, token) min-aggregation turns the curve into per-doc
     * new-token counts, and V(d)/T(d) are running sums over the
-    * per-source doc order (one window each, same partitioning).  Ten
-    * decile checkpoints per source (rank (k·n+9) div 10, pure-integer
-    * per the q122 rule) feed the same fold-ordered least-squares as
-    * q85: x = ln(tokens_seen), y = ln(vocab_seen) via GraftLn.
+    * per-source doc order.  Ten decile checkpoints per source (rank
+    * (k·n+9) div 10, pure-integer per the q122 rule) feed the same
+    * fold-ordered least-squares as q85: x = ln(tokens_seen),
+    * y = ln(vocab_seen) via GraftLn.
+    *
+    * The running sums are the q17 two-pass prefix-sum, NOT a
+    * per-source window (VERDICT r12 #6: one mega-source would
+    * serialize its whole curve through a single window partition):
+    * range-partition the per-doc frame on (source, doc_id), aggregate
+    * per (source, range-partition) piece, prefix-sum the piece sums
+    * over the BOUNDED piece frame (≤ nParts rows per source), then
+    * local windows keyed (pid, source) + broadcast offsets.  Counts
+    * are integers, so the split sums are bit-identical to the
+    * single-window form.
     *
     * 100 TB shape: one (source, token) shuffle + one (source, doc)
-    * shuffle + per-source windows; the regression runs on 10 rows per
-    * source.  Output: 10 checkpoint rows per source, the fitted
-    * exponent repeated on each (sources × 10 rows total).
+    * shuffle + one range shuffle; every doc-frame window is keyed by
+    * (pid, source); the regression runs on 10 rows per source.
+    * Output: 10 checkpoint rows per source, the fitted exponent
+    * repeated on each (sources × 10 rows total).  Pin lifecycle as in
+    * Reindex.chunked: lazy localCheckpoint so both passes see one
+    * partition assignment, released by the ContextCleaner.
     */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1136,12 +1149,29 @@ object TextAnalysis {
     val perDoc = toks.groupBy("source", "doc_id").agg(count(lit(1)).as("nt"))
       .join(newPerDoc, Seq("source", "doc_id"), "left")
       .withColumn("nv", coalesce(col("nv"), lit(0L)))
-    val bySrc = Window.partitionBy("source").orderBy(col("doc_id").asc)
-    val curve = perDoc
-      .withColumn("rn", row_number().over(bySrc))
-      .withColumn("tokens_seen", sum(col("nt")).over(bySrc))
-      .withColumn("vocab_seen", sum(col("nv")).over(bySrc))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    val nParts = spark.sparkContext.defaultParallelism
+    val parted = perDoc
+      .repartitionByRange(nParts, col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
+    val pieces = parted.groupBy("source", "pid")
+      .agg(count(lit(1)).as("c"), sum(col("nt")).as("snt"), sum(col("nv")).as("snv"))
+    // bounded frame: ≤ one row per (source, range partition)
+    val wOff = Window.partitionBy("source").orderBy(col("pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pieces
+      .withColumn("c_off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .withColumn("nt_off", coalesce(sum(col("snt")).over(wOff), lit(0L)))
+      .withColumn("nv_off", coalesce(sum(col("snv")).over(wOff), lit(0L)))
+      .select("source", "pid", "c_off", "nt_off", "nv_off")
+    val totals = pieces.groupBy("source").agg(sum(col("c")).as("n"))
+    val wLocal = Window.partitionBy("pid", "source").orderBy(col("doc_id").asc)
+    val curve = parted
+      .join(broadcast(offsets), Seq("source", "pid"))
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("rn", row_number().over(wLocal) + col("c_off"))
+      .withColumn("tokens_seen", sum(col("nt")).over(wLocal) + col("nt_off"))
+      .withColumn("vocab_seen", sum(col("nv")).over(wLocal) + col("nv_off"))
     val checkpoints = curve
       .select(col("source"), col("rn"), col("n"), col("tokens_seen"), col("vocab_seen"),
         explode(sequence(lit(1), lit(10))).as("decile"))

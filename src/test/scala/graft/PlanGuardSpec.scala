@@ -899,6 +899,20 @@ class PlanGuardSpec extends SparkSuite {
     assert(cust.metadata("PushedFilters").contains("In(c_nationkey"), "nation list pushed")
   }
 
+  test("q127 vocab growth: doc-frame rank windows keyed (pid, source) — one mega-source cannot serialize") {
+    val df = TextAnalysis.vocabGrowth(spark, sf)
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty))
+    // the running-sum/rank windows over the per-doc frame must carry
+    // the range-partition id in their key; only the bounded piece
+    // prefix-sum (≤ nParts rows per source) may partition by source
+    // alone (VERDICT r12 #6)
+    val rnWindows = ws.filter(_.windowExpression.exists(_.toString.contains("row_number")))
+    assert(rnWindows.nonEmpty && rnWindows.forall(_.partitionSpec.size >= 2),
+      "the doc-frame rank window must key on (pid, source)")
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
