@@ -391,7 +391,18 @@ object SparkEntry {
     //   recall@k row against the exact brute-force top-k —
     "q209_ivf_recall" -> ((s, d) => Similarity.ivfRecall(s, d)),
     "q210_pq_recall" -> ((s, d) => Similarity.pqRecall(s, d)),
-    "q211_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(s, d))
+    "q211_ivfpq_recall" -> ((s, d) => Similarity.ivfPqRecall(s, d)),
+    // — round-13 batch 50: the last five TPC-H shapes — with these,
+    //   all 22 TPC-H queries exist on this schema (each scaladoc
+    //   states its stand-in where partsupp/shipmode/receipt dates are
+    //   absent): Q4's EXISTS semi-join, Q9's five-table profit
+    //   rollup, Q12's conditional-count pivot, Q17's correlated
+    //   per-part average, Q19's OR-of-ANDs bracket join —
+    "q212_tpch_q4" -> ((s, d) => Relational.priorityChecking(s, d)),
+    "q213_tpch_q9" -> ((s, d) => Relational.productProfit(s, d)),
+    "q214_tpch_q12" -> ((s, d) => Relational.latePriorityCounts(s, d)),
+    "q215_tpch_q17" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
+    "q216_tpch_q19" -> ((s, d) => Relational.discountedRevenue(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3557,6 +3568,67 @@ object SparkEntry {
     "q209_ivf_recall" -> tierRecallSql(ivfAnnSql, 6, 3),
     "q210_pq_recall" -> tierRecallSql(pqAnnSql, 10, 5),
     "q211_ivfpq_recall" -> tierRecallSql(ivfPqAnnSql, 10, 5),
+    // Q4: all-integer counts; EXISTS keeps the per-order grain exact
+    "q212_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // Q9: revenue and cost each cast DECIMAL(18,4) BEFORE the
+    // subtract, summed exactly, one double cast at the end
+    "q213_tpch_q9" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |    - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY n_name, o_year DESC""".stripMargin,
+    // Q12: two conditional integer counts in one pass
+    "q214_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    // Q17: per-part average = exact decimal sum / count, threshold on
+    // doubles both engines derive identically; /7.0 once at the end
+    "q215_tpch_q17" ->
+      """WITH pa AS (SELECT l_partkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#1'
+        |JOIN pa ON pa.l_partkey = lineitem.l_partkey
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin,
+    // Q19: one disjunctive predicate post-join — the oracle keeps the
+    // literal OR-of-ANDs form
+    "q216_tpch_q19" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 35)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     // discount terms ln(2)/ln(rank+1); DCG and ideal-DCG fold in rank
     // order from a 0.0 seed, the per-label mean in probe order (q165)
     "q188_ndcg" ->

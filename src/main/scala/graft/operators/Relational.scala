@@ -1350,6 +1350,154 @@ object Relational {
       .orderBy(col("c_nationkey"))
   }
 
+  /** TPC-H Q4 order-priority checking (q212): how many of one
+    * quarter's orders had at least one late line — the canonical
+    * EXISTS → LEFT SEMI join with a mixed equi + range condition.
+    *
+    * Schema adaptation: no l_commitdate/l_receiptdate, so "late" is
+    * shipping more than `lateDays` past the order date (q207's rule).
+    *
+    * 100 TB shape: the quarter window prunes the orders scan; the
+    * semi-join keys on orderkey (the range term rides the same join),
+    * so no lineitem row is ever duplicated into the aggregate — the
+    * EXISTS never becomes a join-then-distinct.  Final aggregate
+    * groups ≤5 priorities.
+    */
+  def priorityChecking(spark: SparkSession, dir: String,
+                       from: String = "1996-01-01", until: String = "1996-04-01",
+                       lateDays: Int = 30): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q9 product-type profit (q213): profit by supplier nation
+    * and ship year for one part family — the five-table join whose
+    * aggregate key crosses two dimensions.
+    *
+    * Schema adaptation: no partsupp.ps_supplycost, so unit cost is
+    * stood in by a fixed fraction of p_retailprice; profit =
+    * revenue − cost·quantity, both sides exact DECIMAL(18,4) before
+    * the subtract, summed exactly, surfaced once as DOUBLE.
+    *
+    * 100 TB shape: the name-family filter prunes part BEFORE the fact
+    * join (the selective dimension drives); supplier/part stay
+    * hint-free (SF-linear); nation is the only hinted frame.  One
+    * keyed aggregate, (nation, year) — bounded output.
+    */
+  def productProfit(spark: SparkSession, dir: String,
+                    nameContains: String = "gear",
+                    costFactor: Double = 0.6): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_name").contains(nameContains))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    Tables.lineitem(spark, dir)
+      .join(parts, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .select(col("n_name"), year(col("l_shipdate")).as("o_year"),
+        (dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          - dec4(lit(costFactor) * col("p_retailprice") * col("l_quantity"))).as("amount"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("amount")).cast("double").as("profit"))
+      .orderBy(col("n_name").asc, col("o_year").desc)
+  }
+
+  /** TPC-H Q12 shipping-mode priority audit (q214): among one year's
+    * late lines, how many belonged to high- vs low-priority orders —
+    * the canonical conditional-count pivot over a fact⋈fact join.
+    *
+    * Schema adaptation: no l_shipmode or receipt/commit dates — the
+    * grouping key is l_linestatus and "late" is q207's ship-lag rule.
+    *
+    * 100 TB shape: the year window prunes the lineitem scan; the join
+    * keys on orderkey; both counts come out of ONE aggregate pass
+    * (conditional sums); output is ≤|linestatus| rows.
+    */
+  def latePriorityCounts(spark: SparkSession, dir: String,
+                         from: String = "1996-01-01", until: String = "1997-01-01",
+                         lateDays: Int = 60): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(until).cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority")), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q17 small-quantity-order revenue (q215): the average
+    * yearly revenue lost if small-quantity orders of one brand moved
+    * to bulk — the canonical correlated per-part average, collapsed
+    * to one keyed aggregate joined back (never a per-row subquery).
+    *
+    * 100 TB shape: the per-part average quantity is ONE keyed
+    * aggregate over lineitem (exact decimal sum / count); the brand
+    * filter prunes part before its join; the threshold compare is
+    * double < double with both sides derived identically on both
+    * engines.  Single-row output.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String,
+                           brand: String = "Brand#1",
+                           qtyFrac: Double = 0.5): DataFrame = {
+    val avgQty = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("a_partkey"))
+      .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+    val branded = Tables.part(spark, dir)
+      .filter(col("p_brand") === brand).select(col("p_partkey"))
+    Tables.lineitem(spark, dir)
+      .join(branded, col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < lit(qtyFrac) * col("avg_qty"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 discounted revenue (q216): the three-bracket
+    * OR-of-ANDs predicate over lineitem ⋈ part — the disjunctive-
+    * predicate join every optimizer whitepaper uses as the pushdown
+    * stress test.
+    *
+    * 100 TB shape: the quantity bounds (the union of the three
+    * brackets, 1..50 here) could pre-prune the scan; the bracket
+    * disjunction itself evaluates post-join in one codegen'd
+    * predicate — never three unioned scans (one fact pass, not
+    * three).  Part stays hint-free; one 1-row final aggregate.
+    */
+  def discountedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val bracket =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 50))
+    Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(bracket)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("rev")).cast("double").as("revenue"))
+  }
+
   /** TPC-H Q14 promotion effect (q198): the share of one month's
     * revenue that came from PROMO-type parts — a single-row
     * conditional-aggregate ratio over lineitem ⋈ part.

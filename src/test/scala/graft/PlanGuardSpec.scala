@@ -899,6 +899,55 @@ class PlanGuardSpec extends SparkSuite {
     assert(cust.metadata("PushedFilters").contains("In(c_nationkey"), "nation list pushed")
   }
 
+  test("q212 tpch q4: EXISTS stays a semi-join, quarter window pushed to orders") {
+    val df = Relational.priorityChecking(spark, sf)
+    assert(joinTypes(df).exists(_.contains("LeftSemi")), "EXISTS must plan as a semi-join")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.find(_.metadata("Location").contains("orders")).get
+      .metadata("PushedFilters").contains("GreaterThanOrEqual(o_orderdate"))
+    assert(scans.find(_.metadata("Location").contains("lineitem")).get
+      .requiredSchema.fieldNames.toSeq == Seq("l_orderkey", "l_shipdate"))
+  }
+
+  test("q213 tpch q9: name-family filter prunes part pre-join, one keyed aggregate, nation-only hint") {
+    val df = Relational.productProfit(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.find(_.metadata("Location").contains("part.parquet")).get
+      .metadata("PushedFilters").contains("StringContains(p_name"), "family filter pushed")
+    assert(names(df).count(_.contains("HashAggregate")) == 2, "one partial+final aggregate")
+    assert(hintedOutputs(df).forall(_.forall(_.startsWith("n_"))),
+      "only the 25-row nation dim may carry a hint")
+  }
+
+  test("q214 tpch q12: both counts in one aggregate pass, year window pushed") {
+    val df = Relational.latePriorityCounts(spark, sf)
+    assert(names(df).count(_.contains("HashAggregate")) == 2,
+      "high and low counts must share one partial+final pass")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.find(_.metadata("Location").contains("lineitem")).get
+      .metadata("PushedFilters").contains("GreaterThanOrEqual(l_shipdate"))
+  }
+
+  test("q215 tpch q17: correlated avg is one keyed aggregate joined back, brand pushed") {
+    val df = Relational.smallQuantityRevenue(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.find(_.metadata("Location").contains("part.parquet")).get
+      .metadata("PushedFilters").contains("EqualTo(p_brand"), "brand filter pushed")
+    // the per-part average scans lineitem once; the revenue side once
+    assert(scans.count(_.metadata("Location").contains("lineitem")) <= 2)
+  }
+
+  test("q216 tpch q19: ONE fact pass — the OR-of-ANDs never becomes three unioned scans") {
+    val df = Relational.discountedRevenue(spark, sf)
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.count(_.metadata("Location").contains("lineitem")) == 1,
+      "the bracket disjunction must evaluate post-join, not as unioned scans")
+    assert(!names(df).exists(_.contains("Union")))
+    assert(names(df).count(_.contains("HashAggregate")) == 2)
+  }
+
   test("q127 vocab growth: doc-frame rank windows keyed (pid, source) — one mega-source cannot serialize") {
     val df = TextAnalysis.vocabGrowth(spark, sf)
     val ws = plan(df).collect {
