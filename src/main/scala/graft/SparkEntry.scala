@@ -402,7 +402,14 @@ object SparkEntry {
     "q213_tpch_q9" -> ((s, d) => Relational.productProfit(s, d)),
     "q214_tpch_q12" -> ((s, d) => Relational.latePriorityCounts(s, d)),
     "q215_tpch_q17" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
-    "q216_tpch_q19" -> ((s, d) => Relational.discountedRevenue(s, d))
+    "q216_tpch_q19" -> ((s, d) => Relational.discountedRevenue(s, d)),
+    // — round-13 batch 51: embedding serving infra — the power-method
+    //   principal direction (PCA whitening / anisotropy), the int8
+    //   quantization error budget, and the deterministic shard
+    //   assignment + balance audit every training export needs —
+    "q217_principal_component" -> ((s, d) => Similarity.principalComponent(s, d)),
+    "q218_quant_audit" -> ((s, d) => Similarity.quantizationAudit(s, d)),
+    "q219_shard_balance" -> ((s, d) => TextAnalysis.shardBalance(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -702,6 +709,29 @@ object SparkEntry {
        |SELECT probe_id, count(*) AS n_exact, CAST(sum(hit) AS BIGINT) AS n_hits,
        |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
        |FROM j GROUP BY probe_id""".stripMargin
+
+  /** One unrolled power-iteration step (q217), mirroring
+    * Similarity.principalComponent: per-vector dot against v$prev
+    * (0.0-seeded sequential fold — list_prepend replays Spark's
+    * aggregate seed), per-dimension w_d as an exact DECIMAL(38,18)
+    * sum, the norm folded over the d-ordered squares, and the
+    * normalized v$i list.  Emits CTEs dots$i/w$i/f$i/v$i.
+    */
+  private def powerIterSql(i: Int): String =
+    s"""dots$i AS (SELECT e.vec_id, e.embedding,
+       |  list_reduce(list_prepend(0.0e0,
+       |    [CAST(e.embedding[j] AS DOUBLE) * vv.v[j] FOR j IN range(1, 65)]),
+       |    (a, b) -> a + b) AS dt
+       |  FROM embeddings e CROSS JOIN v${i - 1} vv),
+       |w$i AS (SELECT d,
+       |  CAST(sum(CAST(floor(CAST(embedding[d] AS DOUBLE) * dt * 1.0e9 + 0.5)
+       |    AS DECIMAL(38,0))) AS DOUBLE) / 1.0e9 AS wd
+       |  FROM dots$i, (SELECT unnest(range(1, 65)) AS d) dd GROUP BY d),
+       |f$i AS (SELECT ws,
+       |  sqrt(list_reduce(list_prepend(0.0e0, list_transform(ws, x -> x * x)),
+       |    (a, b) -> a + b)) AS nrm
+       |  FROM (SELECT list(wd ORDER BY d) AS ws FROM w$i) z),
+       |v$i AS (SELECT list_transform(ws, x -> x / nrm) AS v FROM f$i)""".stripMargin
 
   /** One unrolled MMR greedy iteration (q140), mirroring
     * Similarity.mmrSelect: anti-join the running selection u${i-1}
@@ -3629,6 +3659,59 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 35)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    // power iteration: v0 = 1/sqrt(64) = 0.125 exactly; three
+    // unrolled steps; w sums are exact DECIMAL(38,18); the final
+    // loading/eigval come from the LAST step's w fold
+    "q217_principal_component" ->
+      s"""WITH v0 AS (SELECT list_transform(range(1, 65), i -> 0.125e0) AS v),
+         |${powerIterSql(1)},
+         |${powerIterSql(2)},
+         |${powerIterSql(3)}
+         |SELECT CAST(d AS INTEGER) AS d, ws[d] / nrm AS loading, nrm AS eigval
+         |FROM f3, (SELECT unnest(range(1, 65)) AS d) dd""".stripMargin,
+    // int8 audit: max|x| via 0.0-seeded greatest fold; the explicit
+    // floor(x/scale + 0.5) half-up (round()'s tie rule differs across
+    // engines); cross-row means as exact DECIMAL(38,18) sums
+    "q218_quant_audit" ->
+      """WITH q AS (SELECT label, vec_id, embedding,
+        |  list_reduce(list_prepend(0.0e0,
+        |    list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+        |    (a, b) -> greatest(a, b)) / 127.0 AS scale
+        |  FROM embeddings),
+        |m AS (SELECT label, vec_id, scale,
+        |  CASE WHEN scale = 0.0 THEN 0.0 ELSE
+        |    list_reduce(list_prepend(0.0e0, list_transform(embedding, x ->
+        |      (CAST(x AS DOUBLE)
+        |        - least(greatest(floor(CAST(x AS DOUBLE) / scale + 0.5), -127.0), 127.0) * scale)
+        |      * (CAST(x AS DOUBLE)
+        |        - least(greatest(floor(CAST(x AS DOUBLE) / scale + 0.5), -127.0), 127.0) * scale))),
+        |      (a, b) -> a + b) / CAST(len(embedding) AS DOUBLE) END AS mse
+        |  FROM q)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CAST(floor(mse * 1.0e15 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 1.0e15 / CAST(count(*) AS DOUBLE) AS mean_mse,
+        |  max(mse) AS max_mse,
+        |  CAST(sum(CAST(floor(scale * 1.0e15 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+        |    / 1.0e15 / CAST(count(*) AS DOUBLE) AS mean_scale
+        |FROM m GROUP BY label
+        |ORDER BY label""".stripMargin,
+    // shard = md5 hex digits 17-20 mod 12 (independent of the
+    // q63/q75/q98/q134 digit ranges); all-integer until the one skew
+    // divide
+    "q219_shard_balance" ->
+      """WITH pr AS (SELECT doc_id, n_chars, CAST(
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 17, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 18, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 19, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 20, 1)) - 1)) % 12 AS INTEGER) AS shard
+        | FROM documents),
+        |s AS (SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM pr GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM s)
+        |SELECT shard, n_docs, n_chars,
+        |  CAST(n_docs AS DOUBLE) / (CAST(total_docs AS DOUBLE) / 12.0) AS doc_skew
+        |FROM s, t
+        |ORDER BY shard""".stripMargin,
     // discount terms ln(2)/ln(rank+1); DCG and ideal-DCG fold in rank
     // order from a 0.0 seed, the per-label mean in probe order (q165)
     "q188_ndcg" ->

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1114,5 +1114,123 @@ object Similarity {
           sort_array(collect_list(struct(col("probe_id"), col("ndcg")))),
           lit(0.0), (acc, x) => acc + x.getField("ndcg"))
           / count(lit(1)).cast("double")).as("mean_ndcg"))
+  }
+
+  /** Principal embedding direction via power iteration (q217): the
+    * top eigenvector of the (uncentered) covariance XᵀX — the
+    * direction PCA whitening, ABTT ("all-but-the-top") embedding
+    * post-processing, and anisotropy diagnostics all need first.
+    *
+    * Fixed `iters` power steps from the exact uniform start
+    * v₀ = 1/√dim (dim = 64 ⇒ 0.125, exactly representable):
+    * w = Xᵀ(Xv) as two keyed passes — per-vector dot dᵢ = xᵢ·v
+    * (sequential fold, 0.0 seed), then per-dimension
+    * w_d = Σᵢ x_{i,d}·dᵢ via the quantize-then-exact-sum rule (each
+    * term floor(t·1e9 + 0.5), summed as exact DECIMAL(38,0)
+    * integers, divided once), so the reduction is independent of
+    * partition order AND cross-engine bit-exact; ‖w‖ folds the 64
+    * squared components in dimension order.  ‖w‖ of the last step is
+    * the Rayleigh eigenvalue estimate.
+    *
+    * 100 TB shape: each step is one broadcast of the 64-double v,
+    * one corpus scan, one 64-key aggregate — the PageRank superstep
+    * pattern with a dense 64-vector instead of a rank column.  Each
+    * step's v is Pins.eager-pinned (64 rows) so step i+1's plan reads
+    * blocks instead of re-deriving every earlier step's corpus scan.
+    */
+  def principalComponent(spark: SparkSession, dir: String,
+                         dim: Int = 64, iters: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    def fold0(arr: Column): Column = aggregate(arr, lit(0.0), (a, x) => a + x)
+    var folded: DataFrame = null
+    var v: DataFrame = spark.range(1, dim + 1)
+      .select(col("id").cast("int").as("d"), lit(1.0 / math.sqrt(dim.toDouble)).as("vd"))
+    for (_ <- 1 to iters) {
+      val vrow = v.agg(transform(
+        sort_array(collect_list(struct(col("d"), col("vd")))),
+        e => e.getField("vd")).as("v"))
+      val dots = emb.crossJoin(broadcast(vrow))
+        .select(col("vec_id"), col("embedding"),
+          fold0(zip_with(col("embedding"), col("v"), (x, y) => x * y)).as("dt"))
+      // exact-sum trick for arbitrary doubles: a DECIMAL(38,18) cast
+      // of a long-binary double rounds DIFFERENTLY in Spark (exact
+      // BigDecimal expansion) and DuckDB (scaled multiply) — measured
+      // 1-ulp drift. Quantizing each term with floor(t·1e9 + 0.5)
+      // (IEEE multiply + floor, bit-identical everywhere), summing the
+      // integer-valued results as exact DECIMAL(38,0), and dividing
+      // once keeps the reduction order-independent AND cross-engine
+      // exact (precision 1e-9 absolute per term, overflow-safe to
+      // 1e29 terms).
+      val w = dots
+        .select(col("dt"), posexplode(col("embedding")))
+        .groupBy((col("pos") + 1).cast("int").as("d"))
+        .agg(sum(floor((col("col").cast("double") * col("dt")) * lit(1.0e9) + lit(0.5))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("wdec"))
+        .select(col("d"), (col("wdec").cast("double") / lit(1.0e9)).as("wd"))
+      folded = graft.util.Pins.eager(
+        w.agg(sort_array(collect_list(struct(col("d"), col("wd")))).as("ws"))
+          .select(col("ws"),
+            sqrt(fold0(transform(col("ws"), e =>
+              e.getField("wd") * e.getField("wd")))).as("nrm")))
+      v = folded
+        .select(posexplode(col("ws")), col("nrm"))
+        .select(col("col.d").as("d"), (col("col.wd") / col("nrm")).as("vd"))
+    }
+    folded
+      .select(posexplode(col("ws")), col("nrm"))
+      .select(col("col.d").as("d"),
+        (col("col.wd") / col("nrm")).as("loading"),
+        col("nrm").as("eigval"))
+  }
+
+  /** Symmetric int8 quantization audit (q218): the error budget of
+    * serving embeddings at 8 bits — per vector, scale = max|x|/127,
+    * q_d = clamp(⌊x_d/scale + 0.5⌋, ±127), and the reconstruction
+    * squared error folds in dimension order; per label, exact-decimal
+    * mean MSE plus max MSE and mean scale.  The go/no-go audit before
+    * swapping an ANN serving tier to int8 — PQ (q92) compresses
+    * harder but needs codebooks; int8 is the codebook-free baseline.
+    *
+    * Determinism: the max|x| fold is sequential with a 0.0 seed
+    * (all-zero vectors hit the explicit scale = 0 guard), ⌊·+0.5⌋ is
+    * the explicit half-up both engines share (never round(), whose
+    * tie rule differs), and cross-row means follow q217's
+    * quantize-then-exact-sum rule (femto-unit integers, exact
+    * DECIMAL(38,0) sum, one divide) — a raw DECIMAL(38,18) cast of
+    * an arbitrary double rounds 1 ulp apart across engines.
+    *
+    * 100 TB shape: one scan, all per-vector math inside codegen'd
+    * higher-order functions, one label-keyed aggregate with map-side
+    * combine.  Nothing is ever pairwise.
+    */
+  def quantizationAudit(spark: SparkSession, dir: String,
+                        qmax: Double = 127.0): DataFrame = {
+    val xd = (x: Column) => x.cast("double")
+    val scale = aggregate(transform(col("embedding"), x => abs(xd(x))),
+      lit(0.0), (a, x) => greatest(a, x)) / lit(qmax)
+    val sqerr = aggregate(transform(col("embedding"), { x =>
+      val q = least(greatest(floor(xd(x) / col("scale") + lit(0.5)), lit(-qmax)), lit(qmax))
+      val dq = q * col("scale")
+      (xd(x) - dq) * (xd(x) - dq)
+    }), lit(0.0), (a, x) => a + x)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .withColumn("scale", scale)
+      .withColumn("mse",
+        when(col("scale") === 0.0, lit(0.0))
+          .otherwise(sqerr / size(col("embedding")).cast("double")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        // q217's quantize-then-exact-sum rule for means of arbitrary
+        // doubles (a DECIMAL(38,18) cast drifts 1 ulp cross-engine):
+        // femto-unit integers, exact DECIMAL(38,0) sum, one divide
+        (sum(floor(col("mse") * lit(1.0e15) + lit(0.5))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / lit(1.0e15) / count(lit(1)).cast("double")).as("mean_mse"),
+        max(col("mse")).as("max_mse"),
+        (sum(floor(col("scale") * lit(1.0e15) + lit(0.5))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double") / lit(1.0e15) / count(lit(1)).cast("double")).as("mean_scale"))
+      .orderBy(col("label"))
   }
 }

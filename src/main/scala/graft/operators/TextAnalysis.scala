@@ -2555,4 +2555,40 @@ object TextAnalysis {
           / col("n_r").cast("double")).as("r_star"),
         (col("n_1").cast("double") / col("n").cast("double")).as("p_unseen"))
   }
+
+  /** Deterministic shard assignment + balance audit (q219): every
+    * training-data export ends in "write N shards a fleet of loaders
+    * can stream" — the shard id must be a pure function of the row
+    * (reproducible across reruns and engines), and the export is only
+    * usable if no shard is pathologically heavy.  Shard = md5 hex
+    * digits 17–20 of doc_id mod `nShards` (independent of the q63/q75
+    * split digits, q98's 9–12 priority and q134's 13–16 uniform;
+    * nShards defaults to 12 — not a power of 16, so every hex digit
+    * contributes).  Per shard: doc count, exact char mass, and the
+    * count's skew ratio against the ideal uniform share.
+    *
+    * 100 TB shape: one scan, one `nShards`-key aggregate with
+    * map-side combine; the 1-row total broadcasts back.  The skew
+    * ratio is the loader-stall early-warning — a ratio ≫ 1 means one
+    * shard serializes the epoch (the same failure mode q127's
+    * mega-source guard addresses at the window level).
+    */
+  def shardBalance(spark: SparkSession, dir: String,
+                   nShards: Int = 12): DataFrame = {
+    val shard = pmod(conv(substring(md5(col("doc_id").cast("string")), 17, 4), 16, 10)
+      .cast("int"), lit(nShards))
+    // pinned eagerly: the output rows AND the 1-row total both consume
+    // this nShards-row frame — without the pin each lineage re-scans
+    // the corpus (the q204 rule)
+    val perShard = graft.util.Pins.eager(Tables.documents(spark, dir)
+      .select(shard.as("shard"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars")))
+    val total = perShard.agg(sum(col("n_docs")).as("total_docs"))
+    perShard.crossJoin(broadcast(total))
+      .select(col("shard"), col("n_docs"), col("n_chars"),
+        (col("n_docs").cast("double")
+          / (col("total_docs").cast("double") / lit(nShards.toDouble))).as("doc_skew"))
+      .orderBy(col("shard"))
+  }
 }

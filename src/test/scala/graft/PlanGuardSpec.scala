@@ -948,6 +948,38 @@ class PlanGuardSpec extends SparkSuite {
     assert(names(df).count(_.contains("HashAggregate")) == 2)
   }
 
+  test("q217 power iteration: supersteps ran at pin time — the final plan reads checkpoint blocks only") {
+    val df = Similarity.principalComponent(spark, sf)
+    // each step's 64-row fold is Pins.eager-pinned; the corpus scans
+    // happened once per step during construction, so the returned
+    // frame must contain no file scan at all
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty,
+      "a file scan in the final plan means a step re-derived an earlier step's corpus pass")
+    assert(df.count() == 64)
+  }
+
+  test("q218 quant audit: one scan, one keyed aggregate, no join — per-vector math stays in codegen") {
+    val df = Similarity.quantizationAudit(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("Join")), "the audit must never be pairwise")
+    assert(ns.count(_.contains("HashAggregate")) == 2, "one partial+final label aggregate")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.count(_.metadata("Location").contains("embeddings")) == 1)
+  }
+
+  test("q219 shard balance: corpus scanned once at pin time, broadcast 1-row total") {
+    val df = TextAnalysis.shardBalance(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")),
+      "the 1-row total attaches via broadcast nested loop")
+    // the per-shard aggregate is Pins.eager-pinned (the output rows
+    // and the 1-row total both consume it): the documents scan ran
+    // once at pin time, and the final plan reads checkpoint blocks
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty,
+      "a documents scan in the final plan means a consumer re-ran the corpus aggregate")
+  }
+
   test("q127 vocab growth: doc-frame rank windows keyed (pid, source) — one mega-source cannot serialize") {
     val df = TextAnalysis.vocabGrowth(spark, sf)
     val ws = plan(df).collect {

@@ -227,7 +227,8 @@ class UtilSpec extends AnyFunSuite {
       "src/main/scala/graft/operators/Similarity.scala" -> "pqCodebooks",
       "src/main/scala/graft/operators/Dedup.scala" -> "pageRank",
       "src/main/scala/graft/operators/Dedup.scala" -> "containment",
-      "src/main/scala/graft/operators/Relational.scala" -> "importantStock")) {
+      "src/main/scala/graft/operators/Relational.scala" -> "importantStock",
+      "src/main/scala/graft/operators/Similarity.scala" -> "principalComponent")) {
       val b = body(path, fn)
       assert(b.contains("Pins.eager"), s"$fn must pin via Pins.eager")
       assert(!b.contains("localCheckpoint"),
