@@ -409,7 +409,11 @@ object SparkEntry {
     //   assignment + balance audit every training export needs —
     "q217_principal_component" -> ((s, d) => Similarity.principalComponent(s, d)),
     "q218_quant_audit" -> ((s, d) => Similarity.quantizationAudit(s, d)),
-    "q219_shard_balance" -> ((s, d) => TextAnalysis.shardBalance(s, d))
+    "q219_shard_balance" -> ((s, d) => TextAnalysis.shardBalance(s, d)),
+    // — round-13 batch 52: the anisotropy audit composing q217's
+    //   direction, and the tokenizer fertility profile —
+    "q220_source_anisotropy" -> ((s, d) => Similarity.sourceAnisotropy(s, d)),
+    "q221_token_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -732,6 +736,17 @@ object SparkEntry {
        |    (a, b) -> a + b)) AS nrm
        |  FROM (SELECT list(wd ORDER BY d) AS ws FROM w$i) z),
        |v$i AS (SELECT list_transform(ws, x -> x / nrm) AS v FROM f$i)""".stripMargin
+
+  /** Power-iteration oracle body (q217), shared verbatim with the
+    * q220 anisotropy audit that projects onto the same direction.
+    */
+  private def principalComponentSql: String =
+    s"""WITH v0 AS (SELECT list_transform(range(1, 65), i -> 0.125e0) AS v),
+       |${powerIterSql(1)},
+       |${powerIterSql(2)},
+       |${powerIterSql(3)}
+       |SELECT CAST(d AS INTEGER) AS d, ws[d] / nrm AS loading, nrm AS eigval
+       |FROM f3, (SELECT unnest(range(1, 65)) AS d) dd""".stripMargin
 
   /** One unrolled MMR greedy iteration (q140), mirroring
     * Similarity.mmrSelect: anti-join the running selection u${i-1}
@@ -3660,15 +3675,9 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
         |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     // power iteration: v0 = 1/sqrt(64) = 0.125 exactly; three
-    // unrolled steps; w sums are exact DECIMAL(38,18); the final
+    // unrolled steps; w sums quantize-then-exact-sum; the final
     // loading/eigval come from the LAST step's w fold
-    "q217_principal_component" ->
-      s"""WITH v0 AS (SELECT list_transform(range(1, 65), i -> 0.125e0) AS v),
-         |${powerIterSql(1)},
-         |${powerIterSql(2)},
-         |${powerIterSql(3)}
-         |SELECT CAST(d AS INTEGER) AS d, ws[d] / nrm AS loading, nrm AS eigval
-         |FROM f3, (SELECT unnest(range(1, 65)) AS d) dd""".stripMargin,
+    "q217_principal_component" -> principalComponentSql,
     // int8 audit: max|x| via 0.0-seeded greatest fold; the explicit
     // floor(x/scale + 0.5) half-up (round()'s tie rule differs across
     // engines); cross-row means as exact DECIMAL(38,18) sums
@@ -3698,6 +3707,42 @@ object SparkEntry {
     // shard = md5 hex digits 17-20 mod 12 (independent of the
     // q63/q75/q98/q134 digit ranges); all-integer until the one skew
     // divide
+    // anisotropy: the direction list re-assembles q217's output in d
+    // order inside a subquery; projections fold with the 0.0 seed;
+    // means follow the quantize-then-exact-sum rule at nano units
+    "q220_source_anisotropy" ->
+      s"""WITH pc AS (SELECT list(loading ORDER BY d) AS v FROM (
+         |$principalComponentSql
+         |) z),
+         |pj AS (SELECT dd.source,
+         |  list_reduce(list_prepend(0.0e0,
+         |    [CAST(e.embedding[j] AS DOUBLE) * pc.v[j] FOR j IN range(1, 65)]),
+         |    (a, b) -> a + b) AS proj
+         |  FROM embeddings e
+         |  JOIN documents dd ON e.vec_id = dd.doc_id
+         |  CROSS JOIN pc)
+         |SELECT source, count(*) AS n_vecs,
+         |  CAST(sum(CAST(floor(proj * 1.0e9 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+         |    / 1.0e9 / CAST(count(*) AS DOUBLE) AS mean_proj,
+         |  CAST(sum(CAST(floor(abs(proj) * 1.0e9 + 0.5) AS DECIMAL(38,0))) AS DOUBLE)
+         |    / 1.0e9 / CAST(count(*) AS DOUBLE) AS mean_abs_proj
+         |FROM pj GROUP BY source
+         |ORDER BY source""".stripMargin,
+    // fertility: exact integer sums, three final divides; strlen is
+    // DuckDB's byte length (Spark octet_length)
+    "q221_token_fertility" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes,
+        |  CAST(CAST(sum(length(text)) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE) AS chars_per_token,
+        |  CAST(CAST(sum(strlen(text)) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE) AS bytes_per_token,
+        |  CAST(CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS tokens_per_doc
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
     "q219_shard_balance" ->
       """WITH pr AS (SELECT doc_id, n_chars, CAST(
         |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 17, 1)) - 1) * 4096

@@ -1183,6 +1183,45 @@ object Similarity {
         col("nrm").as("eigval"))
   }
 
+  /** Per-source anisotropy audit (q220): project every embedding onto
+    * q217's principal direction and report each source's mean and
+    * mean-absolute projection — the ABTT diagnostic ("all-but-the-top",
+    * Mu & Viswanath 2018) that tells you whether one source's vectors
+    * cluster along the corpus's dominant direction (a retrieval-bias
+    * smell) before that source is mixed into training data.
+    *
+    * Determinism: the direction is q217's pinned output re-assembled
+    * in dimension order; each projection is the 0.0-seeded sequential
+    * fold; per-source means follow the quantize-then-exact-sum rule
+    * (nano-unit integers — projections are O(1)).
+    *
+    * 100 TB shape: q217's three pinned supersteps, then ONE more
+    * corpus scan with the 64-double direction broadcast and one
+    * source-keyed aggregate.  The documents join keys on
+    * vec_id ≡ doc_id (the q139 identity).
+    */
+  def sourceAnisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val v = principalComponent(spark, dir)
+    val vrow = v.agg(transform(
+      sort_array(collect_list(struct(col("d"), col("loading")))),
+      e => e.getField("loading")).as("v"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    Tables.embeddings(spark, dir)
+      .join(docs, col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(vrow))
+      .select(col("source"),
+        aggregate(zip_with(col("embedding"), col("v"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x).as("proj"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(floor(col("proj") * lit(1.0e9) + lit(0.5)).cast(dec0))
+          .cast("double") / lit(1.0e9) / count(lit(1)).cast("double")).as("mean_proj"),
+        (sum(floor(abs(col("proj")) * lit(1.0e9) + lit(0.5)).cast(dec0))
+          .cast("double") / lit(1.0e9) / count(lit(1)).cast("double")).as("mean_abs_proj"))
+      .orderBy(col("source"))
+  }
+
   /** Symmetric int8 quantization audit (q218): the error budget of
     * serving embeddings at 8 bits — per vector, scale = max|x|/127,
     * q_d = clamp(⌊x_d/scale + 0.5⌋, ±127), and the reconstruction

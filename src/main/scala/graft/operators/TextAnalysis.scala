@@ -2556,6 +2556,36 @@ object TextAnalysis {
         (col("n_1").cast("double") / col("n").cast("double")).as("p_unseen"))
   }
 
+  /** Tokenizer fertility profile (q221): chars-per-token,
+    * bytes-per-token and tokens-per-doc by source — the first number
+    * a tokenizer owner asks of a new corpus slice (fertility drift
+    * between sources skews the effective token budget and the packing
+    * plan q71 computes).  Whitespace tokens are the house tokenizer;
+    * byte length is the UTF-8 octet count.
+    *
+    * Determinism: every aggregate is an exact integer sum; the three
+    * ratios are single divides of exact integers.
+    *
+    * 100 TB shape: one scan, one source-keyed aggregate with map-side
+    * combine — nothing else.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        sum(col("bytes")).as("n_bytes"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"), col("n_bytes"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double")).as("chars_per_token"),
+        (col("n_bytes").cast("double") / col("n_tokens").cast("double")).as("bytes_per_token"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double")).as("tokens_per_doc"))
+      .orderBy(col("source"))
+
   /** Deterministic shard assignment + balance audit (q219): every
     * training-data export ends in "write N shards a fleet of loaders
     * can stream" — the shard id must be a pure function of the row

@@ -980,6 +980,27 @@ class PlanGuardSpec extends SparkSuite {
       "a documents scan in the final plan means a consumer re-ran the corpus aggregate")
   }
 
+  test("q220 anisotropy: one extra corpus pass over q217's pinned direction, no cartesian") {
+    val df = Similarity.sourceAnisotropy(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    // q217's supersteps ran at pin time; the audit itself adds exactly
+    // one embeddings scan and one documents scan
+    assert(scans.count(_.metadata("Location").contains("embeddings")) == 1)
+    assert(scans.count(_.metadata("Location").contains("documents")) == 1)
+  }
+
+  test("q221 fertility: one pruned scan, one keyed aggregate, no join") {
+    val df = TextAnalysis.tokenizerFertility(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(_.contains("Join")))
+    assert(ns.count(_.contains("HashAggregate")) == 2)
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.find(_.metadata("Location").contains("documents")).get
+      .requiredSchema.fieldNames.toSet == Set("source", "text"),
+      "documents scan pruned to the group key + text")
+  }
+
   test("q127 vocab growth: doc-frame rank windows keyed (pid, source) — one mega-source cannot serialize") {
     val df = TextAnalysis.vocabGrowth(spark, sf)
     val ws = plan(df).collect {
