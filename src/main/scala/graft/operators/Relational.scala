@@ -1285,10 +1285,14 @@ object Relational {
     * per-lineitem boolean grain Q21 derives from receipt vs commit.
     *
     * 100 TB shape: lineitem⋈orders is the one fact-fact shuffle
-    * (both sides keyed on orderkey); the per-order counts are a keyed
-    * aggregate of that join; the nation-filtered supplier decoration
-    * is SF-linear/25 and stays hint-free for AQE.  numwait counts
-    * DISTINCT orders so duplicate late lines can't inflate it.
+    * (both sides keyed on orderkey), consumed by ONE keyed aggregate —
+    * because the qualifying orders have EXACTLY one late supplier,
+    * that supplier is recoverable inside the same pass as
+    * max(when(late, suppkey)); the r13 first cut re-joined the fact
+    * frame to find them (two fact passes, 1.91 s) and this form needs
+    * one.  The nation-filtered supplier decoration is SF-linear/25
+    * and stays hint-free for AQE.  numwait counts orders, and each
+    * qualifying order contributes exactly one row by construction.
     */
   def soleLateShipper(spark: SparkSession, dir: String,
                       nationName: String = "NATION_9",
@@ -1299,19 +1303,18 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
-    val per = lo.groupBy(col("l_orderkey").as("p_orderkey"))
+    val per = lo.groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("nsupp") > 1 && col("nlate") === 1)
     val sup = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === nationName)),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("s_name"))
-    lo.filter(col("late"))
-      .join(per, col("l_orderkey") === col("p_orderkey"))
-      .join(sup, col("l_suppkey") === col("s_suppkey"))
+    per.join(sup, col("late_supp") === col("s_suppkey"))
       .groupBy(col("s_name"))
-      .agg(countDistinct(col("l_orderkey")).as("numwait"))
+      .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
 

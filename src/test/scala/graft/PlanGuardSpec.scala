@@ -873,13 +873,12 @@ class PlanGuardSpec extends SparkSuite {
       .metadata("PushedFilters").contains("StringStartsWith(p_name"), "prefix pushed")
   }
 
-  test("q207 tpch q21: per-order counts from one keyed aggregate, bounded nation hint only") {
+  test("q207 tpch q21: ONE fact pass — the sole late supplier rides the per-order aggregate") {
     val df = Relational.soleLateShipper(spark, sf)
     assert(!names(df).exists(_.contains("CartesianProduct")))
     val scans = plan(df).collect { case s: FileSourceScanExec => s }
-    // lo feeds both the per-order aggregate and the late-line probe;
-    // exchange reuse may or may not collapse them at this SF
-    assert(scans.count(_.metadata("Location").contains("lineitem")) <= 2)
+    assert(scans.count(_.metadata("Location").contains("lineitem")) == 1,
+      "nlate = 1 makes the late supplier a max(when(late, suppkey)) — never a fact re-join")
     assert(scans.filter(_.metadata("Location").contains("lineitem"))
       .forall(_.requiredSchema.fieldNames.length <= 3), "lineitem pruned")
     assert(hintedOutputs(df).forall(_.forall(_.startsWith("n_"))),
