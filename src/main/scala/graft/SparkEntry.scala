@@ -413,7 +413,9 @@ object SparkEntry {
     // — round-13 batch 52: the anisotropy audit composing q217's
     //   direction, and the tokenizer fertility profile —
     "q220_source_anisotropy" -> ((s, d) => Similarity.sourceAnisotropy(s, d)),
-    "q221_token_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(s, d))
+    "q221_token_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
+    // — round-13 batch 53: interval-weighted time-series fairness —
+    "q222_twap" -> ((s, d) => EventOps.twapDaily(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3743,6 +3745,26 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE) AS tokens_per_doc
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
+    // TWAP: hold durations are exact integer micros from the
+    // (us, event_id)-ordered lead (last event holds to midnight);
+    // DECIMAL(18,2)-value × BIGINT-micros products sum exactly; the
+    // one divide by the exact integer span happens on doubles
+    "q222_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) // 86400000000 AS day, value FROM events),
+        |h AS (SELECT user_id, day, value,
+        |  coalesce(lead(us) OVER (PARTITION BY user_id, day
+        |      ORDER BY us, event_id),
+        |    (day + 1) * 86400000000) - us AS hold_us
+        |  FROM e)
+        |SELECT user_id, day,
+        |  CAST(DATE '1970-01-01' + CAST(day AS INTEGER) AS VARCHAR) AS day_date,
+        |  count(*) AS n_events,
+        |  CAST(sum(hold_us) AS BIGINT) AS span_us,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2)) * hold_us) AS DOUBLE)
+        |    / CAST(CAST(sum(hold_us) AS BIGINT) AS DOUBLE) AS twap
+        |FROM h GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
     "q219_shard_balance" ->
       """WITH pr AS (SELECT doc_id, n_chars, CAST(
         |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 17, 1)) - 1) * 4096

@@ -1565,4 +1565,50 @@ object EventOps {
         (col("c").cast("double") - (col("prev.l") + col("prev.b")))
           .as("residual"))
   }
+
+  /** Exact per-user-day time-weighted average value (q222): each
+    * observation holds its value until the next observation that day
+    * (the last one until midnight), and TWAP is the hold-time-weighted
+    * mean — the standard fair-average for irregularly sampled series
+    * (a metric sampled 100× in one hot minute must not dominate the
+    * day).  The holding-interval semantics are the piecewise-constant
+    * step function every TWAP/TWAB definition uses.
+    *
+    * Determinism: hold durations are exact integer microseconds from
+    * the (us, event_id)-ordered lead; the weighted sum is
+    * DECIMAL(12,2)-value × BIGINT-micros — (12,2)·(20,0) keeps the
+    * exact product inside Spark's 38-digit cap, where the house
+    * (18,2) would force a rounding (18+20+1 = 39) — summed exactly;
+    * the single divide by the exact integer total span happens once,
+    * on doubles.
+    *
+    * 100 TB shape: one (user, day) keyed window (lead) on the same
+    * partitioning as the final aggregate — ONE shuffle total, no
+    * joins, map-side combine on the agg.  Window partitions are
+    * user-days: bounded by construction.
+    */
+  def twapDaily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // day as integer epoch-days (the q108/q91 convention — engines
+    // surface DATE columns through different client types, integers
+    // compare exactly); readable date alongside as VARCHAR
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("day", expr("us div 86400000000"))
+    val w = Window.partitionBy("user_id", "day").orderBy(col("us").asc, col("event_id").asc)
+    val dayEndUs = (col("day") + 1) * lit(86400000000L)
+    e.withColumn("hold_us", coalesce(lead(col("us"), 1).over(w), dayEndUs) - col("us"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("hold_us")).as("span_us"),
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+          * col("hold_us")).cast("double")
+          / sum(col("hold_us")).cast("double")).as("twap"))
+      .select(col("user_id"), col("day"),
+        date_add(lit("1970-01-01").cast("date"), col("day").cast("int"))
+          .cast("string").as("day_date"),
+        col("n_events"), col("span_us"), col("twap"))
+      .orderBy(col("user_id"), col("day"))
+  }
 }

@@ -1000,6 +1000,20 @@ class PlanGuardSpec extends SparkSuite {
       "documents scan pruned to the group key + text")
   }
 
+  test("q222 twap: window and aggregate share one (user, day) shuffle, no join") {
+    val df = EventOps.twapDaily(spark, sf)
+    assert(!names(df).exists(_.contains("Join")))
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.size == 2),
+      "the lead window must key on (user_id, day)")
+    // one hash shuffle feeds window AND aggregate (same keys); the
+    // output orderBy adds its range exchange over the result frame
+    assert(shuffles(df) <= 2)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }
+      .count(_.metadata("Location").contains("events")) == 1)
+  }
+
   test("q127 vocab growth: doc-frame rank windows keyed (pid, source) — one mega-source cannot serialize") {
     val df = TextAnalysis.vocabGrowth(spark, sf)
     val ws = plan(df).collect {
