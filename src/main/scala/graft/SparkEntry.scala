@@ -415,7 +415,12 @@ object SparkEntry {
     "q220_source_anisotropy" -> ((s, d) => Similarity.sourceAnisotropy(s, d)),
     "q221_token_fertility" -> ((s, d) => TextAnalysis.tokenizerFertility(s, d)),
     // — round-13 batch 53: interval-weighted time-series fairness —
-    "q222_twap" -> ((s, d) => EventOps.twapDaily(s, d))
+    "q222_twap" -> ((s, d) => EventOps.twapDaily(s, d)),
+    // — round-13 batch 54: the scale twin for q25's all-pairs
+    //   baseline (within-Lloyd-cell pair mining, the q80
+    //   architecture) + its measured pair-recall audit —
+    "q223_cell_pairs" -> ((s, d) => Similarity.thresholdPairsCell(s, d)),
+    "q224_pair_recall" -> ((s, d) => Similarity.thresholdPairRecall(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -616,8 +621,13 @@ object SparkEntry {
     * (q54/q92/q95) and their recall audits (q209-q211), so the audited
     * index and the audit can never drift apart.
     */
-  private def ivfAnnSql: String =
-    s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+  /** The q54 trained-cell CTE prefix (c0..e: 2-iter Lloyd, full-corpus
+    * assignment, norms), shared verbatim by the IVF index (q54) and
+    * the cell-bounded threshold-pair twin + its recall audit
+    * (q223/q224).
+    */
+  private def ivfCellsSql: String =
+    s"""c0 AS (SELECT vec_id AS cid, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
        |smp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 256),
        |${lloydIterSql("c0", 1)},
        |${lloydIterSql("c1", 2)},
@@ -629,7 +639,10 @@ object SparkEntry {
        |e AS (SELECT vec_id, embedding, cid,
        |  sqrt(list_reduce(list_transform(embedding,
        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
-       |  FROM asg),
+       |  FROM asg)""".stripMargin
+
+  private def ivfAnnSql: String =
+    s"""WITH $ivfCellsSql,
        |pairs AS (SELECT p.vec_id AS probe_id, q.vec_id AS neighbor_id,
        |  ${dotSql("p.embedding", "q.embedding")} / (p.nrm * q.nrm) AS cos
        |  FROM e p JOIN e q ON p.cid = q.cid AND p.vec_id < 6 AND p.vec_id <> q.vec_id),
@@ -637,6 +650,25 @@ object SparkEntry {
        |  ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
        |SELECT probe_id, neighbor_id, cos AS cos_sim, CAST(rank AS INTEGER) AS rank
        |FROM r WHERE rank <= 3""".stripMargin
+
+  /** Cell-bounded threshold pairs (q223), shared with its q224 recall
+    * audit: q25's output contract restricted to same-cell candidates.
+    */
+  private def cellPairsSql: String =
+    s"""WITH $ivfCellsSql,
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+       |  FROM e a JOIN e b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos AS cos_sim FROM p WHERE cos >= 0.42""".stripMargin
+
+  /** q25's exact all-pairs oracle body, shared with q224. */
+  private def thresholdPairsSql: String =
+    s"""WITH $normCte,
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, cos AS cos_sim FROM pairs WHERE cos >= 0.42""".stripMargin
 
   private def pqAnnSql: String =
     s"""WITH ${(0 until 4).map(pqSubspaceSql(_, 16, 8, 256)).mkString(",\n")},
@@ -966,13 +998,7 @@ object SparkEntry {
          |  ORDER BY cos DESC, neighbor_id) AS rank FROM pairs)
          |SELECT probe_id, neighbor_id, cos AS cos_sim, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 5""".stripMargin,
-    "q25_embed_neardup" ->
-      s"""WITH $normCte,
-         |pairs AS (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, cos AS cos_sim FROM pairs WHERE cos >= 0.42""".stripMargin,
+    "q25_embed_neardup" -> thresholdPairsSql,
     "q26_ann_bucketed" ->
       s"""WITH $normCte,
          |eb AS (SELECT *,
@@ -3745,6 +3771,23 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE) AS tokens_per_doc
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
+    // cell-bounded pairs share q54's trained-cell CTEs verbatim; the
+    // recall audit wraps the exact and cell bodies unchanged
+    "q223_cell_pairs" -> cellPairsSql,
+    "q224_pair_recall" ->
+      s"""WITH ex AS (SELECT vec_a, vec_b FROM (
+         |$thresholdPairsSql
+         |) x),
+         |fnd AS (SELECT vec_a, vec_b FROM (
+         |$cellPairsSql
+         |) y),
+         |j AS (SELECT ex.vec_a,
+         |  CASE WHEN fnd.vec_a IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM ex LEFT JOIN fnd
+         |    ON ex.vec_a = fnd.vec_a AND ex.vec_b = fnd.vec_b)
+         |SELECT count(*) AS n_exact, CAST(sum(hit) AS BIGINT) AS n_found,
+         |  CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS pair_recall
+         |FROM j""".stripMargin,
     // TWAP: hold durations are exact integer micros from the
     // (us, event_id)-ordered lead (last event holds to midnight);
     // DECIMAL(18,2)-value × BIGINT-micros products sum exactly; the

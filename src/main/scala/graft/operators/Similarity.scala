@@ -1183,6 +1183,69 @@ object Similarity {
         col("nrm").as("eigval"))
   }
 
+  /** Cell-bounded threshold pairs (q223): the SCALE-PATH twin of
+    * q25's deliberate all-pairs baseline, with the SAME output
+    * contract (vec_a < vec_b, exact cosine ≥ threshold) — candidate
+    * pairs are enumerated only WITHIN q54's trained Lloyd cells (an
+    * equi-self-join on cid), so the rescored set is Σ_c C(n_c, 2) ≈
+    * n²/cells instead of n²/2, and the cell count grows with the
+    * corpus (the Similarity header contract).  This is q80 SemDeDup's
+    * within-cell architecture applied to pair MINING rather than
+    * dedup-drop.
+    *
+    * Why not sign-LSH banding (q21/q78 style): banding prunes only at
+    * HIGH similarity — at this fixture's pair-cosine range (max
+    * 0.513, threshold 0.42 ⇒ θ ≈ 65°) a sign bit agrees with
+    * p ≈ 0.64, so any banding either misses most true pairs or admits
+    * nearly all candidates.  Coarse cells bound the candidate set
+    * unconditionally; the price is cross-cell misses, which q224
+    * measures as the realized pair recall.
+    */
+  def thresholdPairsCell(spark: SparkSession, dir: String,
+                         threshold: Double = 0.42,
+                         nCells: Int = 8, iters: Int = 2,
+                         sampleN: Int = 256): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val assigned = withNorm(
+      assignCells(emb, lloydCentroids(emb, nCells, iters, sampleN)))
+    val a = assigned.select(col("cid"), col("vec_id").as("vec_a"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"))
+    val b = assigned.select(col("cid"), col("vec_id").as("vec_b"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("cid"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("cos").as("cos_sim"))
+  }
+
+  /** Pair-recall audit for the cell-bounded threshold join (q224):
+    * what fraction of q25's exact threshold pairs does q223's
+    * within-cell path recover — the single number that justifies
+    * retiring the quadratic baseline at scale, and the knob check for
+    * the cells-vs-recall trade (more cells ⇒ cheaper ∧ lower recall).
+    * One row: exact count, found count, recall.
+    *
+    * Measured at sf0.01 / 8 cells: 14 of 34 exact pairs (0.41) — low
+    * BECAUSE the fixture's "pairs" sit at cos ≈ 0.42 (θ ≈ 65°, max
+    * pair cos 0.513 — near-random vectors), where neighbors straddle
+    * coarse-cell boundaries.  On a real near-dup corpus (pairs at
+    * cos ≥ 0.9) within-cell recall approaches 1; this audit is what
+    * tells you which regime you are in before trusting the twin.
+    */
+  def thresholdPairRecall(spark: SparkSession, dir: String,
+                          threshold: Double = 0.42): DataFrame = {
+    val exact = thresholdPairs(spark, dir, threshold)
+      .select(col("vec_a"), col("vec_b"))
+    val found = thresholdPairsCell(spark, dir, threshold)
+      .select(col("vec_a"), col("vec_b"), lit(1).as("hit"))
+    exact.join(found, Seq("vec_a", "vec_b"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_found"))
+      .select(col("n_exact"), col("n_found"),
+        (col("n_found").cast("double") / col("n_exact").cast("double")).as("pair_recall"))
+  }
+
   /** Per-source anisotropy audit (q220): project every embedding onto
     * q217's principal direction and report each source's mean and
     * mean-absolute projection — the ABTT diagnostic ("all-but-the-top",

@@ -1014,6 +1014,21 @@ class PlanGuardSpec extends SparkSuite {
       .count(_.metadata("Location").contains("events")) == 1)
   }
 
+  test("q223 cell pairs: candidate join is EQUI on cid — the all-pairs form never exists in the plan") {
+    val df = Similarity.thresholdPairsCell(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")),
+      "within-cell mining must stay an equi-join")
+    // the only nested-loop joins are the two bounded centroid
+    // assignments (corpus × broadcast 8-centroid frame — q54's
+    // shape); the PAIR join itself must be an equi join, so exactly
+    // one join in the plan is an SMJ/SHJ/BHJ with an Inner type
+    val nl = names(df).count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nl <= 2, s"only the centroid assignments may nest-loop, got $nl")
+    assert(names(df).exists(n => n.contains("SortMergeJoin") ||
+      n.contains("ShuffledHashJoin") || n.contains("BroadcastHashJoin")),
+      "the pair join must be an equi join on cid")
+  }
+
   test("q127 vocab growth: doc-frame rank windows keyed (pid, source) — one mega-source cannot serialize") {
     val df = TextAnalysis.vocabGrowth(spark, sf)
     val ws = plan(df).collect {
