@@ -420,7 +420,10 @@ object SparkEntry {
     //   baseline (within-Lloyd-cell pair mining, the q80
     //   architecture) + its measured pair-recall audit —
     "q223_cell_pairs" -> ((s, d) => Similarity.thresholdPairsCell(s, d)),
-    "q224_pair_recall" -> ((s, d) => Similarity.thresholdPairRecall(s, d))
+    "q224_pair_recall" -> ((s, d) => Similarity.thresholdPairRecall(s, d)),
+    // — round-13 batch 55: execute q70's mixture plan (integer
+    //   quotas, md5-priority fill) and audit the realized take —
+    "q225_mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3771,6 +3774,38 @@ object SparkEntry {
         |    / CAST(count(*) AS DOUBLE) AS tokens_per_doc
         |FROM documents GROUP BY source
         |ORDER BY source""".stripMargin,
+    // mixture execution: quotas are pure integer ceil-division; the
+    // fill ranks md5 digits 21-24 (doc_id tiebreak); token sums exact
+    "q225_mixture_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |per AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  count(*) AS n_sources FROM per),
+        |pl AS (SELECT source, n_docs, n_tokens,
+        |  CAST(floor(0.2 * CAST(total_tokens AS DOUBLE)
+        |    / CAST(n_sources AS DOUBLE)) AS BIGINT) AS token_budget
+        |  FROM per CROSS JOIN tot),
+        |pq AS (SELECT *, (token_budget * n_docs + n_tokens - 1) // n_tokens
+        |    AS quota_docs FROM pl),
+        |pr AS (SELECT source, doc_id, n_tok, CAST(
+        |  ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 21, 1)) - 1) * 4096
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 22, 1)) - 1) * 256
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 23, 1)) - 1) * 16
+        | + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 24, 1)) - 1)) AS INTEGER) AS priority
+        | FROM d),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |  ORDER BY priority, doc_id) AS rank FROM pr),
+        |tk AS (SELECT r.source, count(*) AS taken_docs,
+        |  CAST(sum(r.n_tok) AS BIGINT) AS taken_tokens
+        |  FROM r JOIN pq ON r.source = pq.source AND r.rank <= pq.quota_docs
+        |  GROUP BY r.source)
+        |SELECT pq.source, pq.n_docs, pq.n_tokens, pq.token_budget, pq.quota_docs,
+        |  tk.taken_docs, tk.taken_tokens,
+        |  CAST(tk.taken_tokens AS DOUBLE) / CAST(pq.token_budget AS DOUBLE) AS budget_share
+        |FROM pq JOIN tk ON pq.source = tk.source
+        |ORDER BY pq.source""".stripMargin,
     // cell-bounded pairs share q54's trained-cell CTEs verbatim; the
     // recall audit wraps the exact and cell bodies unchanged
     "q223_cell_pairs" -> cellPairsSql,

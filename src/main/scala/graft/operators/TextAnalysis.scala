@@ -2586,6 +2586,64 @@ object TextAnalysis {
         (col("n_tokens").cast("double") / col("n_docs").cast("double")).as("tokens_per_doc"))
       .orderBy(col("source"))
 
+  /** Mixture-plan execution audit (q225): turn q70's token-equalizing
+    * weights into an actual deterministic sample — per source, a doc
+    * quota derived from the equal token budget (τ · total / sources),
+    * filled in stable md5-priority order — and report what the plan
+    * REALIZED: docs and tokens taken, and the take's share of the
+    * budget.  q70 computes weights, q75/q98/q134 sample by count or
+    * mass; this is the missing step that executes a mixture recipe
+    * and audits how close the integer world got to the real-valued
+    * plan (small sources saturate, long-doc sources overshoot).
+    *
+    * Determinism: quotas are pure integer arithmetic
+    * (⌈budget·n_docs/n_tokens⌉ as (a·b + c − 1) div c), the fill
+    * order is md5 hex digits 21–24 (independent of every other digit
+    * range in use: q63 1–4, q75 5–8, q98 9–12, q134 13–16, q219
+    * 17–20) with doc_id tiebreak, token sums are exact integers, and
+    * the one share divide happens on doubles at the end.
+    *
+    * 100 TB shape: one corpus scan for the stats, one for the ranked
+    * fill (per-source window, the q98-accepted top-k shape), bounded
+    * per-source stats broadcast back; output is one row per source.
+    */
+  def mixtureSample(spark: SparkSession, dir: String,
+                    tau: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+    val per = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val planned = per.crossJoin(broadcast(tot))
+      .withColumn("token_budget",
+        floor(lit(tau) * col("total_tokens").cast("double")
+          / col("n_sources").cast("double")).cast("long"))
+      .withColumn("quota_docs",
+        expr("(token_budget * n_docs + n_tokens - 1) div n_tokens"))
+      .select(col("source").as("p_source"), col("n_docs"), col("n_tokens"),
+        col("token_budget"), col("quota_docs"))
+    val priority = conv(substring(md5(col("doc_id").cast("string")), 21, 4), 16, 10)
+      .cast("int")
+    val w = Window.partitionBy("source").orderBy(col("priority").asc, col("doc_id").asc)
+    val taken = docs
+      .withColumn("priority", priority)
+      .withColumn("rank", row_number().over(w))
+      .join(broadcast(planned), col("source") === col("p_source"))
+      .filter(col("rank") <= col("quota_docs"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("taken_docs"), sum(col("n_tok")).as("taken_tokens"))
+    planned.join(taken, col("p_source") === col("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("token_budget"), col("quota_docs"),
+        col("taken_docs"), col("taken_tokens"),
+        (col("taken_tokens").cast("double")
+          / col("token_budget").cast("double")).as("budget_share"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic shard assignment + balance audit (q219): every
     * training-data export ends in "write N shards a fleet of loaders
     * can stream" — the shard id must be a pure function of the row

@@ -1029,6 +1029,15 @@ class PlanGuardSpec extends SparkSuite {
       "the pair join must be an equi join on cid")
   }
 
+  test("q225 mixture sample: fill window keyed by source, plan frame broadcasts, no cartesian") {
+    val df = TextAnalysis.mixtureSample(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+      "the priority-fill ranking must stay keyed by source")
+  }
+
   test("q127 vocab growth: doc-frame rank windows keyed (pid, source) — one mega-source cannot serialize") {
     val df = TextAnalysis.vocabGrowth(spark, sf)
     val ws = plan(df).collect {
