@@ -17,7 +17,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - content hashes are md5 hex (identical everywhere); the minhash /
   *    winnowing families are integer polynomial hashes mod 2^32 whose
   *    exact fold the oracle reproduces; every top-k ORDER BY carries a
-  *    unique tiebreaker column.
+  *    unique tiebreaker column;
+  *  - every DuckDB integer `sum()` (incl. sum(CASE ...) conditional
+  *    counts) in a final SELECT must be CAST(... AS BIGINT): DuckDB
+  *    types them HUGEINT (INT128), Spark emits BIGINT, and the
+  *    driver's hash is dtype-sensitive — values match, hashes don't
+  *    (cost q129 three rounds of red). Enforced by
+  *    tools/lint_oracle.py over the Verify oracle dump.
   */
 object SparkEntry {
 
@@ -754,9 +760,12 @@ object SparkEntry {
   /** One unrolled power-iteration step (q217), mirroring
     * Similarity.principalComponent: per-vector dot against v$prev
     * (0.0-seeded sequential fold — list_prepend replays Spark's
-    * aggregate seed), per-dimension w_d as an exact DECIMAL(38,18)
-    * sum, the norm folded over the d-ordered squares, and the
-    * normalized v$i list.  Emits CTEs dots$i/w$i/f$i/v$i.
+    * aggregate seed), per-dimension w_d via the quantize-then-exact-sum
+    * scheme (floor(t·1e9 + 0.5) per term, summed as DECIMAL(38,0)
+    * nano-units, one divide back — the DECIMAL(38,18)-cast-of-double
+    * path measured 1-ulp cross-engine drift, see SCALING.md), the norm
+    * folded over the d-ordered squares, and the normalized v$i list.
+    * Emits CTEs dots$i/w$i/f$i/v$i.
     */
   private def powerIterSql(i: Int): String =
     s"""dots$i AS (SELECT e.vec_id, e.embedding,
@@ -2353,7 +2362,7 @@ object SparkEntry {
         |      * ln(CAST(c.c AS DOUBLE) / CAST(t.t AS DOUBLE))) AS contrib, tt.tt
         |  FROM c JOIN t ON t.user_id = c.user_id AND t.prev = c.prev
         |  JOIN tt ON tt.user_id = c.user_id)
-        |SELECT user_id, max(tt) AS n_transitions, count(*) AS n_patterns,
+        |SELECT user_id, CAST(max(tt) AS BIGINT) AS n_transitions, count(*) AS n_patterns,
         |  list_reduce(list_prepend(0.0, list(contrib ORDER BY prev, next)), (a, b) -> a + b)
         |    AS entropy_nats
         |FROM sc GROUP BY user_id""".stripMargin,
@@ -3670,10 +3679,10 @@ object SparkEntry {
     // Q12: two conditional integer counts in one pass
     "q214_tpch_q12" ->
       """SELECT l_linestatus,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 0 ELSE 1 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -3711,7 +3720,9 @@ object SparkEntry {
     "q217_principal_component" -> principalComponentSql,
     // int8 audit: max|x| via 0.0-seeded greatest fold; the explicit
     // floor(x/scale + 0.5) half-up (round()'s tie rule differs across
-    // engines); cross-row means as exact DECIMAL(38,18) sums
+    // engines); cross-row means quantize each term to femto-units
+    // (floor(t·1e15 + 0.5)) and sum as exact DECIMAL(38,0) integers —
+    // NOT DECIMAL(38,18) casts, which drift 1 ulp cross-engine
     "q218_quant_audit" ->
       """WITH q AS (SELECT label, vec_id, embedding,
         |  list_reduce(list_prepend(0.0e0,

@@ -1595,7 +1595,12 @@ object EventOps {
     val e = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"), col("value"))
-      .withColumn("day", expr("us div 86400000000"))
+      // FLOOR division, matching DuckDB's `//`: `div` truncates toward
+      // zero, which diverges for pre-1970 timestamps (negative epoch
+      // micros).  Subtracting pmod (always in [0, d)) first makes us an
+      // exact multiple, so the truncating div IS the floor — all exact
+      // BIGINT math, no double rounding.
+      .withColumn("day", expr("(us - pmod(us, 86400000000)) div 86400000000"))
     val w = Window.partitionBy("user_id", "day").orderBy(col("us").asc, col("event_id").asc)
     val dayEndUs = (col("day") + 1) * lit(86400000000L)
     e.withColumn("hold_us", coalesce(lead(col("us"), 1).over(w), dayEndUs) - col("us"))

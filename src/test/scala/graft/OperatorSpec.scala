@@ -2589,4 +2589,19 @@ class OperatorSpec extends SparkSuite {
     }
     assert(variance(got.map(_._2).toSeq) <= variance(c.map(_.toDouble).toSeq) + 1e-9)
   }
+
+  test("twap day bucketing uses FLOOR division (DuckDB // parity), incl. pre-1970 epochs") {
+    import spark.implicits._
+    // twapDaily's day expr must floor like DuckDB's `//`, not truncate
+    // like Spark's `div`: for us = -1 (1969-12-31 23:59:59.999999) the
+    // day is -1, where `div` would give 0.
+    val d = 86400000000L
+    val us = Seq(-2 * d - 1, -d, -1L, 0L, 1L, d - 1, d, 2 * d + 5)
+    val got = us.toDF("us")
+      .select(org.apache.spark.sql.functions.expr(
+        "(us - pmod(us, 86400000000)) div 86400000000").as("day"))
+      .as[Long].collect()
+    val want = us.map(u => Math.floorDiv(u, d))
+    assert(got.toSeq == want, s"floor-div parity: $got vs $want")
+  }
 }

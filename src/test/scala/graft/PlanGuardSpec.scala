@@ -1029,6 +1029,55 @@ class PlanGuardSpec extends SparkSuite {
       "the pair join must be an equi join on cid")
   }
 
+  // — recall-audit pins (q209-q211, q224): the audits compose already-
+  //   pinned tier plans, but each gets its own pin so a regression in
+  //   the AUDIT path (e.g. the recall join degrading to a pair scan)
+  //   fails here, not in a bench (VERDICT r13 #2) —
+
+  test("q209-q211 tier recall: audit join is a LEFT equi-join; only the tiers' bounded nested loops") {
+    for ((nm, df, maxNl) <- Seq(
+        ("q209", Similarity.ivfRecall(spark, sf), 3),
+        ("q210", Similarity.pqRecall(spark, sf), 3),
+        // IVF-PQ stacks the IVF cell training's bounded centroid
+        // products on top of PQ's probe product, hence one more
+        ("q211", Similarity.ivfPqRecall(spark, sf), 4))) {
+      val ns = names(df)
+      assert(!ns.exists(_.contains("CartesianProduct")), s"$nm: no all-pairs")
+      // the exact side contributes q24's single bounded probe-product
+      // BNLJ; the tier side only its own pinned bounded products
+      // (q54/q92/q95 pins) — the AUDIT must not add any
+      assert(ns.count(_.contains("BroadcastNestedLoopJoin")) <= maxNl,
+        s"$nm: audit added an unbounded nested loop: ${ns.mkString(",")}")
+      // the recall join itself: LEFT equi on (probe_id, neighbor_id) —
+      // both inputs k·numProbes rows, hash/merge join by construction
+      assert(joinTypes(df).exists(_.startsWith("LeftOuter")),
+        s"$nm: recall join must stay a LEFT equi-join, got ${joinTypes(df)}")
+      val ws = plan(df).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(ws.forall(_.partitionSpec.nonEmpty),
+        s"$nm: top-k rankings stay keyed on probe_id")
+    }
+  }
+
+  test("q224 pair recall: cell side stays equi on cid; only the exact baseline may pair-scan") {
+    val df = Similarity.thresholdPairRecall(spark, sf)
+    val ns = names(df)
+    // the ONLY unbounded pair product is q25's exact baseline (the
+    // audit's whole point is measuring what retiring it costs); the
+    // cell side's products are the two bounded centroid assignments
+    // (q223 pin) — so: at most 1 + 2 nested-loop/cartesian nodes
+    assert(ns.count(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")) <= 3,
+      s"only the exact baseline and bounded centroid assignments may nest-loop: ${ns.mkString(",")}")
+    // the found-pair join is an equi join on cid AND the recall join an
+    // equi LEFT on (vec_a, vec_b)
+    assert(joinTypes(df).exists(_.startsWith("LeftOuter")),
+      s"recall join must stay a LEFT equi-join, got ${joinTypes(df)}")
+    assert(ns.exists(n => n.contains("SortMergeJoin") ||
+      n.contains("ShuffledHashJoin") || n.contains("BroadcastHashJoin")),
+      "cell pair mining must ride an equi join")
+  }
+
   test("q225 mixture sample: fill window keyed by source, plan frame broadcasts, no cartesian") {
     val df = TextAnalysis.mixtureSample(spark, sf)
     assert(!names(df).exists(_.contains("CartesianProduct")))
