@@ -30,10 +30,15 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-drop source: new parquet files under `dir` become micro-batches. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  /** File-drop source: new parquet files under `dir` become micro-batches.
+    * `options` passes reader knobs through (e.g. maxFilesPerTrigger=1 to
+    * force one micro-batch per dropped file — how the batch-twin harness
+    * exercises genuinely incremental state).
+    */
+  def readEvents(spark: SparkSession, dir: String,
+                 options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
+    spark.readStream.schema(rawSchema).options(options).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
