@@ -429,7 +429,14 @@ object SparkEntry {
     "q224_pair_recall" -> ((s, d) => Similarity.thresholdPairRecall(s, d)),
     // — round-13 batch 55: execute q70's mixture plan (integer
     //   quotas, md5-priority fill) and audit the realized take —
-    "q225_mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d))
+    "q225_mixture_sample" -> ((s, d) => TextAnalysis.mixtureSample(s, d)),
+    // — round-14: the streaming tier enters the hash gate — each runs
+    //   a Structured Streaming plan to completion (AvailableNow) and
+    //   returns the materialized result; quantized integer sums make
+    //   the nondeterministic micro-batch accumulation order irrelevant —
+    "q226_stream_windows" -> ((s, d) => streaming.StreamQueries.windowedTotals(s, d)),
+    "q227_stream_sessions" -> ((s, d) => streaming.StreamQueries.sessionTotals(s, d)),
+    "q228_stream_dedup" -> ((s, d) => streaming.StreamQueries.dedupReplayAudit(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3817,6 +3824,36 @@ object SparkEntry {
         |  CAST(tk.taken_tokens AS DOUBLE) / CAST(pq.token_budget AS DOUBLE) AS budget_share
         |FROM pq JOIN tk ON pq.source = tk.source
         |ORDER BY pq.source""".stripMargin,
+    // streaming tier (q226-q228): the oracle replays the BATCH
+    // semantics the stream must converge to — epoch-hour windows,
+    // gaps-and-islands sessions (new session when the in-user gap
+    // >= 30 min, end = last event + gap: Spark's half-open session
+    // interval), and plain aggregates the dedup-under-replay stream
+    // must reproduce; all sums quantized-integer (order-independent)
+    "q226_stream_windows" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_units
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q227_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS v FROM events),
+        |o AS (SELECT user_id, us, v,
+        |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |       >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT user_id, us, v, sum(brk) OVER (PARTITION BY user_id
+        |  ORDER BY us ROWS UNBOUNDED PRECEDING) AS grp FROM o),
+        |s AS (SELECT user_id, min(us) AS session_start_us,
+        |    max(us) + 1800000000 AS session_end_us,
+        |    count(*) AS n_events, CAST(sum(v) AS BIGINT) AS value_units
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT session_start_us, session_end_us, user_id, n_events, value_units
+        |FROM s""".stripMargin,
+    "q228_stream_dedup" ->
+      """SELECT count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_units
+        |FROM events""".stripMargin,
     // cell-bounded pairs share q54's trained-cell CTEs verbatim; the
     // recall audit wraps the exact and cell bodies unchanged
     "q223_cell_pairs" -> cellPairsSql,

@@ -34,12 +34,31 @@ object EventStream {
     * `options` passes reader knobs through (e.g. maxFilesPerTrigger=1 to
     * force one micro-batch per dropped file — how the batch-twin harness
     * exercises genuinely incremental state).
+    *
+    * `ts` encoding is PROBED from the files present at start (readStream
+    * needs a declared schema, but fixtures differ: TIMESTAMP(NANOS)
+    * surfaces as epoch-nanos LONG under the legacy conf, while plain
+    * TIMESTAMP(MICROS) files surface as a timestamp — assuming one
+    * encoding silently lands every event in 1970 for the other, which a
+    * count-only assertion never catches).  An empty watch dir defaults
+    * to the nanos contract (`rawSchema`).
     */
   def readEvents(spark: SparkSession, dir: String,
                  options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).options(options).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsIsLong =
+      try spark.read.parquet(dir).schema("ts").dataType == LongType
+      catch { case _: Throwable => true } // empty dir: nanos contract
+    if (tsIsLong)
+      spark.readStream.schema(rawSchema).options(options).parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      spark.readStream
+        .schema(StructType(rawSchema.map {
+          case f if f.name == "ts" => f.copy(dataType = TimestampType)
+          case f => f
+        }))
+        .options(options).parquet(dir)
   }
 
   /** Tumbling event-time windows with a watermark: late events beyond

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Oracle-checked streaming queries (SURVEY §2.B streaming row): each
+  * runs a Structured Streaming plan to completion over the fixture via
+  * `Trigger.AvailableNow` and returns the materialized result, so the
+  * streaming tier sits in the SAME DuckDB hash gate as every batch
+  * operator instead of a weaker spec-only check.
+  *
+  * Cross-engine determinism: every output column is an exact integer or
+  * a string.  Value sums follow the house quantize-then-exact-sum rule
+  * (floor(v·10^6 + 0.5) per term, summed as LONG — order-independent,
+  * so the nondeterministic micro-batch accumulation order cannot drift)
+  * and window bounds surface as epoch micros.
+  *
+  * 100 TB shape: AvailableNow over a watch directory IS the production
+  * incremental-refresh pattern — state lives in the state store keyed
+  * by (window|session|id), partitioned like any shuffle; the memory
+  * sink here is the harness stand-in for the foreachBatch → DocSink
+  * bridge (EventStream.toDocSink).  In production the dedup watermark
+  * bounds state; the gate run uses an effectively-unbounded horizon
+  * because the fixture is finite and the oracle is exact.
+  */
+object StreamQueries {
+
+  /** Start `stream` into a uniquely-named memory sink, drain every
+    * available micro-batch, hand the finished query to `inspect`
+    * (progress assertions in tests), and return the sink table.
+    */
+  private def runToTable(spark: SparkSession, stream: DataFrame, mode: String,
+                         inspect: StreamingQuery => Unit): DataFrame = {
+    val name = "graft_sq_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    try { q.awaitTermination(); inspect(q) } finally q.stop()
+    spark.table(name)
+  }
+
+  /** FileStreamSource wants a DIRECTORY to watch; the fixture is one
+    * file among the other tables' parquet.  A temp watch dir holding a
+    * symlink to events.parquet gives the stream its own source root
+    * without copying data.
+    */
+  private def eventsWatchDir(dir: String): String = {
+    val watch = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    java.nio.file.Files.createSymbolicLink(watch.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    watch.toString
+  }
+
+  /** q226: hourly event-time windows, streamed.  Equivalent batch/SQL:
+    * group by date_trunc-hour — epoch-aligned exactly like Spark's
+    * `window(ts, "1 hour")`.
+    */
+  def windowedTotals(spark: SparkSession, dir: String,
+                     inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val agg = EventStream.readEvents(spark, eventsWatchDir(dir))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("value_units"))
+      .select(unix_micros(col("window.start")).as("win_us"), col("event_type"),
+        col("n_events"), col("value_units"))
+    runToTable(spark, agg, "complete", inspect)
+  }
+
+  /** q227: gap-based session windows, streamed.  The oracle replays the
+    * exact semantics as gaps-and-islands SQL: a new session starts when
+    * the in-user gap is >= 30 min (Spark's session interval is
+    * half-open — an event landing exactly at the previous session's end
+    * opens a new one), session end = last event + gap.
+    */
+  def sessionTotals(spark: SparkSession, dir: String,
+                    inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val agg = EventStream.readEvents(spark, eventsWatchDir(dir))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("value_units"))
+      .select(unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("user_id"), col("n_events"), col("value_units"))
+    runToTable(spark, agg, "complete", inspect)
+  }
+
+  /** q228: streaming dedup under whole-source replay.  The watch dir
+    * holds the fixture TWICE; maxFilesPerTrigger=1 forces the replay
+    * through a separate micro-batch, so the drop rides state-store
+    * lookups across batches (not within-batch distinct).  The emitted
+    * stream then folds to one row of exact integers that must equal
+    * plain aggregates over the fixture — a duplicate surviving OR a
+    * unique event dropped both break the hash.
+    */
+  def dedupReplayAudit(spark: SparkSession, dir: String,
+                       inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val watch = java.nio.file.Files.createTempDirectory("graft-dedup-replay")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    java.nio.file.Files.copy(src, watch.resolve("copy_a.parquet"))
+    java.nio.file.Files.copy(src, watch.resolve("copy_b.parquet"))
+    // distinct mod-times pin the two-batch pickup order
+    java.nio.file.Files.setLastModifiedTime(watch.resolve("copy_b.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(watch.resolve("copy_a.parquet"))
+          .toMillis + 1000L))
+    val deduped = EventStream.dedupEvents(
+      EventStream.readEvents(spark, watch.toString,
+        Map("maxFilesPerTrigger" -> "1")),
+      watermark = "3650 days")
+    runToTable(spark, deduped, "append", inspect)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("event_id")).as("id_sum"),
+        sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("value_units"))
+      .select(col("n_events"), col("id_sum"), col("value_units"))
+  }
+}

@@ -201,6 +201,46 @@ class StreamBatchTwinSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("q226/q227 gate runners == their batch equivalents, exact (integer-quantized sums)") {
+    var progs: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+    val w = streaming.StreamQueries.windowedTotals(spark, sf, q => progs = q.recentProgress.toSeq)
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(progs.exists(_.stateOperators.nonEmpty), "windows must run through the state store")
+    val wantW = Tables.events(spark, sf)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * lit(1.0e6) + lit(0.5)).cast("long")).as("v"))
+      .select(unix_micros($"window.start"), $"event_type", $"n", $"v")
+      .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(w == wantW, s"q226 diverged from batch: ${w.length} vs ${wantW.length} rows")
+
+    val s = streaming.StreamQueries.sessionTotals(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._3, r._1)).toSeq
+    val wantS = Tables.events(spark, sf)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * lit(1.0e6) + lit(0.5)).cast("long")).as("v"))
+      .select(unix_micros($"session_window.start"), unix_micros($"session_window.end"),
+        $"user_id", $"n", $"v")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._3, r._1)).toSeq
+    assert(s == wantS, s"q227 diverged from batch: ${s.length} vs ${wantS.length} sessions")
+  }
+
+  test("q228 gate runner: replay rides >=2 micro-batches through dedup state; totals == fixture") {
+    var progs: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+    val row = streaming.StreamQueries.dedupReplayAudit(spark, sf, q => progs = q.recentProgress.toSeq)
+      .as[(Long, Long, Long)].head()
+    assert(progs.count(_.numInputRows > 0) >= 2,
+      s"the replayed copy must arrive in its own micro-batch: ${progs.map(_.numInputRows).mkString(",")}")
+    assert(progs.exists(_.stateOperators.exists(_.numRowsTotal > 0)),
+      "dedup must hold seen keys in the state store")
+    val want = Tables.events(spark, sf)
+      .agg(count(lit(1)), sum($"event_id"),
+        sum(floor($"value" * lit(1.0e6) + lit(0.5)).cast("long")))
+      .as[(Long, Long, Long)].head()
+    assert(row == want, s"dedup-under-replay must equal the fixture aggregates: $row vs $want")
+  }
+
   test("userActivity final state across batches == batch per-user count/sum") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
