@@ -436,7 +436,8 @@ object SparkEntry {
     //   the nondeterministic micro-batch accumulation order irrelevant —
     "q226_stream_windows" -> ((s, d) => streaming.StreamQueries.windowedTotals(s, d)),
     "q227_stream_sessions" -> ((s, d) => streaming.StreamQueries.sessionTotals(s, d)),
-    "q228_stream_dedup" -> ((s, d) => streaming.StreamQueries.dedupReplayAudit(s, d))
+    "q228_stream_dedup" -> ((s, d) => streaming.StreamQueries.dedupReplayAudit(s, d)),
+    "q229_stream_join" -> ((s, d) => streaming.StreamQueries.joinedPairs(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3854,6 +3855,13 @@ object SparkEntry {
         |  CAST(sum(event_id) AS BIGINT) AS id_sum,
         |  CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_units
         |FROM events""".stripMargin,
+    "q229_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, v.event_id AS view_id,
+        |  epoch_us(p.ts) AS p_us, epoch_us(v.ts) AS v_us
+        |FROM events p JOIN events v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND v.user_id = p.user_id
+        |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
     // cell-bounded pairs share q54's trained-cell CTEs verbatim; the
     // recall audit wraps the exact and cell bodies unchanged
     "q223_cell_pairs" -> cellPairsSql,

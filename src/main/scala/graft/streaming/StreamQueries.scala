@@ -84,6 +84,24 @@ object StreamQueries {
     runToTable(spark, agg, "complete", inspect)
   }
 
+  /** q229: the stream-stream interval join, gated.  Both sides read the
+    * same watch dir; every purchase joins the same user's views from
+    * the preceding hour (EventStream.purchaseViewJoin — the only
+    * stream-stream join shape whose buffered state a watermark can
+    * bound).  Output is exact longs (ids + epoch micros), so the
+    * nondeterministic buffering/emission order is invisible to the
+    * sorted hash.
+    */
+  def joinedPairs(spark: SparkSession, dir: String,
+                  inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val joined = EventStream.purchaseViewJoin(
+        EventStream.readEvents(spark, eventsWatchDir(dir)),
+        watermark = "3650 days", horizon = "1 hour")
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
+    runToTable(spark, joined, "append", inspect)
+  }
+
   /** q228: streaming dedup under whole-source replay.  The watch dir
     * holds the fixture TWICE; maxFilesPerTrigger=1 forces the replay
     * through a separate micro-batch, so the drop rides state-store

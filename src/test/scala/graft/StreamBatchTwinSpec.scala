@@ -226,6 +226,22 @@ class StreamBatchTwinSpec extends SparkSuite {
     assert(s == wantS, s"q227 diverged from batch: ${s.length} vs ${wantS.length} sessions")
   }
 
+  test("q229 gate runner: streamed interval join == the identical batch join, exact") {
+    val got = streaming.StreamQueries.joinedPairs(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val e = Tables.events(spark, sf)
+    val want = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"), $"ts".as("p_ts"))
+      .join(e.filter($"event_type" === "view")
+          .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("v_ts")),
+        expr("p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"))
+      .select($"purchase_id", $"p_user", $"view_id",
+        unix_micros($"p_ts"), unix_micros($"v_ts"))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(want.nonEmpty && got == want,
+      s"gate join diverged from batch: ${got.length} vs ${want.length} rows")
+  }
+
   test("q228 gate runner: replay rides >=2 micro-batches through dedup state; totals == fixture") {
     var progs: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
     val row = streaming.StreamQueries.dedupReplayAudit(spark, sf, q => progs = q.recentProgress.toSeq)
