@@ -62,27 +62,44 @@ object StreamQueries {
     * symlink to events.parquet gives the stream its own source root
     * without copying data.
     */
-  private def eventsWatchDir(dir: String): String = {
+  private def eventsWatchDir(dir: String): java.nio.file.Path = {
     val watch = java.nio.file.Files.createTempDirectory("graft-stream-events")
     java.nio.file.Files.createSymbolicLink(watch.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-    watch.toString
+    watch
   }
+
+  /** The memory sink holds the drained result, so the watch dir is
+    * disposable the moment the query stops — bench reps would
+    * otherwise accumulate temp dirs (q228 copies the fixture twice per
+    * invocation).
+    */
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  private def withWatchDir(watch: java.nio.file.Path)(body: String => DataFrame): DataFrame =
+    try body(watch.toString) finally deleteRecursively(watch)
 
   /** q226: hourly event-time windows, streamed.  Equivalent batch/SQL:
     * group by date_trunc-hour — epoch-aligned exactly like Spark's
     * `window(ts, "1 hour")`.
     */
   def windowedTotals(spark: SparkSession, dir: String,
-                     inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
-    val agg = EventStream.readEvents(spark, eventsWatchDir(dir))
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("value_units"))
-      .select(unix_micros(col("window.start")).as("win_us"), col("event_type"),
-        col("n_events"), col("value_units"))
-    runToTable(spark, agg, "complete", inspect)
-  }
+                     inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+    withWatchDir(eventsWatchDir(dir)) { watch =>
+      val agg = EventStream.readEvents(spark, watch)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("value_units"))
+        .select(unix_micros(col("window.start")).as("win_us"), col("event_type"),
+          col("n_events"), col("value_units"))
+      runToTable(spark, agg, "complete", inspect)
+    }
 
   /** q227: gap-based session windows, streamed.  The oracle replays the
     * exact semantics as gaps-and-islands SQL: a new session starts when
@@ -91,16 +108,17 @@ object StreamQueries {
     * opens a new one), session end = last event + gap.
     */
   def sessionTotals(spark: SparkSession, dir: String,
-                    inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
-    val agg = EventStream.readEvents(spark, eventsWatchDir(dir))
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("value_units"))
-      .select(unix_micros(col("session_window.start")).as("session_start_us"),
-        unix_micros(col("session_window.end")).as("session_end_us"),
-        col("user_id"), col("n_events"), col("value_units"))
-    runToTable(spark, agg, "complete", inspect)
-  }
+                    inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+    withWatchDir(eventsWatchDir(dir)) { watch =>
+      val agg = EventStream.readEvents(spark, watch)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("value_units"))
+        .select(unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("user_id"), col("n_events"), col("value_units"))
+      runToTable(spark, agg, "complete", inspect)
+    }
 
   /** q229: the stream-stream interval join, gated.  Both sides read the
     * same watch dir; every purchase joins the same user's views from
@@ -111,14 +129,15 @@ object StreamQueries {
     * sorted hash.
     */
   def joinedPairs(spark: SparkSession, dir: String,
-                  inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
-    val joined = EventStream.purchaseViewJoin(
-        EventStream.readEvents(spark, eventsWatchDir(dir)),
-        watermark = "3650 days", horizon = "1 hour")
-      .select(col("purchase_id"), col("user_id"), col("view_id"),
-        unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
-    runToTable(spark, joined, "append", inspect)
-  }
+                  inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+    withWatchDir(eventsWatchDir(dir)) { watch =>
+      val joined = EventStream.purchaseViewJoin(
+          EventStream.readEvents(spark, watch),
+          watermark = "3650 days", horizon = "1 hour")
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
+      runToTable(spark, joined, "append", inspect)
+    }
 
   /** q228: streaming dedup under whole-source replay.  The watch dir
     * holds the fixture TWICE; maxFilesPerTrigger=1 forces the replay
@@ -139,14 +158,16 @@ object StreamQueries {
       java.nio.file.attribute.FileTime.fromMillis(
         java.nio.file.Files.getLastModifiedTime(watch.resolve("copy_a.parquet"))
           .toMillis + 1000L))
-    val deduped = EventStream.dedupEvents(
-      EventStream.readEvents(spark, watch.toString,
-        Map("maxFilesPerTrigger" -> "1")),
-      watermark = "3650 days")
-    runToTable(spark, deduped, "append", inspect)
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("event_id")).as("id_sum"),
-        sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("value_units"))
-      .select(col("n_events"), col("id_sum"), col("value_units"))
+    withWatchDir(watch) { w =>
+      val deduped = EventStream.dedupEvents(
+        EventStream.readEvents(spark, w,
+          Map("maxFilesPerTrigger" -> "1")),
+        watermark = "3650 days")
+      runToTable(spark, deduped, "append", inspect)
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("id_sum"),
+          sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("value_units"))
+        .select(col("n_events"), col("id_sum"), col("value_units"))
+    }
   }
 }
