@@ -437,7 +437,8 @@ object SparkEntry {
     "q226_stream_windows" -> ((s, d) => streaming.StreamQueries.windowedTotals(s, d)),
     "q227_stream_sessions" -> ((s, d) => streaming.StreamQueries.sessionTotals(s, d)),
     "q228_stream_dedup" -> ((s, d) => streaming.StreamQueries.dedupReplayAudit(s, d)),
-    "q229_stream_join" -> ((s, d) => streaming.StreamQueries.joinedPairs(s, d))
+    "q229_stream_join" -> ((s, d) => streaming.StreamQueries.joinedPairs(s, d)),
+    "q230_stream_ingest" -> ((s, d) => streaming.StreamQueries.ingestAudit(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -3862,6 +3863,19 @@ object SparkEntry {
         |  ON p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND v.user_id = p.user_id
         |  AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
+    // q230 ingest: the sink must hold exactly the global
+    // min-id-per-fingerprint survivors (q20's fp expression) — the
+    // oracle states the whole streamed store/dedup/sink pipeline as
+    // one GROUP BY over the fixture
+    "q230_stream_ingest" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents),
+        |s AS (SELECT fp, min(doc_id) AS keeper FROM d GROUP BY fp),
+        |k AS (SELECT d.source, d.doc_id FROM d
+        |  JOIN s ON d.fp = s.fp AND d.doc_id = s.keeper)
+        |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM k GROUP BY source""".stripMargin,
     // cell-bounded pairs share q54's trained-cell CTEs verbatim; the
     // recall audit wraps the exact and cell bodies unchanged
     "q223_cell_pairs" -> cellPairsSql,

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Oracle-checked streaming queries (SURVEY §2.B streaming row): each
   * runs a Structured Streaming plan to completion over the fixture via
@@ -138,6 +139,74 @@ object StreamQueries {
           unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
       runToTable(spark, joined, "append", inspect)
     }
+
+  /** q230: the WHOLE streaming document-ingest pipeline, gated
+    * end-to-end — file-drop source → foreachBatch → within-batch
+    * fingerprint dedup → anti-join against the rename-published
+    * persistent fp store → chunked NDJSON DocSink → read the sink's
+    * actual output back and aggregate it.  Two overlapping source
+    * files ride separate micro-batches (maxFilesPerTrigger=1), so the
+    * replayed span must be dropped by the STORE anti-join, not
+    * within-batch dedup.
+    *
+    * Determinism: batch 1 holds every id below its cut, so for any
+    * fingerprint seen there the batch-1 survivor (min zero-padded id =
+    * min numeric id) IS the global min; fingerprints first seen in
+    * batch 2 keep their own min — the sink therefore holds exactly the
+    * global min-id-per-fingerprint survivor set, which the oracle
+    * states directly as one GROUP BY.  Output: per-source survivor
+    * count + exact id sum.
+    *
+    * The sink output dir intentionally outlives the call — the
+    * returned frame reads those NDJSON files lazily.
+    */
+  def ingestAudit(spark: SparkSession, dir: String,
+                  inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val docs = graft.Tables.documents(spark, dir)
+      .select(format_string("%08d", col("doc_id")).as("id"),
+        col("doc_id").cast("string").as("txn_id"),
+        col("source").as("owner"), col("text").as("content"), col("doc_id"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut1 = (maxId + 1) * 3 / 5   // batch 1: ids [0, cut1)
+    val cut0 = cut1 / 2              // batch 2: ids [cut0, max] — [cut0, cut1) replays
+    val watch = Files.createTempDirectory("graft-ingest-src")
+    val stage = Files.createTempDirectory("graft-ingest-stage")
+    for ((pred, i) <- Seq(col("doc_id") < cut1, col("doc_id") >= cut0).zipWithIndex) {
+      val part = s"$stage/c$i"
+      docs.filter(pred).drop("doc_id").coalesce(1).write.parquet(part)
+      val src = Files.list(Paths.get(part))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = watch.resolve(f"ingest$i%02d.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+    }
+    val docSchema = StructType(Seq("id", "txn_id", "owner", "content")
+      .map(StructField(_, StringType)))
+    val storeDir = Files.createTempDirectory("graft-ingest-store")
+    val ckptDir = Files.createTempDirectory("graft-ingest-ckpt")
+    val outDir = Files.createTempDirectory("graft-ingest-out")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q =
+      try {
+        spark.conf.set(key, "8")
+        DocStream.dedupIngest(
+          spark.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", "1").parquet(watch.toString),
+          storeDir.toString,
+          new graft.sinks.NdjsonDirSink(outDir.toString, chunkSize = 100),
+          ckptDir.toString)
+      } finally spark.conf.set(key, prev)
+    try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    Seq(watch, stage, storeDir, ckptDir).foreach(deleteRecursively)
+    spark.read.schema(docSchema).json(s"$outDir/batch=*")
+      .groupBy(col("owner").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("id").cast("long")).as("id_sum"))
+      .select(col("source"), col("n_docs"), col("id_sum"))
+  }
 
   /** q228: streaming dedup under whole-source replay.  The watch dir
     * holds the fixture TWICE; maxFilesPerTrigger=1 forces the replay

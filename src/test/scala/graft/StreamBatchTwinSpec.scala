@@ -257,6 +257,24 @@ class StreamBatchTwinSpec extends SparkSuite {
     assert(row == want, s"dedup-under-replay must equal the fixture aggregates: $row vs $want")
   }
 
+  test("q230 gate runner: ingest rides 2 micro-batches; sink holds exactly the global min-id-per-fp survivors") {
+    var progs: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+    val got = streaming.StreamQueries.ingestAudit(spark, sf, q => progs = q.recentProgress.toSeq)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(progs.count(_.numInputRows > 0) >= 2,
+      s"each source file must ride its own micro-batch: ${progs.map(_.numInputRows).mkString(",")}")
+    val want = Tables.documents(spark, sf)
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint($"text"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"fp").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want,
+      s"streamed ingest must equal batch min-id-per-fp dedup: $got vs $want")
+  }
+
   test("userActivity final state across batches == batch per-user count/sum") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Ev]
