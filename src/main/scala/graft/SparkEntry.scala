@@ -3828,10 +3828,12 @@ object SparkEntry {
         |ORDER BY pq.source""".stripMargin,
     // streaming tier (q226-q228): the oracle replays the BATCH
     // semantics the stream must converge to — epoch-hour windows,
-    // gaps-and-islands sessions (new session when the in-user gap
-    // >= 30 min, end = last event + gap: Spark's half-open session
-    // interval), and plain aggregates the dedup-under-replay stream
-    // must reproduce; all sums quantized-integer (order-independent)
+    // gaps-and-islands sessions (new session only when the in-user
+    // gap is STRICTLY > 30 min — Spark merges an event landing
+    // exactly at the previous session's end, pinned by the
+    // StreamBatchTwinSpec boundary test; end = last event + gap),
+    // and plain aggregates the dedup-under-replay stream must
+    // reproduce; all sums quantized-integer (order-independent)
     "q226_stream_windows" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS win_us, event_type,
         |  count(*) AS n_events,
@@ -3842,7 +3844,7 @@ object SparkEntry {
         |    CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS v FROM events),
         |o AS (SELECT user_id, us, v,
         |  CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
-        |       >= 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+        |       > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
         |g AS (SELECT user_id, us, v, sum(brk) OVER (PARTITION BY user_id
         |  ORDER BY us ROWS UNBOUNDED PRECEDING) AS grp FROM o),
         |s AS (SELECT user_id, min(us) AS session_start_us,

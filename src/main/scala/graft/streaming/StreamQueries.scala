@@ -103,10 +103,12 @@ object StreamQueries {
     }
 
   /** q227: gap-based session windows, streamed.  The oracle replays the
-    * exact semantics as gaps-and-islands SQL: a new session starts when
-    * the in-user gap is >= 30 min (Spark's session interval is
-    * half-open — an event landing exactly at the previous session's end
-    * opens a new one), session end = last event + gap.
+    * exact semantics as gaps-and-islands SQL: a new session starts only
+    * when the in-user gap is STRICTLY > 30 min — Spark MERGES an event
+    * landing exactly at the previous session's end (measured, pinned by
+    * the StreamBatchTwinSpec boundary test; the fixture has no
+    * exact-gap pair, so only crafted data can tell `>` from `>=`);
+    * session end = last event + gap.
     */
   def sessionTotals(spark: SparkSession, dir: String,
                     inspect: StreamingQuery => Unit = _ => ()): DataFrame =

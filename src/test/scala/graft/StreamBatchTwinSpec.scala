@@ -257,6 +257,32 @@ class StreamBatchTwinSpec extends SparkSuite {
     assert(row == want, s"dedup-under-replay must equal the fixture aggregates: $row vs $want")
   }
 
+  test("session gap boundary: exactly-30min gap MERGES — pins the q227 oracle's strict-> rule") {
+    // the fixture holds no exact-gap pair (checked at sf0.01), so this
+    // cross-engine semantics boundary needs crafted data.  Measured,
+    // not assumed: Spark session_window MERGES an event landing
+    // exactly at the previous session's end (split only when the gap
+    // is STRICTLY greater) — the first draft of the q227 oracle said
+    // `>=` and no fixture row could catch it; this test keeps the
+    // engines agreeing at the boundary forever
+    val gapUs = 1800000000L
+    def sessions(deltaUs: Long): Seq[(Long, Long)] = Seq(0L, deltaUs)
+      .toDF("us")
+      .select(lit(7L).as("user_id"), timestamp_micros($"us").as("ts"))
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros($"session_window.start"), $"n")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(sessions(gapUs) == Seq((0L, 2L)),
+      "an event exactly at the session end must MERGE into the session")
+    assert(sessions(gapUs + 1000L) == Seq((0L, 1L), (gapUs + 1000L, 1L)),
+      "a gap beyond the horizon must start a NEW session")
+    // and the oracle's island rule states the same boundary: strict >
+    val oracleBrk = SparkEntry.oracleSql("q227_stream_sessions")
+    assert(oracleBrk.contains("> 1800000000") && !oracleBrk.contains(">= 1800000000"),
+      "q227 oracle must split only on STRICTLY greater gaps")
+  }
+
   test("q230 gate runner: ingest rides 2 micro-batches; sink holds exactly the global min-id-per-fp survivors") {
     var progs: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
     val got = streaming.StreamQueries.ingestAudit(spark, sf, q => progs = q.recentProgress.toSeq)
