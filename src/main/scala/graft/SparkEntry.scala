@@ -438,7 +438,24 @@ object SparkEntry {
     "q227_stream_sessions" -> ((s, d) => streaming.StreamQueries.sessionTotals(s, d)),
     "q228_stream_dedup" -> ((s, d) => streaming.StreamQueries.dedupReplayAudit(s, d)),
     "q229_stream_join" -> ((s, d) => streaming.StreamQueries.joinedPairs(s, d)),
-    "q230_stream_ingest" -> ((s, d) => streaming.StreamQueries.ingestAudit(s, d))
+    "q230_stream_ingest" -> ((s, d) => streaming.StreamQueries.ingestAudit(s, d)),
+    // — round-14 batch 2: interchange formats + partitioned layout —
+    //   each is a REAL write→read round-trip through a temp dir; the
+    //   oracle on the original parquet certifies the whole path
+    "q231_orc_roundtrip" -> ((s, d) => sources.FormatOps.orcRoundtrip(s, d)),
+    "q232_csv_roundtrip" -> ((s, d) => sources.FormatOps.csvRoundtrip(s, d)),
+    "q233_partition_prune" -> ((s, d) => sources.FormatOps.partitionPrune(s, d)),
+    // — round-14 batch 3: warehouse-maintenance + model-fit patterns —
+    "q234_ols_trend" -> (EventOps.trendByType(_, _)),
+    "q235_incr_merge" -> (EventOps.incrementalMerge(_, _)),
+    "q236_scd2" -> (EventOps.scd2Dimension(_, _)),
+    // — round-14 batch 4: bucketed layout + deterministic PPS sampling —
+    "q237_bucketed_join" -> (Bucketing.colocatedRevenue(_, _)),
+    "q238_pps_sample" -> ((s, d) => TextAnalysis.ppsSample(s, d)),
+    // — round-14 batch 5: arbitrary keyed streaming state + the
+    //   NULL-semantics cross-engine parity audit —
+    "q239_stream_state" -> ((s, d) => streaming.StreamQueries.statefulTotals(s, d)),
+    "q240_null_semantics" -> (EventOps.nullSemantics(_, _))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -4296,6 +4313,154 @@ object SparkEntry {
         |  FROM r, q)
         |SELECT r_score, f_score, m_score, count(*) AS n_users,
         |  CAST(sum(m) AS DOUBLE) AS total_monetary
-        |FROM s GROUP BY r_score, f_score, m_score""".stripMargin
+        |FROM s GROUP BY r_score, f_score, m_score""".stripMargin,
+    // format tier (q231-q233): the Spark side writes the fixture
+    // through ORC / CSV / date-partitioned parquet and aggregates the
+    // READ-BACK; the oracle states the same aggregate over the
+    // original parquet — value equality certifies the round-trip
+    // lossless for every column type involved
+    "q231_orc_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // the CSV write normalizes price to DECIMAL(18,2) BEFORE the text
+    // round-trip (fixed-point string, exact re-parse); the oracle
+    // applies the identical normalization
+    "q232_csv_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_order_date
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        |GROUP BY o_orderpriority""".stripMargin,
+    // the Spark side prunes day=… partition DIRECTORIES; the oracle
+    // filters the same UTC calendar days out of the original events
+    "q233_partition_prune" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_units
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        |GROUP BY event_type""".stripMargin,
+    // q234: five exact moment sums (integer x from a FIXED origin,
+    // 10^6-quantized y, DECIMAL(38,0) accumulation), then the
+    // slope/intercept doubles in the identical literal operation order
+    "q234_ols_trend" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) - 1704067200000000)
+        |      // 3600000000 AS x,
+        |    CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n AS n_events,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    AS slope_units_per_hour,
+        |  (CAST(sy AS DOUBLE)
+        |    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_units
+        |FROM s""".stripMargin,
+    // q235: the oracle replays base/delta partials and the monoid
+    // merge, so the flag is recomputed — not assumed — on both sides
+    "q235_incr_merge" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS units FROM events),
+        |b AS (SELECT event_type, count(*) AS n_base, CAST(sum(units) AS BIGINT) AS u_base
+        |  FROM e WHERE us < 1706572800000000 GROUP BY event_type),
+        |d AS (SELECT event_type, count(*) AS n_delta, CAST(sum(units) AS BIGINT) AS u_delta
+        |  FROM e WHERE us >= 1706572800000000 GROUP BY event_type),
+        |f AS (SELECT event_type, count(*) AS n_full, CAST(sum(units) AS BIGINT) AS u_full
+        |  FROM e GROUP BY event_type),
+        |m AS (SELECT COALESCE(b.event_type, d.event_type) AS event_type,
+        |    COALESCE(n_base, 0) AS n_base, COALESCE(n_delta, 0) AS n_delta,
+        |    COALESCE(u_base, 0) AS u_base, COALESCE(u_delta, 0) AS u_delta
+        |  FROM b FULL OUTER JOIN d ON b.event_type = d.event_type)
+        |SELECT f.event_type, m.n_base, m.n_delta, f.n_full AS n_total,
+        |  f.u_full AS value_units,
+        |  CASE WHEN m.n_base + m.n_delta = f.n_full
+        |    AND m.u_base + m.u_delta = f.u_full THEN 1 ELSE 0 END AS merge_matches_full
+        |FROM f LEFT JOIN m ON f.event_type = m.event_type""".stripMargin,
+    // q236: gaps-and-islands SCD2 — run breaks on event_type change per
+    // user, runs close at the next run's start, open rows carry the
+    // 9999-12-31 high-date sentinel
+    "q236_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |o AS (SELECT *, CASE WHEN lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) IS DISTINCT FROM event_type
+        |    THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id FROM o),
+        |r AS (SELECT user_id, run_id, max(event_type) AS event_type,
+        |    min(us) AS valid_from_us, count(*) AS n_events
+        |  FROM g GROUP BY user_id, run_id)
+        |SELECT user_id, event_type, valid_from_us,
+        |  COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from_us), 253402300799000000) AS valid_to_us,
+        |  n_events
+        |FROM r""".stripMargin,
+    // q237: the oracle is the plain join+aggregate — the bucketed
+    // layout changes the PLAN (zero-exchange join, pinned), never the
+    // values
+    "q237_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    // q238: the oracle states the per-source cumulative axis as one
+    // plain window (the Spark side's two-pass prefix sum computes the
+    // identical cum); integer boundary-crossing, k = 50 strata
+    "q238_pps_sample" ->
+      """WITH d AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, w,
+        |    CAST(sum(w) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS wt
+        |  FROM d)
+        |SELECT source, doc_id, w AS n_chars, cum AS cum_chars,
+        |  (cum * 50) // wt - ((cum - w) * 50) // wt AS strata_covered
+        |FROM c
+        |WHERE (cum * 50) // wt > ((cum - w) * 50) // wt""".stripMargin,
+    // q239: the cross-batch keyed state must converge to the plain
+    // per-user aggregate of the whole fixture
+    "q239_stream_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_units
+        |FROM events GROUP BY user_id""".stripMargin,
+    // q240: nulls synthesized the same way (k < 10 → NULL); avg is
+    // written as the explicit sum/count(nonnull) divide; the ordered
+    // head string spells NULLS FIRST because the engines' DEFAULTS
+    // disagree (Spark ASC=NULLS FIRST, DuckDB ASC=NULLS LAST)
+    "q240_null_semantics" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |    CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS k
+        |  FROM events),
+        |n AS (SELECT event_type, event_id,
+        |    CASE WHEN k < 10 THEN NULL ELSE k END AS nk FROM e),
+        |r AS (SELECT event_type, nk, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY nk ASC NULLS FIRST, event_id ASC) AS rn FROM n),
+        |h AS (SELECT event_type,
+        |    string_agg(CASE WHEN nk IS NULL THEN 'NULL' ELSE CAST(nk AS VARCHAR) END,
+        |      ',' ORDER BY rn) AS head_nulls_first
+        |  FROM r WHERE rn <= 3 GROUP BY event_type),
+        |a AS (SELECT event_type, count(*) AS n_rows, count(nk) AS n_nonnull,
+        |    count(DISTINCT nk) AS n_distinct, CAST(sum(nk) AS BIGINT) AS sum_nk,
+        |    CAST(sum(nk) AS DOUBLE) / count(nk) AS avg_nk
+        |  FROM n GROUP BY event_type)
+        |SELECT a.event_type, a.n_rows, a.n_nonnull,
+        |  a.n_rows - a.n_nonnull AS n_null, a.n_distinct, a.sum_nk, a.avg_nk,
+        |  h.head_nulls_first
+        |FROM a JOIN h ON a.event_type = h.event_type""".stripMargin
   )
 }

@@ -39,6 +39,77 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** Drop a bucketed table AND its warehouse files (the in-memory
+    * catalog forgets across JVMs but the directory survives and
+    * would make the next saveAsTable refuse the path).
+    */
+  def dropBucketed(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    if (loc.exists()) rm(loc)
+  }
+
+  /** The q237 join+aggregate over already-written bucketed tables,
+    * exposed unexecuted for the PlanGuard pin: the orderkey join rides
+    * the shared bucket layout with NO exchange on either side; the
+    * only shuffle in the plan is the final 5-row priority aggregate.
+    */
+  def bucketedJoinAgg(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val li = spark.table("graft_li_q237")
+    val o = spark.table("graft_ord_q237")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("total_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("total_price"))
+  }
+
+  /** q237: the registered, oracle-checked form of the co-located join.
+    * Both fact tables are written bucketed×8 on the orderkey, then the
+    * fact⋈fact join runs WITHOUT a shuffle on either side — the
+    * pay-the-shuffle-once-at-write-time layout that amortizes the
+    * dominant exchange across every downstream query at 100 TB.
+    *
+    * Broadcast is disabled for the query's duration: at fixture scale
+    * the 150k-row orders side fits under the threshold and the planner
+    * would (correctly) broadcast it, which is exactly the regime the
+    * bucket layout is NOT for — the 100 TB design point has both sides
+    * fact-sized, and the pin must exercise that plan.  Conf restored
+    * in a finally.
+    *
+    * The bounded (5-row) aggregate is collected into a local relation
+    * so the scratch tables drop eagerly (FormatOps materialization
+    * rationale); bench reps pay the full bucketed write each rep.
+    */
+  def colocatedRevenue(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      writeBucketed(
+        graft.Tables.lineitem(spark, dir)
+          .select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "graft_li_q237", "l_orderkey", buckets)
+      writeBucketed(
+        graft.Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        "graft_ord_q237", "o_orderkey", buckets)
+      val agg = bucketedJoinAgg(spark)
+      val rows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(agg.collect(): _*)
+      spark.createDataFrame(rows, agg.schema)
+    } finally {
+      spark.conf.set(key, prev)
+      dropBucketed(spark, "graft_li_q237")
+      dropBucketed(spark, "graft_ord_q237")
+    }
+  }
+
   /** Bucket lineitem and orders on the join key and return the
     * co-located join — `explain` shows no Exchange on either side.
     */

@@ -1616,4 +1616,178 @@ object EventOps {
         col("n_events"), col("span_us"), col("twap"))
       .orderBy(col("user_id"), col("day"))
   }
+
+  /** q234: per-type OLS trend of event value over time — slope and
+    * intercept of value-units on hours-since-origin, from the five
+    * exact moment sums (n, Σx, Σy, Σx², Σxy).  The closed-form fit
+    * over mergeable moments is the distributed-regression pattern: one
+    * map-side-combined aggregate, no iteration, no driver math.
+    *
+    * Determinism: x is an exact integer (pmod-floor hour bucket from a
+    * FIXED origin — data-independent, so no extra pass to find a min),
+    * y the house 10⁶-quantized integer; per-term products fit BIGINT
+    * (x ≤ 10³ for any month-scale window) and the sums go through
+    * DECIMAL(38,0) (exact at any corpus size).  The slope/intercept
+    * arithmetic happens once, on doubles, in the same literal
+    * operation order as the oracle — bit-identical.
+    *
+    * 100 TB shape: ONE aggregate over the fact scan (partial+final,
+    * 5 counters per group).  This is the moment-sums architecture
+    * q113 (Pearson) established; here it feeds a model fit.
+    */
+  def trendByType(spark: SparkSession, dir: String): DataFrame = {
+    val originUs = 1704067200000000L // 2024-01-01T00:00:00Z — fixture month origin
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - lit(originUs)).as("rel_us"),
+        floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("y"))
+      // floor-division hour bucket (the q222 rule: div truncates toward
+      // zero, pmod-subtraction makes it the floor for pre-origin rows)
+      .withColumn("x", expr("(rel_us - pmod(rel_us, 3600000000)) div 3600000000"))
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(dec38)).as("sx"),
+      sum(col("y").cast(dec38)).as("sy"),
+      sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+      sum((col("x") * col("y")).cast(dec38)).as("sxy"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double")
+    val syd = col("sy").cast("double")
+    val sxxd = col("sxx").cast("double")
+    val sxyd = col("sxy").cast("double")
+    val slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    s.select(col("event_type"), col("n").as("n_events"),
+      slope.as("slope_units_per_hour"),
+      ((syd - slope * sxd) / nd).as("intercept_units"))
+  }
+
+  /** q235: incremental aggregate maintenance — the batch analog of
+    * streaming state.  The per-type (count, value-units) aggregate is
+    * a commutative monoid, so a day-30 refresh aggregates ONLY the new
+    * partition and merges it with the stored base partials; the full
+    * recompute runs alongside and the output carries a 0/1
+    * merge-matches-full flag (the sketch-audit convention, q33/q58).
+    *
+    * 100 TB shape: this is THE pattern that turns a daily 100 TB
+    * recompute into a daily 3 TB one — partials live where q233's
+    * partitioned layout puts them, the merge is a groupBy over
+    * |types|·2 rows, and correctness is auditable because the merge is
+    * exact integer arithmetic, not an approximation.  (The fixture
+    * recomputes `full` for the audit; production would not.)
+    */
+  def incrementalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cutUs = 1706572800000000L // 2024-01-30T00:00:00Z — the "new day"
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("units"))
+    def agg(df: DataFrame, n: String, u: String): DataFrame =
+      df.groupBy("event_type").agg(
+        count(lit(1)).as(n), sum(col("units")).as(u))
+    val base = agg(e.filter(col("us") < lit(cutUs)), "n_base", "u_base")
+    val delta = agg(e.filter(col("us") >= lit(cutUs)), "n_delta", "u_delta")
+    val full = agg(e, "n_full", "u_full")
+    // full outer on the partials: a type may be absent from either side
+    // of the cut (zero-row partial = monoid identity)
+    val merged = base.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(col("u_base"), lit(0L)).as("u_base"),
+        coalesce(col("u_delta"), lit(0L)).as("u_delta"))
+    full.join(merged, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_base"), col("n_delta"),
+        col("n_full").as("n_total"),
+        col("u_full").as("value_units"),
+        when(col("n_base") + col("n_delta") === col("n_full") &&
+          col("u_base") + col("u_delta") === col("u_full"), lit(1L))
+          .otherwise(lit(0L)).as("merge_matches_full"))
+  }
+
+  /** q236: SCD Type-2 dimension build — collapse each user's
+    * consecutive same-event_type runs into validity intervals
+    * [valid_from_us, valid_to_us), closed by the next run's start and
+    * left open (high-date sentinel) for the current run.  This is the
+    * warehouse slowly-changing-dimension pattern: the event stream is
+    * the change log, the output is the versioned dimension a
+    * point-in-time join probes (q46's as-of join is the consumer
+    * side).
+    *
+    * 100 TB shape: gaps-and-islands entirely under ONE user_id-keyed
+    * shuffle — the run-break window, the per-run aggregate (clustered
+    * by a superset of the partition key, no re-shuffle) and the
+    * closing lead() all reuse it.  Runs per user are bounded by the
+    * user's event count; no global ordering exists anywhere.
+    */
+  def scd2Dimension(spark: SparkSession, dir: String): DataFrame = {
+    val highDateUs = 253402300799000000L // 9999-12-31T23:59:59Z, SCD2 open-row convention
+    val w = byUser.orderBy(col("us").asc, col("event_id").asc)
+    val runs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("brk",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("run_id", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perRun = runs.groupBy("user_id", "run_id").agg(
+      max(col("event_type")).as("event_type"), // constant within a run
+      min(col("us")).as("valid_from_us"),
+      count(lit(1)).as("n_events"))
+    perRun
+      .withColumn("valid_to_us",
+        coalesce(lead(col("valid_from_us"), 1)
+          .over(byUser.orderBy(col("valid_from_us").asc)), lit(highDateUs)))
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"))
+  }
+
+  /** q240: NULL-semantics parity audit — the cross-engine traps that
+    * silently corrupt a migrated pipeline, each pinned by the hash
+    * gate: count(*) vs count(col) vs count(DISTINCT col) under nulls,
+    * sum/avg null-skipping (avg denominators are NON-null counts), and
+    * null ORDERING — Spark defaults ASC NULLS FIRST where DuckDB (and
+    * the SQL standard's common reading) defaults NULLS LAST, so any
+    * ordered surface MUST spell the placement explicitly; the audit's
+    * head-of-order string does, and would hash-differ if either engine
+    * ignored it.
+    *
+    * Nulls are synthesized deterministically (props.k < 10 → NULL) —
+    * the fixture's JSON key is always present, and a data-dependent
+    * null mask would not be reproducible.  Outputs are all non-null
+    * (counts, exact sums, an explicit 'NULL'-token string): nullable
+    * OUTPUT columns are themselves a cross-engine hazard (clients lift
+    * nullable integers to floats), so the audit keeps nulls internal.
+    *
+    * 100 TB shape: one keyed aggregate plus one keyed window over the
+    * same event_type partitioning.
+    */
+  def nullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("nk", when(col("k") < 10, lit(null)).otherwise(col("k")))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("nk").asc_nulls_first, col("event_id").asc)
+    val head = e
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("event_type")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("rn"), col("nk")))),
+          x => coalesce(x.getField("nk").cast("string"), lit("NULL"))))
+        .as("head_nulls_first"))
+    e.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("nk")).as("n_nonnull"),
+        countDistinct(col("nk")).as("n_distinct"),
+        sum(col("nk")).cast("long").as("sum_nk"),
+        (sum(col("nk")).cast("double") / count(col("nk")).cast("double")).as("avg_nk"))
+      .join(head, Seq("event_type"))
+      .select(col("event_type"), col("n_rows"), col("n_nonnull"),
+        (col("n_rows") - col("n_nonnull")).as("n_null"),
+        col("n_distinct"), col("sum_nk"), col("avg_nk"), col("head_nulls_first"))
+  }
 }

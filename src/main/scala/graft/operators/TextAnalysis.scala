@@ -2679,4 +2679,56 @@ object TextAnalysis {
           / (col("total_docs").cast("double") / lit(nShards.toDouble))).as("doc_skew"))
       .orderBy(col("shard"))
   }
+
+  /** q238: systematic probability-proportional-to-size sampling — k
+    * equal-weight strata per source over the doc_id-ordered cumulative
+    * n_chars axis; a document is selected when its weight interval
+    * crosses a stratum boundary (so selection probability ∝ size, and
+    * a document wider than one stratum is selected once but counted
+    * for every stratum it covers).  This is the survey-sampling PPS
+    * design in its deterministic systematic form: no RNG, no
+    * transcendental key transform (the A-ES exponential-key trick
+    * needs pow/ln, which are NOT bit-portable across engines — exact
+    * integer boundary-crossing is), and the take is reproducible from
+    * the data alone.
+    *
+    * Determinism: cum·k and boundary indices are exact BIGINT products
+    * (cum ≤ per-source corpus chars; ×k=50 stays far inside 2⁶³ for
+    * any realistic shard — at 10¹⁷ chars/source, widen to
+    * DECIMAL(38,0)); positive-operand `div` is the floor DuckDB's `//`
+    * takes.
+    *
+    * 100 TB shape: the cumulative axis is the q127 two-pass prefix
+    * sum — per (source, range-partition) piece sums, a bounded
+    * offsets frame (≤ one row per piece) broadcast back — so one
+    * mega-source CANNOT serialize through a single window partition;
+    * the output is ≤ k rows per source.
+    */
+  def ppsSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir).select(col("source"), col("doc_id"),
+      col("n_chars").cast("long").as("w"))
+    val nParts = spark.sparkContext.defaultParallelism
+    val parted = docs
+      .repartitionByRange(nParts, col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(false)
+    val pieces = parted.groupBy("source", "pid").agg(sum(col("w")).as("sw"))
+    val wOff = Window.partitionBy("source").orderBy(col("pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pieces
+      .withColumn("w_off", coalesce(sum(col("sw")).over(wOff), lit(0L)))
+      .select("source", "pid", "w_off")
+    val totals = pieces.groupBy("source").agg(sum(col("sw")).as("wt"))
+    val wLocal = Window.partitionBy("pid", "source").orderBy(col("doc_id").asc)
+    parted
+      .join(broadcast(offsets), Seq("source", "pid"))
+      .join(broadcast(totals), Seq("source"))
+      .withColumn("cum", sum(col("w")).over(wLocal) + col("w_off"))
+      .withColumn("hi", expr(s"(cum * $k) div wt"))
+      .withColumn("lo", expr(s"((cum - w) * $k) div wt"))
+      .filter(col("hi") > col("lo"))
+      .select(col("source"), col("doc_id"), col("w").as("n_chars"),
+        col("cum").as("cum_chars"), (col("hi") - col("lo")).as("strata_covered"))
+  }
 }

@@ -1,0 +1,210 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Columnar/text interchange formats and partitioned table layout
+  * (SURVEY §2.B scans/sources + sinks rows): the reference moves data
+  * between Postgres, NDJSON and Solr; an engine replacing it on a data
+  * lake additionally needs the lake's own formats — ORC for columnar
+  * interchange with Hive-era warehouses, CSV for ingest/export at the
+  * edges, and date-partitioned parquet as the LAYOUT that makes 100 TB
+  * scans affordable (directory pruning skips data before a single row
+  * group is opened).
+  *
+  * Each operator is a real round-trip: write the fixture through the
+  * format into a temp dir, read it back through that format's source,
+  * aggregate the read-back rows, and return the (bounded, O(groups))
+  * result — so the DuckDB oracle on the original parquet certifies the
+  * WHOLE write→read→scan path value-exact, not just "a file appeared".
+  *
+  * Materialization: each query collects its final aggregate (≤ a few
+  * dozen rows by construction — group-by on low-cardinality keys) into
+  * a local relation before deleting the temp dir.  Returning a lazy
+  * plan over files we are about to delete would read after unlink on
+  * re-execution; the bounded collect is the same pattern as the memory
+  * sink in the streaming tier (StreamQueries.runToTable).  Bench reps
+  * therefore pay the full write+read each rep and leak nothing.
+  *
+  * 100 TB notes per operator sit on the methods; plan shapes (ORC
+  * pushdown, CSV schema projection, partition-directory pruning) are
+  * pinned by PlanGuardSpec via the exposed `*ReadAgg` builders.
+  */
+object FormatOps {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** Quantized exact value sum (house rule): floor(v·10⁶ + 0.5) per
+    * term, summed as LONG — order-independent, oracle-identical.
+    */
+  private def valueUnits(c: org.apache.spark.sql.Column) =
+    sum(floor(c * lit(1.0e6) + lit(0.5)).cast(LongType)).cast(LongType)
+
+  private def tempDir(tag: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(s"graft-fmt-$tag")
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Collect the bounded aggregate into a local relation so the temp
+    * dir can be deleted eagerly (see object doc).
+    */
+  private def materialize(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows: java.util.List[Row] = java.util.Arrays.asList(df.collect(): _*)
+    spark.createDataFrame(rows, df.schema)
+  }
+
+  private def withTempDir(tag: String)(body: java.nio.file.Path => DataFrame): DataFrame = {
+    val tmp = tempDir(tag)
+    try body(tmp) finally deleteRecursively(tmp)
+  }
+
+  // ---------------------------------------------------------------- ORC
+
+  /** Write the lineitem pricing columns as zstd ORC. Splittable,
+    * columnar, min/max-indexed — the write side of warehouse
+    * interchange.  Column subset keeps the round-trip honest about
+    * projection: only what the read-back needs is written.
+    */
+  def writeOrcLineitem(spark: SparkSession, dir: String, tmp: String): Unit =
+    Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate")
+      .write.mode("overwrite").option("compression", "zstd").orc(tmp)
+
+  /** Read-back + aggregate, exposed unexecuted for the PlanGuard pin:
+    * the shipdate predicate must reach the ORC reader as a pushed
+    * filter (ORC row groups carry min/max like parquet's) and the scan
+    * schema must stay pruned — the properties that make an ORC lake
+    * scan affordable at 100 TB.
+    */
+  def orcReadAgg(spark: SparkSession, tmp: String): DataFrame =
+    spark.read.orc(tmp)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("sum_disc_price"))
+
+  /** q231: parquet → ORC(zstd) → ORC scan (filter pushed, columns
+    * pruned) → grouped exact-decimal aggregate.  Oracle states the
+    * same aggregate over the original parquet — value equality
+    * certifies the ORC write+read lossless for every column type
+    * involved (string, double, timestamp).
+    */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("orc") { tmp =>
+      writeOrcLineitem(spark, dir, tmp.toString)
+      materialize(spark, orcReadAgg(spark, tmp.toString))
+    }
+
+  // ---------------------------------------------------------------- CSV
+
+  /** CSV schema for the read-back: explicit, never inferred — schema
+    * inference is a full extra pass over the data (a non-starter at
+    * scale) and type-guessing is exactly how silent corruption enters
+    * an ingest pipeline.
+    */
+  private val ordersCsvSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_orderpriority", StringType),
+    StructField("o_totalprice", DecimalType(18, 2)),
+    StructField("o_orderdate", DateType)))
+
+  /** Write orders as headered CSV.  The price goes through
+    * DECIMAL(18,2) BEFORE the write: a decimal prints a fixed-point
+    * string that re-parses to the identical value, whereas a raw
+    * double's shortest-round-trip text is a cross-engine hazard.  The
+    * date prints ISO-8601.  Strings in the fixture are quote-safe but
+    * the writer escapes regardless (RFC 4180).
+    */
+  def writeCsvOrders(spark: SparkSession, dir: String, tmp: String): Unit =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        dec2(col("o_totalprice")).as("o_totalprice"),
+        col("o_orderdate").cast(DateType).as("o_orderdate"))
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+
+  /** Read-back + aggregate, exposed for the PlanGuard pin: explicit
+    * schema (no inference pass), and the aggregate's input is pruned
+    * to the columns it needs.  CSV cannot push predicates — the pin
+    * asserts the filter still sits directly on the scan.
+    */
+  def csvReadAgg(spark: SparkSession, tmp: String): DataFrame =
+    spark.read.schema(ordersCsvSchema).option("header", "true").csv(tmp)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast(DateType))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).cast("double").as("total_price"),
+        // dates surface as ISO strings per the q60 house rule (pandas
+        // lifts DuckDB DATE to Timestamp, Spark DATE to date — the
+        // driver's dtype-sensitive hash would mismatch on raw dates)
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("last_order_date"))
+
+  /** q232: parquet → headered CSV → schema'd CSV scan → grouped
+    * aggregate.  Oracle replays the same decimal/date normalization on
+    * the original parquet, so value equality certifies the text
+    * round-trip (long, string, decimal, date) exact.
+    */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("csv") { tmp =>
+      writeCsvOrders(spark, dir, tmp.toString)
+      materialize(spark, csvReadAgg(spark, tmp.toString))
+    }
+
+  // ------------------------------------------------- partitioned layout
+
+  /** Write events date-partitioned (`day=YYYY-MM-DD/` directories).
+    * The `repartition(day)` BEFORE the write is the one-file-per-
+    * partition discipline: without it every task writes a sliver of
+    * every day and a 1000-executor cluster produces millions of
+    * KB-sized files — the small-files failure mode that kills lake
+    * metadata at 100 TB.  With it, each day's rows converge on one
+    * task (AQE coalesces further when days are small).
+    */
+  def writePartitionedEvents(spark: SparkSession, dir: String, tmp: String): Unit =
+    Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(tmp)
+
+  /** Read-back + aggregate, exposed for the PlanGuard pin: the `day`
+    * predicate is a PARTITION filter — it prunes whole directories at
+    * planning time (the scan's partitionFilters, not data filters), so
+    * a one-week query over a 10-year lake opens 7/3650ths of the
+    * files.  This is the layout lever that dwarfs every other scan
+    * optimization at 100 TB.
+    */
+  def partitionedReadAgg(spark: SparkSession, tmp: String): DataFrame =
+    spark.read.parquet(tmp)
+      .filter(col("day").between(lit("2024-01-08").cast(DateType),
+        lit("2024-01-14").cast(DateType)))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("day")).as("n_days"),
+        valueUnits(col("value")).as("value_units"))
+
+  /** q233: events → date-partitioned parquet (one file per day) →
+    * directory-pruned scan of one week → per-type aggregate.  Oracle
+    * filters the original events on CAST(ts AS DATE) — equality
+    * certifies both the partitioned write (no row lost or misfiled
+    * across the day boundaries) and the pruned read.
+    */
+  def partitionPrune(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("part") { tmp =>
+      writePartitionedEvents(spark, dir, tmp.toString)
+      materialize(spark, partitionedReadAgg(spark, tmp.toString))
+    }
+}

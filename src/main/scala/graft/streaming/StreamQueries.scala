@@ -241,4 +241,67 @@ object StreamQueries {
         .select(col("n_events"), col("id_sum"), col("value_units"))
     }
   }
+
+  /** q239: arbitrary keyed state (mapGroupsWithState), gated.  The
+    * fixture is split at a fixed timestamp into two files picked up as
+    * two micro-batches (maxFilesPerTrigger=1, mod-times pin the
+    * order), so every user's (count, units) state genuinely
+    * ACCUMULATES across state-store round-trips — within-batch
+    * folding alone cannot pass.  Update mode emits one row per user
+    * per touched batch; the final state is recovered as the per-user
+    * max (both counters are monotone), and must equal the plain
+    * per-user aggregate of the whole fixture.
+    *
+    * State is exact integers (the house quantized units), so the
+    * nondeterministic order of rows within a group iterator is
+    * irrelevant.  100 TB: state lives per-key in the state store,
+    * partitioned like any shuffle; production adds a timeout policy
+    * for idle-key eviction (EventStream.userActivity doc).
+    */
+  def statefulTotals(spark: SparkSession, dir: String,
+                     inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val cutUs = 1705708800000000L // 2024-01-20T00:00:00Z — mid-fixture split
+    val e = graft.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("units"))
+    val watch = Files.createTempDirectory("graft-state-src")
+    val stage = Files.createTempDirectory("graft-state-stage")
+    for ((pred, i) <- Seq(col("us") < cutUs, col("us") >= cutUs).zipWithIndex) {
+      val part = s"$stage/c$i"
+      e.filter(pred).coalesce(1).write.parquet(part)
+      val src = Files.list(Paths.get(part))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      val dst = watch.resolve(f"state$i%02d.parquet")
+      Files.copy(src, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+    }
+    try {
+      val schema = StructType(Seq(
+        StructField("user_id", org.apache.spark.sql.types.LongType),
+        StructField("us", org.apache.spark.sql.types.LongType),
+        StructField("units", org.apache.spark.sql.types.LongType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      import spark.implicits._
+      val updated = stream.select(col("user_id").as[Long], col("units").as[Long])
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+            val (pn, pu) = state.getOption.getOrElse((0L, 0L))
+            val (n, u) = rows.foldLeft((pn, pu)) {
+              case ((c, t), (_, v)) => (c + 1L, t + v)
+            }
+            state.update((n, u))
+            (user, n, u)
+        }
+        .toDF("user_id", "n_events", "value_units")
+      runToTable(spark, updated, "update", inspect)
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"),
+          max(col("value_units")).as("value_units"))
+    } finally Seq(watch, stage).foreach(deleteRecursively)
+  }
 }

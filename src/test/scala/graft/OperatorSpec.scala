@@ -2604,4 +2604,135 @@ class OperatorSpec extends SparkSuite {
     val want = us.map(u => Math.floorDiv(u, d))
     assert(got.toSeq == want, s"floor-div parity: $got vs $want")
   }
+
+  test("ols_trend: slope/intercept replay the five moment sums computed by hand") {
+    import org.apache.spark.sql.functions.unix_micros
+    val events = graft.Tables.events(spark, sf)
+      .select(unix_micros(org.apache.spark.sql.functions.col("ts")).as("us"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+      .collect()
+    val origin = 1704067200000000L
+    val byType = events.groupBy(_.getString(1))
+    val got = graft.operators.EventOps.trendByType(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    byType.foreach { case (t, rows) =>
+      val xs = rows.map(r => Math.floorDiv(r.getLong(0) - origin, 3600000000L))
+      val ys = rows.map(r => math.floor(r.getDouble(2) * 1.0e6 + 0.5).toLong)
+      val n = rows.length.toDouble
+      val (sx, sy) = (xs.map(BigInt(_)).sum, ys.map(BigInt(_)).sum)
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+      val slope = (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (n * sxx.toDouble - sx.toDouble * sx.toDouble)
+      val intercept = (sy.toDouble - slope * sx.toDouble) / n
+      val (gn, gs, gi) = got(t)
+      assert(gn == rows.length)
+      assert(gs == slope, s"$t slope: $gs vs $slope")
+      assert(gi == intercept, s"$t intercept: $gi vs $intercept")
+    }
+  }
+
+  test("incr_merge: monoid merge of base+delta partials matches the full recompute") {
+    val rows = graft.operators.EventOps.incrementalMerge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(5) == 1L, s"${r.getString(0)}: merge != full recompute")
+      assert(r.getLong(1) + r.getLong(2) == r.getLong(3), "n_base + n_delta = n_total")
+    }
+    // the cut actually splits: some data on each side overall
+    assert(rows.map(_.getLong(1)).sum > 0 && rows.map(_.getLong(2)).sum > 0)
+  }
+
+  test("scd2: per-user intervals tile the timeline, adjacent runs differ, counts add up") {
+    val sentinel = 253402300799000000L
+    val byUser = graft.operators.EventOps.scd2Dimension(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    val eventCounts = graft.Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byUser.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"user $u: interval ${a._4} must close at next start ${b._3}")
+          assert(a._2 != b._2, s"user $u: adjacent runs must change event_type")
+        case _ =>
+      }
+      assert(sorted.last._4 == sentinel, s"user $u: open row carries the high-date")
+      assert(sorted.map(_._5).sum == eventCounts(u), s"user $u: run sizes must sum to events")
+    }
+  }
+
+  test("bucketed_join q237: values match the plain join; scratch tables dropped") {
+    val got = graft.operators.Bucketing.colocatedRevenue(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("q"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want, "bucketed layout must not change values")
+    assert(!spark.catalog.tableExists("graft_li_q237"), "scratch table dropped")
+    assert(!spark.catalog.tableExists("graft_ord_q237"), "scratch table dropped")
+  }
+
+  test("pps_sample q238: strata cover exactly k per source; every over-wide doc is selected") {
+    val k = 50
+    val rows = graft.operators.TextAnalysis.ppsSample(spark, sf, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val weights = graft.Tables.documents(spark, sf)
+      .groupBy("source").agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_chars")).as("wt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (src, picked) =>
+      assert(picked.map(_._5).sum == k,
+        s"$src: the ${picked.length} picks must cover exactly $k strata")
+      assert(picked.map(_._4).max == weights(src),
+        s"$src: the final boundary selects the last doc")
+    }
+    // a doc wider than one stratum ALWAYS crosses a boundary
+    val pickedIds = rows.map(_._2).toSet
+    graft.Tables.documents(spark, sf).collect().foreach { r =>
+      val (src, id, w) = (r.getString(3), r.getLong(0), r.getLong(4))
+      if (w * k > weights(src))
+        assert(pickedIds.contains(id), s"doc $id (w=$w) spans a stratum but was not picked")
+    }
+  }
+
+  test("null_semantics q240: counts/sum/avg and the NULLS FIRST head replayed by hand") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2) || r.getLong(2) < 10) None else Some(r.getLong(2))))
+    val got = graft.operators.EventOps.nullSemantics(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    raw.groupBy(_._1).foreach { case (t, rows) =>
+      val nk = rows.map(_._3)
+      val r = got(t)
+      assert(r.getLong(1) == rows.length, s"$t n_rows")
+      assert(r.getLong(2) == nk.count(_.isDefined), s"$t n_nonnull")
+      assert(r.getLong(3) == nk.count(_.isEmpty), s"$t n_null")
+      assert(r.getLong(4) == nk.flatten.distinct.length.toLong, s"$t n_distinct")
+      assert(r.getLong(5) == nk.flatten.sum, s"$t sum_nk")
+      assert(r.getDouble(6) == nk.flatten.sum.toDouble / nk.count(_.isDefined), s"$t avg_nk")
+      // explicit NULLS FIRST head: nulls (tie-broken by event_id), then
+      // ascending values
+      val head = rows.sortBy { case (_, id, v) =>
+        (if (v.isEmpty) 0 else 1, v.getOrElse(0L), id) }
+        .take(3).map(_._3.map(_.toString).getOrElse("NULL")).mkString(",")
+      assert(r.getString(7) == head, s"$t head: ${r.getString(7)} vs $head")
+    }
+  }
 }

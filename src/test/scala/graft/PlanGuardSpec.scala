@@ -1101,6 +1101,135 @@ class PlanGuardSpec extends SparkSuite {
       "the doc-frame rank window must key on (pid, source)")
   }
 
+  // — format-tier pins (q231-q233): each writes the sf0.001 fixture
+  //   through the format into a temp dir and pins the READ-BACK scan's
+  //   properties — the part of the round-trip whose cost dominates at
+  //   100 TB (the write is pinned implicitly: a wrong layout fails the
+  //   read-side asserts) —
+
+  private def withFmtDir(body: String => Unit): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pin-fmt")
+    try body(tmp.toString) finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("q231 orc: shipdate predicate pushed to the ORC reader, schema pruned, partial+final agg") {
+    withFmtDir { tmp =>
+      graft.sources.FormatOps.writeOrcLineitem(spark, sf, tmp)
+      val df = graft.sources.FormatOps.orcReadAgg(spark, tmp)
+      val scan = plan(df).collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.metadata("PushedFilters").contains("LessThanOrEqual(l_shipdate"),
+        "ORC min/max pruning needs the predicate AT the reader")
+      assert(scan.requiredSchema.fieldNames.length <= 6, "column pruning through ORC")
+      assert(names(df).count(_.contains("HashAggregate")) == 2, "partial+final")
+      assert(shuffles(df) == 1)
+    }
+  }
+
+  test("q232 csv: explicit schema (no inference), scan parses only the 3 needed columns") {
+    withFmtDir { tmp =>
+      graft.sources.FormatOps.writeCsvOrders(spark, sf, tmp)
+      val df = graft.sources.FormatOps.csvReadAgg(spark, tmp)
+      val scan = plan(df).collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.requiredSchema.fieldNames.toSet ==
+        Set("o_orderpriority", "o_totalprice", "o_orderdate"),
+        "CSV column pruning: parse only what the aggregate needs")
+      assert(names(df).count(_.contains("HashAggregate")) >= 2, "partial+final")
+      assert(shuffles(df) == 1)
+    }
+  }
+
+  test("q233 layout: day predicate lands in PartitionFilters — directories pruned before any read") {
+    withFmtDir { tmp =>
+      graft.sources.FormatOps.writePartitionedEvents(spark, sf, tmp)
+      val df = graft.sources.FormatOps.partitionedReadAgg(spark, tmp)
+      val scan = plan(df).collectFirst { case s: FileSourceScanExec => s }.get
+      val pf = scan.metadata("PartitionFilters")
+      assert(pf.contains("day"), s"partition filter missing: $pf")
+      // 7 of the fixture's 30 day-directories survive pruning
+      assert(scan.relation.location.inputFiles.length >= 30,
+        "layout sanity: one directory per day exists")
+      val selected = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters).length
+      assert(selected == 7,
+        s"directory pruning must select exactly the 7 filtered days, got $selected")
+    }
+  }
+
+  test("q234 ols: ONE moment-sum aggregate — partial+final, single shuffle, no join") {
+    val df = EventOps.trendByType(spark, sf)
+    assert(shuffles(df) == 1)
+    assert(names(df).count(_.contains("HashAggregate")) == 2, "partial+final")
+    assert(joinTypes(df).isEmpty, "closed-form fit needs no join")
+  }
+
+  test("q235 incr merge: every join equi on event_type, no cartesian") {
+    val df = EventOps.incrementalMerge(spark, sf)
+    val ns = names(df)
+    assert(!ns.exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")), "no unkeyed join")
+    assert(joinTypes(df).exists(_.contains("FullOuter")), "partials merge is full outer")
+  }
+
+  test("q236 scd2: run windows, per-run agg and the closing lead all reuse ONE user_id shuffle") {
+    val df = EventOps.scd2Dimension(spark, sf)
+    assert(shuffles(df) == 1,
+      "groupBy(user_id, run_id) must ride the user_id partitioning (superset-key clustering)")
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), "windows keyed by user")
+  }
+
+  test("q237 bucketed: the fact-fact join has ZERO exchanges below it — the bucket layout IS the shuffle") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      Bucketing.writeBucketed(
+        Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity", "l_extendedprice"),
+        "graft_li_q237", "l_orderkey", 8)
+      Bucketing.writeBucketed(
+        Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority"),
+        "graft_ord_q237", "o_orderkey", 8)
+      val df = Bucketing.bucketedJoinAgg(spark)
+      val join = plan(df).collectFirst {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.get
+      val belowJoin = nodes(join).count(_.isInstanceOf[ShuffleExchangeLike])
+      assert(belowJoin == 0, "bucketed sides must join without an exchange")
+      assert(shuffles(df) == 1, "the only shuffle is the bounded priority aggregate")
+    } finally {
+      spark.conf.set(key, prev)
+      Bucketing.dropBucketed(spark, "graft_li_q237")
+      Bucketing.dropBucketed(spark, "graft_ord_q237")
+    }
+  }
+
+  test("q238 pps: cumulative axis windows keyed (pid, source); offsets/totals frames broadcast") {
+    val df = TextAnalysis.ppsSample(spark, sf)
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), "no unkeyed window")
+    // the per-row cum window must carry the range-partition id — one
+    // mega-source cannot serialize (q127 rule)
+    assert(ws.exists(_.partitionSpec.size >= 2), "doc-frame window keyed (pid, source)")
+    assert(names(df).exists(_.contains("BroadcastHashJoin")),
+      "bounded offsets/totals frames join broadcast")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("q240 null audit: window keyed by event_type; head frame joins broadcast; no cartesian") {
+    val df = EventOps.nullSemantics(spark, sf)
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), "no unkeyed window")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")

@@ -324,4 +324,29 @@ class StreamBatchTwinSpec extends SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("q239 gate runner: keyed state rides >=2 micro-batches; collapsed state == fixture aggregate") {
+    var progs: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+    val got = streaming.StreamQueries.statefulTotals(spark, sf,
+        q => progs = q.recentProgress.toSeq)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(progs.count(_.numInputRows > 0) >= 2,
+      s"the time-split halves must arrive as separate micro-batches: ${progs.map(_.numInputRows).mkString(",")}")
+    val want = Tables.events(spark, sf)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(floor($"value" * lit(1.0e6) + lit(0.5)).cast("long")).as("u"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want, s"state must converge to the batch aggregate (${got.take(3)} vs ${want.take(3)})")
+    // the split genuinely crosses batches for most users: at least one
+    // user must have been UPDATED twice (rows in both halves)
+    val cut = 1705708800000000L
+    val both = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("us"))
+      .groupBy($"user_id")
+      .agg((max(when($"us" < cut, 1).otherwise(0)) +
+        max(when($"us" >= cut, 1).otherwise(0))).as("sides"))
+      .filter($"sides" === 2).count()
+    assert(both > 0, "fixture must exercise cross-batch state accumulation")
+  }
 }
