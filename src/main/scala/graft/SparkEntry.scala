@@ -4405,7 +4405,7 @@ object SparkEntry {
         |  FROM g GROUP BY user_id, run_id)
         |SELECT user_id, event_type, valid_from_us,
         |  COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id
-        |    ORDER BY valid_from_us), 253402300799000000) AS valid_to_us,
+        |    ORDER BY valid_from_us, run_id), 253402300799000000) AS valid_to_us,
         |  n_events
         |FROM r""".stripMargin,
     // q237: the oracle is the plain join+aggregate — the bucketed

@@ -23,15 +23,9 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, table)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(loc)
-    }
+    // clear any leftover catalog entry AND warehouse dir first —
+    // saveAsTable refuses a surviving path from a previous JVM
+    dropBucketed(spark, table)
     df.write.mode("overwrite")
       .bucketBy(buckets, key)
       .sortBy(key)
@@ -46,11 +40,7 @@ object Bucketing {
   def dropBucketed(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, table)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    if (loc.exists()) rm(loc)
+    graft.util.Fs.deleteRecursively(new java.io.File(warehouse, table).toPath)
   }
 
   /** The q237 join+aggregate over already-written bucketed tables,
@@ -58,10 +48,10 @@ object Bucketing {
     * the shared bucket layout with NO exchange on either side; the
     * only shuffle in the plan is the final 5-row priority aggregate.
     */
-  def bucketedJoinAgg(spark: SparkSession): DataFrame = {
+  def bucketedJoinAgg(spark: SparkSession, liTable: String, ordTable: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val li = spark.table("graft_li_q237")
-    val o = spark.table("graft_ord_q237")
+    val li = spark.table(liTable)
+    val o = spark.table(ordTable)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(
@@ -88,6 +78,10 @@ object Bucketing {
     * rationale); bench reps pay the full bucketed write each rep.
     */
   def colocatedRevenue(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    // per-invocation table names: fixed globals would let a concurrent
+    // caller's finally-block drop the tables mid-join
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val (liT, ordT) = (s"graft_li_q237_$suffix", s"graft_ord_q237_$suffix")
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
     try {
@@ -95,18 +89,17 @@ object Bucketing {
       writeBucketed(
         graft.Tables.lineitem(spark, dir)
           .select("l_orderkey", "l_quantity", "l_extendedprice"),
-        "graft_li_q237", "l_orderkey", buckets)
+        liT, "l_orderkey", buckets)
       writeBucketed(
         graft.Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
-        "graft_ord_q237", "o_orderkey", buckets)
-      val agg = bucketedJoinAgg(spark)
-      val rows: java.util.List[org.apache.spark.sql.Row] =
-        java.util.Arrays.asList(agg.collect(): _*)
-      spark.createDataFrame(rows, agg.schema)
+        ordT, "o_orderkey", buckets)
+      // bounded 5-row aggregate → local relation (Fs.localize), so the
+      // scratch tables drop eagerly in the finally
+      graft.util.Fs.localize(spark, bucketedJoinAgg(spark, liT, ordT))
     } finally {
       spark.conf.set(key, prev)
-      dropBucketed(spark, "graft_li_q237")
-      dropBucketed(spark, "graft_ord_q237")
+      dropBucketed(spark, liT)
+      dropBucketed(spark, ordT)
     }
   }
 

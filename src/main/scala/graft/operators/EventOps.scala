@@ -1736,9 +1736,14 @@ object EventOps {
       min(col("us")).as("valid_from_us"),
       count(lit(1)).as("n_events"))
     perRun
+      // run_id is the tiebreaker: two adjacent runs CAN share a
+      // valid_from_us (two same-microsecond events of different
+      // types), and lead() over the timestamp alone would then be
+      // engine-dependent — the oracle orders identically
       .withColumn("valid_to_us",
         coalesce(lead(col("valid_from_us"), 1)
-          .over(byUser.orderBy(col("valid_from_us").asc)), lit(highDateUs)))
+          .over(byUser.orderBy(col("valid_from_us").asc, col("run_id").asc)),
+          lit(highDateUs)))
       .select(col("user_id"), col("event_type"), col("valid_from_us"),
         col("valid_to_us"), col("n_events"))
   }

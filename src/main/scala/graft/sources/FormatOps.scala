@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -46,38 +46,29 @@ object FormatOps {
   private def tempDir(tag: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(s"graft-fmt-$tag")
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
-
-  /** Collect the bounded aggregate into a local relation so the temp
-    * dir can be deleted eagerly (see object doc).
+  /** Bounded-aggregate materialization (graft.util.Fs.localize — see
+    * object doc for why the temp dir must delete eagerly).
     */
-  private def materialize(spark: SparkSession, df: DataFrame): DataFrame = {
-    val rows: java.util.List[Row] = java.util.Arrays.asList(df.collect(): _*)
-    spark.createDataFrame(rows, df.schema)
-  }
+  private def materialize(spark: SparkSession, df: DataFrame): DataFrame =
+    graft.util.Fs.localize(spark, df)
 
   private def withTempDir(tag: String)(body: java.nio.file.Path => DataFrame): DataFrame = {
     val tmp = tempDir(tag)
-    try body(tmp) finally deleteRecursively(tmp)
+    try body(tmp) finally graft.util.Fs.deleteRecursively(tmp)
   }
 
   // ---------------------------------------------------------------- ORC
 
   /** Write the lineitem pricing columns as zstd ORC. Splittable,
     * columnar, min/max-indexed — the write side of warehouse
-    * interchange.  Column subset keeps the round-trip honest about
-    * projection: only what the read-back needs is written.
+    * interchange.  The file carries one column MORE than the read-back
+    * needs (l_tax) so the column-pruning pin is falsifiable: a scan
+    * that stopped pruning would read 7 fields, not 6.
     */
   def writeOrcLineitem(spark: SparkSession, dir: String, tmp: String): Unit =
     Tables.lineitem(spark, dir)
       .select("l_returnflag", "l_linestatus", "l_quantity",
-        "l_extendedprice", "l_discount", "l_shipdate")
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
       .write.mode("overwrite").option("compression", "zstd").orc(tmp)
 
   /** Read-back + aggregate, exposed unexecuted for the PlanGuard pin:

@@ -58,6 +58,31 @@ object StreamQueries {
     spark.table(name)
   }
 
+  /** Stage each filtered slice of `df` as one parquet file in a fresh
+    * watch dir, mod-times pinned 1 s apart so FileStreamSource picks
+    * the slices up in order — with maxFilesPerTrigger=1 each slice
+    * rides its own micro-batch (the cross-batch-state test harness
+    * used by q230 and q239).  Part-file lookup closes its directory
+    * stream (Files.list holds a handle until closed — the Bench
+    * lesson).  Returns (watch, stage); caller deletes both.
+    */
+  private def stageBatches(df: DataFrame, preds: Seq[org.apache.spark.sql.Column],
+                           tag: String, dropAfterFilter: Seq[String] = Nil)
+      : (java.nio.file.Path, java.nio.file.Path) = {
+    import java.nio.file.Files
+    val watch = Files.createTempDirectory(s"graft-$tag-src")
+    val stage = Files.createTempDirectory(s"graft-$tag-stage")
+    for ((pred, i) <- preds.zipWithIndex) {
+      val part = s"$stage/c$i"
+      df.filter(pred).drop(dropAfterFilter: _*).coalesce(1).write.parquet(part)
+      val dst = watch.resolve(f"$tag$i%02d.parquet")
+      Files.copy(graft.util.Fs.onlyPartFile(part), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+    }
+    (watch, stage)
+  }
+
   /** FileStreamSource wants a DIRECTORY to watch; the fixture is one
     * file among the other tables' parquet.  A temp watch dir holding a
     * symlink to events.parquet gives the stream its own source root
@@ -75,13 +100,8 @@ object StreamQueries {
     * otherwise accumulate temp dirs (q228 copies the fixture twice per
     * invocation).
     */
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    graft.util.Fs.deleteRecursively(p)
 
   private def withWatchDir(watch: java.nio.file.Path)(body: String => DataFrame): DataFrame =
     try body(watch.toString) finally deleteRecursively(watch)
@@ -172,18 +192,9 @@ object StreamQueries {
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val cut1 = (maxId + 1) * 3 / 5   // batch 1: ids [0, cut1)
     val cut0 = cut1 / 2              // batch 2: ids [cut0, max] — [cut0, cut1) replays
-    val watch = Files.createTempDirectory("graft-ingest-src")
-    val stage = Files.createTempDirectory("graft-ingest-stage")
-    for ((pred, i) <- Seq(col("doc_id") < cut1, col("doc_id") >= cut0).zipWithIndex) {
-      val part = s"$stage/c$i"
-      docs.filter(pred).drop("doc_id").coalesce(1).write.parquet(part)
-      val src = Files.list(Paths.get(part))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = watch.resolve(f"ingest$i%02d.parquet")
-      Files.copy(src, dst)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
-    }
+    val (watch, stage) = stageBatches(docs,
+      Seq(col("doc_id") < cut1, col("doc_id") >= cut0), "ingest",
+      dropAfterFilter = Seq("doc_id"))
     val docSchema = StructType(Seq("id", "txn_id", "owner", "content")
       .map(StructField(_, StringType)))
     val storeDir = Files.createTempDirectory("graft-ingest-store")
@@ -248,9 +259,10 @@ object StreamQueries {
     * order), so every user's (count, units) state genuinely
     * ACCUMULATES across state-store round-trips — within-batch
     * folding alone cannot pass.  Update mode emits one row per user
-    * per touched batch; the final state is recovered as the per-user
-    * max (both counters are monotone), and must equal the plain
-    * per-user aggregate of the whole fixture.
+    * per touched batch; the final state is the row with the largest
+    * n_events (strictly monotone across a user's updates — max_by, so
+    * the collapse stays correct even for non-monotone value sums), and
+    * must equal the plain per-user aggregate of the whole fixture.
     *
     * State is exact integers (the house quantized units), so the
     * nondeterministic order of rows within a group iterator is
@@ -260,24 +272,13 @@ object StreamQueries {
     */
   def statefulTotals(spark: SparkSession, dir: String,
                      inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
-    import java.nio.file.{Files, Paths}
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     val cutUs = 1705708800000000L // 2024-01-20T00:00:00Z — mid-fixture split
     val e = graft.Tables.events(spark, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("units"))
-    val watch = Files.createTempDirectory("graft-state-src")
-    val stage = Files.createTempDirectory("graft-state-stage")
-    for ((pred, i) <- Seq(col("us") < cutUs, col("us") >= cutUs).zipWithIndex) {
-      val part = s"$stage/c$i"
-      e.filter(pred).coalesce(1).write.parquet(part)
-      val src = Files.list(Paths.get(part))
-        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
-      val dst = watch.resolve(f"state$i%02d.parquet")
-      Files.copy(src, dst)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
-    }
+    val (watch, stage) = stageBatches(e,
+      Seq(col("us") < cutUs, col("us") >= cutUs), "state")
     try {
       val schema = StructType(Seq(
         StructField("user_id", org.apache.spark.sql.types.LongType),
@@ -298,10 +299,15 @@ object StreamQueries {
             (user, n, u)
         }
         .toDF("user_id", "n_events", "value_units")
+      // collapse update-mode emissions to the FINAL state by the row
+      // with the largest n_events — the event count is strictly
+      // monotone across a user's updates (each touched batch adds ≥1),
+      // where max(value_units) alone would silently pick an
+      // intermediate state if values could ever be negative
       runToTable(spark, updated, "update", inspect)
         .groupBy("user_id")
         .agg(max(col("n_events")).as("n_events"),
-          max(col("value_units")).as("value_units"))
+          max_by(col("value_units"), col("n_events")).as("value_units"))
     } finally Seq(watch, stage).foreach(deleteRecursively)
   }
 }

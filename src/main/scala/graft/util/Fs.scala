@@ -1,0 +1,43 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Small filesystem/materialization helpers shared by the round-trip
+  * operators (FormatOps, Bucketing, StreamQueries) and their specs.
+  */
+object Fs {
+
+  /** Depth-first delete.  Walk streams are closed (Using.resource) —
+    * Files.walk holds a directory handle until closed (the Bench
+    * bench_detail lesson, Bench.scala).
+    */
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val all = scala.util.Using.resource(java.nio.file.Files.walk(p)) {
+        _.iterator().asScala.toSeq
+      }
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Find the single part file with the given extension in a directory
+    * written by a one-partition Spark write.  Stream closed.
+    */
+  def onlyPartFile(dir: String, ext: String = ".parquet"): java.nio.file.Path =
+    scala.util.Using.resource(java.nio.file.Files.list(java.nio.file.Paths.get(dir))) {
+      _.filter(p => p.toString.endsWith(ext)).findFirst().get()
+    }
+
+  /** Collect a BOUNDED frame (O(groups) rows by construction) into a
+    * local relation, so temp inputs can be deleted eagerly — returning
+    * a lazy plan over files about to be unlinked would read after
+    * delete on re-execution.  Same rationale as the streaming memory
+    * sink (StreamQueries.runToTable); callers document why their
+    * result is bounded.
+    */
+  def localize(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows: java.util.List[Row] = java.util.Arrays.asList(df.collect(): _*)
+    spark.createDataFrame(rows, df.schema)
+  }
+}

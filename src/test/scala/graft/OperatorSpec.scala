@@ -2664,6 +2664,31 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("scd2 tie rule: same-microsecond runs order by run_id — zero-length interval, then open row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, timestamp_micros}
+    // two events at the IDENTICAL microsecond, different types: two
+    // adjacent runs share valid_from_us, and only the run_id tiebreak
+    // (mirrored in the oracle) makes lead() deterministic
+    val t = 1704067200000000L
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scd2-tie")
+    try {
+      Seq((1L, t, 10L, "view", 1.0, "{}"), (2L, t, 10L, "purchase", 1.0, "{}"),
+        (3L, t + 5L, 10L, "purchase", 1.0, "{}"))
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+          $"event_type", $"value", $"props")
+        .coalesce(1).write.parquet(s"$tmp/events.parquet")
+      val got = graft.operators.EventOps.scd2Dimension(spark, tmp.toString)
+        .orderBy($"valid_from_us", $"valid_to_us")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(got.toSeq == Seq(
+        ("view", t, t, 1L),                       // run 1 closes AT its own start
+        ("purchase", t, 253402300799000000L, 2L)  // run 2 absorbs both purchases, stays open
+      ), s"tie rule: ${got.toSeq}")
+    } finally graft.util.Fs.deleteRecursively(tmp)
+  }
+
   test("bucketed_join q237: values match the plain join; scratch tables dropped") {
     val got = graft.operators.Bucketing.colocatedRevenue(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
@@ -2681,8 +2706,11 @@ class OperatorSpec extends SparkSuite {
           .cast("double").as("q"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(got == want, "bucketed layout must not change values")
-    assert(!spark.catalog.tableExists("graft_li_q237"), "scratch table dropped")
-    assert(!spark.catalog.tableExists("graft_ord_q237"), "scratch table dropped")
+    // scratch tables are per-invocation (uuid-suffixed) and dropped in
+    // the operator's finally — none may survive
+    val leftovers = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_li_q237"))
+    assert(leftovers.isEmpty, s"scratch tables dropped: ${leftovers.mkString(",")}")
   }
 
   test("pps_sample q238: strata cover exactly k per source; every over-wide doc is selected") {

@@ -1109,11 +1109,7 @@ class PlanGuardSpec extends SparkSuite {
 
   private def withFmtDir(body: String => Unit): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pin-fmt")
-    try body(tmp.toString) finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    try body(tmp.toString) finally graft.util.Fs.deleteRecursively(tmp)
   }
 
   test("q231 orc: shipdate predicate pushed to the ORC reader, schema pruned, partial+final agg") {
@@ -1123,7 +1119,11 @@ class PlanGuardSpec extends SparkSuite {
       val scan = plan(df).collectFirst { case s: FileSourceScanExec => s }.get
       assert(scan.metadata("PushedFilters").contains("LessThanOrEqual(l_shipdate"),
         "ORC min/max pruning needs the predicate AT the reader")
-      assert(scan.requiredSchema.fieldNames.length <= 6, "column pruning through ORC")
+      // the file carries l_tax precisely so this pin is falsifiable —
+      // an unpruned scan would read 7 fields
+      assert(scan.requiredSchema.fieldNames.toSet == Set("l_returnflag",
+        "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"),
+        "column pruning through ORC: exactly the 6 needed fields")
       assert(names(df).count(_.contains("HashAggregate")) == 2, "partial+final")
       assert(shuffles(df) == 1)
     }
@@ -1190,11 +1190,11 @@ class PlanGuardSpec extends SparkSuite {
       spark.conf.set(key, "-1")
       Bucketing.writeBucketed(
         Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity", "l_extendedprice"),
-        "graft_li_q237", "l_orderkey", 8)
+        "graft_li_pin237", "l_orderkey", 8)
       Bucketing.writeBucketed(
         Tables.orders(spark, sf).select("o_orderkey", "o_orderpriority"),
-        "graft_ord_q237", "o_orderkey", 8)
-      val df = Bucketing.bucketedJoinAgg(spark)
+        "graft_ord_pin237", "o_orderkey", 8)
+      val df = Bucketing.bucketedJoinAgg(spark, "graft_li_pin237", "graft_ord_pin237")
       val join = plan(df).collectFirst {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.get
       val belowJoin = nodes(join).count(_.isInstanceOf[ShuffleExchangeLike])
@@ -1202,8 +1202,8 @@ class PlanGuardSpec extends SparkSuite {
       assert(shuffles(df) == 1, "the only shuffle is the bounded priority aggregate")
     } finally {
       spark.conf.set(key, prev)
-      Bucketing.dropBucketed(spark, "graft_li_q237")
-      Bucketing.dropBucketed(spark, "graft_ord_q237")
+      Bucketing.dropBucketed(spark, "graft_li_pin237")
+      Bucketing.dropBucketed(spark, "graft_ord_pin237")
     }
   }
 
