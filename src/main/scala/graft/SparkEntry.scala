@@ -455,7 +455,34 @@ object SparkEntry {
     // — round-14 batch 5: arbitrary keyed streaming state + the
     //   NULL-semantics cross-engine parity audit —
     "q239_stream_state" -> ((s, d) => streaming.StreamQueries.statefulTotals(s, d)),
-    "q240_null_semantics" -> (EventOps.nullSemantics(_, _))
+    "q240_null_semantics" -> (EventOps.nullSemantics(_, _)),
+    // — round-14 batch 6: mergeable sketches, model fitting, ranking
+    //   metrics, graph reach, recommenders, forecast skill —
+    "q241_kmv_distinct" -> ((s, d) => TextAnalysis.kmvDistinct(s, d)),
+    "q242_logreg" -> ((s, d) => TextAnalysis.logisticFit(s, d)),
+    "q243_avg_precision" -> ((s, d) => TextAnalysis.averagePrecision(s, d)),
+    "q244_bfs_hops" -> ((s, d) => Dedup.bfsHops(s, d)),
+    "q245_item_cf" -> ((s, d) => EventOps.itemNeighbors(s, d)),
+    "q246_mase" -> ((s, d) => EventOps.seasonalMase(s, d)),
+    // — round-14 batch 7: exact sub-quadratic set-similarity join —
+    //   q22's TRUE scale twin: same result set, prefix-filtered
+    //   candidates (OperatorSpec asserts set equality vs q22)
+    "q247_prefix_jaccard" -> ((s, d) => Dedup.prefixJaccard(s, d)),
+    // z-order data-skipping audit, join-view IVM, FD discovery
+    "q248_zorder" -> ((s, d) => Bucketing.zorderAudit(s, d)),
+    "q249_join_ivm" -> ((s, d) => Relational.joinIvm(s, d)),
+    "q250_fd_audit" -> (Relational.fdAudit(_, _)),
+    // Markov removal-effect attribution + categorical tail collapse
+    "q251_markov_attribution" -> ((s, d) => EventOps.markovAttribution(s, d)),
+    "q252_tail_collapse" -> ((s, d) => TextAnalysis.tailCollapse(s, d)),
+    // log-free feature selection + consistent-hashing churn audit
+    "q253_gini_gain" -> (TextAnalysis.giniGain(_, _)),
+    "q254_rebalance_churn" -> (TextAnalysis.rebalanceChurn(_, _)),
+    // ranked-head drift metric + parquet schema-evolution audit
+    "q255_rbo" -> ((s, d) => TextAnalysis.rboSourceSimilarity(s, d)),
+    "q256_schema_evolution" -> ((s, d) => sources.FormatOps.schemaEvolution(s, d)),
+    // planner-statistics audit: histogram join-size estimate vs truth
+    "q257_join_estimate" -> ((s, d) => Relational.joinEstimate(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -4461,6 +4488,498 @@ object SparkEntry {
         |SELECT a.event_type, a.n_rows, a.n_nonnull,
         |  a.n_rows - a.n_nonnull AS n_null, a.n_distinct, a.sum_nk, a.avg_nk,
         |  h.head_nulls_first
-        |FROM a JOIN h ON a.event_type = h.event_type""".stripMargin
+        |FROM a JOIN h ON a.event_type = h.event_type""".stripMargin,
+    // q241: the oracle folds the same 15 hex digits of md5(token)
+    // positionally to the same 60-bit BIGINT `conv` produces, and
+    // replays the k smallest per source with a window (the exact
+    // formulation the bounded-heap Aggregator implements at scale)
+    "q241_kmv_distinct" ->
+      """WITH tok AS (SELECT DISTINCT source, token FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |hv0 AS (SELECT DISTINCT source,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef', substring(md5(token), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM tok),
+        |hv AS (SELECT source, hv FROM hv0
+        |  UNION SELECT '__all__' AS source, hv FROM hv0),
+        |r AS (SELECT source, hv,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM hv),
+        |s AS (SELECT source, count(*) AS n_sketch, max(hv) AS kth_hv
+        |  FROM r WHERE rn <= 64 GROUP BY source),
+        |x AS (SELECT source, count(*) AS n_distinct FROM hv GROUP BY source),
+        |e AS (SELECT x.source, n_distinct,
+        |    CASE WHEN n_sketch < 64 THEN CAST(n_distinct AS DOUBLE)
+        |      ELSE 63.0 / (CAST(kth_hv AS DOUBLE) / 1152921504606846976.0) END AS kmv_estimate
+        |  FROM x JOIN s ON s.source = x.source)
+        |SELECT source, n_distinct, kmv_estimate,
+        |  abs(kmv_estimate - CAST(n_distinct AS DOUBLE)) / CAST(n_distinct AS DOUBLE) AS rel_err
+        |FROM e ORDER BY source""".stripMargin,
+    // q242: 3 unrolled GD passes, q119-style generated CTEs; the
+    // algebraic sigmoid (only +,*,/,abs — no libm) and the
+    // floor(·1e9+0.5) → DECIMAL(38,0) gradient sums keep every weight
+    // bit-identical across engines and aggregation orders
+    "q242_logreg" -> {
+      val iterCte = (k: Int) =>
+        s"""e$k AS (SELECT w0, w1, w2, x1, x2,
+           |    0.5 * (1.0 + z / (1.0 + abs(z))) - y AS err
+           |  FROM (SELECT w0, w1, w2, x1, x2, y,
+           |      (w0 + w1 * x1) + w2 * x2 AS z FROM f, w${k - 1})),
+           |g$k AS (SELECT w0, w1, w2, count(*) AS n,
+           |    sum(CAST(floor(err * 1.0e9 + 0.5) AS DECIMAL(38,0))) AS g0,
+           |    sum(CAST(floor(err * x1 * 1.0e9 + 0.5) AS DECIMAL(38,0))) AS g1,
+           |    sum(CAST(floor(err * x2 * 1.0e9 + 0.5) AS DECIMAL(38,0))) AS g2
+           |  FROM e$k GROUP BY w0, w1, w2),
+           |w$k AS (SELECT
+           |    w0 - 0.5 * (CAST(g0 AS DOUBLE) / 1.0e9 / CAST(n AS DOUBLE)) AS w0,
+           |    w1 - 0.5 * (CAST(g1 AS DOUBLE) / 1.0e9 / CAST(n AS DOUBLE)) AS w1,
+           |    w2 - 0.5 * (CAST(g2 AS DOUBLE) / 1.0e9 / CAST(n AS DOUBLE)) AS w2
+           |  FROM g$k)""".stripMargin
+      s"""WITH f AS (SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0 AS x2,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y FROM documents),
+         |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+         |${iterCte(1)},
+         |${iterCte(2)},
+         |${iterCte(3)},
+         |p AS (SELECT w0, w1, w2,
+         |    CASE WHEN (0.5 * (1.0 + z / (1.0 + abs(z))) >= 0.5) = (y = 1.0)
+         |      THEN 1 ELSE 0 END AS ok
+         |  FROM (SELECT w0, w1, w2, y,
+         |      (w0 + w1 * x1) + w2 * x2 AS z FROM f, w3))
+         |SELECT w0, w1, w2, count(*) AS n_docs,
+         |  CAST(sum(ok) AS BIGINT) AS n_correct,
+         |  CAST(CAST(sum(ok) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+         |FROM p GROUP BY w0, w1, w2""".stripMargin
+    },
+    // q243: ranking and cumulative-relevance windows share one total
+    // order (score desc, doc_id asc); the per-hit precision fold is
+    // order-pinned by rank
+    "q243_avg_precision" ->
+      """WITH d AS (SELECT source, doc_id, n_chars AS score,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel FROM documents),
+        |r AS (SELECT source, rel,
+        |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rk,
+        |    sum(rel) OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT source, count(*) AS n_pos,
+        |  list_reduce(list_prepend(0.0,
+        |      list(CAST(cum AS DOUBLE) / CAST(rk AS DOUBLE) ORDER BY rk)),
+        |    (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS avg_precision
+        |FROM r WHERE rel = 1 GROUP BY source ORDER BY source""".stripMargin,
+    // q244: unrolled frontier supersteps over the shared mh_pairs
+    // edge set — dk = min-dist after k hops, exactly the Spark
+    // frontier-join/min-agg rounds
+    "q244_bfs_hops" -> {
+      val hopCte = (k: Int) =>
+        s"""f$k AS (SELECT e.dst AS id, $k AS dist
+           |  FROM e JOIN d${k - 1} d ON d.id = e.src AND d.dist = ${k - 1}),
+           |d$k AS (SELECT id, min(dist) AS dist FROM (
+           |    SELECT id, dist FROM d${k - 1}
+           |    UNION ALL SELECT id, dist FROM f$k) u GROUP BY id)""".stripMargin
+      s"""WITH $minhashPairsCte,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+         |n0 AS (SELECT DISTINCT src AS id FROM e),
+         |d0 AS (SELECT id, 0 AS dist FROM n0 ORDER BY id LIMIT 8),
+         |${hopCte(1)},
+         |${hopCte(2)},
+         |${hopCte(3)}
+         |SELECT dist, count(*) AS n_nodes FROM d3 GROUP BY dist ORDER BY dist""".stripMargin
+    },
+    // q245: exact-integer dots/norms; the shrunk-similarity ranking
+    // breaks ties on the (shrunk desc, neighbor asc) total order
+    "q245_item_cf" ->
+      """WITH r AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |norms AS (SELECT event_type, CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM r GROUP BY event_type),
+        |co AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |    CAST(sum(a.c * b.c) AS BIGINT) AS dot, count(*) AS co_users
+        |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |sim AS (SELECT item_a, item_b, co_users,
+        |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.ss AS DOUBLE)) * sqrt(CAST(nb.ss AS DOUBLE))) AS cosine
+        |  FROM co JOIN norms na ON na.event_type = item_a
+        |  JOIN norms nb ON nb.event_type = item_b),
+        |s2 AS (SELECT item_a, item_b, co_users, cosine,
+        |    cosine * (CAST(co_users AS DOUBLE) / (CAST(co_users AS DOUBLE) + 25.0)) AS shrunk_sim
+        |  FROM sim),
+        |b AS (SELECT item_a AS item, item_b AS neighbor, co_users, cosine, shrunk_sim FROM s2
+        |  UNION ALL
+        |  SELECT item_b AS item, item_a AS neighbor, co_users, cosine, shrunk_sim FROM s2),
+        |rnk AS (SELECT item, neighbor, co_users, cosine, shrunk_sim,
+        |    row_number() OVER (PARTITION BY item ORDER BY shrunk_sim DESC, neighbor ASC) AS rn
+        |  FROM b)
+        |SELECT item, CAST(rn AS INTEGER) AS rk, neighbor, co_users, cosine, shrunk_sim
+        |FROM rnk WHERE rn <= 3 ORDER BY item, rk""".stripMargin,
+    // q246: the daily spine is densified per type so the 1- and
+    // 7-day lags are true calendar lags; all |diff| sums are exact
+    // integers, the MASE ratio is the only double math
+    "q246_mase" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+        |y AS (SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+        |  FROM spine s LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day),
+        |l AS (SELECT event_type, day, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS l1,
+        |    lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS ls
+        |  FROM y)
+        |SELECT event_type, count(*) AS n_days,
+        |  CAST(sum(CASE WHEN ls IS NOT NULL THEN abs(n - ls) END) AS BIGINT) AS sae_seasonal,
+        |  CAST(sum(CASE WHEN l1 IS NOT NULL THEN abs(n - l1) END) AS BIGINT) AS sae_naive,
+        |  CASE WHEN CAST(sum(CASE WHEN l1 IS NOT NULL THEN abs(n - l1) END) AS BIGINT) = 0
+        |    THEN NULL
+        |    ELSE (CAST(sum(CASE WHEN ls IS NOT NULL THEN abs(n - ls) END) AS DOUBLE)
+        |        / CAST(count(ls) AS DOUBLE))
+        |      / (CAST(sum(CASE WHEN l1 IS NOT NULL THEN abs(n - l1) END) AS DOUBLE)
+        |        / CAST(count(l1) AS DOUBLE))
+        |  END AS mase
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q247: the prefix is pure integer math on the rational threshold
+    // (⌈4n/5⌉ = (4n+4)//5 — a float ceil(0.8·n) rounds off-lattice);
+    // the verify stage recomputes exact intersections, so the output
+    // is q22's result set to the bit
+    "q247_prefix_jaccard" ->
+      s"""WITH $shingleCte,
+         |w1 AS (SELECT doc_id, shingle,
+         |    count(*) OVER (PARTITION BY shingle) AS df,
+         |    count(*) OVER (PARTITION BY doc_id) AS n
+         |  FROM sh),
+         |p AS (SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, n,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, shingle ASC) AS rn
+         |    FROM w1) t
+         |  WHERE rn <= n - ((4 * n + 4) // 5) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8""".stripMargin,
+    // q248: the Morton interleave is generated as the same 20-term
+    // integer expression both engines evaluate exactly; layouts,
+    // min/max envelopes and pruning are all integer bit math
+    "q248_zorder" -> {
+      val inter = (0 until 10).map(i =>
+        s"((ub >> $i) & 1) * ${1L << (2 * i)} + ((hb >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""WITH e0 AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |hm AS (SELECT min(us // 3600000000) AS hmin FROM e0),
+         |k AS (SELECT (user_id * 2654435761) % 1024 AS ub,
+         |    (us // 3600000000 - hmin) % 1024 AS hb FROM e0, hm),
+         |t AS (SELECT ub, hb, ($inter) AS z,
+         |    CASE WHEN ub BETWEEN 256 AND 511 AND hb BETWEEN 96 AND 215
+         |      THEN 1 ELSE 0 END AS rin
+         |  FROM k),
+         |x AS (SELECT ub, hb, rin, 'zorder' AS layout, z >> 14 AS file FROM t
+         |  UNION ALL SELECT ub, hb, rin, 'linear' AS layout, hb >> 4 AS file FROM t),
+         |pf AS (SELECT layout, file, count(*) AS n, CAST(sum(rin) AS BIGINT) AS rin,
+         |    min(ub) AS minu, max(ub) AS maxu, min(hb) AS minh, max(hb) AS maxh
+         |  FROM x GROUP BY layout, file)
+         |SELECT layout, count(*) AS n_files, CAST(sum(n) AS BIGINT) AS rows_total,
+         |  CAST(sum(rin) AS BIGINT) AS rows_in_rect,
+         |  CAST(sum(CASE WHEN minu <= 511 AND maxu >= 256 AND minh <= 215 AND maxh >= 96
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+         |  CAST(sum(CASE WHEN minu <= 511 AND maxu >= 256 AND minh <= 215 AND maxh >= 96
+         |    THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+         |  CASE WHEN CAST(sum(rin) AS BIGINT) = 0 THEN NULL
+         |    ELSE CAST(sum(CASE WHEN minu <= 511 AND maxu >= 256 AND minh <= 215 AND maxh >= 96
+         |        THEN n ELSE 0 END) AS DOUBLE) / CAST(sum(rin) AS DOUBLE)
+         |  END AS scan_amplification
+         |FROM pf GROUP BY layout ORDER BY layout""".stripMargin
+    },
+    // q249: the oracle replays the flagged-cell classification, the
+    // monoid merge AND the independent full recompute — the flag is
+    // recomputed on both engines, never assumed
+    "q249_join_ivm" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    o_orderdate < TIMESTAMP '1998-01-01' AS oold FROM orders),
+        |l AS (SELECT l_orderkey, CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qu,
+        |    l_shipdate < TIMESTAMP '1998-01-01' AS lold FROM lineitem),
+        |cells AS (SELECT o_orderpriority, oold, lold, count(*) AS n,
+        |    CAST(sum(qu) AS BIGINT) AS qs
+        |  FROM o JOIN l ON o_orderkey = l_orderkey GROUP BY 1, 2, 3),
+        |m AS (SELECT o_orderpriority,
+        |    CAST(sum(CASE WHEN oold AND lold THEN n ELSE 0 END) AS BIGINT) AS n_old,
+        |    CAST(sum(CASE WHEN NOT oold AND lold THEN n ELSE 0 END) AS BIGINT) AS n_delta_orders,
+        |    CAST(sum(CASE WHEN oold AND NOT lold THEN n ELSE 0 END) AS BIGINT) AS n_delta_lines,
+        |    CAST(sum(CASE WHEN NOT oold AND NOT lold THEN n ELSE 0 END) AS BIGINT) AS n_delta_both,
+        |    CAST(sum(n) AS BIGINT) AS n_merged, CAST(sum(qs) AS BIGINT) AS q_merged
+        |  FROM cells GROUP BY 1),
+        |f AS (SELECT o_orderpriority, count(*) AS n_full, CAST(sum(qu) AS BIGINT) AS qty_units
+        |  FROM o JOIN l ON o_orderkey = l_orderkey GROUP BY 1)
+        |SELECT f.o_orderpriority, n_old, n_delta_orders, n_delta_lines, n_delta_both,
+        |  n_full, qty_units,
+        |  CASE WHEN n_merged = n_full AND q_merged = qty_units THEN 1 ELSE 0 END
+        |    AS ivm_matches_full
+        |FROM f JOIN m ON m.o_orderpriority = f.o_orderpriority
+        |ORDER BY f.o_orderpriority""".stripMargin,
+    // q250: five generated candidate blocks, each one keyed
+    // count-distinct rollup — all-integer except the final rate
+    "q250_fd_audit" -> {
+      def block(name: String, table: String, x: String, y: String) =
+        s"""SELECT '$name' AS fd, count(*) AS n_groups,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS violation_rate,
+           |  max(nd) AS max_rhs
+           |FROM (SELECT $x AS x, count(DISTINCT $y) AS nd FROM $table GROUP BY $x) g""".stripMargin
+      Seq(
+        block("documents: source -> lang", "documents", "source", "lang"),
+        block("documents: lang -> source", "documents", "lang", "source"),
+        block("events: user_id -> event_type", "events", "user_id", "event_type"),
+        block("lineitem: l_orderkey -> l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+        block("orders: o_custkey -> o_orderstatus", "orders", "o_custkey", "o_orderstatus")
+      ).mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY fd")
+    },
+    // q251: q119-style generated supersteps — the state vector and
+    // CONV accumulator advance through 8 CTE rounds with the SAME
+    // order-pinned src fold and literal accumulation order as the
+    // Spark frames; removal chains delete a state's transitions
+    // without renormalizing
+    "q251_markov_attribution" -> {
+      val stepCte = (k: Int) =>
+        s"""s$k AS (SELECT t.chain, t.dst, v.state AS src, v.v * t.p AS term
+           |  FROM v${k - 1} v JOIN tmc t ON t.chain = v.chain AND t.src = v.state),
+           |n$k AS (SELECT chain, dst,
+           |    list_reduce(list_prepend(0.0, list(term ORDER BY src)), (a, b) -> a + b) AS v
+           |  FROM s$k GROUP BY chain, dst),
+           |v$k AS (SELECT chain, dst AS state, v FROM n$k WHERE dst NOT IN ('CONV', 'END')),
+           |a$k AS (SELECT a.chain, a.acc + COALESCE(c.v, 0.0) AS acc
+           |  FROM a${k - 1} a LEFT JOIN (SELECT chain, v FROM n$k WHERE dst = 'CONV') c
+           |    ON c.chain = a.chain)""".stripMargin
+      s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         |o AS (SELECT *,
+         |    lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS nxt,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prv
+         |  FROM ev),
+         |ts0 AS (SELECT 'START' AS src,
+         |    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS dst
+         |  FROM o WHERE prv IS NULL OR prv = 'purchase'),
+         |ts1 AS (SELECT event_type AS src,
+         |    CASE WHEN nxt IS NULL THEN 'END'
+         |      WHEN nxt = 'purchase' THEN 'CONV' ELSE nxt END AS dst
+         |  FROM o WHERE event_type <> 'purchase'),
+         |tc AS (SELECT src, dst, count(*) AS c
+         |  FROM (SELECT * FROM ts0 UNION ALL SELECT * FROM ts1) u GROUP BY 1, 2),
+         |tm AS (SELECT src, dst,
+         |    CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY src) AS DOUBLE) AS p
+         |  FROM tc),
+         |ch AS (SELECT unnest(['full', 'click', 'view', 'signup', 'error']) AS chain),
+         |tmc AS (SELECT chain, src, dst, p FROM tm, ch
+         |  WHERE chain = 'full' OR (src <> chain AND dst <> chain)),
+         |v0 AS (SELECT chain, 'START' AS state, CAST(1.0 AS DOUBLE) AS v FROM ch),
+         |a0 AS (SELECT chain, CAST(0.0 AS DOUBLE) AS acc FROM ch),
+         |${(1 to 8).map(stepCte).mkString(",\n")},
+         |f AS (SELECT acc AS p_full FROM a8 WHERE chain = 'full'),
+         |r AS (SELECT chain AS channel, acc AS removal_conv_prob FROM a8 WHERE chain <> 'full'),
+         |e AS (SELECT channel, p_full AS full_conv_prob, removal_conv_prob,
+         |    1.0 - removal_conv_prob / p_full AS removal_effect FROM r, f),
+         |s AS (SELECT list_reduce(list_prepend(0.0,
+         |    list(removal_effect ORDER BY channel)), (a, b) -> a + b) AS tot FROM e)
+         |SELECT channel, full_conv_prob, removal_conv_prob, removal_effect,
+         |  removal_effect / tot AS attribution_share
+         |FROM e, s ORDER BY channel""".stripMargin
+    },
+    // q252: ranking ties pinned (count desc, token asc); masses are
+    // integer sums, the share one divide against the windowed total
+    "q252_tail_collapse" ->
+      """WITH counts AS (SELECT source, token, count(*) AS c FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY source, token),
+        |ranked AS (SELECT source, token, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, token ASC) AS rn
+        |  FROM counts),
+        |rolled AS (SELECT source,
+        |    CASE WHEN rn <= 10 THEN token ELSE '__OTHER__' END AS category,
+        |    count(*) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM ranked GROUP BY 1, 2)
+        |SELECT source, category, n_types, n_tokens,
+        |  CAST(n_tokens AS DOUBLE)
+        |    / CAST(sum(n_tokens) OVER (PARTITION BY source) AS DOUBLE) AS share
+        |FROM rolled ORDER BY source, n_tokens DESC, category""".stripMargin,
+    // q253: generated per-feature blocks over ONE shared conditional
+    // aggregate; all gini math is polynomial on exact integers (the
+    // log-free rule)
+    "q253_gini_gain" -> {
+      def block(f: String) = {
+        val (nt, pt) = (s"${f}_n", s"${f}_pos")
+        s"""SELECT '$f' AS feature, $nt AS n_true, $pt AS pos_true,
+           |  n - $nt AS n_false, pos - $pt AS pos_false,
+           |  1.0 - CAST(pos * pos + (n - pos) * (n - pos) AS DOUBLE)
+           |    / CAST(n * n AS DOUBLE) AS gini_parent,
+           |  CASE WHEN $nt = 0 THEN 0.0 ELSE
+           |    (CAST($nt AS DOUBLE) / CAST(n AS DOUBLE))
+           |      * (1.0 - CAST($pt * $pt + ($nt - $pt) * ($nt - $pt) AS DOUBLE)
+           |        / CAST($nt * $nt AS DOUBLE)) END
+           |  + CASE WHEN n - $nt = 0 THEN 0.0 ELSE
+           |    (CAST(n - $nt AS DOUBLE) / CAST(n AS DOUBLE))
+           |      * (1.0 - CAST((pos - $pt) * (pos - $pt)
+           |          + ((n - $nt) - (pos - $pt)) * ((n - $nt) - (pos - $pt)) AS DOUBLE)
+           |        / CAST((n - $nt) * (n - $nt) AS DOUBLE)) END AS gini_split
+           |FROM g""".stripMargin
+      }
+      val feats = Seq("f_len", "f_tok", "f_parity", "f_src")
+      val sums = feats.map { f =>
+        s"""CAST(sum(CASE WHEN $f THEN 1 ELSE 0 END) AS BIGINT) AS ${f}_n,
+           |    CAST(sum(CASE WHEN $f THEN y ELSE 0 END) AS BIGINT) AS ${f}_pos""".stripMargin
+      }.mkString(",\n    ")
+      s"""WITH d AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    n_chars >= 300 AS f_len,
+         |    len(string_split(text, ' ')) >= 60 AS f_tok,
+         |    doc_id % 2 = 0 AS f_parity,
+         |    source < 'src5' AS f_src
+         |  FROM documents),
+         |g AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS pos,
+         |    $sums
+         |  FROM d)
+         |SELECT feature, n_true, pos_true, n_false, pos_false,
+         |  gini_parent, gini_split, gini_parent - gini_split AS gain
+         |FROM (
+         |${feats.map(block).mkString("\nUNION ALL\n")}
+         |) u ORDER BY feature""".stripMargin
+    },
+    // q254: ring/mod ownership replayed with the q241 md5 fold; the
+    // sorted point arrays come from 1-row aggregate subqueries, and
+    // ownership is the first at-or-after point with wrap fallback
+    "q254_rebalance_churn" ->
+      """WITH keys AS (SELECT list_reduce(list_transform(range(1, 16),
+        |    i -> CAST(strpos('0123456789abcdef',
+        |      substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS kh FROM documents),
+        |pts AS (SELECT i AS pid, list_reduce(list_transform(range(1, 16),
+        |    j -> CAST(strpos('0123456789abcdef',
+        |      substring(md5('shard:' || CAST(i AS VARCHAR)), j, 1)) - 1 AS BIGINT)),
+        |    (a, b) -> a * 16 + b) AS ph
+        |  FROM (SELECT unnest(range(0, 65)) AS i) t),
+        |a64 AS (SELECT list_sort(list(ph)) AS p64 FROM pts WHERE pid < 64),
+        |a65 AS (SELECT list_sort(list(ph)) AS p65 FROM pts),
+        |f AS (SELECT
+        |    CASE WHEN kh % 64 <> kh % 65 THEN 1 ELSE 0 END AS mv_mod,
+        |    CASE WHEN COALESCE(list_filter(p64, x -> x >= kh)[1], p64[1])
+        |      <> COALESCE(list_filter(p65, x -> x >= kh)[1], p65[1])
+        |      THEN 1 ELSE 0 END AS mv_ring
+        |  FROM keys, a64, a65),
+        |s AS (SELECT count(*) AS n_keys, CAST(sum(mv_mod) AS BIGINT) AS mod_moved,
+        |    CAST(sum(mv_ring) AS BIGINT) AS ring_moved FROM f)
+        |SELECT * FROM (
+        |  SELECT 'mod' AS scheme, n_keys, mod_moved AS n_moved,
+        |    CAST(mod_moved AS DOUBLE) / CAST(n_keys AS DOUBLE) AS moved_frac FROM s
+        |  UNION ALL
+        |  SELECT 'ring' AS scheme, n_keys, ring_moved AS n_moved,
+        |    CAST(ring_moved AS DOUBLE) / CAST(n_keys AS DOUBLE) AS moved_frac FROM s) u
+        |ORDER BY scheme""".stripMargin,
+    // q255: the k per-depth RBO weights are computed ONCE driver-side
+    // and embedded as identical round-trip double literals in both
+    // engines — pow never runs in either plan; per-pair sums use the
+    // order-pinned token fold
+    "q255_rbo" -> {
+      val k = 20; val p = 0.9
+      val weights = (1 to k).map(m =>
+        (1.0 - p) * (m to k).map(d => math.pow(p, d - 1) / d).sum)
+      // exponent-suffix each literal: a bare decimal is DECIMAL in
+      // DuckDB and CAST(decimal AS DOUBLE) re-rounds THROUGH the
+      // decimal (measured 1-ulp drift on 3 of the 20 weights); an
+      // exponent literal parses straight to the nearest DOUBLE
+      val wlist = weights.map { w =>
+        val s = w.toString
+        if (s.contains("E") || s.contains("e")) s else s + "e0"
+      }.mkString("[", ", ", "]")
+      s"""WITH counts AS (SELECT source, token, count(*) AS c FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY source, token),
+         |tops AS (SELECT source, token, rn FROM (
+         |    SELECT source, token,
+         |      row_number() OVER (PARTITION BY source ORDER BY c DESC, token ASC) AS rn
+         |    FROM counts) t WHERE rn <= $k),
+         |m AS (SELECT a.source AS source_a, b.source AS source_b, a.token,
+         |    CASE WHEN a.rn > b.rn THEN a.rn ELSE b.rn END AS m
+         |  FROM tops a JOIN tops b ON a.token = b.token AND a.source < b.source),
+         |r AS (SELECT source_a, source_b, count(*) AS n_overlap,
+         |    list_reduce(list_prepend(0.0, list(($wlist)[m] ORDER BY token)),
+         |      (x, y) -> x + y) AS rbo
+         |  FROM m GROUP BY 1, 2),
+         |s AS (SELECT DISTINCT source FROM tops),
+         |g AS (SELECT a.source AS source_a, b.source AS source_b
+         |  FROM s a JOIN s b ON a.source < b.source)
+         |SELECT g.source_a, g.source_b,
+         |  COALESCE(r.n_overlap, 0) AS n_overlap, COALESCE(r.rbo, 0.0) AS rbo
+         |FROM g LEFT JOIN r ON r.source_a = g.source_a AND r.source_b = g.source_b
+         |ORDER BY 1, 2""".stripMargin
+    },
+    // q256: the oracle replays the generation split (even/odd
+    // event_id) on the original table — certifying that old-gen rows
+    // read back as NULL units and new-gen sums survive the merge
+    "q256_schema_evolution" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_evolved,
+        |  CAST(sum(CASE WHEN event_id % 2 = 1
+        |    THEN CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) END) AS BIGINT) AS evolved_units,
+        |  CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS all_units
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q257: per-pair generated CTE chunks; the statistics and the
+    // truth come from the same keyed count frames, and the four
+    // estimate terms combine in one pinned double order
+    "q257_join_estimate" -> {
+      def ctes(q: String, ta: String, ka: String, tb: String, kb: String) =
+        s"""${q}ca AS (SELECT $ka AS k, count(*) AS c FROM $ta GROUP BY 1),
+           |${q}cb AS (SELECT $kb AS k, count(*) AS c FROM $tb GROUP BY 1),
+           |${q}ha AS (SELECT k, c FROM ${q}ca ORDER BY c DESC, k ASC LIMIT 50),
+           |${q}hb AS (SELECT k, c FROM ${q}cb ORDER BY c DESC, k ASC LIMIT 50),
+           |${q}st AS (SELECT
+           |  (SELECT count(*) FROM ${q}ca) AS d_a,
+           |  (SELECT CAST(sum(c) AS BIGINT) FROM ${q}ca) AS n_a,
+           |  (SELECT count(*) FROM ${q}cb) AS d_b,
+           |  (SELECT CAST(sum(c) AS BIGINT) FROM ${q}cb) AS n_b,
+           |  (SELECT count(*) FROM ${q}ha) AS h_a,
+           |  (SELECT CAST(sum(c) AS BIGINT) FROM ${q}ha) AS nh_a,
+           |  (SELECT count(*) FROM ${q}hb) AS h_b,
+           |  (SELECT CAST(sum(c) AS BIGINT) FROM ${q}hb) AS nh_b,
+           |  (SELECT COALESCE(CAST(sum(a.c * b.c) AS BIGINT), 0)
+           |    FROM ${q}ha a JOIN ${q}hb b ON a.k = b.k) AS x_heavy,
+           |  (SELECT COALESCE(CAST(sum(a.c) AS BIGINT), 0) FROM ${q}ha a
+           |    WHERE NOT EXISTS (SELECT 1 FROM ${q}hb b WHERE b.k = a.k)) AS s_aonly,
+           |  (SELECT COALESCE(CAST(sum(b.c) AS BIGINT), 0) FROM ${q}hb b
+           |    WHERE NOT EXISTS (SELECT 1 FROM ${q}ha a WHERE a.k = b.k)) AS s_bonly,
+           |  (SELECT COALESCE(CAST(sum(a.c * b.c) AS BIGINT), 0)
+           |    FROM ${q}ca a JOIN ${q}cb b ON a.k = b.k) AS actual_rows)""".stripMargin
+      def sel(q: String, name: String) =
+        s"""SELECT '$name' AS join_name, d_a, d_b, actual_rows,
+           |  CAST(x_heavy AS DOUBLE)
+           |  + CASE WHEN d_b - h_b = 0 THEN 0.0 ELSE CAST(s_aonly AS DOUBLE)
+           |      * (CAST(n_b - nh_b AS DOUBLE) / CAST(d_b - h_b AS DOUBLE)) END
+           |  + CASE WHEN d_a - h_a = 0 THEN 0.0 ELSE CAST(s_bonly AS DOUBLE)
+           |      * (CAST(n_a - nh_a AS DOUBLE) / CAST(d_a - h_a AS DOUBLE)) END
+           |  + CASE WHEN d_a - h_a = 0 OR d_b - h_b = 0 THEN 0.0
+           |      ELSE CAST(least(d_a - h_a, d_b - h_b) AS DOUBLE)
+           |        * (CAST(n_a - nh_a AS DOUBLE) / CAST(d_a - h_a AS DOUBLE))
+           |        * (CAST(n_b - nh_b AS DOUBLE) / CAST(d_b - h_b AS DOUBLE)) END
+           |  AS est_rows
+           |FROM ${q}st""".stripMargin
+      s"""WITH ${ctes("p1", "orders", "o_orderkey", "lineitem", "l_orderkey")},
+         |${ctes("p2", "customer", "c_custkey", "orders", "o_custkey")},
+         |${ctes("p3", "part", "p_partkey", "lineitem", "l_partkey")}
+         |SELECT join_name, d_a, d_b, actual_rows, est_rows,
+         |  abs(est_rows - CAST(actual_rows AS DOUBLE))
+         |    / CAST(actual_rows AS DOUBLE) AS rel_err
+         |FROM (
+         |${sel("p1", "orders_lineitem")}
+         |UNION ALL
+         |${sel("p2", "customer_orders")}
+         |UNION ALL
+         |${sel("p3", "part_lineitem")}
+         |) u ORDER BY join_name""".stripMargin
+    }
   )
 }

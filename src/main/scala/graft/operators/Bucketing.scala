@@ -119,4 +119,75 @@ object Bucketing {
       .groupBy("o_orderkey")
       .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("total_qty"))
   }
+
+  /** q248: Z-order (Morton-curve) layout audit — the data-skipping
+    * case for multi-dimensional clustering, measured not asserted.
+    * Events are keyed by (user bucket, hour index), each 10 bits; the
+    * z-value interleaves the bits.  The user bucket is the Knuth
+    * multiplicative spread `(user_id·2654435761) mod 1024` — raw ids
+    * occupy an SF-dependent dense prefix (0..149 at sf0.01), which
+    * would leave the rectangle's user band empty; hashing fills all
+    * 1024 buckets at any SF, the hash-distribute-then-z-order layout
+    * real lakes use for point-lookup dimensions (id < 2³² keeps the
+    * product inside 2⁶³ exactly on both engines).  Two simulated file layouts split
+    * the SAME rows into equal-key-range files (top 6 bits of the
+    * ordering key — how a z-sorted writer actually lands files):
+    * `zorder` files = z >> 14, `linear` (hour-clustered) files =
+    * hb >> 4.  A 2-D rectangle query (user ∈ [256,511], hour ∈
+    * [96,215]) is then priced with standard per-file min/max pruning:
+    * a file is read iff its [min,max] envelope on BOTH dimensions
+    * overlaps the rectangle.  rows_in_rect is layout-invariant (same
+    * rows!); scan_amplification = rows_scanned / rows_in_rect is the
+    * number the layout changes — z-order bounds BOTH envelope widths
+    * per file, hour-linear prunes hours but reads every user range.
+    *
+    * Exactness: everything through file assignment is integer bit
+    * math (pmod, shifts, masks — identical on both engines); the
+    * single double divide happens once at the end.
+    *
+    * 100 TB shape: this is the audit you run BEFORE rewriting a
+    * petabyte table: one scan → keyed (layout, file) aggregate →
+    * 2-row answer.  The bounded hmin frame broadcasts; no window, no
+    * sort — the curve's locality does the clustering analytically.
+    */
+  def zorderAudit(spark: SparkSession, dir: String): DataFrame = {
+    val bits = 10
+    val e0 = graft.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val hmin = e0.agg(min(expr("us div 3600000000")).as("hmin"))
+    val keyed = e0.crossJoin(broadcast(hmin)).select(
+      pmod(col("user_id") * lit(2654435761L), lit(1024L)).as("ub"),
+      pmod(expr("us div 3600000000") - col("hmin"), lit(1024L)).as("hb"))
+    val z = (0 until bits).map { i =>
+      shiftright(col("ub"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
+        shiftright(col("hb"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    val inRect = (col("ub").between(256L, 511L) && col("hb").between(96L, 215L))
+      .cast("long")
+    val tagged = keyed
+      .select(col("ub"), col("hb"), shiftright(z, 14).as("fz"),
+        shiftright(col("hb"), 4).as("flin"), inRect.as("rin"))
+      .select(col("ub"), col("hb"), col("rin"), explode(array(
+        struct(lit("zorder").as("layout"), col("fz").as("file")),
+        struct(lit("linear").as("layout"), col("flin").as("file")))).as("e"))
+      .select(col("ub"), col("hb"), col("rin"), col("e.layout"), col("e.file"))
+    val perFile = tagged.groupBy("layout", "file")
+      .agg(count(lit(1)).as("n"), sum(col("rin")).as("rin"),
+        min(col("ub")).as("minu"), max(col("ub")).as("maxu"),
+        min(col("hb")).as("minh"), max(col("hb")).as("maxh"))
+    val touched = col("minu") <= 511L && col("maxu") >= 256L &&
+      col("minh") <= 215L && col("maxh") >= 96L
+    perFile.groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n")).as("rows_total"),
+        sum(col("rin")).as("rows_in_rect"),
+        sum(when(touched, 1L).otherwise(0L)).as("files_touched"),
+        sum(when(touched, col("n")).otherwise(0L)).as("rows_scanned"))
+      .select(col("layout"), col("n_files"), col("rows_total"),
+        col("rows_in_rect"), col("files_touched"), col("rows_scanned"),
+        when(col("rows_in_rect") === 0L, lit(null).cast("double"))
+          .otherwise(col("rows_scanned").cast("double")
+            / col("rows_in_rect").cast("double")).as("scan_amplification"))
+      .orderBy("layout")
+  }
 }

@@ -1181,4 +1181,110 @@ object Dedup {
       .select(col("name_a"), col("n_a"), col("name_b").as("best_match"),
         col("n_b").as("n_best"), col("jw"))
   }
+
+  /** q244: multi-source BFS over the MinHash-LSH duplicate graph —
+    * exact hop distance (≤ `hops`) from the deterministic seed set
+    * (the `nSeeds` smallest doc_ids present in the graph — always
+    * non-empty at any SF, unlike a modulus rule), reported as the
+    * distance histogram.  Answers the curation question "how much of
+    * the dup graph is within h links of a flagged set" (contamination
+    * spread, takedown blast-radius).
+    *
+    * Frontier supersteps in the q119/q72 mold: the edge list is
+    * materialized once (Pins.eager) and every round is ONE
+    * frontier⋈edges equi-join on src plus a min-aggregate — state is
+    * the (id, dist) frame, never paths.  Nodes outside the LSH graph
+    * are out of scope by construction (an isolated doc has no row in
+    * the edge list and distance 0 from itself adds no curation
+    * information).
+    *
+    * 100 TB shape: each superstep shuffles only the CURRENT frontier
+    * keyed by src against the id-partitioned edge blocks; the
+    * distance frame re-uses the id partitioning across rounds and the
+    * driver holds nothing (the histogram is the only collect-free
+    * output, ≤ hops+1 rows).
+    */
+  def bfsHops(spark: SparkSession, dir: String,
+              hops: Int = 3, nSeeds: Int = 8): DataFrame = {
+    val pairs = graft.util.Pins.eager(
+      minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = edges.select(col("src").as("id")).distinct()
+    // TakeOrdered over nSeeds rows — a bounded global min-k, not a sort
+    var dist = nodes.orderBy(col("id")).limit(nSeeds)
+      .select(col("id"), lit(0).as("dist"))
+    for (h <- 1 to hops) {
+      val frontier = dist.filter(col("dist") === h - 1)
+        .withColumnRenamed("id", "src")
+      val nxt = frontier.join(edges, "src")
+        .select(col("dst").as("id"), lit(h).as("dist"))
+      dist = graft.util.Pins.eager(
+        dist.union(nxt).groupBy("id").agg(min(col("dist")).as("dist")))
+    }
+    dist.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
+  }
+
+  /** q247: exact-threshold Jaccard join via PREFIX FILTERING (the
+    * AllPairs/PPJoin candidate rule) — the TRUE scale path for q22's
+    * deliberately-quadratic inverted-index baseline, with the SAME
+    * output contract (doc_a < doc_b, |A∩B|/|A∪B| ≥ 0.8) and — unlike
+    * q45's df-cap — the EXACT same result set, guaranteed, not
+    * approximated (OperatorSpec asserts set equality vs q22).
+    *
+    * The rule: order every document's shingles by the GLOBAL
+    * (df asc, shingle asc) total order — rarest first — and keep only
+    * the first n − ⌈t·n⌉ + 1 as the document's prefix.  For any pair
+    * with J ≥ t the globally-smallest SHARED shingle sits inside BOTH
+    * prefixes (all shared shingles rank at-or-after it, so its
+    * position in X is ≤ |X| − |A∩B| + 1 ≤ |X| − ⌈t|X|⌉ + 1), hence the
+    * prefix⋈prefix equi-join misses nothing.  Candidate fan-out is
+    * driven by RARE shingles — exactly the opposite of q22's
+    * stop-phrase blow-up; hot shingles land in nobody's prefix.
+    *
+    * Exactness: the prefix length uses the rational threshold
+    * t = 4/5 in pure integer math (⌈4n/5⌉ = (4n+4) div 5) — a float
+    * ceil(0.8·n) rounds UP off the lattice (0.8 is not binary) and
+    * would shorten prefixes below the guarantee.  Intersections are
+    * then recomputed exactly per candidate (candidate-driven: pair ⋈
+    * A-shingles ⋈ B-shingles), so scores are identical to q22's.
+    *
+    * 100 TB shape: three keyed shuffles (df attach on shingle,
+    * prefix⋈prefix on shingle, verify joins on doc ids); per-shingle
+    * fan-out is bounded by its PREFIX df, which the global order keeps
+    * at the rare tail.  Σ|prefix| ≈ (1−t)·corpus shingles — the index
+    * is 5× smaller than q22's before any pair forms.
+    */
+  def prefixJaccard(spark: SparkSession, dir: String,
+                    shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleSet(Tables.documents(spark, dir), shingleN)
+    // df via a window on shingle: one shuffle, reused by the prefix
+    // self-join on the same key (the q22 df-cap branch's trick)
+    val ranked = sh
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("shingle")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = graft.util.Pins.eager(
+      ranked.filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
+        .select(col("doc_id"), col("shingle")))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("na") + col("nb") - col("inter")).cast("double")
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(jac >= 0.8)
+      .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
+  }
 }

@@ -1795,4 +1795,205 @@ object EventOps {
         (col("n_rows") - col("n_nonnull")).as("n_null"),
         col("n_distinct"), col("sum_nk"), col("avg_nk"), col("head_nulls_first"))
   }
+
+  /** q251: Markov removal-effect attribution — the model-based answer
+    * to q149's last-touch heuristic.  User journeys (split at each
+    * purchase) define a first-order chain over transient states
+    * {START, click, view, signup, error} with absorbing {CONV, END};
+    * for each channel c the chain is re-run with c REMOVED (its
+    * transitions deleted, NOT renormalized — paths through c simply
+    * fail to convert), and the channel's credit is its removal
+    * effect 1 − P_removed/P_full, normalized into attribution
+    * shares.
+    *
+    * Absorption probabilities run `iters` unrolled superstep rounds
+    * in the q217/q242 mold: the state vector is a (chain, state, v)
+    * frame (≤ 5 chains × 4 states), each round one join against the
+    * broadcast transition frame, summed by the ORDER-PINNED fold
+    * over src (q119's rule), CONV mass accumulated per round in
+    * literal order.  Mass still transient after the last round is
+    * dropped on both engines identically — the truncation is part of
+    * the (deterministic) metric definition.
+    *
+    * Exactness: T entries are exact-integer ratios; every
+    * vector/accumulator update is correctly-rounded IEEE in one
+    * pinned operation order.
+    *
+    * 100 TB shape: the corpus contributes ONE pass (the windowed
+    * transition extraction + keyed count); everything after runs on
+    * the channels²-sized matrix — supersteps never touch the data
+    * again.
+    */
+  def markovAttribution(spark: SparkSession, dir: String,
+                        iters: Int = 8): DataFrame = {
+    def fold(src: Column, term: Column): Column =
+      aggregate(sort_array(collect_list(struct(src.as("s"), term.as("t")))),
+        lit(0.0), (a, x) => a + x.getField("t"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val o = ev
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .withColumn("prv", lag(col("event_type"), 1).over(w))
+    val ts0 = o.filter(col("prv").isNull || col("prv") === "purchase")
+      .select(lit("START").as("src"),
+        when(col("event_type") === "purchase", "CONV")
+          .otherwise(col("event_type")).as("dst"))
+    val ts1 = o.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"),
+        when(col("nxt").isNull, "END")
+          .when(col("nxt") === "purchase", "CONV")
+          .otherwise(col("nxt")).as("dst"))
+    val tc = ts0.unionAll(ts1).groupBy("src", "dst").agg(count(lit(1)).as("c"))
+    val tm = graft.util.Pins.eager(tc
+      .withColumn("p", col("c").cast("double")
+        / sum(col("c")).over(Window.partitionBy("src")).cast("double"))
+      .select(col("src"), col("dst"), col("p")))
+    val chains = spark.createDataFrame(
+      Seq("full", "click", "view", "signup", "error").map(Tuple1(_)))
+      .toDF("chain")
+    val tmc = graft.util.Pins.eager(chains.crossJoin(tm)
+      .filter(col("chain") === "full" ||
+        (col("src") =!= col("chain") && col("dst") =!= col("chain"))))
+    var v: DataFrame = chains.select(col("chain"), lit("START").as("state"),
+      lit(1.0).as("v"))
+    var acc: DataFrame = chains.select(col("chain"), lit(0.0).as("acc"))
+    for (_ <- 1 to iters) {
+      val nk = graft.util.Pins.eager(
+        v.alias("vv").join(tmc.alias("tt"),
+            col("vv.chain") === col("tt.chain") && col("tt.src") === col("vv.state"))
+          .select(col("vv.chain").as("chain"), col("tt.dst").as("dst"),
+            col("vv.state").as("s"), (col("vv.v") * col("tt.p")).as("term"))
+          .groupBy("chain", "dst")
+          .agg(fold(col("s"), col("term")).as("v")))
+      v = nk.filter(!col("dst").isin("CONV", "END"))
+        .select(col("chain"), col("dst").as("state"), col("v"))
+      acc = graft.util.Pins.eager(
+        acc.join(nk.filter(col("dst") === "CONV").select(col("chain"), col("v")),
+            Seq("chain"), "left")
+          .select(col("chain"), (col("acc") + coalesce(col("v"), lit(0.0))).as("acc")))
+    }
+    val full = acc.filter(col("chain") === "full")
+      .select(col("acc").as("p_full"))
+    val eff = acc.filter(col("chain") =!= "full")
+      .select(col("chain").as("channel"), col("acc").as("removal_conv_prob"))
+      .crossJoin(broadcast(full))
+      .select(col("channel"), col("p_full").as("full_conv_prob"),
+        col("removal_conv_prob"),
+        (lit(1.0) - col("removal_conv_prob") / col("p_full")).as("removal_effect"))
+    val tot = eff.agg(fold(col("channel"), col("removal_effect")).as("tot"))
+    eff.crossJoin(broadcast(tot))
+      .select(col("channel"), col("full_conv_prob"), col("removal_conv_prob"),
+        col("removal_effect"),
+        (col("removal_effect") / col("tot")).as("attribution_share"))
+      .orderBy("channel")
+  }
+
+  /** q245: item-item collaborative filtering — cosine similarity
+    * between event_types over their per-user interaction-count
+    * vectors, damped by the standard shrinkage factor
+    * n_co/(n_co + λ) (few co-users ⇒ low-confidence similarity), then
+    * the symmetric top-`topK` neighbor list per item.  This is the
+    * implicit-feedback item-kNN recommender primitive; q107's raw
+    * co-occurrence counts stop one step earlier (no normalization, no
+    * neighbor ranking).
+    *
+    * Exactness: dot products and squared norms are exact BIGINT sums
+    * of count products; `dot / (sqrt(ssa)·sqrt(ssb))` and the
+    * shrinkage multiply are correctly-rounded IEEE on identical
+    * operands, and the neighbor ranking breaks ties on the total
+    * order (shrunk desc, neighbor asc) so both engines rank
+    * identically.
+    *
+    * 100 TB shape: the self-join is keyed on user_id — per-user cost
+    * is (items-touched)², bounded by the catalog, and production caps
+    * hyper-user fanout (drop users touching > T items: they carry no
+    * signal).  Norms are a small per-item frame, broadcast into the
+    * pair scoring; the window ranks ≤ items² pairs, a dimension-sized
+    * (not corpus-sized) frame.
+    */
+  def itemNeighbors(spark: SparkSession, dir: String,
+                    topK: Int = 3, shrink: Double = 25.0): DataFrame = {
+    val r = graft.util.Pins.eager(
+      Tables.events(spark, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c")))
+    val norms = r.groupBy("event_type")
+      .agg(sum(col("c") * col("c")).as("ss"))
+    val co = r.select(col("user_id"), col("event_type").as("item_a"), col("c").as("ca"))
+      .join(r.select(col("user_id"), col("event_type").as("item_b"), col("c").as("cb")),
+        Seq("user_id"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(sum(col("ca") * col("cb")).as("dot"), count(lit(1)).as("co_users"))
+    val sim = co
+      .join(broadcast(norms.select(col("event_type").as("item_a"), col("ss").as("ssa"))), Seq("item_a"))
+      .join(broadcast(norms.select(col("event_type").as("item_b"), col("ss").as("ssb"))), Seq("item_b"))
+      .select(col("item_a"), col("item_b"), col("co_users"),
+        (col("dot").cast("double")
+          / (sqrt(col("ssa").cast("double")) * sqrt(col("ssb").cast("double")))).as("cosine"))
+      .select(col("item_a"), col("item_b"), col("co_users"), col("cosine"),
+        (col("cosine") * (col("co_users").cast("double")
+          / (col("co_users").cast("double") + lit(shrink)))).as("shrunk_sim"))
+    val both = sim.select(explode(array(
+        struct(col("item_a").as("item"), col("item_b").as("neighbor"),
+          col("co_users"), col("cosine"), col("shrunk_sim")),
+        struct(col("item_b").as("item"), col("item_a").as("neighbor"),
+          col("co_users"), col("cosine"), col("shrunk_sim")))).as("e"))
+      .select(col("e.*"))
+    both
+      .withColumn("rk", row_number().over(Window.partitionBy("item")
+        .orderBy(col("shrunk_sim").desc, col("neighbor").asc)))
+      .filter(col("rk") <= topK)
+      .select(col("item"), col("rk").cast("int").as("rk"), col("neighbor"),
+        col("co_users"), col("cosine"), col("shrunk_sim"))
+      .orderBy(col("item"), col("rk"))
+  }
+
+  /** q246: seasonal-naive forecast skill (MASE, Hyndman–Koehler) per
+    * event_type on the dense daily-count series — mean absolute error
+    * of the season-lag (7-day) naive forecast scaled by the MAE of the
+    * 1-day naive forecast.  MASE < 1 ⇒ weekly seasonality carries
+    * real signal beyond persistence; the standard pre-flight before
+    * fitting anything fancier (q193 Holt, q234 OLS trend).
+    *
+    * The calendar spine is densified per type (sequence over the
+    * [min, max] day span, missing days = 0) so the lags are true
+    * calendar lags, not row lags over gaps.  Numerators/denominators
+    * are exact BIGINT |diff| sums on integer counts; the final ratio
+    * is the only double math, written in one pinned literal order on
+    * both engines.
+    *
+    * 100 TB shape: one groupBy to daily grain collapses the corpus to
+    * types×days rows; the spine explode, window lags and final
+    * aggregate all run on that bounded frame.
+    */
+  def seasonalMase(spark: SparkSession, dir: String, season: Int = 7): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val y = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = y
+      .withColumn("l1", lag(col("n"), 1).over(w))
+      .withColumn("ls", lag(col("n"), season).over(w))
+    lagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("ls").isNotNull, abs(col("n") - col("ls")))).as("sae_seasonal"),
+        count(col("ls")).as("n_seasonal"),
+        sum(when(col("l1").isNotNull, abs(col("n") - col("l1")))).as("sae_naive"),
+        count(col("l1")).as("n_naive"))
+      .select(col("event_type"), col("n_days"), col("sae_seasonal"), col("sae_naive"),
+        when(col("sae_naive") === 0L, lit(null).cast("double"))
+          .otherwise((col("sae_seasonal").cast("double") / col("n_seasonal").cast("double"))
+            / (col("sae_naive").cast("double") / col("n_naive").cast("double")))
+          .as("mase"))
+      .orderBy("event_type")
+  }
 }

@@ -1528,4 +1528,155 @@ object Relational {
         sum(col("rev")).cast("double").as("total_revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** q249: incremental view maintenance for a JOIN view — q235's monoid
+    * refresh lifted from single-table aggregates to the two-sided
+    * delta algebra Δ(O⋈L) = ΔO⋈L_old ∪ O_old⋈ΔL ∪ ΔO⋈ΔL.  Both fact
+    * tables split at one cut (orders by o_orderdate, lineitem by
+    * l_shipdate); ONE flagged join pass classifies every joined pair
+    * into its unique delta cell (old⋈old / Δ⋈old / old⋈Δ / Δ⋈Δ) and
+    * aggregates all four partials per priority; the merged view is
+    * their sum, audited — recomputed, not assumed — against an
+    * independent plain join+aggregate.
+    *
+    * Exactness: counts and 100×-quantized quantity units are exact
+    * BIGINT sums; the audit flag is integer equality.
+    *
+    * 100 TB shape: production ships only the two delta terms that
+    * touch Δ inputs (tiny scans) against the stored old view; the
+    * full recompute here is the AUDIT's price, same as q235.  Both
+    * passes shuffle on orderkey — the one fact-fact exchange this
+    * schema ever needs (q207's rule).
+    */
+  def joinIvm(spark: SparkSession, dir: String,
+              cut: String = "1998-01-01"): DataFrame = {
+    val cutTs = to_timestamp(lit(cut))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_orderpriority"), (col("o_orderdate") < cutTs).as("oold"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+      floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long").as("qu"),
+      (col("l_shipdate") < cutTs).as("lold"))
+    val cells = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"), col("oold"), col("lold"))
+      .agg(count(lit(1)).as("n"), sum(col("qu")).as("qs"))
+    val merged = cells.groupBy("o_orderpriority").agg(
+      sum(when(col("oold") && col("lold"), col("n")).otherwise(0L)).as("n_old"),
+      sum(when(!col("oold") && col("lold"), col("n")).otherwise(0L)).as("n_delta_orders"),
+      sum(when(col("oold") && !col("lold"), col("n")).otherwise(0L)).as("n_delta_lines"),
+      sum(when(!col("oold") && !col("lold"), col("n")).otherwise(0L)).as("n_delta_both"),
+      sum(col("n")).as("n_merged"), sum(col("qs")).as("q_merged"))
+    val full = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_full"), sum(col("qu")).as("qty_units"))
+    full.join(merged, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_old"), col("n_delta_orders"),
+        col("n_delta_lines"), col("n_delta_both"), col("n_full"), col("qty_units"),
+        when(col("n_merged") === col("n_full") &&
+          col("q_merged") === col("qty_units"), 1).otherwise(0).as("ivm_matches_full"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q257: join-cardinality estimator audit — the planner-statistics
+    * primitive, measured against ground truth.  For three FK joins the
+    * estimator sees only per-side STATISTICS (top-`h` heavy-hitter
+    * key counts, exact; tail = remaining count/distinct, assumed
+    * uniform with containment):
+    *   est = Σ_{k∈Ha∩Hb} ca·cb  +  Σ_{Ha\Hb} ca · avg_tail_b
+    *       + Σ_{Hb\Ha} cb · avg_tail_a
+    *       + min(d_tail_a, d_tail_b) · avg_tail_a · avg_tail_b
+    * and the audit reports est vs the EXACT join size — which is
+    * Σ ca·cb over shared keys, computed from the same keyed count
+    * frames WITHOUT materializing the join.  This is how an engine
+    * decides broadcast-vs-shuffle before reading a byte; the audit
+    * quantifies what the histogram's h buys.
+    *
+    * Exactness: every sum is an exact BIGINT over integer products;
+    * the estimate's four terms combine in one pinned double order;
+    * empty tails contribute an explicit CASE 0.
+    *
+    * 100 TB shape: per side one keyed count + a bounded top-h
+    * (TakeOrdered, h rows); actual-size needs the ca⋈cb count join —
+    * the audit's price, shuffling only the DISTINCT-KEY frames, never
+    * the fact rows.
+    */
+  def joinEstimate(spark: SparkSession, dir: String, h: Int = 50): DataFrame = {
+    def one(name: String, dfa: DataFrame, ka: String,
+            dfb: DataFrame, kb: String): DataFrame = {
+      val ca = graft.util.Pins.eager(
+        dfa.groupBy(col(ka).as("k")).agg(count(lit(1)).as("c")))
+      val cb = graft.util.Pins.eager(
+        dfb.groupBy(col(kb).as("k")).agg(count(lit(1)).as("c")))
+      val ha = graft.util.Pins.eager(ca.orderBy(col("c").desc, col("k").asc).limit(h))
+      val hb = graft.util.Pins.eager(cb.orderBy(col("c").desc, col("k").asc).limit(h))
+      val sa = ca.agg(count(lit(1)).as("d_a"), sum(col("c")).as("n_a"))
+      val sb = cb.agg(count(lit(1)).as("d_b"), sum(col("c")).as("n_b"))
+      val sha = ha.agg(count(lit(1)).as("h_a"), sum(col("c")).as("nh_a"))
+      val shb = hb.agg(count(lit(1)).as("h_b"), sum(col("c")).as("nh_b"))
+      val exact = ha.join(hb, "k")
+        .agg(coalesce(sum(ha("c") * hb("c")), lit(0L)).as("x_heavy"))
+      val aOnly = ha.join(hb, Seq("k"), "left_anti")
+        .agg(coalesce(sum(col("c")), lit(0L)).as("s_aonly"))
+      val bOnly = hb.join(ha, Seq("k"), "left_anti")
+        .agg(coalesce(sum(col("c")), lit(0L)).as("s_bonly"))
+      val actual = ca.join(cb, "k")
+        .agg(coalesce(sum(ca("c") * cb("c")), lit(0L)).as("actual_rows"))
+      val f = actual.crossJoin(broadcast(exact)).crossJoin(broadcast(aOnly))
+        .crossJoin(broadcast(bOnly)).crossJoin(broadcast(sa))
+        .crossJoin(broadcast(sb)).crossJoin(broadcast(sha)).crossJoin(broadcast(shb))
+      val dat = col("d_a") - col("h_a")
+      val dbt = col("d_b") - col("h_b")
+      val avgA = col("n_a").minus(col("nh_a")).cast("double") / dat.cast("double")
+      val avgB = col("n_b").minus(col("nh_b")).cast("double") / dbt.cast("double")
+      val est = col("x_heavy").cast("double") +
+        when(dbt === 0L, lit(0.0)).otherwise(col("s_aonly").cast("double") * avgB) +
+        when(dat === 0L, lit(0.0)).otherwise(col("s_bonly").cast("double") * avgA) +
+        when(dat === 0L || dbt === 0L, lit(0.0))
+          .otherwise(least(dat, dbt).cast("double") * avgA * avgB)
+      f.select(lit(name).as("join_name"), col("d_a"), col("d_b"),
+        col("actual_rows"), est.as("est_rows"),
+        (abs(est - col("actual_rows").cast("double"))
+          / col("actual_rows").cast("double")).as("rel_err"))
+    }
+    val o = Tables.orders(spark, dir); val l = Tables.lineitem(spark, dir)
+    val c = Tables.customer(spark, dir); val p = Tables.part(spark, dir)
+    one("orders_lineitem", o, "o_orderkey", l, "l_orderkey")
+      .unionAll(one("customer_orders", c, "c_custkey", o, "o_custkey"))
+      .unionAll(one("part_lineitem", p, "p_partkey", l, "l_partkey"))
+      .orderBy("join_name")
+  }
+
+  /** q250: functional-dependency audit — for a fixed candidate set of
+    * X→Y dependencies across three tables, the violation profile:
+    * how many X-groups exist, how many carry more than one distinct Y
+    * (FD violated), and the worst fan-out.  The schema-inference /
+    * data-contract primitive that q177's per-column profile and
+    * q178's referential checks don't cover: it tests COLUMN-PAIR
+    * determinism, the thing you must know before declaring a key,
+    * collapsing a dimension, or trusting a join to be 1:1.
+    *
+    * 100 TB shape: each candidate is one keyed groupBy (partial
+    * count-distinct per X) followed by a scalar rollup — no joins, no
+    * windows; candidates run independently and union 5 scalar rows.
+    */
+  def fdAudit(spark: SparkSession, dir: String): DataFrame = {
+    def one(name: String, df: DataFrame, x: Column, y: Column): DataFrame =
+      df.groupBy(x.as("x")).agg(countDistinct(y).as("nd"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("nd")).as("max_rhs"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+          (col("n_violating").cast("double") / col("n_groups").cast("double"))
+            .as("violation_rate"),
+          col("max_rhs"))
+    val docs = Tables.documents(spark, dir)
+    val ev = Tables.events(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    one("documents: source -> lang", docs, col("source"), col("lang"))
+      .unionAll(one("documents: lang -> source", docs, col("lang"), col("source")))
+      .unionAll(one("events: user_id -> event_type", ev, col("user_id"), col("event_type")))
+      .unionAll(one("lineitem: l_orderkey -> l_suppkey", li, col("l_orderkey"), col("l_suppkey")))
+      .unionAll(one("orders: o_custkey -> o_orderstatus", ord, col("o_custkey"), col("o_orderstatus")))
+      .orderBy("fd")
+  }
 }

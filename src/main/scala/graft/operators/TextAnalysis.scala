@@ -2731,4 +2731,375 @@ object TextAnalysis {
       .select(col("source"), col("doc_id"), col("w").as("n_chars"),
         col("cum").as("cum_chars"), (col("hi") - col("lo")).as("strata_covered"))
   }
+
+  /** Source key for the KMV sketch rows; a case class (not a tuple) so
+    * the grouped-aggregation encoder is stable across Scala versions.
+    */
+  final case class HvRow(source: String, hv: Long)
+
+  /** Bounded k-smallest typed Aggregator: the KMV sketch state.  The
+    * buffer is a sorted ascending Seq of at most k hash values, so
+    * partial (map-side) aggregation carries O(k) state per source and
+    * the merge is associative+commutative — the textbook mergeable
+    * sketch.  The common-case reduce (value above the current k-th
+    * minimum) is an O(1) reject.
+    */
+  final class KSmallest(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[HvRow, Seq[Long], Seq[Long]] {
+    private def trim(xs: Seq[Long]): Seq[Long] = xs.sorted.take(k)
+    override def zero: Seq[Long] = Seq.empty
+    override def reduce(b: Seq[Long], a: HvRow): Seq[Long] =
+      if (b.length >= k && a.hv >= b.last) b else trim(b :+ a.hv)
+    override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] = trim(b1 ++ b2)
+    override def finish(r: Seq[Long]): Seq[Long] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** q241: KMV (k-minimum-values) distinct-cardinality sketch per
+    * source, plus the merged `__all__` union sketch, audited against
+    * the exact distinct count.  Hash: the first 15 hex digits of
+    * md5(token) folded to a 60-bit BIGINT — `conv(hex, 16, 10)` here,
+    * a positional base-16 fold in the oracle — so both engines derive
+    * the identical integer and the estimate `(k-1) / (h_(k) / 2^60)`
+    * is bit-identical (casts and divides are correctly-rounded IEEE on
+    * identical operands).  Cardinalities and estimates are over
+    * distinct HASH values (md5 collisions collapse identically on both
+    * engines; at 60 bits the fixture corpus has none).
+    *
+    * 100 TB shape: the sketch is a typed Aggregator with an O(k)
+    * buffer, so the per-(source, partition) map-side state is 64 longs
+    * and the shuffle carries one k-array per source per partition —
+    * never the token stream.  Sketches merge associatively (the
+    * `__all__` row IS the merge audit: union of per-source streams →
+    * same estimator), which is what lets a 1000-executor scan
+    * partial-aggregate locally and combine at the end.  The oracle
+    * replays the k smallest per source with a window — fine at sf0.01,
+    * exactly the formulation the bounded heap replaces at scale.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val twoPow60 = 1152921504606846976.0 // 2^60 = 16^15, exact double
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("source"),
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("hv"))
+      .distinct()
+    val withAll = perSource.union(
+      perSource.select(lit("__all__").as("source"), col("hv")).distinct())
+    val sk = withAll.as[HvRow].groupByKey(_.source)
+      .agg(new KSmallest(k).toColumn.name("mins"))
+      .toDF("source", "mins")
+    val exact = withAll.groupBy("source").agg(count(lit(1)).as("n_distinct"))
+    exact.join(sk, Seq("source"))
+      .select(col("source"), col("n_distinct"),
+        when(size(col("mins")) < k, col("n_distinct").cast("double"))
+          .otherwise(lit((k - 1).toDouble)
+            / (element_at(col("mins"), -1).cast("double") / lit(twoPow60)))
+          .as("kmv_estimate"))
+      .select(col("source"), col("n_distinct"), col("kmv_estimate"),
+        (abs(col("kmv_estimate") - col("n_distinct").cast("double"))
+          / col("n_distinct").cast("double")).as("rel_err"))
+      .orderBy("source")
+  }
+
+  /** q242: distributed logistic-regression fit (lang=='en' from two
+    * length features), `iters` unrolled full-batch gradient-descent
+    * passes in the q217 power-iteration mold: the weight vector is a
+    * 1-row broadcast frame, each pass is one corpus scan producing
+    * three gradient sums, and the weight update runs on those sums.
+    *
+    * Cross-engine exactness: the activation is the ALGEBRAIC sigmoid
+    * s(z) = 0.5·(1 + z/(1+|z|)) — only +,·,/,abs, every one
+    * correctly-rounded IEEE, unlike exp/ln whose libm last-ulp
+    * differences broke the q128 JSD variant.  Gradient terms are
+    * quantized floor(g·1e9 + 0.5) and summed as exact DECIMAL(38,0)
+    * (the q217 order-independent scheme), so the weights after every
+    * pass — and therefore every downstream double — are bit-identical
+    * in any aggregation order and across engines.
+    *
+    * 100 TB shape: each pass is one scan + a 3-number partial+final
+    * aggregate; weight state is O(features) broadcast; nothing grows
+    * with the corpus.  Unbounded-feature models shard the weight
+    * vector like q217 shards dims.
+    */
+  def logisticFit(spark: SparkSession, dir: String,
+                  iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val feats = graft.util.Pins.eager(
+      Tables.documents(spark, dir).select(
+        (col("n_chars").cast("double") / lit(1000.0)).as("x1"),
+        (tokenCount(col("text")).cast("double") / lit(100.0)).as("x2"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y")))
+    def z: Column = (col("w0") + col("w1") * col("x1")) + col("w2") * col("x2")
+    def sig(zc: Column): Column = lit(0.5) * (lit(1.0) + zc / (lit(1.0) + abs(zc)))
+    def qsum(c: Column): Column = sum(floor(c * lit(1.0e9) + lit(0.5)).cast(dec))
+    var w: DataFrame = spark.range(1).select(
+      lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+    for (_ <- 1 to iters) {
+      val g = feats.crossJoin(broadcast(w))
+        .select(col("w0"), col("w1"), col("w2"),
+          (sig(z) - col("y")).as("err"), col("x1"), col("x2"))
+        .groupBy("w0", "w1", "w2")
+        .agg(count(lit(1)).as("n"), qsum(col("err")).as("g0"),
+          qsum(col("err") * col("x1")).as("g1"),
+          qsum(col("err") * col("x2")).as("g2"))
+      def step(wc: String, gc: String): Column =
+        (col(wc) - lit(lr) * (col(gc).cast("double") / lit(1.0e9)
+          / col("n").cast("double"))).as(wc)
+      w = g.select(step("w0", "g0"), step("w1", "g1"), step("w2", "g2"))
+    }
+    feats.crossJoin(broadcast(w))
+      .select(col("w0"), col("w1"), col("w2"), col("y"),
+        when((sig(z) >= lit(0.5)) === (col("y") === lit(1.0)), lit(1L))
+          .otherwise(lit(0L)).as("ok"))
+      .groupBy("w0", "w1", "w2")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ok")).as("n_correct"))
+      .select(col("w0"), col("w1"), col("w2"), col("n_docs"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n_docs").cast("double")).as("accuracy"))
+  }
+
+  /** q252: long-tail category collapse — the cardinality-capping
+    * feature-engineering primitive: per source, keep the top-k tokens
+    * by (count desc, token asc) as named categories and fold
+    * everything else into `__OTHER__`, reporting per-category type
+    * counts, token mass and share.  The audit a pipeline runs before
+    * one-hot/embedding-table sizing: how much probability mass the
+    * kept vocabulary covers and how fat the collapsed tail is.
+    *
+    * Exactness: ranking ties break on the (count desc, token asc)
+    * total order; masses are exact integer sums, shares one double
+    * divide against the per-source total.
+    *
+    * 100 TB shape: one keyed (source, token) aggregate, one
+    * per-source top-k window over the TYPE frame (vocab-sized, not
+    * corpus-sized), then a ≤ (k+1)-row-per-source rollup; the
+    * per-source totals broadcast back via the window's sum.
+    */
+  def tailCollapse(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val ranked = counts.withColumn("rn", row_number().over(
+      Window.partitionBy("source").orderBy(col("c").desc, col("token").asc)))
+    val rolled = ranked
+      .select(col("source"),
+        when(col("rn") <= k, col("token")).otherwise("__OTHER__").as("category"),
+        col("c"))
+      .groupBy("source", "category")
+      .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"))
+    rolled
+      .withColumn("share", col("n_tokens").cast("double")
+        / sum(col("n_tokens")).over(Window.partitionBy("source")).cast("double"))
+      .orderBy(col("source"), col("n_tokens").desc, col("category"))
+  }
+
+  /** q253: Gini-impurity feature ranking — information-gain-style
+    * feature selection with the GINI criterion instead of entropy,
+    * deliberately: gain is then pure polynomial arithmetic on exact
+    * integer counts (the q128/q176 log-free rule — no ln in a
+    * hash-compared statistic).  Four candidate binary splits of the
+    * lang=='en' target, including a parity NEGATIVE CONTROL that must
+    * show ~zero gain (it does — reported, not asserted, so the number
+    * itself is oracle-gated).
+    *
+    * 100 TB shape: ONE corpus scan computing all 2×features
+    * conditional counts in a single partial+final scalar aggregate;
+    * the per-feature gain math runs on that 1-row frame.  Adding
+    * features widens the aggregate, never adds passes.
+    */
+  def giniGain(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      (col("n_chars") >= 300L).as("f_len"),
+      (tokenCount(col("text")).cast("long") >= 60L).as("f_tok"),
+      (pmod(col("doc_id"), lit(2L)) === 0L).as("f_parity"),
+      (col("source") < "src5").as("f_src"))
+    val feats = Seq("f_len", "f_tok", "f_parity", "f_src")
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("y")).as("pos")) ++
+      feats.flatMap { f => Seq(
+        sum(when(col(f), 1L).otherwise(0L)).as(s"${f}_n"),
+        sum(when(col(f), col("y")).otherwise(0L)).as(s"${f}_pos")) }
+    val g = d.agg(aggs.head, aggs.tail: _*)
+    // gini of a (pos, n) side: 1 - (pos² + neg²)/n²  (exact integer
+    // products; n ≤ 2^31 keeps n² inside 2^63)
+    def gini(pos: Column, n: Column): Column =
+      lit(1.0) - ((pos * pos + (n - pos) * (n - pos)).cast("double") /
+        (n * n).cast("double"))
+    val rows = g.select(explode(array(feats.map { f =>
+      struct(lit(f).as("feature"),
+        col(s"${f}_n").as("n_true"), col(s"${f}_pos").as("pos_true"),
+        (col("n") - col(s"${f}_n")).as("n_false"),
+        (col("pos") - col(s"${f}_pos")).as("pos_false"),
+        col("n").as("n"), col("pos").as("pos"))
+    }: _*)).as("e")).select(col("e.*"))
+    // an empty side contributes weight 0 — spelled as an explicit CASE
+    // so ANSI mode never sees the 0/0 (a degenerate split at small SF)
+    def sideTerm(pos: Column, m: Column, n: Column): Column =
+      when(m === 0L, lit(0.0)).otherwise(
+        (m.cast("double") / n.cast("double")) * gini(pos, m))
+    rows.select(col("feature"), col("n_true"), col("pos_true"),
+        col("n_false"), col("pos_false"),
+        gini(col("pos"), col("n")).as("gini_parent"),
+        (sideTerm(col("pos_true"), col("n_true"), col("n"))
+          + sideTerm(col("pos_false"), col("n_false"), col("n"))).as("gini_split"))
+      .select(col("feature"), col("n_true"), col("pos_true"), col("n_false"),
+        col("pos_false"), col("gini_parent"), col("gini_split"),
+        (col("gini_parent") - col("gini_split")).as("gain"))
+      .orderBy("feature")
+  }
+
+  /** q254: consistent-hashing rebalance churn — how many keys MOVE
+    * when the shard count grows 64 → 65, under plain modulo
+    * placement vs a hash ring (each shard one ring point; a key is
+    * owned by the first point at-or-after its hash, wrapping).  The
+    * systems complement to q219's static shard balance: mod moves
+    * ~(1 − 1/65) ≈ 98% of keys on resize, the ring moves ~1/65 ≈
+    * 1.5% — the whole reason consistent hashing exists, here
+    * measured exactly on the corpus keys.
+    *
+    * Exactness: key and ring-point hashes are the q241 60-bit md5
+    * fold; ownership is pure integer comparison against the sorted
+    * 64/65-point arrays (broadcast, 1-row frames); churn flags are
+    * integer (in)equality.  Adding shard 64 only re-owns keys whose
+    * old successor was the wrap or a point the new point now
+    * precedes — everything is replayed, nothing assumed.
+    *
+    * 100 TB shape: per-key work is two binary-searchable array
+    * probes against a broadcast 65-element array inside codegen — no
+    * join, no shuffle; the final rollup is one scalar aggregate.
+    */
+  def rebalanceChurn(spark: SparkSession, dir: String): DataFrame = {
+    def hv(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val keys = Tables.documents(spark, dir)
+      .select(hv(col("doc_id").cast("string")).as("kh"))
+    val pts = spark.range(0, 65).select(col("id").cast("int").as("pid"),
+      hv(concat(lit("shard:"), col("id").cast("string"))).as("ph"))
+    val p64 = pts.filter(col("pid") < 64).agg(sort_array(collect_list(col("ph"))).as("p64"))
+    val p65 = pts.agg(sort_array(collect_list(col("ph"))).as("p65"))
+    // try_element_at: the filtered candidate list is EMPTY for keys
+    // hashing past the last point (the wrap case) — ANSI element_at
+    // would throw there instead of yielding the COALESCE fallback
+    def owner(arr: Column, kh: Column): Column =
+      coalesce(try_element_at(filter(arr, e => e >= kh), lit(1)), element_at(arr, 1))
+    val flags = keys
+      .crossJoin(broadcast(p64)).crossJoin(broadcast(p65))
+      .select(
+        (pmod(col("kh"), lit(64L)) =!= pmod(col("kh"), lit(65L))).cast("long").as("mv_mod"),
+        (owner(col("p64"), col("kh")) =!= owner(col("p65"), col("kh")))
+          .cast("long").as("mv_ring"))
+    flags.agg(count(lit(1)).as("n_keys"),
+        sum(col("mv_mod")).as("mod_moved"), sum(col("mv_ring")).as("ring_moved"))
+      .select(explode(array(
+        struct(lit("mod").as("scheme"), col("n_keys"), col("mod_moved").as("n_moved")),
+        struct(lit("ring").as("scheme"), col("n_keys"), col("ring_moved").as("n_moved"))))
+        .as("e"))
+      .select(col("e.scheme").as("scheme"), col("e.n_keys").as("n_keys"),
+        col("e.n_moved").as("n_moved"),
+        (col("e.n_moved").cast("double") / col("e.n_keys").cast("double")).as("moved_frac"))
+      .orderBy("scheme")
+  }
+
+  /** q255: rank-biased overlap (RBO@k, truncated form) between every
+    * source pair's top-k token rankings — the top-list similarity
+    * metric that, unlike set Jaccard on the same lists, weights
+    * agreement at rank 1 far above agreement at rank k (Webber's
+    * persistence model).  The vocabulary-drift complement to q89's
+    * KL and q128's Hellinger: those compare MASS, RBO compares the
+    * RANKED HEAD — exactly what breaks prompt caches and hot-token
+    * optimizations.
+    *
+    * The per-match decomposition makes it exact AND cheap: truncated
+    * RBO = (1−p)·Σ_d p^(d−1)·|A_d∩B_d|/d; swapping the summation
+    * order gives Σ_matches W(max(ra,rb)) where
+    * W(m) = (1−p)·Σ_{d=m..k} p^(d−1)/d — k constants computed ONCE
+    * driver-side and embedded as the SAME double literals in both
+    * engines (pow never runs in either plan; Double round-trip
+    * printing keeps the literals bit-identical), then summed per pair
+    * in the order-pinned token fold.
+    *
+    * 100 TB shape: the corpus collapses to the (source, token) type
+    * frame, top-k per source by window, and the pair join runs on
+    * sources×k rows — dimension-sized; the full pair grid is
+    * sources², emitted with 0.0 for disjoint heads.
+    */
+  def rboSourceSimilarity(spark: SparkSession, dir: String,
+                          k: Int = 20, p: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights: Seq[Double] = (1 to k).map { m =>
+      (1.0 - p) * (m to k).map(d => math.pow(p, d - 1) / d).sum }
+    val wArr = array(weights.map(lit): _*)
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    val tops = graft.util.Pins.eager(counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("token").asc)))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("token"), col("rn")))
+    val matches = tops.select(col("source").as("source_a"), col("token"), col("rn").as("ra"))
+      .join(tops.select(col("source").as("source_b"), col("token"), col("rn").as("rb")),
+        Seq("token"))
+      .filter(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("token"),
+        greatest(col("ra"), col("rb")).as("m"))
+    val scored = matches.groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_overlap"),
+        aggregate(sort_array(collect_list(struct(col("token"),
+            element_at(wArr, col("m")).as("w")))),
+          lit(0.0), (a, x) => a + x.getField("w")).as("rbo"))
+    val srcs = tops.select(col("source")).distinct()
+    val grid = srcs.select(col("source").as("source_a"))
+      .join(srcs.select(col("source").as("source_b")),
+        col("source_a") < col("source_b"))
+    grid.join(scored, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        coalesce(col("rbo"), lit(0.0)).as("rbo"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q243: average precision (area under the precision-recall curve in
+    * its standard step form) per source — ranking by n_chars desc with
+    * doc_id asc as the total-order tie-break, relevance = lang=='en'.
+    * AP = (1/n_pos)·Σ_{relevant i} precision@i; the per-hit precisions
+    * cum/rank are exact-integer ratios and the Σ is the order-pinned
+    * fold (sorted by rank) used throughout the registry, so the double
+    * is reduction-order-independent and cross-engine exact.
+    * Complements q141's ROC-AUC (rectangle counting) with the
+    * retrieval-native metric.
+    *
+    * 100 TB shape: one window sort per source (the price of an exact
+    * ranking metric; production evaluates on sampled ranking sets),
+    * then a per-source fold over only the RELEVANT hits.
+    */
+  def averagePrecision(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, dir).select(
+      col("source"), col("doc_id"), col("n_chars").as("score"),
+      when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("rel"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val r = d
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum", sum(col("rel"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    r.filter(col("rel") === 1L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pos"),
+        aggregate(
+          sort_array(collect_list(struct(col("rk"),
+            (col("cum").cast("double") / col("rk").cast("double")).as("p")))),
+          lit(0.0), (a, x) => a + x.getField("p")).as("sum_p"))
+      .select(col("source"), col("n_pos"),
+        (col("sum_p") / col("n_pos").cast("double")).as("avg_precision"))
+      .orderBy("source")
+  }
 }

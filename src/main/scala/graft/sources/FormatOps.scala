@@ -198,4 +198,53 @@ object FormatOps {
       writePartitionedEvents(spark, dir, tmp.toString)
       materialize(spark, partitionedReadAgg(spark, tmp.toString))
     }
+
+  /** q256: schema-evolution merge audit — the lake's ADD COLUMN path
+    * exercised for real: the fixture is written as two parquet
+    * generations (old files lack the `units` column, new files carry
+    * it), read back through `mergeSchema=true`, and the audit
+    * aggregate accounts for every row by generation: nulls appear
+    * EXACTLY for old-generation rows, evolved sums cover exactly the
+    * new generation, and the full-column recompute ties the two
+    * together.  The oracle replays the generation split from the
+    * original table, certifying the whole write→merge→read path.
+    *
+    * 100 TB notes: mergeSchema pays a footer read per file at
+    * planning; production pins the merged schema in a catalog and
+    * passes it explicitly — the READ behavior audited here (absent
+    * column ⇒ null, no reorder corruption) is identical either way.
+    * Null-skipping aggregate semantics over evolved columns are the
+    * q240 rules.
+    */
+  /** The two parquet generations: gen=1 lacks `units` (even ids),
+    * gen=2 carries it (odd ids).  Exposed for the PlanGuard pin.
+    */
+  def writeEvolvedEvents(spark: SparkSession, dir: String, tmp: String): Unit = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(pmod(col("event_id"), lit(2L)) === 0L)
+      .write.parquet(s"$tmp/gen=1")
+    ev.filter(pmod(col("event_id"), lit(2L)) === 1L)
+      .withColumn("units", floor(col("value") * lit(1.0e6) + lit(0.5)).cast(LongType))
+      .write.parquet(s"$tmp/gen=2")
+  }
+
+  /** mergeSchema read over both generations + the accounting
+    * aggregate (exposed for the PlanGuard pin).
+    */
+  def evolvedReadAgg(spark: SparkSession, tmp: String): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmp/gen=1", s"$tmp/gen=2")
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_rows"),
+        count(col("units")).as("n_evolved"),
+        sum(col("units")).as("evolved_units"),
+        valueUnits(col("value")).as("all_units"))
+      .orderBy("event_type")
+
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("evo") { tmp =>
+      writeEvolvedEvents(spark, dir, tmp.toString)
+      materialize(spark, evolvedReadAgg(spark, tmp.toString))
+    }
 }

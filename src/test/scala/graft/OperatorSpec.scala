@@ -2763,4 +2763,385 @@ class OperatorSpec extends SparkSuite {
       assert(r.getString(7) == head, s"$t head: ${r.getString(7)} vs $head")
     }
   }
+
+  test("kmv q241: sketch saturation is exact, estimates are in KMV error range, union row merges") {
+    val rows = TextAnalysis.kmvDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.contains("__all__"))
+    val perSource = rows.filter(_._1 != "__all__")
+    assert(perSource.nonEmpty)
+    // the union's distinct count dominates every per-source count
+    assert(rows("__all__")._1 >= perSource.values.map(_._1).max)
+    rows.foreach { case (s, (n, est, relErr)) =>
+      if (n < 64) assert(est == n.toDouble, s"$s: unsaturated sketch must be exact")
+      // KMV std error is ~1/sqrt(k-1) ≈ 12.6% at k=64; 5σ guard band
+      else assert(relErr < 0.63, s"$s: rel_err $relErr out of any plausible KMV range")
+    }
+    // the aggregator itself: reduce/merge == sorted.take(k), any split
+    val agg = new TextAnalysis.KSmallest(4)
+    val xs = Seq(9L, 2L, 7L, 2L, 11L, 3L, 5L).map(TextAnalysis.HvRow("s", _))
+    val (l, r) = xs.splitAt(3)
+    val m = agg.merge(
+      l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(m == Seq(2L, 2L, 3L, 5L))
+  }
+
+  test("logreg q242: weights and accuracy match a driver-side replay of the exact-sum GD") {
+    val feats = graft.Tables.documents(spark, sf)
+      .select((col("n_chars").cast("double") / lit(1000.0)).as("x1"),
+        (size(split(col("text"), " ")).cast("double") / lit(100.0)).as("x2"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    var (w0, w1, w2) = (0.0, 0.0, 0.0)
+    val n = feats.length.toDouble
+    def sig(z: Double) = 0.5 * (1.0 + z / (1.0 + math.abs(z)))
+    for (_ <- 1 to 3) {
+      var g0, g1, g2 = BigInt(0)
+      feats.foreach { case (x1, x2, y) =>
+        val err = sig((w0 + w1 * x1) + w2 * x2) - y
+        g0 += BigDecimal(math.floor(err * 1.0e9 + 0.5)).toBigInt
+        g1 += BigDecimal(math.floor(err * x1 * 1.0e9 + 0.5)).toBigInt
+        g2 += BigDecimal(math.floor(err * x2 * 1.0e9 + 0.5)).toBigInt
+      }
+      w0 -= 0.5 * (g0.toDouble / 1.0e9 / n)
+      w1 -= 0.5 * (g1.toDouble / 1.0e9 / n)
+      w2 -= 0.5 * (g2.toDouble / 1.0e9 / n)
+    }
+    val exp = feats.count { case (x1, x2, y) =>
+      (sig((w0 + w1 * x1) + w2 * x2) >= 0.5) == (y == 1.0) }
+    val r = TextAnalysis.logisticFit(spark, sf).collect().head
+    assert(r.getDouble(0) == w0 && r.getDouble(1) == w1 && r.getDouble(2) == w2,
+      s"weights (${r.getDouble(0)},${r.getDouble(1)},${r.getDouble(2)}) vs ($w0,$w1,$w2)")
+    assert(r.getLong(3) == feats.length.toLong && r.getLong(4) == exp.toLong)
+  }
+
+  test("avg precision q243: hand replay per source; AP in (0,1]") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        (col("lang") === "en").as("rel"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val got = TextAnalysis.averagePrecision(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val ranked = rows.sortBy { case (_, id, score, _) => (-score, id) }
+      var cum = 0L; var i = 0L; val ps = scala.collection.mutable.ArrayBuffer[Double]()
+      ranked.foreach { case (_, _, _, rel) =>
+        i += 1; if (rel) { cum += 1; ps += cum.toDouble / i.toDouble } }
+      if (ps.nonEmpty) {
+        val (nPos, ap) = got(src)
+        assert(nPos == ps.length.toLong, s"$src n_pos")
+        assert(ap == ps.sum / ps.length.toDouble, s"$src ap")
+        assert(ap > 0.0 && ap <= 1.0)
+      }
+    }
+  }
+
+  test("bfs q244: histogram covers dist 0..3, seeds row equals min(8, graph nodes)") {
+    val hist = Dedup.bfsHops(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist.keySet.forall(d => d >= 0 && d <= 3))
+    val nNodes = Dedup.minhashLsh(spark, sf)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .distinct().count()
+    assert(hist(0) == math.min(8L, nNodes), "seed frontier size")
+    assert(hist.values.sum <= nNodes, "reached set within the graph")
+  }
+
+  test("item cf q245: per-item top-3, rank contiguous, similarity symmetric and shrunk < raw") {
+    val rows = EventOps.itemNeighbors(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (item, ns) =>
+      assert(ns.length <= 3 && ns.map(_._2).sorted.sameElements(1 to ns.length),
+        s"$item ranks")
+    }
+    rows.foreach { case (_, _, _, co, cos, shrunk) =>
+      assert(cos > 0.0 && cos <= 1.0 && shrunk < cos && co >= 1L)
+    }
+    // symmetry: the (a,b) pair carries one cosine in both directions
+    val bySet = rows.groupBy(r => Set(r._1, r._3)).values
+    assert(bySet.forall(g => g.map(_._5).distinct.length == 1))
+  }
+
+  test("mase q246: dense spine day count, exact |diff| sums on a hand-replayed type") {
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val got = EventOps.seasonalMase(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    daily.groupBy(_._1).foreach { case (t, rows) =>
+      val byDay = rows.map(r => r._2 -> r._3).toMap
+      val d0 = rows.map(_._2).min; val d1 = rows.map(_._2).max
+      val days = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toVector
+      val y = days.map(d => byDay.getOrElse(d, 0L))
+      val sae7 = y.drop(7).zip(y).map { case (a, b) => math.abs(a - b) }.sum
+      val sae1 = y.drop(1).zip(y).map { case (a, b) => math.abs(a - b) }.sum
+      val r = got(t)
+      assert(r.getLong(1) == days.length.toLong, s"$t n_days")
+      assert(r.getLong(2) == sae7, s"$t sae_seasonal")
+      assert(r.getLong(3) == sae1, s"$t sae_naive")
+      if (sae1 > 0) {
+        val mase = (sae7.toDouble / (y.length - 7).toDouble) /
+          (sae1.toDouble / (y.length - 1).toDouble)
+        assert(r.getDouble(4) == mase, s"$t mase")
+      }
+    }
+  }
+
+  test("prefix jaccard q247: EXACTLY q22's result set — the prefix filter provably misses nothing") {
+    val exact = Dedup.ngramJaccard(spark, sf, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.prefixJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture must have high-Jaccard pairs")
+    assert(pref == exact,
+      s"missed=${(exact -- pref).take(3)} extra=${(pref -- exact).take(3)}")
+  }
+
+  test("zorder q248: invariants — same rows and rect hits per layout; pruning never reads less than the answer") {
+    val rows = Bucketing.zorderAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("linear", "zorder"))
+    val (lin, zo) = (rows("linear"), rows("zorder"))
+    // the layouts split the SAME rows: totals and rectangle hits match
+    assert(lin.getLong(2) == zo.getLong(2), "rows_total layout-invariant")
+    assert(lin.getLong(3) == zo.getLong(3), "rows_in_rect layout-invariant")
+    assert(lin.getLong(3) > 0L, "rectangle must be non-empty (hashed user spread)")
+    // min/max pruning is sound: scanned ⊇ answer, touched ≤ files
+    Seq(lin, zo).foreach { r =>
+      assert(r.getLong(5) >= r.getLong(3), "rows_scanned >= rows_in_rect")
+      assert(r.getLong(4) <= r.getLong(1), "files_touched <= n_files")
+      assert(r.getDouble(6) >= 1.0)
+    }
+  }
+
+  test("join ivm q249: delta cells partition the join; audit flag is 1 everywhere") {
+    val rows = Relational.joinIvm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == r.getLong(5),
+        s"${r.getString(0)}: cells must partition n_full")
+      assert(r.getInt(7) == 1, s"${r.getString(0)}: ivm_matches_full")
+    }
+    // the cut is real: some priority has mass in old AND in a delta term
+    assert(rows.exists(_.getLong(1) > 0) &&
+      rows.exists(r => r.getLong(2) + r.getLong(3) + r.getLong(4) > 0))
+  }
+
+  test("fd audit q250: held FDs report zero violations, violated ones a positive rate; hand-replayed") {
+    val got = Relational.fdAudit(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(got.size == 5)
+    // doc_id-deterministic columns: source -> lang violation profile
+    // replayed by hand
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "lang").collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = docs.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.length }
+    val (ng, nv, rate, mx) = got("documents: source -> lang")
+    assert(ng == bySrc.size.toLong)
+    assert(nv == bySrc.values.count(_ > 1).toLong)
+    assert(rate == bySrc.values.count(_ > 1).toDouble / bySrc.size.toDouble)
+    assert(mx == bySrc.values.max.toLong)
+    got.values.foreach { case (g, v, r, m) =>
+      assert(v <= g && (v > 0) == (r > 0.0) && m >= 1L)
+    }
+  }
+
+  test("markov attribution q251: driver-side chain replay matches to the bit; removal never beats full") {
+    // rebuild the transition matrix exactly as the operator does
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._4, r._2)).map(_._3)
+      seq.zipWithIndex.foreach { case (t, i) =>
+        if (i == 0 || seq(i - 1) == "purchase")
+          trans += (("START", if (t == "purchase") "CONV" else t))
+        if (t != "purchase")
+          trans += ((t, if (i + 1 >= seq.length) "END"
+            else if (seq(i + 1) == "purchase") "CONV" else seq(i + 1)))
+      }
+    }
+    val counts = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rowSum = counts.groupBy(_._1._1).map { case (s, m) => s -> m.values.sum }
+    val tm = counts.map { case ((s, d), c) => (s, d) -> c.toDouble / rowSum(s).toDouble }
+    def run(removed: Option[String]): Double = {
+      val t = tm.filter { case ((s, d), _) =>
+        removed.forall(c => s != c && d != c) }
+      var v = Map("START" -> 1.0); var acc = 0.0
+      for (_ <- 1 to 8) {
+        val nk = t.toSeq.flatMap { case ((s, d), p) =>
+          v.get(s).map(x => (d, s, x * p)) }
+          .groupBy(_._1).map { case (d, xs) =>
+            d -> xs.sortBy(_._2).foldLeft(0.0)((a, x) => a + x._3) }
+        acc = acc + nk.getOrElse("CONV", 0.0)
+        v = nk.filter { case (d, _) => d != "CONV" && d != "END" }
+      }
+      acc
+    }
+    val pFull = run(None)
+    val got = EventOps.markovAttribution(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("click", "view", "signup", "error"))
+    val effects = got.keySet.toSeq.sorted.map(c => c -> (1.0 - run(Some(c)) / pFull))
+    val tot = effects.map(_._2).foldLeft(0.0)(_ + _)
+    got.foreach { case (c, r) =>
+      assert(r.getDouble(1) == pFull, s"$c full: ${r.getDouble(1)} vs $pFull")
+      assert(r.getDouble(2) == run(Some(c)), s"$c removal")
+      assert(r.getDouble(2) <= r.getDouble(1) + 1e-12, s"$c removal beats full")
+      assert(r.getDouble(3) == effects.toMap.apply(c), s"$c effect")
+      assert(r.getDouble(4) == effects.toMap.apply(c) / tot, s"$c share")
+    }
+  }
+
+  test("tail collapse q252: top-10 kept as singleton types, OTHER absorbs the rest; shares partition unity") {
+    val rows = TextAnalysis.tailCollapse(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rs) =>
+      val (other, kept) = rs.partition(_._2 == "__OTHER__")
+      assert(kept.length <= 10 && kept.forall(_._3 == 1L), s"$src kept")
+      assert(other.length <= 1, s"$src at most one OTHER row")
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-9, s"$src shares")
+      // OTHER mass never exceeds total; kept types are the top by mass:
+      // every kept category's count >= none strictly less than a
+      // hypothetical collapsed token is checkable only against raw
+      // counts — verify per-token for one source below
+    }
+    // hand check vocabulary accounting for one source
+    val src0 = bySrc.keys.min
+    val toks = graft.Tables.documents(spark, sf).filter(col("source") === src0)
+      .select(explode(split(col("text"), " ")).as("t")).filter(col("t") =!= "")
+      .collect().map(_.getString(0))
+    val vocab = toks.distinct.length
+    val rs = bySrc(src0)
+    assert(rs.map(_._3).sum == vocab.toLong, s"$src0 types partition vocab")
+    assert(rs.map(_._4).sum == toks.length.toLong, s"$src0 token mass")
+  }
+
+  test("gini gain q253: hand replay of f_len to the bit; gains non-negative; parity control ~zero") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select((col("lang") === "en").as("y"), (col("n_chars") >= 300L).as("f"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)))
+    val n = docs.length.toLong; val pos = docs.count(_._1).toLong
+    val nt = docs.count(_._2).toLong; val pt = docs.count(d => d._1 && d._2).toLong
+    def gini(p: Long, m: Long): Double =
+      1.0 - (p * p + (m - p) * (m - p)).toDouble / (m * m).toDouble
+    def side(p: Long, m: Long): Double =
+      if (m == 0) 0.0 else (m.toDouble / n.toDouble) * gini(p, m)
+    val split = side(pt, nt) + side(pos - pt, n - nt)
+    val got = TextAnalysis.giniGain(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("f_len", "f_tok", "f_parity", "f_src"))
+    val r = got("f_len")
+    assert(r.getLong(1) == nt && r.getLong(2) == pt)
+    assert(r.getDouble(5) == gini(pos, n), "gini_parent")
+    assert(r.getDouble(6) == split, "gini_split")
+    assert(r.getDouble(7) == gini(pos, n) - split, "gain")
+    got.values.foreach(r => assert(r.getDouble(7) >= -1e-15, s"${r.getString(0)} gain"))
+    assert(math.abs(got("f_parity").getDouble(7)) < 2e-3, "parity control must carry ~no signal")
+  }
+
+  test("rebalance churn q254: ring moves a sliver, mod moves nearly everything; ring replayed by hand") {
+    val got = TextAnalysis.rebalanceChurn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    assert(got("mod")._1 == nDocs && got("ring")._1 == nDocs)
+    assert(got("mod")._3 > 0.9, s"mod churn ${got("mod")._3}")
+    assert(got("ring")._3 < 0.1, s"ring churn ${got("ring")._3}")
+    // hand replay of ring ownership
+    def hv(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(h, 16)
+    }
+    val pts = (0 until 65).map(i => i -> hv(s"shard:$i"))
+    val p64 = pts.filter(_._1 < 64).map(_._2).sorted
+    val p65 = pts.map(_._2).sorted
+    def owner(arr: Seq[Long], k: Long): Long = arr.find(_ >= k).getOrElse(arr.head)
+    val ids = graft.Tables.documents(spark, sf).select("doc_id").collect().map(_.getLong(0))
+    val moved = ids.count(id => { val k = hv(id.toString)
+      owner(p64, k) != owner(p65, k) })
+    assert(got("ring")._2 == moved.toLong, s"ring moved: got ${got("ring")._2} vs $moved")
+  }
+
+  test("rbo q255: full pair grid; hand replay of the heaviest pair; bounds respected") {
+    val k = 20; val p = 0.9
+    val weights = (1 to k).map(m =>
+      (1.0 - p) * (m to k).map(d => math.pow(p, d - 1) / d).sum)
+    val maxRbo = (1.0 - p) * (1 to k).map(d => math.pow(p, d - 1)).sum // full agreement
+    val rows = TextAnalysis.rboSourceSimilarity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val nSrc = graft.Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length.toLong == nSrc * (nSrc - 1) / 2, "complete pair grid")
+    rows.foreach { case (a, b, ov, rbo) =>
+      assert(a < b && ov <= k.toLong && rbo >= 0.0 && rbo <= maxRbo + 1e-12)
+      assert((ov == 0L) == (rbo == 0.0))
+    }
+    // hand replay: rebuild both top lists for the highest-rbo pair
+    val (sa, sb, _, best) = rows.maxBy(_._4)
+    def top(src: String): Seq[(String, Int)] = graft.Tables.documents(spark, sf)
+      .filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("t")).filter(col("t") =!= "")
+      .collect().map(_.getString(0)).groupBy(identity)
+      .toSeq.map { case (t, xs) => (t, xs.length) }
+      .sortBy { case (t, c) => (-c, t) }.take(k).zipWithIndex
+      .map { case ((t, _), i) => (t, i + 1) }
+    val (ta, tb) = (top(sa).toMap, top(sb).toMap)
+    val replay = ta.keySet.intersect(tb.keySet).toSeq.sorted
+      .map(t => weights(math.max(ta(t), tb(t)) - 1)).foldLeft(0.0)(_ + _)
+    assert(best == replay, s"($sa,$sb): $best vs $replay")
+  }
+
+  test("schema evolution q256: nulls appear exactly for old-gen rows; sums tie out against the raw table") {
+    val raw = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("u"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = sources.FormatOps.schemaEvolution(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    raw.groupBy(_._1).foreach { case (t, rows) =>
+      val odd = rows.filter(_._2 % 2 == 1)
+      val r = got(t)
+      assert(r.getLong(1) == rows.length.toLong, s"$t n_rows")
+      assert(r.getLong(2) == odd.length.toLong, s"$t n_evolved")
+      assert(r.getLong(3) == odd.map(_._3).sum, s"$t evolved_units")
+      assert(r.getLong(4) == rows.map(_._3).sum, s"$t all_units")
+    }
+  }
+
+  test("join estimate q257: actual equals the materialized join; estimate replayed by hand for one pair") {
+    val got = Relational.joinEstimate(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("orders_lineitem", "customer_orders", "part_lineitem"))
+    // ground truth really is the join size
+    val o = graft.Tables.orders(spark, sf); val l = graft.Tables.lineitem(spark, sf)
+    val actual = o.join(l, o("o_orderkey") === l("l_orderkey")).count()
+    assert(got("orders_lineitem").getLong(3) == actual)
+    // hand replay of the estimator for customer_orders
+    val ca = graft.Tables.customer(spark, sf).groupBy(col("c_custkey").as("k"))
+      .agg(count(lit(1)).as("c")).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val cb = o.groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("c")).collect().map(r => r.getLong(0) -> r.getLong(1))
+    def top(m: Array[(Long, Long)]) = m.sortBy { case (k, c) => (-c, k) }.take(50)
+    val (ha, hb) = (top(ca).toMap, top(cb).toMap)
+    val x = ha.keySet.intersect(hb.keySet).toSeq.map(k => ha(k) * hb(k)).sum
+    val sA = ha.filterNot(kv => hb.contains(kv._1)).values.sum
+    val sB = hb.filterNot(kv => ha.contains(kv._1)).values.sum
+    val (nA, nB) = (ca.map(_._2).sum, cb.map(_._2).sum)
+    val (dA, dB) = (ca.length.toLong, cb.length.toLong)
+    val (dat, dbt) = (dA - ha.size, dB - hb.size)
+    val avgA = (nA - ha.values.sum).toDouble / dat.toDouble
+    val avgB = (nB - hb.values.sum).toDouble / dbt.toDouble
+    val est = x.toDouble +
+      (if (dbt == 0) 0.0 else sA.toDouble * avgB) +
+      (if (dat == 0) 0.0 else sB.toDouble * avgA) +
+      (if (dat == 0 || dbt == 0) 0.0 else math.min(dat, dbt).toDouble * avgA * avgB)
+    val r = got("customer_orders")
+    assert(r.getDouble(4) == est, s"est: ${r.getDouble(4)} vs $est")
+    assert(r.getDouble(5) < 0.25, "estimator within 25% on an FK join")
+  }
 }

@@ -1230,6 +1230,179 @@ class PlanGuardSpec extends SparkSuite {
       n.contains("BroadcastNestedLoopJoin")))
   }
 
+  test("q241 kmv: bounded-heap typed aggregate (ObjectHashAggregate), no window sort, no cartesian") {
+    val df = TextAnalysis.kmvDistinct(spark, sf)
+    // the k-smallest state must flow through partial+final object
+    // aggregation — a WindowExec here would mean the sketch regressed
+    // to the per-source global sort it exists to replace
+    assert(names(df).exists(_.contains("ObjectHashAggregate")), "typed aggregator")
+    assert(!plan(df).exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "no window sort — the heap IS the k-smallest")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("q242 logreg: GD passes ran at pin time over the pinned feature frame; output is the 1-row fit") {
+    val df = TextAnalysis.logisticFit(spark, sf)
+    // features are Pins.eager-pinned once; each pass crossJoins the
+    // broadcast 1-row weight frame — the final plan must read
+    // checkpoint blocks, never re-scan documents
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty, "a file scan means a pass re-derived the feature frame")
+    assert(df.count() == 1)
+  }
+
+  test("q243 average precision: rank/cum windows keyed by source; fold in the aggregate, no cartesian") {
+    val df = TextAnalysis.averagePrecision(spark, sf)
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), "no unkeyed window")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("q244 bfs: supersteps ran at pin time — final plan aggregates the pinned distance frame only") {
+    val df = Dedup.bfsHops(spark, sf)
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty,
+      "a file scan means a superstep re-derived the edge list or an earlier frontier")
+    assert(df.count() <= 4, "histogram of dist 0..3")
+  }
+
+  test("q245 item cf: norms broadcast into pair scoring; neighbor window keyed by item; no cartesian") {
+    val df = EventOps.itemNeighbors(spark, sf)
+    assert(names(df).exists(_.contains("BroadcastHashJoin")),
+      "item-norm frames are dimension-sized — must broadcast")
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), "no unkeyed window")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("q246 mase: corpus collapses to daily grain before any window; lag windows keyed by type") {
+    val df = EventOps.seasonalMase(spark, sf)
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), "no unkeyed window")
+    assert(names(df).count(_.contains("HashAggregate")) >= 2,
+      "daily-grain partial+final aggregate below the window")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("q247 prefix jaccard: candidate join is equi on shingle over the pinned prefix; all windows keyed; no cartesian") {
+    val df = Dedup.prefixJaccard(spark, sf)
+    // the prefix frame is Pins.eager-pinned: the candidate self-join
+    // must read checkpoint blocks, not re-run the df/rank windows
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.forall(_.partitionSpec.nonEmpty), "no unkeyed window")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+    assert(joinTypes(df).forall(_ == "Inner"))
+  }
+
+  test("q248 zorder: hmin frame broadcasts; bit math in codegen; no window, no sort, no cartesian joins beyond the 1-row broadcast") {
+    val df = Bucketing.zorderAudit(spark, sf)
+    assert(!plan(df).exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "the curve does the clustering — no window may appear")
+    // the only join is the 1-row hmin broadcast (a broadcast NL join is
+    // fine HERE: one row, no key)
+    assert(names(df).exists(_.contains("BroadcastNestedLoopJoin")) ||
+      names(df).exists(_.contains("BroadcastHashJoin")))
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("HashAggregate")) >= 4,
+      "partial+final at both the per-file and per-layout levels")
+  }
+
+  test("q249 join ivm: both passes shuffle on orderkey only; merged-cell frame joins the full view without a third fact shuffle") {
+    val df = Relational.joinIvm(spark, sf)
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+    assert(joinTypes(df).forall(_ == "Inner"))
+    // two fact⋈fact joins (audit price) + the tiny priority-level join
+    assert(joinTypes(df).length <= 3, "no hidden extra join pass")
+  }
+
+  test("q250 fd audit: five unioned keyed rollups — no joins, no windows") {
+    val df = Relational.fdAudit(spark, sf)
+    assert(joinTypes(df).isEmpty, "candidates are single-table groupBys")
+    assert(!plan(df).exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+  }
+
+  test("q251 markov: the corpus pass ran at pin time — supersteps read matrix-sized pinned frames only") {
+    val df = EventOps.markovAttribution(spark, sf)
+    val scans = plan(df).collectFirst { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty,
+      "a file scan after construction means a superstep re-derived the transition matrix")
+    assert(df.count() == 4, "one row per removable channel")
+  }
+
+  test("q252 tail collapse: aggregate to the type frame BEFORE any window; windows keyed by source") {
+    val df = TextAnalysis.tailCollapse(spark, sf)
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), "no unkeyed window")
+    assert(names(df).count(_.contains("HashAggregate")) >= 2,
+      "token mass collapses in a partial+final aggregate, not in the window")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+  }
+
+  test("q253 gini gain: ONE corpus scan, one scalar aggregate — adding features must not add passes") {
+    val df = TextAnalysis.giniGain(spark, sf)
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, s"expected 1 scan, got ${scans.length}")
+    assert(!plan(df).exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    assert(joinTypes(df).isEmpty, "no joins — per-feature math runs on the 1-row aggregate")
+  }
+
+  test("q254 rebalance churn: point arrays broadcast; ownership probes stay per-row (no join on keys)") {
+    val df = TextAnalysis.rebalanceChurn(spark, sf)
+    // the ONLY joins attach the two 1-row point-array frames
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.isEmpty, "no window — ownership is an array probe in codegen")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, "one documents scan")
+  }
+
+  test("q255 rbo: pair join runs on the pinned sources×k tops frame — no corpus re-scan, no cartesian") {
+    val df = TextAnalysis.rboSourceSimilarity(spark, sf)
+    // tops is Pins.eager'd: only checkpoint blocks may feed the joins
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty, "a file scan means the match/grid joins re-derived the top lists")
+    // the source-pair grid may use a (bounded, dim-sized) BNLJ for its
+    // inequality condition; an unbounded CartesianProduct may not appear
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+  }
+
+  test("q256 evolution: merged read resolves units; scan prunes to the aggregate's columns") {
+    withFmtDir { tmp =>
+      graft.sources.FormatOps.writeEvolvedEvents(spark, sf, tmp)
+      val df = graft.sources.FormatOps.evolvedReadAgg(spark, tmp)
+      val scan = plan(df).collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.requiredSchema.fieldNames.toSet ==
+        Set("event_type", "value", "units"), "pruned to exactly the audit columns")
+      assert(names(df).count(_.contains("HashAggregate")) >= 2, "partial+final")
+      assert(df.collect().forall(r => r.getLong(2) < r.getLong(1)),
+        "old-gen rows must read back as null units (n_evolved < n_rows)")
+    }
+  }
+
+  test("q257 join estimate: statistics joins run on pinned count frames — fact rows never join") {
+    val df = Relational.joinEstimate(spark, sf)
+    // ca/cb/ha/hb are Pins.eager'd: only checkpoint blocks may feed
+    // the statistic and truth joins
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty, "a file scan means a statistics join re-derived its count frame")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(df.count() == 3)
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
