@@ -482,7 +482,10 @@ object SparkEntry {
     "q255_rbo" -> ((s, d) => TextAnalysis.rboSourceSimilarity(s, d)),
     "q256_schema_evolution" -> ((s, d) => sources.FormatOps.schemaEvolution(s, d)),
     // planner-statistics audit: histogram join-size estimate vs truth
-    "q257_join_estimate" -> ((s, d) => Relational.joinEstimate(s, d))
+    "q257_join_estimate" -> ((s, d) => Relational.joinEstimate(s, d)),
+    // graph density backbone + sampling-estimator closure
+    "q258_kcore" -> ((s, d) => Dedup.kcorePeel(s, d)),
+    "q259_ht_estimate" -> ((s, d) => TextAnalysis.htEstimate(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -4980,6 +4983,54 @@ object SparkEntry {
          |UNION ALL
          |${sel("p3", "part_lineitem")}
          |) u ORDER BY join_name""".stripMargin
-    }
+    },
+    // q258: unrolled peel rounds over the shared mh_pairs edges —
+    // each round drops degree<2 endpoints and their edges, exactly
+    // the Spark supersteps.  Every e$r is AS MATERIALIZED: each is
+    // referenced 5× downstream and DuckDB's default CTE inlining
+    // re-expands the whole chain (incl. the minhash CTE) 5^rounds
+    // times — measured as a CPU-pinned never-finishing compare
+    "q258_kcore" -> {
+      val peel = (r: Int) =>
+        s"""d$r AS (SELECT id, count(*) AS deg FROM (
+           |    SELECT doc_a AS id FROM e${r - 1}
+           |    UNION ALL SELECT doc_b AS id FROM e${r - 1}) u GROUP BY id),
+           |k$r AS MATERIALIZED (SELECT id FROM d$r WHERE deg >= 2),
+           |e$r AS MATERIALIZED (SELECT doc_a, doc_b FROM e${r - 1}
+           |  WHERE doc_a IN (SELECT id FROM k$r)
+           |    AND doc_b IN (SELECT id FROM k$r)),
+           |s$r AS (SELECT $r AS round,
+           |  (SELECT count(DISTINCT id) FROM (SELECT doc_a AS id FROM e$r
+           |     UNION ALL SELECT doc_b AS id FROM e$r) x) AS n_nodes,
+           |  (SELECT count(*) FROM e$r) AS n_edges)""".stripMargin
+      s"""WITH $minhashPairsCte,
+         |e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM mh_pairs),
+         |${(1 to 4).map(peel).mkString(",\n")}
+         |SELECT round, n_nodes, n_edges FROM (
+         |  SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4) u
+         |ORDER BY round""".stripMargin
+    },
+    // q259: the same boundary-crossing selection as q238, fed through
+    // the HT estimator in exact k-units (max(k·w, W) BIGINT sums)
+    "q259_ht_estimate" ->
+      """WITH d AS (SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, w,
+        |    CAST(sum(w) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY source) AS BIGINT) AS wt
+        |  FROM d),
+        |sel AS (SELECT source, w, wt FROM c
+        |  WHERE (cum * 50) // wt > ((cum - w) * 50) // wt),
+        |h AS (SELECT source, count(*) AS n_sampled,
+        |    CAST(sum(CASE WHEN 50 * w > wt THEN 50 * w ELSE wt END) AS BIGINT) AS smax,
+        |    max(wt) AS total
+        |  FROM sel GROUP BY source)
+        |SELECT source, total AS total_chars, n_sampled,
+        |  CAST(smax AS DOUBLE) / 50.0 AS ht_estimate,
+        |  abs(CAST(smax AS DOUBLE) / 50.0 - CAST(total AS DOUBLE))
+        |    / CAST(total AS DOUBLE) AS rel_err
+        |FROM h ORDER BY source""".stripMargin
   )
 }

@@ -1225,6 +1225,51 @@ object Dedup {
     dist.groupBy("dist").agg(count(lit(1)).as("n_nodes")).orderBy("dist")
   }
 
+  /** q258: 2-core peeling over the MinHash-LSH duplicate graph —
+    * `rounds` unrolled peel supersteps, each deleting every node of
+    * degree < 2 (with its edges) and reporting the surviving
+    * (n_nodes, n_edges) per round.  The 2-core is the cyclic backbone
+    * of the dup graph: dangling pair-dups peel away, rings and
+    * densely-linked template families survive — the structure
+    * curation actually needs to look at (q130's triangles are its
+    * strictest subset; q72's components count but don't rank
+    * density).  Peeling converges monotonically, so after the fixture
+    * stabilizes the remaining rounds re-emit the fixpoint — the
+    * deterministic analogue of iterate-until-stable.
+    *
+    * Superstep shape (q119/q244 mold): the edge list is pinned once;
+    * each round is ONE degree aggregate + ONE semi-join-style filter
+    * of edges against surviving nodes, re-pinned — state is the edge
+    * frame, shrinking every round.
+    *
+    * 100 TB shape: each round shuffles only the CURRENT edge set
+    * keyed by endpoint; rounds are data-dependent-size but bounded,
+    * and the answer frame is `rounds` rows.
+    */
+  def kcorePeel(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val pairs = graft.util.Pins.eager(
+      minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+    var edges = pairs
+    val out = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to rounds) {
+      val deg = edges
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= 2).select(col("id"))
+      edges = graft.util.Pins.eager(edges
+        .join(keep.withColumnRenamed("id", "doc_a"), Seq("doc_a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "doc_b"), Seq("doc_b"), "left_semi")
+        .select(col("doc_a"), col("doc_b")))
+      val stats = edges.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(
+          edges.select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+            .agg(countDistinct(col("id")).as("n_nodes"))))
+        .select(lit(r).as("round"), col("n_nodes"), col("n_edges"))
+      out += stats
+    }
+    out.reduce(_.unionAll(_)).orderBy("round")
+  }
+
   /** q247: exact-threshold Jaccard join via PREFIX FILTERING (the
     * AllPairs/PPJoin candidate rule) — the TRUE scale path for q22's
     * deliberately-quadratic inverted-index baseline, with the SAME
@@ -1258,7 +1303,13 @@ object Dedup {
   def prefixJaccard(spark: SparkSession, dir: String,
                     shingleN: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingleSet(Tables.documents(spark, dir), shingleN)
+    // the shingle frame feeds FOUR consumers (ranking, sizes, and both
+    // verify sides) — pin it once so the ShingleSet expression runs
+    // one corpus pass instead of four (measured ~4% at sf0.1: the
+    // dominant cost is the two ranking-window shuffles, which is the
+    // price of the global df order; see SCALING.md on the crossover)
+    val sh = graft.util.Pins.eager(
+      shingleSet(Tables.documents(spark, dir), shingleN))
     // df via a window on shingle: one shuffle, reused by the prefix
     // self-join on the same key (the q22 df-cap branch's trick)
     val ranked = sh

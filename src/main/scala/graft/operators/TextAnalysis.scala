@@ -2899,6 +2899,41 @@ object TextAnalysis {
       .orderBy(col("source"), col("n_tokens").desc, col("category"))
   }
 
+  /** q259: Horvitz–Thompson estimator audit over the q238 PPS sample
+    * — closes the sampling tier's loop: the deterministic systematic
+    * take is fed through the standard HT total estimator
+    * (Σ_selected w/π with π = min(1, k·w/W), i.e. each selected doc
+    * contributes max(w, W/k)) and audited against the TRUE per-source
+    * character total.  This is the number a pipeline quotes when it
+    * processes the 2% sample and reports corpus-level statistics —
+    * the audit measures exactly what the deterministic take costs in
+    * estimator error.
+    *
+    * Exactness: contributions are computed in k-units
+    * (max(k·w, W), exact BIGINT), summed exactly, divided by k once;
+    * the only doubles are the final estimate and relative error.
+    *
+    * 100 TB shape: the sample is ≤ k rows per source (q238's
+    * output); totals are one keyed aggregate broadcast into the
+    * ≤ k-row frame.
+    */
+  def htEstimate(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val sel = ppsSample(spark, dir, k).select(col("source"), col("n_chars").as("w"))
+    val tot = Tables.documents(spark, dir)
+      .groupBy("source").agg(sum(col("n_chars")).as("wt"))
+    sel.join(broadcast(tot), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(greatest(lit(k.toLong) * col("w"), col("wt"))).as("smax"),
+        max(col("wt")).as("total_chars"))
+      .select(col("source"), col("total_chars"), col("n_sampled"),
+        (col("smax").cast("double") / lit(k.toDouble)).as("ht_estimate"),
+        (abs(col("smax").cast("double") / lit(k.toDouble)
+          - col("total_chars").cast("double"))
+          / col("total_chars").cast("double")).as("rel_err"))
+      .orderBy("source")
+  }
+
   /** q253: Gini-impurity feature ranking — information-gain-style
     * feature selection with the GINI criterion instead of entropy,
     * deliberately: gain is then pure polynomial arithmetic on exact

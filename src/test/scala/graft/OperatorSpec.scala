@@ -3144,4 +3144,44 @@ class OperatorSpec extends SparkSuite {
     assert(r.getDouble(4) == est, s"est: ${r.getDouble(4)} vs $est")
     assert(r.getDouble(5) < 0.25, "estimator within 25% on an FK join")
   }
+
+  test("kcore q258: monotone shrink to a fixpoint; survivors replayed by hand peeling") {
+    val rows = Dedup.kcorePeel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(1 to 4))
+    // peeling never grows
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"grew: $a -> $b") }
+    // hand peel from the raw edge list
+    var es = Dedup.minhashLsh(spark, sf).as[(Long, Long)].collect().toSet
+    val expected = (1 to 4).map { _ =>
+      val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      val keep = deg.filter(_._2 >= 2).keySet
+      es = es.filter(e => keep(e._1) && keep(e._2))
+      (es.flatMap(e => Seq(e._1, e._2)).size.toLong, es.size.toLong)
+    }
+    rows.zip(expected).foreach { case ((r, n, e), (en, ee)) =>
+      assert(n == en && e == ee, s"round $r: ($n,$e) vs ($en,$ee)") }
+  }
+
+  test("ht estimate q259: estimator replayed from the PPS sample; errors small for 50 strata") {
+    val got = TextAnalysis.htEstimate(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    val sel = TextAnalysis.ppsSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    val tot = graft.Tables.documents(spark, sf)
+      .groupBy("source").agg(sum("n_chars").as("w")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (src, total, n, est, err) =>
+      assert(total == tot(src), s"$src total")
+      val mine = sel.filter(_._1 == src)
+      assert(n == mine.length.toLong, s"$src n_sampled")
+      val smax = mine.map { case (_, w) => math.max(50L * w, tot(src)) }.sum
+      assert(est == smax.toDouble / 50.0, s"$src est")
+      // a 50-stratum systematic PPS take should land close
+      assert(err < 0.10, s"$src rel_err $err")
+    }
+  }
 }

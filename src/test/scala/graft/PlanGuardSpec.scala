@@ -1403,6 +1403,21 @@ class PlanGuardSpec extends SparkSuite {
     assert(df.count() == 3)
   }
 
+  test("q258 kcore: peel rounds ran at pin time — final plan unions bounded stats frames only") {
+    val df = Dedup.kcorePeel(spark, sf)
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty,
+      "a file scan means a peel round re-derived the edge list")
+    assert(df.count() == 4, "one row per round")
+  }
+
+  test("q259 ht estimate: totals broadcast into the <=k-row sample frame; no cartesian") {
+    val df = TextAnalysis.htEstimate(spark, sf)
+    assert(names(df).exists(_.contains("BroadcastHashJoin")),
+      "source totals are dimension-sized — must broadcast")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
