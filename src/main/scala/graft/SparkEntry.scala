@@ -485,7 +485,10 @@ object SparkEntry {
     "q257_join_estimate" -> ((s, d) => Relational.joinEstimate(s, d)),
     // graph density backbone + sampling-estimator closure
     "q258_kcore" -> ((s, d) => Dedup.kcorePeel(s, d)),
-    "q259_ht_estimate" -> ((s, d) => TextAnalysis.htEstimate(s, d))
+    "q259_ht_estimate" -> ((s, d) => TextAnalysis.htEstimate(s, d)),
+    // multiset near-dup scoring + broken-stick regime selection
+    "q260_weighted_jaccard" -> ((s, d) => Dedup.weightedJaccard(s, d)),
+    "q261_segmented_trend" -> ((s, d) => EventOps.segmentedTrend(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -5031,6 +5034,83 @@ object SparkEntry {
         |  CAST(smax AS DOUBLE) / 50.0 AS ht_estimate,
         |  abs(CAST(smax AS DOUBLE) / 50.0 - CAST(total AS DOUBLE))
         |    / CAST(total AS DOUBLE) AS rel_err
-        |FROM h ORDER BY source""".stripMargin
+        |FROM h ORDER BY source""".stripMargin,
+    // q260: candidate-driven multiset scoring; Σmax folds to
+    // n_a + n_b − Σmin by the multiset identity, so both scores are
+    // single integer-ratio divides
+    "q260_weighted_jaccard" ->
+      s"""WITH $minhashPairsCte,
+         |tok AS MATERIALIZED (SELECT doc_id, token, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY doc_id, token),
+         |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, count(*) AS n_set
+         |  FROM tok GROUP BY doc_id),
+         |sh2 AS (SELECT p.doc_a, p.doc_b,
+         |    CAST(sum(CASE WHEN a.c < b.c THEN a.c ELSE b.c END) AS BIGINT) AS smin,
+         |    count(*) AS sset
+         |  FROM mh_pairs p JOIN tok a ON a.doc_id = p.doc_a
+         |  JOIN tok b ON b.doc_id = p.doc_b AND b.token = a.token
+         |  GROUP BY 1, 2)
+         |SELECT s.doc_a, s.doc_b, s.smin, s.sset,
+         |  CAST(smin AS DOUBLE) / CAST(ta.n_tok + tb.n_tok - smin AS DOUBLE) AS weighted_jaccard,
+         |  CAST(sset AS DOUBLE) / CAST(ta.n_set + tb.n_set - sset AS DOUBLE) AS set_jaccard
+         |FROM sh2 s JOIN tot ta ON ta.doc_id = s.doc_a
+         |JOIN tot tb ON tb.doc_id = s.doc_b
+         |ORDER BY s.doc_a, s.doc_b""".stripMargin,
+    // q261: shared centered-moments SSE template (one pinned double
+    // order); the dense series y is MATERIALIZED (multi-referenced)
+    "q261_segmented_trend" -> {
+      def sseSql =
+        """CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) = 0.0
+          |      THEN CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE)
+          |      ELSE (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
+          |        - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
+          |          * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(m AS DOUBLE))
+          |          / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE))
+          |    END""".stripMargin
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+         |spine AS (SELECT event_type, d0,
+         |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+         |y AS MATERIALIZED (SELECT s.event_type,
+         |    CAST(date_diff('day', s.d0, s.day) AS BIGINT) AS x, COALESCE(d.n, 0) AS yv
+         |  FROM spine s LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day),
+         |np AS (SELECT event_type, max(x) + 1 AS nd FROM y GROUP BY 1),
+         |cands AS (SELECT event_type, unnest(range(7, nd - 7 + 1)) AS b
+         |  FROM np WHERE nd >= 14),
+         |sides AS (SELECT y.event_type, c.b,
+         |    CASE WHEN y.x < c.b THEN 0 ELSE 1 END AS side, y.x, y.yv
+         |  FROM y JOIN cands c ON c.event_type = y.event_type),
+         |mom AS (SELECT event_type, b, side, count(*) AS m,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * yv) AS BIGINT) AS sxy,
+         |    CAST(sum(yv * yv) AS BIGINT) AS syy
+         |  FROM sides GROUP BY 1, 2, 3),
+         |es AS (SELECT event_type, b, side, $sseSql AS sse FROM mom),
+         |sp AS (SELECT event_type, b,
+         |    max(CASE WHEN side = 0 THEN sse END)
+         |      + max(CASE WHEN side = 1 THEN sse END) AS sse_split
+         |  FROM es GROUP BY 1, 2),
+         |bst AS (SELECT event_type, b AS best_break, sse_split FROM (
+         |    SELECT event_type, b, sse_split,
+         |      row_number() OVER (PARTITION BY event_type
+         |        ORDER BY sse_split ASC, b ASC) AS rn
+         |    FROM sp) t WHERE rn = 1),
+         |sm AS (SELECT event_type, count(*) AS m,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(yv) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * yv) AS BIGINT) AS sxy,
+         |    CAST(sum(yv * yv) AS BIGINT) AS syy
+         |  FROM y GROUP BY 1),
+         |ss AS (SELECT event_type, $sseSql AS sse_single FROM sm)
+         |SELECT b.event_type, np.nd AS n_days,
+         |  CAST(b.best_break AS INTEGER) AS best_break,
+         |  ss.sse_single, b.sse_split,
+         |  CASE WHEN ss.sse_single = 0.0 THEN NULL
+         |    ELSE 1.0 - b.sse_split / ss.sse_single END AS improvement
+         |FROM bst b JOIN ss ON ss.event_type = b.event_type
+         |JOIN np ON np.event_type = b.event_type
+         |ORDER BY b.event_type""".stripMargin
+    }
   )
 }

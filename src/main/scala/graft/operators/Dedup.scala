@@ -1270,6 +1270,54 @@ object Dedup {
     out.reduce(_.unionAll(_)).orderBy("round")
   }
 
+  /** q260: weighted Jaccard over the MinHash-LSH candidate pairs —
+    * multiset similarity J_w = Σ_t min(w_a,w_b) / Σ_t max(w_a,w_b)
+    * with w = per-doc token multiplicity, reported next to the
+    * set-Jaccard on the same pairs.  The weighted form is what
+    * near-dup scoring actually wants on repetitive text: a doc that
+    * repeats a template 10× and one that has it once are
+    * set-identical but multiset-different, and the (set − weighted)
+    * gap is exactly the repetition signal q68 measures per-doc,
+    * lifted to pairs.
+    *
+    * Exactness: Σmin over shared tokens and the per-doc totals are
+    * exact BIGINTs; Σmax = n_a + n_b − Σmin by multiset identity, so
+    * each score is one integer-ratio divide.
+    *
+    * 100 TB shape: candidate-driven like q247's verify — the token
+    * joins run only on LSH-candidate pairs (pair ⋈ doc_a tokens ⋈
+    * doc_b tokens keyed equi-joins); totals are a per-doc aggregate
+    * joined back by id.
+    */
+  def weightedJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.util.Pins.eager(
+      minhashLsh(spark, dir).select(col("doc_a"), col("doc_b")))
+    val tok = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("c")))
+    val totals = tok.groupBy("doc_id").agg(
+      sum(col("c")).as("n_tok"), count(lit(1)).as("n_set"))
+    val shared = pairs
+      .join(tok.select(col("doc_id").as("doc_a"), col("token"), col("c").as("ca")), Seq("doc_a"))
+      .join(tok.select(col("doc_id").as("doc_b"), col("token"), col("c").as("cb")),
+        Seq("doc_b", "token"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(least(col("ca"), col("cb"))).as("smin"), count(lit(1)).as("sset"))
+    shared
+      .join(totals.select(col("doc_id").as("doc_a"),
+        col("n_tok").as("na"), col("n_set").as("sa")), Seq("doc_a"))
+      .join(totals.select(col("doc_id").as("doc_b"),
+        col("n_tok").as("nb"), col("n_set").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("smin"), col("sset"),
+        (col("smin").cast("double")
+          / (col("na") + col("nb") - col("smin")).cast("double")).as("weighted_jaccard"),
+        (col("sset").cast("double")
+          / (col("sa") + col("sb") - col("sset")).cast("double")).as("set_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q247: exact-threshold Jaccard join via PREFIX FILTERING (the
     * AllPairs/PPJoin candidate rule) — the TRUE scale path for q22's
     * deliberately-quadratic inverted-index baseline, with the SAME

@@ -1890,6 +1890,84 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** q261: segmented (broken-stick) trend selection — for each
+    * event_type's dense daily-count series, fit two OLS segments
+    * around every candidate breakpoint (each side ≥ 7 days), pick the
+    * breakpoint minimizing total SSE (ties → earliest), and report
+    * the variance the break explains over the single-line fit.  The
+    * model-selection step q183's CUSUM (detection) and q234's global
+    * OLS (one trend) both stop short of: WHERE does the regime
+    * change, and is a two-regime story actually better?
+    *
+    * Exactness: per-(type, candidate, side) moment sums
+    * (m, Σx, Σy, Σx², Σxy, Σy²) are exact BIGINTs over the dense
+    * integer series (order-free); each SSE is the centered-moments
+    * formula evaluated in ONE pinned double order, degenerate-spread
+    * sides guarded by an explicit CASE; the argmin compares identical
+    * doubles on both engines with (sse asc, b asc) as total order.
+    *
+    * 100 TB shape: the corpus collapses to types×days rows first; the
+    * candidate cross product is days×candidates per type (bounded by
+    * the calendar, not the corpus) and every candidate's moments come
+    * from one keyed aggregate over that frame.
+    */
+  def segmentedTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = span.select(col("event_type"), col("d0"),
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val y = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        datediff(col("day"), col("d0")).cast("long").as("x"),
+        coalesce(col("n"), lit(0L)).as("yv"))
+    val nPer = y.groupBy("event_type").agg((max(col("x")) + 1L).as("nd"))
+    val cands = nPer
+      .filter(col("nd") >= 14L)
+      .select(col("event_type"), explode(sequence(lit(7L), col("nd") - 7L)).as("b"))
+    def moments(df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(
+        count(lit(1)).as("m"), sum(col("x")).as("sx"), sum(col("yv")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("yv")).as("sxy"),
+        sum(col("yv") * col("yv")).as("syy"))
+    // centered-moment SSE, one pinned operation order
+    def sse: Column = {
+      val syyC = col("syy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double") / col("m").cast("double")
+      val sxyC = col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double") / col("m").cast("double")
+      val sxxC = col("sxx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / col("m").cast("double")
+      when(sxxC === 0.0, syyC).otherwise(syyC - sxyC * sxyC / sxxC)
+    }
+    val sides = moments(
+      y.join(cands, Seq("event_type"))
+        .select(col("event_type"), col("b"),
+          when(col("x") < col("b"), 0).otherwise(1).as("side"), col("x"), col("yv")),
+      Seq("event_type", "b", "side"))
+      .withColumn("sse", sse)
+    val split = sides.groupBy("event_type", "b")
+      .agg((max(when(col("side") === 0, col("sse")))
+        + max(when(col("side") === 1, col("sse")))).as("sse_split"))
+    val best = split
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("sse_split").asc, col("b").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("b").as("best_break"), col("sse_split"))
+    val single = moments(y, Seq("event_type")).withColumn("sse_single", sse)
+      .select(col("event_type"), col("sse_single"))
+    best.join(single, Seq("event_type")).join(nPer, Seq("event_type"))
+      .select(col("event_type"), col("nd").as("n_days"),
+        col("best_break").cast("int").as("best_break"),
+        col("sse_single"), col("sse_split"),
+        when(col("sse_single") === 0.0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("sse_split") / col("sse_single"))
+          .as("improvement"))
+      .orderBy("event_type")
+  }
+
   /** q245: item-item collaborative filtering — cosine similarity
     * between event_types over their per-user interaction-count
     * vectors, damped by the standard shrinkage factor

@@ -3184,4 +3184,65 @@ class OperatorSpec extends SparkSuite {
       assert(err < 0.10, s"$src rel_err $err")
     }
   }
+
+  test("weighted jaccard q260: bounds, multiset<=... set relation replayed on one pair by hand") {
+    val rows = Dedup.weightedJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, smin, sset, wj, sj) =>
+      assert(a < b && smin >= sset && wj > 0.0 && wj <= 1.0 && sj > 0.0 && sj <= 1.0)
+    }
+    // hand replay the pair with the largest |set - weighted| gap
+    val (da, db, smin, sset, wj, sj) = rows.maxBy(r => math.abs(r._6 - r._5))
+    def counts(id: Long): Map[String, Long] = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") === id)
+      .select(explode(split(col("text"), " ")).as("t")).filter(col("t") =!= "")
+      .collect().map(_.getString(0)).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val (ca, cb) = (counts(da), counts(db))
+    val sharedKeys = ca.keySet.intersect(cb.keySet)
+    val mySmin = sharedKeys.toSeq.map(t => math.min(ca(t), cb(t))).sum
+    assert(smin == mySmin && sset == sharedKeys.size.toLong)
+    val (na, nb) = (ca.values.sum, cb.values.sum)
+    assert(wj == mySmin.toDouble / (na + nb - mySmin).toDouble)
+    assert(sj == sharedKeys.size.toDouble /
+      (ca.size + cb.size - sharedKeys.size).toDouble)
+  }
+
+  test("segmented trend q261: split SSE beats single-line SSE; best break replayed by brute force") {
+    val got = EventOps.segmentedTrend(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.nonEmpty)
+    // replay for one type from the dense daily series
+    val t0 = got.keys.min
+    val daily = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === t0)
+      .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val d0 = daily.map(_._1).min; val d1 = daily.map(_._1).max
+    val byDay = daily.toMap
+    val y = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1))
+      .map(d => byDay.getOrElse(d, 0L)).toVector
+    def sse(xs: Seq[(Long, Long)]): Double = {
+      val m = xs.length.toDouble
+      val sx = xs.map(_._1).sum; val sy = xs.map(_._2).sum
+      val sxx = xs.map(p => p._1 * p._1).sum; val sxy = xs.map(p => p._1 * p._2).sum
+      val syy = xs.map(p => p._2 * p._2).sum
+      val sxxC = sxx.toDouble - sx.toDouble * sx.toDouble / m
+      val syyC = syy.toDouble - sy.toDouble * sy.toDouble / m
+      val sxyC = sxy.toDouble - sx.toDouble * sy.toDouble / m
+      if (sxxC == 0.0) syyC else syyC - sxyC * sxyC / sxxC
+    }
+    val pts = y.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val cands = (7L to (y.length - 7).toLong).map { b =>
+      b -> (sse(pts.filter(_._1 < b)) + sse(pts.filter(_._1 >= b))) }
+    val (bestB, bestSse) = cands.minBy { case (b, s) => (s, b) }
+    val r = got(t0)
+    assert(r.getLong(1) == y.length.toLong, s"$t0 n_days")
+    assert(r.getInt(2) == bestB.toInt, s"$t0 break: ${r.getInt(2)} vs $bestB")
+    assert(r.getDouble(4) == bestSse, s"$t0 sse_split")
+    assert(r.getDouble(3) == sse(pts), s"$t0 sse_single")
+    assert(r.getDouble(4) <= r.getDouble(3) + 1e-9, "a break never fits worse")
+  }
 }

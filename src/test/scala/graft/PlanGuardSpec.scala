@@ -1418,6 +1418,25 @@ class PlanGuardSpec extends SparkSuite {
     assert(!names(df).exists(_.contains("CartesianProduct")))
   }
 
+  test("q260 weighted jaccard: candidate-driven token joins over pinned frames; no cartesian") {
+    val df = Dedup.weightedJaccard(spark, sf)
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.isEmpty, "pairs and token counts are pinned — no corpus re-scan")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+    assert(joinTypes(df).forall(_ == "Inner"))
+  }
+
+  test("q261 segmented trend: corpus collapses to daily grain before the candidate cross; windows keyed") {
+    val df = EventOps.segmentedTrend(spark, sf)
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), "no unkeyed window")
+    assert(names(df).count(_.contains("HashAggregate")) >= 2,
+      "daily-grain partial+final aggregate below the candidate expansion")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+  }
+
   test("chunked sink plan: range partition + within-partition sort, no global single-partition sort") {
     val df = Tables.documents(spark, sf)
       .selectExpr("CAST(doc_id AS STRING) AS id", "source AS owner", "text AS content")
