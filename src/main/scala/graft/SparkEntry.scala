@@ -4579,17 +4579,19 @@ object SparkEntry {
     // edge set — dk = min-dist after k hops, exactly the Spark
     // frontier-join/min-agg rounds
     "q244_bfs_hops" -> {
+      // AS MATERIALIZED on the multi-referenced frames (e feeds every
+      // hop; each d feeds the next hop twice) — the q258 inlining rule
       val hopCte = (k: Int) =>
         s"""f$k AS (SELECT e.dst AS id, $k AS dist
            |  FROM e JOIN d${k - 1} d ON d.id = e.src AND d.dist = ${k - 1}),
-           |d$k AS (SELECT id, min(dist) AS dist FROM (
+           |d$k AS MATERIALIZED (SELECT id, min(dist) AS dist FROM (
            |    SELECT id, dist FROM d${k - 1}
            |    UNION ALL SELECT id, dist FROM f$k) u GROUP BY id)""".stripMargin
       s"""WITH $minhashPairsCte,
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
          |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
          |n0 AS (SELECT DISTINCT src AS id FROM e),
-         |d0 AS (SELECT id, 0 AS dist FROM n0 ORDER BY id LIMIT 8),
+         |d0 AS MATERIALIZED (SELECT id, 0 AS dist FROM n0 ORDER BY id LIMIT 8),
          |${hopCte(1)},
          |${hopCte(2)},
          |${hopCte(3)}
@@ -4653,10 +4655,11 @@ object SparkEntry {
     // is q22's result set to the bit
     "q247_prefix_jaccard" ->
       s"""WITH $shingleCte,
+         |shm AS MATERIALIZED (SELECT doc_id, shingle FROM sh),
          |w1 AS (SELECT doc_id, shingle,
          |    count(*) OVER (PARTITION BY shingle) AS df,
          |    count(*) OVER (PARTITION BY doc_id) AS n
-         |  FROM sh),
+         |  FROM shm),
          |p AS (SELECT doc_id, shingle FROM (
          |    SELECT doc_id, shingle, n,
          |      row_number() OVER (PARTITION BY doc_id ORDER BY df ASC, shingle ASC) AS rn
@@ -4664,10 +4667,10 @@ object SparkEntry {
          |  WHERE rn <= n - ((4 * n + 4) // 5) + 1),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM shm GROUP BY doc_id),
          |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  FROM cand c JOIN shm sa ON sa.doc_id = c.doc_a
+         |  JOIN shm sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
@@ -4791,11 +4794,13 @@ object SparkEntry {
          |f AS (SELECT acc AS p_full FROM a8 WHERE chain = 'full'),
          |r AS (SELECT chain AS channel, acc AS removal_conv_prob FROM a8 WHERE chain <> 'full'),
          |e AS (SELECT channel, p_full AS full_conv_prob, removal_conv_prob,
-         |    1.0 - removal_conv_prob / p_full AS removal_effect FROM r, f),
+         |    CASE WHEN p_full = 0.0 THEN NULL
+         |      ELSE 1.0 - removal_conv_prob / p_full END AS removal_effect FROM r, f),
          |s AS (SELECT list_reduce(list_prepend(0.0,
          |    list(removal_effect ORDER BY channel)), (a, b) -> a + b) AS tot FROM e)
          |SELECT channel, full_conv_prob, removal_conv_prob, removal_effect,
-         |  removal_effect / tot AS attribution_share
+         |  CASE WHEN tot = 0.0 OR tot IS NULL THEN NULL
+         |    ELSE removal_effect / tot END AS attribution_share
          |FROM e, s ORDER BY channel""".stripMargin
     },
     // q252: ranking ties pinned (count desc, token asc); masses are

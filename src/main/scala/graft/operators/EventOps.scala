@@ -1876,17 +1876,23 @@ object EventOps {
     }
     val full = acc.filter(col("chain") === "full")
       .select(col("acc").as("p_full"))
+    // degenerate guards (the batch rule): a fixture slice with no
+    // conversions gives p_full = 0 — Spark's non-ANSI divide yields
+    // NULL while DuckDB floats to inf/NaN, so spell the NULL on both
     val eff = acc.filter(col("chain") =!= "full")
       .select(col("chain").as("channel"), col("acc").as("removal_conv_prob"))
       .crossJoin(broadcast(full))
       .select(col("channel"), col("p_full").as("full_conv_prob"),
         col("removal_conv_prob"),
-        (lit(1.0) - col("removal_conv_prob") / col("p_full")).as("removal_effect"))
+        when(col("p_full") === 0.0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("removal_conv_prob") / col("p_full"))
+          .as("removal_effect"))
     val tot = eff.agg(fold(col("channel"), col("removal_effect")).as("tot"))
     eff.crossJoin(broadcast(tot))
       .select(col("channel"), col("full_conv_prob"), col("removal_conv_prob"),
         col("removal_effect"),
-        (col("removal_effect") / col("tot")).as("attribution_share"))
+        when(col("tot") === 0.0 || col("tot").isNull, lit(null).cast("double"))
+          .otherwise(col("removal_effect") / col("tot")).as("attribution_share"))
       .orderBy("channel")
   }
 
@@ -1912,17 +1918,10 @@ object EventOps {
     * from one keyed aggregate over that frame.
     */
   def segmentedTrend(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"))
-    val span = daily.groupBy("event_type")
-      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val spine = span.select(col("event_type"), col("d0"),
-      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-    val y = spine.join(daily, Seq("event_type", "day"), "left")
+    val y = denseDailySeries(spark, dir)
       .select(col("event_type"),
         datediff(col("day"), col("d0")).cast("long").as("x"),
-        coalesce(col("n"), lit(0L)).as("yv"))
+        col("n").as("yv"))
     val nPer = y.groupBy("event_type").agg((max(col("x")) + 1L).as("nd"))
     val cands = nPer
       .filter(col("nd") >= 14L)
@@ -2047,16 +2046,27 @@ object EventOps {
     * types×days rows; the spine explode, window lags and final
     * aggregate all run on that bounded frame.
     */
-  def seasonalMase(spark: SparkSession, dir: String, season: Int = 7): DataFrame = {
+  /** Dense per-type daily-count series (calendar-gap days = 0),
+    * shared by q246 (MASE) and q261 (segmented trend) — both lag/
+    * moment computations silently corrupt on a gapped series, so the
+    * densify rule lives in exactly one place.  Columns:
+    * (event_type, d0 = first day, day, n).
+    */
+  private def denseDailySeries(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
     val spine = daily.groupBy("event_type")
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-      .select(col("event_type"),
+      .select(col("event_type"), col("d0"),
         explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
-    val y = spine.join(daily, Seq("event_type", "day"), "left")
-      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("d0"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  def seasonalMase(spark: SparkSession, dir: String, season: Int = 7): DataFrame = {
+    val y = denseDailySeries(spark, dir).select("event_type", "day", "n")
     val w = Window.partitionBy("event_type").orderBy("day")
     val lagged = y
       .withColumn("l1", lag(col("n"), 1).over(w))

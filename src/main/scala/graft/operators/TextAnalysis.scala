@@ -2779,17 +2779,28 @@ object TextAnalysis {
     * replays the k smallest per source with a window — fine at sf0.01,
     * exactly the formulation the bounded heap replaces at scale.
     */
+  /** The 60-bit md5 hash shared by q241's KMV sketch and q254's ring
+    * ownership (the oracle's positional base-16 fold mirrors it) —
+    * ONE definition so the cross-engine bit-exactness contract is
+    * structural, not two copies kept byte-identical by discipline.
+    */
+  private[operators] def hv60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     import spark.implicits._
     val twoPow60 = 1152921504606846976.0 // 2^60 = 16^15, exact double
-    val perSource = Tables.documents(spark, dir)
-      .select(col("source"), explode(tokens(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .select(col("source"),
-        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("hv"))
-      .distinct()
-    val withAll = perSource.union(
-      perSource.select(lit("__all__").as("source"), col("hv")).distinct())
+    // pinned: the hashed-distinct frame feeds two branches of withAll,
+    // and withAll feeds both the sketch and the exact count — without
+    // the pins the corpus explode+hash+distinct runs four times
+    val perSource = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .select(col("source"), hv60(col("token")).as("hv"))
+        .distinct())
+    val withAll = graft.util.Pins.eager(perSource.union(
+      perSource.select(lit("__all__").as("source"), col("hv")).distinct()))
     val sk = withAll.as[HvRow].groupByKey(_.source)
       .agg(new KSmallest(k).toColumn.name("mins"))
       .toDF("source", "mins")
@@ -3010,12 +3021,10 @@ object TextAnalysis {
     * join, no shuffle; the final rollup is one scalar aggregate.
     */
   def rebalanceChurn(spark: SparkSession, dir: String): DataFrame = {
-    def hv(c: Column): Column =
-      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     val keys = Tables.documents(spark, dir)
-      .select(hv(col("doc_id").cast("string")).as("kh"))
+      .select(hv60(col("doc_id").cast("string")).as("kh"))
     val pts = spark.range(0, 65).select(col("id").cast("int").as("pid"),
-      hv(concat(lit("shard:"), col("id").cast("string"))).as("ph"))
+      hv60(concat(lit("shard:"), col("id").cast("string"))).as("ph"))
     val p64 = pts.filter(col("pid") < 64).agg(sort_array(collect_list(col("ph"))).as("p64"))
     val p65 = pts.agg(sort_array(collect_list(col("ph"))).as("p65"))
     // try_element_at: the filtered candidate list is EMPTY for keys
