@@ -488,7 +488,14 @@ object SparkEntry {
     "q259_ht_estimate" -> ((s, d) => TextAnalysis.htEstimate(s, d)),
     // multiset near-dup scoring + broken-stick regime selection
     "q260_weighted_jaccard" -> ((s, d) => Dedup.weightedJaccard(s, d)),
-    "q261_segmented_trend" -> ((s, d) => EventOps.segmentedTrend(s, d))
+    "q261_segmented_trend" -> ((s, d) => EventOps.segmentedTrend(s, d)),
+    // sketch set-algebra, shuffle-strategy audit, submodular selection
+    "q262_kmv_pair_sim" -> ((s, d) => TextAnalysis.kmvPairSim(s, d)),
+    "q263_skew_audit" -> ((s, d) => SkewJoin.skewAudit(s, d)),
+    "q264_set_cover" -> ((s, d) => TextAnalysis.setCoverSources(s, d)),
+    // dimensionality-reduction trust gate + experiment variance reduction
+    "q265_jl_distortion" -> ((s, d) => Similarity.jlDistortion(s, d)),
+    "q266_cuped" -> ((s, d) => EventOps.cupedReadout(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -5116,6 +5123,192 @@ object SparkEntry {
          |FROM bst b JOIN ss ON ss.event_type = b.event_type
          |JOIN np ON np.event_type = b.event_type
          |ORDER BY b.event_type""".stripMargin
-    }
+    },
+    // q262: same 60-bit md5 fold as q241; the sketch side replays the
+    // k-min windows, the union-combine and the membership counts the
+    // array algebra computes on Spark; every double is an
+    // exact-integer divide so parity is structural
+    "q262_kmv_pair_sim" ->
+      """WITH tok AS (SELECT DISTINCT source, token FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |hv0 AS MATERIALIZED (SELECT DISTINCT source,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef', substring(md5(token), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) AS hv
+        |  FROM tok),
+        |r AS (SELECT source, hv,
+        |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM hv0),
+        |sk AS MATERIALIZED (SELECT source, hv FROM r WHERE rn <= 64),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM hv0 GROUP BY source),
+        |pr AS (SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b
+        |  FROM sz a JOIN sz b ON a.source < b.source),
+        |uv AS (SELECT p.sa, p.sb, s.hv FROM pr p JOIN sk s ON s.source = p.sa
+        |  UNION
+        |  SELECT p.sa, p.sb, s.hv FROM pr p JOIN sk s ON s.source = p.sb),
+        |us AS MATERIALIZED (SELECT sa, sb, hv FROM (
+        |    SELECT sa, sb, hv,
+        |      row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn FROM uv)
+        |  WHERE rn <= 64),
+        |ku AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS k_used FROM us GROUP BY 1, 2),
+        |si AS (SELECT u.sa, u.sb, CAST(count(*) AS BIGINT) AS inter_sketch
+        |  FROM us u JOIN sk x ON x.source = u.sa AND x.hv = u.hv
+        |            JOIN sk y ON y.source = u.sb AND y.hv = u.hv
+        |  GROUP BY 1, 2),
+        |ie AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS inter_exact
+        |  FROM hv0 a JOIN hv0 b ON a.hv = b.hv AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT p.sa AS source_a, p.sb AS source_b, p.n_a, p.n_b,
+        |  COALESCE(ie.inter_exact, 0) AS inter_exact,
+        |  CAST(COALESCE(ie.inter_exact, 0) AS DOUBLE)
+        |    / CAST(p.n_a + p.n_b - COALESCE(ie.inter_exact, 0) AS DOUBLE) AS jaccard_exact,
+        |  ku.k_used,
+        |  COALESCE(si.inter_sketch, 0) AS inter_sketch,
+        |  CAST(COALESCE(si.inter_sketch, 0) AS DOUBLE)
+        |    / CAST(ku.k_used AS DOUBLE) AS jaccard_est,
+        |  abs(CAST(COALESCE(si.inter_sketch, 0) AS DOUBLE) / CAST(ku.k_used AS DOUBLE)
+        |    - CAST(COALESCE(ie.inter_exact, 0) AS DOUBLE)
+        |      / CAST(p.n_a + p.n_b - COALESCE(ie.inter_exact, 0) AS DOUBLE)) AS abs_err
+        |FROM pr p JOIN ku ON ku.sa = p.sa AND ku.sb = p.sb
+        |LEFT JOIN si ON si.sa = p.sa AND si.sb = p.sb
+        |LEFT JOIN ie ON ie.sa = p.sa AND ie.sb = p.sb
+        |ORDER BY source_a, source_b""".stripMargin,
+    // q263: frequency moments (n, keys, max, Σc²) per type; the ceil
+    // is exact integer arithmetic, the cv one double divide of a
+    // sqrt of an integer — bit-identical both engines
+    "q263_skew_audit" ->
+      """WITH kc AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(c) AS BIGINT) AS max_key_rows,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_c2
+        |  FROM kc GROUP BY 1)
+        |SELECT event_type, n_rows, n_keys, max_key_rows,
+        |  CAST(max_key_rows * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE) AS skew_factor,
+        |  sqrt(CAST(greatest(0, n_keys * sum_c2 - n_rows * n_rows) AS DOUBLE))
+        |    / CAST(n_rows AS DOUBLE) AS key_cv,
+        |  greatest(1, (max_key_rows * 32 + n_rows - 1) // n_rows) AS salt_factor
+        |FROM m ORDER BY event_type""".stripMargin,
+    // q264: the greedy unrolled as generated superstep CTEs (the
+    // q242/q244 pattern); a picked source has no uncovered tokens
+    // left, so it drops out of every later g-stage by construction
+    "q264_set_cover" -> {
+      val roundCte = (k: Int) =>
+        s"""g$k AS (SELECT t.source, CAST(count(*) AS BIGINT) AS gain FROM tok t
+           |  WHERE NOT EXISTS (SELECT 1 FROM c${k - 1} c WHERE c.token = t.token)
+           |  GROUP BY t.source),
+           |p$k AS (SELECT source, gain FROM g$k ORDER BY gain DESC, source ASC LIMIT 1),
+           |c$k AS MATERIALIZED (SELECT token FROM c${k - 1}
+           |  UNION SELECT t.token FROM tok t JOIN p$k ON t.source = p$k.source)""".stripMargin
+      val rounds = (1 to 5).map(roundCte).mkString(",\n")
+      val selects = (1 to 5).map(k =>
+        s"""SELECT $k AS round, source, gain AS marginal_gain,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM c$k) AS cum_covered FROM p$k""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH wrd AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         |tok AS MATERIALIZED (SELECT DISTINCT source,
+         |    unnest([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w) - 1)]) AS token
+         |  FROM wrd WHERE len(w) >= 3),
+         |tot AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS t FROM tok),
+         |c0 AS (SELECT token FROM tok WHERE 1 = 0),
+         |$rounds,
+         |sel AS (
+         |  $selects
+         |)
+         |SELECT round, source, marginal_gain, cum_covered,
+         |  CAST(cum_covered AS DOUBLE) / CAST(t AS DOUBLE) AS coverage_frac
+         |FROM sel, tot ORDER BY round""".stripMargin
+    },
+    // q265: the same md5-parity ±1 sign matrix, projections and
+    // distances as ordered folds (0.0-seeded left fold, d then j
+    // ascending — the q217/q128 rule), so every double is
+    // bit-identical; multiplication order s·e vs e·s is immaterial
+    // (IEEE multiply is commutative bitwise)
+    "q265_jl_distortion" ->
+      """WITH sg AS (SELECT t1.range AS j, t2.range AS d,
+        |    CASE WHEN strpos('01234567',
+        |        substring(md5('jl:' || t1.range || ':' || t2.range), 1, 1)) > 0
+        |      THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(0, 16) t1, range(0, 64) t2),
+        |ev AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+        |pj AS (SELECT ev.vec_id, sg.j,
+        |    list_reduce(list_prepend(0.0,
+        |      list(sg.s * CAST(ev.embedding[sg.d + 1] AS DOUBLE) ORDER BY sg.d)),
+        |      (a, b) -> a + b) AS p
+        |  FROM ev, sg GROUP BY ev.vec_id, sg.j),
+        |pv AS MATERIALIZED (SELECT vec_id, list(p ORDER BY j) AS proj
+        |  FROM pj GROUP BY vec_id),
+        |pr AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM ev a JOIN ev b
+        |  ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 5),
+        |dx AS (SELECT p.vec_a, p.vec_b,
+        |    list_reduce(list_prepend(0.0,
+        |      [(CAST(ea.embedding[i] AS DOUBLE) - CAST(eb.embedding[i] AS DOUBLE))
+        |        * (CAST(ea.embedding[i] AS DOUBLE) - CAST(eb.embedding[i] AS DOUBLE))
+        |        FOR i IN range(1, 65)]), (a, b) -> a + b) AS exact_d2,
+        |    list_reduce(list_prepend(0.0,
+        |      [(pa.proj[i] - pb.proj[i]) * (pa.proj[i] - pb.proj[i])
+        |        FOR i IN range(1, 17)]), (a, b) -> a + b) AS proj_d2
+        |  FROM pr p JOIN ev ea ON ea.vec_id = p.vec_a
+        |  JOIN ev eb ON eb.vec_id = p.vec_b
+        |  JOIN pv pa ON pa.vec_id = p.vec_a
+        |  JOIN pv pb ON pb.vec_id = p.vec_b)
+        |SELECT vec_a, vec_b, exact_d2, proj_d2,
+        |  CASE WHEN exact_d2 = 0.0 THEN NULL
+        |    ELSE proj_d2 / (16.0 * exact_d2) END AS ratio
+        |FROM dx ORDER BY vec_a, vec_b""".stripMargin,
+    // q266: per-user sums in lossless 1e-2 units, six exact integer
+    // moment sums per variant + pooled, every output double one
+    // pinned IEEE sequence; variant = q241's md5 fold mod 2
+    "q266_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+        |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+        |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |uv AS MATERIALIZED (SELECT user_id, x, y,
+        |    list_reduce(list_transform(range(1, 16),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substring(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 2 AS variant
+        |  FROM u),
+        |m AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM uv GROUP BY variant),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM uv),
+        |th AS (SELECT CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+        |    (CAST(sx AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS mean_pre_pooled
+        |  FROM p),
+        |v AS (SELECT m.variant, m.n AS n_users,
+        |    (CAST(m.sx AS DOUBLE) / 100.0) / CAST(m.n AS DOUBLE) AS mean_pre,
+        |    (CAST(m.sy AS DOUBLE) / 100.0) / CAST(m.n AS DOUBLE) AS mean_post,
+        |    th.theta,
+        |    (CAST(m.n * m.syy - m.sy * m.sy AS DOUBLE) / 10000.0)
+        |      / CAST(m.n * m.n AS DOUBLE) AS var_post,
+        |    (CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE) / 10000.0)
+        |      / CAST(m.n * m.n AS DOUBLE) AS var_pre,
+        |    (CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) / 10000.0)
+        |      / CAST(m.n * m.n AS DOUBLE) AS cov_pre_post,
+        |    th.mean_pre_pooled
+        |  FROM m, th)
+        |SELECT variant, n_users, mean_pre, mean_post, theta,
+        |  mean_post - theta * (mean_pre - mean_pre_pooled) AS mean_post_adj,
+        |  var_post,
+        |  (var_post - (2.0 * theta) * cov_pre_post)
+        |    + (theta * theta) * var_pre AS var_post_adj,
+        |  CASE WHEN var_post = 0.0 THEN NULL
+        |    ELSE 1.0 - ((var_post - (2.0 * theta) * cov_pre_post)
+        |      + (theta * theta) * var_pre) / var_post END AS var_reduction
+        |FROM v ORDER BY variant""".stripMargin
   )
 }

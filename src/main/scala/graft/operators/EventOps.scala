@@ -2084,4 +2084,91 @@ object EventOps {
           .as("mase"))
       .orderBy("event_type")
   }
+
+  /** q266: CUPED variance-reduced experiment readout — the
+    * experimentation-platform primitive (Deng et al., WSDM'13 —
+    * public method): users are hash-assigned to two variants, the
+    * post-period metric Y is adjusted by the pre-period covariate X,
+    *
+    *   θ = Cov(X, Y) / Var(X)   (pooled across variants)
+    *   Ŷ = Y − θ·(X − mean(X))
+    *
+    * and the per-variant readout reports mean/variance of Y and Ŷ
+    * plus the realized variance reduction.  Pre = days before
+    * `split`, post = on/after; X, Y = per-user value sums.
+    *
+    * Determinism: value is 2-decimal, so floor(v·100 + 0.5) is a
+    * LOSSLESS integer quantization — per-user sums, the cross-user
+    * moment sums (n, Σx, Σy, Σxy, Σx², Σy²) and θ's numerator /
+    * denominator are EXACT integer arithmetic; every output double
+    * is produced by one pinned sequence of IEEE ops on those
+    * integers.  Variant = hv60(user_id) mod 2 (q241's md5 fold).
+    * CUPED needs only variant-grain moments — never per-user doubles
+    * — because Ŷ is affine in (X, Y): means and variances of Ŷ
+    * reduce to the same six sums.
+    *
+    * 100 TB shape: one keyed partial+final aggregate to user grain,
+    * one to variant grain (2 rows), one 1-row pooled frame broadcast
+    * back — no windows, no ordered folds, nothing driver-side.
+    */
+  def cupedReadout(spark: SparkSession, dir: String,
+                   split: String = "2024-01-16"): DataFrame = {
+    val q = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+    // date-grain split: ts is NTZ-relabelled (Tables.events), so the
+    // cross-engine-safe comparison is on the calendar date
+    val pre = to_date(col("ts")) < to_date(lit(split))
+    // pinned: the user-grain frame feeds the variant-grain AND the
+    // pooled moment aggregates
+    val users = graft.util.Pins.eager(Tables.events(spark, dir)
+      .select(col("user_id"), pre.as("is_pre"), q.as("v"))
+      .groupBy("user_id")
+      .agg(sum(when(col("is_pre"), col("v")).otherwise(0L)).as("x"),
+        sum(when(!col("is_pre"), col("v")).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        pmod(TextAnalysis.hv60(col("user_id").cast("string")), lit(2L))))
+    val moments = (g: org.apache.spark.sql.RelationalGroupedDataset) => g
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val byVar = moments(users.groupBy("variant"))
+    val pooled = moments(users.groupBy())
+      .select(col("n"), col("sx"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"))
+      // degenerate guard (the batch rule): a constant pre-period
+      // covariate has Var(X)=0 — θ is undefined, spell the NULL
+      .select(when(col("den") === 0L, lit(null).cast("double"))
+        .otherwise(col("num").cast("double") / col("den").cast("double"))
+        .as("theta"),
+        ((col("sx").cast("double") / lit(100.0)) / col("n").cast("double"))
+          .as("mean_pre_pooled"))
+    // variant-grain variance/covariance in original (1e-2) units:
+    //   Var = (n·Σy² − (Σy)²) / (10⁴·n²), Cov analogous
+    val vd = (nm: Column) =>
+      (nm.cast("double") / lit(10000.0)) / (col("n") * col("n")).cast("double")
+    byVar.crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n").as("n_users"),
+        ((col("sx").cast("double") / lit(100.0)) / col("n").cast("double"))
+          .as("mean_pre"),
+        ((col("sy").cast("double") / lit(100.0)) / col("n").cast("double"))
+          .as("mean_post"),
+        col("theta"),
+        vd(col("n") * col("syy") - col("sy") * col("sy")).as("var_post"),
+        vd(col("n") * col("sxx") - col("sx") * col("sx")).as("var_pre"),
+        vd(col("n") * col("sxy") - col("sx") * col("sy")).as("cov_pre_post"),
+        col("mean_pre_pooled"))
+      .select(col("variant"), col("n_users"), col("mean_pre"), col("mean_post"),
+        col("theta"),
+        (col("mean_post") - col("theta") * (col("mean_pre") - col("mean_pre_pooled")))
+          .as("mean_post_adj"),
+        col("var_post"),
+        ((col("var_post") - (lit(2.0) * col("theta")) * col("cov_pre_post"))
+          + (col("theta") * col("theta")) * col("var_pre")).as("var_post_adj"))
+      .withColumn("var_reduction",
+        when(col("var_post") === 0.0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("var_post_adj") / col("var_post")))
+      .orderBy("variant")
+  }
 }

@@ -1335,4 +1335,66 @@ object Similarity {
           .cast("double") / lit(1.0e15) / count(lit(1)).cast("double")).as("mean_scale"))
       .orderBy(col("label"))
   }
+
+  /** q265: Johnson–Lindenstrauss random-projection distortion audit —
+    * project the 64-dim embeddings to m=16 dims with a deterministic
+    * ±1 sign matrix (sign(j,d) = +1 iff the first hex digit of
+    * md5("jl:j:d") is 0-7; both engines derive the identical matrix
+    * from md5), then measure, on the id-adjacent pair sample
+    * (vec_b − vec_a ∈ [1, maxOff]), the distortion ratio
+    *
+    *   ‖P(a) − P(b)‖² / (m · ‖a − b‖²)   (E[ratio] = 1 for ±1 JL)
+    *
+    * — the cheap-sketch trust gate a 100 TB ANN pre-filter needs
+    * before replacing 64-dim distance with 16-dim distance.
+    *
+    * Determinism: every reduction over vector components is an
+    * ordered array fold (aggregate over zip_with, d then j ascending
+    * — the q217/q128 rule), every scalar op is IEEE correctly
+    * rounded, so both engines produce bit-identical doubles.
+    *
+    * 100 TB shape: the sign matrix is one broadcast row (m·dim
+    * doubles); projection is a map-only pass; the pair sample is an
+    * offset-explode EQUI-join on vec_id (never a range/NL join), so
+    * the audit is corpus-linear with a maxOff fan-out.
+    */
+  def jlDistortion(spark: SparkSession, dir: String,
+                   m: Int = 16, maxOff: Int = 5): DataFrame = {
+    val fold0 = (arr: Column) => aggregate(arr, lit(0.0), (a, x) => a + x)
+    val sgn = spark.range(0, m)
+      .select(col("id").cast("int").as("j"),
+        transform(sequence(lit(0), lit(63)), d =>
+          when(conv(substring(md5(concat(lit("jl:"), col("id").cast("string"),
+            lit(":"), d.cast("string"))), 1, 1), 16, 10).cast("int") < 8,
+            lit(1.0)).otherwise(lit(-1.0))).as("s"))
+    val sgnRow = sgn.agg(transform(
+      sort_array(collect_list(struct(col("j"), col("s")))),
+      e => e.getField("s")).as("sm"))
+    // pinned: the projected frame feeds BOTH sides of the pair join —
+    // without the pin the scan+projection pass runs twice
+    val proj = graft.util.Pins.eager(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(sgnRow))
+      .select(col("vec_id"), col("embedding"),
+        transform(col("sm"), sj =>
+          fold0(zip_with(col("embedding"), sj, (x, y) => x * y))).as("proj")))
+    val a = proj.select(col("vec_id").as("vec_a"),
+      col("embedding").as("ea"), col("proj").as("pa"))
+      .withColumn("vec_b", explode(sequence(col("vec_a") + 1, col("vec_a") + maxOff)))
+    val b = proj.select(col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("proj").as("pb"))
+    a.join(b, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        // cast BEFORE subtracting: a float-width subtract would round
+        // differently from the oracle's double arithmetic
+        fold0(zip_with(col("ea"), col("eb"), (x, y) =>
+          (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")))).as("exact_d2"),
+        fold0(zip_with(col("pa"), col("pb"),
+          (x, y) => (x - y) * (x - y))).as("proj_d2"))
+      .withColumn("ratio",
+        when(col("exact_d2") === 0.0, lit(null).cast("double"))
+          .otherwise(col("proj_d2") / (lit(m.toDouble) * col("exact_d2"))))
+      .orderBy("vec_a", "vec_b")
+  }
 }

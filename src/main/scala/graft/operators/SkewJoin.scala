@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Salted join for skewed keys (the explicit fallback when AQE's
@@ -35,5 +35,49 @@ object SkewJoin {
     val saltedDim = dim
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** q263: join-key skew audit + salt advisor — the measurement that
+    * decides WHETHER `saltedJoin` (q48) is needed and what `salt` to
+    * pass.  Per event_type over the events fact: row/key counts, the
+    * heaviest key's row count, skew factor (max/mean key size), the
+    * coefficient of variation of key sizes, and the recommended salt
+    * factor for a `parts`-reducer shuffle:
+    *
+    *   salt = max(1, ceil(max_key_rows / (n_rows / parts)))
+    *        = max(1, ceil(max_key_rows * parts / n_rows))
+    *
+    * i.e. how many reducers the single heaviest key needs so its
+    * shard is no larger than the balanced per-reducer load.  All
+    * columns derive from integer counts by exact integer arithmetic
+    * (the ceil is `(a*parts + n - 1) div n`) or one correctly-rounded
+    * double divide/sqrt, so the audit is bit-identical cross-engine.
+    *
+    * 100 TB shape: one partial+final keyed aggregate over (type, key),
+    * then a type-grain rollup — no joins, no windows; the frequency
+    * moments (n, max, Σc²) are exactly the statistics a 1000-executor
+    * AQE-less planner needs before committing a shuffle strategy.
+    */
+  def skewAudit(spark: SparkSession, dir: String, parts: Int = 32): DataFrame = {
+    val kc = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    kc.groupBy("event_type")
+      .agg(sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max(col("c")).as("max_key_rows"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("event_type"), col("n_rows"), col("n_keys"),
+        col("max_key_rows"),
+        ((col("max_key_rows") * col("n_keys")).cast("double")
+          / col("n_rows").cast("double")).as("skew_factor"),
+        (sqrt(greatest(lit(0L),
+          col("n_keys") * col("sum_c2") - col("n_rows") * col("n_rows"))
+          .cast("double"))
+          / col("n_rows").cast("double")).as("key_cv"),
+        greatest(lit(1L),
+          expr(s"(max_key_rows * $parts + n_rows - 1) div n_rows"))
+          .as("salt_factor"))
+      .orderBy("event_type")
   }
 }

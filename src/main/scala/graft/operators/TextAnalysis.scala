@@ -2817,6 +2817,139 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q262: KMV sketch SET ALGEBRA — pairwise source Jaccard estimated
+    * from the per-source k-minimum-values sketches alone, audited
+    * against the exact pairwise token-set Jaccard.  Where q241 uses
+    * one sketch's k-th minimum to estimate a cardinality, this uses
+    * the textbook KMV combination rule: for sources A, B the k
+    * smallest values of sketch(A) ∪ sketch(B) are a uniform sample of
+    * A ∪ B, so
+    *
+    *   Ĵ(A,B) = |K_k(sketch(A) ∪ sketch(B)) ∩ sketch(A) ∩ sketch(B)| / k_used
+    *
+    * (k_used = |K_k(...)| ≤ k handles small unions).  The exact side
+    * (q96/q128's pairwise family) is an hv-keyed self-join; the
+    * estimated side touches ONLY the 20 k-bounded sketch arrays.
+    * Every output double is an exact-integer divide (correctly
+    * rounded, bit-identical cross-engine; same md5 60-bit fold as
+    * q241, [[hv60]]).
+    *
+    * 100 TB shape: this is the point of the query — cross-corpus
+    * overlap for S sources needs only S·k longs (the sketches the
+    * q241 scan already produces), never a second pass over the token
+    * streams; the S² pair combination runs on a dimension-bounded
+    * broadcast spine.  The exact self-join exists here as the audit
+    * and retires at scale (fan-out bounded by sources² per token —
+    * the q96 rule — so even the audit survives, but the sketch path
+    * is O(S²·k) driver-side-free algebra).
+    */
+  def kmvPairSim(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    // pinned: the hashed-distinct frame feeds the sketch agg, the
+    // size agg, and both sides of the exact-intersection self-join
+    val perSource = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+        .select(col("source"), hv60(col("token")).as("hv"))
+        .distinct())
+    val sk = perSource.as[HvRow].groupByKey(_.source)
+      .agg(new KSmallest(k).toColumn.name("mins")).toDF("source", "mins")
+    val sz = perSource.groupBy("source").agg(count(lit(1)).as("n"))
+    val dims = sk.join(sz, "source")
+    val spine = dims
+      .select(col("source").as("source_a"), col("mins").as("ma"),
+        col("n").as("n_a"))
+      .crossJoin(broadcast(dims.select(col("source").as("source_b"),
+        col("mins").as("mb"), col("n").as("n_b"))))
+      .filter(col("source_a") < col("source_b"))
+    val inter = perSource.toDF("source_a", "hv")
+      .join(perSource.toDF("source_b", "hv"), Seq("hv"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter_exact"))
+    spine.join(inter, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("inter_exact"))
+      .withColumn("u", slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+      .withColumn("k_used", size(col("u")).cast("long"))
+      .withColumn("inter_sketch",
+        size(array_intersect(array_intersect(col("u"), col("ma")), col("mb")))
+          .cast("long"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("inter_exact"),
+        (col("inter_exact").cast("double")
+          / (col("n_a") + col("n_b") - col("inter_exact")).cast("double"))
+          .as("jaccard_exact"),
+        col("k_used"), col("inter_sketch"),
+        (col("inter_sketch").cast("double") / col("k_used").cast("double"))
+          .as("jaccard_est"))
+      .withColumn("abs_err", abs(col("jaccard_est") - col("jaccard_exact")))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q264: greedy set-cover corpus selection — pick up to `rounds`
+    * sources maximizing cumulative coverage of distinct word-3-gram
+    * shingles (the dedup family's universe; the unigram vocab is a
+    * generator pool so small one source nearly covers it, which
+    * would make the greedy trivially one round), the classic
+    * (1 − 1/e)-approximate submodular-maximization greedy that
+    * data-mixing pipelines use to choose which corpora buy the most
+    * coverage.  Each round is one anti-join (uncovered shingles)
+    * + one keyed count + a deterministic argmax (gain desc, source
+    * asc); the chosen source's shingles move into the covered set.
+    * A picked source contributes zero uncovered rows in every later
+    * round, so it can never be re-picked — no explicit exclusion
+    * bookkeeping exists on either engine.
+    *
+    * Determinism: gains and coverage are integer counts; the one
+    * double (coverage_frac) is an exact-integer divide.  The oracle
+    * unrolls the same greedy as `rounds` generated CTE stages
+    * (q242/q244's unrolled-superstep pattern).
+    *
+    * 100 TB shape: each superstep is one shuffle-free anti-join
+    * against the pinned covered frame plus a partial+final count;
+    * the driver holds only the ≤`rounds` picked (source, gain) rows —
+    * the covered-token set itself stays distributed (pinned per
+    * round, q119/q72 superstep discipline).  Output is ≤`rounds`
+    * rows, assembled driver-side like q255's literal frame.
+    */
+  def setCoverSources(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    val perSource = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("source"),
+          explode(shingleSet(col("text"), 3)).as("token"))
+        .distinct())
+    val total = perSource.select("token").distinct().count()
+    var covered = perSource.select("token").limit(0)
+    var picked = Vector.empty[(Int, String, Long, Long)]
+    var cum = 0L
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = perSource
+        .join(covered, Seq("token"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("source").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val src = top(0).getString(0)
+        val gain = top(0).getLong(1)
+        cum += gain
+        picked :+= ((r, src, gain, cum))
+        covered = graft.util.Pins.eager(
+          covered.union(
+            perSource.filter(col("source") === src).select("token")))
+        r += 1
+      }
+    }
+    picked.toDF("round", "source", "marginal_gain", "cum_covered")
+      .withColumn("coverage_frac",
+        col("cum_covered").cast("double") / lit(total.toDouble))
+      .orderBy("round")
+  }
+
   /** q242: distributed logistic-regression fit (lang=='en' from two
     * length features), `iters` unrolled full-batch gradient-descent
     * passes in the q217 power-iteration mold: the weight vector is a

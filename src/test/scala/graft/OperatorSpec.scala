@@ -3245,4 +3245,158 @@ class OperatorSpec extends SparkSuite {
     assert(r.getDouble(3) == sse(pts), s"$t0 sse_single")
     assert(r.getDouble(4) <= r.getDouble(3) + 1e-9, "a break never fits worse")
   }
+
+  private def md5hv60(t: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  private def sourceTokens(src: String): Set[String] =
+    graft.Tables.documents(spark, sf).filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("t")).filter(col("t") =!= "")
+      .distinct().collect().map(_.getString(0)).toSet
+
+  test("kmv pair sim q262: invariants on all pairs; sketch algebra replayed by hand for one pair") {
+    val rows = TextAnalysis.kmvPairSim(spark, sf).collect()
+    val nSrc = graft.Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length.toLong == nSrc * (nSrc - 1) / 2, "one row per unordered pair")
+    rows.foreach { r =>
+      val (na, nb) = (r.getLong(2), r.getLong(3))
+      val (ie, ku, is) = (r.getLong(4), r.getLong(6), r.getLong(7))
+      assert(ie <= math.min(na, nb) && ku <= 64 && is <= ku)
+      assert(r.getDouble(5) == ie.toDouble / (na + nb - ie).toDouble, "jaccard_exact recompute")
+      assert(r.getDouble(8) == is.toDouble / ku.toDouble, "jaccard_est recompute")
+      assert(r.getDouble(9) == math.abs(r.getDouble(8) - r.getDouble(5)))
+    }
+    // full hand replay of the KMV combination rule for the first pair
+    val r0 = rows.head
+    val ha = sourceTokens(r0.getString(0)).map(md5hv60)
+    val hb = sourceTokens(r0.getString(1)).map(md5hv60)
+    assert(r0.getLong(2) == ha.size.toLong && r0.getLong(3) == hb.size.toLong)
+    assert(r0.getLong(4) == ha.intersect(hb).size.toLong)
+    val (ska, skb) = (ha.toSeq.sorted.take(64).toSet, hb.toSeq.sorted.take(64).toSet)
+    val u = ska.union(skb).toSeq.sorted.take(64).toSet
+    assert(r0.getLong(6) == u.size.toLong)
+    assert(r0.getLong(7) == u.intersect(ska).intersect(skb).size.toLong)
+  }
+
+  test("skew audit q263: moments replayed from raw key counts; salt bounds the heaviest key") {
+    val got = SkewJoin.skewAudit(spark, sf).collect()
+    assert(got.nonEmpty)
+    val raw = graft.Tables.events(spark, sf)
+      .groupBy("event_type", "user_id").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    got.foreach { r =>
+      val cs = raw(r.getString(0))
+      val (n, keys, mx) = (cs.sum, cs.length.toLong, cs.max)
+      val sc2 = cs.map(c => c * c).sum
+      assert(r.getLong(1) == n && r.getLong(2) == keys && r.getLong(3) == mx)
+      assert(r.getDouble(4) == (mx * keys).toDouble / n.toDouble, "skew_factor")
+      assert(r.getDouble(5) ==
+        math.sqrt(math.max(0L, keys * sc2 - n * n).toDouble) / n.toDouble, "key_cv")
+      val salt = r.getLong(6)
+      assert(salt == math.max(1L, (mx * 32 + n - 1) / n), "ceil formula")
+      // the advisor's contract: after salting, the hot key's shard is
+      // no bigger than the balanced per-reducer load (rounded up)
+      assert(mx <= salt * ((n + 31) / 32), "salted shard fits")
+    }
+  }
+
+  test("set cover q264: greedy replayed in Scala exactly; gains non-increasing, coverage monotone") {
+    val got = TextAnalysis.setCoverSources(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= 5)
+    // replay universe built WITHOUT the engine's ShingleSet expression:
+    // sliding 3-word windows joined by space, docs with >= 3 words
+    val bySource: Map[String, Set[String]] = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+      .filter(_._2.length >= 3)
+      .flatMap { case (s, ws) => ws.sliding(3).map(w => (s, w.mkString(" "))) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val total = bySource.values.flatten.toSet.size
+    var covered = Set.empty[String]
+    got.zipWithIndex.foreach { case (r, i) =>
+      val gains = bySource.view.mapValues(ts => (ts -- covered).size)
+        .filter(_._2 > 0).toMap
+      val (src, g) = gains.toSeq.minBy { case (s, g) => (-g, s) }
+      assert(r.getInt(0) == i + 1 && r.getString(1) == src && r.getLong(2) == g.toLong)
+      covered ++= bySource(src)
+      assert(r.getLong(3) == covered.size.toLong, "cum_covered")
+      assert(r.getDouble(4) == covered.size.toDouble / total.toDouble)
+      if (i > 0) assert(r.getLong(2) <= got(i - 1).getLong(2), "greedy gains non-increasing")
+    }
+  }
+
+  test("jl distortion q265: signs+projection+distances replayed by hand; mean ratio near 1") {
+    val rows = Similarity.jlDistortion(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > r.getLong(0) && r.getLong(1) - r.getLong(0) <= 5)
+      assert(r.getDouble(2) > 0.0 && r.getDouble(3) >= 0.0)
+      assert(r.getDouble(4) == r.getDouble(3) / (16.0 * r.getDouble(2)))
+    }
+    val ratios = rows.map(_.getDouble(4))
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.2, s"JL mean distortion $mean")
+    // hand replay of pair (0, 1): same md5-parity signs, same fold order
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def sign(j: Int, d: Int): Double =
+      if (Integer.parseInt(md5hex(s"jl:$j:$d").substring(0, 1), 16) < 8) 1.0 else -1.0
+    val em = graft.Tables.embeddings(spark, sf).filter(col("vec_id") <= 1)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def proj(v: Array[Float]): Array[Double] = Array.tabulate(16)(j =>
+      (0 until 64).foldLeft(0.0)((acc, d) => acc + v(d).toDouble * sign(j, d)))
+    val (va, vb) = (em(0L), em(1L))
+    val exact = (0 until 64).foldLeft(0.0)((acc, d) =>
+      acc + (va(d).toDouble - vb(d).toDouble) * (va(d).toDouble - vb(d).toDouble))
+    val (pa, pb) = (proj(va), proj(vb))
+    val pd = (0 until 16).foldLeft(0.0)((acc, j) =>
+      acc + (pa(j) - pb(j)) * (pa(j) - pb(j)))
+    val r0 = rows.find(r => r.getLong(0) == 0L && r.getLong(1) == 1L).get
+    assert(r0.getDouble(2) == exact && r0.getDouble(3) == pd)
+  }
+
+  test("cuped q266: pooled theta and per-variant adjusted readout replayed in Scala exactly") {
+    val rows = EventOps.cupedReadout(spark, sf).collect()
+    assert(rows.length == 2)
+    val split = java.time.LocalDate.parse("2024-01-16")
+    val perUser = graft.Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+      .groupBy(_._1).map { case (u, xs) =>
+        val cents = (p: Boolean) => xs
+          .filter(e => e._2.isBefore(split) == p)
+          .map(e => math.floor(e._3 * 100.0 + 0.5).toLong).sum
+        (md5hv60(u.toString) % 2, cents(true), cents(false))
+      }.toSeq
+    val n = perUser.size.toLong
+    val sx = perUser.map(_._2).sum; val sy = perUser.map(_._3).sum
+    val sxy = perUser.map(t => t._2 * t._3).sum
+    val sxx = perUser.map(t => t._2 * t._2).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val meanPreP = (sx.toDouble / 100.0) / n.toDouble
+    rows.foreach { r =>
+      val g = perUser.filter(_._1 == r.getLong(0))
+      val (gn, gsx, gsy) = (g.size.toLong, g.map(_._2).sum, g.map(_._3).sum)
+      val gsxx = g.map(t => t._2 * t._2).sum
+      val gsyy = g.map(t => t._3 * t._3).sum
+      val gsxy = g.map(t => t._2 * t._3).sum
+      assert(r.getLong(1) == gn)
+      assert(r.getDouble(2) == (gsx.toDouble / 100.0) / gn.toDouble, "mean_pre")
+      assert(r.getDouble(3) == (gsy.toDouble / 100.0) / gn.toDouble, "mean_post")
+      assert(r.getDouble(4) == theta, "pooled theta")
+      assert(r.getDouble(5) ==
+        r.getDouble(3) - theta * (r.getDouble(2) - meanPreP), "mean_post_adj")
+      val varPost = ((gn * gsyy - gsy * gsy).toDouble / 10000.0) / (gn * gn).toDouble
+      val varPre = ((gn * gsxx - gsx * gsx).toDouble / 10000.0) / (gn * gn).toDouble
+      val cov = ((gn * gsxy - gsx * gsy).toDouble / 10000.0) / (gn * gn).toDouble
+      assert(r.getDouble(6) == varPost, "var_post")
+      assert(r.getDouble(7) ==
+        (varPost - (2.0 * theta) * cov) + (theta * theta) * varPre, "var_post_adj")
+    }
+  }
 }

@@ -1447,4 +1447,54 @@ class PlanGuardSpec extends SparkSuite {
     assert(plan(df).collect { case e: Exchange => e }.forall(
       !_.toString.contains("SinglePartition")), "no 1-partition barrier")
   }
+
+  test("q262 kmv pair sim: pinned sketch frames (no corpus re-scan); pair spine is the only NL join") {
+    val df = operators.TextAnalysis.kmvPairSim(spark, sf)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "hashed-distinct frame is pinned — every consumer reads checkpoint blocks")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "only the S-row sketch spine may NL-join (dimension-bounded)")
+  }
+
+  test("q263 skew audit: two aggregate grains, no joins, single pruned events scan") {
+    val df = operators.SkewJoin.skewAudit(spark, sf)
+    assert(names(df).count(_.contains("HashAggregate")) == 4,
+      "partial+final at (type,key) grain and at type grain")
+    assert(joinTypes(df).isEmpty, "a pure frequency-moment audit — no joins")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1)
+    assert(scans.head.requiredSchema.fieldNames.toSet == Set("event_type", "user_id"),
+      "column pruning to the two audited columns")
+  }
+
+  test("q264 set cover: registered result is the bounded driver-built selection frame") {
+    val df = operators.TextAnalysis.setCoverSources(spark, sf)
+    // the supersteps run inside the call (q119/q72 discipline: the
+    // covered set stays distributed, pinned per round); the returned
+    // frame is the <=rounds picked rows — assert it stays local and
+    // bounded so nobody silently re-routes corpus work through it
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty)
+    assert(names(df).exists(_.contains("LocalTableScan")))
+    assert(df.count() <= 5L)
+  }
+
+  test("q265 jl distortion: pinned projection frame; pair sample is an equi join, no NL joins") {
+    val df = operators.Similarity.jlDistortion(spark, sf)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "projection pass is pinned — both pair sides read checkpoint blocks")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")),
+      "offset-explode keeps the pair sample an equi join")
+    assert(joinTypes(df).forall(_ == "Inner"))
+  }
+
+  test("q266 cuped: pinned user grain; only the 1-row pooled frame NL-attaches") {
+    val df = operators.EventOps.cupedReadout(spark, sf)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "user-grain frame is pinned — both moment grains read checkpoint blocks")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "only the broadcast 1-row pooled-theta frame")
+  }
 }
