@@ -495,7 +495,10 @@ object SparkEntry {
     "q264_set_cover" -> ((s, d) => TextAnalysis.setCoverSources(s, d)),
     // dimensionality-reduction trust gate + experiment variance reduction
     "q265_jl_distortion" -> ((s, d) => Similarity.jlDistortion(s, d)),
-    "q266_cuped" -> ((s, d) => EventOps.cupedReadout(s, d))
+    "q266_cuped" -> ((s, d) => EventOps.cupedReadout(s, d)),
+    // survey-design allocation + non-monoid IVM parity
+    "q267_neyman" -> ((s, d) => TextAnalysis.neymanAllocation(s, d)),
+    "q268_session_merge" -> ((s, d) => EventOps.sessionMergeParity(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -5309,6 +5312,74 @@ object SparkEntry {
         |  CASE WHEN var_post = 0.0 THEN NULL
         |    ELSE 1.0 - ((var_post - (2.0 * theta) * cov_pre_post)
         |      + (theta * theta) * var_pre) / var_post END AS var_reduction
-        |FROM v ORDER BY variant""".stripMargin
+        |FROM v ORDER BY variant""".stripMargin,
+    // q267: exact-integer stratum moments, one sqrt, source-ordered
+    // folds for the two cross-strata totals (strata are
+    // dimension-bounded), pinned IEEE sequences for every share and
+    // the two closed-form design variances
+    "q267_neyman" ->
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM (SELECT source, CAST(n_chars AS BIGINT) AS y FROM documents)
+        |  GROUP BY source),
+        |sv AS (SELECT source, n_docs, sy,
+        |    CAST(n_docs * syy - sy * sy AS DOUBLE)
+        |      / CAST(n_docs * n_docs AS DOUBLE) AS var_y
+        |  FROM st),
+        |sw AS MATERIALIZED (SELECT source, n_docs, sy, var_y,
+        |    sqrt(var_y) AS std_y,
+        |    CAST(n_docs AS DOUBLE) * sqrt(var_y) AS ns,
+        |    CAST(n_docs AS DOUBLE) * var_y AS nv
+        |  FROM sv),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    list_reduce(list_prepend(0.0, list(ns ORDER BY source)),
+        |      (a, b) -> a + b) AS t_ns,
+        |    list_reduce(list_prepend(0.0, list(nv ORDER BY source)),
+        |      (a, b) -> a + b) AS t_nv
+        |  FROM sw)
+        |SELECT s.source, s.n_docs,
+        |  CAST(s.sy AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS mean_chars,
+        |  s.std_y AS std_chars,
+        |  s.ns / t.t_ns AS neyman_share,
+        |  CAST(s.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS prop_share,
+        |  (t.t_ns * t.t_ns) / 200.0 AS var_neyman,
+        |  (CAST(t.n_total AS DOUBLE) / 200.0) * t.t_nv AS var_prop,
+        |  CASE WHEN (CAST(t.n_total AS DOUBLE) / 200.0) * t.t_nv = 0.0 THEN NULL
+        |    ELSE 1.0 - ((t.t_ns * t.t_ns) / 200.0)
+        |      / ((CAST(t.n_total AS DOUBLE) / 200.0) * t.t_nv) END AS efficiency_gain
+        |FROM sw s, tot t ORDER BY s.source""".stripMargin,
+    // q268: q12's epoch-ms window recipe per chunk and on the full
+    // data; the merge rule (fuse the one boundary pair iff gap <=
+    // 30 min) is integer arithmetic on the chunk boundary rows
+    "q268_session_merge" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+        |    CAST(ts AS DATE) < DATE '2024-01-16' AS c1 FROM events),
+        |s AS (SELECT user_id, c1, ms,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id, c1 ORDER BY ts, event_id) IS NULL
+        |      OR ms - lag(ms) OVER (PARTITION BY user_id, c1 ORDER BY ts, event_id) > 1800000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (SELECT user_id, c1, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+        |    min(ms) AS first_ms, max(ms) AS last_ms FROM s GROUP BY 1, 2),
+        |a AS (SELECT user_id, n_sessions AS n1, last_ms AS end1 FROM g WHERE c1),
+        |b AS (SELECT user_id, n_sessions AS n2, first_ms AS start2 FROM g WHERE NOT c1),
+        |i AS (SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+        |    CAST(COALESCE(a.n1, 0) AS BIGINT) AS n_chunk1,
+        |    CAST(COALESCE(b.n2, 0) AS BIGINT) AS n_chunk2,
+        |    CAST(CASE WHEN a.end1 IS NOT NULL AND b.start2 IS NOT NULL
+        |      AND b.start2 - a.end1 <= 1800000 THEN 1 ELSE 0 END AS BIGINT) AS merged
+        |  FROM a FULL JOIN b ON a.user_id = b.user_id),
+        |fs AS (SELECT user_id,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |f AS (SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_full
+        |  FROM fs GROUP BY 1)
+        |SELECT f.user_id, f.n_full, i.n_chunk1, i.n_chunk2, i.merged,
+        |  CAST(i.n_chunk1 + i.n_chunk2 - i.merged AS BIGINT) AS n_incr,
+        |  CAST(i.n_chunk1 + i.n_chunk2 - i.merged = f.n_full AS INTEGER) AS ok
+        |FROM f JOIN i ON i.user_id = f.user_id
+        |ORDER BY f.user_id""".stripMargin
   )
 }

@@ -2171,4 +2171,69 @@ object EventOps {
           .otherwise(lit(1.0) - col("var_post_adj") / col("var_post")))
       .orderBy("variant")
   }
+
+  /** q268: incremental SESSIONIZATION parity — IVM for the non-monoid
+    * case.  q235 merges monoid aggregates and q249 maintains a join
+    * view; session state is the hard one (a session can span the
+    * chunk boundary), and this is the merge rule that makes it
+    * incremental: sessionize each chunk independently, then per user
+    * fuse the last chunk-1 session with the first chunk-2 session iff
+    * their boundary gap ≤ the session gap — exactly one candidate
+    * fuse per (user, boundary), so
+    *
+    *   n_incr = n_chunk1 + n_chunk2 − merged
+    *
+    * The audit recomputes the full-data sessionization (q12's window
+    * recipe) and flags per-user equality — the contract a checkpointed
+    * daily pipeline relies on to never re-sessionize history.
+    *
+    * Determinism: counts and epoch-ms boundaries are integers; the
+    * parity flag is integer equality.
+    *
+    * 100 TB shape: each chunk's pass is the q12 keyed window; the
+    * merge needs only per-(user, chunk) boundary rows (first/last ms
+    * + session count), never cross-chunk event data — the state a
+    * streaming checkpoint would persist.  The full recompute exists
+    * here as the audit and retires at scale.
+    */
+  def sessionMergeParity(spark: SparkSession, dir: String,
+                         split: String = "2024-01-16",
+                         gapMs: Long = 30 * 60 * 1000L): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (to_date(col("ts")) < to_date(lit(split))).as("c1"))
+      .withColumn("ms", unix_millis(col("ts")))
+    def sessionCounts(w: org.apache.spark.sql.expressions.WindowSpec,
+                      keys: Seq[String]): DataFrame = ev
+      .withColumn("prev", lag(col("ms"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("ms") - col("prev") > gapMs, 1L)
+          .otherwise(0L))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("new_s")).as("n_sessions"),
+        min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"))
+    val byChunk = sessionCounts(
+      Window.partitionBy("user_id", "c1").orderBy(col("ts").asc, col("event_id").asc),
+      Seq("user_id", "c1"))
+    val c1 = byChunk.filter(col("c1")).select(col("user_id"),
+      col("n_sessions").as("n1"), col("last_ms").as("end1"))
+    val c2 = byChunk.filter(!col("c1")).select(col("user_id"),
+      col("n_sessions").as("n2"), col("first_ms").as("start2"))
+    val incr = c1.join(c2, Seq("user_id"), "full")
+      .select(col("user_id"),
+        coalesce(col("n1"), lit(0L)).as("n_chunk1"),
+        coalesce(col("n2"), lit(0L)).as("n_chunk2"),
+        when(col("end1").isNotNull && col("start2").isNotNull
+          && col("start2") - col("end1") <= gapMs, 1L).otherwise(0L).as("merged"))
+      .withColumn("n_incr", col("n_chunk1") + col("n_chunk2") - col("merged"))
+    val full = sessionCounts(
+      Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc),
+      Seq("user_id"))
+      .select(col("user_id"), col("n_sessions").as("n_full"))
+    full.join(incr, Seq("user_id"))
+      .select(col("user_id"), col("n_full"), col("n_chunk1"), col("n_chunk2"),
+        col("merged"), col("n_incr"),
+        (col("n_incr") === col("n_full")).cast("int").as("ok"))
+      .orderBy("user_id")
+  }
 }

@@ -2950,6 +2950,61 @@ object TextAnalysis {
       .orderBy("round")
   }
 
+  /** q267: Neyman-allocation sampling-design audit — the survey-design
+    * companion to q238's PPS draw and q259's HT estimator: given a
+    * fixed `budget` of sampled docs for estimating total corpus chars,
+    * how should the budget split across source strata?  Per stratum:
+    * N_h, mean, population std S_h (exact-integer moment formula, one
+    * sqrt); the Neyman share N_h·S_h / Σ N_g·S_g vs the proportional
+    * share N_h/N; and the two designs' estimator variances via the
+    * closed forms  V_neyman = (Σ N_h·S_h)²/n  and
+    * V_prop = (N/n)·Σ N_h·Var_h  (no fpc).  Neyman optimality
+    * (V_neyman ≤ V_prop, Cauchy–Schwarz) is spec-asserted.
+    *
+    * Determinism: per-stratum moments are exact integers; S_h is one
+    * IEEE sqrt; the two cross-strata totals are source-ordered folds
+    * (strata are dimension-bounded BY DEFINITION, the q128 rule), and
+    * every share/variance is a pinned sequence of IEEE ops.
+    *
+    * 100 TB shape: one partial+final keyed aggregate to stratum grain
+    * (S rows), a broadcast 1-row totals frame — allocation math never
+    * touches doc-grain data again.
+    */
+  def neymanAllocation(spark: SparkSession, dir: String, budget: Int = 200): DataFrame = {
+    // pinned: the stratum frame feeds the totals fold AND the final
+    // projection
+    val st = graft.util.Pins.eager(Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast("long").as("y"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source"), col("n_docs"), col("sy"),
+        ((col("n_docs") * col("syy") - col("sy") * col("sy")).cast("double")
+          / (col("n_docs") * col("n_docs")).cast("double")).as("var_y"))
+      .withColumn("std_y", sqrt(col("var_y")))
+      .withColumn("ns", col("n_docs").cast("double") * col("std_y"))
+      .withColumn("nv", col("n_docs").cast("double") * col("var_y")))
+    val tot = st.agg(
+      sum(col("n_docs")).as("n_total"),
+      aggregate(sort_array(collect_list(struct(col("source"), col("ns")))),
+        lit(0.0), (a, x) => a + x.getField("ns")).as("t_ns"),
+      aggregate(sort_array(collect_list(struct(col("source"), col("nv")))),
+        lit(0.0), (a, x) => a + x.getField("nv")).as("t_nv"))
+    st.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        (col("sy").cast("double") / col("n_docs").cast("double")).as("mean_chars"),
+        col("std_y").as("std_chars"),
+        (col("ns") / col("t_ns")).as("neyman_share"),
+        (col("n_docs").cast("double") / col("n_total").cast("double")).as("prop_share"),
+        ((col("t_ns") * col("t_ns")) / lit(budget.toDouble)).as("var_neyman"),
+        ((col("n_total").cast("double") / lit(budget.toDouble)) * col("t_nv"))
+          .as("var_prop"))
+      .withColumn("efficiency_gain",
+        when(col("var_prop") === 0.0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("var_neyman") / col("var_prop")))
+      .orderBy("source")
+  }
+
   /** q242: distributed logistic-regression fit (lang=='en' from two
     * length features), `iters` unrolled full-batch gradient-descent
     * passes in the q217 power-iteration mold: the weight vector is a

@@ -3399,4 +3399,72 @@ class OperatorSpec extends SparkSuite {
         (varPost - (2.0 * theta) * cov) + (theta * theta) * varPre, "var_post_adj")
     }
   }
+
+  test("neyman q267: moments/shares/variances replayed in Scala; Neyman never worse than proportional") {
+    val rows = TextAnalysis.neymanAllocation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val stats = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (s, xs) =>
+        val ys = xs.map(_._2)
+        val n = ys.length.toLong; val sy = ys.sum; val syy = ys.map(y => y * y).sum
+        val vr = (n * syy - sy * sy).toDouble / (n * n).toDouble
+        (s, n, sy, vr, math.sqrt(vr))
+      }
+    val tNs = stats.foldLeft(0.0)((a, t) => a + t._2.toDouble * t._5)
+    val tNv = stats.foldLeft(0.0)((a, t) => a + t._2.toDouble * t._4)
+    val nTot = stats.map(_._2).sum
+    val varNeyman = (tNs * tNs) / 200.0
+    val varProp = (nTot.toDouble / 200.0) * tNv
+    assert(varNeyman <= varProp + 1e-9, "Neyman optimality (Cauchy-Schwarz)")
+    rows.foreach { r =>
+      val t = stats.find(_._1 == r.getString(0)).get
+      assert(r.getLong(1) == t._2)
+      assert(r.getDouble(2) == t._3.toDouble / t._2.toDouble, "mean_chars")
+      assert(r.getDouble(3) == t._5, "std_chars")
+      assert(r.getDouble(4) == t._2.toDouble * t._5 / tNs, "neyman_share")
+      assert(r.getDouble(5) == t._2.toDouble / nTot.toDouble, "prop_share")
+      assert(r.getDouble(6) == varNeyman && r.getDouble(7) == varProp)
+    }
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-9, "shares sum to 1")
+  }
+
+  test("session merge q268: incremental == full for every user; boundary rule replayed in Scala") {
+    val rows = EventOps.sessionMergeParity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(1), s"user ${r.getLong(0)} incr != full")
+      assert(r.getInt(6) == 1)
+    }
+    val split = java.time.LocalDate.parse("2024-01-16")
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        unix_millis(col("ts")).as("ms"), to_date(col("ts")).as("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDate(4).toLocalDate))
+    def sessions(xs: Seq[(Long, Long, Long, Long, java.time.LocalDate)]): Long = {
+      val ms = xs.sortBy(t => (t._3, t._2)).map(_._4)
+      if (ms.isEmpty) 0L
+      else 1L + ms.sliding(2).count {
+        case Seq(a, b) => b - a > 1800000L
+        case _ => false
+      }
+    }
+    ev.groupBy(_._1).foreach { case (u, xs) =>
+      val r = rows.find(_.getLong(0) == u).get
+      val (pre, post) = xs.partition(_._5.isBefore(split))
+      assert(r.getLong(1) == sessions(xs), "n_full")
+      assert(r.getLong(2) == sessions(pre) && r.getLong(3) == sessions(post))
+      val merged =
+        if (pre.isEmpty || post.isEmpty) 0L
+        else {
+          val end1 = pre.maxBy(t => (t._3, t._2))._4
+          val start2 = post.minBy(t => (t._3, t._2))._4
+          if (start2 - end1 <= 1800000L) 1L else 0L
+        }
+      assert(r.getLong(4) == merged, s"user $u merged flag")
+    }
+  }
 }

@@ -1497,4 +1497,25 @@ class PlanGuardSpec extends SparkSuite {
     assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 1,
       "only the broadcast 1-row pooled-theta frame")
   }
+
+  test("q267 neyman: pinned stratum frame; only the broadcast totals row NL-attaches") {
+    val df = operators.TextAnalysis.neymanAllocation(spark, sf)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "stratum frame is pinned — totals fold and projection read checkpoint blocks")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 1)
+  }
+
+  test("q268 session merge: keyed windows only; user-grain joins; pruned event scans") {
+    val df = operators.EventOps.sessionMergeParity(spark, sf)
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), "no unkeyed window")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(
+      _.requiredSchema.fieldNames.toSet.subsetOf(Set("user_id", "event_id", "ts"))),
+      "column pruning to the session columns")
+  }
 }
