@@ -498,7 +498,9 @@ object SparkEntry {
     "q266_cuped" -> ((s, d) => EventOps.cupedReadout(s, d)),
     // survey-design allocation + non-monoid IVM parity
     "q267_neyman" -> ((s, d) => TextAnalysis.neymanAllocation(s, d)),
-    "q268_session_merge" -> ((s, d) => EventOps.sessionMergeParity(s, d))
+    "q268_session_merge" -> ((s, d) => EventOps.sessionMergeParity(s, d)),
+    // monotone calibration by the declarative PAVA closed form
+    "q269_isotonic" -> ((s, d) => TextAnalysis.isotonicCalibration(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -5380,6 +5382,31 @@ object SparkEntry {
         |  CAST(i.n_chunk1 + i.n_chunk2 - i.merged AS BIGINT) AS n_incr,
         |  CAST(i.n_chunk1 + i.n_chunk2 - i.merged = f.n_full AS INTEGER) AS ok
         |FROM f JOIN i ON i.user_id = f.user_id
-        |ORDER BY f.user_id""".stripMargin
+        |ORDER BY f.user_id""".stripMargin,
+    // q269: ntile(10) matches q104's integer-ntile parity; the minimax
+    // closed form is three bounded joins over the bucket frame; every
+    // interval mean one exact-integer divide, min/max of identical
+    // doubles
+    "q269_isotonic" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+        |  FROM documents),
+        |b AS MATERIALIZED (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos FROM d GROUP BY decile),
+        |iv AS MATERIALIZED (SELECT a.decile AS j, c.decile AS kk,
+        |    CAST(sum(m.n_pos) AS DOUBLE) / CAST(sum(m.n_docs) AS DOUBLE) AS avg_jk
+        |  FROM b a JOIN b c ON a.decile <= c.decile
+        |  JOIN b m ON m.decile BETWEEN a.decile AND c.decile
+        |  GROUP BY 1, 2),
+        |mn AS (SELECT i.decile AS i, v.j, min(v.avg_jk) AS mn
+        |  FROM b i JOIN iv v ON v.j <= i.decile AND v.kk >= i.decile
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT i, max(mn) AS iso_rate FROM mn GROUP BY i)
+        |SELECT b.decile, b.n_docs, b.n_pos,
+        |  CAST(b.n_pos AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS raw_rate,
+        |  iso.iso_rate
+        |FROM b JOIN iso ON iso.i = b.decile
+        |ORDER BY b.decile""".stripMargin
   )
 }

@@ -3005,6 +3005,80 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** q269: isotonic CALIBRATION — the weighted isotonic (monotone
+    * nondecreasing) L2 fit of the per-decile positive rate
+    * P(lang='en' | length decile), computed by the exact MINIMAX
+    * closed form of the PAVA solution (Barlow et al. 1972, public):
+    *
+    *   iso_i = max_{j ≤ i} min_{k ≥ i} ( Σ_{j..k} pos / Σ_{j..k} n )
+    *
+    * — the unique weighted isotonic regression, with bucket sizes as
+    * weights.  The sequential pool-adjacent-violators loop becomes
+    * three joins over the B-row bucket frame (B(B+1)/2 interval
+    * means, then a grouped min and a grouped max), which is what
+    * makes it DECLARATIVE and engine-portable; OperatorSpec replays
+    * the classic stack PAVA and asserts bit-equality.
+    *
+    * Deciles come from q104's scalable two-pass global rank (range
+    * partition + local row_number + broadcast offsets; integer ntile
+    * arithmetic, remainder buckets first) — no single-partition
+    * window.  Every interval mean is one exact-integer divide;
+    * min/max over identical doubles are engine-identical.
+    *
+    * 100 TB shape: corpus-scale work is the two-pass rank + one
+    * keyed aggregate to B rows; the minimax algebra runs on
+    * B²-bounded broadcast frames.
+    */
+  def isotonicCalibration(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nParts = spark.sparkContext.defaultParallelism
+    val sorted = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .repartitionByRange(nParts, col("n_chars").asc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id()))
+    val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
+    val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("pid", "off")
+    val total = broadcast(counts.agg(sum(col("c")).as("n")))
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val decile = expr(
+      s"""CAST(CASE WHEN rank - 1 < (n % $k) * ((n DIV $k) + 1)
+         |  THEN (rank - 1) DIV ((n DIV $k) + 1)
+         |  ELSE (n % $k) + ((rank - 1) - (n % $k) * ((n DIV $k) + 1)) DIV (n DIV $k)
+         |END + 1 AS INT)""".stripMargin)
+    // pinned: the B-row bucket frame feeds the pair spine, the
+    // interval sums AND the final projection
+    val buckets = graft.util.Pins.eager(
+      sorted.join(broadcast(offsets), Seq("pid"))
+        .crossJoin(total)
+        .withColumn("rank", row_number().over(wLocal) + col("off"))
+        .withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos")))
+    val iv = buckets.select(col("decile").as("j"))
+      .crossJoin(broadcast(buckets.select(col("decile").as("kk"))))
+      .filter(col("j") <= col("kk"))
+      .join(broadcast(buckets), col("decile") >= col("j") && col("decile") <= col("kk"))
+      .groupBy("j", "kk")
+      .agg((sum(col("n_pos")).cast("double") / sum(col("n_docs")).cast("double"))
+        .as("avg_jk"))
+    val iso = buckets.select(col("decile").as("i"))
+      .join(broadcast(iv), col("j") <= col("i") && col("kk") >= col("i"))
+      .groupBy("i", "j").agg(min(col("avg_jk")).as("mn"))
+      .groupBy("i").agg(max(col("mn")).as("iso_rate"))
+    buckets.join(iso, col("decile") === col("i"))
+      .select(col("decile"), col("n_docs"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double")).as("raw_rate"),
+        col("iso_rate"))
+      .orderBy("decile")
+  }
+
   /** q242: distributed logistic-regression fit (lang=='en' from two
     * length features), `iters` unrolled full-batch gradient-descent
     * passes in the q217 power-iteration mold: the weight vector is a

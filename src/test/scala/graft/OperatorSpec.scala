@@ -3467,4 +3467,46 @@ class OperatorSpec extends SparkSuite {
       assert(r.getLong(4) == merged, s"user $u merged flag")
     }
   }
+
+  test("isotonic q269: minimax fit equals classic stack PAVA bit-exactly; monotone nondecreasing") {
+    val rows = TextAnalysis.isotonicCalibration(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(4) <= b.getDouble(4), "monotone")
+      case _ =>
+    }
+    // replay deciles: rank by (n_chars, doc_id), remainder buckets first
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("long"),
+        when(col("lang") === "en", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    val n = docs.length
+    val (q, rem) = (n / 10, n % 10)
+    val sizes = (1 to 10).map(i => if (i <= rem) q + 1 else q)
+    val bucketStats = sizes.scanLeft(0)(_ + _).zip(sizes).map { case (off, sz) =>
+      val slice = docs.slice(off, off + sz)
+      (slice.length.toLong, slice.map(_._3).sum)
+    }
+    rows.zip(bucketStats).foreach { case (r, (bn, bp)) =>
+      assert(r.getLong(1) == bn && r.getLong(2) == bp, s"decile ${r.getInt(0)} counts")
+      assert(r.getDouble(3) == bp.toDouble / bn.toDouble)
+    }
+    // classic stack PAVA with weights; violation test in exact
+    // integer cross-multiplication, pooled rate one integer divide
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    bucketStats.foreach { case (bn, bp) =>
+      var cur = (bn, bp, 1)
+      while (stack.nonEmpty &&
+        stack.last._2 * cur._1 > cur._2 * stack.last._1) {
+        val top = stack.remove(stack.length - 1)
+        cur = (top._1 + cur._1, top._2 + cur._2, top._3 + cur._3)
+      }
+      stack += cur
+    }
+    val pava = stack.flatMap { case (pn, pp, cnt) =>
+      Seq.fill(cnt)(pp.toDouble / pn.toDouble) }
+    rows.zip(pava).foreach { case (r, v) =>
+      assert(r.getDouble(4) == v, s"decile ${r.getInt(0)} minimax != PAVA") }
+  }
 }

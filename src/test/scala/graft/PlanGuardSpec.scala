@@ -1518,4 +1518,13 @@ class PlanGuardSpec extends SparkSuite {
       _.requiredSchema.fieldNames.toSet.subsetOf(Set("user_id", "event_id", "ts"))),
       "column pruning to the session columns")
   }
+
+  test("q269 isotonic: pinned rank+bucket passes; minimax algebra on B-bounded broadcast frames") {
+    val df = operators.TextAnalysis.isotonicCalibration(spark, sf)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "two-pass rank and bucket frames are pinned")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 3,
+      "only the B-row pair/interval/minimax spines NL-join")
+  }
 }
