@@ -500,7 +500,9 @@ object SparkEntry {
     "q267_neyman" -> ((s, d) => TextAnalysis.neymanAllocation(s, d)),
     "q268_session_merge" -> ((s, d) => EventOps.sessionMergeParity(s, d)),
     // monotone calibration by the declarative PAVA closed form
-    "q269_isotonic" -> ((s, d) => TextAnalysis.isotonicCalibration(s, d))
+    "q269_isotonic" -> ((s, d) => TextAnalysis.isotonicCalibration(s, d)),
+    // forecast-evaluation triple over the calibrated buckets
+    "q270_brier" -> ((s, d) => TextAnalysis.brierDecomposition(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -5388,25 +5390,58 @@ object SparkEntry {
     // interval mean one exact-integer divide, min/max of identical
     // doubles
     "q269_isotonic" ->
-      """WITH d AS (SELECT doc_id, n_chars,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
-        |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
-        |  FROM documents),
-        |b AS MATERIALIZED (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(sum(pos) AS BIGINT) AS n_pos FROM d GROUP BY decile),
-        |iv AS MATERIALIZED (SELECT a.decile AS j, c.decile AS kk,
-        |    CAST(sum(m.n_pos) AS DOUBLE) / CAST(sum(m.n_docs) AS DOUBLE) AS avg_jk
-        |  FROM b a JOIN b c ON a.decile <= c.decile
-        |  JOIN b m ON m.decile BETWEEN a.decile AND c.decile
-        |  GROUP BY 1, 2),
-        |mn AS (SELECT i.decile AS i, v.j, min(v.avg_jk) AS mn
-        |  FROM b i JOIN iv v ON v.j <= i.decile AND v.kk >= i.decile
-        |  GROUP BY 1, 2),
-        |iso AS (SELECT i, max(mn) AS iso_rate FROM mn GROUP BY i)
+      s"""WITH $isotonicCtes
         |SELECT b.decile, b.n_docs, b.n_pos,
         |  CAST(b.n_pos AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS raw_rate,
         |  iso.iso_rate
         |FROM b JOIN iso ON iso.i = b.decile
-        |ORDER BY b.decile""".stripMargin
+        |ORDER BY b.decile""".stripMargin,
+    // q270: Murphy decomposition over q269's buckets; every component
+    // a decile-ordered fold of exact-integer-derived doubles
+    "q270_brier" ->
+      s"""WITH $isotonicCtes,
+        |fin AS (SELECT b.decile, b.n_docs,
+        |    CAST(b.n_pos AS DOUBLE) / CAST(b.n_docs AS DOUBLE) AS raw_rate,
+        |    iso.iso_rate
+        |  FROM b JOIN iso ON iso.i = b.decile),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+        |    CAST(sum(n_pos) AS BIGINT) AS pos FROM b)
+        |SELECT t.n,
+        |  CAST(t.pos AS DOUBLE) / CAST(t.n AS DOUBLE) AS p_bar,
+        |  list_reduce(list_prepend(0.0, list(
+        |    (CAST(f.n_docs AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * ((f.iso_rate * f.iso_rate - (2.0 * f.iso_rate) * f.raw_rate)
+        |        + f.raw_rate) ORDER BY f.decile)), (a, b) -> a + b) AS brier,
+        |  list_reduce(list_prepend(0.0, list(
+        |    (CAST(f.n_docs AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * ((f.iso_rate - f.raw_rate) * (f.iso_rate - f.raw_rate))
+        |    ORDER BY f.decile)), (a, b) -> a + b) AS reliability,
+        |  list_reduce(list_prepend(0.0, list(
+        |    (CAST(f.n_docs AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * ((f.raw_rate - CAST(t.pos AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |        * (f.raw_rate - CAST(t.pos AS DOUBLE) / CAST(t.n AS DOUBLE)))
+        |    ORDER BY f.decile)), (a, b) -> a + b) AS resolution,
+        |  (CAST(t.pos AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    * (1.0 - CAST(t.pos AS DOUBLE) / CAST(t.n AS DOUBLE)) AS uncertainty
+        |FROM fin f, t GROUP BY t.n, t.pos""".stripMargin
   )
+
+  // q269/q270's shared oracle chain: deciles → buckets → interval
+  // means → the minimax isotonic fit
+  private val isotonicCtes =
+    """d AS (SELECT doc_id, n_chars,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |    ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      |  FROM documents),
+      |b AS MATERIALIZED (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(pos) AS BIGINT) AS n_pos FROM d GROUP BY decile),
+      |iv AS MATERIALIZED (SELECT a.decile AS j, c.decile AS kk,
+      |    CAST(sum(m.n_pos) AS DOUBLE) / CAST(sum(m.n_docs) AS DOUBLE) AS avg_jk
+      |  FROM b a JOIN b c ON a.decile <= c.decile
+      |  JOIN b m ON m.decile BETWEEN a.decile AND c.decile
+      |  GROUP BY 1, 2),
+      |mn AS (SELECT i.decile AS i, v.j, min(v.avg_jk) AS mn
+      |  FROM b i JOIN iv v ON v.j <= i.decile AND v.kk >= i.decile
+      |  GROUP BY 1, 2),
+      |iso AS (SELECT i, max(mn) AS iso_rate FROM mn GROUP BY i)""".stripMargin
 }

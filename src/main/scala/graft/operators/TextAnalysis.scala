@@ -3079,6 +3079,51 @@ object TextAnalysis {
       .orderBy("decile")
   }
 
+  /** q270: Murphy (Brier-score) decomposition of q269's calibrated
+    * forecast — the probabilistic-forecast evaluation triple
+    * (public: Murphy 1973),
+    *
+    *   Brier = reliability − resolution + uncertainty
+    *   reliability = Σ_b w_b (iso_b − rate_b)²   (calibration error)
+    *   resolution  = Σ_b w_b (rate_b − p̄)²      (discrimination)
+    *   uncertainty = p̄(1 − p̄),  w_b = n_b/N
+    *
+    * with the isotonic fit as the forecast (pooling flattens some
+    * buckets, so reliability is nonzero exactly where PAVA pooled).
+    * Brier itself is computed directly from the binary-outcome
+    * identity E[(q−y)²] = q² − 2q·rate + rate per bucket; the spec
+    * asserts the decomposition identity to 1e-12 (exact in rationals,
+    * ulp-level in doubles — asserting bitwise equality of the two
+    * sides would be asserting an accident).
+    *
+    * Determinism: every component is a decile-ordered fold (B=10
+    * terms) of doubles derived from exact integers by pinned IEEE
+    * sequences.
+    *
+    * 100 TB shape: inherits q269's (two-pass rank + one keyed
+    * aggregate); the decomposition itself is B-bounded algebra.
+    */
+  def brierDecomposition(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val b = isotonicCalibration(spark, dir, k)
+    val agg = b.agg(
+      sum(col("n_docs")).as("n"), sum(col("n_pos")).as("pos"),
+      sort_array(collect_list(struct(col("decile"), col("n_docs"),
+        col("raw_rate"), col("iso_rate")))).as("bs"))
+    val fold = (f: Column => Column) =>
+      aggregate(col("bs"), lit(0.0), (a, e) => a + f(e))
+    val pbar = col("pos").cast("double") / col("n").cast("double")
+    val w = (e: Column) => e.getField("n_docs").cast("double") / col("n").cast("double")
+    agg.select(col("n"), pbar.as("p_bar"),
+      fold(e => w(e) * ((e.getField("iso_rate") * e.getField("iso_rate")
+        - (lit(2.0) * e.getField("iso_rate")) * e.getField("raw_rate"))
+        + e.getField("raw_rate"))).as("brier"),
+      fold(e => w(e) * ((e.getField("iso_rate") - e.getField("raw_rate"))
+        * (e.getField("iso_rate") - e.getField("raw_rate")))).as("reliability"),
+      fold(e => w(e) * ((e.getField("raw_rate") - pbar)
+        * (e.getField("raw_rate") - pbar))).as("resolution"),
+      (pbar * (lit(1.0) - pbar)).as("uncertainty"))
+  }
+
   /** q242: distributed logistic-regression fit (lang=='en' from two
     * length features), `iters` unrolled full-batch gradient-descent
     * passes in the q217 power-iteration mold: the weight vector is a

@@ -3509,4 +3509,27 @@ class OperatorSpec extends SparkSuite {
     rows.zip(pava).foreach { case (r, v) =>
       assert(r.getDouble(4) == v, s"decile ${r.getInt(0)} minimax != PAVA") }
   }
+
+  test("brier q270: Murphy decomposition replayed from q269 buckets; identity holds to 1e-12") {
+    val r = TextAnalysis.brierDecomposition(spark, sf).collect().head
+    val b = TextAnalysis.isotonicCalibration(spark, sf).collect().sortBy(_.getInt(0))
+    val n = b.map(_.getLong(1)).sum
+    val pos = b.map(_.getLong(2)).sum
+    val pbar = pos.toDouble / n.toDouble
+    def fold(f: org.apache.spark.sql.Row => Double): Double =
+      b.foldLeft(0.0)((a, e) => a + f(e))
+    def w(e: org.apache.spark.sql.Row): Double = e.getLong(1).toDouble / n.toDouble
+    val brier = fold(e => w(e) * ((e.getDouble(4) * e.getDouble(4)
+      - (2.0 * e.getDouble(4)) * e.getDouble(3)) + e.getDouble(3)))
+    val rel = fold(e => w(e) *
+      ((e.getDouble(4) - e.getDouble(3)) * (e.getDouble(4) - e.getDouble(3))))
+    val res = fold(e => w(e) *
+      ((e.getDouble(3) - pbar) * (e.getDouble(3) - pbar)))
+    assert(r.getLong(0) == n && r.getDouble(1) == pbar)
+    assert(r.getDouble(2) == brier && r.getDouble(3) == rel && r.getDouble(4) == res)
+    assert(r.getDouble(5) == pbar * (1.0 - pbar))
+    assert(math.abs(r.getDouble(2) -
+      (r.getDouble(3) - r.getDouble(4) + r.getDouble(5))) < 1e-12, "Murphy identity")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(4) >= 0.0)
+  }
 }

@@ -1527,4 +1527,12 @@ class PlanGuardSpec extends SparkSuite {
     assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 3,
       "only the B-row pair/interval/minimax spines NL-join")
   }
+
+  test("q270 brier: inherits q269's pinned shape; decomposition is one bounded fold row") {
+    val df = operators.TextAnalysis.brierDecomposition(spark, sf)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 3)
+    assert(df.count() == 1L)
+  }
 }
