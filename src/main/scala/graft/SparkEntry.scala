@@ -502,7 +502,9 @@ object SparkEntry {
     // monotone calibration by the declarative PAVA closed form
     "q269_isotonic" -> ((s, d) => TextAnalysis.isotonicCalibration(s, d)),
     // forecast-evaluation triple over the calibrated buckets
-    "q270_brier" -> ((s, d) => TextAnalysis.brierDecomposition(s, d))
+    "q270_brier" -> ((s, d) => TextAnalysis.brierDecomposition(s, d)),
+    // early-termination top-k merge depth (threshold algorithm)
+    "q271_ta_depth" -> ((s, d) => TextAnalysis.taDepthAudit(s, d))
   )
 
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
@@ -5423,7 +5425,28 @@ object SparkEntry {
         |    ORDER BY f.decile)), (a, b) -> a + b) AS resolution,
         |  (CAST(t.pos AS DOUBLE) / CAST(t.n AS DOUBLE))
         |    * (1.0 - CAST(t.pos AS DOUBLE) / CAST(t.n AS DOUBLE)) AS uncertainty
-        |FROM fin f, t GROUP BY t.n, t.pos""".stripMargin
+        |FROM fin f, t GROUP BY t.n, t.pos""".stripMargin,
+    // q271: ranks, τ, depths all integers; the closed-form stop
+    // search is one filtered min; scanned_frac one exact divide
+    "q271_ta_depth" ->
+      """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS s1,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS s2 FROM documents),
+        |r AS MATERIALIZED (SELECT doc_id, s1, s2,
+        |    row_number() OVER (ORDER BY s1 DESC, doc_id) AS r1,
+        |    row_number() OVER (ORDER BY s2 DESC, doc_id) AS r2,
+        |    s1 + s2 AS f FROM b),
+        |tk AS (SELECT CAST(min(f) AS BIGINT) AS kth_f,
+        |    CAST(max(least(r1, r2)) AS BIGINT) AS d0
+        |  FROM (SELECT f, r1, r2, doc_id FROM r ORDER BY f DESC, doc_id LIMIT 10)),
+        |tau AS MATERIALIZED (SELECT a.r1 AS d, a.s1 + b2.s2 AS tau_d
+        |  FROM r a JOIN r b2 ON b2.r2 = a.r1),
+        |st AS (SELECT CAST(min(t.d) AS BIGINT) AS stop_depth FROM tau t, tk
+        |  WHERE t.d >= tk.d0 AND t.tau_d <= tk.kth_f),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM b)
+        |SELECT nn.n_docs, tk.kth_f, tk.d0, st.stop_depth,
+        |  CAST(ts.tau_d AS BIGINT) AS tau_at_stop,
+        |  CAST(st.stop_depth AS DOUBLE) / CAST(nn.n_docs AS DOUBLE) AS scanned_frac
+        |FROM nn, tk, st JOIN tau ts ON ts.d = st.stop_depth""".stripMargin
   )
 
   // q269/q270's shared oracle chain: deciles → buckets → interval

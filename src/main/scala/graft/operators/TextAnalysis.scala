@@ -3124,6 +3124,80 @@ object TextAnalysis {
       (pbar * (lit(1.0) - pbar)).as("uncertainty"))
   }
 
+  /** q271: Fagin THRESHOLD-ALGORITHM depth audit — the
+    * early-termination top-k primitive for merging two ranked access
+    * paths (Fagin/Lotem/Naor 2001, public).  Lists: docs ranked by
+    * s1 = n_chars and by s2 = token count (both desc, doc_id
+    * tiebreak); combined score f = s1 + s2.  TA scans both lists in
+    * lockstep and stops at the first depth d where the k-th best seen
+    * combined score ≥ the threshold τ(d) = s1@d + s2@d.  Because
+    * kth-best-seen reaches its final value once every true top-k doc
+    * has been seen (d0 = max over the top-k of min(r1, r2)) and τ is
+    * nonincreasing, the stop depth has the CLOSED FORM
+    *
+    *   stop = min { d ≥ d0 : τ(d) ≤ kth_f }
+    *
+    * which this audit computes exactly — no sequential scan loop.
+    * (Convention under score TIES: the audited run is the one that
+    * certifies the CANONICAL doc_id-tiebroken top-k — an
+    * unconstrained TA may stop a few rows earlier returning an
+    * equal-score alternative set; the spec's literal scan replays
+    * exactly this convention.)  The payoff metric is scanned_frac =
+    * stop/N: how much of the ranked lists a TA merge would touch
+    * (always defined: τ(N) = s1_min + s2_min ≤ kth_f).
+    *
+    * Determinism: scores, ranks, τ and depths are integers; the one
+    * double is an exact-integer divide.
+    *
+    * 100 TB shape: both global ranks are the q104 two-pass form
+    * (range partition + local row_number + broadcast offsets — no
+    * single-partition window); the τ frame is a rank-keyed equi-join;
+    * top-k is TakeOrdered; the stop search is one filtered aggregate.
+    */
+  def taDepthAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nParts = spark.sparkContext.defaultParallelism
+    val base = graft.util.Pins.eager(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("s1"),
+        tokenCount(col("text")).cast("long").as("s2")))
+    def rankBy(s: String): DataFrame = {
+      val sorted = graft.util.Pins.eager(base
+        .repartitionByRange(nParts, col(s).desc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id()))
+      val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
+      val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select("pid", "off")
+      val wLocal = Window.partitionBy("pid").orderBy(col(s).desc, col("doc_id").asc)
+      sorted.join(broadcast(offsets), Seq("pid"))
+        .withColumn("rank", row_number().over(wLocal) + col("off"))
+        .select(col("doc_id"), col(s), col("rank"))
+    }
+    val j = graft.util.Pins.eager(
+      rankBy("s1").withColumnRenamed("rank", "r1")
+        .join(rankBy("s2").withColumnRenamed("rank", "r2"), Seq("doc_id"))
+        .withColumn("f", col("s1") + col("s2"))
+        .withColumn("dm", least(col("r1"), col("r2"))))
+    val tk = broadcast(j.orderBy(col("f").desc, col("doc_id").asc).limit(k)
+      .agg(min(col("f")).as("kth_f"), max(col("dm")).as("d0")))
+    val tau = graft.util.Pins.eager(
+      j.select(col("r1").as("d"), col("s1"))
+        .join(j.select(col("r2").as("d"), col("s2")), Seq("d"))
+        .select(col("d"), (col("s1") + col("s2")).as("tau_d")))
+    val st = broadcast(tau.crossJoin(tk)
+      .filter(col("d") >= col("d0") && col("tau_d") <= col("kth_f"))
+      .agg(min(col("d")).as("stop_depth")))
+    val n = broadcast(base.agg(count(lit(1)).as("n_docs")))
+    tau.crossJoin(st).filter(col("d") === col("stop_depth"))
+      .crossJoin(tk).crossJoin(n)
+      .select(col("n_docs"), col("kth_f"), col("d0"), col("stop_depth"),
+        col("tau_d").as("tau_at_stop"),
+        (col("stop_depth").cast("double") / col("n_docs").cast("double"))
+          .as("scanned_frac"))
+  }
+
   /** q242: distributed logistic-regression fit (lang=='en' from two
     * length features), `iters` unrolled full-batch gradient-descent
     * passes in the q217 power-iteration mold: the weight vector is a

@@ -3532,4 +3532,38 @@ class OperatorSpec extends SparkSuite {
       (r.getDouble(3) - r.getDouble(4) + r.getDouble(5))) < 1e-12, "Murphy identity")
     assert(r.getDouble(3) >= 0.0 && r.getDouble(4) >= 0.0)
   }
+
+  test("ta depth q271: closed-form stop depth replayed against a literal TA scan in Scala") {
+    val r = TextAnalysis.taDepthAudit(spark, sf).collect().head
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars").cast("long"),
+        size(split(col("text"), " ")).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    val n = docs.length
+    val byS1 = docs.sortBy(t => (-t._2, t._1))
+    val byS2 = docs.sortBy(t => (-t._3, t._1))
+    val r1 = byS1.zipWithIndex.map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val r2 = byS2.zipWithIndex.map { case (t, i) => t._1 -> (i + 1L) }.toMap
+    val f = docs.map(t => t._1 -> (t._2 + t._3)).toMap
+    val topk = docs.sortBy(t => (-(t._2 + t._3), t._1)).take(10)
+    val kthF = topk.map(t => t._2 + t._3).min
+    val d0 = topk.map(t => math.min(r1(t._1), r2(t._1))).max
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == kthF && r.getLong(2) == d0)
+    // literal TA scan: at each depth, threshold vs k-th best seen
+    var stop = 0L
+    var seen = Set.empty[Long]
+    var d = 0
+    while (stop == 0L && d < n) {
+      d += 1
+      seen += byS1(d - 1)._1
+      seen += byS2(d - 1)._1
+      val tau = byS1(d - 1)._2 + byS2(d - 1)._3
+      val best = seen.toSeq.map(f).sorted(Ordering[Long].reverse).take(10)
+      if (best.length >= 10 && best.min >= tau && d >= d0) stop = d.toLong
+    }
+    assert(r.getLong(3) == stop, "closed form == literal TA scan")
+    assert(r.getLong(4) == byS1(stop.toInt - 1)._2 + byS2(stop.toInt - 1)._3, "tau at stop")
+    assert(r.getDouble(5) == stop.toDouble / n.toDouble)
+    assert(r.getLong(3) >= r.getLong(2) && r.getLong(3) <= n.toLong)
+  }
 }

@@ -1535,4 +1535,15 @@ class PlanGuardSpec extends SparkSuite {
     assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 3)
     assert(df.count() == 1L)
   }
+
+  test("q271 ta depth: two-pass ranks pinned; top-k is TakeOrdered; 1-row frames NL-attach") {
+    val df = operators.TextAnalysis.taDepthAudit(spark, sf)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "base and rank frames are pinned")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).exists(_.contains("TakeOrderedAndProject")),
+      "top-k must not global-sort")
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 3,
+      "only the 1-row tk/st/n frames NL-attach")
+  }
 }
