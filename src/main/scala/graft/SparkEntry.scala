@@ -5346,7 +5346,7 @@ object SparkEntry {
         |SELECT s.source, s.n_docs,
         |  CAST(s.sy AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS mean_chars,
         |  s.std_y AS std_chars,
-        |  s.ns / t.t_ns AS neyman_share,
+        |  CASE WHEN t.t_ns = 0.0 THEN NULL ELSE s.ns / t.t_ns END AS neyman_share,
         |  CAST(s.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS prop_share,
         |  (t.t_ns * t.t_ns) / 200.0 AS var_neyman,
         |  (CAST(t.n_total AS DOUBLE) / 200.0) * t.t_nv AS var_prop,

@@ -2212,9 +2212,11 @@ object EventOps {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("new_s")).as("n_sessions"),
         min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"))
-    val byChunk = sessionCounts(
+    // pinned: the (user, chunk) boundary frame feeds both the c1 and
+    // c2 branches — unpinned, the per-chunk window+aggregate runs twice
+    val byChunk = graft.util.Pins.eager(sessionCounts(
       Window.partitionBy("user_id", "c1").orderBy(col("ts").asc, col("event_id").asc),
-      Seq("user_id", "c1"))
+      Seq("user_id", "c1")))
     val c1 = byChunk.filter(col("c1")).select(col("user_id"),
       col("n_sessions").as("n1"), col("last_ms").as("end1"))
     val c2 = byChunk.filter(!col("c1")).select(col("user_id"),

@@ -1430,14 +1430,23 @@ object TextAnalysis {
     * partition-id assignment for both passes, which the two-pass
     * rank requires anyway.
     */
-  def lengthDeciles(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** Two-pass exact GLOBAL rank — q104's recipe, ONE definition now
+    * shared by lengthDeciles (q104), isotonicCalibration (q269) and
+    * taDepthAudit (q271) so the rank arithmetic cannot drift between
+    * copies (the hv60/denseDailySeries rule): range-partition by
+    * `sortCols`, per-partition row_number + broadcast partition
+    * offsets = the exact global rank with NO single-partition window.
+    * Returns (input + pid + 1-based long `rank`, broadcastable 1-row
+    * total frame with column `n`).  The input is eagerly pinned: the
+    * offsets broadcast, the totals broadcast and the ranked output
+    * all consume it, and the pin freezes partition ids across the
+    * two passes (util/Pins.scala).
+    */
+  private[operators] def globalRank(df: DataFrame, nParts: Int,
+                                    sortCols: Column*): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val nParts = spark.sparkContext.defaultParallelism
     val sorted = graft.util.Pins.eager(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), col("n_chars"),
-          tokenCount(col("text")).cast("long").as("n_tok"))
-        .repartitionByRange(nParts, col("n_chars").asc, col("doc_id").asc)
+      df.repartitionByRange(nParts, sortCols: _*)
         .withColumn("pid", spark_partition_id()))
     val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
     val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid").asc)
@@ -1445,21 +1454,35 @@ object TextAnalysis {
     val offsets = counts
       .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
       .select("pid", "off")
-    val total = broadcast(counts.agg(sum(col("c")).as("n")))
-    val wLocal = Window.partitionBy("pid")
-      .orderBy(col("n_chars").asc, col("doc_id").asc)
-    // ntile semantics in integer math (ALL divisions integral `DIV` —
-    // a float divide could land one ulp under a bucket boundary): the
-    // first (N mod k) buckets hold ceil(N/k) rows, the rest floor(N/k)
-    val decile = expr(
-      s"""CAST(CASE WHEN rank - 1 < (n % $k) * ((n DIV $k) + 1)
-         |  THEN (rank - 1) DIV ((n DIV $k) + 1)
-         |  ELSE (n % $k) + ((rank - 1) - (n % $k) * ((n DIV $k) + 1)) DIV (n DIV $k)
-         |END + 1 AS INT)""".stripMargin)
-    sorted.join(broadcast(offsets), Seq("pid"))
-      .withColumn("rank", row_number().over(wLocal).cast("long") + col("off"))
-      .crossJoin(total)
-      .withColumn("decile", decile)
+    val total = counts.agg(sum(col("c")).as("n"))
+    val wLocal = Window.partitionBy("pid").orderBy(sortCols: _*)
+    (sorted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("rank", row_number().over(wLocal).cast("long") + col("off")),
+      total)
+  }
+
+  /** Standard-SQL ntile over (rank, n) in pure integer arithmetic
+    * (ALL divisions integral `DIV` — a float divide could land one
+    * ulp under a bucket boundary): the first (N mod k) buckets hold
+    * ceil(N/k) rows, the rest floor(N/k).  Bit-equal to DuckDB's
+    * `ntile(k) OVER (ORDER BY ...)` (the q104 parity).
+    */
+  private[operators] def ntileExpr(k: Int): Column = expr(
+    s"""CAST(CASE WHEN rank - 1 < (n % $k) * ((n DIV $k) + 1)
+       |  THEN (rank - 1) DIV ((n DIV $k) + 1)
+       |  ELSE (n % $k) + ((rank - 1) - (n % $k) * ((n DIV $k) + 1)) DIV (n DIV $k)
+       |END + 1 AS INT)""".stripMargin)
+
+  def lengthDeciles(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val (ranked, total) = globalRank(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          tokenCount(col("text")).cast("long").as("n_tok")),
+      spark.sparkContext.defaultParallelism,
+      col("n_chars").asc, col("doc_id").asc)
+    ranked
+      .crossJoin(broadcast(total))
+      .withColumn("decile", ntileExpr(k))
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -2787,18 +2810,27 @@ object TextAnalysis {
   private[operators] def hv60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
-    import spark.implicits._
-    val twoPow60 = 1152921504606846976.0 // 2^60 = 16^15, exact double
-    // pinned: the hashed-distinct frame feeds two branches of withAll,
-    // and withAll feeds both the sketch and the exact count — without
-    // the pins the corpus explode+hash+distinct runs four times
-    val perSource = graft.util.Pins.eager(
+  /** Pinned per-source distinct 60-bit token-hash frame (source, hv)
+    * — ONE definition shared by q241's KMV sketch and q262's pair
+    * similarity, so their "same fold" parity claim is structural
+    * (the hv60 rule).  Pinned because every caller fans it into
+    * multiple consumers.
+    */
+  private def perSourceHv(spark: SparkSession, dir: String): DataFrame =
+    graft.util.Pins.eager(
       Tables.documents(spark, dir)
         .select(col("source"), explode(tokens(col("text"))).as("token"))
         .filter(col("token") =!= "")
         .select(col("source"), hv60(col("token")).as("hv"))
         .distinct())
+
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    val twoPow60 = 1152921504606846976.0 // 2^60 = 16^15, exact double
+    // pinned frames: perSourceHv feeds two branches of withAll, and
+    // withAll feeds both the sketch and the exact count — without the
+    // pins the corpus explode+hash+distinct runs four times
+    val perSource = perSourceHv(spark, dir)
     val withAll = graft.util.Pins.eager(perSource.union(
       perSource.select(lit("__all__").as("source"), col("hv")).distinct()))
     val sk = withAll.as[HvRow].groupByKey(_.source)
@@ -2845,18 +2877,15 @@ object TextAnalysis {
     */
   def kmvPairSim(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     import spark.implicits._
-    // pinned: the hashed-distinct frame feeds the sketch agg, the
-    // size agg, and both sides of the exact-intersection self-join
-    val perSource = graft.util.Pins.eager(
-      Tables.documents(spark, dir)
-        .select(col("source"), explode(tokens(col("text"))).as("token"))
-        .filter(col("token") =!= "")
-        .select(col("source"), hv60(col("token")).as("hv"))
-        .distinct())
+    // pinned (inside perSourceHv): feeds the sketch agg, the size agg
+    // and both sides of the exact-intersection self-join
+    val perSource = perSourceHv(spark, dir)
     val sk = perSource.as[HvRow].groupByKey(_.source)
       .agg(new KSmallest(k).toColumn.name("mins")).toDF("source", "mins")
     val sz = perSource.groupBy("source").agg(count(lit(1)).as("n"))
-    val dims = sk.join(sz, "source")
+    // pinned: the S-row sketch frame feeds BOTH sides of the pair
+    // spine — unpinned, the KMV aggregation pass would run twice
+    val dims = graft.util.Pins.eager(sk.join(sz, "source"))
     val spine = dims
       .select(col("source").as("source_a"), col("mins").as("ma"),
         col("n").as("n_a"))
@@ -2994,7 +3023,10 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"),
         (col("sy").cast("double") / col("n_docs").cast("double")).as("mean_chars"),
         col("std_y").as("std_chars"),
-        (col("ns") / col("t_ns")).as("neyman_share"),
+        // degenerate guard (the batch rule): all-constant strata give
+        // t_ns = 0 — Spark's 0/0 is NULL, DuckDB's NaN; spell the NULL
+        when(col("t_ns") === 0.0, lit(null).cast("double"))
+          .otherwise(col("ns") / col("t_ns")).as("neyman_share"),
         (col("n_docs").cast("double") / col("n_total").cast("double")).as("prop_share"),
         ((col("t_ns") * col("t_ns")) / lit(budget.toDouble)).as("var_neyman"),
         ((col("n_total").cast("double") / lit(budget.toDouble)) * col("t_nv"))
@@ -3030,35 +3062,17 @@ object TextAnalysis {
     * B²-bounded broadcast frames.
     */
   def isotonicCalibration(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nParts = spark.sparkContext.defaultParallelism
-    val sorted = graft.util.Pins.eager(
+    val (ranked, total) = globalRank(
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("n_chars"),
-          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-        .repartitionByRange(nParts, col("n_chars").asc, col("doc_id").asc)
-        .withColumn("pid", spark_partition_id()))
-    val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
-    val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid").asc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      .select("pid", "off")
-    val total = broadcast(counts.agg(sum(col("c")).as("n")))
-    val wLocal = Window.partitionBy("pid")
-      .orderBy(col("n_chars").asc, col("doc_id").asc)
-    val decile = expr(
-      s"""CAST(CASE WHEN rank - 1 < (n % $k) * ((n DIV $k) + 1)
-         |  THEN (rank - 1) DIV ((n DIV $k) + 1)
-         |  ELSE (n % $k) + ((rank - 1) - (n % $k) * ((n DIV $k) + 1)) DIV (n DIV $k)
-         |END + 1 AS INT)""".stripMargin)
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos")),
+      spark.sparkContext.defaultParallelism,
+      col("n_chars").asc, col("doc_id").asc)
     // pinned: the B-row bucket frame feeds the pair spine, the
     // interval sums AND the final projection
     val buckets = graft.util.Pins.eager(
-      sorted.join(broadcast(offsets), Seq("pid"))
-        .crossJoin(total)
-        .withColumn("rank", row_number().over(wLocal) + col("off"))
-        .withColumn("decile", decile)
+      ranked.crossJoin(broadcast(total))
+        .withColumn("decile", ntileExpr(k))
         .groupBy("decile")
         .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos")))
     val iv = buckets.select(col("decile").as("j"))
@@ -3155,25 +3169,14 @@ object TextAnalysis {
     * top-k is TakeOrdered; the stop search is one filtered aggregate.
     */
   def taDepthAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nParts = spark.sparkContext.defaultParallelism
     val base = graft.util.Pins.eager(Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars").cast("long").as("s1"),
         tokenCount(col("text")).cast("long").as("s2")))
     def rankBy(s: String): DataFrame = {
-      val sorted = graft.util.Pins.eager(base
-        .repartitionByRange(nParts, col(s).desc, col("doc_id").asc)
-        .withColumn("pid", spark_partition_id()))
-      val counts = sorted.groupBy("pid").agg(count(lit(1)).as("c"))
-      val wOff = Window.partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid").asc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = counts
-        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-        .select("pid", "off")
-      val wLocal = Window.partitionBy("pid").orderBy(col(s).desc, col("doc_id").asc)
-      sorted.join(broadcast(offsets), Seq("pid"))
-        .withColumn("rank", row_number().over(wLocal) + col("off"))
-        .select(col("doc_id"), col(s), col("rank"))
+      val (ranked, _) = globalRank(base.select(col("doc_id"), col(s)),
+        nParts, col(s).desc, col("doc_id").asc)
+      ranked.select(col("doc_id"), col(s), col("rank"))
     }
     val j = graft.util.Pins.eager(
       rankBy("s1").withColumnRenamed("rank", "r1")
