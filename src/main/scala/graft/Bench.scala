@@ -247,8 +247,12 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         // drop cache pins (two-pass rank queries persist) so one query's
         // cache can't evict another's working set or skew its timing,
-        // and so each rep measures a cold-cache execution
+        // and so each rep measures a cold-cache execution; releaseAll
+        // additionally frees localCheckpoint (Pins.eager) blocks, which
+        // clearCache does NOT touch and would otherwise accumulate
+        // across the suite until a GC-driven ContextCleaner sweep
         spark.catalog.clearCache()
+        graft.util.Pins.releaseAll(spark)
         drainListenerBus(spark)
         ioStats ::= (name, (io.recordsRead.get - r0, io.shuffleBytes.get - s0))
         if (ok) sec else -1.0
@@ -256,7 +260,25 @@ object Bench {
       runDetail ::= (name, times)
       times
     }
+    // Rep-hygiene fix from r14's verdict #5: the FIRST pass of a query
+    // new to the suite pays JIT + codegen-cache + shuffle-dir warmup
+    // that carried queries already amortized (r14's fresh-tier rep
+    // arrays showed the second 3-rep pass 3-5× faster than the first),
+    // polluting the committed qv and every cross-round delta read off
+    // it. A query with no entry in the newest committed same-sf BENCH
+    // record gets ONE untimed warm-up execution before its timed reps
+    // — zero steady-state cost (carried queries skip it), and a
+    // whole-suite warm pass only when no matching record exists at
+    // all (fresh sf), which is exactly when every number is "new".
+    val prior = priorBenchRecord(sfDir = sfDir)
     val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (!prior.contains(name.takeWhile(_ != '_'))) {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+        graft.util.Pins.releaseAll(spark)
+        drainListenerBus(spark) // keep warm-up task events out of rep 1's I/O delta
+      }
       val times = runReps(name, fn)
       name -> (if (times.length < reps) -1.0 else times.min)
     }
@@ -270,7 +292,6 @@ object Bench {
     // triggers) OR above max(1.5 s, 6× median-of-mins). Genuinely slow
     // queries cost a bounded second rep set, a stalled one gets its
     // honest number back.
-    val prior = priorBenchRecord(sfDir = sfDir)
     val okMins = firstPass.collect { case (_, v) if v >= 0 => v }.sorted
     val results = if (okMins.isEmpty) firstPass else {
       val medianThreshold = math.max(1.5, 6 * okMins(okMins.length / 2))

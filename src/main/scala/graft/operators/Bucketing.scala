@@ -152,8 +152,11 @@ object Bucketing {
     */
   def zorderAudit(spark: SparkSession, dir: String): DataFrame = {
     val bits = 10
-    val e0 = graft.Tables.events(spark, dir)
-      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    // pinned: e0 feeds both the hmin aggregate and the keyed
+    // projection — without the pin the events scan+unix_micros pass
+    // runs twice (the batch's multi-consumer rule)
+    val e0 = graft.util.Pins.eager(graft.Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")))
     val hmin = e0.agg(min(expr("us div 3600000000")).as("hmin"))
     val keyed = e0.crossJoin(broadcast(hmin)).select(
       pmod(col("user_id") * lit(2654435761L), lit(1024L)).as("ub"),

@@ -1536,8 +1536,12 @@ object Relational {
     * l_shipdate); ONE flagged join pass classifies every joined pair
     * into its unique delta cell (old⋈old / Δ⋈old / old⋈Δ / Δ⋈Δ) and
     * aggregates all four partials per priority; the merged view is
-    * their sum, audited — recomputed, not assumed — against an
-    * independent plain join+aggregate.
+    * their sum.  The `ivm_matches_full` flag compares it against a
+    * plain join+aggregate — both run in THIS engine over the same
+    * join, so the flag certifies only that the four-cell
+    * classification partitions the join (no pair lost or
+    * double-counted between cells); the independent audit of the
+    * values themselves is the cross-engine DuckDB oracle.
     *
     * Exactness: counts and 100×-quantized quantity units are exact
     * BIGINT sums; the audit flag is integer equality.
@@ -1632,10 +1636,15 @@ object Relational {
         when(dat === 0L, lit(0.0)).otherwise(col("s_bonly").cast("double") * avgA) +
         when(dat === 0L || dbt === 0L, lit(0.0))
           .otherwise(least(dat, dbt).cast("double") * avgA * avgB)
+      // degenerate guard (the batch rule, cf. q251/q266/q267): an
+      // empty join would make Spark's non-ANSI divide yield NULL where
+      // DuckDB floats to inf/NaN — unreachable on these FK joins, but
+      // the explicit CASE keeps the cross-engine contract uniform
       f.select(lit(name).as("join_name"), col("d_a"), col("d_b"),
         col("actual_rows"), est.as("est_rows"),
-        (abs(est - col("actual_rows").cast("double"))
-          / col("actual_rows").cast("double")).as("rel_err"))
+        when(col("actual_rows") === 0L, lit(null).cast("double"))
+          .otherwise(abs(est - col("actual_rows").cast("double"))
+            / col("actual_rows").cast("double")).as("rel_err"))
     }
     val o = Tables.orders(spark, dir); val l = Tables.lineitem(spark, dir)
     val c = Tables.customer(spark, dir); val p = Tables.part(spark, dir)

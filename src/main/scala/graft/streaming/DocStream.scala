@@ -36,13 +36,25 @@ object DocStream {
   /** Start the dedup-ingest stream over a 4-column document stream
     * (id, txn_id, owner, content).  `storeDir` holds the fingerprint
     * corpus (created on first batch); fresh docs flow to `sink`.
+    *
+    * The micro-batch is pinned (persist) before the empty-guard: the
+    * pipeline consumes the batch twice (the guard's isEmpty probe,
+    * then the fresh-docs materialization), and without the pin each
+    * pass re-scans the batch's source files — 2× the ingest read I/O
+    * at any scale (caught by StreamProgressSpec's numInputRows pin,
+    * which showed exactly double the staged rows).  A micro-batch is
+    * bounded by maxFilesPerTrigger, so the pin is the standard
+    * multi-pass-foreachBatch play (MEMORY_AND_DISK spills if a batch
+    * outgrows memory).
     */
   def dedupIngest(docs: DataFrame, storeDir: String, sink: DocSink,
                   checkpointDir: String): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) { processBatch(batch, storeDir, sink, batchId); () }
+        val pinned = batch.persist()
+        try { if (!pinned.isEmpty) { processBatch(pinned, storeDir, sink, batchId); () } }
+        finally { pinned.unpersist(); () }
       }
       .start()
 

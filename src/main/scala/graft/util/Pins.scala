@@ -31,4 +31,20 @@ import org.apache.spark.sql.DataFrame
   */
 object Pins {
   def eager(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
+  /** Release every RDD-level persist — which is where localCheckpoint
+    * blocks live.  `spark.catalog.clearCache()` only drops catalog-
+    * cached Datasets; checkpoint blocks wait for the ContextCleaner,
+    * whose sweep is GC-driven (plus a 30-min periodic System.gc), so
+    * a long suite run (Bench: 271 queries × 3 reps, Verify: the whole
+    * registry) accumulates every pin it ever made in the block
+    * manager.  The resulting memory pressure is invisible until late
+    * in the suite — r14's artifact showed "inverted warming" rep
+    * arrays exactly there (q261 1.21→2.88→3.12 s, alphabetically
+    * last-but-one).  Safe between queries/reps: each invocation
+    * builds fresh pins; unpersisting a spent localCheckpoint RDD only
+    * frees its blocks (non-blocking).
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 }
