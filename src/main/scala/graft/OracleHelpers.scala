@@ -11,6 +11,17 @@ private[graft] trait OracleHelpers {
   // Incremental-dedup oracle shared by q49 (plain left_anti) and q81
   // (bloom-prefiltered): both compute exactly this set, so ONE
   // definition keeps the pair honest.
+  /** DuckDB mirror of `TextAnalysis.hv60` (Spark: `conv(substring(
+    * md5(e), 1, 15), 16, 10)`): positional base-16 fold of the first
+    * 15 hex digits of md5 — ONE definition (shared by q272/q273/q274,
+    * matching the inlined q241/q254/q262 fold) so the cross-engine
+    * bit-exactness contract stays structural.
+    */
+  protected def hv60Sql(e: String): String =
+    s"""list_reduce(list_transform(range(1, 16),
+       |      i -> CAST(strpos('0123456789abcdef', substring(md5($e), i, 1)) - 1 AS BIGINT)),
+       |      (a, b) -> a * 16 + b)""".stripMargin
+
   protected val CorpusDiffSql =
     """WITH fp AS (SELECT doc_id, source,
       |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp

@@ -1866,6 +1866,151 @@ private[graft] trait OraclesC extends OracleHelpers {
         |SELECT nn.n_docs, tk.kth_f, tk.d0, st.stop_depth,
         |  CAST(ts.tau_d AS BIGINT) AS tau_at_stop,
         |  CAST(st.stop_depth AS DOUBLE) / CAST(nn.n_docs AS DOUBLE) AS scanned_frac
-        |FROM nn, tk, st JOIN tau ts ON ts.d = st.stop_depth""".stripMargin
+        |FROM nn, tk, st JOIN tau ts ON ts.d = st.stop_depth""".stripMargin,
+    // q272: audit-form (the q33/q58 rule) — the MG estimates are
+    // merge-order-dependent and never reach the output; the flags are
+    // algorithm invariants, so the oracle states them as literal 1s
+    // next to its own exact counts and the ⌊n/(m+1)⌋ bound
+    "q272_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tok AS (SELECT token FROM t WHERE token <> ''),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS true_count
+        |  FROM tok GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok)
+        |SELECT token, true_count, CAST(n_tok // 33 AS BIGINT) AS bound,
+        |  1 AS est_le_true, 1 AS err_within_bound
+        |FROM c, n ORDER BY true_count DESC, token LIMIT 10""".stripMargin,
+    // q273: FULL sketch replay — CMS cell counts are plain sums, so
+    // the same 60-bit fold + Mersenne-prime row hashes rebuild the
+    // identical 4×256 table and the estimates match exactly
+    "q273_countmin" -> {
+      val cell = "((a * h + b) % 2147483647) % 256"
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |tok AS (SELECT token FROM t WHERE token <> ''),
+         |par AS (SELECT * FROM (VALUES (0, 1299721, 7), (1, 15485863, 101),
+         |    (2, 32452843, 1009), (3, 49979687, 10007)) AS v(depth, a, b)),
+         |hvt AS (SELECT ${hv60Sql("token")} % 2147483647 AS h FROM tok),
+         |cms AS MATERIALIZED (SELECT depth, $cell AS cell,
+         |    CAST(count(*) AS BIGINT) AS cnt FROM hvt, par GROUP BY 1, 2),
+         |probe AS (SELECT token, CAST(count(*) AS BIGINT) AS true_count
+         |  FROM tok GROUP BY token ORDER BY true_count DESC, token LIMIT 8),
+         |ph AS (SELECT token, true_count,
+         |    ${hv60Sql("token")} % 2147483647 AS h FROM probe),
+         |pc AS (SELECT token, true_count, depth, $cell AS cell FROM ph, par),
+         |est AS (SELECT token, true_count, min(cnt) AS cms_est
+         |  FROM pc JOIN cms USING (depth, cell) GROUP BY 1, 2)
+         |SELECT token, true_count, CAST(cms_est AS BIGINT) AS cms_est,
+         |  CAST(cms_est - true_count AS BIGINT) AS overest
+         |FROM est ORDER BY true_count DESC, token""".stripMargin
+    },
+    // q274: split assignment is pure hash math (hv60 of 'split:'∥id
+    // mod 100), replayed exactly; leakage joins the fingerprint's
+    // distinct-split count back to every doc
+    "q274_split_leakage" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+         |    ${hv60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents),
+         |s AS (SELECT doc_id, fp, CASE WHEN bucket < 90 THEN 'train'
+         |    WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM d),
+         |fs AS (SELECT fp, count(DISTINCT split) AS n_splits FROM s GROUP BY fp)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_docs
+         |FROM s JOIN fs USING (fp) GROUP BY split ORDER BY split""".stripMargin,
+    // q275: occurrence-weighted 5-gram duplication — grams via
+    // positional list_slice exactly mirroring TextFunctions.shingles,
+    // then the shared 60-bit fold (grams never shuffle as strings on
+    // the Spark side; a collision collapses identically here)
+    "q275_ngram_dup" ->
+      s"""WITH sp AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |gr AS (SELECT doc_id, source,
+         |    unnest(list_transform(range(1, len(w) - 3),
+         |      i -> array_to_string(w[i:i+4], ' '))) AS gram
+         |  FROM sp WHERE len(w) >= 5),
+         |h AS (SELECT doc_id, source, ${hv60Sql("gram")} AS g FROM gr),
+         |gs AS (SELECT g, count(DISTINCT doc_id) AS df, count(*) AS occ
+         |  FROM h GROUP BY g)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_crossdoc_dup,
+         |  CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_any_dup,
+         |  CASE WHEN count(*) = 0 THEN NULL
+         |    ELSE CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) END AS crossdoc_dup_rate
+         |FROM h JOIN gs USING (g) GROUP BY source ORDER BY source""".stripMargin,
+    // q276: lookahead-free character-class regexes only, so Java
+    // (Spark rlike) and RE2 (DuckDB regexp_matches) agree symbol for
+    // symbol; zero-count cells are still exact cross-engine values
+    "q276_pii_scan" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '[0-9]{6,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_digit_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[0-9]{6,}'))) AS BIGINT) AS n_digit_runs,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '[a-z0-9._]+@[a-z0-9.]+') THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '[a-z0-9]{20,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_longtok_docs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // q277: row_number mirrors the two-pass globalRank; ntile is the
+    // standard first-buckets-larger split on both engines; the mean
+    // percentile divides in ONE pinned order (Δrank / (N−1) / n)
+    "q277_quantile_norm" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS grank,
+        |    CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS INTEGER) AS decile
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+        |SELECT source, decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(grank) AS BIGINT) AS sum_grank,
+        |  CASE WHEN n_total <= 1 THEN NULL
+        |    ELSE CAST(sum(grank) - count(*) AS DOUBLE)
+        |      / CAST(n_total - 1 AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  END AS mean_global_pctl
+        |FROM r, n GROUP BY source, decile, n_total
+        |ORDER BY source, decile""".stripMargin,
+    // q278: the streaming run's oracle is the batch twin — a
+    // stream-static broadcast join has no state, so the replay is a
+    // plain join+aggregate over the same fixture
+    "q278_stream_static" ->
+      """WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_events,
+        |    CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS user_units
+        |  FROM events GROUP BY user_id)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_units,
+        |  CAST(sum(user_units) AS BIGINT) AS enriched_units
+        |FROM events JOIN u USING (user_id) GROUP BY event_type""".stripMargin,
+    // q279: exact KS — integer cumulative-count cross products, one
+    // divide at the end (numerator max is exact BIGINT on both sides)
+    "q279_ks_drift" ->
+      """WITH c AS (SELECT source, n_chars, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |sup AS (SELECT DISTINCT n_chars FROM c),
+        |t AS (SELECT source, sum(c) AS n_s FROM c GROUP BY source),
+        |n AS (SELECT sum(c) AS nn FROM c),
+        |grid AS (SELECT s.n_chars, t.source, t.n_s, coalesce(x.c, 0) AS c
+        |  FROM sup s CROSS JOIN t
+        |  LEFT JOIN c x ON x.source = t.source AND x.n_chars = s.n_chars),
+        |cs AS (SELECT source, n_s, n_chars,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s FROM grid),
+        |g AS (SELECT n_chars, sum(c) AS cg FROM c GROUP BY n_chars),
+        |cg AS (SELECT n_chars, sum(cg) OVER (ORDER BY n_chars) AS cum_g FROM g)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_source,
+        |  CAST(nn - n_s AS BIGINT) AS n_rest,
+        |  CAST(max(abs(cum_s * (nn - n_s) - (cum_g - cum_s) * n_s)) AS BIGINT) AS d_num,
+        |  CASE WHEN nn - n_s = 0 THEN NULL
+        |    ELSE CAST(max(abs(cum_s * (nn - n_s) - (cum_g - cum_s) * n_s)) AS DOUBLE)
+        |      / CAST(n_s * (nn - n_s) AS DOUBLE) END AS ks_stat
+        |FROM cs JOIN cg USING (n_chars) CROSS JOIN n
+        |GROUP BY source, n_s, nn ORDER BY source""".stripMargin,
+    // q280: stateless quasi-id bands, group sizes, 4 thresholds
+    "q280_k_anonymity" ->
+      """WITH g AS (SELECT source, lang, n_chars // 100 AS band,
+        |    CAST(count(*) AS BIGINT) AS gsize
+        |  FROM documents GROUP BY 1, 2, 3),
+        |x AS (SELECT gsize, unnest([2, 5, 10, 20]) AS k FROM g)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN gsize < k THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+        |  CAST(sum(CASE WHEN gsize < k THEN gsize ELSE 0 END) AS BIGINT) AS docs_at_risk,
+        |  CASE WHEN sum(gsize) = 0 THEN NULL
+        |    ELSE CAST(sum(CASE WHEN gsize < k THEN gsize ELSE 0 END) AS DOUBLE)
+        |      / CAST(sum(gsize) AS DOUBLE) END AS risk_rate
+        |FROM x GROUP BY k ORDER BY k""".stripMargin
   )
 }

@@ -504,7 +504,20 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // forecast-evaluation triple over the calibrated buckets
     "q270_brier" -> ((s, d) => TextAnalysis.brierDecomposition(s, d)),
     // early-termination top-k merge depth (threshold algorithm)
-    "q271_ta_depth" -> ((s, d) => TextAnalysis.taDepthAudit(s, d))
+    "q271_ta_depth" -> ((s, d) => TextAnalysis.taDepthAudit(s, d)),
+    // batch 9: frequency sketches (order-free MG guarantees; exact CMS
+    // replay), split/leakage, n-gram dup profile, PII gate, quantile norm
+    "q272_heavy_hitters" -> ((s, d) => PipelineAudits.heavyHitterAudit(s, d)),
+    "q273_countmin" -> ((s, d) => PipelineAudits.countMinAudit(s, d)),
+    "q274_split_leakage" -> ((s, d) => PipelineAudits.splitLeakage(s, d)),
+    "q275_ngram_dup" -> ((s, d) => PipelineAudits.ngramDupProfile(s, d)),
+    "q276_pii_scan" -> ((s, d) => PipelineAudits.piiScan(s, d)),
+    "q277_quantile_norm" -> ((s, d) => PipelineAudits.quantileNormAudit(s, d)),
+    // batch 10: the stateless streaming join shape, exact two-sample
+    // KS drift, k-anonymity release gate
+    "q278_stream_static" -> ((s, d) => graft.streaming.StreamQueries.staticEnriched(s, d)),
+    "q279_ks_drift" -> ((s, d) => PipelineAudits.ksDrift(s, d)),
+    "q280_k_anonymity" -> ((s, d) => PipelineAudits.kAnonymity(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -221,6 +221,40 @@ object StreamQueries {
       .select(col("source"), col("n_docs"), col("id_sum"))
   }
 
+  /** q278: stream-static broadcast enrichment, gated — the one join
+    * shape the streaming tier was missing: a stream joined to a
+    * STATIC batch frame (here each user's whole-corpus activity
+    * profile) needs NO state store and no watermark; Spark plans a
+    * plain broadcast hash join re-evaluated per micro-batch.  The
+    * StreamProgressSpec pin asserts exactly that: ONE stateful
+    * operator (the complete-mode aggregate) — the join itself
+    * contributes zero state, the structural difference from q229's
+    * stream-stream buffering.
+    *
+    * 100 TB shape: the static side is the output of a batch keyed
+    * aggregate (dimension-sized), broadcast once per trigger —
+    * production refreshes it by swapping the underlying table between
+    * triggers.  Output is exact longs (counts + quantized units), so
+    * micro-batch order is invisible.
+    */
+  def staticEnriched(spark: SparkSession, dir: String,
+                     inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+    withWatchDir(eventsWatchDir(dir)) { watch =>
+      val units = floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")
+      val profile = graft.Tables.events(spark, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("user_events"), sum(units).as("user_units"))
+      val enriched = EventStream.readEvents(spark, watch)
+        .join(broadcast(profile), Seq("user_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(units).as("value_units"),
+          sum(col("user_units")).as("enriched_units"))
+        .select(col("event_type"), col("n_events"), col("value_units"),
+          col("enriched_units"))
+      runToTable(spark, enriched, "complete", inspect)
+    }
+
   /** q228: streaming dedup under whole-source replay.  The watch dir
     * holds the fixture TWICE; maxFilesPerTrigger=1 forces the replay
     * through a separate micro-batch, so the drop rides state-store

@@ -1,0 +1,243 @@
+package graft
+
+import graft.operators.PipelineAudits
+import graft.operators.PipelineAudits.{MisraGries, TokHv}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+/** Batch 9 (q272-q277): semantic checks against direct recounts plus
+  * the plan pins the 100 TB story depends on (the PlanGuardSpec rule,
+  * local to this batch's file).
+  */
+class PipelineAuditsSpec extends SparkSuite {
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case _ => Seq(p)
+    }
+    self ++ p.children.flatMap(nodes) ++ p.subqueries.flatMap(nodes)
+  }
+  private def plan(df: DataFrame): Seq[SparkPlan] = nodes(df.queryExecution.executedPlan)
+  private def shuffles(df: DataFrame): Int = plan(df).count(_.isInstanceOf[ShuffleExchangeLike])
+  private def names(df: DataFrame): Seq[String] = plan(df).map(_.nodeName)
+
+  // ---- Misra-Gries invariants, directly on the aggregator ----
+
+  test("q272 MG aggregator: est<=true and error<=n/(m+1) under any reduce/merge split") {
+    val mg = new MisraGries(3)
+    // deterministic skewed stream: key k appears 2^(6-k) times, k=1..6
+    val stream: Seq[Long] = (1 to 6).flatMap(k => Seq.fill(1 << (6 - k))(k.toLong))
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    def fold(xs: Seq[Long]): Map[Long, Long] =
+      xs.foldLeft(mg.zero)((b, x) => mg.reduce(b, TokHv(x)))
+    // several merge topologies must all satisfy the bound
+    val summaries = Seq(
+      fold(stream),
+      mg.merge(fold(stream.take(17)), fold(stream.drop(17))),
+      mg.merge(mg.merge(fold(stream.take(5)), fold(stream.slice(5, 40))), fold(stream.drop(40))),
+      mg.merge(fold(stream.reverse.take(30)), fold(stream.reverse.drop(30))))
+    for (s <- summaries) {
+      assert(s.size <= 3, s"summary bounded by m: $s")
+      for ((k, t) <- truth) {
+        val est = s.getOrElse(k, 0L)
+        assert(est <= t, s"one-sided: est($k)=$est > true=$t in $s")
+        assert(t - est <= n / 4, s"bound: true($k)=$t est=$est n/4=${n / 4} in $s")
+      }
+    }
+  }
+
+  test("q272 heavy hitters: top-10 recount matches, flags are invariantly 1") {
+    val df = PipelineAudits.heavyHitterAudit(spark, sf)
+    // plan pins BEFORE any action: execution lets AQE collapse the
+    // tree into result query stages and the shape is gone
+    assert(names(df).exists(_.contains("ObjectHashAggregate")) ||
+      names(df).exists(_.contains("SortAggregate")), names(df).distinct.toString)
+    assert(names(df).exists(_.contains("TakeOrdered")))
+    val rows = df.collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => r.getInt(3) == 1 && r.getInt(4) == 1),
+      "MG guarantee flags must hold on every execution")
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).filter(col("t") =!= "")
+    val top = tok.groupBy("t").count()
+      .orderBy(col("count").desc, col("t").asc).limit(10).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == top.toSeq)
+  }
+
+  // ---- Count-Min ----
+
+  test("q273 count-min: one-sided error, exact recount, broadcast cells join, one visible shuffle") {
+    val df = PipelineAudits.countMinAudit(spark, sf)
+    // pins first (pre-execution): the 1024-row cell table must come in
+    // broadcast; the only data-sized shuffle in the visible (post-pin)
+    // plan is the final per-token min
+    assert(names(df).exists(_.contains("BroadcastHashJoin")), names(df).distinct.toString)
+    assert(!names(df).exists(_.contains("SortMergeJoin")))
+    // 2 = the per-token min's exchange + the 8-row presentation sort
+    assert(shuffles(df) <= 2, s"got ${shuffles(df)} shuffles")
+    val rows = df.collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getLong(3) >= 0L), "CMS never underestimates")
+    assert(rows.forall(r => r.getLong(2) == r.getLong(1) + r.getLong(3)))
+    val tok = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t")).filter(col("t") =!= "")
+    val top = tok.groupBy("t").count()
+      .orderBy(col("count").desc, col("t").asc).limit(8).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == top.toSeq)
+  }
+
+  // ---- Split + leakage ----
+
+  test("q274 split leakage: splits partition the corpus; assignment is replayable hash math") {
+    val df = PipelineAudits.splitLeakage(spark, sf)
+    val rows = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    assert(rows.values.map(_._1).sum == total, "splits partition the corpus")
+    assert(rows.values.map(_._2).sum ==
+      docs.agg(sum("doc_id")).head().getLong(0))
+    // replay the assignment independently and compare per-split counts
+    val replay = docs.select(
+        when(pmod(conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15),
+          16, 10).cast("long"), lit(100L)) < 90, "train")
+          .when(pmod(conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15),
+            16, 10).cast("long"), lit(100L)) < 95, "val").otherwise("test").as("split"))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.view.mapValues(_._1).toMap == replay)
+    // leakage is symmetric: a fingerprint spanning k>1 splits marks its
+    // docs leaky in EVERY split it touches — total leaky docs equals a
+    // direct recount
+    val fp = docs.select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))).as("fp"),
+      pmod(conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long"), lit(100L)).as("b"))
+      .withColumn("split", when(col("b") < 90, "train").when(col("b") < 95, "val").otherwise("test"))
+    val direct = fp.groupBy("fp").agg(countDistinct("split").as("k"), count(lit(1)).as("c"))
+      .filter(col("k") > 1).agg(coalesce(sum("c"), lit(0L))).head().getLong(0)
+    assert(rows.values.map(_._3).sum == direct)
+  }
+
+  // ---- N-gram duplication ----
+
+  test("q275 ngram dup: recount parity and ordering of the dup tiers") {
+    val df = PipelineAudits.ngramDupProfile(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, cross, any) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cross <= any && any <= n,
+        s"crossdoc ($cross) <= any-dup ($any) <= total ($n): a within-doc repeat is a dup but not cross-doc")
+      if (n > 0) assert(math.abs(r.getDouble(4) - cross.toDouble / n.toDouble) == 0.0)
+    }
+    val totalGrams = Tables.documents(spark, sf)
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select(explode(graft.functions.TextFunctions.shingles(col("text"), 5)).as("g"))
+      .count()
+    assert(rows.map(_.getLong(1)).sum == totalGrams)
+  }
+
+  // ---- PII gate ----
+
+  test("q276 pii scan: per-source counts match direct predicate counts; scan reads only (source, text)") {
+    val df = PipelineAudits.piiScan(spark, sf)
+    // pins first (pre-execution): single aggregation pass —
+    // partial+final, one agg exchange plus the bounded (n_sources-row)
+    // presentation sort, pruned scan
+    assert(shuffles(df) == 2, s"got ${shuffles(df)} shuffles")
+    assert(names(df).count(_.contains("HashAggregate")) == 2, "partial+final")
+    val scan = plan(df).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.requiredSchema.fieldNames.toSet == Set("source", "text"),
+      scan.requiredSchema.fieldNames.mkString(","))
+    val rows = df.collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val src = rows.head.getString(0)
+    assert(rows.head.getLong(2) ==
+      docs.filter(col("source") === src && col("text").rlike("[0-9]{6,}")).count())
+    assert(rows.head.getLong(5) ==
+      docs.filter(col("source") === src && col("text").rlike("[a-z0-9]{20,}")).count())
+  }
+
+  // ---- KS drift ----
+
+  test("q279 ks drift: exact numerator matches a driver-side replay; statistic bounded in [0,1]") {
+    val df = PipelineAudits.ksDrift(spark, sf)
+    val rows = df.collect()
+    val docs = Tables.documents(spark, sf)
+    val nSources = docs.select("source").distinct().count()
+    assert(rows.length == nSources)
+    assert(rows.forall(r => r.getLong(3) >= 0L))
+    assert(rows.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    // literal replay for one source: cumulative counts over the merged
+    // support, exact integer cross products
+    val src = rows.head.getString(0)
+    val lens = docs.select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = lens.length.toLong
+    val nS = lens.count(_._1 == src).toLong
+    val support = lens.map(_._2).distinct.sorted
+    var (cumS, cumAll, best) = (0L, 0L, 0L)
+    for (x <- support) {
+      cumS += lens.count(p => p._1 == src && p._2 == x)
+      cumAll += lens.count(_._2 == x)
+      best = math.max(best, math.abs(cumS * (n - nS) - (cumAll - cumS) * nS))
+    }
+    assert(rows.head.getLong(1) == nS && rows.head.getLong(2) == n - nS)
+    assert(rows.head.getLong(3) == best, s"replay $best vs ${rows.head.getLong(3)}")
+    assert(rows.head.getDouble(4) == best.toDouble / (nS * (n - nS)).toDouble)
+  }
+
+  // ---- k-anonymity ----
+
+  test("q280 k-anonymity: monotone in k; k=5 tier matches a direct recount") {
+    val df = PipelineAudits.kAnonymity(spark, sf)
+    val rows = df.collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 5, 10, 20))
+    assert(rows.map(_.getLong(1)).distinct.length == 1, "n_groups is k-independent")
+    assert(rows.map(_.getLong(2)).sliding(2).forall(p => p(0) <= p(1)),
+      "small-group count is nondecreasing in k")
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p(0) <= p(1)))
+    val direct = Tables.documents(spark, sf)
+      .select(col("source"), col("lang"), expr("n_chars div 100").as("band"))
+      .groupBy("source", "lang", "band").count()
+      .filter(col("count") < 5)
+      .agg(coalesce(count(lit(1)), lit(0L)), coalesce(sum("count"), lit(0L)))
+      .head()
+    val k5 = rows.find(_.getInt(0) == 5).get
+    assert(k5.getLong(2) == direct.getLong(0) && k5.getLong(3) == direct.getLong(1))
+  }
+
+  // ---- Quantile normalization ----
+
+  test("q277 quantile norm: deciles partition each source; global ranks sum to N(N+1)/2; no unpartitioned window") {
+    val df = PipelineAudits.quantileNormAudit(spark, sf)
+    // scale pin first (pre-execution): every window is partitioned
+    // (two-pass global rank — no single-partition WindowExec anywhere)
+    val winParts = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.size
+    }
+    assert(winParts.forall(_ > 0), s"unpartitioned window present: $winParts")
+    val rows = df.collect()
+    val docs = Tables.documents(spark, sf)
+    val n = docs.count()
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = rows.groupBy(_.getString(0))
+    for ((s, rs) <- bySource) {
+      assert(rs.map(_.getLong(2)).sum == perSource(s), s"deciles partition source $s")
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s"decile ids contiguous for $s")
+    }
+    assert(rows.map(_.getLong(3)).sum == n * (n + 1) / 2, "global ranks are a permutation of 1..N")
+    // the mean percentile, doc-weighted over everything, is exactly 1/2
+    val wmean = rows.map(r => r.getDouble(4) * r.getLong(2)).sum / n.toDouble
+    assert(math.abs(wmean - 0.5) < 1e-12, s"$wmean")
+  }
+}

@@ -122,6 +122,19 @@ class StreamProgressSpec extends SparkSuite {
       "ingest keeps its dedup in the fp store, not the streaming state store")
   }
 
+  test("q278 stream-static join: ZERO join state — only the aggregate's state operator exists") {
+    val (rows, progs) = capture(StreamQueries.staticEnriched(spark, sf, _))
+    assert(rows > 0)
+    assert(dataBatches(progs).map(_.numInputRows).sum == nEvents)
+    val ops = finalState(progs)
+    assert(ops.length == 1,
+      s"a stream-STATIC join buffers nothing — one state operator (the agg), got ${ops.map(_.operatorName)}")
+    assert(ops.head.operatorName.contains("stateStoreSave"), ops.head.operatorName)
+    assert(!ops.exists(_.operatorName.toLowerCase.contains("join")),
+      "broadcast enrichment must not plan stream-join state (q229's shape)")
+    assert(ops.head.numShufflePartitions == 8)
+  }
+
   test("q239 keyed state: both micro-batches update state, final state rows = distinct users") {
     val nUsers = events.select("user_id").distinct().count()
     val (rows, progs) = capture(StreamQueries.statefulTotals(spark, sf, _))
