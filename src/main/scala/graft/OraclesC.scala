@@ -2011,6 +2011,231 @@ private[graft] trait OraclesC extends OracleHelpers {
         |  CASE WHEN sum(gsize) = 0 THEN NULL
         |    ELSE CAST(sum(CASE WHEN gsize < k THEN gsize ELSE 0 END) AS DOUBLE)
         |      / CAST(sum(gsize) AS DOUBLE) END AS risk_rate
-        |FROM x GROUP BY k ORDER BY k""".stripMargin
+        |FROM x GROUP BY k ORDER BY k""".stripMargin,
+    // q281: integer-cents quantization first, so the first digit comes
+    // from a BIGINT's decimal rendering (engine-stable); expected
+    // shares are the same literal doubles Spark embeds
+    "q281_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM lineitem),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit),
+        |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM c),
+        |e AS (SELECT digit, n_obs,
+        |    CASE digit WHEN 1 THEN 0.3010299956639812 WHEN 2 THEN 0.17609125905568124
+        |      WHEN 3 THEN 0.12493873660829992 WHEN 4 THEN 0.09691001300805642
+        |      WHEN 5 THEN 0.07918124604762482 WHEN 6 THEN 0.06694678963061322
+        |      WHEN 7 THEN 0.05799194697768673 WHEN 8 THEN 0.05115252244738129
+        |      ELSE 0.04575749056067514 END AS exp_share FROM c)
+        |SELECT digit, n_obs, exp_share,
+        |  CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_share,
+        |  CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE) - exp_share AS dev,
+        |  (CAST(n_obs AS DOUBLE) - exp_share * CAST(n_total AS DOUBLE))
+        |    * (CAST(n_obs AS DOUBLE) - exp_share * CAST(n_total AS DOUBLE))
+        |    / (exp_share * CAST(n_total AS DOUBLE)) AS chi2_term
+        |FROM e, n ORDER BY digit""".stripMargin,
+    // q282: DuckDB's ntile over the same (score desc, id) order is
+    // bit-equal to the two-pass globalRank + ntileExpr form (q104)
+    "q282_lift_table" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+        |  FROM documents),
+        |b AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(pos) AS BIGINT) AS n_pos FROM r GROUP BY decile),
+        |c AS (SELECT decile, n_docs, n_pos,
+        |    CAST(sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        |  FROM b),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+        |    CAST(sum(n_pos) AS BIGINT) AS pp FROM b)
+        |SELECT CAST(decile AS INTEGER) AS decile, n_docs, n_pos, cum_pos,
+        |  CASE WHEN pp = 0 OR n_docs = 0 THEN NULL
+        |    ELSE (CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |      / (CAST(pp AS DOUBLE) / CAST(nn AS DOUBLE)) END AS lift,
+        |  CASE WHEN pp = 0 THEN NULL
+        |    ELSE CAST(cum_pos AS DOUBLE) / CAST(pp AS DOUBLE) END AS cum_capture
+        |FROM c, t ORDER BY decile""".stripMargin,
+    // q283: the discount weights are exact BIGINT micro-unit literals
+    // (10^15/log2(i+1)), so DCG/IDCG are order-free integer sums
+    "q283_ndcg" ->
+      """WITH d AS (SELECT doc_id, source, n_chars,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS i
+        |  FROM documents),
+        |wu AS (SELECT * FROM (VALUES (1, 1000000000000000), (2, 630929753571458),
+        |    (3, 500000000000000), (4, 430676558073393), (5, 386852807234542),
+        |    (6, 356207187108022), (7, 333333333333333), (8, 315464876785729),
+        |    (9, 301029995663981), (10, 289064826317888)) AS v(i, wu)),
+        |pre AS (SELECT * FROM (VALUES (1, 1000000000000000), (2, 1630929753571458),
+        |    (3, 2130929753571458), (4, 2561606311644851), (5, 2948459118879393),
+        |    (6, 3304666305987415), (7, 3637999639320748), (8, 3953464516106477),
+        |    (9, 4254494511770458), (10, 4543559338088346)) AS w(p, c)),
+        |g AS (SELECT source, CAST(sum(rel * wu) AS BIGINT) AS dcg_units
+        |  FROM d JOIN wu USING (i) WHERE d.i <= 10 GROUP BY source),
+        |p AS (SELECT source, CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM documents GROUP BY source)
+        |SELECT g.source, p.n_pos, g.dcg_units,
+        |  CAST(CASE WHEN p.n_pos = 0 THEN 0 ELSE pre.c END AS BIGINT) AS idcg_units,
+        |  CASE WHEN p.n_pos = 0 THEN NULL
+        |    ELSE CAST(g.dcg_units AS DOUBLE) / CAST(pre.c AS DOUBLE) END AS ndcg10
+        |FROM g JOIN p USING (source)
+        |LEFT JOIN pre ON pre.p = least(p.n_pos, 10)
+        |ORDER BY source""".stripMargin,
+    // q284: 2×2 cells exact; kappa collapses to ONE divide of exact
+    // integers (n·(n11+n00) − pe_num)/(n² − pe_num); pe = 1 → NULL
+    "q284_kappa" ->
+      """WITH d AS (SELECT source,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ra,
+        |    CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END AS rb
+        |  FROM documents),
+        |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(ra * rb) AS BIGINT) AS n11,
+        |    CAST(sum(ra * (1 - rb)) AS BIGINT) AS n10,
+        |    CAST(sum((1 - ra) * rb) AS BIGINT) AS n01,
+        |    CAST(sum((1 - ra) * (1 - rb)) AS BIGINT) AS n00
+        |  FROM d GROUP BY source)
+        |SELECT source, n, n11, n10, n01, n00,
+        |  CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+        |  CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS DOUBLE)
+        |    / CAST(n * n AS DOUBLE) AS pe,
+        |  CASE WHEN n * n = (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+        |    THEN NULL
+        |    ELSE CAST(n * (n11 + n00)
+        |        - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+        |      / CAST(n * n
+        |        - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+        |  END AS kappa
+        |FROM c ORDER BY source""".stripMargin,
+    // q285: confusion cells exact over the 5-row literal threshold
+    // spine; F1 is the single divide 2tp/(2tp+fp+fn); MCC's sqrt is
+    // IEEE correctly-rounded so the pinned product order suffices
+    "q285_mcc_sweep" ->
+      """WITH th AS (SELECT CAST(t AS BIGINT) AS t
+        |    FROM (VALUES (500), (1000), (1500), (2000), (3000)) AS v(t)),
+        |d AS (SELECT th.t AS t,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN n_chars >= th.t THEN 1 ELSE 0 END AS p
+        |  FROM documents, th),
+        |c AS (SELECT t, CAST(sum(y * p) AS BIGINT) AS tp,
+        |    CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+        |    CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+        |    CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn
+        |  FROM d GROUP BY t)
+        |SELECT t, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp <> 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE NULL END AS prec,
+        |  CASE WHEN tp + fn <> 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) ELSE NULL END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn <> 0
+        |    THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+        |    ELSE NULL END AS f1,
+        |  CASE WHEN tp + fp <> 0 AND tp + fn <> 0 AND tn + fp <> 0 AND tn + fn <> 0
+        |    THEN CAST(tp * tn - fp * fn AS DOUBLE)
+        |      / sqrt((CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE))
+        |        * (CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)))
+        |    ELSE NULL END AS mcc,
+        |  CASE WHEN tp + fn <> 0 AND tn + fp <> 0
+        |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+        |      + CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) - 1.0
+        |    ELSE NULL END AS youden_j
+        |FROM c ORDER BY t""".stripMargin,
+    // q286: arm = hv60('ab:'∥id) mod 2 (the q274 replayable split);
+    // z builds from single divides in ONE pinned order; empty arm or
+    // constant pooled rate → NULL (σ = 0)
+    "q286_ab_z" ->
+      s"""WITH d AS (SELECT source,
+         |    ${hv60Sql("'ab:' || CAST(doc_id AS VARCHAR)")} % 2 AS arm,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |c AS (SELECT source,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS x_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS x_b
+         |  FROM d GROUP BY source)
+         |SELECT source, n_a, x_a, n_b, x_b,
+         |  CASE WHEN n_a = 0 THEN NULL
+         |    ELSE CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+         |  CASE WHEN n_b = 0 THEN NULL
+         |    ELSE CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+         |  CASE WHEN n_a + n_b = 0 THEN NULL
+         |    ELSE CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) END AS p_pool,
+         |  CASE WHEN n_a = 0 OR n_b = 0 OR x_a + x_b = 0 OR x_a + x_b = n_a + n_b
+         |    THEN NULL
+         |    ELSE (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |        - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |      / sqrt(((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         |          * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
+         |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         |  END AS z
+         |FROM c ORDER BY source""".stripMargin,
+    // q287: frequency-of-frequency counts exact; chao1's correction
+    // f1(f1−1)/(2(f2+1)) is always defined; coverage = 1 − f1/n
+    "q287_chao1" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tc AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE token <> '' GROUP BY source, token),
+        |f AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS d_obs,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |  FROM tc GROUP BY source)
+        |SELECT source, n_tokens, d_obs, f1, f2,
+        |  CAST(d_obs AS DOUBLE)
+        |    + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+        |  CASE WHEN n_tokens = 0 THEN NULL
+        |    ELSE 1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS coverage
+        |FROM f ORDER BY source""".stripMargin,
+    // q288: varint bytes via INTEGER binary-length math (bin() in
+    // both engines — no log); first posting stores doc_id+1 so every
+    // encoded value is ≥ 1; df-band = bitlen(df)
+    "q288_postings" ->
+      """WITH post AS (SELECT DISTINCT token, doc_id FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token, doc_id FROM documents)
+        |  WHERE token <> ''),
+        |g AS (SELECT token,
+        |    COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY token ORDER BY doc_id),
+        |      doc_id + 1) AS gap
+        |  FROM post),
+        |pt AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT) AS vb
+        |  FROM g GROUP BY token)
+        |SELECT CAST(length(bin(df)) AS INTEGER) AS df_band,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(df) AS BIGINT) AS n_postings,
+        |  CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+        |  CAST(sum(vb) AS BIGINT) AS varint_bytes,
+        |  CASE WHEN sum(df) = 0 THEN NULL
+        |    ELSE CAST(sum(vb) AS DOUBLE) / CAST(sum(df) * 8 AS DOUBLE) END
+        |    AS compression_ratio
+        |FROM pt GROUP BY df_band ORDER BY df_band""".stripMargin,
+    // q289: both orders' adjacency via lag over the explicit total
+    // order (Spark's two-pass rank ⋈ rank+1 is the same pair set);
+    // expected Σ nₛ(nₛ−1)/N exact numerator, one terminal divide
+    "q289_mixing" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    ${hv60Sql("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS hv
+         |  FROM documents),
+         |e AS (SELECT CAST(sum(ns * (ns - 1)) AS BIGINT) AS same_num,
+         |    CAST(sum(ns) AS BIGINT) AS n_total
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS ns FROM d GROUP BY source)),
+         |sq AS (SELECT source, lag(source) OVER (ORDER BY source, doc_id) AS prev FROM d),
+         |sh AS (SELECT source, lag(source) OVER (ORDER BY hv, doc_id) AS prev FROM d),
+         |a AS (SELECT 'sequential' AS order_name,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN prev = source THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+         |  FROM sq
+         |  UNION ALL
+         |  SELECT 'shuffled' AS order_name,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN prev = source THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+         |  FROM sh)
+         |SELECT order_name, n_pairs, n_same, same_num,
+         |  CASE WHEN n_total = 0 THEN NULL
+         |    ELSE CAST(same_num AS DOUBLE) / CAST(n_total AS DOUBLE) END AS expected_same,
+         |  CASE WHEN same_num = 0 THEN NULL
+         |    ELSE CAST(n_same AS DOUBLE)
+         |      / (CAST(same_num AS DOUBLE) / CAST(n_total AS DOUBLE)) END AS mix_ratio
+         |FROM a, e ORDER BY order_name""".stripMargin
   )
 }

@@ -517,7 +517,21 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // KS drift, k-anonymity release gate
     "q278_stream_static" -> ((s, d) => graft.streaming.StreamQueries.staticEnriched(s, d)),
     "q279_ks_drift" -> ((s, d) => PipelineAudits.ksDrift(s, d)),
-    "q280_k_anonymity" -> ((s, d) => PipelineAudits.kAnonymity(s, d))
+    "q280_k_anonymity" -> ((s, d) => PipelineAudits.kAnonymity(s, d)),
+    // batch 11: first-digit forensics, model-eval lift/gains, integer-
+    // exact NDCG@10 (literal discount micro-units)
+    "q281_benford" -> ((s, d) => PipelineAudits.benfordAudit(s, d)),
+    "q282_lift_table" -> ((s, d) => PipelineAudits.liftTable(s, d)),
+    "q283_ndcg" -> ((s, d) => PipelineAudits.ndcgAudit(s, d)),
+    // batch 12: annotation agreement, threshold sweep, A/B z-test,
+    // unseen-vocabulary estimate, postings storage pricing, training-
+    // order mixing
+    "q284_kappa" -> ((s, d) => PipelineAudits.cohensKappa(s, d)),
+    "q285_mcc_sweep" -> ((s, d) => PipelineAudits.mccSweep(s, d)),
+    "q286_ab_z" -> ((s, d) => PipelineAudits.abZTest(s, d)),
+    "q287_chao1" -> ((s, d) => TextAnalysis.chao1Richness(s, d)),
+    "q288_postings" -> ((s, d) => TextAnalysis.postingsStorageAudit(s, d)),
+    "q289_mixing" -> ((s, d) => PipelineAudits.mixingAudit(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

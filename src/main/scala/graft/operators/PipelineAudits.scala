@@ -368,6 +368,137 @@ object PipelineAudits {
       .orderBy("k")
   }
 
+  /** Benford expected shares log10(1+1/d), embedded as literals (the
+    * q255 driver-embedded-weights rule: both engines parse the same
+    * decimal literal into the same double — no libm log in either
+    * plan, whose last-ulp could differ).
+    */
+  private[graft] val BenfordShare: Map[Int, Double] = Map(
+    1 -> 0.3010299956639812, 2 -> 0.17609125905568124, 3 -> 0.12493873660829992,
+    4 -> 0.09691001300805642, 5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+    7 -> 0.05799194697768673, 8 -> 0.05115252244738129, 9 -> 0.04575749056067514)
+
+  /** q281: Benford first-significant-digit audit on lineitem extended
+    * prices — the data-quality / fabrication gate: multiplicative
+    * quantities follow log10(1+1/d) closely, and a per-digit deviation
+    * profile flags synthetic or truncated feeds.  The price is
+    * quantized to integer cents FIRST (exact on both engines), so the
+    * first digit comes from a BIGINT's decimal rendering — engine
+    * string formats agree on integers where double formatting could
+    * diverge (scientific notation).  Per digit: observed count/share,
+    * the literal expected share, the signed deviation, and the χ²
+    * term (obs−exp·N)²/(exp·N) — every double from ONE pinned
+    * operation order over exact integers and literal constants.
+    *
+    * 100 TB shape: stateless per-row digit extraction into a 9-group
+    * keyed aggregate — the cheapest full-scan gate, like q276.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+    val digit = substring(cents.cast("string"), 1, 1).cast("int")
+    val expShare = BenfordShare.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (d, s)) => when(col("digit") === d, lit(s)).otherwise(acc) }
+    val byDigit = Pins.eager(Tables.lineitem(spark, dir)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs")))
+    byDigit
+      .crossJoin(broadcast(byDigit.agg(sum(col("n_obs")).as("n_total"))))
+      .select(col("digit"), col("n_obs"), expShare.as("exp_share"),
+        (col("n_obs").cast("double") / col("n_total").cast("double")).as("obs_share"),
+        (col("n_obs").cast("double") / col("n_total").cast("double") - expShare).as("dev"),
+        ((col("n_obs").cast("double") - expShare * col("n_total").cast("double"))
+          * (col("n_obs").cast("double") - expShare * col("n_total").cast("double"))
+          / (expShare * col("n_total").cast("double"))).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** q282: decile lift / cumulative-gains table — the model-eval view
+    * q243 (average precision), q269 (calibration) and q270 (Brier)
+    * don't cover: rank the corpus by a score (length proxy,
+    * descending), cut into global deciles (the q104 two-pass form —
+    * no single-partition window over the corpus), and report each
+    * decile's positive rate against the base rate (lift) plus the
+    * cumulative share of all positives captured (gains).  Positive =
+    * English-language doc.  All counts exact BIGINTs; lift and
+    * capture divide in one pinned order; the cumulative window runs
+    * over the 10 decile rows (bounded-frame exception).
+    */
+  def liftTable(spark: SparkSession, dir: String): DataFrame = {
+    val (ranked, total) = graft.operators.TextAnalysis.globalRank(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"),
+          (col("lang") === "en").cast("long").as("pos")),
+      spark.sparkContext.defaultParallelism,
+      col("n_chars").desc, col("doc_id").asc)
+    val byDecile = ranked.crossJoin(broadcast(total))
+      .withColumn("decile", graft.operators.TextAnalysis.ntileExpr(10))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+    val wCum = Window.partitionBy(lit(1)).orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totals = byDecile.agg(sum(col("n_docs")).as("nn"), sum(col("n_pos")).as("pp"))
+    byDecile
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .crossJoin(broadcast(totals))
+      .select(col("decile"), col("n_docs"), col("n_pos"), col("cum_pos"),
+        when(col("pp") === 0L || col("n_docs") === 0L, lit(null).cast("double"))
+          .otherwise((col("n_pos").cast("double") / col("n_docs").cast("double"))
+            / (col("pp").cast("double") / col("nn").cast("double"))).as("lift"),
+        when(col("pp") === 0L, lit(null).cast("double"))
+          .otherwise(col("cum_pos").cast("double") / col("pp").cast("double"))
+          .as("cum_capture"))
+      .orderBy("decile")
+  }
+
+  /** NDCG@10 discount weights 10¹⁵/log2(i+1), rounded to exact BIGINT
+    * micro-units — rank sums become order-free integer arithmetic
+    * (float DCG sums would be aggregation-order-dependent), and both
+    * engines carry the identical literals.  `NdcgPrefix(p)` =
+    * Σ_{i≤p} wu_i is the ideal DCG for p relevant docs.
+    */
+  private[graft] val NdcgWu: Seq[Long] = Seq(
+    1000000000000000L, 630929753571458L, 500000000000000L, 430676558073393L,
+    386852807234542L, 356207187108022L, 333333333333333L, 315464876785729L,
+    301029995663981L, 289064826317888L)
+  private[graft] val NdcgPrefix: Seq[Long] = NdcgWu.scanLeft(0L)(_ + _).tail
+
+  /** q283: NDCG@10 per source — ranking quality of the length-proxy
+    * score against binary English relevance.  Positions are a
+    * source-partitioned row_number (≤10 kept); each position's
+    * discount is an exact integer micro-unit literal, so DCG and the
+    * ideal DCG are exact BIGINT sums (order-free — a double DCG sum
+    * would vary with aggregation order) and NDCG is one terminal
+    * divide.  IDCG = prefix(min(P, 10)) for P relevant docs in the
+    * source, selected by a literal-array lookup, no log anywhere.
+    *
+    * 100 TB shape: source-partitioned window (top-10 kept per group)
+    * + one keyed aggregate; the per-source positive count is a second
+    * keyed aggregate joined back — nothing global, nothing floating.
+    */
+  def ndcgAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (col("lang") === "en").cast("long").as("rel"))
+    val w = Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id").asc)
+    val wuArr = array(NdcgWu.map(lit): _*)
+    val dcg = docs.withColumn("i", row_number().over(w))
+      .filter(col("i") <= 10)
+      .groupBy("source")
+      .agg(sum(col("rel") * element_at(wuArr, col("i").cast("int"))).as("dcg_units"))
+    val prefArr = array((NdcgPrefix.map(lit)): _*)
+    val pos = docs.groupBy("source").agg(sum(col("rel")).as("n_pos"))
+    dcg.join(pos, Seq("source"))
+      .select(col("source"), col("n_pos"), col("dcg_units"),
+        when(col("n_pos") >= 10L, lit(NdcgPrefix.last))
+          .when(col("n_pos") === 0L, lit(0L))
+          .otherwise(element_at(prefArr, col("n_pos").cast("int"))).as("idcg_units"))
+      .select(col("source"), col("n_pos"), col("dcg_units"), col("idcg_units"),
+        when(col("idcg_units") === 0L, lit(null).cast("double"))
+          .otherwise(col("dcg_units").cast("double") / col("idcg_units").cast("double"))
+          .as("ndcg10"))
+      .orderBy("source")
+  }
+
   /** q277: cross-source quantile normalization audit.  Within each
     * source, docs rank into deciles by length (ntile semantics shared
     * bit-exactly with the oracle); each decile then reports where its
@@ -403,5 +534,210 @@ object PipelineAudits {
             / (col("n") - 1L).cast("double") / col("n_docs").cast("double"))
           .as("mean_global_pctl"))
       .orderBy("source", "decile")
+  }
+
+  /** q284: Cohen's kappa inter-rater agreement, per source — the
+    * label-quality gate for any annotation pipeline: how much do two
+    * labelers agree BEYOND chance?  The two deterministic "raters"
+    * are the English-language flag and a length-band flag (n_chars ≥
+    * 1000) — real pipelines plug in two annotator columns; the
+    * algebra is identical.  Every 2×2 cell is an exact BIGINT; the
+    * closed form collapses to ONE terminal divide of exact integers:
+    *   kappa = (po − pe)/(1 − pe) = (n·(n11+n00) − pe_num) / (n² − pe_num)
+    * with pe_num = a1·b1 + a0·b0 (marginal products).  po and pe are
+    * reported as single divides of the same integers.  Integer
+    * products stay in BIGINT up to ~3·10⁹ docs per source; past that
+    * the products move to DECIMAL(38) — noted, not needed here.
+    *
+    * 100 TB shape: one scan → |sources|-group keyed aggregate; all
+    * doubles are terminal.  Degenerate guard: pe = 1 (both raters
+    * constant) → kappa NULL, the q251 CASE rule.
+    */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        (col("lang") === "en").cast("long").as("ra"),
+        (col("n_chars") >= 1000L).cast("long").as("rb"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("ra") * col("rb")).as("n11"),
+        sum(col("ra") * (lit(1L) - col("rb"))).as("n10"),
+        sum((lit(1L) - col("ra")) * col("rb")).as("n01"),
+        sum((lit(1L) - col("ra")) * (lit(1L) - col("rb"))).as("n00"))
+      .select(col("source"), col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        ((col("n11") + col("n00")).cast("double") / col("n").cast("double")).as("po"),
+        (((col("n11") + col("n10")) * (col("n11") + col("n01"))
+          + (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double")
+          / (col("n") * col("n")).cast("double")).as("pe"),
+        when(col("n") * col("n") === (col("n11") + col("n10")) * (col("n11") + col("n01"))
+            + (col("n01") + col("n00")) * (col("n10") + col("n00")),
+          lit(null).cast("double"))
+          .otherwise((col("n") * (col("n11") + col("n00"))
+            - ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+              + (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double")
+            / (col("n") * col("n")
+              - ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+                + (col("n01") + col("n00")) * (col("n10") + col("n00")))).cast("double"))
+          .as("kappa"))
+      .orderBy("source")
+  }
+
+  /** Literal length thresholds for the q285 operating-characteristic
+    * sweep (both engines carry the identical integers).
+    */
+  private[graft] val MccThresholds: Seq[Long] = Seq(500L, 1000L, 1500L, 2000L, 3000L)
+
+  /** q285: classifier operating-characteristic table — confusion
+    * matrix + precision / recall / F1 / MCC / Youden's J at a sweep
+    * of literal score thresholds (predicted = n_chars ≥ T, actual =
+    * English).  The eval-family view q243 (average precision), q282
+    * (lift) and q283 (NDCG) don't give: the per-threshold trade-off a
+    * deployment picks its cutoff from.  All confusion cells are exact
+    * BIGINTs via ONE corpus scan exploded over the 5-row literal
+    * threshold spine; F1 collapses to the single divide
+    * 2·tp / (2·tp + fp + fn) of exact integers; MCC's numerator
+    * tp·tn − fp·fn is an exact BIGINT and its denominator is one
+    * sqrt of a pinned-order double product (sqrt is IEEE
+    * correctly-rounded — bit-identical cross-engine); each factor = 0
+    * guards to NULL.
+    *
+    * 100 TB shape: corpus scan × 5 (explode on a literal array —
+    * no shuffle growth; the aggregate is 5 groups).
+    */
+  def mccSweep(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select((col("lang") === "en").cast("long").as("y"), col("n_chars"))
+      .select(col("y"), explode(array(MccThresholds.map(lit): _*)).as("t"),
+        col("n_chars"))
+      .select(col("t"), col("y"), (col("n_chars") >= col("t")).cast("long").as("p"))
+    val cells = d.groupBy("t").agg(
+      sum(col("y") * col("p")).as("tp"),
+      sum((lit(1L) - col("y")) * col("p")).as("fp"),
+      sum(col("y") * (lit(1L) - col("p"))).as("fn"),
+      sum((lit(1L) - col("y")) * (lit(1L) - col("p"))).as("tn"))
+    def nz(c: Column): Column = c =!= 0L
+    cells.select(col("t"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(nz(col("tp") + col("fp")),
+        col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+        .otherwise(lit(null).cast("double")).as("prec"),
+      when(nz(col("tp") + col("fn")),
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+        .otherwise(lit(null).cast("double")).as("recall"),
+      when(nz(lit(2L) * col("tp") + col("fp") + col("fn")),
+        (lit(2L) * col("tp")).cast("double")
+          / (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+        .otherwise(lit(null).cast("double")).as("f1"),
+      when(nz(col("tp") + col("fp")) && nz(col("tp") + col("fn"))
+          && nz(col("tn") + col("fp")) && nz(col("tn") + col("fn")),
+        (col("tp") * col("tn") - col("fp") * col("fn")).cast("double")
+          / sqrt(((col("tp") + col("fp")).cast("double")
+              * (col("tp") + col("fn")).cast("double"))
+            * ((col("tn") + col("fp")).cast("double")
+              * (col("tn") + col("fn")).cast("double"))))
+        .otherwise(lit(null).cast("double")).as("mcc"),
+      when(nz(col("tp") + col("fn")) && nz(col("tn") + col("fp")),
+        col("tp").cast("double") / (col("tp") + col("fn")).cast("double")
+          + col("tn").cast("double") / (col("tn") + col("fp")).cast("double")
+          - lit(1.0))
+        .otherwise(lit(null).cast("double")).as("youden_j"))
+      .orderBy("t")
+  }
+
+  /** q286: two-proportion z-test A/B audit, per source — the
+    * experimentation-family primitive q266 (CUPED) and q267 (Neyman)
+    * assume someone already ran: is arm B's success rate different
+    * from arm A's?  Assignment is the q274 reproducibility contract —
+    * arm = hv60('ab:' ∥ doc_id) mod 2, stateless per-row math any
+    * engine replays — and the outcome is the English flag.  Arm
+    * counts and successes are exact BIGINTs; the pooled z statistic
+    *   z = (p̂a − p̂b) / √( p̂(1−p̂) · (1/na + 1/nb) )
+    * is built from single divides of exact integers in ONE pinned
+    * order; an empty arm or a constant pooled rate (p̂ ∈ {0,1})
+    * guards to NULL (σ = 0 — z undefined).
+    *
+    * 100 TB shape: stateless assignment → |sources|-group conditional
+    * aggregate, one row per source; nothing global, no window.
+    */
+  def abZTest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        pmod(graft.operators.TextAnalysis.hv60(
+          concat(lit("ab:"), col("doc_id").cast("string"))), lit(2L)).as("arm"),
+        (col("lang") === "en").cast("long").as("y"))
+    val cells = d.groupBy("source").agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("x_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("x_b"))
+    val pa = col("x_a").cast("double") / col("n_a").cast("double")
+    val pb = col("x_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")).cast("double")
+    cells.select(col("source"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      when(col("n_a") === 0L, lit(null).cast("double")).otherwise(pa).as("p_a"),
+      when(col("n_b") === 0L, lit(null).cast("double")).otherwise(pb).as("p_b"),
+      when(col("n_a") + col("n_b") === 0L, lit(null).cast("double")).otherwise(pp).as("p_pool"),
+      when(col("n_a") === 0L || col("n_b") === 0L
+          || col("x_a") + col("x_b") === 0L
+          || col("x_a") + col("x_b") === col("n_a") + col("n_b"),
+        lit(null).cast("double"))
+        .otherwise((pa - pb)
+          / sqrt((pp * (lit(1.0) - pp))
+            * (lit(1.0) / col("n_a").cast("double")
+              + lit(1.0) / col("n_b").cast("double")))).as("z"))
+      .orderBy("source")
+  }
+
+  /** q289: training-order mixing audit — does the deterministic
+    * shuffle actually interleave sources?  A corpus streamed to a
+    * trainer in (source, doc_id) order feeds megabatches of one
+    * source (gradient staleness / curriculum accidents); the fix is a
+    * hash permutation (hv60('shuffle:' ∥ doc_id) — the q274
+    * reproducibility contract: any engine, any partitioning, same
+    * order).  For both orders this audit counts adjacent same-source
+    * pairs and compares to the random-permutation expectation
+    * E[same] = Σ_s n_s(n_s−1) / N (exact integer numerator, one
+    * terminal divide).  Sequential order scores ≫ 1; the hash order
+    * lands ≈ 1 — the certificate a data-loading pipeline wants.
+    *
+    * Adjacency over a GLOBAL order with no global sort: the q104
+    * two-pass rank (range-partition + within-partition row_number +
+    * broadcast offsets) gives each doc its global position; adjacent
+    * pairs are the rank ⋈ rank+1 equi-join (shuffle on rank — keyed,
+    * never single-partition).
+    *
+    * 100 TB shape: two rank passes + two rank-keyed equi-joins + one
+    * |sources|-group aggregate; driver holds 2 rows.
+    */
+  def mixingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Pins.eager(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.hv60(
+          concat(lit("shuffle:"), col("doc_id").cast("string"))).as("hv")))
+    // exact expected-adjacency numerator Σ n_s(n_s−1), shared by both orders
+    val expFrame = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+      .agg(sum(col("ns") * (col("ns") - 1L)).as("same_num"),
+        sum(col("ns")).as("n_total"))
+    def adjacency(orderName: String, sortCols: Column*): DataFrame = {
+      val (ranked, _) = graft.operators.TextAnalysis.globalRank(
+        docs, spark.sparkContext.defaultParallelism, sortCols: _*)
+      val a = ranked.select(col("rank").as("r"), col("source").as("s1"))
+      val b = ranked.select((col("rank") - 1L).as("r"), col("source").as("s2"))
+      a.join(b, Seq("r"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("s1") === col("s2"), 1L).otherwise(0L)).as("n_same"))
+        .select(lit(orderName).as("order_name"), col("n_pairs"), col("n_same"))
+    }
+    adjacency("sequential", col("source").asc, col("doc_id").asc)
+      .unionAll(adjacency("shuffled", col("hv").asc, col("doc_id").asc))
+      .crossJoin(broadcast(expFrame))
+      .select(col("order_name"), col("n_pairs"), col("n_same"), col("same_num"),
+        when(col("n_total") === 0L, lit(null).cast("double"))
+          .otherwise(col("same_num").cast("double") / col("n_total").cast("double"))
+          .as("expected_same"),
+        when(col("same_num") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_same").cast("double")
+            / (col("same_num").cast("double") / col("n_total").cast("double")))
+          .as("mix_ratio"))
+      .orderBy("order_name")
   }
 }

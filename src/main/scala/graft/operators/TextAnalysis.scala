@@ -3530,4 +3530,89 @@ object TextAnalysis {
         (col("sum_p") / col("n_pos").cast("double")).as("avg_precision"))
       .orderBy("source")
   }
+
+  /** q287: Chao1 vocabulary-richness estimate per source — "how many
+    * distinct tokens does this source REALLY have, beyond the ones we
+    * sampled?"  The unseen-species estimator that complements q85's
+    * Good-Turing mass and q114's Heaps'-law fit: from the
+    * frequency-of-frequency counts f1 (singletons) and f2 (doubletons),
+    *   chao1 = D + f1·(f1−1) / (2·(f2+1))        (bias-corrected form
+    * — defined even at f2 = 0), and sample coverage Ĉ = 1 − f1/n.
+    * Richer tails (large f1 vs f2) ⇒ more unseen vocabulary ⇒ the
+    * source keeps paying new-token cost as it scales — exactly what a
+    * tokenizer/vocab budget decision needs.
+    *
+    * Exactness: f1, f2, D, n are exact BIGINTs from two keyed
+    * aggregates ((source, token) counts → frequency-of-frequency);
+    * chao1's correction and the coverage are single pinned divides.
+    *
+    * 100 TB shape: token-explode → (source, token) aggregate (the
+    * shuffle every vocabulary query pays) → |sources|-group rollup.
+    */
+  def chao1Richness(spark: SparkSession, dir: String): DataFrame = {
+    val tokCounts = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    tokCounts.groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("d_obs"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_tokens"), col("d_obs"), col("f1"), col("f2"),
+        (col("d_obs").cast("double")
+          + (col("f1") * (col("f1") - 1L)).cast("double")
+            / (lit(2L) * (col("f2") + 1L)).cast("double")).as("chao1"),
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("f1").cast("double") / col("n_tokens").cast("double"))
+          .as("coverage"))
+      .orderBy("source")
+  }
+
+  /** q288: inverted-index storage audit — what does delta + varint
+    * encoding buy over raw 8-byte postings, by document-frequency
+    * band?  For every distinct (token, doc) posting, the gap to the
+    * previous doc_id in the token's sorted posting list (first entry
+    * stores doc_id + 1 so every encoded value is ≥ 1) costs
+    * ⌈bitlen(gap)/7⌉ varint bytes, where bitlen is the length of the
+    * binary rendering — INTEGER string math via `bin()`, identical in
+    * both engines, no log anywhere.  Tokens roll up into log₂-df
+    * bands (band = bitlen(df)): frequent tokens have dense lists
+    * (small gaps → 1-byte varints, big savings), rare tokens don't —
+    * the audit quantifies the classic postings-compression curve and
+    * prices the index before building it.
+    *
+    * Exactness: every byte count is an exact BIGINT; the compression
+    * ratio is one terminal divide.
+    *
+    * 100 TB shape: token-explode → distinct (token, doc) → per-token
+    * window (keyed by token — never global) for the gap → two keyed
+    * aggregates.  This IS the index-build shuffle; the audit adds
+    * only integer math to it.
+    */
+  def postingsStorageAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val post = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"), col("doc_id"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val w = Window.partitionBy("token").orderBy(col("doc_id").asc)
+    val gaps = post
+      .withColumn("gap",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w), col("doc_id") + 1L))
+    val perTok = gaps.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(expr("(length(bin(gap)) + 6) div 7")).as("vb"))
+    perTok
+      .groupBy(length(bin(col("df"))).cast("int").as("df_band"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("df")).as("n_postings"),
+        (sum(col("df")) * 8L).as("raw_bytes"),
+        sum(col("vb")).as("varint_bytes"))
+      .select(col("df_band"), col("n_tokens"), col("n_postings"),
+        col("raw_bytes"), col("varint_bytes"),
+        when(col("raw_bytes") === 0L, lit(null).cast("double"))
+          .otherwise(col("varint_bytes").cast("double") / col("raw_bytes").cast("double"))
+          .as("compression_ratio"))
+      .orderBy("df_band")
+  }
 }

@@ -3566,4 +3566,64 @@ class OperatorSpec extends SparkSuite {
     assert(r.getDouble(5) == stop.toDouble / n.toDouble)
     assert(r.getLong(3) >= r.getLong(2) && r.getLong(3) <= n.toLong)
   }
+
+  test("q287 chao1: driver replay from raw token counts; estimate bounds and coverage in range") {
+    val rows = TextAnalysis.chao1Richness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3) + r.getLong(4), "D >= f1 + f2")
+      assert(r.getDouble(5) >= r.getLong(2).toDouble, "chao1 >= observed distinct")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+    // literal replay for one source from collected token counts
+    val src = rows.head.getString(0)
+    val counts = graft.Tables.documents(spark, sf)
+      .filter(col("source") === src)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").count().collect().map(_.getLong(1))
+    val f1 = counts.count(_ == 1L).toLong; val f2 = counts.count(_ == 2L).toLong
+    val r = rows.head
+    assert(r.getLong(1) == counts.sum && r.getLong(2) == counts.length.toLong &&
+      r.getLong(3) == f1 && r.getLong(4) == f2)
+    assert(r.getDouble(5) ==
+      counts.length.toDouble + (f1 * (f1 - 1)).toDouble / (2L * (f2 + 1)).toDouble)
+  }
+
+  test("q288 postings: byte accounting is exact; varint never loses to raw; window is token-keyed") {
+    val df = TextAnalysis.postingsStorageAudit(spark, sf)
+    // plan pins: the gap window partitions by token (never global); no joins.
+    // AQE-aware walk (WindowExec hides inside AdaptiveSparkPlanExec pre-execution)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case _ => Seq(p)
+      }
+      self ++ p.children.flatMap(nodes) ++ p.subqueries.flatMap(nodes)
+    }
+    val all = nodes(df.queryExecution.executedPlan)
+    val ws = all.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), "no unkeyed window")
+    assert(!all.exists(_.nodeName.contains("CartesianProduct")))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val nPost = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("t"), col("doc_id"))
+      .filter(col("t") =!= "").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nPost, "postings partition the (token, doc) pairs")
+    rows.foreach { r =>
+      assert(r.getLong(3) == 8L * r.getLong(2), "raw baseline is 8 bytes per posting")
+      assert(r.getLong(4) >= r.getLong(2), "every varint costs at least one byte")
+      assert(r.getLong(4) <= r.getLong(3), "varint never loses to raw on 63-bit gaps")
+      assert(r.getDouble(5) == r.getLong(4).toDouble / r.getLong(3).toDouble)
+    }
+    // dense lists compress harder: the highest-df band beats the lowest
+    val sorted = rows.sortBy(_.getInt(0))
+    if (sorted.length >= 2)
+      assert(sorted.last.getDouble(5) <= sorted.head.getDouble(5) + 1e-12,
+        "compression improves with document frequency")
+  }
 }

@@ -215,6 +215,199 @@ class PipelineAuditsSpec extends SparkSuite {
     assert(k5.getLong(2) == direct.getLong(0) && k5.getLong(3) == direct.getLong(1))
   }
 
+  // ---- Benford ----
+
+  test("q281 benford: digit counts partition the table; shares sum to 1; digit-9 recount matches") {
+    val df = PipelineAudits.benfordAudit(spark, sf)
+    // plan pins: the 9-row digit frame is pinned (no re-scan of lineitem
+    // in the terminal plan); the only NL attach is the broadcast 1-row
+    // total; no cartesian product anywhere
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "only the 1-row n_total frame NL-attaches")
+    assert(plan(df).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.isEmpty,
+      "the digit aggregate is pinned; the terminal plan re-scans nothing")
+    val rows = df.collect()
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (1 to 9))
+    val li = Tables.lineitem(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == li.count())
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-12,
+      "the nine Benford literals are a distribution")
+    assert(rows.forall(_.getDouble(5) >= 0.0))
+    val nine = li.filter(
+      substring(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").cast("string"), 1, 1) === "9")
+      .count()
+    assert(rows.find(_.getInt(0) == 9).get.getLong(1) == nine)
+  }
+
+  // ---- Lift table ----
+
+  test("q282 lift: deciles partition the corpus, gains are monotone and end at full capture") {
+    val df = PipelineAudits.liftTable(spark, sf)
+    // plan pins: the two-pass rank frame is pinned (no corpus re-scan);
+    // every window is partitioned (the lit(1) cumulative frame runs over
+    // the 10 decile rows only — bounded-frame exception); the two 1-row
+    // total frames broadcast-NL-attach; no cartesian
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 3,
+      "only the 1-row frames NL-attach (rank total, decile totals, base rate)")
+    assert(plan(df).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.isEmpty,
+      "the global-rank frame is pinned; the terminal plan re-scans nothing")
+    val rows = df.collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10))
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    assert(rows.map(_.getLong(2)).sum == docs.filter(col("lang") === "en").count())
+    assert(rows.map(_.getLong(3)).sliding(2).forall(p => p(0) <= p(1)), "cumulative positives monotone")
+    assert(rows.last.getDouble(5) == 1.0, "decile 10 captures every positive")
+    // doc-weighted mean lift is exactly 1 (Σ n_pos / base = N·P/P/N)
+    val nn = rows.map(_.getLong(1)).sum.toDouble
+    val wl = rows.map(r => r.getDouble(4) * r.getLong(1)).sum / nn
+    assert(math.abs(wl - 1.0) < 1e-9, s"$wl")
+  }
+
+  // ---- NDCG ----
+
+  test("q283 ndcg: bounded by ideal; literal replay for one source") {
+    val df = PipelineAudits.ndcgAudit(spark, sf)
+    // plan pins: the top-10 window is keyed by source (no global sort);
+    // scans prune to the four ranking columns; source-grain equi-join
+    // only — no NL join, no cartesian
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty), "no unkeyed window")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+    val scans = plan(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(
+      _.requiredSchema.fieldNames.toSet.subsetOf(Set("doc_id", "source", "n_chars", "lang"))),
+      "column pruning to the ranking columns")
+    val rows = df.collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.length == docs.select("source").distinct().count())
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(3)), "DCG <= IDCG by construction")
+    assert(rows.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    val src = rows.head.getString(0)
+    val ranked = docs.filter(col("source") === src)
+      .select(col("doc_id"), col("n_chars"), (col("lang") === "en").cast("long").as("rel"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+      .sortBy(t => (-t._1, t._2))
+    val dcg = ranked.take(10).zipWithIndex
+      .map { case ((_, _, rel), i) => rel * PipelineAudits.NdcgWu(i) }.sum
+    val p = ranked.count(_._3 == 1L)
+    val idcg = if (p == 0) 0L else PipelineAudits.NdcgPrefix(math.min(p, 10) - 1)
+    assert(rows.head.getLong(2) == dcg && rows.head.getLong(3) == idcg)
+    if (idcg > 0) assert(rows.head.getDouble(4) == dcg.toDouble / idcg.toDouble)
+  }
+
+  // ---- Cohen's kappa ----
+
+  test("q284 kappa: cells partition each source; closed form equals the textbook form; scan prunes") {
+    val df = PipelineAudits.cohensKappa(spark, sf)
+    // plan pins: one pruned scan, one keyed aggregate, no join of any kind
+    assert(!names(df).exists(n => n.contains("Join") || n.contains("CartesianProduct")))
+    val scans = plan(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(
+      _.requiredSchema.fieldNames.toSet.subsetOf(Set("source", "lang", "n_chars"))),
+      "column pruning to the two rater columns")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) == r.getLong(1),
+        "2x2 cells partition the source")
+      val po = r.getDouble(6); val pe = r.getDouble(7)
+      if (!r.isNullAt(8))
+        assert(math.abs(r.getDouble(8) - (po - pe) / (1.0 - pe)) < 1e-12,
+          "single-divide closed form == textbook (po-pe)/(1-pe)")
+      assert(r.getDouble(8) <= 1.0 + 1e-12)
+    }
+    // direct crosstab replay for one source
+    val src = rows.head.getString(0)
+    val d = Tables.documents(spark, sf).filter(col("source") === src)
+    val n11 = d.filter(col("lang") === "en" && col("n_chars") >= 1000L).count()
+    val n00 = d.filter(col("lang") =!= "en" && col("n_chars") < 1000L).count()
+    assert(rows.head.getLong(2) == n11 && rows.head.getLong(5) == n00)
+  }
+
+  // ---- MCC threshold sweep ----
+
+  test("q285 mcc sweep: cells partition the corpus at every threshold; tp monotone down, tn up") {
+    val df = PipelineAudits.mccSweep(spark, sf)
+    assert(!names(df).exists(n => n.contains("Join") || n.contains("CartesianProduct")))
+    val scans = plan(df).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(
+      _.requiredSchema.fieldNames.toSet.subsetOf(Set("lang", "n_chars"))))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == PipelineAudits.MccThresholds)
+    val n = Tables.documents(spark, sf).count()
+    rows.foreach(r => assert(
+      r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == n))
+    assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)), "tp non-increasing in T")
+    assert(rows.map(_.getLong(4)).sliding(2).forall(p => p(0) <= p(1)), "tn non-decreasing in T")
+    // direct confusion recount at T=1000
+    val d = Tables.documents(spark, sf)
+    val tp = d.filter(col("lang") === "en" && col("n_chars") >= 1000L).count()
+    val fp = d.filter(col("lang") =!= "en" && col("n_chars") >= 1000L).count()
+    val at = rows.find(_.getLong(0) == 1000L).get
+    assert(at.getLong(1) == tp && at.getLong(2) == fp)
+    // mcc bounded
+    rows.filterNot(_.isNullAt(8)).foreach(r =>
+      assert(r.getDouble(8) >= -1.0 - 1e-12 && r.getDouble(8) <= 1.0 + 1e-12))
+  }
+
+  // ---- A/B z-test ----
+
+  test("q286 ab z: arms partition each source; z sign follows the rate difference; assignment replays") {
+    val df = PipelineAudits.abZTest(spark, sf)
+    assert(!names(df).exists(n => n.contains("Join") || n.contains("CartesianProduct")))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val d = Tables.documents(spark, sf)
+    val bySrc = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(3) == bySrc(r.getString(0)), "arms partition the source")
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(4) <= r.getLong(3))
+      if (!r.isNullAt(8)) {
+        val z = r.getDouble(8)
+        assert(math.signum(r.getDouble(5) - r.getDouble(6)) == math.signum(z) || z == 0.0)
+      }
+    }
+    // arm assignment replays as pure hash math for one source's cells
+    val src = rows.head.getString(0)
+    val armExpr = pmod(
+      conv(substring(md5(concat(lit("ab:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(2L))
+    val na = d.filter(col("source") === src && armExpr === 0L).count()
+    assert(rows.head.getLong(1) == na)
+  }
+
+  // ---- Training-order mixing ----
+
+  test("q289 mixing: pairs = N-1 in both orders; sequential adjacency is exactly N - #sources; shuffled lands near expectation") {
+    val df = PipelineAudits.mixingAudit(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 3,
+      "only the bounded expectation/total frames NL-attach")
+    val rows = df.collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq == Seq("sequential", "shuffled"))
+    val d = Tables.documents(spark, sf)
+    val n = d.count(); val nSrc = d.select("source").distinct().count()
+    rows.foreach(r => assert(r.getLong(1) == n - 1, "exactly N-1 adjacent pairs"))
+    assert(rows.head.getLong(2) == n - nSrc,
+      "(source, doc_id) order: same-source pairs = N - #sources")
+    val shuffled = rows(1)
+    assert(shuffled.getLong(2) < rows.head.getLong(2), "hash order mixes strictly better")
+    assert(shuffled.getDouble(5) > 0.2 && shuffled.getDouble(5) < 2.0,
+      "shuffled order lands near the random-permutation expectation")
+  }
+
   // ---- Quantile normalization ----
 
   test("q277 quantile norm: deciles partition each source; global ranks sum to N(N+1)/2; no unpartitioned window") {
