@@ -2085,7 +2085,7 @@ private[graft] trait OraclesC extends OracleHelpers {
     "q284_kappa" ->
       """WITH d AS (SELECT source,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ra,
-        |    CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END AS rb
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS rb
         |  FROM documents),
         |c AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(ra * rb) AS BIGINT) AS n11,
@@ -2110,7 +2110,7 @@ private[graft] trait OraclesC extends OracleHelpers {
     // IEEE correctly-rounded so the pinned product order suffices
     "q285_mcc_sweep" ->
       """WITH th AS (SELECT CAST(t AS BIGINT) AS t
-        |    FROM (VALUES (500), (1000), (1500), (2000), (3000)) AS v(t)),
+        |    FROM (VALUES (100), (200), (300), (400), (500)) AS v(t)),
         |d AS (SELECT th.t AS t,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
         |    CASE WHEN n_chars >= th.t THEN 1 ELSE 0 END AS p

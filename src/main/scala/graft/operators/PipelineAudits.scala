@@ -540,8 +540,9 @@ object PipelineAudits {
     * label-quality gate for any annotation pipeline: how much do two
     * labelers agree BEYOND chance?  The two deterministic "raters"
     * are the English-language flag and a length-band flag (n_chars ≥
-    * 1000) — real pipelines plug in two annotator columns; the
-    * algebra is identical.  Every 2×2 cell is an exact BIGINT; the
+    * 300 — the corpus median, so neither rater is near-constant);
+    * real pipelines plug in two annotator columns, the algebra is
+    * identical.  Every 2×2 cell is an exact BIGINT; the
     * closed form collapses to ONE terminal divide of exact integers:
     *   kappa = (po − pe)/(1 − pe) = (n·(n11+n00) − pe_num) / (n² − pe_num)
     * with pe_num = a1·b1 + a0·b0 (marginal products).  po and pe are
@@ -557,7 +558,7 @@ object PipelineAudits {
     val d = Tables.documents(spark, dir)
       .select(col("source"),
         (col("lang") === "en").cast("long").as("ra"),
-        (col("n_chars") >= 1000L).cast("long").as("rb"))
+        (col("n_chars") >= 300L).cast("long").as("rb"))
     d.groupBy("source")
       .agg(count(lit(1)).as("n"),
         sum(col("ra") * col("rb")).as("n11"),
@@ -585,7 +586,7 @@ object PipelineAudits {
   /** Literal length thresholds for the q285 operating-characteristic
     * sweep (both engines carry the identical integers).
     */
-  private[graft] val MccThresholds: Seq[Long] = Seq(500L, 1000L, 1500L, 2000L, 3000L)
+  private[graft] val MccThresholds: Seq[Long] = Seq(100L, 200L, 300L, 400L, 500L)
 
   /** q285: classifier operating-characteristic table — confusion
     * matrix + precision / recall / F1 / MCC / Youden's J at a sweep

@@ -329,8 +329,8 @@ class PipelineAuditsSpec extends SparkSuite {
     // direct crosstab replay for one source
     val src = rows.head.getString(0)
     val d = Tables.documents(spark, sf).filter(col("source") === src)
-    val n11 = d.filter(col("lang") === "en" && col("n_chars") >= 1000L).count()
-    val n00 = d.filter(col("lang") =!= "en" && col("n_chars") < 1000L).count()
+    val n11 = d.filter(col("lang") === "en" && col("n_chars") >= 300L).count()
+    val n00 = d.filter(col("lang") =!= "en" && col("n_chars") < 300L).count()
     assert(rows.head.getLong(2) == n11 && rows.head.getLong(5) == n00)
   }
 
@@ -350,11 +350,11 @@ class PipelineAuditsSpec extends SparkSuite {
       r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4) == n))
     assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(0) >= p(1)), "tp non-increasing in T")
     assert(rows.map(_.getLong(4)).sliding(2).forall(p => p(0) <= p(1)), "tn non-decreasing in T")
-    // direct confusion recount at T=1000
+    // direct confusion recount at T=200
     val d = Tables.documents(spark, sf)
-    val tp = d.filter(col("lang") === "en" && col("n_chars") >= 1000L).count()
-    val fp = d.filter(col("lang") =!= "en" && col("n_chars") >= 1000L).count()
-    val at = rows.find(_.getLong(0) == 1000L).get
+    val tp = d.filter(col("lang") === "en" && col("n_chars") >= 200L).count()
+    val fp = d.filter(col("lang") =!= "en" && col("n_chars") >= 200L).count()
+    val at = rows.find(_.getLong(0) == 200L).get
     assert(at.getLong(1) == tp && at.getLong(2) == fp)
     // mcc bounded
     rows.filterNot(_.isNullAt(8)).foreach(r =>
