@@ -2236,6 +2236,130 @@ private[graft] trait OraclesC extends OracleHelpers {
          |  CASE WHEN same_num = 0 THEN NULL
          |    ELSE CAST(n_same AS DOUBLE)
          |      / (CAST(same_num AS DOUBLE) / CAST(n_total AS DOUBLE)) END AS mix_ratio
-         |FROM a, e ORDER BY order_name""".stripMargin
+         |FROM a, e ORDER BY order_name""".stripMargin,
+    // q290: band counts exact; p/q is one divide of integer products;
+    // ln is the GraftLn↔libm pair; the ≤12-band sum folds in band
+    // order (the q243 list_reduce rule)
+    "q290_psi_drift" ->
+      """WITH sb AS (SELECT source, n_chars // 50 AS band,
+        |    CAST(count(*) AS BIGINT) AS c_sb FROM documents GROUP BY source, band),
+        |bt AS (SELECT band, CAST(sum(c_sb) AS BIGINT) AS c_b FROM sb GROUP BY band),
+        |st AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s FROM sb GROUP BY source),
+        |nt AS (SELECT CAST(sum(c_sb) AS BIGINT) AS n FROM sb),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bands_corpus FROM bt),
+        |t AS (SELECT sb.source, sb.band, st.n_s,
+        |    (CAST(c_sb AS DOUBLE) / CAST(n_s AS DOUBLE)
+        |      - CAST(c_b AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c_sb * n AS DOUBLE) / CAST(c_b * n_s AS DOUBLE)) AS term
+        |  FROM sb JOIN bt USING (band) JOIN st USING (source), nt)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_bands_used,
+        |  CAST((SELECT n_bands_corpus FROM nb) - count(*) AS BIGINT) AS n_empty_bands,
+        |  list_reduce(list_prepend(0.0, list(term ORDER BY band)),
+        |    (a, b) -> a + b) AS psi
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    // q291: z-quantiles as driver-embedded literals; one IEEE sqrt;
+    // σ = 0 (empty arm / constant rate) → NULL, p = 0 guards mde_rel
+    "q291_mde" ->
+      s"""WITH d AS (SELECT source,
+         |    ${hv60Sql("'ab:' || CAST(doc_id AS VARCHAR)")} % 2 AS arm,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |c AS (SELECT source,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(y) AS BIGINT) AS x
+         |  FROM d GROUP BY source)
+         |SELECT source, n_a, n_b, x,
+         |  CASE WHEN n_a + n_b = 0 THEN NULL
+         |    ELSE CAST(x AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) END AS p_pool,
+         |  CASE WHEN n_a = 0 OR n_b = 0 OR x = 0 OR x = n_a + n_b THEN NULL
+         |    ELSE (1.959963984540054 + 0.8416212335729143)
+         |      * sqrt(((CAST(x AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         |          * (1.0 - CAST(x AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
+         |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         |  END AS mde_abs,
+         |  CASE WHEN n_a = 0 OR n_b = 0 OR x = 0 OR x = n_a + n_b THEN NULL
+         |    ELSE ((1.959963984540054 + 0.8416212335729143)
+         |      * sqrt(((CAST(x AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         |          * (1.0 - CAST(x AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)))
+         |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+         |      / (CAST(x AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+         |  END AS mde_rel
+         |FROM c ORDER BY source""".stripMargin,
+    // q292: running LLR is the closed form k·L1 + (n−k)·L0 over
+    // literal increments and the exact integer running count — never
+    // an accumulated double sum; boundaries are Wald's ln(19) literals
+    "q292_sprt_depth" ->
+      """WITH w AS (SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+        |      AS BIGINT) AS rn,
+        |    CAST(sum(CASE WHEN value >= 30.0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k
+        |  FROM events),
+        |l AS (SELECT event_type, rn, k,
+        |    CAST(k AS DOUBLE) * 0.20067069546215124
+        |      + CAST(rn - k AS DOUBLE) * -0.20067069546215124 AS llr FROM w),
+        |t AS (SELECT event_type, CAST(max(rn) AS BIGINT) AS n_events
+        |  FROM l GROUP BY event_type),
+        |s AS (SELECT event_type, CAST(min(rn) AS BIGINT) AS stop_n FROM l
+        |  WHERE llr >= 2.9444389791664403 OR llr <= -2.9444389791664403
+        |  GROUP BY event_type)
+        |SELECT t.event_type, t.n_events, s.stop_n,
+        |  l.k AS k_at_stop, l.llr AS llr_at_stop,
+        |  CASE WHEN s.stop_n IS NULL THEN 'none'
+        |    WHEN l.llr >= 2.9444389791664403 THEN 'accept_h1'
+        |    ELSE 'accept_h0' END AS decision,
+        |  CASE WHEN s.stop_n IS NULL THEN NULL
+        |    ELSE CAST(s.stop_n AS DOUBLE) / CAST(t.n_events AS DOUBLE)
+        |  END AS scanned_frac
+        |FROM t LEFT JOIN s USING (event_type)
+        |LEFT JOIN l ON l.event_type = t.event_type AND l.rn = s.stop_n
+        |ORDER BY event_type""".stripMargin,
+    // q293: caps are literal BIGINTs (overflow pads to the exact
+    // corpus max); padded sums exact; waste fractions terminal divides
+    "q293_padding" ->
+      """WITH tk AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |g AS (SELECT CAST(max(n_tok) AS BIGINT) AS gmax FROM tk),
+        |b AS (SELECT n_tok, gmax,
+        |    CAST(CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+        |      WHEN n_tok <= 96 THEN 96 WHEN n_tok <= 128 THEN 128
+        |      ELSE gmax END AS BIGINT) AS cap
+        |  FROM tk, g),
+        |a AS (SELECT cap, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(sum(cap) AS BIGINT) AS padded_bucketed,
+        |    CAST(sum(gmax) AS BIGINT) AS padded_single
+        |  FROM b GROUP BY cap)
+        |SELECT cap, n_docs, n_tokens, padded_bucketed, padded_single,
+        |  CASE WHEN padded_bucketed = 0 THEN NULL
+        |    ELSE CAST(padded_bucketed - n_tokens AS DOUBLE)
+        |      / CAST(padded_bucketed AS DOUBLE) END AS waste_bucketed,
+        |  CASE WHEN padded_single = 0 THEN NULL
+        |    ELSE CAST(padded_single - n_tokens AS DOUBLE)
+        |      / CAST(padded_single AS DOUBLE) END AS waste_single
+        |FROM a ORDER BY cap""".stripMargin,
+    // q295: observed cells exact; expected and the χ² term are single
+    // pinned double expressions per cell; margins > 0 by construction
+    "q294_chi2_hours" ->
+      """WITH cells AS (SELECT event_type, hour(ts) // 6 AS band,
+        |    CAST(count(*) AS BIGINT) AS o FROM events GROUP BY event_type, band),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_tot
+        |  FROM cells GROUP BY event_type),
+        |ct AS (SELECT band, CAST(sum(o) AS BIGINT) AS col_tot FROM cells GROUP BY band),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+        |SELECT event_type, band, o, row_tot, col_tot,
+        |  CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+        |  CASE WHEN row_tot = 0 OR col_tot = 0 THEN NULL
+        |    ELSE (CAST(o AS DOUBLE)
+        |        - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE)
+        |        - CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+        |      / (CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
+        |  END AS chi2_term
+        |FROM cells JOIN rt USING (event_type) JOIN ct USING (band), nt
+        |ORDER BY event_type, band""".stripMargin
   )
 }

@@ -531,7 +531,15 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     "q286_ab_z" -> ((s, d) => PipelineAudits.abZTest(s, d)),
     "q287_chao1" -> ((s, d) => TextAnalysis.chao1Richness(s, d)),
     "q288_postings" -> ((s, d) => TextAnalysis.postingsStorageAudit(s, d)),
-    "q289_mixing" -> ((s, d) => PipelineAudits.mixingAudit(s, d))
+    "q289_mixing" -> ((s, d) => PipelineAudits.mixingAudit(s, d)),
+    // batch 13: binned PSI drift, MDE design sensitivity, Wald SPRT
+    // early-stopping depth, padding-waste bucketing, hour-band
+    // chi-square independence
+    "q290_psi_drift" -> ((s, d) => PipelineAudits.psiDrift(s, d)),
+    "q291_mde" -> ((s, d) => PipelineAudits.mdeAudit(s, d)),
+    "q292_sprt_depth" -> ((s, d) => PipelineAudits.sprtDepth(s, d)),
+    "q293_padding" -> ((s, d) => TextAnalysis.paddingWasteAudit(s, d)),
+    "q294_chi2_hours" -> ((s, d) => PipelineAudits.chi2Independence(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -741,4 +741,196 @@ object PipelineAudits {
           .as("mix_ratio"))
       .orderBy("order_name")
   }
+
+  /** q290: population stability index (PSI) per source vs the corpus
+    * over 50-char length bands — the binned drift score deployments
+    * actually alert on (banking/ML-ops convention: <0.1 stable,
+    * 0.1-0.25 shifting, >0.25 shifted), complementing q279's exact KS
+    * (distribution-shape) and q89's KL (token-distribution) drift.
+    * PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over bands where the source
+    * has mass (bands the source misses are counted separately —
+    * n_empty_bands — rather than smoothed, so the score stays exact).
+    *
+    * Determinism: band counts are exact BIGINTs; p/q is ONE divide of
+    * exact integer products (c_sb·n)/(c_b·n_s); ln via GraftLn (libm
+    * parity, `plans/GraftLn.scala`); the ≤12-band sum folds in band
+    * order (sort_array + aggregate — the q243 ordered-fold rule), so
+    * no double ever depends on aggregation order.
+    *
+    * 100 TB shape: one scan → (source, band) keyed aggregate (bounded
+    * by |sources|×12) → broadcast band/source totals; the fold runs
+    * over ≤12 elements per source.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val sb = Pins.eager(
+      Tables.documents(spark, dir)
+        .select(col("source"), expr("n_chars div 50").as("band"))
+        .groupBy("source", "band").agg(count(lit(1)).as("c_sb")))
+    val bandTot = sb.groupBy("band").agg(sum(col("c_sb")).as("c_b"))
+    val srcTot = sb.groupBy("source").agg(sum(col("c_sb")).as("n_s"))
+    val nTot = sb.agg(sum(col("c_sb")).as("n"))
+    val nBands = bandTot.agg(count(lit(1)).as("n_bands_corpus"))
+    val p = col("c_sb").cast("double") / col("n_s").cast("double")
+    val q = col("c_b").cast("double") / col("n").cast("double")
+    val ratio = (col("c_sb") * col("n")).cast("double") / (col("c_b") * col("n_s")).cast("double")
+    val terms = sb
+      .join(broadcast(bandTot), Seq("band"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("band"), col("n_s"),
+        ((p - q) * graft.functions.MathFunctions.ln(ratio)).as("term"))
+    terms.groupBy("source")
+      .agg(max(col("n_s")).as("n_docs"),
+        count(lit(1)).as("n_bands_used"),
+        aggregate(
+          sort_array(collect_list(struct(col("band"), col("term")))),
+          lit(0.0), (a, x) => a + x.getField("term")).as("psi"))
+      .crossJoin(broadcast(nBands))
+      .select(col("source"), col("n_docs"), col("n_bands_used"),
+        (col("n_bands_corpus") - col("n_bands_used")).as("n_empty_bands"),
+        col("psi"))
+      .orderBy("source")
+  }
+
+  /** Two-sided 97.5% and 80% standard-normal quantiles as literal
+    * doubles (driver-embedded-constants rule: no inverse-CDF in
+    * either engine; both parse the same decimal literals).
+    */
+  private[graft] val Z975 = 1.959963984540054
+  private[graft] val Z80 = 0.8416212335729143
+
+  /** q291: minimum-detectable-effect (MDE) design audit, per source —
+    * the question asked BEFORE q286's z-test: with these arm sizes
+    * and this baseline rate, what's the smallest absolute lift a
+    * 5%-level, 80%-power two-proportion test can see?
+    *   mde = (z_{0.975} + z_{0.80}) · √( p̂(1−p̂)·(1/nₐ + 1/n_b) )
+    * Arms are the q286/q274 hash assignment (replayable); p̂ is the
+    * pooled rate.  One sqrt (IEEE-exact), z-quantiles as literal
+    * doubles, every input a single divide of exact integers; an empty
+    * arm or constant rate (σ = 0) guards to NULL, and the relative
+    * MDE additionally guards p̂ = 0.
+    *
+    * 100 TB shape: identical to q286 — stateless assignment, one
+    * |sources|-group conditional aggregate.
+    */
+  def mdeAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"),
+        pmod(graft.operators.TextAnalysis.hv60(
+          concat(lit("ab:"), col("doc_id").cast("string"))), lit(2L)).as("arm"),
+        (col("lang") === "en").cast("long").as("y"))
+    val cells = d.groupBy("source").agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(col("y")).as("x"))
+    val pp = col("x").cast("double") / (col("n_a") + col("n_b")).cast("double")
+    val mde = (lit(Z975) + lit(Z80)) *
+      sqrt((pp * (lit(1.0) - pp))
+        * (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    cells.select(col("source"), col("n_a"), col("n_b"), col("x"),
+      when(col("n_a") + col("n_b") === 0L, lit(null).cast("double")).otherwise(pp).as("p_pool"),
+      when(col("n_a") === 0L || col("n_b") === 0L
+          || col("x") === 0L || col("x") === col("n_a") + col("n_b"),
+        lit(null).cast("double")).otherwise(mde).as("mde_abs"),
+      when(col("n_a") === 0L || col("n_b") === 0L
+          || col("x") === 0L || col("x") === col("n_a") + col("n_b"),
+        lit(null).cast("double")).otherwise(mde / pp).as("mde_rel"))
+      .orderBy("source")
+  }
+
+  /** SPRT literals: H0 p=0.45 vs H1 p=0.55, α = β = 0.05.  The
+    * per-observation log-likelihood increments and Wald boundaries
+    * are driver-embedded decimal literals (no libm log in either
+    * engine's plan).
+    */
+  private[graft] val SprtL1 = 0.20067069546215124   // ln(0.55/0.45)
+  private[graft] val SprtL0 = -0.20067069546215124  // ln(0.45/0.55)
+  private[graft] val SprtA = 2.9444389791664403     // ln((1−β)/α) = ln(19)
+  private[graft] val SprtB = -2.9444389791664403    // ln(β/(1−α))
+
+  /** q292: Wald SPRT early-stopping depth per event type — the
+    * sequential counterpart of q286's fixed-horizon z-test and q271's
+    * TA depth: walking the event stream in (ts, event_id) order, how
+    * soon does the sequential probability-ratio test decide
+    * H1: p(value ≥ 30) = 0.55 against H0: p = 0.45?  The running LLR
+    * at depth n is NOT an accumulated double sum — with k successes
+    * it is the closed form k·L1 + (n−k)·L0 over literal increments,
+    * computed per row from the EXACT integer running count, so it is
+    * order-free given the pinned (ts, event_id) walk.  Stop depth =
+    * first n where LLR ≥ A (accept H1) or ≤ B (accept H0); a stream
+    * that never decides reports 'none' with NULL depth.
+    *
+    * 100 TB shape: one keyed window (per event type — never global)
+    * for the running count, one aggregate for the first crossing, one
+    * row-lookup join at the stop depth.  The certificate a sequential
+    * experimentation pipeline wants: decisions at ~1-2% of the
+    * fixed-horizon sample.
+    */
+  def sprtDepth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts").asc, col("event_id").asc)
+    val walked = Pins.eager(
+      graft.Tables.events(spark, dir)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          (col("value") >= 30.0).cast("long").as("succ"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("k", sum(col("succ")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("event_type"), col("rn"), col("k"),
+          (col("k").cast("double") * lit(SprtL1)
+            + (col("rn") - col("k")).cast("double") * lit(SprtL0)).as("llr")))
+    val totals = walked.groupBy("event_type").agg(max(col("rn")).as("n_events"))
+    val stops = walked
+      .filter(col("llr") >= lit(SprtA) || col("llr") <= lit(SprtB))
+      .groupBy("event_type").agg(min(col("rn")).as("stop_n"))
+    totals
+      .join(stops, Seq("event_type"), "left")
+      .join(walked.select(col("event_type"), col("rn").as("stop_n"),
+          col("k").as("k_at_stop"), col("llr").as("llr_at_stop")),
+        Seq("event_type", "stop_n"), "left")
+      .select(col("event_type"), col("n_events"), col("stop_n"),
+        col("k_at_stop"), col("llr_at_stop"),
+        when(col("stop_n").isNull, "none")
+          .when(col("llr_at_stop") >= lit(SprtA), "accept_h1")
+          .otherwise("accept_h0").as("decision"),
+        when(col("stop_n").isNull, lit(null).cast("double"))
+          .otherwise(col("stop_n").cast("double") / col("n_events").cast("double"))
+          .as("scanned_frac"))
+      .orderBy("event_type")
+  }
+
+  /** q294: χ² independence audit, event type × 6-hour band — "does
+    * activity mix shift across the day?", the contingency-table gate
+    * between q281's goodness-of-fit (one margin literal) and q279's
+    * KS (two empirical CDFs).  Observed cells are exact BIGINTs; the
+    * expected count rowTot·colTot/n and the χ² term (o−e)²/e are
+    * single pinned double expressions per cell; the output is the
+    * full 20-cell table (terms sum driver-side or in a bounded fold —
+    * the per-cell view is what an analyst drills into).  A zero
+    * margin cannot occur for an emitted cell (o ≥ 1 ⇒ both margins
+    * ≥ 1), so e > 0 by construction; the guard is still spelled.
+    *
+    * 100 TB shape: one scan → (type, band) keyed aggregate (bounded
+    * 4×|types|) → broadcast margins.
+    */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Pins.eager(
+      graft.Tables.events(spark, dir)
+        .select(col("event_type"), expr("hour(ts) div 6").as("band"))
+        .groupBy("event_type", "band").agg(count(lit(1)).as("o")))
+    val rowTot = cells.groupBy("event_type").agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy("band").agg(sum(col("o")).as("c"))
+    val nTot = cells.agg(sum(col("o")).as("n"))
+    val e = (col("r") * col("c")).cast("double") / col("n").cast("double")
+    cells
+      .join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("band"))
+      .crossJoin(broadcast(nTot))
+      .select(col("event_type"), col("band"), col("o"),
+        col("r").as("row_tot"), col("c").as("col_tot"),
+        e.as("expected"),
+        when(col("r") === 0L || col("c") === 0L, lit(null).cast("double"))
+          .otherwise((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+          .as("chi2_term"))
+      .orderBy("event_type", "band")
+  }
 }

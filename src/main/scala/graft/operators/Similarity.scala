@@ -1397,4 +1397,5 @@ object Similarity {
           .otherwise(col("proj_d2") / (lit(m.toDouble) * col("exact_d2"))))
       .orderBy("vec_a", "vec_b")
   }
+
 }

@@ -3615,4 +3615,53 @@ object TextAnalysis {
           .as("compression_ratio"))
       .orderBy("df_band")
   }
+
+  /** Literal sequence-length bucket caps for q293 (token counts run
+    * 10-100 on the fixture; docs past the top literal pad to the
+    * exact global max — no doc ever lands in a cap below its length).
+    */
+  private[graft] val PadCaps: Seq[Long] = Seq(32L, 64L, 96L, 128L)
+
+  /** q293: sequence-packing padding-waste audit — what does
+    * length-bucketed batching save over pad-to-global-max?  Every doc
+    * pads to the smallest literal cap ≥ its token count (docs beyond
+    * the top literal pad to the exact corpus max).  Per bucket:
+    * docs, real tokens, padded tokens under the bucket policy, padded
+    * tokens under the single-max policy, and both waste fractions —
+    * the GPU-hours decision a training pipeline makes before fixing
+    * its dataloader.  Complements q103 (chunking) and q118 (packing):
+    * those reshape sequences, this one prices NOT reshaping.
+    *
+    * Exactness: token counts, caps and padded sums are exact BIGINTs
+    * (cap·n via integer sums); the two waste fractions are terminal
+    * single divides.
+    *
+    * 100 TB shape: one scan → per-row cap CASE → ≤5-group keyed
+    * aggregate; the global max is a broadcast 1-row frame.
+    */
+  def paddingWasteAudit(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.util.Pins.eager(
+      Tables.documents(spark, dir)
+        .select(tokenCount(col("text")).cast("long").as("n_tok")))
+    val gmax = toks.agg(max(col("n_tok")).as("gmax"))
+    val capExpr = PadCaps.reverse.foldLeft(col("gmax")) {
+      case (acc, c) => when(col("n_tok") <= c, lit(c)).otherwise(acc)
+    }
+    toks.crossJoin(broadcast(gmax))
+      .select(col("n_tok"), col("gmax"), capExpr.as("cap"))
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("cap")).as("padded_bucketed"),
+        sum(col("gmax")).as("padded_single"))
+      .select(col("cap"), col("n_docs"), col("n_tokens"),
+        col("padded_bucketed"), col("padded_single"),
+        when(col("padded_bucketed") === 0L, lit(null).cast("double"))
+          .otherwise((col("padded_bucketed") - col("n_tokens")).cast("double")
+            / col("padded_bucketed").cast("double")).as("waste_bucketed"),
+        when(col("padded_single") === 0L, lit(null).cast("double"))
+          .otherwise((col("padded_single") - col("n_tokens")).cast("double")
+            / col("padded_single").cast("double")).as("waste_single"))
+      .orderBy("cap")
+  }
 }

@@ -3626,4 +3626,25 @@ class OperatorSpec extends SparkSuite {
       assert(sorted.last.getDouble(5) <= sorted.head.getDouble(5) + 1e-12,
         "compression improves with document frequency")
   }
+
+  test("q293 padding: buckets partition the corpus; byte accounting replays from raw counts") {
+    val rows = TextAnalysis.paddingWasteAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val toks = graft.Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(_.getLong(0))
+    val gmax = toks.max
+    assert(rows.map(_.getLong(1)).sum == toks.length.toLong, "buckets partition the docs")
+    assert(rows.map(_.getLong(2)).sum == toks.sum, "token mass preserved")
+    assert(rows.map(_.getLong(4)).sum == gmax * toks.length, "single-max policy pads every doc to gmax")
+    rows.foreach { r =>
+      val cap = r.getLong(0)
+      assert(TextAnalysis.PadCaps.contains(cap) || cap == gmax, s"cap $cap is literal or the corpus max")
+      assert(r.getLong(3) == cap * r.getLong(1), "bucket pads every member to its cap")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) < 1.0)
+    }
+    // every doc fits its cap: per-bucket token mass never exceeds padded mass
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
+  }
 }

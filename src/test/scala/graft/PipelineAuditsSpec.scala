@@ -408,6 +408,117 @@ class PipelineAuditsSpec extends SparkSuite {
       "shuffled order lands near the random-permutation expectation")
   }
 
+  // ---- PSI drift ----
+
+  test("q290 psi: every term non-negative so psi >= 0; bands account for the corpus; driver replay") {
+    val df = PipelineAudits.psiDrift(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+      "only the 1-row total frames NL-attach")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0, "each (p-q)ln(p/q) term shares sign across factors")
+      assert(r.getLong(3) >= 0L)
+    }
+    // driver replay for one source (GraftLn == Math.log bit-exactly)
+    val d = Tables.documents(spark, sf)
+    val src = rows.head.getString(0)
+    val corpus = d.select(expr("n_chars div 50").as("b")).groupBy("b").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mine = d.filter(col("source") === src).select(expr("n_chars div 50").as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = corpus.values.sum.toDouble; val ns = mine.values.sum.toDouble
+    val psi = mine.toSeq.sortBy(_._1).map { case (b, c) =>
+      val p = c / ns; val q = corpus(b) / n
+      (p - q) * java.lang.Math.log((c * corpus.values.sum).toDouble / (corpus(b) * mine.values.sum).toDouble)
+    }.foldLeft(0.0)(_ + _)
+    assert(rows.head.getDouble(4) == psi, s"${rows.head.getDouble(4)} vs $psi")
+    assert(rows.head.getLong(2) == mine.size.toLong &&
+      rows.head.getLong(3) == (corpus.size - mine.size).toLong)
+  }
+
+  // ---- MDE design ----
+
+  test("q291 mde: formula replays bit-exactly from the exact cells; rel = abs/p") {
+    val df = PipelineAudits.mdeAudit(spark, sf)
+    assert(!names(df).exists(n => n.contains("Join") || n.contains("CartesianProduct")))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.isNullAt(5)).foreach { r =>
+      val na = r.getLong(1); val nb = r.getLong(2); val x = r.getLong(3)
+      val p = x.toDouble / (na + nb).toDouble
+      val mde = (PipelineAudits.Z975 + PipelineAudits.Z80) *
+        math.sqrt((p * (1.0 - p)) * (1.0 / na.toDouble + 1.0 / nb.toDouble))
+      assert(r.getDouble(5) == mde, "driver replay of the closed form")
+      assert(r.getDouble(6) == mde / p)
+      assert(mde > 0.0 && mde < 1.0)
+    }
+  }
+
+  // ---- SPRT depth ----
+
+  test("q292 sprt: driver walk of one stream reproduces the stop; depth bounded; keyed window only") {
+    val df = PipelineAudits.sprtDepth(spark, sf)
+    // the walked frame (keyed window inside) is pinned — the terminal
+    // plan re-scans nothing and joins only on the event_type grain
+    assert(plan(df).collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.isEmpty,
+      "walked frame is pinned; no re-scan")
+    assert(plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty), "no unkeyed window")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1))
+        assert(Seq("accept_h0", "accept_h1").contains(r.getString(5)))
+      } else assert(r.getString(5) == "none")
+    }
+    // literal walk for one event type
+    val et = rows.head.getString(0)
+    val stream = Tables.events(spark, sf).filter(col("event_type") === et)
+      .select(col("ts"), col("event_id"), (col("value") >= 30.0).cast("long").as("s"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1.getTime / 1000, t._1.getNanos, t._2))
+    var k = 0L; var stop = Option.empty[(Long, Long, Double)]
+    for ((( _, _, s), i) <- stream.zipWithIndex if stop.isEmpty) {
+      k += s
+      val n = i + 1L
+      val llr = k.toDouble * PipelineAudits.SprtL1 + (n - k).toDouble * PipelineAudits.SprtL0
+      if (llr >= PipelineAudits.SprtA || llr <= PipelineAudits.SprtB) stop = Some((n, k, llr))
+    }
+    val r0 = rows.head
+    stop match {
+      case Some((n, kk, llr)) =>
+        assert(r0.getLong(2) == n && r0.getLong(3) == kk && r0.getDouble(4) == llr)
+      case None => assert(r0.isNullAt(2))
+    }
+  }
+
+  // ---- Chi-square independence ----
+
+  test("q294 chi2: cells partition the stream; margins recount; expected sums to observed per row") {
+    val df = PipelineAudits.chi2Independence(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 1)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val n = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == n, "cells partition the events")
+    // per event type: the row margin equals the direct recount and the
+    // expected counts sum back to the margin (Σ_c r·c/n = r)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val r = rs.head.getLong(3)
+      assert(rs.map(_.getLong(2)).sum == r)
+      assert(math.abs(rs.map(_.getDouble(5)).sum - r.toDouble) < 1e-6)
+      rs.foreach(x => assert(x.getDouble(6) >= 0.0))
+    }
+  }
+
   // ---- Quantile normalization ----
 
   test("q277 quantile norm: deciles partition each source; global ranks sum to N(N+1)/2; no unpartitioned window") {
