@@ -2238,4 +2238,196 @@ object EventOps {
         (col("n_incr") === col("n_full")).cast("int").as("ok"))
       .orderBy("user_id")
   }
+
+  /** q295: two-sample log-rank test table over time-to-conversion —
+    * the inferential sibling of q138's Kaplan–Meier curve: users are
+    * hash-split into two arms (the q274/q286 reproducible assignment,
+    * `hv60('ab:' ∥ user_id) mod 2`) and at every conversion day the
+    * table reports each arm's risk set, observed arm-A conversions,
+    * the expected count under H₀ (no arm difference)
+    *   e_a = d · r_a / r
+    * and the hypergeometric variance term
+    *   v = d · (r_a/r) · (r_b/r) · (r−d)/(r−1).
+    * The analyst's z is Σ(o−e)/√Σv — the spec replays it driver-side;
+    * the registry row keeps the per-day drill-in view (the q294 rule).
+    *
+    * Determinism: durations are integer days (the q138 construction:
+    * first purchase converts, last event censors); risk sets are exact
+    * BIGINTs from one cumulative window over the bounded day spine;
+    * e_a and v are pinned double expressions of integer products
+    * factored divide-first so no product leaves BIGINT range at any
+    * corpus size (r_a·d would overflow at ~10⁹ users; r_a/r never
+    * does).  r ≤ 1 guards v to NULL.
+    *
+    * 100 TB shape: one user-keyed reduction of the fact scan, then a
+    * day-spine frame bounded by the observation window (≤ horizon
+    * rows) — the single-partition curve window is the q138/q85
+    * tiny-frame escape, NOT a data-sized sort.
+    */
+  def logRank(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        min(unix_millis(col("ts"))).as("t0"),
+        min(when(col("event_type") === "purchase", unix_millis(col("ts"))))
+          .as("tconv"),
+        max(unix_millis(col("ts"))).as("tlast"))
+      .select(
+        pmod(graft.operators.TextAnalysis.hv60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)).as("arm"),
+        when(col("tconv").isNotNull, lit(1L)).otherwise(lit(0L)).as("converted"),
+        expr("(coalesce(tconv, tlast) - t0) DIV 86400000").as("dur_day"))
+    val totals = perUser.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a_tot"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b_tot"))
+    val byDay = perUser.groupBy("dur_day").agg(
+      sum(when(col("arm") === 0L, col("converted")).otherwise(0L)).as("d_a"),
+      sum(when(col("arm") === 1L, col("converted")).otherwise(0L)).as("d_b"),
+      sum(when(col("arm") === 0L, lit(1L) - col("converted")).otherwise(0L)).as("c_a"),
+      sum(when(col("arm") === 1L, lit(1L) - col("converted")).otherwise(0L)).as("c_b"))
+    val wPrev = Window.orderBy(col("dur_day").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rA = col("n_a_tot") - coalesce(sum(col("d_a") + col("c_a")).over(wPrev), lit(0L))
+    val rB = col("n_b_tot") - coalesce(sum(col("d_b") + col("c_b")).over(wPrev), lit(0L))
+    val d = col("d_a") + col("d_b")
+    val r = col("r_a") + col("r_b")
+    val eA = d.cast("double") * col("r_a").cast("double") / r.cast("double")
+    val v = (d.cast("double") * col("r_a").cast("double") / r.cast("double"))
+      .multiply(col("r_b").cast("double") / r.cast("double"))
+      .multiply((r - d).cast("double") / (r - lit(1L)).cast("double"))
+    byDay
+      .crossJoin(broadcast(totals))
+      .withColumn("r_a", rA)
+      .withColumn("r_b", rB)
+      .filter(col("d_a") + col("d_b") >= 1L)
+      .select(col("dur_day"), col("r_a"), col("r_b"), col("d_a"), col("d_b"),
+        eA.as("e_a"),
+        (col("d_a").cast("double") - eA).as("o_minus_e"),
+        when(r <= 1L, lit(null).cast("double")).otherwise(v).as("v_term"))
+      .orderBy("dur_day")
+  }
+
+  /** q298: Durbin–Watson serial-correlation diagnostic on the q234
+    * trend family — per event type, fit the daily series of exact
+    * value-units on the day index (closed-form OLS over the five
+    * exact moment sums, the q234/q113 architecture), then test what
+    * q234 assumes: are the residuals independent?
+    *   DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ_t e_t²  ∈ [0, 4]
+    * with DW ≈ 2(1 − ρ̂₁).  An analyst reads DW ≪ 2 as "the trend
+    * line is missing autocorrelated structure — the q234 slope's
+    * naive standard error is overconfident".
+    *
+    * Determinism: y is the exact BIGINT daily unit total (10⁶-
+    * quantized, the q234 rule), x the exact day index from the
+    * per-type min day; moments go through DECIMAL(38,0); slope/
+    * intercept are pinned double algebra; each residual is ONE pinned
+    * double expression; both quadratic-form sums fold in day order
+    * over the bounded per-type day array (the q243 list_reduce rule —
+    * a month-scale series, never the corpus).  sse = 0 (a perfectly
+    * fit series) guards DW to NULL.
+    *
+    * 100 TB shape: fact scan → (type, day) keyed aggregate (calendar-
+    * bounded), one broadcast of per-type fit scalars, one per-type
+    * fold over ≤|days| elements.  Nothing global, nothing data-sized
+    * in a single partition.
+    */
+  def durbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val daily = graft.util.Pins.eager(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long")).as("y")))
+    val d0 = daily.groupBy("event_type").agg(min(col("day")).as("d0"))
+    val xy = daily.join(broadcast(d0), Seq("event_type"))
+      .select(col("event_type"), datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("y"))
+    val fit = xy.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec38)).as("sx"),
+        sum(col("y").cast(dec38)).as("sy"),
+        sum((col("x") * col("x")).cast(dec38)).as("sxx"),
+        sum((col("x") * col("y")).cast(dec38)).as("sxy"))
+      .select(col("event_type"), col("n"), {
+        val nd = col("n").cast("double"); val sxd = col("sx").cast("double")
+        val syd = col("sy").cast("double"); val sxxd = col("sxx").cast("double")
+        val sxyd = col("sxy").cast("double")
+        val slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+        struct(slope.as("slope"), ((syd - slope * sxd) / nd).as("icept")).as("f")
+      })
+      .select(col("event_type"), col("n"), col("f.slope").as("slope"),
+        col("f.icept").as("icept"))
+    val resid = xy.join(broadcast(fit), Seq("event_type"))
+      .withColumn("e",
+        col("y").cast("double") - (col("icept") + col("slope") * col("x").cast("double")))
+      .withColumn("ep", lag(col("e"), 1).over(
+        Window.partitionBy("event_type").orderBy(col("x").asc)))
+    resid.groupBy("event_type")
+      .agg(max(col("n")).as("n_days"), max(col("slope")).as("slope"),
+        max(col("icept")).as("intercept"),
+        aggregate(sort_array(collect_list(struct(col("x"), (col("e") * col("e")).as("t")))),
+          lit(0.0), (a, s) => a + s.getField("t")).as("sse"),
+        aggregate(sort_array(collect_list(struct(col("x"),
+            when(col("ep").isNull, lit(0.0))
+              .otherwise((col("e") - col("ep")) * (col("e") - col("ep"))).as("t")))),
+          lit(0.0), (a, s) => a + s.getField("t")).as("ssd"))
+      .select(col("event_type"), col("n_days"), col("slope"), col("intercept"),
+        col("sse"),
+        when(col("sse") === 0.0, lit(null).cast("double"))
+          .otherwise(col("ssd") / col("sse")).as("dw"),
+        when(col("sse") === 0.0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - (col("ssd") / col("sse")) / lit(2.0)).as("rho_hat"))
+      .orderBy("event_type")
+  }
+
+  /** q299: classical seasonal decomposition of the dense hourly series
+    * per event type — the "what does a normal day look like?" view the
+    * smoothing family (q186 EWMA, q193 Holt, q246 MASE) doesn't give:
+    * a per-hour-of-day seasonal index net of trend.  Trend is the
+    * standard centered 2×24 moving average for an even period; with
+    * integer counts its 48·trend numerator
+    *   T48_t = y_{t−12} + y_{t+12} + 2·Σ_{i=−11..+11} y_{t+i}
+    * is an exact BIGINT, so the ×48 detrended value
+    *   D48_t = 48·y_t − T48_t
+    * is EXACT INTEGER — the only doubles are the two terminal divides
+    * (seasonal_raw = ΣD48 / (48·m) per hour-of-day) and the 24-element
+    * hour-ordered fold for the centering mean.
+    *
+    * 100 TB shape: fact scan → (type, hour-slot) keyed aggregate
+    * (calendar-bounded); the dense spine is sequence-generated per
+    * type; one keyed window (lag/lead/rolling-sum share a single
+    * WindowExec); a ≤24·|types| terminal frame.
+    */
+  def seasonalDecomp(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("slot", expr("(us - pmod(us, 3600000000)) div 3600000000"))
+      .groupBy("event_type", "slot").agg(count(lit(1)).as("c"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min(col("slot")).as("s0"), max(col("slot")).as("s1"))
+      .select(col("event_type"), explode(sequence(col("s0"), col("s1"))).as("slot"))
+    val w = Window.partitionBy("event_type").orderBy(col("slot").asc)
+    val dense = spine.join(hourly, Seq("event_type", "slot"), "left")
+      .select(col("event_type"), col("slot"), coalesce(col("c"), lit(0L)).as("y"))
+      .withColumn("t48",
+        lag(col("y"), 12).over(w) + lead(col("y"), 12).over(w)
+          + lit(2L) * sum(col("y")).over(w.rowsBetween(-11, 11)))
+      .filter(col("t48").isNotNull)
+      .select(col("event_type"), pmod(col("slot"), lit(24L)).as("hour_of_day"),
+        (lit(48L) * col("y") - col("t48")).as("d48"))
+    val byHour = dense.groupBy("event_type", "hour_of_day")
+      .agg(count(lit(1)).as("m_slots"), sum(col("d48")).as("sd48"))
+      .withColumn("seasonal_raw",
+        col("sd48").cast("double") / (lit(48L) * col("m_slots")).cast("double"))
+    val grand = byHour.groupBy("event_type")
+      .agg(count(lit(1)).as("nh"),
+        aggregate(
+          sort_array(collect_list(struct(col("hour_of_day"), col("seasonal_raw").as("r")))),
+          lit(0.0), (a, s) => a + s.getField("r")).as("srs"))
+      .select(col("event_type"), (col("srs") / col("nh").cast("double")).as("gmean"))
+    byHour.join(broadcast(grand), Seq("event_type"))
+      .select(col("event_type"), col("hour_of_day"), col("m_slots"),
+        col("seasonal_raw"),
+        (col("seasonal_raw") - col("gmean")).as("seasonal_centered"))
+      .orderBy("event_type", "hour_of_day")
+  }
 }
