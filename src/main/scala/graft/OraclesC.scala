@@ -2341,7 +2341,7 @@ private[graft] trait OraclesC extends OracleHelpers {
         |    ELSE CAST(padded_single - n_tokens AS DOUBLE)
         |      / CAST(padded_single AS DOUBLE) END AS waste_single
         |FROM a ORDER BY cap""".stripMargin,
-    // q295: observed cells exact; expected and the χ² term are single
+    // q294: observed cells exact; expected and the χ² term are single
     // pinned double expressions per cell; margins > 0 by construction
     "q294_chi2_hours" ->
       """WITH cells AS (SELECT event_type, hour(ts) // 6 AS band,

@@ -40,7 +40,11 @@ object Bucketing {
   def dropBucketed(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
-    graft.util.Fs.deleteRecursively(new java.io.File(warehouse, table).toPath)
+    // fsync before delete (Fs.syncRecursively doc): each bench rep pays
+    // its own writeback instead of pushing dirty pages onto the next rep
+    val dir = new java.io.File(warehouse, table).toPath
+    graft.util.Fs.syncRecursively(dir)
+    graft.util.Fs.deleteRecursively(dir)
   }
 
   /** The q237 join+aggregate over already-written bucketed tables,

@@ -86,6 +86,14 @@ object PipelineAudits {
     * the oracle states them as literal 1s next to its own exact
     * counts (the q33/q58 audit form).
     *
+    * Collision caveat (r15 advice): the guarantees hold for the
+    * 60-bit hv keys, and the join back to the top-10 TRUE tokens is
+    * also by hv — an hv60 collision between a top-10 token and any
+    * other token would inflate est(x) past true(x) and flip
+    * est_le_true, which the literal-1 oracle cannot mirror.  Odds are
+    * ~10·V/2⁶⁰ (the repo's documented 60-bit collision rule), the
+    * same acceptance as every other hv60 consumer (q21, q273, q274).
+    *
     * 100 TB shape: the exact side is one keyed count (needed for the
     * report anyway); the sketch side shuffles m counters per
     * partition.  In production only the sketch runs — that is the

@@ -52,9 +52,20 @@ object FormatOps {
   private def materialize(spark: SparkSession, df: DataFrame): DataFrame =
     graft.util.Fs.localize(spark, df)
 
+  /** Temp-dir bracket for the round-trip reps.  The `finally` runs
+    * INSIDE the caller's timed region and does two things in order:
+    * fsync every written file, then delete.  The flush is the r15
+    * bench-hygiene fix — without it each rep's dirty pages are written
+    * back during the NEXT rep (rep arrays that slow down, 1.93→4.42 s
+    * for q231), so min-of-reps tracked disk state instead of plan
+    * cost.  Flushing inside the rep makes every rep self-contained.
+    */
   private def withTempDir(tag: String)(body: java.nio.file.Path => DataFrame): DataFrame = {
     val tmp = tempDir(tag)
-    try body(tmp) finally graft.util.Fs.deleteRecursively(tmp)
+    try body(tmp) finally {
+      graft.util.Fs.syncRecursively(tmp)
+      graft.util.Fs.deleteRecursively(tmp)
+    }
   }
 
   // ---------------------------------------------------------------- ORC

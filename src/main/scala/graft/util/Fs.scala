@@ -21,6 +21,29 @@ object Fs {
     }
   }
 
+  /** fsync every regular file under `p` (fsync works on an O_RDONLY fd
+    * on Linux; FileChannel.force is exactly that syscall).  The
+    * round-trip operators call this INSIDE each timed rep, before the
+    * temp dir is deleted: without it the write's dirty pages linger in
+    * the page cache and the NEXT rep pays their writeback — the r15
+    * "inverted warming" artifact (q231 reps 1.93→2.55→4.42 s, each rep
+    * slower because it inherits the previous rep's flush).  With the
+    * flush inside the rep, every rep is self-contained and the rep
+    * array reflects plan cost, not accumulated disk state.
+    */
+  def syncRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      val files = scala.util.Using.resource(java.nio.file.Files.walk(p)) {
+        _.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_)).toSeq
+      }
+      files.foreach { f =>
+        scala.util.Using.resource(java.nio.channels.FileChannel.open(
+          f, java.nio.file.StandardOpenOption.READ))(_.force(true))
+      }
+    }
+  }
+
   /** Find the single part file with the given extension in a directory
     * written by a one-partition Spark write.  Stream closed.
     */

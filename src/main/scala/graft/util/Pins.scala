@@ -30,10 +30,24 @@ import org.apache.spark.sql.DataFrame
   * (Reindex.chunked, sequencePacking, connectedComponents supersteps).
   */
 object Pins {
+  // When NOT to pin: shuffle-sized frames consumed twice on the same
+  // keys ride Catalyst's exchange reuse instead (measured on q275:
+  // reuse 2.59 s vs pin 3.21 s at sf0.1) — see SCALING.md "When NOT
+  // to pin at all".  Pins are for broadcast-consumer frames.
   def eager(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Release every RDD-level persist — which is where localCheckpoint
-    * blocks live.  `spark.catalog.clearCache()` only drops catalog-
+    * blocks live.
+    *
+    * CONSTRAINT — call BETWEEN fully-materialized queries ONLY, never
+    * mid-query and never concurrently with a running streaming
+    * foreachBatch that persists: localCheckpoint RDDs have TRUNCATED
+    * lineage, so a DataFrame still referencing a released pin fails
+    * with missing-checkpoint-block errors instead of recomputing.
+    * Current call sites (Bench between reps, Verify between queries)
+    * satisfy this by construction; keep it that way.
+    *
+    * `spark.catalog.clearCache()` only drops catalog-
     * cached Datasets; checkpoint blocks wait for the ContextCleaner,
     * whose sweep is GC-driven (plus a 30-min periodic System.gc), so
     * a long suite run (Bench: 271 queries × 3 reps, Verify: the whole
