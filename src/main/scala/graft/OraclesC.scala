@@ -2360,6 +2360,127 @@ private[graft] trait OraclesC extends OracleHelpers {
         |      / (CAST(row_tot * col_tot AS DOUBLE) / CAST(n AS DOUBLE))
         |  END AS chi2_term
         |FROM cells JOIN rt USING (event_type) JOIN ct USING (band), nt
-        |ORDER BY event_type, band""".stripMargin
+        |ORDER BY event_type, band""".stripMargin,
+    // q297: durations/risk sets exact integers (the q138 construction
+    // + the q286 hv60 arm split); e_a and v are the identical pinned
+    // double factorizations (divide-first, left-assoc) on both engines;
+    // the cumulative risk-set window runs over ALL days (censor-only
+    // days deplete the risk set) with the d>=1 filter applied after,
+    "q297_log_rank" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    min(epoch_ms(ts)) AS t0,
+         |    min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS tconv,
+         |    max(epoch_ms(ts)) AS tlast
+         |  FROM events GROUP BY user_id),
+         |du AS (SELECT
+         |    ${hv60Sql("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    CASE WHEN tconv IS NOT NULL THEN 1 ELSE 0 END AS converted,
+         |    (coalesce(tconv, tlast) - t0) // 86400000 AS dur_day
+         |  FROM pu),
+         |tot AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_tot,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b_tot
+         |  FROM du),
+         |bd AS (SELECT dur_day,
+         |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT) AS d_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT) AS d_b,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 - converted ELSE 0 END) AS BIGINT) AS c_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 - converted ELSE 0 END) AS BIGINT) AS c_b
+         |  FROM du GROUP BY dur_day),
+         |cr AS (SELECT dur_day, d_a, d_b,
+         |    n_a_tot - coalesce(CAST(sum(d_a + c_a) OVER (ORDER BY dur_day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS r_a,
+         |    n_b_tot - coalesce(CAST(sum(d_b + c_b) OVER (ORDER BY dur_day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS r_b
+         |  FROM bd CROSS JOIN tot)
+         |SELECT dur_day, r_a, r_b, d_a, d_b,
+         |  CAST(d_a + d_b AS DOUBLE) * CAST(r_a AS DOUBLE)
+         |    / CAST(r_a + r_b AS DOUBLE) AS e_a,
+         |  CAST(d_a AS DOUBLE) - CAST(d_a + d_b AS DOUBLE) * CAST(r_a AS DOUBLE)
+         |    / CAST(r_a + r_b AS DOUBLE) AS o_minus_e,
+         |  CASE WHEN r_a + r_b <= 1 THEN NULL
+         |    ELSE CAST(d_a + d_b AS DOUBLE) * CAST(r_a AS DOUBLE)
+         |        / CAST(r_a + r_b AS DOUBLE)
+         |      * (CAST(r_b AS DOUBLE) / CAST(r_a + r_b AS DOUBLE))
+         |      * (CAST(r_a + r_b - d_a - d_b AS DOUBLE)
+         |        / CAST(r_a + r_b - 1 AS DOUBLE))
+         |  END AS v_term
+         |FROM cr WHERE d_a + d_b >= 1
+         |ORDER BY dur_day""".stripMargin,
+    // q298: the q234 moment algebra per type with a per-type x origin;
+    // residuals are single pinned double expressions; both quadratic
+    // sums fold in x order (list_prepend 0.0 seed, the q138 fold rule),
+    "q298_durbin_watson" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, day),
+        |d0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY event_type),
+        |xy AS (SELECT daily.event_type, CAST(daily.day - d0.d0 AS BIGINT) AS x, y
+        |  FROM daily JOIN d0 USING (event_type)),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    sum(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+        |    sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+        |  FROM xy GROUP BY event_type),
+        |fit AS (SELECT event_type, n,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      AS slope,
+        |    (CAST(sy AS DOUBLE)
+        |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS icept
+        |  FROM s),
+        |r AS (SELECT xy.event_type, x, fit.n, fit.slope, fit.icept,
+        |    CAST(y AS DOUBLE) - (fit.icept + fit.slope * CAST(x AS DOUBLE)) AS e
+        |  FROM xy JOIN fit USING (event_type)),
+        |r2 AS (SELECT *, lag(e) OVER (PARTITION BY event_type ORDER BY x) AS ep FROM r),
+        |g AS (SELECT event_type,
+        |    max(n) AS n_days, max(slope) AS slope, max(icept) AS intercept,
+        |    list_reduce(list_prepend(0.0, list(e * e ORDER BY x)),
+        |      (a, b) -> a + b) AS sse,
+        |    list_reduce(list_prepend(0.0, list(
+        |        CASE WHEN ep IS NULL THEN 0.0 ELSE (e - ep) * (e - ep) END
+        |        ORDER BY x)), (a, b) -> a + b) AS ssd
+        |  FROM r2 GROUP BY event_type)
+        |SELECT event_type, n_days, slope, intercept, sse,
+        |  CASE WHEN sse = 0.0 THEN NULL ELSE ssd / sse END AS dw,
+        |  CASE WHEN sse = 0.0 THEN NULL
+        |    ELSE 1.0 - (ssd / sse) / 2.0 END AS rho_hat
+        |FROM g ORDER BY event_type""".stripMargin,
+    // q299: 48·trend numerator and ×48 detrended values exact BIGINTs;
+    // the only doubles are the terminal seasonal_raw divide and the
+    // 24-element hour-ordered centering fold,
+    "q299_seasonal_decomp" ->
+      """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS slot,
+        |    count(*) AS c
+        |  FROM events GROUP BY event_type, slot),
+        |sp AS (SELECT event_type, unnest(range(s0, s1 + 1)) AS slot
+        |  FROM (SELECT event_type, min(slot) AS s0, max(slot) AS s1
+        |        FROM h GROUP BY event_type) b),
+        |dense AS (SELECT sp.event_type, sp.slot, coalesce(h.c, 0) AS y
+        |  FROM sp LEFT JOIN h USING (event_type, slot)),
+        |t AS (SELECT event_type, slot, y,
+        |    lag(y, 12) OVER (PARTITION BY event_type ORDER BY slot)
+        |      + lead(y, 12) OVER (PARTITION BY event_type ORDER BY slot)
+        |      + 2 * sum(y) OVER (PARTITION BY event_type ORDER BY slot
+        |          ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING) AS t48
+        |  FROM dense),
+        |d AS (SELECT event_type, slot % 24 AS hour_of_day,
+        |    48 * y - t48 AS d48 FROM t WHERE t48 IS NOT NULL),
+        |bh AS (SELECT event_type, hour_of_day,
+        |    count(*) AS m_slots, CAST(sum(d48) AS BIGINT) AS sd48
+        |  FROM d GROUP BY event_type, hour_of_day),
+        |br AS (SELECT *, CAST(sd48 AS DOUBLE)
+        |    / CAST(48 * m_slots AS DOUBLE) AS seasonal_raw FROM bh),
+        |gr AS (SELECT event_type,
+        |    list_reduce(list_prepend(0.0, list(seasonal_raw ORDER BY hour_of_day)),
+        |      (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS gmean
+        |  FROM br GROUP BY event_type)
+        |SELECT br.event_type, hour_of_day, m_slots, seasonal_raw,
+        |  seasonal_raw - gmean AS seasonal_centered
+        |FROM br JOIN gr USING (event_type)
+        |ORDER BY event_type, hour_of_day""".stripMargin
   )
 }

@@ -539,7 +539,14 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     "q291_mde" -> ((s, d) => PipelineAudits.mdeAudit(s, d)),
     "q292_sprt_depth" -> ((s, d) => PipelineAudits.sprtDepth(s, d)),
     "q293_padding" -> ((s, d) => TextAnalysis.paddingWasteAudit(s, d)),
-    "q294_chi2_hours" -> ((s, d) => PipelineAudits.chi2Independence(s, d))
+    "q294_chi2_hours" -> ((s, d) => PipelineAudits.chi2Independence(s, d)),
+    // batch 14 (r16): survival inference + time-series diagnostics —
+    // the log-rank drill-in view over q138's KM construction, the
+    // Durbin–Watson residual-independence check on q234's trend fit,
+    // and classical 24-hour seasonal decomposition
+    "q297_log_rank" -> ((s, d) => EventOps.logRank(s, d)),
+    "q298_durbin_watson" -> ((s, d) => EventOps.durbinWatson(s, d)),
+    "q299_seasonal_decomp" -> ((s, d) => EventOps.seasonalDecomp(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

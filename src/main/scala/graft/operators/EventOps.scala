@@ -2239,7 +2239,7 @@ object EventOps {
       .orderBy("user_id")
   }
 
-  /** q295: two-sample log-rank test table over time-to-conversion —
+  /** q297: two-sample log-rank test table over time-to-conversion —
     * the inferential sibling of q138's Kaplan–Meier curve: users are
     * hash-split into two arms (the q274/q286 reproducible assignment,
     * `hv60('ab:' ∥ user_id) mod 2`) and at every conversion day the

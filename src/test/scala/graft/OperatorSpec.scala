@@ -3647,4 +3647,61 @@ class OperatorSpec extends SparkSuite {
     // every doc fits its cap: per-bucket token mass never exceeds padded mass
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
   }
+
+  test("q297 log-rank: risk sets deplete monotonically, e/v are hypergeometric-sane, z is finite") {
+    val rows = EventOps.logRank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nUsers = graft.Tables.events(spark, sf).select("user_id").distinct().count()
+    var prevR = Long.MaxValue
+    rows.foreach { r =>
+      val (rA, rB, dA, dB) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val rTot = rA + rB
+      assert(rTot <= nUsers, "risk set never exceeds the cohort")
+      assert(rTot < prevR || prevR == Long.MaxValue, "risk set strictly depletes across event days")
+      prevR = rTot
+      assert(dA <= rA && dB <= rB, "arm conversions bounded by arm risk set")
+      val eA = r.getDouble(5)
+      assert(eA >= 0.0 && eA <= (dA + dB).toDouble, "expected count within [0, d]")
+      assert(math.abs(r.getDouble(6) - (dA.toDouble - eA)) < 1e-12, "o_minus_e replays")
+      if (!r.isNullAt(7)) assert(r.getDouble(7) >= 0.0, "variance term non-negative")
+    }
+    // the analyst's statistic assembles finite from the drill-in view
+    val sumOE = rows.map(_.getDouble(6)).sum
+    val sumV = rows.filter(!_.isNullAt(7)).map(_.getDouble(7)).sum
+    assert(sumV > 0.0 && !(sumOE / math.sqrt(sumV)).isNaN, "log-rank z is finite")
+  }
+
+  test("q298 durbin-watson: dw in [0,4], rho replays from dw, day counts recount") {
+    val rows = EventOps.durbinWatson(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dayCounts = graft.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(to_date(col("ts"))).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == dayCounts(r.getString(0)), "n_days recounts per type")
+      assert(r.getDouble(4) >= 0.0, "sse non-negative")
+      if (!r.isNullAt(5)) {
+        val dw = r.getDouble(5)
+        assert(dw >= 0.0 && dw <= 4.0 + 1e-9, "DW statistic in [0, 4]")
+        assert(math.abs(r.getDouble(6) - (1.0 - dw / 2.0)) < 1e-12, "rho_hat = 1 - DW/2")
+      }
+    }
+  }
+
+  test("q299 seasonal decomposition: interior slots partition across hours; centered indices sum to zero") {
+    val rows = EventOps.seasonalDecomp(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      assert(rs.map(_.getLong(1)).toSet == (0L until 24L).toSet,
+        s"$tpe: all 24 hours of day present")
+      // the centered seasonal profile is mean-zero by construction
+      val centeredSum = rs.map(_.getDouble(4)).sum
+      assert(math.abs(centeredSum) < 1e-9, s"$tpe: centered indices sum to ~0 ($centeredSum)")
+      // D48 averaging: each hour's slot support is within 1 of the others
+      // (the dense spine drops exactly 12 slots at each edge)
+      val ms = rs.map(_.getLong(2))
+      assert(ms.max - ms.min <= 1, s"$tpe: balanced hour support")
+      rs.foreach(r => assert(!r.getDouble(3).isNaN && !r.getDouble(4).isNaN))
+    }
+  }
 }
