@@ -2361,6 +2361,42 @@ private[graft] trait OraclesC extends OracleHelpers {
         |  END AS chi2_term
         |FROM cells JOIN rt USING (event_type) JOIN ct USING (band), nt
         |ORDER BY event_type, band""".stripMargin,
+    // q295: the five BPE merge rounds unrolled as generated CTE stages
+    // (the q264 superstep pattern); the merge fold replays Spark's
+    // left-to-right non-overlapping semantics structurally (seeded
+    // list fold, NOT string replace); pair counts exact integers with
+    // a total (c desc, l, r) tiebreak on both engines,
+    "q295_bpe_merges" -> {
+      val roundCte = (k: Int) =>
+        s"""e$k AS (SELECT freq,
+           |    unnest([{'l': syms[i], 'r': syms[i+1]} FOR i IN range(1, len(syms))]) AS pp
+           |  FROM s${k - 1}),
+           |p$k AS (SELECT pp.l AS l, pp.r AS r, CAST(sum(freq) AS BIGINT) AS c
+           |  FROM e$k GROUP BY 1, 2),
+           |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           |s$k AS MATERIALIZED (SELECT freq,
+           |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+           |      (acc, e) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.l AND e[1] = m.r
+           |        THEN acc[1:len(acc)-1] || [m.l || m.r]
+           |        ELSE acc || e END) AS syms
+           |  FROM s${k - 1}, m$k AS m),
+           |n$k AS (SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS n_after FROM s$k)""".stripMargin
+      val rounds = (1 to 5).map(roundCte).mkString(",\n")
+      val selects = (1 to 5).map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS merge_round, m.l AS pair_left,
+           |  m.r AS pair_right, m.l || m.r AS merged, m.c AS pair_count,
+           |  n.n_after AS n_symbols_after FROM m$k m, n$k n""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) z
+         |  WHERE word <> '' GROUP BY word),
+         |s0 AS MATERIALIZED (SELECT freq,
+         |    list_transform(range(1, length(word) + 1), i -> substring(word, i, 1)) AS syms
+         |  FROM w0),
+         |$rounds
+         |$selects
+         |ORDER BY merge_round""".stripMargin
+    },
     // q297: durations/risk sets exact integers (the q138 construction
     // + the q286 hv60 arm split); e_a and v are the identical pinned
     // double factorizations (divide-first, left-assoc) on both engines;

@@ -544,6 +544,9 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // the log-rank drill-in view over q138's KM construction, the
     // Durbin–Watson residual-independence check on q234's trend fit,
     // and classical 24-hour seasonal decomposition
+    // BPE tokenizer merge training: 5 greedy supersteps over the
+    // weighted word table, driver holds only the picked merges
+    "q295_bpe_merges" -> ((s, d) => Tokenizer.bpeMerges(s, d)),
     "q297_log_rank" -> ((s, d) => EventOps.logRank(s, d)),
     "q298_durbin_watson" -> ((s, d) => EventOps.durbinWatson(s, d)),
     "q299_seasonal_decomp" -> ((s, d) => EventOps.seasonalDecomp(s, d))

@@ -3648,6 +3648,57 @@ class OperatorSpec extends SparkSuite {
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
   }
 
+  test("q295 bpe: merge fold is the Sennrich greedy; rounds shrink the corpus; no window, no cartesian") {
+    import org.apache.spark.sql.{functions => F}
+    // the fold semantics on the canonical adjacent-overlap case:
+    // "aaaa" under (a,a) -> [aa, aa], NOT string-replace's [aa, a, a]
+    val folded = spark.range(1)
+      .select(Tokenizer.mergeFold(F.typedLit(Seq("a", "a", "a", "a")), "a", "a").as("m"))
+      .collect()(0).getSeq[String](0)
+    assert(folded == Seq("aa", "aa"), s"fold gave $folded")
+    // and the non-merging neighbor survives: "aba" under (a,b)
+    val folded2 = spark.range(1)
+      .select(Tokenizer.mergeFold(F.typedLit(Seq("a", "b", "a")), "a", "b").as("m"))
+      .collect()(0).getSeq[String](0)
+    assert(folded2 == Seq("ab", "a"), s"fold gave $folded2")
+    // plan pin on the per-round superstep: keyed aggregate only —
+    // no window at all (vocab-sized or otherwise), no cartesian
+    val roundPlan = Tokenizer.pairCounts(Tokenizer.initialSymbols(spark, sf))
+      .queryExecution.executedPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case _ => Seq(p)
+      }
+      self ++ p.children.flatMap(nodes) ++ p.subqueries.flatMap(nodes)
+    }
+    val all = nodes(roundPlan)
+    assert(!all.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "BPE superstep must not use a window")
+    assert(!all.exists(_.nodeName.contains("CartesianProduct")))
+    val rows = Tokenizer.bpeMerges(spark, sf).collect()
+    assert(rows.length == 5, "five merge rounds at fixture scale")
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4, 5))
+    // corpus symbol mass before any merge, recounted independently
+    val n0 = graft.Tables.documents(spark, sf)
+      .select(F.explode(F.split(F.col("text"), " ")).as("w"))
+      .filter(F.col("w") =!= "")
+      .agg(F.sum(F.length(F.col("w")))).collect()(0).getLong(0)
+    var prevN = n0
+    var prevC = Long.MaxValue
+    rows.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2), "merged = left + right")
+      val c = r.getLong(4); val nAfter = r.getLong(5)
+      assert(c <= prevC, "max pair count never increases across rounds")
+      val applied = prevN - nAfter
+      assert(applied >= 1 && applied <= c,
+        s"each round applies between 1 and pair_count merges ($applied vs $c)")
+      prevN = nAfter; prevC = c
+    }
+  }
+
   test("q297 log-rank: risk sets deplete monotonically, e/v are hypergeometric-sane, z is finite") {
     val rows = EventOps.logRank(spark, sf).collect()
     assert(rows.nonEmpty)
