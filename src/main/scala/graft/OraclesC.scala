@@ -2397,6 +2397,28 @@ private[graft] trait OraclesC extends OracleHelpers {
          |$selects
          |ORDER BY merge_round""".stripMargin
     },
+    // q296: anchors, diagonals and run breaks are all exact integers;
+    // the chain window replays gaps-and-islands per (da, db, diag);
+    // hv60 anchors hash identically on both engines,
+    "q296_exact_substr" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |gr AS (SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos,
+         |    unnest([array_to_string(w[i+1:i+5], ' ') FOR i IN range(0, len(w) - 4)]) AS gram
+         |  FROM w WHERE len(w) >= 5),
+         |g AS (SELECT doc_id, pos, ${hv60Sql("gram")} AS g FROM gr),
+         |an AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+         |    a.pos - b.pos AS diag
+         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (SELECT *, CASE WHEN lag(pa) OVER (PARTITION BY da, db, diag
+         |    ORDER BY pa) = pa - 1 THEN 0 ELSE 1 END AS brk FROM an),
+         |ri AS (SELECT *, sum(brk) OVER (PARTITION BY da, db, diag ORDER BY pa
+         |    ROWS UNBOUNDED PRECEDING) AS run FROM r)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(min(pa) AS INTEGER) AS pos_a, CAST(min(pb) AS INTEGER) AS pos_b,
+         |  CAST(count(*) + 4 AS BIGINT) AS match_len
+         |FROM ri GROUP BY da, db, diag, run
+         |HAVING count(*) + 4 >= 12
+         |ORDER BY doc_a, doc_b, pos_a, pos_b""".stripMargin,
     // q297: durations/risk sets exact integers (the q138 construction
     // + the q286 hv60 arm split); e_a and v are the identical pinned
     // double factorizations (divide-first, left-assoc) on both engines;

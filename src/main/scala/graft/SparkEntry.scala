@@ -547,6 +547,10 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // BPE tokenizer merge training: 5 greedy supersteps over the
     // weighted word table, driver holds only the picked merges
     "q295_bpe_merges" -> ((s, d) => Tokenizer.bpeMerges(s, d)),
+    // Lee et al. ExactSubstr twin: maximal contiguous shared spans
+    // >= 12 tokens via anchored k-mer chains (content equi-join,
+    // keyed diagonal window — never all-pairs)
+    "q296_exact_substr" -> ((s, d) => Dedup.exactSubstrSpans(s, d)),
     "q297_log_rank" -> ((s, d) => EventOps.logRank(s, d)),
     "q298_durbin_watson" -> ((s, d) => EventOps.durbinWatson(s, d)),
     "q299_seasonal_decomp" -> ((s, d) => EventOps.seasonalDecomp(s, d))

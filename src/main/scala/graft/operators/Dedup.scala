@@ -1386,4 +1386,71 @@ object Dedup {
       .filter(jac >= 0.8)
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
+
+  /** Positional k-grams keyed by their 60-bit content hash — one row
+    * per (doc, position), exposed unexecuted for the q296 plan pin.
+    */
+  def positionalGrams(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - k),
+          i => array_join(slice(col("w"), i + 1, lit(k)), " ")))
+          .as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        graft.operators.TextAnalysis.hv60(col("gram")).as("g"))
+
+  /** q296: exact-substring duplication via anchored k-mer chains — the
+    * second of Lee et al.'s two dedup modes ("Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022): where q275 profiles
+    * duplicated 5-grams as a bag, this finds the maximal CONTIGUOUS
+    * shared substrings of length ≥ `minLen` tokens across document
+    * pairs — the spans an ExactSubstr pass would cut.
+    *
+    * Anchored definition (exact, both engines): every position's
+    * k-gram hashes to a 60-bit anchor key; an equi-join on the key
+    * (doc_a < doc_b) yields anchor matches; matches on the same
+    * (doc_a, doc_b, pa−pb) diagonal at consecutive positions chain
+    * into runs (gaps-and-islands over a keyed window); a run of m
+    * anchors is a shared substring of m + k − 1 tokens.  Suffix-array
+    * ExactSubstr and this chain agree on every span ≥ k tokens, up to
+    * the documented 60-bit collision odds (hv60 rule; both engines
+    * hash identically, so the oracle matches regardless).
+    *
+    * 100 TB shape: the anchor join is an equi-join ON CONTENT — a
+    * pair appears only where the corpora actually share a k-gram, so
+    * the join's size is the duplication volume itself, never an
+    * all-pairs product; both sides shuffle-partition on the gram key,
+    * and Catalyst reuses the single exchange for the self-join (the
+    * SCALING.md exchange-reuse-over-pin rule).  The chain window is
+    * keyed by (doc_a, doc_b, diagonal) — per-pair-sized partitions,
+    * no global window.  Production lever for pathological hot grams
+    * (df ≫ corpus duplication): the q124 df-cap on the anchor index
+    * before the join, dropping only grams whose chains are already
+    * attested by rarer neighbors on the same diagonal.
+    */
+  def exactSubstrSpans(spark: SparkSession, dir: String,
+      k: Int = 5, minLen: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = positionalGrams(spark, dir, k)
+    val anchors = grams.toDF("da", "pa", "g")
+      .join(grams.toDF("db", "pb", "g"), Seq("g"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy("da", "db", "diag").orderBy(col("pa").asc)
+    val runs = anchors
+      .withColumn("brk",
+        when(lag(col("pa"), 1).over(w) === col("pa") - 1, 0).otherwise(1))
+      .withColumn("run", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy("da", "db", "diag", "run")
+      .agg(min(col("pa")).as("pos_a"), min(col("pb")).as("pos_b"),
+        (count(lit(1)) + lit(k - 1).cast("long")).as("match_len"))
+      .filter(col("match_len") >= minLen)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("pos_a"), col("pos_b"), col("match_len"))
+      .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+  }
 }

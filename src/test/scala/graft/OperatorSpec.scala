@@ -3699,6 +3699,63 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q296 exact-substring: every reported span's text matches verbatim and is maximal; keyed window; exchange reused") {
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val self = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: nodes(q.plan)
+        case _ => Seq(p)
+      }
+      self ++ p.children.flatMap(nodes) ++ p.subqueries.flatMap(nodes)
+    }
+    // the 100 TB shape: with the fixture-scale broadcast disabled, the
+    // anchor self-join is an SMJ whose second side is a ReusedExchange
+    // of the single gram-key shuffle (SCALING.md exchange-reuse rule)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val rows = try {
+      val df = Dedup.exactSubstrSpans(spark, sf)
+      val out = df.collect()
+      val all = nodes(df.queryExecution.executedPlan)
+      assert(!all.exists(_.nodeName.contains("CartesianProduct")),
+        "anchor join is a content equi-join, never all-pairs")
+      val ws = all.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+        "chain window keyed by (doc_a, doc_b, diag), never global")
+      assert(all.exists(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ReusedExchangeExec]),
+        "self-join reuses the gram-key exchange (SCALING.md pin rule)")
+      assert(all.count(_.isInstanceOf[
+          org.apache.spark.sql.execution.FileSourceScanExec]) == 1,
+        "the corpus is scanned once; the self-join shares the scan")
+      out
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert(rows.nonEmpty, "the fixture carries cross-doc duplicated substrings")
+    // ground truth: re-tokenize the implicated docs and replay every span
+    val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val toks = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id").isInCollection(ids))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { r =>
+      val (a, b, pa, pb, len) =
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4).toInt)
+      assert(len >= 12)
+      val (wa, wb) = (toks(a), toks(b))
+      assert(wa.slice(pa, pa + len) == wb.slice(pb, pb + len),
+        s"span ($a,$b,$pa,$pb,$len) must match verbatim")
+      // maximality: the span cannot extend one token on either side
+      val leftExt = pa > 0 && pb > 0 && wa(pa - 1) == wb(pb - 1)
+      val rightExt = pa + len < wa.length && pb + len < wb.length &&
+        wa(pa + len) == wb(pb + len)
+      assert(!leftExt, s"span ($a,$b,$pa,$pb) extends left")
+      assert(!rightExt, s"span ($a,$b,$pa,$pb) extends right")
+    }
+  }
+
   test("q297 log-rank: risk sets deplete monotonically, e/v are hypergeometric-sane, z is finite") {
     val rows = EventOps.logRank(spark, sf).collect()
     assert(rows.nonEmpty)
