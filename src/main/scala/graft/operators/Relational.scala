@@ -572,17 +572,22 @@ object Relational {
 
   /** revenueByBrand forced through the salted-join path (SkewJoin):
     * same result as the broadcast plan, but the fact side is spread
-    * over `salt` sub-keys per part — the shape that keeps reducers
-    * balanced when one hot key dominates and the dim is too large to
-    * broadcast.  Registered with the same oracle as q02: the salt must
-    * be invisible in the result.
+    * over the ADVISED salt per part — since round 16 the salt is no
+    * longer hard-coded: it rides a broadcast 1-row frame carrying
+    * q263's closed form computed over the fact's own l_partkey
+    * histogram (`SkewJoin.advisedSaltedJoin`), sized for a
+    * 4096-reducer shuffle (the 1000-executor scale this join is the
+    * fallback for; at fixture reducer counts a uniform TPC-H key
+    * needs no salt and the advisor would return the degenerate 1).
+    * Registered with the same oracle as q02: the salt must be
+    * invisible in the result.
     */
   def saltedRevenueByBrand(spark: SparkSession, dir: String): DataFrame = {
     val fact = Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
     val dim = Tables.part(spark, dir)
       .select(col("p_partkey").as("l_partkey"), col("p_brand"))
-    SkewJoin.saltedJoin(fact, dim, "l_partkey", salt = 8)
+    SkewJoin.advisedSaltedJoin(fact, dim, "l_partkey", parts = 4096)
       .groupBy("p_brand")
       .agg(
         sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"),

@@ -37,6 +37,45 @@ object SkewJoin {
     saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** q263's closed-form salt for an arbitrary keyed fact frame, as a
+    * 1-ROW FRAME (not a driver value): max(1, ⌈max_key_rows·parts /
+    * n_rows⌉) — how many reducers the heaviest key needs so its shard
+    * stays within the balanced per-reducer load of a `parts`-reducer
+    * shuffle.  Exact integer arithmetic throughout.
+    */
+  def advisedSalt(fact: DataFrame, key: String, parts: Int = 32): DataFrame =
+    fact.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"), max(col("c")).as("max_key_rows"))
+      .select(greatest(lit(1L),
+        expr(s"(max_key_rows * $parts + n_rows - 1) div n_rows"))
+        .as("__salt_n"))
+
+  /** saltedJoin with the salt DRIVEN BY THE DATA: the q263 closed form
+    * computed over the fact's own key histogram rides a broadcast
+    * 1-row frame into both sides — fact rows salt `pmod(hash, salt_n)`,
+    * the dim replicates `salt_n`×, and no driver-side collect ever
+    * happens (the r15 verdict's q263→q48 loop closure).  The advice
+    * aggregate is one extra partial+final pass over the fact — the
+    * price of AQE-less shuffle planning; at 100 TB the same number
+    * comes from table statistics or a sketch, amortized across every
+    * join on the key.  ReindexJobSpec pins the advised salt against a
+    * recounted closed form, the dim-side replication factor, and
+    * result equality with the unsalted plan.
+    */
+  def advisedSaltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                        parts: Int = 32): DataFrame = {
+    val advice = broadcast(advisedSalt(fact, key, parts))
+    val saltedFact = fact.crossJoin(advice)
+      .withColumn("__salt",
+        pmod(hash(fact.columns.map(col) :+ monotonically_increasing_id(): _*)
+          .cast("long"), col("__salt_n")))
+      .drop("__salt_n")
+    val saltedDim = dim.crossJoin(advice)
+      .withColumn("__salt", explode(sequence(lit(0L), col("__salt_n") - 1)))
+      .drop("__salt_n")
+    saltedFact.join(saltedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** q263: join-key skew audit + salt advisor — the measurement that
     * decides WHETHER `saltedJoin` (q48) is needed and what `salt` to
     * pass.  Per event_type over the events fact: row/key counts, the

@@ -176,6 +176,32 @@ class ReindexJobSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("advised salted join: salt comes from the q263 closed form, dim replicates salt-x, result unchanged") {
+    val fact = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
+    val dim = Tables.part(spark, sf).select("p_partkey", "p_brand")
+      .withColumnRenamed("p_partkey", "l_partkey")
+    val parts = 4096
+    // the advisor's 1-row frame vs the closed form recounted directly
+    val advised = SkewJoin.advisedSalt(fact, "l_partkey", parts)
+      .collect()(0).getLong(0)
+    val hist = fact.groupBy("l_partkey").count()
+      .agg(sum("count").as("n"), max("count").as("mx")).collect()(0)
+    val (n, mx) = (hist.getLong(0), hist.getLong(1))
+    val expected = math.max(1L, (mx * parts + n - 1) / n)
+    assert(advised == expected, s"advised $advised vs closed form $expected")
+    assert(advised > 1L, "at 4096 reducers the fixture's heaviest part key needs salting")
+    // the dim side replicates exactly salt_n times inside the join
+    val dimReplicated = dim.crossJoin(
+        org.apache.spark.sql.functions.broadcast(
+          SkewJoin.advisedSalt(fact, "l_partkey", parts)))
+      .withColumn("__salt", explode(sequence(lit(0L), col("__salt_n") - 1)))
+      .count()
+    assert(dimReplicated == dim.count() * advised, "dim replication factor = advised salt")
+    // and the salt stays invisible in the result
+    val plain = fact.join(dim, "l_partkey").count()
+    assert(SkewJoin.advisedSaltedJoin(fact, dim, "l_partkey", parts).count() == plain)
+  }
+
   test("SQL surface: graft_dot/graft_norm registered functions match the Column API") {
     graft.plans.RegisterFunctions(spark)
     Tables.embeddings(spark, sf).limit(50).createOrReplaceTempView("emb_sql")
