@@ -151,4 +151,155 @@ class StreamProgressSpec extends SparkSuite {
       s"one state row per user: state=${ops.head.numRowsTotal} users=$nUsers")
     assert(rows == nUsers, s"collapsed update-mode output is one row per user: $rows vs $nUsers")
   }
+
+  // ------------------------------------------------------ restart pins
+  // The happy-path pins above lock shapes within ONE query run; these
+  // two lock the exactly-once claim UNDER RESTART: the query is stopped
+  // between micro-batches and a fresh query object resumes from the
+  // same checkpoint.  The offset log must skip already-committed files,
+  // and recovered state (persistent fp store / state store) must make
+  // the resumed run complete to the same table the oracle certifies.
+
+  test("restart from checkpoint: ingest resumes exactly-once — offset log skips the done file, fp store drops the replayed span") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val docs = Tables.documents(spark, sf)
+      .select(format_string("%08d", col("doc_id")).as("id"),
+        col("doc_id").cast("string").as("txn_id"),
+        col("source").as("owner"), col("text").as("content"), col("doc_id"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut1 = (maxId + 1) * 3 / 5
+    val cut0 = cut1 / 2
+    val watch = Files.createTempDirectory("graft-restart-src")
+    val staged = Files.createTempDirectory("graft-restart-stage")
+    val storeDir = Files.createTempDirectory("graft-restart-store")
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt")
+    val out = Files.createTempDirectory("graft-restart-out")
+    val docSchema = StructType(Seq("id", "txn_id", "owner", "content")
+      .map(StructField(_, StringType)))
+    def drop(pred: org.apache.spark.sql.Column, name: String, t: Long): Unit = {
+      val part = s"$staged/$name"
+      docs.filter(pred).drop("doc_id").coalesce(1).write.parquet(part)
+      val dst = watch.resolve(s"$name.parquet")
+      Files.copy(graft.util.Fs.onlyPartFile(part), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    }
+    def run(): Seq[StreamingQueryProgress] = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val q = try {
+        spark.conf.set(key, "8")
+        graft.streaming.DocStream.dedupIngest(
+          spark.readStream.schema(docSchema)
+            .option("maxFilesPerTrigger", "1").parquet(watch.toString),
+          storeDir.toString,
+          new graft.sinks.NdjsonDirSink(out.toString, chunkSize = 100),
+          ckpt.toString)
+      } finally spark.conf.set(key, prev)
+      try { q.processAllAvailable(); q.recentProgress.toSeq } finally q.stop()
+    }
+    try {
+      val nA = docs.filter(col("doc_id") < cut1).count()
+      val nB = docs.filter(col("doc_id") >= cut0).count()
+      drop(col("doc_id") < cut1, "a", 1700000000000L)
+      val p1 = run()
+      assert(dataBatches(p1).map(_.numInputRows).sum == nA,
+        "phase 1 ingests exactly file a")
+      // stopped between micro-batches; the overlapping file arrives and
+      // a FRESH query resumes from the same checkpoint
+      drop(col("doc_id") >= cut0, "b", 1700000001000L)
+      val p2 = run()
+      assert(dataBatches(p2).map(_.numInputRows).sum == nB,
+        "the restarted query must read ONLY file b — file a is committed in the offset log")
+      // and the sink holds exactly the global min-id-per-fingerprint
+      // survivors: the [cut0, cut1) replay was dropped by the RECOVERED
+      // fp store, nothing was double-written, nothing was lost
+      val expect = docs
+        .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("content")))
+        .groupBy("fp").agg(min(col("id")).as("id"),
+          min_by(col("owner"), col("id")).as("owner"))
+        .groupBy("owner").agg(count(lit(1)).as("n"), sum(col("id").cast("long")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = spark.read.schema(docSchema).json(s"$out/batch=*")
+        .groupBy("owner").agg(count(lit(1)).as("n"), sum(col("id").cast("long")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, "resumed run must complete to the oracle's survivor table")
+    } finally Seq(watch, staged, storeDir, ckpt, out)
+      .foreach(graft.util.Fs.deleteRecursively)
+  }
+
+  test("restart from checkpoint: mapGroupsWithState state survives — resumed emissions carry pre-restart counts") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val cutUs = 1705708800000000L // the q239 mid-fixture split
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("us"),
+      floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("units"))
+    val watch = Files.createTempDirectory("graft-srestart-src")
+    val staged = Files.createTempDirectory("graft-srestart-stage")
+    val ckpt = Files.createTempDirectory("graft-srestart-ckpt")
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("us", LongType), StructField("units", LongType)))
+    def drop(pred: org.apache.spark.sql.Column, name: String, t: Long): Unit = {
+      val part = s"$staged/$name"
+      e.filter(pred).coalesce(1).write.parquet(part)
+      val dst = watch.resolve(s"$name.parquet")
+      Files.copy(graft.util.Fs.onlyPartFile(part), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    }
+    val emitted = scala.collection.concurrent.TrieMap[Long, (Long, Long)]()
+    def run(): Unit = {
+      import spark.implicits._
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+      val updated = stream.select(col("user_id").as[Long], col("units").as[Long])
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+            val (pn, pu) = state.getOption.getOrElse((0L, 0L))
+            val (n, u) = rows.foldLeft((pn, pu)) {
+              case ((c, t), (_, v)) => (c + 1L, t + v)
+            }
+            state.update((n, u))
+            (user, n, u)
+        }
+        .toDF("user_id", "n_events", "value_units")
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val q = try {
+        spark.conf.set(key, "8")
+        updated.writeStream.outputMode("update")
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            b.collect().foreach(r =>
+              emitted(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+            ()
+          }.start()
+      } finally spark.conf.set(key, prev)
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      drop(col("us") < cutUs, "a", 1700000000000L)
+      run()
+      emitted.clear() // keep only POST-restart emissions
+      drop(col("us") >= cutUs, "b", 1700000001000L)
+      run()
+      assert(emitted.nonEmpty, "the resumed run must process file b")
+      val full = e.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("units")).as("u"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val firstHalf = e.filter(col("us") < cutUs)
+        .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(emitted.keySet.exists(firstHalf),
+        "at least one resumed user must have pre-restart history, else the pin is vacuous")
+      // every post-restart emission equals the WHOLE-fixture total:
+      // possible only if batch-1 state was recovered (too small) and
+      // batch 1 was not replayed on top of it (too big)
+      emitted.foreach { case (u, nu) =>
+        assert(nu == full(u), s"user $u resumed state diverges: $nu vs ${full(u)}")
+      }
+    } finally Seq(watch, staged, ckpt).foreach(graft.util.Fs.deleteRecursively)
+  }
 }
