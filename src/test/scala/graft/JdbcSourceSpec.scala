@@ -78,4 +78,24 @@ class JdbcSourceSpec extends SparkSuite {
     db
     assert(source(conf()).healthCheck().isRight)
   }
+
+  test("plan pin: the resume predicate executes inside the JDBC scan, never as a Spark-side filter") {
+    db
+    val df = source(conf(_.copy(startId = "030"))).load(spark)
+    val plan = df.queryExecution.executedPlan
+    val flat = plan.collect { case n => n }
+    // O4's pushdown, locked the way PlanGuardSpec locks parquet scans:
+    // the whole plan is ONE JDBC row scan — no FilterExec may reappear
+    // (a Spark-side `id >= startId` would mean the database shipped
+    // every row and the resume filter ran client-side)
+    assert(!flat.exists(_.isInstanceOf[org.apache.spark.sql.execution.FilterExec]),
+      s"no Spark-side filter, got:\n$plan")
+    val scans = flat.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s }
+    assert(scans.length == 1, "exactly one JDBC scan")
+    // the predicate is spliced INTO the server-side subquery (deeper
+    // than PushedFilters — it is part of the dbtable text itself)
+    assert(plan.toString.contains("id >= '030'"),
+      s"resume predicate must live in the JDBC relation's query:\n$plan")
+  }
 }
