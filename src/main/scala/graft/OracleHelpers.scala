@@ -409,6 +409,38 @@ private[graft] trait OracleHelpers {
   }
 
 
+  // Shared BPE-training chain (q295/q300/q302): w0 word histogram, s0
+  // char symbols, and per-round (explode, pair-count, argmax, merged
+  // state, symbol total) CTE stages for rounds 1..5 — ONE definition
+  // so the three oracles cannot drift.  The merge fold replays
+  // Tokenizer.mergeFold's left-to-right non-overlapping semantics
+  // structurally (seeded list fold, NOT string replace); `word` rides
+  // through every state so appliers (q300) can join segmentations
+  // back to per-source occurrences.  Callers append final SELECTs.
+  protected val bpeChainCte: String = {
+    val roundCte = (k: Int) =>
+      s"""e$k AS (SELECT freq,
+         |    unnest([{'l': syms[i], 'r': syms[i+1]} FOR i IN range(1, len(syms))]) AS pp
+         |  FROM s${k - 1}),
+         |p$k AS (SELECT pp.l AS l, pp.r AS r, CAST(sum(freq) AS BIGINT) AS c
+         |  FROM e$k GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |s$k AS MATERIALIZED (SELECT word, freq,
+         |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
+         |      (acc, e) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.l AND e[1] = m.r
+         |        THEN acc[1:len(acc)-1] || [m.l || m.r]
+         |        ELSE acc || e END) AS syms
+         |  FROM s${k - 1}, m$k AS m),
+         |n$k AS (SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS n_after FROM s$k)""".stripMargin
+    s"""w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) z
+       |  WHERE word <> '' GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT word, freq,
+       |    list_transform(range(1, length(word) + 1), i -> substring(word, i, 1)) AS syms
+       |  FROM w0),
+       |${(1 to 5).map(roundCte).mkString(",\n")}""".stripMargin
+  }
+
   // q269/q270's shared oracle chain: deciles → buckets → interval
   // means → the minimax isotonic fit
   protected val isotonicCtes =

@@ -2367,36 +2367,88 @@ private[graft] trait OraclesC extends OracleHelpers {
     // list fold, NOT string replace); pair counts exact integers with
     // a total (c desc, l, r) tiebreak on both engines,
     "q295_bpe_merges" -> {
-      val roundCte = (k: Int) =>
-        s"""e$k AS (SELECT freq,
-           |    unnest([{'l': syms[i], 'r': syms[i+1]} FOR i IN range(1, len(syms))]) AS pp
-           |  FROM s${k - 1}),
-           |p$k AS (SELECT pp.l AS l, pp.r AS r, CAST(sum(freq) AS BIGINT) AS c
-           |  FROM e$k GROUP BY 1, 2),
-           |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-           |s$k AS MATERIALIZED (SELECT freq,
-           |    list_reduce(list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, s -> [s])),
-           |      (acc, e) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = m.l AND e[1] = m.r
-           |        THEN acc[1:len(acc)-1] || [m.l || m.r]
-           |        ELSE acc || e END) AS syms
-           |  FROM s${k - 1}, m$k AS m),
-           |n$k AS (SELECT CAST(sum(freq * len(syms)) AS BIGINT) AS n_after FROM s$k)""".stripMargin
-      val rounds = (1 to 5).map(roundCte).mkString(",\n")
       val selects = (1 to 5).map(k =>
         s"""SELECT CAST($k AS INTEGER) AS merge_round, m.l AS pair_left,
            |  m.r AS pair_right, m.l || m.r AS merged, m.c AS pair_count,
            |  n.n_after AS n_symbols_after FROM m$k m, n$k n""".stripMargin)
         .mkString("\n  UNION ALL\n  ")
-      s"""WITH w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) z
-         |  WHERE word <> '' GROUP BY word),
-         |s0 AS MATERIALIZED (SELECT freq,
-         |    list_transform(range(1, length(word) + 1), i -> substring(word, i, 1)) AS syms
-         |  FROM w0),
-         |$rounds
+      s"""WITH $bpeChainCte
          |$selects
          |ORDER BY merge_round""".stripMargin
     },
+    // q300: s5 of the shared chain IS the learned segmentation (merges
+    // applied in training order); joining it to the per-(source, word)
+    // histogram replays Spark's applyMerges projection; the two ratios
+    // are terminal divides of the aggregated BIGINTs,
+    "q300_bpe_apply" ->
+      s"""WITH $bpeChainCte,
+         |sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents) z
+         |  WHERE word <> '' GROUP BY source, word),
+         |ap AS (SELECT sw.source, sw.freq,
+         |    CAST(length(sw.word) AS BIGINT) AS n_chars,
+         |    CAST(len(s5.syms) AS BIGINT) AS n_syms
+         |  FROM sw JOIN s5 USING (word)),
+         |a AS (SELECT source,
+         |    CAST(sum(freq) AS BIGINT) AS n_words,
+         |    CAST(sum(freq * n_chars) AS BIGINT) AS n_chars,
+         |    CAST(sum(freq * n_syms) AS BIGINT) AS n_symbols
+         |  FROM ap GROUP BY source)
+         |SELECT source, n_words, n_chars, n_symbols,
+         |  CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+         |  CAST(n_chars AS DOUBLE) / CAST(n_symbols AS DOUBLE) AS compression
+         |FROM a ORDER BY source""".stripMargin,
+    // q301: replays the q296 span chain, explodes each span side into
+    // covered positions, distinct-counts per doc, and rolls up per
+    // source against the raw token counts; one terminal divide,
+    "q301_dup_coverage" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |gr AS (SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos,
+         |    unnest([array_to_string(w[i+1:i+5], ' ') FOR i IN range(0, len(w) - 4)]) AS gram
+         |  FROM w WHERE len(w) >= 5),
+         |g AS (SELECT doc_id, pos, ${hv60Sql("gram")} AS g FROM gr),
+         |an AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+         |    a.pos - b.pos AS diag
+         |  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (SELECT *, CASE WHEN lag(pa) OVER (PARTITION BY da, db, diag
+         |    ORDER BY pa) = pa - 1 THEN 0 ELSE 1 END AS brk FROM an),
+         |ri AS (SELECT *, sum(brk) OVER (PARTITION BY da, db, diag ORDER BY pa
+         |    ROWS UNBOUNDED PRECEDING) AS run FROM r),
+         |sp AS (SELECT da, db, min(pa) AS pos_a, min(pb) AS pos_b,
+         |    CAST(count(*) + 4 AS BIGINT) AS match_len
+         |  FROM ri GROUP BY da, db, diag, run
+         |  HAVING count(*) + 4 >= 12),
+         |cov AS (SELECT DISTINCT doc_id, tokpos FROM (
+         |    SELECT da AS doc_id, unnest(range(pos_a, pos_a + match_len)) AS tokpos FROM sp
+         |    UNION ALL
+         |    SELECT db, unnest(range(pos_b, pos_b + match_len)) FROM sp) u),
+         |cc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cov FROM cov GROUP BY doc_id),
+         |d AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(coalesce(cc.n_cov, 0)) AS BIGINT) AS n_covered
+         |  FROM d LEFT JOIN cc USING (doc_id) GROUP BY source)
+         |SELECT source, n_docs, n_tokens, n_covered,
+         |  CAST(n_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
+         |FROM a ORDER BY source""".stripMargin,
+    // q302: s5 again — symbol histogram of the applied corpus, top-20
+    // by (count desc, symbol asc), cumulative coverage over the
+    // rank-ordered bounded frame,
+    "q302_vocab_coverage" ->
+      s"""WITH $bpeChainCte,
+         |sc AS (SELECT symbol, CAST(sum(freq) AS BIGINT) AS n_occ FROM (
+         |    SELECT freq, unnest(syms) AS symbol FROM s5) z GROUP BY symbol),
+         |tot AS (SELECT CAST(sum(n_occ) AS BIGINT) AS n_total FROM sc),
+         |top AS (SELECT symbol, n_occ,
+         |    row_number() OVER (ORDER BY n_occ DESC, symbol ASC) AS rank
+         |  FROM sc QUALIFY rank <= 20)
+         |SELECT CAST(rank AS INTEGER) AS rank, symbol, n_occ,
+         |  CAST(sum(n_occ) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS cum_occ,
+         |  CAST(sum(n_occ) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         |    / CAST(n_total AS DOUBLE) AS cum_coverage
+         |FROM top, tot ORDER BY rank""".stripMargin,
     // q296: anchors, diagonals and run breaks are all exact integers;
     // the chain window replays gaps-and-islands per (da, db, diag);
     // hv60 anchors hash identically on both engines,

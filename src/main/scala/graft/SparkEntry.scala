@@ -553,7 +553,12 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     "q296_exact_substr" -> ((s, d) => Dedup.exactSubstrSpans(s, d)),
     "q297_log_rank" -> ((s, d) => EventOps.logRank(s, d)),
     "q298_durbin_watson" -> ((s, d) => EventOps.durbinWatson(s, d)),
-    "q299_seasonal_decomp" -> ((s, d) => EventOps.seasonalDecomp(s, d))
+    "q299_seasonal_decomp" -> ((s, d) => EventOps.seasonalDecomp(s, d)),
+    // batch 15 (r16): the tokenizer's APPLY half + the ExactSubstr
+    // headline rollup + the learned vocabulary's coverage curve
+    "q300_bpe_apply" -> ((s, d) => Tokenizer.bpeApply(s, d)),
+    "q301_dup_coverage" -> ((s, d) => Dedup.dupCoverage(s, d)),
+    "q302_vocab_coverage" -> ((s, d) => Tokenizer.vocabCoverage(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1391,7 +1391,13 @@ object Dedup {
     * per (doc, position), exposed unexecuted for the q296 plan pin.
     */
   def positionalGrams(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    Tables.documents(spark, dir)
+    positionalGramsFrom(Tables.documents(spark, dir), k)
+
+  /** Same over an arbitrary (doc_id, text) frame — the entry the
+    * crafted-corpus property spec drives.
+    */
+  def positionalGramsFrom(docs: DataFrame, k: Int): DataFrame =
+    docs
       .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"),
@@ -1431,9 +1437,16 @@ object Dedup {
     * attested by rarer neighbors on the same diagonal.
     */
   def exactSubstrSpans(spark: SparkSession, dir: String,
-      k: Int = 5, minLen: Int = 12): DataFrame = {
+      k: Int = 5, minLen: Int = 12): DataFrame =
+    exactSubstrSpansFrom(
+      positionalGramsFrom(Tables.documents(spark, dir), k), k, minLen)
+
+  /** The chain over a pre-built anchor frame (positionalGramsFrom) —
+    * split out so the property spec can drive crafted corpora through
+    * the identical plan.
+    */
+  def exactSubstrSpansFrom(grams: DataFrame, k: Int, minLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = positionalGrams(spark, dir, k)
     val anchors = grams.toDF("da", "pa", "g")
       .join(grams.toDF("db", "pb", "g"), Seq("g"))
       .filter(col("da") < col("db"))
@@ -1452,5 +1465,43 @@ object Dedup {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         col("pos_a"), col("pos_b"), col("match_len"))
       .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
+  }
+
+  /** q301: duplication-coverage rollup over the q296 spans — Lee et
+    * al.'s headline ExactSubstr number: what FRACTION of each source's
+    * token positions sits inside some cross-document duplicated span
+    * ≥ minLen?  Each span covers positions [pos, pos+len) on BOTH of
+    * its documents; overlapping spans must not double-count, so the
+    * covered set is distinct (doc, position) pairs.
+    *
+    * 100 TB shape: the span table is duplication-volume-sized; the
+    * explode adds span-length rows per span side; the distinct and the
+    * doc-length join shuffle on doc_id — all downstream of q296's
+    * content equi-join, nothing all-pairs.  Exact integers + one
+    * terminal divide.
+    */
+  def dupCoverage(spark: SparkSession, dir: String,
+      k: Int = 5, minLen: Int = 12): DataFrame = {
+    val spans = exactSubstrSpans(spark, dir, k, minLen)
+    val side = (doc: String, pos: String) => spans.select(
+      col(doc).as("doc_id"),
+      explode(sequence(col(pos).cast("long"),
+        col(pos).cast("long") + col("match_len") - 1L)).as("tokpos"))
+    val covered = side("doc_a", "pos_a").union(side("doc_b", "pos_b"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_cov"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_cov")).as("n_covered"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_frac"))
+      .orderBy("source")
   }
 }

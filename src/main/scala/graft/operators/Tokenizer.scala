@@ -97,16 +97,15 @@ object Tokenizer {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, e)))
 
-  /** q295: the first `rounds` BPE merges with their pair counts and
-    * the post-merge corpus symbol total.  Output is assembled
-    * driver-side from the ≤`rounds` collected argmax rows (the q264
-    * bounded-greedy pattern); everything corpus/vocab-sized stays
-    * distributed.
+  /** The training loop shared by q295 (the merge table itself) and
+    * q300 (applying it): run `rounds` supersteps, returning the picked
+    * merges with their pair counts and post-merge symbol totals —
+    * the ONLY driver-held state.
     */
-  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
-    import spark.implicits._
+  def trainMerges(spark: SparkSession, dir: String, rounds: Int)
+      : Vector[(Int, String, String, Long, Long)] = {
     var syms = initialSymbols(spark, dir).localCheckpoint(false)
-    var picked = Vector.empty[(Int, String, String, String, Long, Long)]
+    var picked = Vector.empty[(Int, String, String, Long, Long)]
     var k = 1
     var exhausted = false
     while (k <= rounds && !exhausted) {
@@ -120,12 +119,103 @@ object Tokenizer {
           .localCheckpoint(false)
         val nAfter = syms.agg(sum(col("freq") * size(col("syms"))).as("n"))
           .collect()(0).getLong(0)
-        picked :+= ((k, l, r, l + r, c, nAfter))
+        picked :+= ((k, l, r, c, nAfter))
         k += 1
       }
     }
-    picked.toDF("merge_round", "pair_left", "pair_right", "merged",
-      "pair_count", "n_symbols_after")
+    picked
+  }
+
+  /** q295: the first `rounds` BPE merges with their pair counts and
+    * the post-merge corpus symbol total.  Output is assembled
+    * driver-side from the ≤`rounds` collected argmax rows (the q264
+    * bounded-greedy pattern); everything corpus/vocab-sized stays
+    * distributed.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    import spark.implicits._
+    trainMerges(spark, dir, rounds)
+      .map { case (k, l, r, c, n) => (k, l, r, l + r, c, n) }
+      .toDF("merge_round", "pair_left", "pair_right", "merged",
+        "pair_count", "n_symbols_after")
       .orderBy("merge_round")
+  }
+
+  /** Apply an ordered merge list to a symbol-array column — the ENCODE
+    * half of BPE: merges replay in learned priority order, each as the
+    * same left-to-right fold used in training.  Expression-only; the
+    * whole application is one projection, no shuffle.
+    */
+  def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (l, r)) => mergeFold(c, l, r) }
+
+  /** q300: tokenizer evaluation with the LEARNED merges — the apply
+    * half q221's fertility audit assumes: train the q295 merge table,
+    * segment every (source, word) occurrence with it, and report per
+    * source the corpus word/char/symbol mass, fertility (symbols per
+    * word) and compression (chars per symbol).  The interesting reading
+    * is cross-source: a source whose text matches the corpus-dominant
+    * patterns compresses harder under the shared merge table — the
+    * domain-mismatch signal tokenizer teams watch when adding a new
+    * source to the mix.
+    *
+    * 100 TB shape: training as q295; application is a pure projection
+    * over the (source, word) histogram (vocab-sized, distributed) —
+    * the corpus is never re-scanned at doc grain after the two keyed
+    * histograms.  Only exact integers cross engines; the two ratios
+    * are single terminal divides.
+    */
+  def bpeApply(spark: SparkSession, dir: String, rounds: Int = 5): DataFrame = {
+    val merges = trainMerges(spark, dir, rounds).map { case (_, l, r, _, _) => (l, r) }
+    val sw = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).as("freq"))
+      .select(col("source"), col("freq"), length(col("word")).cast("long").as("n_chars"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+    sw.select(col("source"), col("freq"), col("n_chars"),
+        size(applyMerges(col("syms"), merges)).cast("long").as("n_syms"))
+      .groupBy("source")
+      .agg(sum(col("freq")).as("n_words"),
+        sum(col("freq") * col("n_chars")).as("n_chars"),
+        sum(col("freq") * col("n_syms")).as("n_symbols"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_symbols"),
+        (col("n_symbols").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_symbols").cast("double"))
+          .as("compression"))
+      .orderBy("source")
+  }
+
+  /** q302: the learned vocabulary's coverage curve — explode the
+    * applied symbol stream (occurrence-weighted), rank symbols by
+    * corpus frequency (count desc, symbol asc — total order), and
+    * report the top `topN` with cumulative coverage of the symbol
+    * mass.  The head of this curve is where the q295 merges live: a
+    * merge only earns its vocab slot by absorbing mass from its
+    * parts.  The rank window runs over a bounded frame (top-N after a
+    * keyed aggregate), the q37 top-k discipline.
+    */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      rounds: Int = 5, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merges = trainMerges(spark, dir, rounds).map { case (_, l, r, _, _) => (l, r) }
+    val symCounts = initialSymbols(spark, dir)
+      .select(col("freq"), explode(applyMerges(col("syms"), merges)).as("symbol"))
+      .groupBy("symbol").agg(sum(col("freq")).as("n_occ"))
+    val total = symCounts.agg(sum(col("n_occ")).as("n_total"))
+    val top = symCounts
+      .orderBy(col("n_occ").desc, col("symbol").asc).limit(topN)
+    val w = Window.orderBy(col("n_occ").desc, col("symbol").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("symbol").asc)))
+      .withColumn("cum_occ", sum(col("n_occ")).over(w))
+      .select(col("rank"), col("symbol"), col("n_occ"), col("cum_occ"),
+        (col("cum_occ").cast("double") / col("n_total").cast("double"))
+          .as("cum_coverage"))
+      .orderBy("rank")
   }
 }

@@ -3756,6 +3756,74 @@ class OperatorSpec extends SparkSuite {
     }
   }
 
+  test("q300 bpe apply: segmentation reconstructs every word; symbol mass ties out with q295's final round") {
+    import org.apache.spark.sql.{functions => F}
+    val merges = Tokenizer.trainMerges(spark, sf, 5).map { case (_, l, r, _, _) => (l, r) }
+    // round-trip integrity over the whole vocabulary: joining the
+    // applied symbols back yields the original word, always
+    val vocab = Tables.documents(spark, sf)
+      .select(F.explode(F.split(F.col("text"), " ")).as("word"))
+      .filter(F.col("word") =!= "").distinct()
+      .select(F.col("word"), F.transform(F.sequence(F.lit(1), F.length(F.col("word"))),
+        i => F.col("word").substr(i, F.lit(1))).as("syms"))
+    val broken = vocab
+      .select(F.col("word"),
+        F.array_join(Tokenizer.applyMerges(F.col("syms"), merges), "").as("joined"))
+      .filter(F.col("word") =!= F.col("joined")).count()
+    assert(broken == 0L, "applying merges must never alter the underlying text")
+    val rows = Tokenizer.bpeApply(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, nc, ns) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ns <= nc, "merges only shrink the symbol stream")
+      assert(ns >= nw, "every word keeps at least one symbol")
+      assert(r.getDouble(4) == ns.toDouble / nw.toDouble)
+      assert(r.getDouble(5) == nc.toDouble / ns.toDouble)
+    }
+    // cross-query tie-out: per-source symbol mass sums to the corpus
+    // total q295 reports after its final merge round
+    val q295Final = Tokenizer.bpeMerges(spark, sf).collect().last.getLong(5)
+    assert(rows.map(_.getLong(3)).sum == q295Final,
+      "q300's per-source symbol mass must sum to q295's n_symbols_after")
+  }
+
+  test("q301 dup coverage: per-doc covered positions replay from the q296 spans; fractions bounded") {
+    import org.apache.spark.sql.{functions => F}
+    val spans = Dedup.exactSubstrSpans(spark, sf).collect()
+    val expected = spans.flatMap { r =>
+      val len = r.getLong(4).toInt
+      (r.getInt(2) until r.getInt(2) + len).map((r.getLong(0), _)) ++
+        (r.getInt(3) until r.getInt(3) + len).map((r.getLong(1), _))
+    }.toSet
+    val rows = Dedup.dupCoverage(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum == expected.size.toLong,
+      "covered mass equals the distinct (doc, position) union of the span table")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "sources partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "covered positions bounded by token count")
+      val f = r.getDouble(4)
+      assert(f >= 0.0 && f < 1.0)
+      assert(f == r.getLong(3).toDouble / r.getLong(2).toDouble)
+    }
+  }
+
+  test("q302 vocab coverage: ranked head is consistent and a learned merge earns a top slot") {
+    val rows = Tokenizer.vocabCoverage(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 20))
+    var cum = 0L
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      assert(r.getLong(2) <= prev, "head ordered by frequency"); prev = r.getLong(2)
+      cum += r.getLong(2)
+      assert(r.getLong(3) == cum, "cum_occ is the running sum")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) < 1.0)
+    }
+    assert(rows.exists(_.getString(1).length > 1),
+      "at least one multi-char (merged) symbol must reach the top 20")
+  }
+
   test("q297 log-rank: risk sets deplete monotonically, e/v are hypergeometric-sane, z is finite") {
     val rows = EventOps.logRank(spark, sf).collect()
     assert(rows.nonEmpty)
