@@ -2432,6 +2432,84 @@ private[graft] trait OraclesC extends OracleHelpers {
          |SELECT source, n_docs, n_tokens, n_covered,
          |  CAST(n_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
          |FROM a ORDER BY source""".stripMargin,
+    // q303: the q279 grid with gap weights — every term an exact
+    // integer product |cum_s·n_r − cum_r·n_s|·gap summed order-free,
+    // one terminal divide,
+    "q303_w1_drift" ->
+      """WITH c AS (SELECT source, n_chars, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |sup AS (SELECT DISTINCT n_chars FROM c),
+        |gaps AS (SELECT n_chars,
+        |    CAST(coalesce(lead(n_chars) OVER (ORDER BY n_chars) - n_chars, 0)
+        |      AS BIGINT) AS gap FROM sup),
+        |t AS (SELECT source, sum(c) AS n_s FROM c GROUP BY source),
+        |n AS (SELECT sum(c) AS nn FROM c),
+        |grid AS (SELECT s.n_chars, t.source, t.n_s, coalesce(x.c, 0) AS c
+        |  FROM sup s CROSS JOIN t
+        |  LEFT JOIN c x ON x.source = t.source AND x.n_chars = s.n_chars),
+        |cs AS (SELECT source, n_s, n_chars,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s FROM grid),
+        |g AS (SELECT n_chars, sum(c) AS cg FROM c GROUP BY n_chars),
+        |cg AS (SELECT n_chars, sum(cg) OVER (ORDER BY n_chars) AS cum_g FROM g)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_source,
+        |  CAST(nn - n_s AS BIGINT) AS n_rest,
+        |  CAST(sum(abs(cum_s * (nn - n_s) - (cum_g - cum_s) * n_s) * gap)
+        |    AS BIGINT) AS w1_num,
+        |  CASE WHEN nn - n_s = 0 THEN NULL
+        |    ELSE CAST(sum(abs(cum_s * (nn - n_s) - (cum_g - cum_s) * n_s) * gap)
+        |        AS DOUBLE)
+        |      / CAST(n_s * (nn - n_s) AS DOUBLE) END AS w1_chars
+        |FROM cs JOIN cg USING (n_chars) JOIN gaps USING (n_chars) CROSS JOIN n
+        |GROUP BY source, n_s, nn ORDER BY source""".stripMargin,
+    // q304: candidates from the shared minhash banding CTE, truth from
+    // the shared shingle CTE's exact >=0.8 Jaccard pairs; every count
+    // exact, three guarded divides,
+    "q304_blocking_audit" ->
+      s"""WITH $minhashPairsCte,
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT doc_a, doc_b FROM iv
+         |  JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM mh_pairs),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |nx AS (SELECT CAST(count(*) AS BIGINT) AS n_caught FROM truth t
+         |  WHERE EXISTS (SELECT 1 FROM mh_pairs p
+         |    WHERE p.doc_a = t.doc_a AND p.doc_b = t.doc_b))
+         |SELECT n_docs, CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS n_possible,
+         |  n_candidates, n_truth, n_caught,
+         |  1.0 - CAST(n_candidates AS DOUBLE)
+         |    / CAST(n_docs * (n_docs - 1) / 2 AS DOUBLE) AS reduction_ratio,
+         |  CASE WHEN n_truth = 0 THEN NULL
+         |    ELSE CAST(n_caught AS DOUBLE) / CAST(n_truth AS DOUBLE)
+         |  END AS pairs_completeness,
+         |  CASE WHEN n_candidates = 0 THEN NULL
+         |    ELSE CAST(n_caught AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+         |  END AS pair_quality
+         |FROM nd, nc, nt, nx""".stripMargin,
+    // q305: the q20 fingerprint + min-id survivor rule per source;
+    // exact integers, one terminal divide,
+    "q305_dedup_impact" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |  FROM documents),
+        |sv AS (SELECT fp, min(doc_id) AS doc_id FROM d GROUP BY fp),
+        |k AS (SELECT d.*, CASE WHEN sv.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+        |  FROM d LEFT JOIN sv ON sv.doc_id = d.doc_id AND sv.fp = d.fp)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - sum(kept) AS BIGINT) AS n_dropped,
+        |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+        |  CAST(sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(n_tok) - sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS tokens_dropped,
+        |  CAST(sum(n_tok) - sum(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(n_tok) AS DOUBLE) AS drop_frac
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     // q302: s5 again — symbol histogram of the applied corpus, top-20
     // by (count desc, symbol asc), cumulative coverage over the
     // rank-ordered bounded frame,

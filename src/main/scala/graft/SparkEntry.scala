@@ -558,7 +558,13 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // headline rollup + the learned vocabulary's coverage curve
     "q300_bpe_apply" -> ((s, d) => Tokenizer.bpeApply(s, d)),
     "q301_dup_coverage" -> ((s, d) => Dedup.dupCoverage(s, d)),
-    "q302_vocab_coverage" -> ((s, d) => Tokenizer.vocabCoverage(s, d))
+    "q302_vocab_coverage" -> ((s, d) => Tokenizer.vocabCoverage(s, d)),
+    // batch 16 (r16): exact W1 drift (the integral twin of q279's KS),
+    // record-linkage blocking-quality audit of the LSH banding, and
+    // the dedup impact report every production run ships
+    "q303_w1_drift" -> ((s, d) => PipelineAudits.w1Drift(s, d)),
+    "q304_blocking_audit" -> ((s, d) => Dedup.blockingAudit(s, d)),
+    "q305_dedup_impact" -> ((s, d) => Dedup.dedupImpact(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

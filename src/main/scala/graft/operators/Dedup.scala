@@ -1387,6 +1387,89 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), jac.as("jaccard"))
   }
 
+  /** q304: blocking-quality audit of the MinHash-LSH banding — the
+    * record-linkage evaluation (Christen, "Data Matching", 2012) of
+    * q21's candidate generation against q22/q247's exact ≥0.8 truth:
+    *
+    *  - reduction ratio  = 1 − |candidates| / C(N,2)   (work avoided)
+    *  - pairs completeness = |candidates ∩ truth| / |truth|  (recall)
+    *  - pair quality      = |candidates ∩ truth| / |candidates|
+    *
+    * This is the measured go/no-go for the banding parameters: a
+    * production run tunes (bands, rows) until completeness holds at
+    * the smallest candidate volume — exactly the number this row
+    * states.  One audit row; every count exact.
+    *
+    * 100 TB shape: the candidate and truth sets are both sub-quadratic
+    * by construction (banded equi-join; prefix-filtered join); the
+    * semi-join intersection shuffles on the pair key; C(N,2) is
+    * closed-form off a 1-row count.  The audit costs one run of each
+    * pipeline — production samples blocks instead of running truth on
+    * the full corpus (documented); the MACHINERY is identical.
+    */
+  def blockingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cand = graft.util.Pins.eager(minhashLsh(spark, dir))
+    val truth = graft.util.Pins.eager(
+      prefixJaccard(spark, dir).select("doc_a", "doc_b"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nCaught = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+    nDocs.crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nTruth))
+      .crossJoin(broadcast(nCaught))
+      .select(col("n_docs"),
+        expr("(n_docs * (n_docs - 1)) div 2").as("n_possible"),
+        col("n_candidates"), col("n_truth"), col("n_caught"),
+        (lit(1.0) - col("n_candidates").cast("double")
+          / expr("(n_docs * (n_docs - 1)) div 2").cast("double"))
+          .as("reduction_ratio"),
+        when(col("n_truth") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_caught").cast("double") / col("n_truth").cast("double"))
+          .as("pairs_completeness"),
+        when(col("n_candidates") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_caught").cast("double")
+            / col("n_candidates").cast("double"))
+          .as("pair_quality"))
+  }
+
+  /** q305: dedup impact accounting — the report every production
+    * dedup run ships before anyone deletes anything: under exact
+    * fingerprint dedup (q20's sorted-distinct-token fingerprint,
+    * survivor = min doc_id per fingerprint, the q230 rule), what does
+    * each source lose?  Docs kept/dropped and token mass kept/dropped,
+    * with the dropped-token fraction — the number that decides whether
+    * a source's apparent volume is real or duplicated.
+    *
+    * 100 TB shape: fingerprint is a per-row expression; survivor
+    * selection is one keyed min; the kept flag is an equi-join of the
+    * doc id against the survivor set (broadcast-or-shuffle by size);
+    * the rollup is one keyed aggregate.  Exact integers + one divide.
+    */
+  def dedupImpact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+    val survivors = docs.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1).as("kept"))
+    docs.join(survivors, Seq("doc_id"), "left")
+      .na.fill(0, Seq("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        sum(col("n_tok")).as("tokens_total"),
+        sum(when(col("kept") === 1, col("n_tok")).otherwise(0L)).as("tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("tokens_total"), col("tokens_kept"),
+        (col("tokens_total") - col("tokens_kept")).as("tokens_dropped"),
+        ((col("tokens_total") - col("tokens_kept")).cast("double")
+          / col("tokens_total").cast("double")).as("drop_frac"))
+      .orderBy("source")
+  }
+
   /** Positional k-grams keyed by their 60-bit content hash — one row
     * per (doc, position), exposed unexecuted for the q296 plan pin.
     */

@@ -346,6 +346,64 @@ object PipelineAudits {
       .orderBy("source")
   }
 
+  /** q303: exact 1-D Wasserstein-1 (earth-mover) drift per source vs
+    * the rest of the corpus, over the document-length distribution —
+    * the INTEGRAL twin of q279's KS: where KS takes the max CDF gap,
+    * W1 integrates it, so a source that is slightly off EVERYWHERE
+    * scores high on W1 and low on KS (and a source with one sharp
+    * local spike does the opposite).  Drift monitors run both.
+    *
+    * On an integer support the integral is a finite sum: between
+    * consecutive support values the empirical CDFs are constant, so
+    *   W1 = Σ_i |F_s(v_i) − F_r(v_i)| · (v_{i+1} − v_i)
+    *      = Σ_i |cum_s·n_r − cum_r·n_s| · gap_i / (n_s·n_r)
+    * — every term an exact BIGINT product (the q279 rule), one
+    * terminal divide.  Products stay under 2⁶³ to ~10⁸ docs × 10³
+    * char gaps; beyond that quantize the support (documented, the
+    * q279 caveat).
+    *
+    * 100 TB shape: identical to q279 — corpus collapses to
+    * (source, length) counts first; the support grid is
+    * domain-bounded; the single-partition window runs over ≤|support|
+    * global-count rows (the documented bounded-frame exception).
+    */
+  def w1Drift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Pins.eager(
+      Tables.documents(spark, dir)
+        .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))
+    val totals = counts.groupBy("source").agg(sum(col("c")).as("n_s"))
+    val grand = counts.agg(sum(col("c")).as("nn"))
+    val gaps = counts.select("n_chars").distinct()
+      .withColumn("gap",
+        coalesce(lead(col("n_chars"), 1).over(
+          Window.partitionBy(lit(1)).orderBy(col("n_chars").asc))
+          - col("n_chars"), lit(0L)).cast("long"))
+    val grid = gaps.select("n_chars").crossJoin(broadcast(totals.select("source")))
+      .join(counts, Seq("source", "n_chars"), "left")
+      .na.fill(0L, Seq("c"))
+    val cumS = grid.withColumn("cum_s",
+      sum(col("c")).over(Window.partitionBy("source")
+        .orderBy(col("n_chars").asc)))
+    val cumG = counts.groupBy("n_chars").agg(sum(col("c")).as("cg"))
+      .withColumn("cum_g",
+        sum(col("cg")).over(Window.partitionBy(lit(1)).orderBy(col("n_chars").asc)))
+      .select("n_chars", "cum_g")
+    cumS.join(broadcast(cumG), Seq("n_chars"))
+      .join(broadcast(gaps), Seq("n_chars"))
+      .join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .groupBy("source", "n_s", "nn")
+      .agg(sum(abs(col("cum_s") * (col("nn") - col("n_s"))
+        - (col("cum_g") - col("cum_s")) * col("n_s")) * col("gap")).as("w1_num"))
+      .select(col("source"), col("n_s").as("n_source"),
+        (col("nn") - col("n_s")).as("n_rest"), col("w1_num"),
+        when(col("nn") - col("n_s") === 0L, lit(null).cast("double"))
+          .otherwise(col("w1_num").cast("double")
+            / (col("n_s") * (col("nn") - col("n_s"))).cast("double"))
+          .as("w1_chars"))
+      .orderBy("source")
+  }
+
   /** q280: k-anonymity audit over the quasi-identifier
     * (source, lang, 100-char length band) — the re-identification
     * risk profile a release gate needs: for each k in {2, 5, 10, 20},

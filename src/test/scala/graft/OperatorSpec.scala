@@ -3824,6 +3824,48 @@ class OperatorSpec extends SparkSuite {
       "at least one multi-char (merged) symbol must reach the top 20")
   }
 
+  test("q304 blocking audit: counts replay from the q21/q247 pipelines; metrics bounded") {
+    val r = Dedup.blockingAudit(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(row.getLong(0) == nDocs)
+    assert(row.getLong(1) == nDocs * (nDocs - 1) / 2)
+    // recount all three pair sets directly
+    val cand = Dedup.minhashLsh(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val truth = Dedup.prefixJaccard(spark, sf).select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(row.getLong(2) == cand.size.toLong, "candidate count recounts")
+    assert(row.getLong(3) == truth.size.toLong, "truth count recounts")
+    assert(row.getLong(4) == (truth intersect cand).size.toLong, "caught = intersection")
+    assert(row.getLong(4) <= math.min(row.getLong(2), row.getLong(3)))
+    assert(row.getDouble(5) > 0.0 && row.getDouble(5) < 1.0,
+      "banding avoids most comparisons without avoiding all")
+    if (!row.isNullAt(6)) assert(row.getDouble(6) >= 0.0 && row.getDouble(6) <= 1.0)
+    if (!row.isNullAt(7)) assert(row.getDouble(7) >= 0.0 && row.getDouble(7) <= 1.0)
+  }
+
+  test("q305 dedup impact: survivors recount as distinct fingerprints; token accounting exact") {
+    val rows = Dedup.dedupImpact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum == docs.count(), "sources partition the corpus")
+    val nFps = docs.select(
+      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " "))))))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nFps,
+      "exactly one survivor per distinct fingerprint")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+      assert(r.getLong(6) == r.getLong(4) - r.getLong(5))
+      val f = r.getDouble(7)
+      assert(f >= 0.0 && f < 1.0)
+      assert(f == r.getLong(6).toDouble / r.getLong(4).toDouble)
+    }
+  }
+
   test("q297 log-rank: risk sets deplete monotonically, e/v are hypergeometric-sane, z is finite") {
     val rows = EventOps.logRank(spark, sf).collect()
     assert(rows.nonEmpty)

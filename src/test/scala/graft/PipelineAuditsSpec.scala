@@ -195,6 +195,35 @@ class PipelineAuditsSpec extends SparkSuite {
     assert(rows.head.getDouble(4) == best.toDouble / (nS * (n - nS)).toDouble)
   }
 
+  test("q303 w1 drift: exact numerator matches a driver-side gap-weighted replay; complements KS") {
+    val rows = PipelineAudits.w1Drift(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.length == docs.select("source").distinct().count())
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L)
+      assert(r.getDouble(4) >= 0.0)
+    }
+    // literal replay for one source: gap-weighted CDF-difference sum
+    val src = rows.head.getString(0)
+    val lens = docs.select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = lens.length.toLong
+    val nS = lens.count(_._1 == src).toLong
+    val support = lens.map(_._2).distinct.sorted
+    var (cumS, cumAll, num) = (0L, 0L, 0L)
+    for ((x, i) <- support.zipWithIndex) {
+      cumS += lens.count(p => p._1 == src && p._2 == x)
+      cumAll += lens.count(_._2 == x)
+      val gap = if (i + 1 < support.length) support(i + 1) - x else 0L
+      num += math.abs(cumS * (n - nS) - (cumAll - cumS) * nS) * gap
+    }
+    assert(rows.head.getLong(3) == num, s"replay $num vs ${rows.head.getLong(3)}")
+    assert(rows.head.getDouble(4) == num.toDouble / (nS * (n - nS)).toDouble)
+    // W1 is bounded by the support span (the CDF gap never exceeds 1)
+    val span = (support.last - support.head).toDouble
+    rows.foreach(r => assert(r.getDouble(4) <= span))
+  }
+
   // ---- k-anonymity ----
 
   test("q280 k-anonymity: monotone in k; k=5 tier matches a direct recount") {
