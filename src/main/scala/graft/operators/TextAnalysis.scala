@@ -2808,7 +2808,9 @@ object TextAnalysis {
     * structural, not two copies kept byte-identical by discipline.
     */
   private[operators] def hv60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.plans.Hv60(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
 
   /** Pinned per-source distinct 60-bit token-hash frame (source, hv)
     * — ONE definition shared by q241's KMV sketch and q262's pair
