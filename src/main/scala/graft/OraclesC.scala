@@ -2669,6 +2669,586 @@ private[graft] trait OraclesC extends OracleHelpers {
         |SELECT br.event_type, hour_of_day, m_slots, seasonal_raw,
         |  seasonal_raw - gmean AS seasonal_centered
         |FROM br JOIN gr USING (event_type)
-        |ORDER BY event_type, hour_of_day""".stripMargin
+        |ORDER BY event_type, hour_of_day""".stripMargin,
+    // q306: the q54/q73 trained-cell chain verbatim; each distance is
+    // the same pinned expression ((nx - (cd + cd)) + nc2) clamped at 0
+    // before the correctly-rounded sqrt; per-cell sums are q9-quantized
+    // exact integers, one terminal divide,
+    "q306_silhouette" ->
+      s"""WITH $ivfCellsSql,
+         |ncx AS (SELECT cid, c_emb,
+         |    ${dotSql("c_emb", "c_emb")} AS nc2 FROM c2),
+         |scd AS (SELECT g.vec_id, g.cid AS own_cid, x.cid, x.nc2,
+         |    ${dotSql("g.embedding", "x.c_emb")} AS cd,
+         |    ${dotSql("g.embedding", "g.embedding")} AS nx
+         |  FROM asg g CROSS JOIN ncx x),
+         |sc AS (SELECT vec_id, own_cid, cid,
+         |    sqrt(greatest(((nx - (cd + cd)) + nc2), 0.0)) AS dist FROM scd),
+         |pv AS (SELECT vec_id, own_cid,
+         |    max(CASE WHEN cid = own_cid THEN dist END) AS a,
+         |    min(CASE WHEN cid <> own_cid THEN dist END) AS b
+         |  FROM sc GROUP BY vec_id, own_cid),
+         |sv AS (SELECT own_cid AS cid,
+         |    CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+         |         ELSE (b - a) / greatest(a, b) END AS s FROM pv),
+         |q AS (SELECT cid, CAST(floor(s * 1.0e9 + 0.5) AS BIGINT) AS qs FROM sv)
+         |SELECT cid, count(*) AS n_vecs,
+         |  CAST(sum(qs) AS BIGINT) AS sil_sum_q9,
+         |  CAST(sum(CASE WHEN qs < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+         |  CAST(sum(qs) AS DOUBLE)
+         |    / CAST(count(*) * 1000000000 AS DOUBLE) AS mean_sil
+         |FROM q GROUP BY cid ORDER BY cid""".stripMargin,
+    // q307: three unrolled Kleinberg iterations; every neighbor sum
+    // folds in neighbor-id order (0.0 seed), every normalization is
+    // one max + one divide — identical literal arithmetic both sides,
+    "q307_hits" -> {
+      val iter = (i: Int) => {
+        val hPrev = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a${i}r AS (SELECT supp, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(h ORDER BY cust)), (x, y) -> x + y) AS a
+           |  FROM e JOIN $hPrev USING (cust) GROUP BY supp),
+           |a$i AS (SELECT supp, a / (SELECT max(a) FROM a${i}r) AS a FROM a${i}r),
+           |h${i}r AS (SELECT cust, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(a ORDER BY supp)), (x, y) -> x + y) AS h
+           |  FROM e JOIN a$i USING (supp) GROUP BY cust),
+           |h$i AS (SELECT cust, h / (SELECT max(h) FROM h${i}r) AS h FROM h${i}r)""".stripMargin
+      }
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS (SELECT DISTINCT cust, CAST(1.0 AS DOUBLE) AS h FROM e),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)},
+         |deg AS (SELECT supp, count(*) AS n_customers FROM e GROUP BY supp)
+         |SELECT CAST(rank AS INTEGER) AS rank, supp AS s_suppkey, n_customers,
+         |  a AS authority
+         |FROM (SELECT supp, a,
+         |        row_number() OVER (ORDER BY a DESC, supp ASC) AS rank
+         |      FROM a3) z
+         |JOIN deg USING (supp) WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
+    // q308: agreement counts and pair counts exact BIGINTs; each
+    // pattern's likelihood ratio is the same left-associated product
+    // of three single-divide factors on both engines,
+    "q308_linkage_patterns" -> {
+      def f(g: String, na: String) =
+        s"""CASE WHEN $g = 1 THEN 0.95 / (CAST($na AS DOUBLE) / CAST(np AS DOUBLE))
+           |       ELSE 0.05 / (1.0 - CAST($na AS DOUBLE) / CAST(np AS DOUBLE)) END""".stripMargin
+      s"""WITH c AS (SELECT c_custkey AS k, c_nationkey AS nat,
+         |    c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+         |p AS (SELECT
+         |    CASE WHEN a.seg = b.seg THEN CAST(1 AS BIGINT) ELSE 0 END AS g_seg,
+         |    CASE WHEN (a.bal < 0.0) = (b.bal < 0.0) THEN CAST(1 AS BIGINT)
+         |         ELSE 0 END AS g_sign,
+         |    CASE WHEN floor(a.bal / 1000.0) = floor(b.bal / 1000.0)
+         |         THEN CAST(1 AS BIGINT) ELSE 0 END AS g_kbal
+         |  FROM c a JOIN c b ON a.nat = b.nat AND a.k < b.k),
+         |u AS (SELECT count(*) AS np, CAST(sum(g_seg) AS BIGINT) AS n_seg,
+         |    CAST(sum(g_sign) AS BIGINT) AS n_sign,
+         |    CAST(sum(g_kbal) AS BIGINT) AS n_kbal FROM p)
+         |SELECT g_seg, g_sign, g_kbal, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  (${f("g_seg", "n_seg")}
+         |   * ${f("g_sign", "n_sign")})
+         |   * ${f("g_kbal", "n_kbal")} AS lr
+         |FROM p CROSS JOIN u
+         |GROUP BY g_seg, g_sign, g_kbal, np, n_seg, n_sign, n_kbal
+         |ORDER BY g_seg, g_sign, g_kbal""".stripMargin
+    },
+    // q309: the ENTIRE AMS sketch is exact integer algebra over the
+    // shared 60-bit hash, so the oracle replays every counter
+    // bit-for-bit — est and flag are genuinely cross-checked,
+    "q309_ams_f2" -> {
+      val xs = (0 until 16).map(j =>
+        s"CAST(sum((1 - 2 * ((hv >> $j) & 1)) * c) AS BIGINT) AS x$j")
+        .mkString(",\n  ")
+      val sq = (0 until 16).map(j => s"CAST(x$j AS HUGEINT) * x$j")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM t
+         |  WHERE token <> '' GROUP BY token),
+         |hh AS (SELECT c, ${hv60Sql("'ams:' || token")} AS hv FROM cnt),
+         |x AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(c * c) AS BIGINT) AS f2_true,
+         |  $xs
+         |  FROM hh),
+         |sq AS (SELECT n_tokens, n_distinct, f2_true,
+         |    CAST($sq AS BIGINT) AS est_sum FROM x)
+         |SELECT n_tokens, n_distinct, f2_true, est_sum,
+         |  CAST(est_sum AS DOUBLE) / 16.0 AS est_f2,
+         |  CASE WHEN abs(est_sum - 16 * f2_true) <= 16 * f2_true
+         |       THEN 1 ELSE 0 END AS within_bound
+         |FROM sq""".stripMargin
+    },
+    // q310: member distances are the q306 pinned expression; sigma is
+    // q9-quantized exact sums with one divide; the k x k ratio matrix
+    // is pinned double algebra and the argmax peer breaks double-ties
+    // to the lowest cid on both engines,
+    "q310_davies_bouldin" ->
+      s"""WITH $ivfCellsSql,
+         |ncx AS (SELECT cid, c_emb,
+         |    ${dotSql("c_emb", "c_emb")} AS nc2 FROM c2),
+         |scd AS (SELECT g.vec_id, g.cid, x.cid AS ocid, x.nc2,
+         |    ${dotSql("g.embedding", "x.c_emb")} AS cd,
+         |    ${dotSql("g.embedding", "g.embedding")} AS nx
+         |  FROM asg g CROSS JOIN ncx x),
+         |od AS (SELECT cid,
+         |    sqrt(greatest(((nx - (cd + cd)) + nc2), 0.0)) AS dist
+         |  FROM scd WHERE ocid = cid),
+         |qd AS (SELECT cid, CAST(floor(dist * 1.0e9 + 0.5) AS BIGINT) AS q FROM od),
+         |sg AS (SELECT cid, count(*) AS n_vecs, CAST(sum(q) AS BIGINT) AS dq
+         |  FROM qd GROUP BY cid),
+         |sig AS (SELECT cid, n_vecs,
+         |    CAST(dq AS DOUBLE) / CAST(n_vecs * 1000000000 AS DOUBLE) AS sigma
+         |  FROM sg),
+         |cn AS (SELECT n.cid, n.c_emb, n.nc2, s.n_vecs, s.sigma
+         |  FROM ncx n JOIN sig s USING (cid)),
+         |pr AS (SELECT i.cid, i.n_vecs, i.sigma, j.cid AS peer,
+         |    (i.sigma + j.sigma) / sqrt(greatest(((i.nc2
+         |      - (${dotSql("i.c_emb", "j.c_emb")}
+         |         + ${dotSql("i.c_emb", "j.c_emb")})) + j.nc2), 0.0)) AS r
+         |  FROM cn i JOIN cn j ON i.cid <> j.cid),
+         |mx AS (SELECT cid, n_vecs, sigma, peer, r,
+         |    row_number() OVER (PARTITION BY cid ORDER BY r DESC, peer ASC) AS rk
+         |  FROM pr)
+         |SELECT cid, n_vecs, sigma, peer AS worst_peer, r AS r_max
+         |FROM mx WHERE rk = 1 ORDER BY cid""".stripMargin,
+    // q311: per-cell n / sums / squared sums exact (HUGEINT squares);
+    // means, variances, DiD, the Welch SE and t are each the same
+    // pinned double chain on both engines; the calendar split is
+    // exact epoch-day integer arithmetic,
+    "q311_diff_in_diff" -> {
+      def m(c: String) =
+        s"(CAST(s_$c AS DOUBLE) / CAST(n_$c AS DOUBLE)) / 1.0e6"
+      def vr(c: String) =
+        s"""CAST(CAST(n_$c AS HUGEINT) * ss_$c - s_$c * s_$c AS DOUBLE)
+           |    / CAST(n_$c * (n_$c - 1) AS DOUBLE) / 1.0e12""".stripMargin
+      val cellAggs = Seq(("t_pre", 1, 0), ("t_post", 1, 1), ("c_pre", 0, 0),
+        ("c_post", 0, 1)).map { case (nm, a, p) =>
+        s"""  CAST(sum(CASE WHEN arm = $a AND post = $p THEN 1 ELSE 0 END) AS BIGINT) AS n_$nm,
+           |  sum(CASE WHEN arm = $a AND post = $p THEN v6 ELSE 0 END) AS s_$nm,
+           |  sum(CASE WHEN arm = $a AND post = $p THEN CAST(v6 AS HUGEINT) * v6
+           |      ELSE 0 END) AS ss_$nm""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT
+         |    ${hv60Sql("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    epoch_ms(ts) // 86400000 AS day,
+         |    CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS v6 FROM events),
+         |sp AS (SELECT (min(day) + max(day) + 1) // 2 AS split FROM ev),
+         |c AS (SELECT arm, CASE WHEN day >= split THEN 1 ELSE 0 END AS post, v6
+         |  FROM ev CROSS JOIN sp),
+         |a AS (SELECT
+         |$cellAggs
+         |  FROM c),
+         |mm AS (SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+         |  ${m("t_pre")} AS m_t_pre, ${m("t_post")} AS m_t_post,
+         |  ${m("c_pre")} AS m_c_pre, ${m("c_post")} AS m_c_post,
+         |  ${vr("t_post")} AS vr_t_post,
+         |  ${vr("t_pre")} AS vr_t_pre,
+         |  ${vr("c_post")} AS vr_c_post,
+         |  ${vr("c_pre")} AS vr_c_pre
+         |  FROM a),
+         |dd AS (SELECT *,
+         |  (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did,
+         |  sqrt(vr_t_post / CAST(n_t_post AS DOUBLE)
+         |    + vr_t_pre / CAST(n_t_pre AS DOUBLE)
+         |    + vr_c_post / CAST(n_c_post AS DOUBLE)
+         |    + vr_c_pre / CAST(n_c_pre AS DOUBLE)) AS se_did
+         |  FROM mm)
+         |SELECT (SELECT split FROM sp) AS split_day,
+         |  n_t_pre, n_t_post, n_c_pre, n_c_post,
+         |  m_t_pre, m_t_post, m_c_pre, m_c_post,
+         |  did, se_did, did / se_did AS t_stat
+         |FROM dd""".stripMargin
+    },
+    // q312: endpoint explosion of the shared banding pairs; vol and
+    // cut exact integer counts, one guarded terminal divide,
+    "q312_conductance" ->
+      s"""WITH $minhashPairsCte,
+         |es AS (SELECT p.doc_a, p.doc_b, a.source AS src_a, b.source AS src_b
+         |  FROM mh_pairs p JOIN documents a ON a.doc_id = p.doc_a
+         |  JOIN documents b ON b.doc_id = p.doc_b),
+         |tot AS (SELECT 2 * count(*) AS vol_total FROM es),
+         |ends AS (SELECT src_a AS source, doc_a AS doc_id, src_a <> src_b AS x
+         |    FROM es
+         |  UNION ALL
+         |  SELECT src_b, doc_b, src_a <> src_b FROM es),
+         |g AS (SELECT source, count(DISTINCT doc_id) AS n_nodes, count(*) AS vol,
+         |    CAST(sum(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS cut
+         |  FROM ends GROUP BY source)
+         |SELECT source, n_nodes, vol, cut, CAST(vol_total AS BIGINT) AS vol_total,
+         |  CASE WHEN least(vol, vol_total - vol) = 0 THEN NULL
+         |       ELSE CAST(cut AS DOUBLE)
+         |         / CAST(least(vol, vol_total - vol) AS DOUBLE) END AS phi
+         |FROM g CROSS JOIN tot ORDER BY source""".stripMargin,
+    // q313: the rolling gear state replays WITHOUT sequential state
+    // via h_i = sum_{j<=i} gear_j * 2^(i-j) mod 2^32 (only the last
+    // 32 terms survive — a windowed join); chunk md5s and the
+    // first-instance rule are exact on both engines,
+    "q313_content_chunks" ->
+      s"""WITH d AS (SELECT doc_id, source, text, length(text) AS n
+         |  FROM documents WHERE length(text) > 0),
+         |p AS (SELECT doc_id, unnest(range(1, n + 1)) AS i FROM d),
+         |gp AS (SELECT p.doc_id, p.i,
+         |    ${hv60Sql("'gear:' || CAST(ascii(substr(d.text, CAST(p.i AS INTEGER), 1)) AS VARCHAR)")}
+         |      % 4294967296 AS gv
+         |  FROM p JOIN d USING (doc_id)),
+         |hh AS (SELECT a.doc_id, a.i,
+         |    CAST(sum(CAST(b.gv AS HUGEINT)
+         |        * (CAST(1 AS HUGEINT) << CAST(a.i - b.i AS INTEGER)))
+         |      % 4294967296 AS BIGINT) AS hv
+         |  FROM gp a JOIN gp b
+         |    ON a.doc_id = b.doc_id AND b.i BETWEEN a.i - 31 AND a.i
+         |  GROUP BY a.doc_id, a.i),
+         |bd AS (SELECT DISTINCT doc_id, i FROM (
+         |    SELECT doc_id, i FROM hh WHERE hv % 64 = 0
+         |    UNION ALL SELECT doc_id, n FROM d) u),
+         |ch AS (SELECT doc_id,
+         |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+         |    i AS e
+         |  FROM bd),
+         |cc AS (SELECT c.doc_id, d.source, c.s AS start,
+         |    CAST(c.e - c.s + 1 AS INTEGER) AS len,
+         |    md5(substr(d.text, CAST(c.s AS INTEGER),
+         |        CAST(c.e - c.s + 1 AS INTEGER))) AS h
+         |  FROM ch c JOIN d USING (doc_id)),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY h
+         |    ORDER BY doc_id, start) AS rn FROM cc)
+         |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+         |  CAST(sum(len) AS BIGINT) AS bytes_total,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+         |  CAST(sum(CASE WHEN rn > 1 THEN len ELSE 0 END) AS BIGINT)
+         |    AS bytes_redundant,
+         |  CAST(sum(CASE WHEN rn > 1 THEN len ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(len) AS DOUBLE) AS dedup_ratio
+         |FROM rr GROUP BY source ORDER BY source""".stripMargin,
+    // q314: cells and margins exact BIGINTs; per-stratum E/V/OR terms
+    // single pinned factorizations (HUGEINT products); the three sums
+    // fold in stratum order over the <=7-row frame,
+    "q314_cmh" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    min(epoch_ms(ts) // 86400000) AS first_day,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY user_id),
+         |pa AS (SELECT
+         |    ${hv60Sql("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    first_day % 7 AS stratum, conv FROM pu),
+         |ce AS (SELECT stratum,
+         |    CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         |    CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         |    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         |    CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         |  FROM pa GROUP BY stratum),
+         |mg AS (SELECT stratum, n11, n10, n01, n00,
+         |    n11 + n10 AS r1, n01 + n00 AS r0, n11 + n01 AS c1, n10 + n00 AS c0,
+         |    n11 + n10 + n01 + n00 AS n FROM ce),
+         |tm AS (SELECT stratum, n11, n,
+         |    CAST(r1 * c1 AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+         |    CASE WHEN n > 1 THEN CAST(CAST(r1 AS HUGEINT) * r0 * c1 * c0 AS DOUBLE)
+         |      / CAST(CAST(n AS HUGEINT) * n * (n - 1) AS DOUBLE)
+         |      ELSE 0.0 END AS v,
+         |    CAST(n11 * n00 AS DOUBLE) / CAST(n AS DOUBLE) AS orn,
+         |    CAST(n10 * n01 AS DOUBLE) / CAST(n AS DOUBLE) AS ord
+         |  FROM mg),
+         |ag AS (SELECT count(*) AS n_strata, CAST(sum(n) AS BIGINT) AS n_users,
+         |    CAST(sum(n11) AS BIGINT) AS sum_obs,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(e ORDER BY stratum)), (a, b) -> a + b) AS sum_exp,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(v ORDER BY stratum)), (a, b) -> a + b) AS sum_var,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(orn ORDER BY stratum)), (a, b) -> a + b) AS or_num,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(ord ORDER BY stratum)), (a, b) -> a + b) AS or_den
+         |  FROM tm)
+         |SELECT n_strata, n_users, sum_obs, sum_exp, sum_var,
+         |  CASE WHEN sum_var = 0.0 THEN NULL
+         |       ELSE ((abs(CAST(sum_obs AS DOUBLE) - sum_exp) - 0.5)
+         |             * (abs(CAST(sum_obs AS DOUBLE) - sum_exp) - 0.5)) / sum_var
+         |  END AS cmh_chi2,
+         |  CASE WHEN or_den = 0.0 THEN NULL ELSE or_num / or_den END AS or_mh
+         |FROM ag""".stripMargin,
+    // q315: q280's shape with lang moved from quasi-identifier to
+    // sensitive attribute; pure exact counting, one guarded divide,
+    "q315_l_diversity" ->
+      """WITH g AS (SELECT source, n_chars // 100 AS band,
+        |    count(*) AS gsize, count(DISTINCT lang) AS nlang
+        |  FROM documents GROUP BY source, band),
+        |x AS (SELECT gsize, nlang, unnest([2, 3, 5]) AS l FROM g)
+        |SELECT l, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN nlang < l THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(sum(CASE WHEN nlang < l THEN gsize ELSE 0 END) AS BIGINT)
+        |    AS docs_at_risk,
+        |  CASE WHEN sum(gsize) = 0 THEN NULL
+        |       ELSE CAST(sum(CASE WHEN nlang < l THEN gsize ELSE 0 END) AS DOUBLE)
+        |         / CAST(sum(gsize) AS DOUBLE) END AS risk_rate
+        |FROM x GROUP BY l ORDER BY l""".stripMargin,
+    // q316: two unrolled synchronous LPA supersteps over the shared
+    // minhash pair CTE; votes are exact BIGINT counts, the argmax is
+    // the same (count DESC, label ASC) row_number on both engines,
+    "q316_label_prop" -> {
+      val step = (i: Int, prev: String) =>
+        s"""i$i AS (SELECT v, lab FROM (
+           |    SELECT a.v, l.lab, row_number() OVER (PARTITION BY a.v
+           |        ORDER BY count(*) DESC, l.lab ASC) AS rn
+           |    FROM adj a JOIN $prev l ON a.u = l.v GROUP BY a.v, l.lab) z
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH $minhashPairsCte,
+         |nodes AS (SELECT DISTINCT v FROM (
+         |    SELECT doc_a AS v FROM mh_pairs
+         |    UNION ALL SELECT doc_b FROM mh_pairs) e),
+         |adj AS (SELECT doc_a AS v, doc_b AS u FROM mh_pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs
+         |  UNION ALL SELECT v, v FROM nodes),
+         |l0 AS (SELECT v, v AS lab FROM nodes),
+         |${step(1, "l0")},
+         |${step(2, "i1")}
+         |SELECT CAST(rank AS INTEGER) AS rank, community, n_members,
+         |  min_doc, max_doc
+         |FROM (SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+         |        min(v) AS min_doc, max(v) AS max_doc,
+         |        row_number() OVER (ORDER BY count(*) DESC, lab ASC) AS rank
+         |      FROM i2 GROUP BY lab) g
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin
+    },
+    // q317: the 33-bucket dHash replayed per char (ASCII fixture ⇒
+    // ascii(char) = byte); bits via the exact cross-multiplied
+    // neighbor test, bands/xor/bit_count pure integer algebra,
+    "q317_phash_dedup" ->
+      """WITH d AS (SELECT doc_id, source, text FROM documents
+        |  WHERE length(text) >= 33),
+        |ch AS (SELECT doc_id, length(text) AS L,
+        |    unnest(range(0, length(text))) AS i, text FROM d),
+        |cb AS (SELECT doc_id, (i * 33) // L AS b,
+        |    CAST(ascii(substr(text, CAST(i + 1 AS INTEGER), 1)) AS BIGINT) AS o
+        |  FROM ch),
+        |bk AS (SELECT doc_id, b, CAST(sum(o) AS BIGINT) AS s,
+        |    count(*) AS n FROM cb GROUP BY doc_id, b),
+        |bits AS (SELECT doc_id, b,
+        |    CASE WHEN s * lead(n) OVER w > lead(s) OVER w * n
+        |         THEN CAST(1 AS BIGINT) ELSE 0 END AS bit
+        |  FROM bk WINDOW w AS (PARTITION BY doc_id ORDER BY b)),
+        |ph0 AS (SELECT doc_id,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(b AS INTEGER))) AS BIGINT)
+        |      AS ph
+        |  FROM bits WHERE b < 32 GROUP BY doc_id),
+        |phs AS (SELECT p.doc_id, p.ph, d.source,
+        |    CAST(length(d.text) AS BIGINT) AS byte_len
+        |  FROM ph0 p JOIN d USING (doc_id)),
+        |ex AS (SELECT source, count(*) AS n_payloads,
+        |    CAST(count(DISTINCT ph) AS BIGINT) AS n_phash_distinct,
+        |    CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+        |    CAST(sum(CASE WHEN rn > 1 THEN byte_len ELSE 0 END) AS BIGINT)
+        |      AS bytes_redundant
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY ph ORDER BY doc_id)
+        |          AS rn FROM phs) z
+        |  GROUP BY source),
+        |bands AS (SELECT doc_id, ph, source,
+        |    (ph >> CAST(8 * band AS INTEGER)) & 255 AS key, band
+        |  FROM (SELECT *, unnest(range(0, 4)) AS band FROM phs) z),
+        |conf AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.ph AS ph_a, b.ph AS ph_b, a.source AS src_a, b.source AS src_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.ph, b.ph)) <= 3),
+        |endp AS (SELECT src_a AS source, (src_a = src_b) AS intra FROM conf
+        |  UNION ALL SELECT src_b, (src_a = src_b) FROM conf),
+        |pc AS (SELECT source,
+        |    CAST(sum(CASE WHEN intra THEN 1 ELSE 0 END) // 2 AS BIGINT)
+        |      AS n_intra_pairs,
+        |    CAST(sum(CASE WHEN intra THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS n_cross_pairs
+        |  FROM endp GROUP BY source)
+        |SELECT e.source, n_payloads, n_phash_distinct, n_exact_dup,
+        |  bytes_redundant,
+        |  COALESCE(n_intra_pairs, 0) AS n_intra_pairs,
+        |  COALESCE(n_cross_pairs, 0) AS n_cross_pairs
+        |FROM ex e LEFT JOIN pc USING (source) ORDER BY source""".stripMargin,
+    // q318: per-element 1e6 quantization, then every moment is an
+    // exact BIGINT; rest = total − label subtractions; F is the same
+    // pinned double factorization on both engines,
+    "q318_fisher_dims" -> {
+      val muL = "(CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE))"
+      val muR = "(CAST(s_t - s_l AS DOUBLE) / CAST(n_t - n_l AS DOUBLE))"
+      val varL = s"(CAST(s2_l AS DOUBLE) / CAST(n_l AS DOUBLE) - $muL * $muL)"
+      val varR = s"(CAST(s2_t - s2_l AS DOUBLE) / CAST(n_t - n_l AS DOUBLE)" +
+        s" - $muR * $muR)"
+      s"""WITH t AS (SELECT label,
+         |    unnest(generate_series(1, len(embedding))) AS i, embedding
+         |  FROM embeddings),
+         |q AS (SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+         |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1.0e6
+         |      + 0.5) AS BIGINT) AS q
+         |  FROM t),
+         |ld AS (SELECT label, dim, count(*) AS n_l,
+         |    CAST(sum(q) AS BIGINT) AS s_l,
+         |    CAST(sum(q * q) AS BIGINT) AS s2_l
+         |  FROM q GROUP BY label, dim),
+         |tt AS (SELECT dim, CAST(sum(n_l) AS BIGINT) AS n_t,
+         |    CAST(sum(s_l) AS BIGINT) AS s_t,
+         |    CAST(sum(s2_l) AS BIGINT) AS s2_t
+         |  FROM ld GROUP BY dim),
+         |f AS (SELECT label, dim, n_l,
+         |    (($muL - $muR) * ($muL - $muR)) / ($varL + $varR) AS fisher,
+         |    ($varL + $varR) AS denom
+         |  FROM ld JOIN tt USING (dim))
+         |SELECT label, CAST(rank AS INTEGER) AS rank, dim, n_l, fisher
+         |FROM (SELECT label, dim, n_l, fisher,
+         |        row_number() OVER (PARTITION BY label
+         |          ORDER BY fisher DESC, dim ASC) AS rank
+         |      FROM f WHERE denom > 0.0) z
+         |WHERE rank <= 5 ORDER BY label, rank""".stripMargin
+    },
+    // q319: the keyed-PRF uniform is hv/2^60 (one divide by an exact
+    // power of two), the draw is the same literal inverse-CDF
+    // sequence, ln via the GraftLn↔libm pair; counts exact BIGINTs,
+    "q319_dp_laplace" ->
+      s"""WITH c AS (SELECT source, count(*) AS true_count
+         |  FROM documents GROUP BY source),
+         |e AS (SELECT * FROM (VALUES ('e01', CAST(0.1 AS DOUBLE)),
+         |    ('e1', CAST(1.0 AS DOUBLE)), ('e10', CAST(10.0 AS DOUBLE)))
+         |    AS t(tag, eps)),
+         |h AS (SELECT source, eps, true_count,
+         |    ${hv60Sql("'dp:' || source || ':' || tag")} AS hv
+         |  FROM c CROSS JOIN e),
+         |v AS (SELECT source, eps, true_count,
+         |    (CAST(hv AS DOUBLE) / 1152921504606846976.0) - 0.5 AS v FROM h),
+         |n AS (SELECT source, eps, true_count,
+         |    ((-(1.0 / eps)) * sign(v)) * ln(1.0 - 2.0 * abs(v)) AS noise
+         |  FROM v)
+         |SELECT source, eps, CAST(true_count AS BIGINT) AS true_count, noise,
+         |  CAST(true_count AS DOUBLE) + noise AS released,
+         |  CASE WHEN abs(noise) <= (1.0 / eps) * ln(20.0) THEN 1 ELSE 0 END
+         |    AS within_95
+         |FROM n ORDER BY source, eps""".stripMargin,
+    // q320: closed-form subsequence support over per-(user, type)
+    // extrema on the unix_millis·2^20 + event_id total order — pure
+    // exact integer algebra, one terminal divide per row,
+    "q320_seq_patterns" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_ms(ts) * 1048576 + event_id AS k FROM events),
+        |fl AS (SELECT user_id, event_type, min(k) AS f, max(k) AS l
+        |  FROM ev GROUP BY user_id, event_type),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM fl),
+        |p AS (SELECT a.event_type AS a, b.event_type AS b,
+        |    count(*) AS support
+        |  FROM fl a JOIN fl b ON a.user_id = b.user_id AND a.f < b.l
+        |  GROUP BY a.event_type, b.event_type),
+        |pr AS (SELECT 2 AS len, a || '>' || b AS pattern, support FROM p),
+        |eab AS (SELECT e.user_id, a.event_type AS a, e.event_type AS b,
+        |    min(e.k) AS e
+        |  FROM ev e JOIN fl a ON e.user_id = a.user_id AND e.k > a.f
+        |  GROUP BY e.user_id, a.event_type, e.event_type),
+        |t AS (SELECT x.a, x.b, c.event_type AS c, count(*) AS support
+        |  FROM eab x JOIN fl c ON x.user_id = c.user_id AND x.e < c.l
+        |  GROUP BY x.a, x.b, c.event_type),
+        |tr AS (SELECT 3 AS len, a || '>' || b || '>' || c AS pattern,
+        |    support FROM t),
+        |u AS (SELECT len, pattern, CAST(support AS BIGINT) AS support,
+        |    row_number() OVER (PARTITION BY len
+        |      ORDER BY support DESC, pattern ASC) AS rank
+        |  FROM (SELECT * FROM pr UNION ALL SELECT * FROM tr) z)
+        |SELECT len, CAST(rank AS INTEGER) AS rank, pattern, support,
+        |  CAST(support AS DOUBLE) / CAST(n_users AS DOUBLE) AS support_rate
+        |FROM u CROSS JOIN nu
+        |WHERE (len = 2 AND rank <= 10) OR (len = 3 AND rank <= 5)
+        |ORDER BY len, rank""".stripMargin,
+    // q321: four stacked keyed aggregates replay the two ALS
+    // alternations; factors quantized once per step (floor(x·10⁶+½)
+    // after the step's single pinned divide), Σr·q and Σq² exact
+    // BIGINTs, the ·10⁶ rescale the same one IEEE multiply,
+    "q321_als_rank1" ->
+      """WITH rt AS (SELECT o.o_custkey AS c, l.l_partkey AS p,
+        |    CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS r
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  GROUP BY 1, 2),
+        |u0 AS (SELECT c, CAST(floor(CAST(sum(r) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS fq
+        |  FROM rt GROUP BY c),
+        |v1 AS (SELECT p, CAST(floor((CAST(sum(rt.r * u.fq) AS DOUBLE)
+        |      * 1000000.0) / CAST(sum(u.fq * u.fq) AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS fq
+        |  FROM rt JOIN u0 u USING (c) GROUP BY p),
+        |u1 AS (SELECT c, CAST(floor((CAST(sum(rt.r * v.fq) AS DOUBLE)
+        |      * 1000000.0) / CAST(sum(v.fq * v.fq) AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS fq
+        |  FROM rt JOIN v1 v USING (p) GROUP BY c),
+        |v2 AS (SELECT p AS partkey, CAST(count(*) AS BIGINT) AS n_raters,
+        |    CAST(sum(rt.r * u.fq) AS BIGINT) AS v_num,
+        |    CAST(sum(u.fq * u.fq) AS BIGINT) AS v_den,
+        |    (CAST(sum(rt.r * u.fq) AS DOUBLE) * 1000000.0)
+        |      / CAST(sum(u.fq * u.fq) AS DOUBLE) AS v_factor
+        |  FROM rt JOIN u1 u USING (c) GROUP BY p),
+        |top AS (SELECT * FROM v2
+        |  ORDER BY v_factor DESC, partkey ASC LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY v_factor DESC, partkey ASC)
+        |    AS INTEGER) AS rank,
+        |  partkey, n_raters, v_num, v_den, v_factor
+        |FROM top ORDER BY rank""".stripMargin,
+    // q322: variational distance in cross-multiplied exact-integer
+    // form — td·tv_num > 2·tn·n_c·N with t = tn/td rational, absent
+    // langs folded as (N − Σ_present g)·n_c; one terminal divide,
+    "q322_t_closeness" ->
+      """WITH cl AS (SELECT source, n_chars // 100 AS band, lang,
+        |    count(*) AS c FROM documents GROUP BY 1, 2, 3),
+        |cells AS (SELECT source, band, sum(c) AS n_c
+        |  FROM cl GROUP BY 1, 2),
+        |gl AS (SELECT lang, sum(c) AS g FROM cl GROUP BY 1),
+        |grand AS (SELECT sum(c) AS nn FROM cl),
+        |sc AS (SELECT cl.source, cl.band, nn, n_c,
+        |    sum(abs(cl.c * nn - gl.g * n_c))
+        |      + (nn - sum(gl.g)) * n_c AS tv_num
+        |  FROM cl JOIN gl USING (lang) JOIN cells USING (source, band)
+        |  CROSS JOIN grand
+        |  GROUP BY cl.source, cl.band, nn, n_c),
+        |x AS (SELECT sc.*, t.t, t.tn, t.td FROM sc CROSS JOIN
+        |  (VALUES (CAST(0.15 AS DOUBLE), 3, 20),
+        |          (CAST(0.25 AS DOUBLE), 1, 4),
+        |          (CAST(0.40 AS DOUBLE), 2, 5)) AS t(t, tn, td))
+        |SELECT t, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN td * tv_num > 2 * tn * n_c * nn
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |  CAST(sum(CASE WHEN td * tv_num > 2 * tn * n_c * nn
+        |    THEN n_c ELSE 0 END) AS BIGINT) AS docs_at_risk,
+        |  CASE WHEN sum(n_c) = 0 THEN NULL
+        |       ELSE CAST(sum(CASE WHEN td * tv_num > 2 * tn * n_c * nn
+        |              THEN n_c ELSE 0 END) AS DOUBLE)
+        |            / CAST(sum(n_c) AS DOUBLE) END AS risk_rate
+        |FROM x GROUP BY t ORDER BY t""".stripMargin,
+    // q323: the register table is the contract — every M_j must
+    // hash-match; rho via exact base-2 string length (no log2 near a
+    // boundary), Σ2^(55−M_j) an exact BIGINT, the estimator one
+    // pinned literal sequence, ln via the GraftLn↔libm pair,
+    "q323_hll_replay" -> {
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tok AS (SELECT token FROM t WHERE token <> ''),
+         |hv AS (SELECT token, ${hv60Sql("token")} AS hv FROM tok),
+         |rr AS (SELECT hv % 64 AS register,
+         |    CASE WHEN hv // 64 = 0 THEN 55
+         |         ELSE 55 - length(bin(hv // 64)) END AS rho FROM hv),
+         |regs AS (SELECT register, max(rho) AS m_j FROM rr GROUP BY 1),
+         |spine AS (SELECT range AS register FROM range(0, 64)),
+         |sp AS (SELECT s.register,
+         |    CAST(coalesce(m_j, 0) AS BIGINT) AS m_j
+         |  FROM spine s LEFT JOIN regs USING (register)),
+         |sv AS (SELECT sum(CAST(1 AS BIGINT) << CAST(55 - m_j AS INTEGER))
+         |      AS s,
+         |    sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v FROM sp),
+         |ex AS (SELECT CAST(count(DISTINCT token) AS BIGINT)
+         |    AS exact_distinct FROM tok),
+         |est AS (SELECT exact_distinct,
+         |    CASE WHEN ((CAST(0.709 AS DOUBLE) * 4096.0) * 36028797018963968.0)
+         |             / CAST(s AS DOUBLE) <= 160.0 AND v > 0
+         |         THEN 64.0 * ln(64.0 / CAST(v AS DOUBLE))
+         |         ELSE ((CAST(0.709 AS DOUBLE) * 4096.0) * 36028797018963968.0)
+         |             / CAST(s AS DOUBLE) END AS hll_est
+         |  FROM sv CROSS JOIN ex)
+         |SELECT register, m_j, exact_distinct, hll_est,
+         |  CASE WHEN abs(hll_est - CAST(exact_distinct AS DOUBLE))
+         |           <= CAST(0.39 AS DOUBLE) * CAST(exact_distinct AS DOUBLE)
+         |       THEN 1 ELSE 0 END AS within_3sigma
+         |FROM sp CROSS JOIN est ORDER BY register""".stripMargin
+    }
   )
 }

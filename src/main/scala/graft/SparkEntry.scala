@@ -564,7 +564,35 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // the dedup impact report every production run ships
     "q303_w1_drift" -> ((s, d) => PipelineAudits.w1Drift(s, d)),
     "q304_blocking_audit" -> ((s, d) => Dedup.blockingAudit(s, d)),
-    "q305_dedup_impact" -> ((s, d) => Dedup.dedupImpact(s, d))
+    "q305_dedup_impact" -> ((s, d) => Dedup.dedupImpact(s, d)),
+    // batch 17 (r16): cluster geometry, bipartite centrality, the
+    // Fellegi-Sunter linkage scorer, and a fully-replayed AMS sketch
+    "q306_silhouette" -> ((s, d) => Similarity.silhouette(s, d)),
+    "q307_hits" -> ((s, d) => Relational.hits(s, d)),
+    "q308_linkage_patterns" -> ((s, d) => Dedup.linkagePatterns(s, d)),
+    "q309_ams_f2" -> ((s, d) => PipelineAudits.amsF2(s, d)),
+    // batch 18 (r16): the Davies-Bouldin twin of q306, the causal
+    // diff-in-diff estimator, and per-source dup-graph conductance
+    "q310_davies_bouldin" -> ((s, d) => Similarity.daviesBouldin(s, d)),
+    "q311_diff_in_diff" -> ((s, d) => EventOps.diffInDiff(s, d)),
+    "q312_conductance" -> ((s, d) => Dedup.conductance(s, d)),
+    // batch 19 (r16): storage-class content-defined chunking dedup,
+    // the stratified CMH test, and the l-diversity privacy gate
+    "q313_content_chunks" -> ((s, d) => Multimodal.contentChunks(s, d)),
+    "q314_cmh" -> ((s, d) => PipelineAudits.cmh(s, d)),
+    "q315_l_diversity" -> ((s, d) => PipelineAudits.lDiversity(s, d)),
+    // batch 20 (r16): community detection, media-hash dedup, embedding
+    // feature audit, an active DP mechanism, and sequence mining
+    "q316_label_prop" -> ((s, d) => Dedup.labelProp(s, d)),
+    "q317_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
+    "q318_fisher_dims" -> ((s, d) => Similarity.fisherDims(s, d)),
+    "q319_dp_laplace" -> ((s, d) => PipelineAudits.dpLaplace(s, d)),
+    "q320_seq_patterns" -> ((s, d) => EventOps.seqPatterns(s, d)),
+    // batch 21 (r16): model-based recommendation, the t-closeness
+    // release gate, and a register-replayed HLL sketch
+    "q321_als_rank1" -> ((s, d) => EventOps.alsRank1(s, d)),
+    "q322_t_closeness" -> ((s, d) => PipelineAudits.tCloseness(s, d)),
+    "q323_hll_replay" -> ((s, d) => PipelineAudits.hllReplay(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1587,4 +1587,164 @@ object Dedup {
           .as("dup_frac"))
       .orderBy("source")
   }
+
+  /** Fellegi–Sunter agreement-pattern table (q308): the probabilistic
+    * record-linkage SCORER the blocking tiers feed — q121 finds
+    * typo-pairs, q304 audits blocking recall; this computes, per
+    * field-agreement pattern γ, how much more likely the pattern is
+    * under "same entity" than under "random pair" — the likelihood
+    * ratio whose threshold IS the Fellegi–Sunter decision rule.
+    *
+    * Pairs are customers blocked on c_nationkey; comparison fields
+    * are γ₁ mktsegment equality, γ₂ acctbal-sign equality, γ₃
+    * same-kilodollar-bucket (floor(acctbal/1000)).  u-probabilities
+    * (P[agree | random pair]) are ESTIMATED from the blocked pairs
+    * themselves — exact BIGINT agree counts over exact pair counts —
+    * the standard unsupervised u-estimate; m is the conventional
+    * literal 19/20.  Each pattern's ratio is a product of three
+    * factors (agree ⇒ m/u_f, disagree ⇒ (1−m)/(1−u_f)) written as
+    * IDENTICAL left-associated double arithmetic on both engines —
+    * exact-integer ratios through single divides, no transcendentals
+    * (a log-weight form would gamble on ln parity; the monotone
+    * product carries the same decision order).
+    *
+    * 100 TB shape: ONE equi-join on the block key; the u-estimate is
+    * a 1-row broadcast rollup of the same pair frame (pinned once —
+    * patterns and u-counts share the scan); output is ≤ 2³ pattern
+    * rows.  Block granularity is the documented knob: at reference
+    * scale nation-blocking bounds pairs at Σ|block|², and a corpus
+    * too hot for that swaps in a finer key (q121's symmetric-delete
+    * variants, q21's LSH bands) without changing this scorer.
+    */
+  def linkagePatterns(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("k"), col("c_nationkey").as("nat"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+    val pairs = graft.util.Pins.eager(
+      c.as("a").join(c.as("b"),
+          col("a.nat") === col("b.nat") && col("a.k") < col("b.k"))
+        .select(
+          when(col("a.seg") === col("b.seg"), 1L).otherwise(0L).as("g_seg"),
+          when((col("a.bal") < 0.0) === (col("b.bal") < 0.0), 1L)
+            .otherwise(0L).as("g_sign"),
+          when(floor(col("a.bal") / lit(1000.0)) ===
+               floor(col("b.bal") / lit(1000.0)), 1L)
+            .otherwise(0L).as("g_kbal")))
+    val u = pairs.agg(count(lit(1)).as("np"),
+      sum(col("g_seg")).as("n_seg"), sum(col("g_sign")).as("n_sign"),
+      sum(col("g_kbal")).as("n_kbal"))
+    def factor(g: Column, na: Column, np: Column): Column = {
+      val uf = na.cast("double") / np.cast("double")
+      when(g === 1L, lit(0.95) / uf).otherwise(lit(0.05) / (lit(1.0) - uf))
+    }
+    pairs.groupBy("g_seg", "g_sign", "g_kbal")
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(u))
+      .select(col("g_seg"), col("g_sign"), col("g_kbal"), col("n_pairs"),
+        (factor(col("g_seg"), col("n_seg"), col("np"))
+          * factor(col("g_sign"), col("n_sign"), col("np"))
+          * factor(col("g_kbal"), col("n_kbal"), col("np"))).as("lr"))
+      .orderBy("g_seg", "g_sign", "g_kbal")
+  }
+
+  /** Per-source conductance on the near-dup graph (q312): for the
+    * node set S of each source, φ(S) = cut(S) / min(vol(S), vol(V∖S))
+    * — the community-quality metric q161's modularity does NOT give:
+    * modularity scores the whole partition against a null model;
+    * conductance scores EACH source's boundary (a low-φ source is a
+    * closed near-dup community — internal template stamping; a
+    * high-φ source duplicates mostly ACROSS sources — syndication).
+    * vol counts edge-endpoints (Σ degree), cut counts incident
+    * cross-source edges — a cross edge contributes once to each of
+    * its two sources' cuts.  Everything is exact integers until the
+    * one guarded terminal divide (min = 0 ⇔ the source holds every
+    * edge or none — φ undefined, NULL on both engines).
+    *
+    * 100 TB shape: the LSH pair list joins the (doc → source) map
+    * twice on doc id (at production scale: broadcast if the dim
+    * fits, shuffle equi-join otherwise), then ONE explode-by-2 and a
+    * per-source aggregate — never adjacency materialization beyond
+    * the already-sub-quadratic candidate pairs.
+    */
+  def conductance(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val e = minhashLsh(spark, dir)
+      .join(src.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "src_a"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "src_b"), "doc_b")
+    val tot = e.agg((count(lit(1)) * lit(2L)).as("vol_total"))
+    val ends = e.select(explode(array(
+        struct(col("src_a").as("s"), col("doc_a").as("d"),
+          (col("src_a") =!= col("src_b")).as("x")),
+        struct(col("src_b").as("s"), col("doc_b").as("d"),
+          (col("src_a") =!= col("src_b")).as("x")))).as("p"))
+      .select(col("p.s").as("source"), col("p.d").as("doc_id"), col("p.x").as("x"))
+    ends.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_nodes"),
+        count(lit(1)).as("vol"),
+        sum(when(col("x"), 1L).otherwise(0L)).as("cut"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_nodes"), col("vol"), col("cut"),
+        col("vol_total"),
+        when(least(col("vol"), col("vol_total") - col("vol")) === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("cut").cast("double") /
+            least(col("vol"), col("vol_total") - col("vol")).cast("double"))
+          .as("phi"))
+      .orderBy("source")
+  }
+
+  /** Synchronous label-propagation communities on the near-dup graph
+    * (q316): the graph tier's missing COMMUNITY DETECTOR — q72's
+    * connected components give reachability (one syndicated bridge
+    * merges two template families into one blob), while LPA's
+    * majority vote keeps densely-linked template families separate
+    * across weak bridges.  Raghavan et al.'s rule, made fully
+    * deterministic: every node votes with its neighbors' labels PLUS
+    * its own (the self-vote kills the classic 2-cycle oscillation a
+    * synchronous sweep has on bipartite-ish pairs), takes the most
+    * frequent label, ties to the SMALLEST label; two synchronous
+    * supersteps (fixed — an adaptive stop would make the output
+    * depend on convergence detection order).
+    *
+    * Everything is exact integer algebra — vote counts are BIGINTs,
+    * the argmax is a (count DESC, label ASC) row_number — so the
+    * oracle replays the supersteps bit-for-bit as unrolled CTEs.
+    *
+    * 100 TB shape: per superstep ONE equi-join of the (sub-quadratic
+    * LSH) edge list against the label frame on node id + ONE
+    * (node, label)-keyed count + ONE node-keyed argmax — all hash-
+    * partitioned on node id, no adjacency materialization.  The
+    * label frame is localCheckpoint'd per superstep (the q54 Lloyd
+    * discipline) so the plan subtree doesn't double per iteration.
+    */
+  def labelProp(spark: SparkSession, dir: String,
+                iters: Int = 2, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = graft.util.Pins.eager(minhashLsh(spark, dir))
+    val nodes = pairs.select(col("doc_a").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("v"))).distinct()
+    // undirected adjacency + the self-vote loop
+    val adj = pairs.select(col("doc_a").as("v"), col("doc_b").as("u"))
+      .unionAll(pairs.select(col("doc_b").as("v"), col("doc_a").as("u")))
+      .unionAll(nodes.select(col("v"), col("v").as("u")))
+    var lab = nodes.withColumn("lab", col("v"))
+    for (_ <- 1 to iters) {
+      lab = adj.join(lab.select(col("v").as("u"), col("lab")), "u")
+        .groupBy("v", "lab").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("v").orderBy(col("c").desc, col("lab").asc)))
+        .filter(col("rn") === 1).select("v", "lab")
+        .localCheckpoint(false)
+    }
+    lab.groupBy("lab").agg(count(lit(1)).as("n_members"),
+        min(col("v")).as("min_doc"), max(col("v")).as("max_doc"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_members").desc, col("lab").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("lab").as("community"),
+        col("n_members"), col("min_doc"), col("max_doc"))
+      .orderBy("rank")
+  }
 }

@@ -2430,4 +2430,212 @@ object EventOps {
         (col("seasonal_raw") - col("gmean")).as("seasonal_centered"))
       .orderBy("event_type", "hour_of_day")
   }
+
+  /** Difference-in-differences estimator (q311): the causal-inference
+    * workhorse the A/B family (q286 z-test, q288 MDE, q291 SPRT)
+    * stops short of — those compare arms in ONE period; DiD removes
+    * arm-level baseline differences by differencing each arm against
+    * its own pre-period:
+    *   DiD = (m_treat_post − m_treat_pre) − (m_ctrl_post − m_ctrl_pre)
+    * with the calendar split at the corpus midpoint day.  Arms are
+    * the q286/q297 hv60('ab:' ∥ user_id) mod 2 hash split; the
+    * outcome is event `value` under the q234 10⁶-quantization rule.
+    *
+    * Determinism: per-cell n / Σv / Σv² are exact integers
+    * (DECIMAL(38,0) for the squares — v₆² alone can reach 10¹⁸); the
+    * four means, four sample variances ((n·Σv² − (Σv)²) / (n(n−1)),
+    * exact integer numerators), the DiD, the Welch-style standard
+    * error sqrt(Σ var_c/n_c) (four-term pinned left-assoc sum, one
+    * correctly-rounded sqrt) and the t statistic are each ONE pinned
+    * double expression.  Day indices are exact epoch-day integers
+    * (epoch_ms div 86400000, the q183 rule); the split day
+    * (d_min + d_max + 1) div 2 is exact integer arithmetic.
+    *
+    * 100 TB shape: one 2-row broadcast of the day bounds, then ONE
+    * full scan folding into a single row of conditional exact sums —
+    * no join, no window, map-side partial aggregation all the way.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val ev = Tables.events(spark, dir).select(
+      pmod(graft.operators.TextAnalysis.hv60(
+        concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)).as("arm"),
+      expr("unix_millis(ts) div 86400000").as("day"),
+      floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("v6"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("post", when(col("day") >= col("split"), 1L).otherwise(0L))
+    def cell(a: Int, p: Int): Column = col("arm") === a.toLong && col("post") === p.toLong
+    def n(a: Int, p: Int) = sum(when(cell(a, p), 1L).otherwise(0L))
+    def s(a: Int, p: Int) = sum(when(cell(a, p), col("v6")).otherwise(0L).cast(dec38))
+    def ss(a: Int, p: Int) =
+      sum(when(cell(a, p), col("v6").cast(dec38) * col("v6")).otherwise(lit(0).cast(dec38)))
+    val agg = cells.agg(
+      max(col("split")).as("split_day"),
+      n(1, 0).as("n_t_pre"), n(1, 1).as("n_t_post"),
+      n(0, 0).as("n_c_pre"), n(0, 1).as("n_c_post"),
+      s(1, 0).as("s_t_pre"), s(1, 1).as("s_t_post"),
+      s(0, 0).as("s_c_pre"), s(0, 1).as("s_c_post"),
+      ss(1, 0).as("ss_t_pre"), ss(1, 1).as("ss_t_post"),
+      ss(0, 0).as("ss_c_pre"), ss(0, 1).as("ss_c_post"))
+    def mean(c: String): Column =
+      (col(s"s_$c").cast("double") / col(s"n_$c").cast("double")) / lit(1.0e6)
+    def vr(c: String): Column =
+      (col(s"n_$c").cast(dec38) * col(s"ss_$c") - col(s"s_$c") * col(s"s_$c"))
+        .cast("double") /
+        (col(s"n_$c") * (col(s"n_$c") - lit(1L))).cast("double") / lit(1.0e12)
+    val did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
+    val se = sqrt(vr("t_post") / col("n_t_post").cast("double")
+      + vr("t_pre") / col("n_t_pre").cast("double")
+      + vr("c_post") / col("n_c_post").cast("double")
+      + vr("c_pre") / col("n_c_pre").cast("double"))
+    agg.select(col("split_day"),
+      col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+      mean("t_pre").as("m_t_pre"), mean("t_post").as("m_t_post"),
+      mean("c_pre").as("m_c_pre"), mean("c_post").as("m_c_post"),
+      did.as("did"), se.as("se_did"), (did / se).as("t_stat"))
+  }
+
+  /** Sequential-pattern mining, PrefixSpan discipline (q320): the
+    * top ordered event-type 2- and 3-sequences by distinct-user
+    * support, where "a → b" means SOME a-occurrence strictly
+    * precedes SOME b-occurrence in the user's stream (gaps allowed —
+    * the subsequence semantics q185's unordered basket rules and
+    * q251's adjacent-transition Markov chain both lack).  Support
+    * needs no per-user sequence scan: a → b holds iff
+    * first(a) < last(b); a → b → c holds iff e_ab < last(c), where
+    * e_ab = the earliest b strictly after first(a) — each a closed
+    * form over per-(user, type) extrema, the trick that keeps the
+    * miner in pure keyed aggregates.  Event order is total: the sort
+    * key is unix_millis·2²⁰ + event_id (ids < 2²⁰ at every shipped
+    * SF, pinned by spec; at production scale the key widens to a
+    * (ts, id) struct — same algebra).
+    *
+    * Everything is exact integer algebra (extrema, joins, counts;
+    * one terminal divide per row for the support rate), so the
+    * oracle replays it bit-for-bit.
+    *
+    * 100 TB shape: one (user, type)-keyed extrema aggregate (map-
+    * side combined, |types| ≈ dozens ⇒ per-user fan-out bounded),
+    * one events⋈extrema equi-join on user for e_ab (shuffle on
+    * user_id, the stream's natural key), and pattern-keyed counts
+    * over ≤ |types|² / |types|³ cells — the heavy frames never leave
+    * user-id partitioning.
+    */
+  def seqPatterns(spark: SparkSession, dir: String,
+                  topPairs: Int = 10, topTriples: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.util.Pins.eager(
+      Tables.events(spark, dir).select(col("user_id"), col("event_type"),
+        (unix_millis(col("ts")) * lit(1048576L) + col("event_id")).as("k")))
+    val fl = graft.util.Pins.eager(
+      ev.groupBy("user_id", "event_type")
+        .agg(min(col("k")).as("f"), max(col("k")).as("l")))
+    val nUsers = fl.select(countDistinct(col("user_id")).as("n_users"))
+    val pairSupp = fl.select(col("user_id"), col("event_type").as("a"), col("f"))
+      .join(fl.select(col("user_id"), col("event_type").as("b"), col("l")),
+        "user_id")
+      .filter(col("f") < col("l"))
+    val pairs = pairSupp.groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .select(lit(2).as("len"), concat_ws(">", col("a"), col("b")).as("pattern"),
+        col("support"))
+    // e_ab: earliest b-event strictly after the user's first a
+    val eab = ev.join(
+        fl.select(col("user_id"), col("event_type").as("a"), col("f")), "user_id")
+      .filter(col("k") > col("f"))
+      .groupBy(col("user_id"), col("a"), col("event_type").as("b"))
+      .agg(min(col("k")).as("e"))
+    val triples = eab.join(
+        fl.select(col("user_id"), col("event_type").as("c"), col("l")), "user_id")
+      .filter(col("e") < col("l"))
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
+      .select(lit(3).as("len"),
+        concat_ws(">", col("a"), col("b"), col("c")).as("pattern"),
+        col("support"))
+    val ranked = pairs.unionAll(triples)
+      .withColumn("rank", row_number().over(Window.partitionBy("len")
+        .orderBy(col("support").desc, col("pattern").asc)))
+      .filter((col("len") === 2 && col("rank") <= topPairs) ||
+        (col("len") === 3 && col("rank") <= topTriples))
+    ranked.crossJoin(broadcast(nUsers))
+      .select(col("len"), col("rank"), col("pattern"), col("support"),
+        (col("support").cast("double") / col("n_users").cast("double"))
+          .as("support_rate"))
+      .orderBy("len", "rank")
+  }
+
+  /** Rank-1 ALS matrix factorization (q321): the model-based
+    * recommender next to q245's neighborhood item-CF — factor the
+    * (customer × part) implicit-feedback matrix r = Σ quantity into
+    * u·vᵀ by alternating least squares.  At rank 1 each normal-
+    * equation solve collapses to a scalar divide (u_c = Σ_p r·v /
+    * Σ_p v², v_p symmetric), so TWO full alternations (u₀ from the
+    * v ≡ 1 init, then v₁, u₁, v₂) replay as four stacked keyed
+    * aggregates — the superstep discipline of q73's Lloyd iterations,
+    * with the iteration count fixed for determinism.
+    *
+    * Determinism: ratings are exact BIGINTs; each factor is quantized
+    * once per step — q = floor(x·10⁶ + ½) after the step's single
+    * pinned divide — so every Σ r·q and Σ q² is an exact BIGINT sum
+    * (bounds: q_u ≤ ~10⁸, q_v ≤ ~10⁷ at every shipped SF ⇒ Σq² <
+    * 10¹⁷; beyond ~10⁹ ratings the q² sums move to DECIMAL(38,0), a
+    * documented scale upgrade).  The ·10⁶ rescale products exceed
+    * 2⁵³ and round — identically in both engines (one IEEE multiply
+    * of a BIGINT-exact value), the q318 discipline.
+    *
+    * 100 TB shape: each half-step is ONE equi-join of the rating
+    * frame against the (dim-sized, broadcastable) opposite factor +
+    * ONE keyed aggregate — ratings stay partitioned on their own key,
+    * the classic distributed-ALS layout; rank k replaces the scalar
+    * divide with a k×k normal-equation solve per key, same shuffle
+    * shape.  The final top-k runs orderBy+limit (no full-width
+    * window); the 20-row rank window is the documented bounded-frame
+    * exception.
+    */
+  def alsRank1(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = graft.util.Pins.eager(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey"),
+            col("l_quantity").cast("long").as("q")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .agg(sum(col("q")).as("r")))
+    def quant(x: Column): Column = floor(x * lit(1.0e6) + lit(0.5)).cast("long")
+    // u0: mean rating per customer (the v ≡ 1 ALS init step)
+    val u0 = r.groupBy("c")
+      .agg(sum(col("r")).as("s"), count(lit(1)).as("n"))
+      .select(col("c"),
+        quant(col("s").cast("double") / col("n").cast("double")).as("uq"))
+    // one alternation step: given factor f (key, fq), solve the other
+    // side — num = Σ r·fq, den = Σ fq²; raw = 10⁶·num/den (undoing
+    // the quantization scale), requantized for the next step
+    def step(fac: DataFrame, key: String, out: String): DataFrame =
+      r.join(fac, Seq(key))
+        .groupBy(col(out).as("k"))
+        .agg(sum(col("r") * col("fq")).as("num"),
+          sum(col("fq") * col("fq")).as("den"))
+        .select(col("k").as(out),
+          quant((col("num").cast("double") * lit(1.0e6))
+            / col("den").cast("double")).as("fq"))
+    val v1 = step(u0.select(col("c"), col("uq").as("fq")), "c", "p")
+    val u1 = step(v1.select(col("p"), col("fq")), "p", "c")
+    val v2 = r.join(u1.select(col("c"), col("fq")), Seq("c"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_raters"),
+        sum(col("r") * col("fq")).as("v_num"),
+        sum(col("fq") * col("fq")).as("v_den"))
+      .select(col("p").as("partkey"), col("n_raters"), col("v_num"),
+        col("v_den"),
+        ((col("v_num").cast("double") * lit(1.0e6))
+          / col("v_den").cast("double")).as("v_factor"))
+    v2.orderBy(col("v_factor").desc, col("partkey").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("v_factor").desc, col("partkey").asc)))
+      .select(col("rank"), col("partkey"), col("n_raters"),
+        col("v_num"), col("v_den"), col("v_factor"))
+      .orderBy("rank")
+  }
 }

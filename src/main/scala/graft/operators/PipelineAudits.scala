@@ -999,4 +999,353 @@ object PipelineAudits {
           .as("chi2_term"))
       .orderBy("event_type", "band")
   }
+
+  /** AMS "tug-of-war" F₂ sketch audit (q309): the second frequency
+    * moment F₂ = Σ_tok c_tok² of the corpus token distribution — the
+    * SELF-JOIN SIZE of the token table, the quantity a cost-based
+    * planner (q257's estimator family) needs before picking a
+    * shingle/token join strategy, and the classic skew summary
+    * (F₂/n² is the collision probability two random tokens match).
+    *
+    * Sketch (Alon–Matias–Szegedy '96): r=16 counters X_j = Σ_tok
+    * s_j(tok)·c_tok with signs s_j = 1 − 2·bit_j(hv60('ams:' ∥ tok))
+    * ∈ {±1}; each X_j² is an unbiased F₂ estimate and the audit
+    * compares their mean against the exact recount.  UNLIKE q33/q272
+    * (whose sketch internals can't be replayed in SQL) every AMS
+    * counter is pure exact-integer algebra over the shared 60-bit
+    * hash, so the oracle replays the WHOLE sketch bit-for-bit — the
+    * flag is genuinely cross-checked, not a literal.  The ±2.83σ
+    * bound |est − F₂| ≤ F₂ follows from Var[mean] = 2F₂²/r under
+    * 4-wise independence; hv60's bit planes are empirically
+    * independent enough at every shipped SF (measured, see spec).
+    *
+    * 100 TB shape: ONE token-keyed aggregate (the exact recount is
+    * the expensive certification half — production keeps only the
+    * sketch side, whose r counters partial-aggregate map-side into
+    * 16 longs per partition, the Misra-Gries discipline); counter
+    * sums are order-free exact integers in DECIMAL(38,0), squares
+    * fold into one scalar row.  n_tok beyond ~3·10⁹ would overflow a
+    * BIGINT X_j² — the decimal cast is load-bearing, not defensive.
+    */
+  def amsF2(spark: SparkSession, dir: String, r: Int = 16): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cnt = tokenStream(spark, dir)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .withColumn("hv", graft.operators.TextAnalysis.hv60(
+        concat(lit("ams:"), col("token"))))
+    val base: Seq[Column] = Seq(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      sum((col("c") * col("c")).cast(dec38)).cast("long").as("f2_true"))
+    val counters: Seq[Column] = (0 until r).map { j =>
+      val sgn = lit(1L) - lit(2L) * shiftright(col("hv"), j).bitwiseAND(lit(1L))
+      sum((sgn * col("c")).cast(dec38)).cast("long").as(s"x$j")
+    }
+    val all = base ++ counters
+    val estSum = (0 until r).map(j =>
+      (col(s"x$j").cast(dec38) * col(s"x$j").cast(dec38)))
+      .reduce(_ + _).cast("long")
+    cnt.agg(all.head, all.tail: _*)
+      .withColumn("est_sum", estSum)
+      .select(col("n_tokens"), col("n_distinct"), col("f2_true"),
+        col("est_sum"),
+        (col("est_sum").cast("double") / lit(r.toDouble)).as("est_f2"),
+        when(abs(col("est_sum") - lit(r.toLong) * col("f2_true"))
+          <= lit(r.toLong) * col("f2_true"), 1).otherwise(0)
+          .as("within_bound"))
+  }
+
+  /** Cochran–Mantel–Haenszel stratified 2×2 test (q314): the A/B tier
+    * (q286 z, q288 MDE, q291 SPRT, q311 DiD) tests arms POOLED —
+    * Simpson's paradox can flip a pooled contrast when conversion
+    * varies across user cohorts that aren't balanced between arms.
+    * CMH tests the arm→conversion association WITHIN each stratum
+    * and combines: χ²_CMH = (|Σ_s(n11 − E)| − ½)² / Σ_s V with the
+    * hypergeometric E = r1·c1/n and V = r1·r0·c1·c0 / (n²(n−1)), plus
+    * the Mantel–Haenszel common odds ratio Σ(n11·n00/n) / Σ(n10·n01/n).
+    * Strata are the user's first-seen epoch-day mod 7 (the
+    * deterministic weekday-cohort split); arms the q297 hv60 rule;
+    * conversion = any purchase event.
+    *
+    * Determinism: every cell/margin is an exact BIGINT; each
+    * stratum's E, V and OR terms are single pinned double
+    * factorizations (DECIMAL(38,0) products before the divide — the
+    * 4-margin V product alone can reach 10²⁰); the Σ folds run in
+    * STRATUM order over the ≤7-row frame (sort_array + seeded fold ↔
+    * list_reduce over list(… ORDER BY stratum)); Σn11 stays exact
+    * integer.  V = 0 (a degenerate stratum set) guards χ² to NULL.
+    *
+    * 100 TB shape: one user-keyed aggregate (first-day + converted
+    * in one pass), one ≤7×4-cell keyed aggregate, one 7-element
+    * fold — nothing beyond the user rollup touches data scale.
+    */
+  def cmh(spark: SparkSession, dir: String): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(min(expr("unix_millis(ts) div 86400000")).as("first_day"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(
+        pmod(graft.operators.TextAnalysis.hv60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)).as("arm"),
+        pmod(col("first_day"), lit(7L)).as("stratum"), col("conv"))
+    val cells = perUser.groupBy("stratum")
+      .agg(
+        sum(when(col("arm") === 1L && col("conv") === 1L, 1L).otherwise(0L)).as("n11"),
+        sum(when(col("arm") === 1L && col("conv") === 0L, 1L).otherwise(0L)).as("n10"),
+        sum(when(col("arm") === 0L && col("conv") === 1L, 1L).otherwise(0L)).as("n01"),
+        sum(when(col("arm") === 0L && col("conv") === 0L, 1L).otherwise(0L)).as("n00"))
+      .select(col("stratum"), col("n11"),
+        (col("n11") + col("n10")).as("r1"), (col("n01") + col("n00")).as("r0"),
+        (col("n11") + col("n01")).as("c1"), (col("n10") + col("n00")).as("c0"),
+        (col("n11") + col("n10") + col("n01") + col("n00")).as("n"),
+        col("n10"), col("n01"), col("n00"))
+    def fold(v: Column): Column =
+      aggregate(sort_array(collect_list(struct(col("stratum").as("s"), v.as("v")))),
+        lit(0.0), (a, x) => a + x.getField("v"))
+    val e = (col("r1") * col("c1")).cast("double") / col("n").cast("double")
+    // n = 1 ⇒ the hypergeometric variance is exactly 0 (and the raw
+    // ratio is 0/0): guard BEFORE the divide — ANSI mode throws on it
+    val v = when(col("n") > 1L,
+      (col("r1").cast(dec38) * col("r0") * col("c1") * col("c0")).cast("double") /
+        (col("n").cast(dec38) * col("n") * (col("n") - lit(1L))).cast("double"))
+      .otherwise(lit(0.0))
+    val orn = (col("n11") * col("n00")).cast("double") / col("n").cast("double")
+    val ord = (col("n10") * col("n01")).cast("double") / col("n").cast("double")
+    cells.agg(
+      count(lit(1)).as("n_strata"), sum(col("n")).as("n_users"),
+      sum(col("n11")).as("sum_obs"),
+      fold(e).as("sum_exp"), fold(v).as("sum_var"),
+      fold(orn).as("or_num"), fold(ord).as("or_den"))
+      .select(col("n_strata"), col("n_users"), col("sum_obs"), col("sum_exp"),
+        col("sum_var"), {
+          val d = abs(col("sum_obs").cast("double") - col("sum_exp")) - lit(0.5)
+          when(col("sum_var") === 0.0, lit(null).cast("double"))
+            .otherwise((d * d) / col("sum_var")).as("cmh_chi2")
+        },
+        when(col("or_den") === 0.0, lit(null).cast("double"))
+          .otherwise(col("or_num") / col("or_den")).as("or_mh"))
+  }
+
+  /** l-diversity audit (q315): the q280 k-anonymity companion — k
+    * bounds RE-IDENTIFICATION (group size), but a size-k group whose
+    * sensitive attribute is CONSTANT still leaks it (homogeneity
+    * attack, Machanavajjhala et al.).  Quasi-identifiers here are
+    * (source, 100-char length band) — q280's QI minus `lang`, which
+    * becomes the sensitive attribute: for each l ∈ {2, 3, 5}, how
+    * many QI groups carry fewer than l distinct langs, and how many
+    * documents sit in them.  Pure exact-integer counting with q280's
+    * one guarded terminal divide.
+    *
+    * 100 TB shape: the q280 shape verbatim — one keyed aggregate to
+    * (QI-group, distinct-count) rows (bounded by |sources|×|bands|),
+    * then a 3-way explode over that broadcast-sized frame.
+    */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Pins.eager(
+      Tables.documents(spark, dir)
+        .select(col("source"), expr("n_chars div 100").as("band"), col("lang"))
+        .groupBy("source", "band")
+        .agg(count(lit(1)).as("gsize"), countDistinct(col("lang")).as("nlang")))
+    groups
+      .select(col("gsize"), col("nlang"),
+        explode(array(Seq(2, 3, 5).map(lit): _*)).as("l"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("nlang") < col("l"), 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("nlang") < col("l"), col("gsize")).otherwise(0L)).as("docs_at_risk"),
+        sum(col("gsize")).as("n_docs"))
+      .select(col("l"), col("n_groups"), col("n_violating"), col("docs_at_risk"),
+        when(col("n_docs") === 0L, lit(null).cast("double"))
+          .otherwise(col("docs_at_risk").cast("double") / col("n_docs").cast("double"))
+          .as("risk_rate"))
+      .orderBy("l")
+  }
+
+  /** Differentially-private release audit (q319): the ACTIVE privacy
+    * mechanism next to the q280/q315 passive gates — per-source
+    * document counts released under ε-DP Laplace noise at ε ∈
+    * {0.1, 1, 10}, with the exact error each release pays.  The
+    * noise is the standard inverse-CDF draw, X = −b·sign(v)·
+    * ln(1 − 2|v|) with b = Δ/ε (count queries: Δ = 1), and the
+    * uniform v ∈ [−½, ½) comes from the shared 60-bit hash of
+    * ("dp:" ∥ source ∥ ":" ∥ ε-tag) — a keyed-PRF draw, the
+    * deterministic analog of seeded noise generation in production
+    * DP libraries, which is exactly what makes the release
+    * REPLAYABLE by the oracle.  within_95 checks |X| against the
+    * Laplace 95% band t = b·ln 20 (P(|X| > t) = e^(−t/b)), so the
+    * frame doubles as a mechanism self-test: across sources × ε,
+    * ~5% of flags should fail.
+    *
+    * Determinism: u = hv/2⁶⁰ (one IEEE divide by an exact power of
+    * two), ln via GraftLn (libm parity — the ONE transcendental the
+    * repo's oracle contract admits), every product/divide a pinned
+    * literal sequence mirrored by the SQL; true counts exact
+    * BIGINTs.
+    *
+    * 100 TB shape: one |sources|-key exact count (map-side combined)
+    * and a 3-way literal explode over the resulting dim-sized frame
+    * — the mechanism itself is corpus-scale-free, as a DP release
+    * must be (noise depends only on ε, never on the data).
+    */
+  def dpLaplace(spark: SparkSession, dir: String): DataFrame = {
+    val ln = graft.functions.MathFunctions.ln _
+    val eps = explode(array(
+      struct(lit("e01").as("tag"), lit(0.1).as("eps")),
+      struct(lit("e1").as("tag"), lit(1.0).as("eps")),
+      struct(lit("e10").as("tag"), lit(10.0).as("eps")))).as("e")
+    Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("true_count"))
+      .select(col("source"), col("true_count"), eps)
+      .select(col("source"), col("e.eps").as("eps"), col("true_count"), {
+        val u = graft.operators.TextAnalysis.hv60(
+          concat(lit("dp:"), col("source"), lit(":"), col("e.tag")))
+          .cast("double") / lit(1152921504606846976.0)
+        val v = u - lit(0.5)
+        val b = lit(1.0) / col("e.eps")
+        ((-b) * signum(v) * ln(lit(1.0) - lit(2.0) * abs(v))).as("noise")
+      })
+      .select(col("source"), col("eps"), col("true_count"), col("noise"),
+        (col("true_count").cast("double") + col("noise")).as("released"),
+        when(abs(col("noise")) <= (lit(1.0) / col("eps")) * ln(lit(20.0)), 1)
+          .otherwise(0).as("within_95"))
+      .orderBy("source", "eps")
+  }
+
+  /** t-closeness audit (q322): completes the release-gate triad —
+    * q280's k-anonymity bounds group SIZE, q315's l-diversity bounds
+    * sensitive-value COUNT, but a size-k group with l distinct langs
+    * still leaks if its lang DISTRIBUTION diverges from the corpus
+    * (skewness attack, Li et al. ICDE'07).  Same QI cells as q315
+    * (source, 100-char band), sensitive attribute lang; per cell the
+    * variational distance to the global lang distribution,
+    * TV = ½ Σ_i |c_i/n_c − g_i/N|, tested against t ∈
+    * {0.15, 0.25, 0.4} — entirely in cross-multiplied exact-integer
+    * form: 2·t·n_c·N < Σ_i |c_i·N − g_i·n_c|, with t's rational form
+    * (3/20, 1/4, 2/5) folded into the literals so no float ever
+    * enters a comparison.  Langs ABSENT from a cell contribute
+    * g_i·n_c, folded in closed form as (N − Σ_present g_i)·n_c — the
+    * full-domain sum without a domain-spine join.
+    *
+    * 100 TB shape: the q315 shape plus one broadcast — (QI, lang)
+    * counts (bounded by |sources|×|bands|×|langs|), a |langs|-row
+    * broadcast of global counts, one keyed aggregate back to cells,
+    * then a 3-way literal explode over the broadcast-sized cell
+    * table.  The corpus is read once.
+    */
+  def tCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val cellLang = Pins.eager(
+      Tables.documents(spark, dir)
+        .select(col("source"), expr("n_chars div 100").as("band"), col("lang"))
+        .groupBy("source", "band", "lang")
+        .agg(count(lit(1)).as("c")))
+    val cells = cellLang.groupBy("source", "band").agg(sum(col("c")).as("n_c"))
+    val globalLang = cellLang.groupBy("lang").agg(sum(col("c")).as("g"))
+    val grand = cellLang.agg(sum(col("c")).as("nn"))
+    // per (cell, present-lang) row: |c_i·N − g_i·n_c|; absent langs
+    // folded in closed form below as (N − Σ_present g_i)·n_c
+    val scored = Pins.eager(
+      cellLang
+        .join(broadcast(globalLang), Seq("lang"))
+        .join(broadcast(cells), Seq("source", "band"))
+        .crossJoin(broadcast(grand))
+        .groupBy("source", "band", "nn", "n_c")
+        .agg(sum(abs(col("c") * col("nn") - col("g") * col("n_c")))
+            .as("tv_present"),
+          sum(col("g")).as("g_present"))
+        .select(col("source"), col("band"), col("nn"), col("n_c"),
+          (col("tv_present") + (col("nn") - col("g_present")) * col("n_c"))
+            .as("tv_num")))
+    // t as exact rationals: t = tn/td; violation iff
+    // td·tv_num > 2·tn·n_c·N
+    scored
+      .select(col("source"), col("band"), col("nn"), col("n_c"), col("tv_num"),
+        explode(array(
+          struct(lit(0.15).as("t"), lit(3L).as("tn"), lit(20L).as("td")),
+          struct(lit(0.25).as("t"), lit(1L).as("tn"), lit(4L).as("td")),
+          struct(lit(0.40).as("t"), lit(2L).as("tn"), lit(5L).as("td")))).as("tt"))
+      .groupBy(col("tt.t").as("t"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("tt.td") * col("tv_num")
+          > lit(2L) * col("tt.tn") * col("n_c") * col("nn"), 1L)
+          .otherwise(0L)).as("n_violating"),
+        sum(when(col("tt.td") * col("tv_num")
+          > lit(2L) * col("tt.tn") * col("n_c") * col("nn"), col("n_c"))
+          .otherwise(0L)).as("docs_at_risk"),
+        sum(col("n_c")).as("n_docs"))
+      .select(col("t"), col("n_groups"), col("n_violating"), col("docs_at_risk"),
+        when(col("n_docs") === 0L, lit(null).cast("double"))
+          .otherwise(col("docs_at_risk").cast("double") / col("n_docs").cast("double"))
+          .as("risk_rate"))
+      .orderBy("t")
+  }
+
+  /** Fully-replayed HyperLogLog (q323): the q273 discipline applied
+    * to the OTHER workhorse sketch — q33 audits Spark's built-in
+    * approx_count_distinct against an exact recount, but here the
+    * sketch itself is replayed register-for-register in both engines:
+    * m = 64 registers (p = 6) over the shared 60-bit token hash,
+    * register j = hv mod 64, rho = leading-zero rank of the remaining
+    * 54-bit suffix (w = hv div 64; rho = 55 − bitlen(w), bitlen via
+    * the exact base-2 string length — no transcendental near a
+    * boundary), M_j = max rho.  The Flajolet et al. estimator runs in
+    * exact-integer form until ONE terminal divide: Σ_j 2^(−M_j) is
+    * scaled to S = Σ_j 2^(55−M_j) (every term ≤ 2^54, 64 terms <
+    * 2^61 — exact BIGINT), then E = α₆₄·m²·2^55 / S with
+    * α₆₄ = 0.709; the small-range branch (E ≤ 2.5m and empty
+    * registers exist) switches to linear counting m·ln(m/V) via
+    * GraftLn, the one admitted transcendental.  Output is the full
+    * 64-row register table (the cross-engine contract: every M_j
+    * hash-matches) plus the estimate, the exact distinct count, and
+    * a 3σ flag (σ = 1.04/√64 ≈ 13%).
+    *
+    * 100 TB shape: M_j = max per register is associative — partial
+    * aggregation collapses each partition to ≤64 rows before the
+    * shuffle, the same mergeable-summary scaling as q272/q273; the
+    * register spine is a 64-row literal sequence so silent registers
+    * still appear (M = 0).  The exact recount alongside is the
+    * audit's deliberate price; production ships the sketch alone.
+    */
+  def hllReplay(spark: SparkSession, dir: String): DataFrame = {
+    val hv = Pins.eager(
+      tokenStream(spark, dir)
+        .select(graft.operators.TextAnalysis.hv60(col("token")).as("hv"),
+          col("token")))
+    // rho of the 54-bit suffix: 55 - bitlen(w); w = 0 (all-zero
+    // suffix) has rho = 55 by convention (L + 1)
+    val w = expr("hv div 64")
+    val rho = when(w === 0L, lit(55L))
+      .otherwise(lit(55L) - length(conv(w.cast("string"), 10, 2)).cast("long"))
+    val regs = hv
+      .select(pmod(col("hv"), lit(64L)).as("register"), rho.as("rho"))
+      .groupBy("register").agg(max(col("rho")).as("m_j"))
+    val spine = Pins.eager(
+      spark.range(0, 64).select(col("id").as("register"))
+        .join(regs, Seq("register"), "left")
+        .na.fill(0L, Seq("m_j")))
+    val sAndV = spine.agg(
+      sum(expr("shiftleft(1L, cast(55 - m_j as int))")).as("s"),
+      sum(when(col("m_j") === 0L, 1L).otherwise(0L)).as("v"))
+    val exact = hv.agg(countDistinct(col("token")).as("exact_distinct"))
+    val twoPow55 = 36028797018963968.0 // 2^55, exact double
+    val est = sAndV.crossJoin(exact)
+      .select(col("s"), col("v"), col("exact_distinct"), {
+        val raw = ((lit(0.709) * lit(4096.0)) * lit(twoPow55)) /
+          col("s").cast("double")
+        when(raw <= lit(160.0) && col("v") > 0L,
+          lit(64.0) * graft.functions.MathFunctions.ln(
+            lit(64.0) / col("v").cast("double")))
+          .otherwise(raw).as("hll_est")
+      })
+      .select(col("exact_distinct"), col("hll_est"),
+        // 3σ band, σ = 1.04/√64: |est − n| ≤ 0.39·n, cross-multiplied
+        // to exact-integer-vs-double on ONE pinned product
+        when(abs(col("hll_est") - col("exact_distinct").cast("double"))
+          <= lit(0.39) * col("exact_distinct").cast("double"), 1)
+          .otherwise(0).as("within_3sigma"))
+    spine.crossJoin(broadcast(est))
+      .select(col("register"), col("m_j"), col("exact_distinct"),
+        col("hll_est"), col("within_3sigma"))
+      .orderBy("register")
+  }
 }

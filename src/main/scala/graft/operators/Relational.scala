@@ -1693,4 +1693,70 @@ object Relational {
       .unionAll(one("orders: o_custkey -> o_orderstatus", ord, col("o_custkey"), col("o_orderstatus")))
       .orderBy("fd")
   }
+
+  /** HITS hubs-and-authorities on the customer→supplier purchase
+    * bipartite graph (q307): an edge (c, s) exists iff customer c
+    * ever bought a lineitem supplied by s.  Authority(s) answers
+    * "which suppliers are bought by the customers who buy broadly?"
+    * — the mutually-recursive centrality q119's PageRank (a single
+    * random walk) cannot express on a bipartite relation, and the
+    * classic entity-importance signal for catalog curation.
+    *
+    * Kleinberg's iteration with L∞ (max) normalization instead of
+    * L2: a(s) = Σ_{c→s} h(c), h(c) = Σ_{c→s} a(s), each followed by
+    * x ← x / max(x).  Max-normalization is chosen deliberately: the
+    * max of deterministic doubles is shuffle-order-free and the
+    * per-node divide is one IEEE op, while an L2 norm would need a
+    * corpus-ordered fold of squares per iteration for bit parity.
+    * Fixed points of the two normalizations have identical RANK
+    * ORDER (they differ by a positive scalar), so top-k output is
+    * unaffected.  Each neighbor sum folds in NEIGHBOR-ID order
+    * (sort_array + sequential fold ↔ DuckDB list_reduce over
+    * list(… ORDER BY id)), the q119 parity rule.
+    *
+    * 100 TB shape: the edge list is ONE orders⋈lineitem equi-join on
+    * orderkey + distinct, pinned once via [[graft.util.Pins.eager]];
+    * every iteration is two keyed aggregations + a 1-row broadcast
+    * max on the (edges-sized, corpus-independent) frame.  Each
+    * normalized score frame is lazily localCheckpoint'd because the
+    * recurrence reads it twice (the neighbor join AND the max);
+    * without truncation the plan subtree doubles per iteration —
+    * the q54 lloydCentroids discipline.
+    */
+  def hits(spark: SparkSession, dir: String,
+           iters: Int = 3, topK: Int = 20): DataFrame = {
+    val fold = (arr: Column) => aggregate(arr, lit(0.0), (a, x) => a + x.getField("v"))
+    val edges = graft.util.Pins.eager(
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct())
+    var hub = edges.select(col("cust")).distinct().withColumn("h", lit(1.0))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val a0 = edges.join(hub, "cust")
+        .groupBy("supp")
+        .agg(fold(sort_array(collect_list(struct(col("cust").as("id"),
+          col("h").as("v"))))).as("a"))
+      auth = a0.crossJoin(broadcast(a0.agg(max(col("a")).as("mx"))))
+        .select(col("supp"), (col("a") / col("mx")).as("a"))
+        .localCheckpoint(false)
+      val h0 = edges.join(auth, "supp")
+        .groupBy("cust")
+        .agg(fold(sort_array(collect_list(struct(col("supp").as("id"),
+          col("a").as("v"))))).as("h"))
+      hub = h0.crossJoin(broadcast(h0.agg(max(col("h")).as("mx"))))
+        .select(col("cust"), (col("h") / col("mx")).as("h"))
+        .localCheckpoint(false)
+    }
+    val deg = edges.groupBy("supp").agg(count(lit(1)).as("n_customers"))
+    auth.join(deg, "supp")
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("a").desc, col("supp").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("supp").as("s_suppkey"), col("n_customers"),
+        col("a").as("authority"))
+      .orderBy("rank")
+  }
 }

@@ -1398,4 +1398,200 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Per-cell simplified silhouette of the q73/q54 k-means cells
+    * (q306): for each vector, a = Euclidean distance to its OWN
+    * trained centroid, b = distance to the nearest OTHER centroid,
+    * s = (b − a) / max(a, b) ∈ [−1, 1].  The centroid-based
+    * ("simplified") silhouette of Hruschka et al. replaces the
+    * classic all-pairs mean distances with centroid distances — the
+    * only form that is corpus-linear and therefore the one a 100 TB
+    * pipeline can actually run; it answers "which cells are
+    * well-separated and which are shredding one population across
+    * two ids" BEFORE anyone shards by cell (q73's population view
+    * says nothing about geometry; q109 purity needs labels).
+    *
+    * Cell membership stays the house argmax-DOT rule (ties → lowest
+    * cid) so this audits exactly the cells q54/q73/q223 build —
+    * membership is NOT re-derived by min-distance.  Distances come
+    * from the dot-product identity d² = ‖x‖² − 2x·c + ‖c‖² (each dot
+    * a dimension-ordered native fold, the same operand order on both
+    * engines) with a greatest(…, 0) clamp so x ≈ c can't produce a
+    * NaN via a −1-ulp negative; sqrt is correctly rounded in both
+    * engines.  Per-cell aggregation uses the quantize-then-exact-sum
+    * rule (q247/PCA): each s quantized to floor(s·1e9 + 0.5) as
+    * BIGINT, summed exactly (order-free), ONE terminal divide —
+    * never a shuffle-order-dependent double sum.
+    *
+    * 100 TB shape: centroid training is the q54 broadcast-train loop
+    * (bounded sample); scoring is ONE corpus scan against a
+    * broadcast k×64 array — per-vector work is pure expression (no
+    * per-vector shuffle, no window) — and the only exchange is the
+    * final k-key aggregate.
+    */
+  def silhouette(spark: SparkSession, dir: String,
+                 k: Int = 8, iters: Int = 2, sampleN: Int = 256): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = lloydCentroids(emb, k, iters, sampleN)
+    val carr = cents.agg(sort_array(
+      collect_list(struct(col("cid"), col("c_emb")))).as("cs"))
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(carr))
+      .withColumn("nx", dot(col("embedding"), col("embedding")))
+      .withColumn("ds", transform(col("cs"), c => {
+        val cdot = dot(col("embedding"), c.getField("c_emb"))
+        val nc = dot(c.getField("c_emb"), c.getField("c_emb"))
+        struct(c.getField("cid").as("cid"), cdot.as("cdot"),
+          sqrt(greatest((col("nx") - (cdot + cdot)) + nc, lit(0.0))).as("dist"))
+      }))
+      // own cell: max struct on (cdot, -cid) == the q54 window's
+      // (cdot DESC, cid ASC); cid unique so dist never decides
+      .withColumn("own", array_max(transform(col("ds"), s =>
+        struct(s.getField("cdot").as("cdot"), (-s.getField("cid")).as("ncid"),
+          s.getField("dist").as("dist")))))
+      .select(col("vec_id"), (-col("own.ncid")).as("cid"),
+        col("own.dist").as("a"),
+        array_min(transform(
+          filter(col("ds"), s => s.getField("cid") =!= -col("own.ncid")),
+          s => s.getField("dist"))).as("b"))
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .withColumn("qs", floor(col("s") * lit(1.0e9) + lit(0.5)).cast("long"))
+    scored.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("qs").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("sil_sum_q9"),
+        sum(when(col("qs") < 0L, 1L).otherwise(0L)).as("n_negative"))
+      .select(col("cid"), col("n_vecs"), col("sil_sum_q9"), col("n_negative"),
+        (col("sil_sum_q9").cast("double") /
+          (col("n_vecs") * lit(1000000000L)).cast("double")).as("mean_sil"))
+      .orderBy("cid")
+  }
+
+  /** Davies–Bouldin terms for the q73/q54 cells (q310): the OTHER
+    * classic internal cluster-quality index — σᵢ = mean member
+    * distance to the own centroid (scatter), and for each cell the
+    * worst similarity ratio Rᵢ = max_{j≠i} (σᵢ + σⱼ) / d(cᵢ, cⱼ).
+    * Silhouette (q306) scores per-POINT margins; DB scores per-CELL
+    * scatter against centroid separation — a cell can have fine
+    * silhouette yet a bad DB term when its nearest peer centroid is
+    * close relative to the two scatters.  Mean of r_max over cells is
+    * the Davies–Bouldin index; the per-cell rows name WHICH peer is
+    * the confusable one (the merge candidate a curation pass reviews).
+    *
+    * Determinism: member distances are the q306 pinned expression
+    * (dot-identity, clamp, sqrt); σᵢ goes through quantize-then-
+    * exact-sum (q9) with ONE terminal divide; the k×k ratio matrix is
+    * pinned double arithmetic on a bounded frame; the argmax peer is
+    * max(struct(r, −cid)) — ties (double-equal ratios) break to the
+    * LOWEST peer cid, same rule both engines.
+    *
+    * 100 TB shape: identical to q306 — broadcast centroids, one
+    * corpus scan, one k-key aggregate; everything after is k² rows.
+    */
+  def daviesBouldin(spark: SparkSession, dir: String,
+                    k: Int = 8, iters: Int = 2, sampleN: Int = 256): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = lloydCentroids(emb, k, iters, sampleN)
+    val carr = cents.agg(sort_array(
+      collect_list(struct(col("cid"), col("c_emb")))).as("cs"))
+    val sums = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(carr))
+      .withColumn("nx", dot(col("embedding"), col("embedding")))
+      .withColumn("own", array_max(transform(col("cs"), c => {
+        val cdot = dot(col("embedding"), c.getField("c_emb"))
+        val nc = dot(c.getField("c_emb"), c.getField("c_emb"))
+        struct(cdot.as("cdot"), (-c.getField("cid")).as("ncid"),
+          sqrt(greatest((col("nx") - (cdot + cdot)) + nc, lit(0.0))).as("dist"))
+      })))
+      .select((-col("own.ncid")).as("cid"),
+        floor(col("own.dist") * lit(1.0e9) + lit(0.5)).cast("long").as("qd"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("qd").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("long").as("d_sum_q9"))
+      .select(col("cid"), col("n_vecs"),
+        (col("d_sum_q9").cast("double") /
+          (col("n_vecs") * lit(1000000000L)).cast("double")).as("sigma"))
+    val cn = cents
+      .withColumn("nc", dot(col("c_emb"), col("c_emb")))
+      .join(sums, "cid")
+    val pairs = cn.as("i").join(cn.as("j"), col("i.cid") =!= col("j.cid"))
+      .select(col("i.cid").as("cid"), col("i.n_vecs").as("n_vecs"),
+        col("i.sigma").as("sigma"), col("j.cid").as("peer"), {
+          val cd = dot(col("i.c_emb"), col("j.c_emb"))
+          val d = sqrt(greatest((col("i.nc") - (cd + cd)) + col("j.nc"), lit(0.0)))
+          ((col("i.sigma") + col("j.sigma")) / d).as("r")
+        })
+    pairs.groupBy("cid")
+      .agg(max(col("n_vecs")).as("n_vecs"), max(col("sigma")).as("sigma"),
+        max(struct(col("r"), (-col("peer")).as("npeer"))).as("m"))
+      .select(col("cid"), col("n_vecs"), col("sigma"),
+        (-col("m.npeer")).as("worst_peer"), col("m.r").as("r_max"))
+      .orderBy("cid")
+  }
+
+  /** Per-dimension Fisher discriminant audit (q318): which embedding
+    * DIMENSIONS carry each label's signal — the feature-selection
+    * lens the vector tier lacks (q27 profiles labels, q109/q143
+    * score cluster/neighbor purity, but none says "label 3 lives in
+    * dims 17 and 41").  For every (label, dim), the one-vs-rest
+    * Fisher ratio F = (μ_l − μ_rest)² / (σ²_l + σ²_rest); per label
+    * the top-5 dims by F.  Low top-F across all labels flags
+    * embeddings that won't linearly separate; a single dominant dim
+    * flags a shortcut feature a probe would overfit to.
+    *
+    * Determinism: each float is quantized once — q = floor(x·10⁶ +
+    * ½) (exact: floats are exact doubles) — and ALL moments are
+    * exact BIGINT sums of q and q² (|x| < 0.6 ⇒ Σq² < 7·10¹⁴ at
+    * sf0.1; beyond ~10⁷ vectors the q² sum needs DECIMAL(38,0) — a
+    * documented scale upgrade, same discipline as q309).  Rest
+    * moments are exact total−label subtractions; F is one pinned
+    * double factorization per (label, dim); F is scale-invariant in
+    * q-units (the 10¹² cancels), so no rescale divide exists at all.
+    * Zero-variance dims (σ²_l + σ²_rest = 0) are excluded before
+    * ranking on both engines.
+    *
+    * 100 TB shape: ONE posexplode pass (row count × dim, the same
+    * fan-out every per-dim audit pays) into ONE (label, dim)-keyed
+    * exact aggregate (k·d cells — tiny), then driver-scale algebra:
+    * the dim totals broadcast back over the k·d frame, and the
+    * top-5-per-label window runs on k·d rows.
+    */
+  def fisherDims(spark: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(1.0e6) + lit(0.5))
+          .cast("long").as("q"))
+    val perLD = q.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_l"), sum(col("q")).as("s_l"),
+        sum(col("q") * col("q")).as("s2_l"))
+    val tot = perLD.groupBy("dim")
+      .agg(sum(col("n_l")).as("n_t"), sum(col("s_l")).as("s_t"),
+        sum(col("s2_l")).as("s2_t"))
+    val f = perLD.join(broadcast(tot), "dim")
+      .select(col("label"), col("dim"), col("n_l"), {
+        val nR = col("n_t") - col("n_l")
+        val sR = col("s_t") - col("s_l")
+        val s2R = col("s2_t") - col("s2_l")
+        val muL = col("s_l").cast("double") / col("n_l").cast("double")
+        val muR = sR.cast("double") / nR.cast("double")
+        val varL = (col("s2_l").cast("double") / col("n_l").cast("double")
+          - muL * muL)
+        val varR = s2R.cast("double") / nR.cast("double") - muR * muR
+        val d = muL - muR
+        struct(((d * d) / (varL + varR)).as("fisher"),
+          (varL + varR).as("denom")).as("t")
+      })
+      .select(col("label"), col("dim"), col("n_l"),
+        col("t.fisher").as("fisher"), col("t.denom").as("denom"))
+      .filter(col("denom") > 0.0)
+    f.withColumn("rank", row_number().over(Window.partitionBy("label")
+        .orderBy(col("fisher").desc, col("dim").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("label"), col("rank"), col("dim"), col("n_l"), col("fisher"))
+      .orderBy("label", "rank")
+  }
 }
