@@ -3249,6 +3249,112 @@ private[graft] trait OraclesC extends OracleHelpers {
          |           <= CAST(0.39 AS DOUBLE) * CAST(exact_distinct AS DOUBLE)
          |       THEN 1 ELSE 0 END AS within_3sigma
          |FROM sp CROSS JOIN est ORDER BY register""".stripMargin
+    },
+    // q324: three unrolled power-iteration supersteps, each an exact
+    // Σ A_ij·xq_j BIGINT product sum, max exact, the iterate
+    // re-quantized after the step's single pinned divide (q321 rule),
+    "q324_eigencentrality" ->
+      """WITH t0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tok AS (SELECT doc_id, token FROM t0 WHERE token <> ''),
+        |voc AS (SELECT token FROM (SELECT token,
+        |    row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rk
+        |  FROM tok GROUP BY token) z WHERE rk <= 50),
+        |inc AS (SELECT DISTINCT doc_id, token FROM tok JOIN voc USING (token)),
+        |a AS (SELECT i.token AS i, j.token AS j, CAST(count(*) AS BIGINT) AS w
+        |  FROM inc i JOIN inc j ON i.doc_id = j.doc_id AND i.token <> j.token
+        |  GROUP BY 1, 2),
+        |x0 AS (SELECT token AS j, CAST(1000000 AS BIGINT) AS xq FROM voc),
+        |y1 AS (SELECT i, sum(w * xq) AS y FROM a JOIN x0 USING (j) GROUP BY i),
+        |m1 AS (SELECT max(y) AS m FROM y1),
+        |x1 AS (SELECT i AS j, CAST(floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS xq FROM y1 CROSS JOIN m1),
+        |y2 AS (SELECT i, sum(w * xq) AS y FROM a JOIN x1 USING (j) GROUP BY i),
+        |m2 AS (SELECT max(y) AS m FROM y2),
+        |x2 AS (SELECT i AS j, CAST(floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS xq FROM y2 CROSS JOIN m2),
+        |y3 AS (SELECT i, sum(w * xq) AS y FROM a JOIN x2 USING (j) GROUP BY i),
+        |m3 AS (SELECT max(y) AS m FROM y3),
+        |x3 AS (SELECT i AS j, CAST(floor(CAST(y AS DOUBLE) / CAST(m AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS xq FROM y3 CROSS JOIN m3),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM inc GROUP BY token),
+        |rk AS (SELECT j AS token, xq,
+        |    row_number() OVER (ORDER BY xq DESC, j ASC) AS rank FROM x3)
+        |SELECT CAST(rank AS INTEGER) AS rank, token, n_docs, xq,
+        |  CAST(xq AS DOUBLE) / 1000000.0 AS score
+        |FROM rk JOIN df USING (token)
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // q325: per-instant NETTED deltas make tie order algebraically
+    // invisible; the split prefix sum (per-day cum + day-spine
+    // carry-in) replays the single global running sum exactly,
+    "q325_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+        |  THEN 1 ELSE 0 END AS new_session FROM e),
+        |s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM f),
+        |iv AS (SELECT user_id, session_idx, min(ms) AS s, max(ms) AS e
+        |  FROM s GROUP BY user_id, session_idx),
+        |dl AS (SELECT t, d FROM (SELECT s AS t, 1 AS d FROM iv
+        |  UNION ALL SELECT e + 1 AS t, -1 AS d FROM iv) z),
+        |net AS (SELECT t // 86400000 AS day, t,
+        |    CAST(sum(d) AS BIGINT) AS net,
+        |    CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS starts,
+        |    CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) AS BIGINT) AS ends
+        |  FROM dl GROUP BY 1, 2),
+        |wd AS (SELECT *, sum(net) OVER (PARTITION BY day ORDER BY t
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM net),
+        |dy AS (SELECT day, max(cum) AS max_cum, sum(net) AS day_net,
+        |    CAST(sum(starts) AS BIGINT) AS n_starts,
+        |    CAST(sum(ends) AS BIGINT) AS n_ends
+        |  FROM wd GROUP BY day)
+        |SELECT day,
+        |  CAST(coalesce(sum(day_net) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS carry_in,
+        |  n_starts, n_ends,
+        |  CAST(greatest(
+        |    coalesce(sum(day_net) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+        |    coalesce(sum(day_net) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + max_cum) AS BIGINT) AS peak_concurrent
+        |FROM dy ORDER BY day""".stripMargin,
+    // q326: directions are cross-multiplied exact integers (sign of
+    // x_b·n_a − x_a·n_b), rates single guarded terminal divides,
+    "q326_simpson" -> {
+      val d = (xa: String, na: String, xb: String, nb: String) =>
+        s"CAST(sign(CAST($xb * $na - $xa * $nb AS DOUBLE)) AS INTEGER)"
+      s"""WITH u AS (SELECT user_id, count(*) AS n_ev,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         |  FROM events GROUP BY user_id),
+         |ar AS (SELECT
+         |    ${hv60Sql("'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS arm,
+         |    n_ev // 10 AS stratum, conv FROM u),
+         |ce AS (SELECT stratum,
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x_b
+         |  FROM ar GROUP BY stratum),
+         |po AS (SELECT sum(n_a) AS pn_a, sum(x_a) AS px_a,
+         |    sum(n_b) AS pn_b, sum(x_b) AS px_b FROM ce)
+         |SELECT stratum, n_a, x_a, n_b, x_b,
+         |  CASE WHEN n_a = 0 THEN NULL
+         |       ELSE CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) END AS p_a,
+         |  CASE WHEN n_b = 0 THEN NULL
+         |       ELSE CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS p_b,
+         |  ${d("x_a", "n_a", "x_b", "n_b")} AS stratum_dir,
+         |  ${d("px_a", "pn_a", "px_b", "pn_b")} AS pooled_dir,
+         |  CASE WHEN ${d("x_a", "n_a", "x_b", "n_b")}
+         |         * ${d("px_a", "pn_a", "px_b", "pn_b")} = -1
+         |       THEN 1 ELSE 0 END AS flips
+         |FROM ce CROSS JOIN po ORDER BY stratum""".stripMargin
     }
   )
 }

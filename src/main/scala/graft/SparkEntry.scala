@@ -592,7 +592,12 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // release gate, and a register-replayed HLL sketch
     "q321_als_rank1" -> ((s, d) => EventOps.alsRank1(s, d)),
     "q322_t_closeness" -> ((s, d) => PipelineAudits.tCloseness(s, d)),
-    "q323_hll_replay" -> ((s, d) => PipelineAudits.hllReplay(s, d))
+    "q323_hll_replay" -> ((s, d) => PipelineAudits.hllReplay(s, d)),
+    // batch 22 (r16): spectral token centrality, interval sweep-line
+    // capacity peaks, and the pooled-vs-stratified honesty audit
+    "q324_eigencentrality" -> ((s, d) => TextAnalysis.eigenCentrality(s, d)),
+    "q325_concurrency" -> ((s, d) => EventOps.sessionConcurrency(s, d)),
+    "q326_simpson" -> ((s, d) => PipelineAudits.simpson(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -2638,4 +2638,74 @@ object EventOps {
         col("v_num"), col("v_den"), col("v_factor"))
       .orderBy("rank")
   }
+
+  /** Interval sweep-line: peak concurrent sessions per day (q325) —
+    * the capacity-planning primitive the event tier was missing: q12
+    * builds sessions and q108 counts daily actives, but "how many
+    * sessions were open AT ONCE" needs the classic +1/−1 sweep over
+    * session endpoints, here in the day-partitioned form that scales.
+    * Sessions are the q12 rule (30-min gap, [min ts, max ts]
+    * millisecond bounds, inclusive); a session contributes +1 at its
+    * start instant and −1 at end+1 ms.  Deltas are NETTED PER INSTANT
+    * before any running sum, so no intra-instant ordering exists at
+    * all — ties are algebraically invisible.
+    *
+    * The global prefix sum is split exactly the way a 1000-executor
+    * run must split it: a per-day cumulative sum (window PARTITIONED
+    * by day — parallel across days) plus a per-day carry-in baseline
+    * (the running total of whole-day net deltas over the bounded day
+    * spine — the documented bounded-frame exception).  Peak(day) =
+    * max(carry_in, carry_in + max within-day prefix): the day starts
+    * at its baseline, which an all-negative day never revisits.
+    * Silent days fully inside long sessions hold their baseline and
+    * carry no deltas, so they are absent from the output by
+    * construction (documented).
+    *
+    * Everything is exact integer algebra — endpoints, nets, prefixes,
+    * maxima — so the oracle replays the sweep bit-for-bit.
+    *
+    * 100 TB shape: sessionization is the q12 user-keyed window;
+    * endpoint deltas collapse to per-(day, instant) nets in one keyed
+    * aggregate (map-side combined); the only unpartitioned state is
+    * the |days|-row spine.
+    */
+  def sessionConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30L * 60L * 1000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val sessions = Tables.events(spark, dir)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ms")).as("s"), max(col("ms")).as("e"))
+    val deltas = sessions.select(explode(array(
+        struct(col("s").as("t"), lit(1L).as("d")),
+        struct((col("e") + lit(1L)).as("t"), lit(-1L).as("d")))).as("p"))
+      .select(col("p.t").as("t"), col("p.d").as("d"))
+      .groupBy(expr("t div 86400000").as("day"), col("t"))
+      .agg(sum(col("d")).as("net"),
+        sum(when(col("d") > 0L, col("d")).otherwise(0L)).as("starts"),
+        sum(when(col("d") < 0L, -col("d")).otherwise(0L)).as("ends"))
+    val withinDay = deltas.withColumn("cum",
+      sum(col("net")).over(Window.partitionBy("day").orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val days = withinDay.groupBy("day")
+      .agg(max(col("cum")).as("max_cum"),
+        sum(col("net")).as("day_net"),
+        sum(col("starts")).as("n_starts"),
+        sum(col("ends")).as("n_ends"))
+    val spine = Window.partitionBy(lit(1)).orderBy(col("day").asc)
+    days
+      .withColumn("carry_in",
+        coalesce(sum(col("day_net")).over(
+          spine.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("day"), col("carry_in"), col("n_starts"), col("n_ends"),
+        greatest(col("carry_in"), col("carry_in") + col("max_cum"))
+          .as("peak_concurrent"))
+      .orderBy("day")
+  }
 }

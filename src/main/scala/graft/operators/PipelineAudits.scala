@@ -1348,4 +1348,63 @@ object PipelineAudits {
         col("hll_est"), col("within_3sigma"))
       .orderBy("register")
   }
+
+  /** Simpson's-paradox detector (q326): the aggregation-honesty audit
+    * next to q314's CMH — CMH asks "is there an effect after
+    * stratification?", this asks the prior question a dashboard
+    * silently gets wrong: does the POOLED A/B direction agree with
+    * the per-stratum directions, or is the pooled table an artifact
+    * of imbalanced allocation across strata (Simpson 1951)?  Arms are
+    * the q286/q314 reproducibility contract (hv60('ab:' ∥ user_id)
+    * mod 2), outcome = converted (any purchase), strata = 10-event
+    * user activity bands (n_events div 10) — activity is the
+    * textbook confounder: heavier users convert more AND hash splits
+    * are only balanced in expectation, not per band.
+    *
+    * Directions are cross-multiplied exact integers — sign(x_b·n_a −
+    * x_a·n_b) per stratum and pooled — so the flip flags are
+    * replay-deterministic; the single rate columns are one terminal
+    * divide each, NULL-guarded on empty arms.
+    *
+    * 100 TB shape: one user-keyed aggregate (conv + activity +
+    * stateless arm math), one |strata|-keyed cell rollup, pooled row
+    * as a 1-row broadcast back over ≤5 stratum rows.  Nothing global,
+    * no window.
+    */
+  def simpson(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(
+        pmod(graft.operators.TextAnalysis.hv60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)).as("arm"),
+        expr("n_ev div 10").as("stratum"), col("conv"))
+    val cells = Pins.eager(
+      perUser.groupBy("stratum")
+        .agg(
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("x_a"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("x_b")))
+    val pooled = cells.agg(
+      sum(col("n_a")).as("pn_a"), sum(col("x_a")).as("px_a"),
+      sum(col("n_b")).as("pn_b"), sum(col("x_b")).as("px_b"))
+    def dir2(xa: Column, na: Column, xb: Column, nb: Column): Column =
+      signum((xb * na - xa * nb).cast("double")).cast("int")
+    cells.crossJoin(broadcast(pooled))
+      .select(col("stratum"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        when(col("n_a") === 0L, lit(null).cast("double"))
+          .otherwise(col("x_a").cast("double") / col("n_a").cast("double"))
+          .as("p_a"),
+        when(col("n_b") === 0L, lit(null).cast("double"))
+          .otherwise(col("x_b").cast("double") / col("n_b").cast("double"))
+          .as("p_b"),
+        dir2(col("x_a"), col("n_a"), col("x_b"), col("n_b")).as("stratum_dir"),
+        dir2(col("px_a"), col("pn_a"), col("px_b"), col("pn_b")).as("pooled_dir"),
+        when(dir2(col("x_a"), col("n_a"), col("x_b"), col("n_b"))
+            * dir2(col("px_a"), col("pn_a"), col("px_b"), col("pn_b")) === -1, 1)
+          .otherwise(0).as("flips"))
+      .orderBy("stratum")
+  }
 }

@@ -3666,4 +3666,71 @@ object TextAnalysis {
             / col("padded_single").cast("double")).as("waste_single"))
       .orderBy("cap")
   }
+
+  /** Eigenvector centrality of the token co-occurrence graph (q324):
+    * the spectral view of "which terms anchor the corpus" that
+    * frequency ranking (q29) and PageRank's random walk (q119, over a
+    * DIFFERENT graph) both miss — a token is central when it co-occurs
+    * with other CENTRAL tokens, i.e. the dominant eigenvector of the
+    * doc-level co-occurrence matrix (Bonacich centrality).  Vocabulary
+    * is the top-50 tokens by exact corpus frequency (count desc, token
+    * asc); A_ij = #docs containing both i and j (i ≠ j, symmetric);
+    * three fixed power-iteration supersteps from x₀ ≡ 1 with L∞
+    * normalization.
+    *
+    * Determinism: the q321 ALS discipline — the iterate is quantized
+    * once per step (xq = floor((y/max y)·10⁶ + ½) after the step's
+    * single pinned divide), so every matrix-vector product Σ_j A_ij·xq_j
+    * is an exact BIGINT (A_ij ≤ |docs|, xq ≤ 10⁶, V = 50 ⇒ y < 10¹³ at
+    * every shipped SF; ~10¹² docs would move the sums to
+    * DECIMAL(38,0)); max is exact; the iteration count is fixed so no
+    * convergence-detection order exists.
+    *
+    * 100 TB shape: the corpus is scanned once into a distinct
+    * (doc, vocab-token) incidence (the explode every token audit
+    * pays); A is ONE self-equi-join of that incidence on doc_id
+    * bounded by V tokens per doc (≤ V² rows per doc before the
+    * (i,j)-keyed count, V = 50) — never a corpus-pairs product; the
+    * supersteps then run entirely on the V²-row A and V-row x frames,
+    * broadcast-sized at any corpus scale.
+    */
+  def eigenCentrality(spark: SparkSession, dir: String,
+                      vocabSize: Int = 50, iters: Int = 3,
+                      topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = graft.util.Pins.eager(
+      tok.groupBy("token").agg(count(lit(1)).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("token").asc).limit(vocabSize)
+        .select(col("token")))
+    val inc = graft.util.Pins.eager(
+      tok.join(broadcast(vocab), Seq("token")).distinct())
+    val a = graft.util.Pins.eager(
+      inc.select(col("doc_id"), col("token").as("i"))
+        .join(inc.select(col("doc_id"), col("token").as("j")), Seq("doc_id"))
+        .filter(col("i") =!= col("j"))
+        .groupBy("i", "j").agg(count(lit(1)).as("w")))
+    var x = vocab.select(col("token").as("j"), lit(1000000L).as("xq"))
+    for (_ <- 1 to iters) {
+      val y = a.join(x, Seq("j"))
+        .groupBy(col("i")).agg(sum(col("w") * col("xq")).as("y"))
+      val m = y.agg(max(col("y")).as("m"))
+      x = y.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          floor((col("y").cast("double") / col("m").cast("double"))
+            * lit(1.0e6) + lit(0.5)).cast("long").as("xq"))
+        .localCheckpoint(false)
+    }
+    val docFreq = inc.groupBy("token").agg(count(lit(1)).as("n_docs"))
+    x.select(col("j").as("token"), col("xq"))
+      .join(broadcast(docFreq), Seq("token"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("xq").desc, col("token").asc)))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("token"), col("n_docs"), col("xq"),
+        (col("xq").cast("double") / lit(1.0e6)).as("score"))
+      .orderBy("rank")
+  }
 }
