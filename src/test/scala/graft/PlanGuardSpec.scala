@@ -1546,4 +1546,78 @@ class PlanGuardSpec extends SparkSuite {
     assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 3,
       "only the 1-row tk/st/n frames NL-attach")
   }
+
+  test("q317 phash dedup: banded candidates stay equi-joins; payload bytes never rejoin") {
+    val df = operators.Multimodal.phashDedup(spark, sf)
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")),
+      "the Hamming confirm rides the (band, key) equi-join, never an NL join")
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "the 16-byte hash frame is pinned — downstream never rescans payloads")
+    val wins = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "the survivor window is hash-partitioned, never global")
+  }
+
+  test("q321 als: ratings pinned once, factor joins equi, top-k never global-sorts") {
+    val df = operators.EventOps.alsRank1(spark, sf)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "the rating frame is pinned — every superstep reads checkpoint blocks")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")),
+      "all factor joins are keyed equi-joins")
+    assert(names(df).exists(_.contains("TakeOrderedAndProject")),
+      "top-k via limit, not a global sort of the part dimension")
+  }
+
+  test("q322 t-closeness: cell rollup is join-free downstream of the pinned scored frame") {
+    val df = operators.PipelineAudits.tCloseness(spark, sf)
+    assert(joinTypes(df).isEmpty,
+      "the per-cell TV numerators are pinned — the t explode joins nothing")
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty)
+  }
+
+  test("q323 hll: register table pinned; only the two 1-row summary frames NL-attach") {
+    val df = operators.PipelineAudits.hllReplay(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+      "the S/V fold and the estimate row are 1-row broadcasts")
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "the hv stream is pinned — registers and recount share it")
+  }
+
+  test("q324 eigencentrality: supersteps leave only bounded frames; df join is an equi broadcast") {
+    val df = operators.TextAnalysis.eigenCentrality(spark, sf)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "incidence/matrix/iterate are pinned — no corpus rescan at readout")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+    assert(names(df).exists(_.contains("BroadcastHashJoin")),
+      "doc-frequency attaches by broadcast equi-join")
+  }
+
+  test("q325 concurrency: one pruned events scan; every corpus-sized window is keyed") {
+    val df = operators.EventOps.sessionConcurrency(spark, sf)
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, "one corpus scan feeds sessionization")
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("user_id", "ts", "event_id"), "column pruning to the session key")
+    val wins = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.length == 4, "two session windows, the per-day prefix, the day spine")
+    assert(wins.count(_.partitionSpec.isEmpty) == 1,
+      "exactly ONE unpartitioned window — the bounded |days| carry-in spine")
+    assert(joinTypes(df).isEmpty, "a pure sweep — no joins")
+  }
+
+  test("q326 simpson: single user-grain rollup, pooled row NL-attaches, no window") {
+    val df = operators.PipelineAudits.simpson(spark, sf)
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "only the 1-row pooled frame")
+    assert(!names(df).exists(_.contains("Window")), "no window anywhere")
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "stratum cells are pinned — the pooled fold reads checkpoint blocks")
+  }
 }
