@@ -3355,6 +3355,107 @@ private[graft] trait OraclesC extends OracleHelpers {
          |         * ${d("px_a", "pn_a", "px_b", "pn_b")} = -1
          |       THEN 1 ELSE 0 END AS flips
          |FROM ce CROSS JOIN po ORDER BY stratum""".stripMargin
+    },
+    // q327: priors are exact BIGINT window sums over the complete
+    // day x arm spine; mean/bonus pinned divides of exact integers,
+    // ln via GraftLn, sqrt the shared correctly-rounded IEEE op,
+    "q327_ucb_replay" -> {
+      s"""WITH da AS (SELECT epoch_ms(ts) // 86400000 AS day,
+         |    ${hv60Sql("'ab3:' || CAST(user_id AS VARCHAR)")} % 3 AS arm,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+         |      THEN user_id END) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT d.day, a.arm
+         |  FROM (SELECT DISTINCT day FROM da) d
+         |  CROSS JOIN (SELECT range AS arm FROM range(0, 3)) a),
+         |fl AS (SELECT sp.day, sp.arm, coalesce(n, 0) AS n, coalesce(x, 0) AS x
+         |  FROM sp LEFT JOIN da USING (day, arm)),
+         |cm AS (SELECT *, CAST(coalesce(sum(n) OVER (PARTITION BY arm
+         |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS n_prior,
+         |    CAST(coalesce(sum(x) OVER (PARTITION BY arm ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS x_prior FROM fl),
+         |tt AS (SELECT day, sum(n_prior) AS t_prior, min(n_prior) AS m_prior
+         |  FROM cm GROUP BY day),
+         |sc AS (SELECT cm.day, cm.arm, cm.n, cm.x, cm.n_prior, cm.x_prior,
+         |    (CAST(x_prior AS DOUBLE) / CAST(n_prior AS DOUBLE))
+         |      + sqrt((2.0 * ln(CAST(t_prior AS DOUBLE)))
+         |        / CAST(n_prior AS DOUBLE)) AS ucb
+         |  FROM cm JOIN tt USING (day) WHERE m_prior > 0),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY day
+         |    ORDER BY ucb DESC, arm ASC) AS rk FROM sc)
+         |SELECT day, arm, n, x, n_prior, x_prior, ucb,
+         |  CASE WHEN rk = 1 THEN 1 ELSE 0 END AS chosen
+         |FROM rk ORDER BY day, arm""".stripMargin
+    },
+    // q328: four unrolled IPF half-steps; achieved marginals exact
+    // BIGINT n*wq sums, each weight update the ONE pinned sequence
+    // wq' = floor(wq * ((T*1e6)/M) + 0.5) (the q321 discipline),
+    "q328_raking" -> {
+      s"""WITH s AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents
+         |  WHERE ${hv60Sql("'raking:' || CAST(doc_id AS VARCHAR)")} % 10 = 0
+         |  GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(count(*) AS BIGINT) AS t
+         |  FROM documents GROUP BY 1),
+         |lt AS (SELECT lang, CAST(count(*) AS BIGINT) AS t
+         |  FROM documents GROUP BY 1),
+         |c0 AS (SELECT source, lang, n, CAST(1000000 AS BIGINT) AS wq FROM s),
+         |m1 AS (SELECT source, sum(n * wq) AS mm FROM c0 GROUP BY source),
+         |c1 AS (SELECT c0.source, c0.lang, c0.n,
+         |    CAST(floor(CAST(wq AS DOUBLE) * ((CAST(t AS DOUBLE) * 1000000.0)
+         |      / CAST(mm AS DOUBLE)) + 0.5) AS BIGINT) AS wq
+         |  FROM c0 JOIN m1 USING (source) JOIN st USING (source)),
+         |m2 AS (SELECT lang, sum(n * wq) AS mm FROM c1 GROUP BY lang),
+         |c2 AS (SELECT c1.source, c1.lang, c1.n,
+         |    CAST(floor(CAST(wq AS DOUBLE) * ((CAST(t AS DOUBLE) * 1000000.0)
+         |      / CAST(mm AS DOUBLE)) + 0.5) AS BIGINT) AS wq
+         |  FROM c1 JOIN m2 USING (lang) JOIN lt USING (lang)),
+         |m3 AS (SELECT source, sum(n * wq) AS mm FROM c2 GROUP BY source),
+         |c3 AS (SELECT c2.source, c2.lang, c2.n,
+         |    CAST(floor(CAST(wq AS DOUBLE) * ((CAST(t AS DOUBLE) * 1000000.0)
+         |      / CAST(mm AS DOUBLE)) + 0.5) AS BIGINT) AS wq
+         |  FROM c2 JOIN m3 USING (source) JOIN st USING (source)),
+         |m4 AS (SELECT lang, sum(n * wq) AS mm FROM c3 GROUP BY lang),
+         |c4 AS (SELECT c3.source, c3.lang, c3.n,
+         |    CAST(floor(CAST(wq AS DOUBLE) * ((CAST(t AS DOUBLE) * 1000000.0)
+         |      / CAST(mm AS DOUBLE)) + 0.5) AS BIGINT) AS wq
+         |  FROM c3 JOIN m4 USING (lang) JOIN lt USING (lang)),
+         |ach AS (SELECT source, sum(n * wq) AS ms FROM c4 GROUP BY source)
+         |SELECT c4.source, c4.lang, n AS n_sample, wq,
+         |  CAST(wq AS DOUBLE) / 1000000.0 AS w,
+         |  t AS src_target, CAST(ms AS DOUBLE) / 1000000.0 AS src_achieved
+         |FROM c4 JOIN ach USING (source) JOIN st USING (source)
+         |ORDER BY c4.source, c4.lang""".stripMargin
+    },
+    // q329: counts exact BIGINTs, revenue through the q02
+    // DECIMAL(18,4) exact-sum-then-one-cast discipline,
+    "q329_erasure_cascade" -> {
+      s"""WITH cu AS (SELECT c_custkey, c_nationkey,
+         |    (${hv60Sql("'forget:' || CAST(c_custkey AS VARCHAR)")} % 20 = 0)
+         |      AS forget
+         |  FROM customer),
+         |cs AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+         |    CAST(sum(CASE WHEN forget THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_forgotten
+         |  FROM cu GROUP BY 1),
+         |ca AS (SELECT c_nationkey,
+         |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders_cascade,
+         |    CAST(count(l_orderkey) AS BIGINT) AS n_lineitems_cascade,
+         |    coalesce(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+         |      AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS revenue_removed
+         |  FROM cu JOIN orders ON c_custkey = o_custkey
+         |  LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE forget GROUP BY 1)
+         |SELECT n_name AS nation, n_customers, n_forgotten,
+         |  coalesce(n_orders_cascade, 0) AS n_orders_cascade,
+         |  coalesce(n_lineitems_cascade, 0) AS n_lineitems_cascade,
+         |  coalesce(revenue_removed, 0.0) AS revenue_removed
+         |FROM cs LEFT JOIN ca USING (c_nationkey)
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY nation""".stripMargin
     }
   )
 }

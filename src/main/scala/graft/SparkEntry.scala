@@ -597,7 +597,12 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // capacity peaks, and the pooled-vs-stratified honesty audit
     "q324_eigencentrality" -> ((s, d) => TextAnalysis.eigenCentrality(s, d)),
     "q325_concurrency" -> ((s, d) => EventOps.sessionConcurrency(s, d)),
-    "q326_simpson" -> ((s, d) => PipelineAudits.simpson(s, d))
+    "q326_simpson" -> ((s, d) => PipelineAudits.simpson(s, d)),
+    // batch 23 (r16): sequential-decision replay, calibration
+    // weighting, and the referential-erasure impact statement
+    "q327_ucb_replay" -> ((s, d) => EventOps.ucbReplay(s, d)),
+    "q328_raking" -> ((s, d) => PipelineAudits.raking(s, d)),
+    "q329_erasure_cascade" -> ((s, d) => PipelineAudits.erasureCascade(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

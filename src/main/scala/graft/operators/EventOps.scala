@@ -2708,4 +2708,73 @@ object EventOps {
           .as("peak_concurrent"))
       .orderBy("day")
   }
+
+  /** Offline UCB1 bandit replay (q327): the sequential-decision audit
+    * the experimentation tier (q286 z-test, q292 SPRT) stops short
+    * of — given the logged daily (arm, trials, successes) stream,
+    * which arm would UCB1 (Auer et al. 2002) have pulled each day,
+    * and does the policy concentrate on the winner?  Arms are the
+    * q274 hash contract extended to 3 (hv60('ab3:' ∥ user_id) mod 3);
+    * a day's trial is an active user, a success a purchasing one.
+    * For day d, each arm scores mean + √(2·ln N / n) over STRICTLY
+    * PRIOR days (the replay is on-policy evaluation of the logged
+    * allocation, not an adaptive counterfactual — documented); the
+    * chosen arm is the score argmax, ties to the smallest arm.  Days
+    * before every arm has history are excluded (UCB plays unplayed
+    * arms first; the cold-start rows would be ±∞ scores no oracle
+    * should hash).
+    *
+    * Determinism: priors are exact BIGINT window sums over a
+    * day×arm spine (absent cells filled 0, so cumulative history is
+    * complete); mean and bonus are pinned divides of exact integers,
+    * ln via GraftLn (the admitted transcendental), √ the one
+    * correctly-rounded IEEE sqrt both engines share (the q285/q291
+    * rule); the argmax is a (score desc, arm asc) row_number over 3
+    * rows per day.
+    *
+    * 100 TB shape: one user-day-keyed aggregate off the corpus scan,
+    * then everything runs on the |days|×|arms| spine — cumulative
+    * windows partitioned BY ARM (parallel), the per-day total a
+    * |days|-key aggregate, the argmax a 3-row window.  Nothing
+    * corpus-sized past the first aggregate.
+    */
+  def ucbReplay(spark: SparkSession, dir: String): DataFrame = {
+    val da = graft.util.Pins.eager(
+      Tables.events(spark, dir)
+        .select(expr("unix_millis(ts) div 86400000").as("day"),
+          pmod(graft.operators.TextAnalysis.hv60(
+            concat(lit("ab3:"), col("user_id").cast("string"))), lit(3L))
+            .as("arm"),
+          col("user_id"), col("event_type"))
+        .groupBy("day", "arm")
+        .agg(countDistinct(col("user_id")).as("n"),
+          countDistinct(when(col("event_type") === "purchase",
+            col("user_id"))).as("x")))
+    val arms = spark.range(0, 3).select(col("id").as("arm"))
+    val spine = da.select("day").distinct().crossJoin(broadcast(arms))
+    val filled = spine.join(da, Seq("day", "arm"), "left")
+      .na.fill(0L, Seq("n", "x"))
+    val wArm = Window.partitionBy("arm").orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = filled
+      .withColumn("n_prior", coalesce(sum(col("n")).over(wArm), lit(0L)))
+      .withColumn("x_prior", coalesce(sum(col("x")).over(wArm), lit(0L)))
+    val tot = cum.groupBy("day")
+      .agg(sum(col("n_prior")).as("t_prior"), min(col("n_prior")).as("m_prior"))
+    val ln = graft.functions.MathFunctions.ln _
+    cum.join(tot, Seq("day"))
+      .filter(col("m_prior") > 0L)
+      .withColumn("mean",
+        col("x_prior").cast("double") / col("n_prior").cast("double"))
+      .withColumn("bonus",
+        sqrt((lit(2.0) * ln(col("t_prior").cast("double")))
+          / col("n_prior").cast("double")))
+      .withColumn("ucb", col("mean") + col("bonus"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("day").orderBy(col("ucb").desc, col("arm").asc)))
+      .select(col("day"), col("arm"), col("n"), col("x"),
+        col("n_prior"), col("x_prior"), col("ucb"),
+        when(col("rk") === 1, 1).otherwise(0).as("chosen"))
+      .orderBy("day", "arm")
+  }
 }

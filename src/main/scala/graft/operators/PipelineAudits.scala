@@ -1407,4 +1407,114 @@ object PipelineAudits {
           .otherwise(0).as("flips"))
       .orderBy("stratum")
   }
+
+  /** Raking / iterative proportional fitting (q328): the calibration-
+    * weighting primitive every subsampled corpus release needs — a
+    * 10% hash sample (hv60('raking:' ∥ doc_id) mod 10 = 0, the q274
+    * reproducibility contract) is reweighted so its WEIGHTED
+    * (source × lang) table matches BOTH full-corpus marginals, by two
+    * full IPF rounds (Deming & Stephan 1940): scale every cell weight
+    * by target/achieved on the source margin, then on the lang
+    * margin, twice.
+    *
+    * Determinism: the q321 quantization discipline per half-step —
+    * weights live as wq = w·10⁶ BIGINTs, each achieved marginal
+    * M = Σ n·wq is an exact BIGINT, and the update is ONE pinned
+    * sequence wq' = floor(wq · ((T·10⁶)/M) + ½) — so all four
+    * half-steps replay bit-for-bit.  Sources/langs absent from the
+    * sample simply have no cells (their targets are unreachable —
+    * the honesty of calibration, documented, not papered over).
+    *
+    * 100 TB shape: the corpus is scanned twice (sample cells +
+    * marginal targets, each one keyed aggregate); all four IPF
+    * half-steps then run on the |sources|×|langs| cell frame with
+    * broadcast marginal joins — dimension-sized work at any corpus
+    * scale, the reason raking (not per-row optimization) is the
+    * production calibration method.
+    */
+  def raking(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cells0 = Pins.eager(
+      docs.filter(pmod(graft.operators.TextAnalysis.hv60(
+          concat(lit("raking:"), col("doc_id").cast("string"))), lit(10L)) === 0L)
+        .groupBy("source", "lang").agg(count(lit(1)).as("n")))
+    val srcT = Pins.eager(docs.groupBy("source").agg(count(lit(1)).as("t")))
+    val langT = Pins.eager(docs.groupBy("lang").agg(count(lit(1)).as("t")))
+    def halfStep(cells: DataFrame, margin: String, targets: DataFrame): DataFrame = {
+      val m = cells.groupBy(margin).agg(sum(col("n") * col("wq")).as("mm"))
+      cells.join(broadcast(m), Seq(margin))
+        .join(broadcast(targets), Seq(margin))
+        .select(col("source"), col("lang"), col("n"),
+          floor(col("wq").cast("double")
+            * ((col("t").cast("double") * lit(1.0e6)) / col("mm").cast("double"))
+            + lit(0.5)).cast("long").as("wq"))
+    }
+    var cells = cells0.withColumn("wq", lit(1000000L))
+    for (_ <- 1 to 2) {
+      cells = halfStep(cells, "source", srcT).localCheckpoint(false)
+      cells = halfStep(cells, "lang", langT).localCheckpoint(false)
+    }
+    val achieved = cells.groupBy("source").agg(sum(col("n") * col("wq")).as("ms"))
+    cells.join(broadcast(achieved), Seq("source"))
+      .join(broadcast(srcT), Seq("source"))
+      .select(col("source"), col("lang"), col("n").as("n_sample"), col("wq"),
+        (col("wq").cast("double") / lit(1.0e6)).as("w"),
+        col("t").as("src_target"),
+        (col("ms").cast("double") / lit(1.0e6)).as("src_achieved"))
+      .orderBy("source", "lang")
+  }
+
+  /** Erasure-cascade impact statement (q329): the right-to-be-
+    * forgotten twin of q305's dedup ledger — before deleting a
+    * hash-designated 5% of customers (hv60('forget:' ∥ c_custkey)
+    * mod 20 = 0, the replayable-designation contract), price the
+    * referential cascade: per nation, how many customers go, how
+    * many orders and line items they drag with them, and how much
+    * revenue mass leaves the fact table.  The report a deletion job
+    * signs off against, and the shape of every FK-cascade audit.
+    *
+    * Determinism: counts exact BIGINTs; revenue through the q01/q02
+    * DECIMAL(18,4) exact-sum-then-one-cast discipline.
+    *
+    * 100 TB shape: the designation is stateless per-row math; the
+    * cascade is the schema's own FK chain — customer⋈orders on
+    * custkey, ⋈lineitem on orderkey, both natural equi-joins —
+    * finished by one |nations|-key rollup and a broadcast nation-name
+    * attach.  No new shuffle beyond what any fact query pays.
+    */
+  def erasureCascade(spark: SparkSession, dir: String): DataFrame = {
+    val dec4 = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (pmod(graft.operators.TextAnalysis.hv60(
+          concat(lit("forget:"), col("c_custkey").cast("string"))), lit(20L))
+          === 0L).as("forget"))
+    val custStats = cust.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("forget"), 1L).otherwise(0L)).as("n_forgotten"))
+    // lineitem attaches by LEFT join: an order with no line items is
+    // still a cascaded deletion (the fixture, unlike strict TPC-H,
+    // ships such orders — caught by the Batch21Spec recount)
+    val cascade = cust.filter(col("forget"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("c_nationkey")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders_cascade"),
+        count(col("l_orderkey")).as("n_lineitems_cascade"),
+        coalesce(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double"), lit(0.0)).as("revenue_removed"))
+    custStats.join(cascade, Seq("c_nationkey"), "left")
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        Seq("c_nationkey"))
+      .select(col("n_name").as("nation"), col("n_customers"), col("n_forgotten"),
+        coalesce(col("n_orders_cascade"), lit(0L)).as("n_orders_cascade"),
+        coalesce(col("n_lineitems_cascade"), lit(0L)).as("n_lineitems_cascade"),
+        coalesce(col("revenue_removed"), lit(0.0)).as("revenue_removed"))
+      .orderBy("nation")
+  }
 }
