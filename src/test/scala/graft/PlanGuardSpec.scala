@@ -1620,4 +1620,40 @@ class PlanGuardSpec extends SparkSuite {
     assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
       "stratum cells are pinned — the pooled fold reads checkpoint blocks")
   }
+
+  test("q327 ucb replay: spine windows keyed by arm/day, corpus aggregate pinned") {
+    val df = operators.EventOps.ucbReplay(spark, sf)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "the day-arm aggregate is pinned — the spine never rescans events")
+    val wins = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "every window keyed (arm cumulatives, per-day argmax) — no global sweep")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 2,
+      "only the 3-row arm spine NL-attaches")
+  }
+
+  test("q328 raking: IPF half-steps pinned; marginals attach by broadcast equi-join only") {
+    val df = operators.PipelineAudits.raking(spark, sf)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "cells and targets are pinned — readout never rescans the corpus")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")),
+      "marginal joins are keyed broadcasts, never NL")
+    assert(!names(df).exists(_.contains("Window")), "no window anywhere")
+  }
+
+  test("q329 erasure cascade: pruned dim scans, FK chain equi-joins, nation broadcast") {
+    val df = operators.PipelineAudits.erasureCascade(spark, sf)
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.requiredSchema.fieldNames.length <= 3),
+      "every scan pruned to the FK/rollup columns")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")),
+      "the cascade rides the schema's own equi-join FK chain")
+    assert(names(df).exists(_.contains("BroadcastHashJoin")),
+      "nation name attaches by broadcast")
+  }
 }
