@@ -3456,6 +3456,67 @@ private[graft] trait OraclesC extends OracleHelpers {
          |FROM cs LEFT JOIN ca USING (c_nationkey)
          |JOIN nation ON c_nationkey = n_nationkey
          |ORDER BY nation""".stripMargin
+    },
+    // q330: the q236 SCD2 CTE chain probed at purchase_us - 1; the
+    // LEFT join keeps first-event purchases as state 'none',
+    "q330_pit_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |o AS (SELECT *, CASE WHEN lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY us, event_id) IS DISTINCT FROM event_type
+        |    THEN 1 ELSE 0 END AS brk FROM e),
+        |g AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id FROM o),
+        |r AS (SELECT user_id, run_id, max(event_type) AS state,
+        |    min(us) AS valid_from_us FROM g GROUP BY user_id, run_id),
+        |dim AS (SELECT user_id, state, valid_from_us,
+        |    COALESCE(lead(valid_from_us) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from_us, run_id), 253402300799000000) AS valid_to_us
+        |  FROM r),
+        |f AS (SELECT user_id, epoch_us(ts) - 1 AS probe_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |pit AS (SELECT f.user_id, coalesce(d.state, 'none') AS prior_state
+        |  FROM f LEFT JOIN dim d ON f.user_id = d.user_id
+        |    AND f.probe_us >= d.valid_from_us AND f.probe_us < d.valid_to_us)
+        |SELECT prior_state, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM pit GROUP BY prior_state ORDER BY prior_state""".stripMargin,
+    // q331: the declarative ntile window IS the oracle; the engine
+    // side replays it via the shared two-pass global rank + the
+    // integer ntile formula (the q104 bit-parity),
+    "q331_equidepth_hist" ->
+      """WITH c AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |t AS (SELECT v, CAST(ntile(16) OVER
+        |    (ORDER BY v, l_orderkey, l_linenumber) AS INTEGER) AS bucket
+        |  FROM c)
+        |SELECT bucket, min(v) AS lo_cents, max(v) AS hi_cents,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // q332: snapshot B derived by the same hash buckets, one full
+    // outer join, class from null sides + explicit field compares
+    // (all columns non-null in the fixture),
+    "q332_snapshot_diff" -> {
+      s"""WITH a AS (SELECT doc_id, source, lang, n_chars FROM documents),
+         |w AS (SELECT a.*,
+         |    ${hv60Sql("'snap:' || CAST(doc_id AS VARCHAR)")} % 50 AS b
+         |  FROM a),
+         |bb AS (SELECT doc_id, source,
+         |    CASE WHEN b = 1 THEN 'xx' ELSE lang END AS lang, n_chars
+         |  FROM w WHERE b <> 0
+         |  UNION ALL SELECT doc_id + 1000000000, source, lang, n_chars
+         |  FROM w WHERE b = 2),
+         |d AS (SELECT coalesce(a.source, bb.source) AS source,
+         |    CASE WHEN bb.doc_id IS NULL THEN 'removed'
+         |         WHEN a.doc_id IS NULL THEN 'added'
+         |         WHEN a.source <> bb.source OR a.lang <> bb.lang
+         |           OR a.n_chars <> bb.n_chars THEN 'changed'
+         |         ELSE 'unchanged' END AS class
+         |  FROM a FULL OUTER JOIN bb ON a.doc_id = bb.doc_id)
+         |SELECT source, class, CAST(count(*) AS BIGINT) AS n
+         |FROM d GROUP BY source, class ORDER BY source, class""".stripMargin
     }
   )
 }

@@ -602,7 +602,12 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // weighting, and the referential-erasure impact statement
     "q327_ucb_replay" -> ((s, d) => EventOps.ucbReplay(s, d)),
     "q328_raking" -> ((s, d) => PipelineAudits.raking(s, d)),
-    "q329_erasure_cascade" -> ((s, d) => PipelineAudits.erasureCascade(s, d))
+    "q329_erasure_cascade" -> ((s, d) => PipelineAudits.erasureCascade(s, d)),
+    // batch 24 (r16): temporal dimension probing, optimizer
+    // statistics construction, and snapshot reconciliation
+    "q330_pit_join" -> ((s, d) => EventOps.pitJoin(s, d)),
+    "q331_equidepth_hist" -> ((s, d) => Relational.equiDepthHist(s, d)),
+    "q332_snapshot_diff" -> ((s, d) => Dedup.snapshotDiff(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1747,4 +1747,51 @@ object Dedup {
         col("n_members"), col("min_doc"), col("max_doc"))
       .orderBy("rank")
   }
+
+  /** Snapshot reconciliation diff (q332): the table-diff primitive
+    * next to q49's content diff and q86's CDC merge — q49 asks "which
+    * CONTENT is new", q86 APPLIES a change log, this DETECTS one:
+    * given two snapshots of the documents table, classify every key
+    * as added / removed / changed / unchanged via one full-outer join
+    * and a column compare.  Snapshot B is derived deterministically
+    * from A (hv60('snap:' ∥ doc_id) mod 50: bucket 0 dropped, bucket
+    * 1 lang rewritten to 'xx', bucket 2 cloned at doc_id + 10⁹) so
+    * every class is populated and the oracle replays the derivation
+    * bit-for-bit — the harness shape is exactly a production
+    * yesterday-vs-today run.
+    *
+    * 100 TB shape: ONE full-outer equi-join on the key (the
+    * unavoidable shuffle any reconciliation pays) with the class
+    * decided per-row from null-sides + a struct equality — no window,
+    * no second pass; the rollup is a |sources|×4-key count.  At
+    * production scale the column compare is a fingerprint equality so
+    * wide rows never ship twice — here the compared columns ARE the
+    * fingerprinted payload.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val hv = graft.operators.TextAnalysis.hv60(
+      concat(lit("snap:"), col("doc_id").cast("string")))
+    val a = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    val withB = a.withColumn("b", pmod(hv, lit(50L)))
+    val b = withB.filter(col("b") =!= 0L)
+      .select(col("doc_id"), col("source"),
+        when(col("b") === 1L, lit("xx")).otherwise(col("lang")).as("lang"),
+        col("n_chars"))
+      .unionAll(withB.filter(col("b") === 2L)
+        .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("source"),
+          col("lang"), col("n_chars")))
+    val diff = a.select(col("doc_id"), struct(col("source"), col("lang"),
+        col("n_chars")).as("row_a"))
+      .join(b.select(col("doc_id"), struct(col("source"), col("lang"),
+        col("n_chars")).as("row_b")), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("row_a.source"), col("row_b.source")).as("source"),
+        when(col("row_b").isNull, "removed")
+          .when(col("row_a").isNull, "added")
+          .when(col("row_a") =!= col("row_b"), "changed")
+          .otherwise("unchanged").as("class"))
+    diff.groupBy("source", "class").agg(count(lit(1)).as("n"))
+      .orderBy("source", "class")
+  }
 }

@@ -2777,4 +2777,47 @@ object EventOps {
         when(col("rk") === 1, 1).otherwise(0).as("chosen"))
       .orderBy("day", "arm")
   }
+
+  /** Point-in-time join against the SCD2 dimension (q330): the
+    * consumer side q236's scaladoc promises — probe the versioned
+    * dimension with a fact stream and ask "what state was the user
+    * in at the instant JUST BEFORE each purchase?" (the instant OF a
+    * purchase is trivially inside a purchase-run; the preceding
+    * microsecond is the behavioral prior a funnel cares about).
+    * Facts with no prior version (the user's first-ever event is the
+    * purchase) surface as state 'none' via the LEFT join — temporal
+    * joins that silently drop unmatched facts are the classic PIT
+    * bug.
+    *
+    * Correctness hinges on the SCD2 invariant q236 builds: per user,
+    * [valid_from, valid_to) intervals PARTITION time from the first
+    * event on, so every probe instant matches AT MOST one version —
+    * the spec asserts exactly-one-or-none.
+    *
+    * 100 TB shape: the probe is ONE equi-join on user_id (the
+    * dimension's natural key) with the interval test as the join
+    * residual — versions per user are bounded by the user's run
+    * count, so the per-key product is bounded; then a |states|-key
+    * rollup.  No range-partitioned machinery needed when the
+    * interval key is already the join key.
+    */
+  def pitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = scd2Dimension(spark, dir)
+      .select(col("user_id"), col("event_type").as("state"),
+        col("valid_from_us"), col("valid_to_us"))
+    val facts = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), (unix_micros(col("ts")) - lit(1L)).as("probe_us"))
+    facts.join(dim,
+        facts("user_id") === dim("user_id") &&
+          col("probe_us") >= col("valid_from_us") &&
+          col("probe_us") < col("valid_to_us"),
+        "left")
+      .select(facts("user_id").as("user_id"),
+        coalesce(col("state"), lit("none")).as("prior_state"))
+      .groupBy("prior_state")
+      .agg(count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("prior_state")
+  }
 }

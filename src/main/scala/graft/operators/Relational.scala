@@ -1759,4 +1759,41 @@ object Relational {
         col("a").as("authority"))
       .orderBy("rank")
   }
+
+  /** Equi-depth histogram statistics (q331): the optimizer-statistics
+    * primitive itself — ANALYZE-style 16-bucket equi-depth histogram
+    * of l_extendedprice (integer cents), each bucket carrying
+    * [lo, hi], row count, and exact distinct count.  This is the
+    * stats object a cost-based optimizer probes for selectivity;
+    * q58's GK audit checks Spark's quantile SKETCH, this CONSTRUCTS
+    * the exact histogram the sketch approximates.
+    *
+    * Bucketing is the q104 discipline: exact global rank via the
+    * shared two-pass range-partition recipe (globalRank — NO
+    * single-partition window), then the standard-SQL ntile formula in
+    * pure integer arithmetic (ntileExpr — remainder buckets first),
+    * bit-equal to DuckDB's declarative `ntile(16) OVER (ORDER BY …)`.
+    * Cents are one pinned floor(x·100 + ½); the rank's total order
+    * tiebreaks by (orderkey, linenumber) so equal prices split across
+    * a bucket boundary identically in both engines.
+    *
+    * 100 TB shape: one range shuffle (the rank), one bucket-keyed
+    * rollup — the same cost as any global sort-based stats build; at
+    * production the same plan emits histograms per column in one
+    * pass over a column batch.
+    */
+  def equiDepthHist(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val cents = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("v"))
+    val (ranked, total) = TextAnalysis.globalRank(cents, 32,
+      col("v"), col("l_orderkey"), col("l_linenumber"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("bucket", TextAnalysis.ntileExpr(k))
+      .groupBy("bucket")
+      .agg(min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"),
+        count(lit(1)).as("n_rows"), countDistinct(col("v")).as("n_distinct"))
+      .orderBy("bucket")
+  }
 }
