@@ -1656,4 +1656,45 @@ class PlanGuardSpec extends SparkSuite {
     assert(names(df).exists(_.contains("BroadcastHashJoin")),
       "nation name attaches by broadcast")
   }
+
+  test("q330 pit join: user-keyed equi-join with interval residual, LEFT, keyed windows only") {
+    val df = operators.EventOps.pitJoin(spark, sf)
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")),
+      "the interval test rides the user_id equi-join as a residual, never NL")
+    assert(joinTypes(df).contains("LeftOuter"),
+      "unmatched probes must survive (state 'none'), not vanish")
+    val wins = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "SCD2 construction windows all user-keyed")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.forall(_.requiredSchema.fieldNames.length <= 4),
+      "events scans pruned to the session/probe columns")
+  }
+
+  test("q331 equi-depth: two-pass rank (no empty-partition window), pinned input, one NL total") {
+    val df = operators.Relational.equiDepthHist(spark, sf)
+    assert(plan(df).collect { case s: FileSourceScanExec => s }.isEmpty,
+      "the range-partitioned frame is pinned (globalRank contract)")
+    val wins = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "both rank windows partitioned (pid-local + bounded offset spine)")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+    assert(names(df).count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      "only the 1-row total frame NL-attaches")
+  }
+
+  test("q332 snapshot diff: one full-outer equi-join, pruned scans, no window") {
+    val df = operators.Dedup.snapshotDiff(spark, sf)
+    assert(joinTypes(df).contains("FullOuter"), "reconciliation is a full outer join")
+    assert(!names(df).exists(n => n.contains("CartesianProduct") ||
+      n.contains("BroadcastNestedLoopJoin")))
+    assert(!names(df).exists(_.contains("Window")), "single-pass: no window")
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(
+      _.requiredSchema.fieldNames.toSet == Set("doc_id", "source", "lang", "n_chars")),
+      "every documents scan pruned to the compared columns")
+  }
 }
