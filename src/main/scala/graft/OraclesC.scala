@@ -3517,6 +3517,35 @@ private[graft] trait OraclesC extends OracleHelpers {
          |  FROM a FULL OUTER JOIN bb ON a.doc_id = bb.doc_id)
          |SELECT source, class, CAST(count(*) AS BIGINT) AS n
          |FROM d GROUP BY source, class ORDER BY source, class""".stripMargin
+    },
+    // q333: per-source registers max-merged vs the direct global
+    // registers — both paths exact integer maxima of the q323 rho
+    // algebra; the match flags are the associativity theorem as data,
+    "q333_hll_merge" -> {
+      s"""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |tok AS (SELECT source, token FROM t WHERE token <> ''),
+         |hv AS (SELECT source, ${hv60Sql("token")} AS hv FROM tok),
+         |rr AS (SELECT source, hv % 64 AS register,
+         |    CASE WHEN hv // 64 = 0 THEN 55
+         |         ELSE 55 - length(bin(hv // 64)) END AS rho FROM hv),
+         |ps AS (SELECT source, register, max(rho) AS m_s
+         |  FROM rr GROUP BY 1, 2),
+         |mg AS (SELECT register, CAST(max(m_s) AS BIGINT) AS m_merged,
+         |    CAST(count(*) AS BIGINT) AS n_sources_hit
+         |  FROM ps GROUP BY register),
+         |di AS (SELECT register, CAST(max(rho) AS BIGINT) AS m_direct
+         |  FROM rr GROUP BY register),
+         |spine AS (SELECT range AS register FROM range(0, 64))
+         |SELECT s.register,
+         |  coalesce(m_merged, 0) AS m_merged,
+         |  coalesce(m_direct, 0) AS m_direct,
+         |  coalesce(n_sources_hit, 0) AS n_sources_hit,
+         |  CASE WHEN coalesce(m_merged, 0) = coalesce(m_direct, 0)
+         |       THEN 1 ELSE 0 END AS merge_matches
+         |FROM spine s LEFT JOIN mg USING (register)
+         |LEFT JOIN di USING (register)
+         |ORDER BY s.register""".stripMargin
     }
   )
 }

@@ -607,7 +607,9 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // statistics construction, and snapshot reconciliation
     "q330_pit_join" -> ((s, d) => EventOps.pitJoin(s, d)),
     "q331_equidepth_hist" -> ((s, d) => Relational.equiDepthHist(s, d)),
-    "q332_snapshot_diff" -> ((s, d) => Dedup.snapshotDiff(s, d))
+    "q332_snapshot_diff" -> ((s, d) => Dedup.snapshotDiff(s, d)),
+    // batch 25 (r16): the sketch-mergeability certification
+    "q333_hll_merge" -> ((s, d) => PipelineAudits.hllMerge(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

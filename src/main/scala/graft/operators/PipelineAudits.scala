@@ -1349,6 +1349,55 @@ object PipelineAudits {
       .orderBy("register")
   }
 
+  /** HLL mergeability certification (q333): the distributed-systems
+    * property q323 relies on but does not PROVE — per-source register
+    * tables, max-merged across sources, must equal the whole-corpus
+    * registers bit-for-bit (max is associative and commutative, so a
+    * 1000-executor tree-reduce of partial sketches is exact).  The
+    * q235 incremental-merge certification pattern applied to the
+    * cardinality sketch: both paths are computed independently and
+    * the per-register match flags ship as data, alongside how many
+    * sources actually touched each register.
+    *
+    * Determinism: registers are exact integer maxima of the shared
+    * 60-bit hash's rho ranks (the q323 algebra verbatim); the merge
+    * is a second max — order-free by the same associativity being
+    * certified.
+    *
+    * 100 TB shape: ONE (source, register)-keyed max off the token
+    * scan (map-side combined to ≤64 rows per source per partition),
+    * then register-keyed maxima over the |sources|×64 frame — the
+    * exact shape of a per-shard sketch build + coordinator merge.
+    */
+  def hllMerge(spark: SparkSession, dir: String): DataFrame = {
+    val hv = Pins.eager(
+      tokenStream(spark, dir)
+        .select(col("source"),
+          graft.operators.TextAnalysis.hv60(col("token")).as("hv")))
+    val w = expr("hv div 64")
+    val rho = when(w === 0L, lit(55L))
+      .otherwise(lit(55L) - length(conv(w.cast("string"), 10, 2)).cast("long"))
+    val perSource = hv
+      .select(col("source"), pmod(col("hv"), lit(64L)).as("register"),
+        rho.as("rho"))
+      .groupBy("source", "register").agg(max(col("rho")).as("m_s"))
+    val merged = perSource.groupBy("register")
+      .agg(max(col("m_s")).as("m_merged"),
+        count(lit(1)).as("n_sources_hit"))
+    val direct = hv
+      .select(pmod(col("hv"), lit(64L)).as("register"), rho.as("rho"))
+      .groupBy("register").agg(max(col("rho")).as("m_direct"))
+    spark.range(0, 64).select(col("id").as("register"))
+      .join(merged, Seq("register"), "left")
+      .join(direct, Seq("register"), "left")
+      .na.fill(0L, Seq("m_merged", "n_sources_hit", "m_direct"))
+      .select(col("register"), col("m_merged"), col("m_direct"),
+        col("n_sources_hit"),
+        when(col("m_merged") === col("m_direct"), 1).otherwise(0)
+          .as("merge_matches"))
+      .orderBy("register")
+  }
+
   /** Simpson's-paradox detector (q326): the aggregation-honesty audit
     * next to q314's CMH — CMH asks "is there an effect after
     * stratification?", this asks the prior question a dashboard

@@ -83,4 +83,22 @@ class Batch22Spec extends SparkSuite {
       ids.length + buckets.getOrElse("cloned", 0L),
       "diff mass = |A ∪ B| keys")
   }
+
+  test("q333 hll merge: theorem holds on every register, merged table equals q323's registers") {
+    val rows = graft.operators.PipelineAudits.hllMerge(spark, sf).collect()
+    assert(rows.length == 64)
+    assert(rows.forall(_.getInt(4) == 1),
+      "max-merge equals the direct sketch on every register (associativity)")
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2)))
+    // the merged registers ARE q323's registers
+    val direct = graft.operators.PipelineAudits.hllReplay(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows)
+      assert(direct(r.getLong(0)) == r.getLong(1), "matches the q323 register table")
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.forall(r => r.getLong(3) >= 0L && r.getLong(3) <= nSources))
+    // a silent register is silent in every source
+    for (r <- rows if r.getLong(1) == 0L)
+      assert(r.getLong(3) == 0L, "empty register means no source touched it")
+  }
 }
