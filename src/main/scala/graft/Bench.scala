@@ -330,16 +330,24 @@ object Bench {
     // (reverse = oldest-first, so toMap's later-wins keeps the latest)
     val ios = ioStats.reverse.toMap.toSeq.sortBy(_._1).map { case (k, (r, s)) =>
       s"${jstr(k)}:{" + s""""recordsRead":$r,"shuffleBytes":$s}""" }.mkString("{", ",", "}")
-    // a stall-retried query appears twice in runDetail — concatenate its
-    // rep lists so the JSON object keeps unique keys
-    val runsMerged = runDetail.reverse.foldLeft(Vector.empty[(String, Seq[Double])]) { (acc, kv) =>
-      acc.indexWhere(_._1 == kv._1) match {
-        case -1 => acc :+ kv
-        case i  => acc.updated(i, (kv._1, acc(i)._2 ++ kv._2))
+    // Run-provenance fix from r16's verdict #3: a stall-retried query's
+    // second rep set used to be APPENDED to its first (6-element
+    // arrays whose min-of-mixed hid which pass produced the headline
+    // number). Each pass now stays its own array — "runs" maps
+    // name -> [[pass-1 reps], [retry reps], ...] — so drift analysis
+    // compares like with like; out-of-process idle re-measures follow
+    // the same convention by appending a new pass array, never by
+    // splicing into an existing one (README performance notes).
+    val runsGrouped = runDetail.reverse
+      .foldLeft(Vector.empty[(String, Vector[Seq[Double]])]) { (acc, kv) =>
+        acc.indexWhere(_._1 == kv._1) match {
+          case -1 => acc :+ (kv._1 -> Vector(kv._2))
+          case i  => acc.updated(i, (kv._1, acc(i)._2 :+ kv._2))
+        }
       }
-    }
-    val runs = runsMerged.map { case (k, ts) =>
-      s"${jstr(k)}:" + ts.map(r2).mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val runs = runsGrouped.map { case (k, passes) =>
+      s"${jstr(k)}:" + passes.map(_.map(r2).mkString("[", ",", "]"))
+        .mkString("[", ",", "]") }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val fullTimes = results.map { case (k, v) => s"${jstr(k)}:${r2(v)}" }.mkString("{", ",", "}")
     val detail = s"""{"errors":$es,"io":$ios,"runs":$runs,"reps":$reps,"queries":$fullTimes,"sf":${jstr(sfDir)}}"""

@@ -386,16 +386,22 @@ private[graft] trait OraclesB extends OracleHelpers {
          |  (sqrt(n_docs * sxx - sx * sx) * sqrt(n_docs * syy - sy * sy)) AS pearson_r
          |FROM s""".stripMargin,
     // 4 unrolled power iterations over the symmetrized q21 pair
-    // graph; each neighbor sum is a list_reduce in neighbor-id order
-    // mirroring the Spark sorted fold, damping constants written as
-    // the same literal arithmetic both sides so both engines fold
-    // them to identical doubles,
+    // graph; each neighbor sum replays GraphFold.segmentedSum — the
+    // bounded two-level fold: residue segments (src % 4096) folded in
+    // neighbor-id order, then partials in segment order (the r16
+    // hub-hazard fix); damping constants written as the same literal
+    // arithmetic both sides so both engines fold them to identical
+    // doubles,
     "q119_pagerank" -> {
       val iterCte = (k: Int) =>
-        s"""i$k AS (SELECT ed.dst AS id,
+        s"""i${k}p AS (SELECT ed.dst AS id, ed.src % 4096 AS sg,
            |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |    list(r.r / ed.deg ORDER BY ed.src)), (a, b) -> a + b) AS s
-           |  FROM ed JOIN r${k - 1} r ON r.id = ed.src GROUP BY ed.dst),
+           |    list(r.r / ed.deg ORDER BY ed.src)), (a, b) -> a + b) AS p
+           |  FROM ed JOIN r${k - 1} r ON r.id = ed.src GROUP BY ed.dst, sg),
+           |i$k AS (SELECT id,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(p ORDER BY sg)), (a, b) -> a + b) AS s
+           |  FROM i${k}p GROUP BY id),
            |r$k AS (SELECT id,
            |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n
            |    + CAST(0.85 AS DOUBLE) * s AS r FROM i$k, tot)""".stripMargin

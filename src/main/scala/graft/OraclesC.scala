@@ -2702,15 +2702,26 @@ private[graft] trait OraclesC extends OracleHelpers {
     // folds in neighbor-id order (0.0 seed), every normalization is
     // one max + one divide — identical literal arithmetic both sides,
     "q307_hits" -> {
+      // each neighbor sum replays GraphFold.segmentedSum — the bounded
+      // two-level fold (residue segments id % 4096 folded in id order,
+      // then partials in segment order), the r16 hub-hazard fix,
       val iter = (i: Int) => {
         val hPrev = if (i == 1) "h0" else s"h${i - 1}"
-        s"""a${i}r AS (SELECT supp, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |    list(h ORDER BY cust)), (x, y) -> x + y) AS a
-           |  FROM e JOIN $hPrev USING (cust) GROUP BY supp),
+        s"""a${i}p AS (SELECT supp, cust % 4096 AS sg,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(h ORDER BY cust)), (x, y) -> x + y) AS p
+           |  FROM e JOIN $hPrev USING (cust) GROUP BY supp, sg),
+           |a${i}r AS (SELECT supp, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(p ORDER BY sg)), (x, y) -> x + y) AS a
+           |  FROM a${i}p GROUP BY supp),
            |a$i AS (SELECT supp, a / (SELECT max(a) FROM a${i}r) AS a FROM a${i}r),
+           |h${i}p AS (SELECT cust, supp % 4096 AS sg,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list(a ORDER BY supp)), (x, y) -> x + y) AS p
+           |  FROM e JOIN a$i USING (supp) GROUP BY cust, sg),
            |h${i}r AS (SELECT cust, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-           |    list(a ORDER BY supp)), (x, y) -> x + y) AS h
-           |  FROM e JOIN a$i USING (supp) GROUP BY cust),
+           |    list(p ORDER BY sg)), (x, y) -> x + y) AS h
+           |  FROM h${i}p GROUP BY cust),
            |h$i AS (SELECT cust, h / (SELECT max(h) FROM h${i}r) AS h FROM h${i}r)""".stripMargin
       }
       s"""WITH e AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
@@ -3546,6 +3557,332 @@ private[graft] trait OraclesC extends OracleHelpers {
          |FROM spine s LEFT JOIN mg USING (register)
          |LEFT JOIN di USING (register)
          |ORDER BY s.register""".stripMargin
-    }
+    },
+    // q334: the capped twin replays the df cap in SQL — occurrence
+    // counts over the same hv60 anchors, kept grams re-joined, then
+    // q296's identical diagonal chain; accounting is a cross-joined
+    // 1-row rollup of the same df table the filter reads,
+    "q334_exact_substr_capped" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |gr AS (SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos,
+         |    unnest([array_to_string(w[i+1:i+5], ' ') FOR i IN range(0, len(w) - 4)]) AS gram
+         |  FROM w WHERE len(w) >= 5),
+         |gg AS (SELECT doc_id, pos, ${hv60Sql("gram")} AS g FROM gr),
+         |dfc AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM gg GROUP BY g),
+         |acc AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN df > 16 THEN 1 END), 0) AS BIGINT)
+         |      AS grams_capped,
+         |    CAST(coalesce(sum(CASE WHEN df > 16 THEN df END), 0) AS BIGINT)
+         |      AS anchors_dropped
+         |  FROM dfc),
+         |kept AS (SELECT gg.doc_id, gg.pos, gg.g
+         |  FROM gg JOIN dfc USING (g) WHERE df <= 16),
+         |an AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+         |    a.pos - b.pos AS diag
+         |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (SELECT *, CASE WHEN lag(pa) OVER (PARTITION BY da, db, diag
+         |    ORDER BY pa) = pa - 1 THEN 0 ELSE 1 END AS brk FROM an),
+         |ri AS (SELECT *, sum(brk) OVER (PARTITION BY da, db, diag ORDER BY pa
+         |    ROWS UNBOUNDED PRECEDING) AS run FROM r)
+         |SELECT da AS doc_a, db AS doc_b,
+         |  CAST(min(pa) AS INTEGER) AS pos_a, CAST(min(pb) AS INTEGER) AS pos_b,
+         |  CAST(count(*) + 4 AS BIGINT) AS match_len,
+         |  max(grams_capped) AS grams_capped,
+         |  max(anchors_dropped) AS anchors_dropped
+         |FROM ri CROSS JOIN acc GROUP BY da, db, diag, run
+         |HAVING count(*) + 4 >= 12
+         |ORDER BY doc_a, doc_b, pos_a, pos_b""".stripMargin,
+    // q337: q296's span CTEs verbatim, then the cut — doc_b-side
+    // covered positions distinct, anti-joined off the positional
+    // token table, re-joined in position order,
+    "q337_substr_cut" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |gr AS (SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos,
+         |    unnest([array_to_string(w[i+1:i+5], ' ') FOR i IN range(0, len(w) - 4)]) AS gram
+         |  FROM w WHERE len(w) >= 5),
+         |gg AS (SELECT doc_id, pos, ${hv60Sql("gram")} AS g FROM gr),
+         |an AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+         |    a.pos - b.pos AS diag
+         |  FROM gg a JOIN gg b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (SELECT *, CASE WHEN lag(pa) OVER (PARTITION BY da, db, diag
+         |    ORDER BY pa) = pa - 1 THEN 0 ELSE 1 END AS brk FROM an),
+         |ri AS (SELECT *, sum(brk) OVER (PARTITION BY da, db, diag ORDER BY pa
+         |    ROWS UNBOUNDED PRECEDING) AS run FROM r),
+         |sp AS (SELECT db AS doc_b, min(pb) AS pos_b,
+         |    CAST(count(*) + 4 AS BIGINT) AS match_len
+         |  FROM ri GROUP BY da, db, diag, run HAVING count(*) + 4 >= 12),
+         |cut AS (SELECT DISTINCT doc_b AS doc_id,
+         |    unnest(range(pos_b, pos_b + match_len)) AS pos FROM sp),
+         |tk AS (SELECT doc_id, unnest(range(0, len(w))) AS pos,
+         |    unnest(w) AS token FROM w),
+         |kept AS (SELECT t.doc_id, t.pos, t.token FROM tk t
+         |  LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.doc_id IS NULL),
+         |kr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(token ORDER BY pos), ' ') AS text_cut
+         |  FROM kept GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM w)
+         |SELECT nt.doc_id, n_tok,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  n_tok - coalesce(n_kept, 0) AS n_cut,
+         |  coalesce(text_cut, '') AS text_cut
+         |FROM nt LEFT JOIN kr USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // q335: q331's histogram CTE verbatim, the same pinned literal
+    // predicate table, uniform-within-bucket interpolation as ONE
+    // left-assoc divide-then-multiply per bucket, contributions
+    // folded in bucket order (16 elements, bounded-frame exception),
+    "q335_selectivity_audit" ->
+      """WITH c AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |t AS (SELECT v, CAST(ntile(16) OVER
+        |    (ORDER BY v, l_orderkey, l_linenumber) AS INTEGER) AS bucket
+        |  FROM c),
+        |h AS (SELECT bucket, min(v) AS lo_cents, max(v) AS hi_cents,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM t GROUP BY bucket),
+        |p AS (SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), CAST(100000 AS BIGINT), CAST(1000000 AS BIGINT)),
+        |    (2, 0, 20000000), (3, 4000000, 6000000), (4, 9000000, 10500000),
+        |    (5, 1, 50000), (6, 2500000, 2500099)) AS vv(pred_id, p_lo, p_hi)),
+        |ctr AS (SELECT p.pred_id, p.p_lo, p.p_hi, h.bucket,
+        |    CAST(greatest(0, least(hi_cents, p_hi) - greatest(lo_cents, p_lo)
+        |        + 1) AS DOUBLE)
+        |      / CAST(hi_cents - lo_cents + 1 AS DOUBLE)
+        |      * CAST(n_rows AS DOUBLE) AS c
+        |  FROM h CROSS JOIN p),
+        |e AS (SELECT pred_id, p_lo, p_hi,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(c ORDER BY bucket)), (a, b) -> a + b) AS est_rows
+        |  FROM ctr GROUP BY pred_id, p_lo, p_hi),
+        |a AS (SELECT pred_id, CAST(count(*) AS BIGINT) AS actual_rows
+        |  FROM c JOIN p ON v >= p_lo AND v <= p_hi GROUP BY pred_id)
+        |SELECT e.pred_id, p_lo AS lo_cents, p_hi AS hi_cents, est_rows,
+        |  coalesce(actual_rows, 0) AS actual_rows,
+        |  abs(est_rows - CAST(coalesce(actual_rows, 0) AS DOUBLE)) AS abs_err
+        |FROM e LEFT JOIN a USING (pred_id)
+        |ORDER BY e.pred_id""".stripMargin,
+    // q336: the oracle states q333's theorem — stream-maintained
+    // registers equal the whole-corpus registers (max is associative,
+    // idempotent under the replayed span); Spark computes both sides
+    // genuinely, so a maintenance bug flips a flag / breaks the hash,
+    "q336_stream_hll" ->
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |tok AS (SELECT token FROM t WHERE token <> ''),
+         |hv AS (SELECT ${hv60Sql("token")} AS hv FROM tok),
+         |rr AS (SELECT hv % 64 AS register,
+         |    CASE WHEN hv // 64 = 0 THEN 55
+         |         ELSE 55 - length(bin(hv // 64)) END AS rho FROM hv),
+         |di AS (SELECT register, CAST(max(rho) AS BIGINT) AS m
+         |  FROM rr GROUP BY register),
+         |spine AS (SELECT range AS register FROM range(0, 64))
+         |SELECT s.register,
+         |  coalesce(m, 0) AS m_stream,
+         |  coalesce(m, 0) AS m_direct,
+         |  1 AS stream_matches
+         |FROM spine s LEFT JOIN di USING (register)
+         |ORDER BY s.register""".stripMargin,
+    // q338: one row per column, exact integer hundredths; avg is the
+    // one terminal divide (sum/non-null-count, both exact),
+    "q338_multi_col_stats" -> {
+      val cols = Seq("l_quantity" -> "q1", "l_extendedprice" -> "q2",
+        "l_discount" -> "q3", "l_tax" -> "q4")
+      val sel = cols.map { case (n, a) =>
+        s"CAST(floor($n * 100.0 + 0.5) AS BIGINT) AS $a" }.mkString(",\n  ")
+      val unions = cols.map { case (n, a) =>
+        s"""SELECT '$n' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($a) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $a) AS BIGINT) AS n_distinct,
+           |  min($a) AS min_units, max($a) AS max_units,
+           |  CAST(sum($a) AS BIGINT) AS sum_units,
+           |  CAST(sum($a) AS DOUBLE) / CAST(count($a) AS DOUBLE) AS avg_units
+           |FROM s""".stripMargin }.mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT
+         |  $sel
+         |  FROM lineitem)
+         |$unions
+         |ORDER BY col_name""".stripMargin
+    },
+    // q339: the bloom filter replayed bit-for-bit — salted hv60 bit
+    // positions mod 16384, membership via IN against the exact bit
+    // set; every count BIGINT, fpr the NULL-guarded terminal divide,
+    "q339_bloom_prune" ->
+      s"""WITH bld AS (SELECT o_orderkey AS key FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'),
+         |bits AS (SELECT DISTINCT pos FROM (
+         |  SELECT ${hv60Sql("'bl1:' || CAST(key AS VARCHAR)")} % 16384 AS pos
+         |  FROM bld
+         |  UNION ALL
+         |  SELECT ${hv60Sql("'bl2:' || CAST(key AS VARCHAR)")} % 16384
+         |  FROM bld)),
+         |pr AS (SELECT l_orderkey AS key,
+         |    ${hv60Sql("'bl1:' || CAST(l_orderkey AS VARCHAR)")} % 16384 AS h1,
+         |    ${hv60Sql("'bl2:' || CAST(l_orderkey AS VARCHAR)")} % 16384 AS h2
+         |  FROM lineitem),
+         |ct AS (SELECT
+         |  (SELECT CAST(count(DISTINCT key) AS BIGINT) FROM bld) AS n_build_keys,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_probe,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pr
+         |     WHERE key IN (SELECT key FROM bld)) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pr
+         |     WHERE h1 IN (SELECT pos FROM bits)
+         |       AND h2 IN (SELECT pos FROM bits)) AS n_pass,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pr
+         |     WHERE key IN (SELECT key FROM bld)
+         |       AND h1 IN (SELECT pos FROM bits)
+         |       AND h2 IN (SELECT pos FROM bits)) AS n_true_pass)
+         |SELECT n_build_keys, n_bits_set, n_probe, n_true, n_pass,
+         |  n_pass - n_true_pass AS n_false_pass,
+         |  n_true - n_true_pass AS n_missed_true,
+         |  CASE WHEN n_probe - n_true = 0 THEN NULL
+         |    ELSE CAST(n_pass - n_true_pass AS DOUBLE)
+         |      / CAST(n_probe - n_true AS DOUBLE) END AS fpr
+         |FROM ct""".stripMargin,
+    // q340: hash-designated eval split, 8-gram existence via IN (the
+    // semi join), per-eval-doc exact counts + one pinned divide,
+    "q340_contamination" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |ev AS (SELECT doc_id,
+         |    ${hv60Sql("'ev:' || CAST(doc_id AS VARCHAR)")} % 10 = 0 AS ev
+         |  FROM w),
+         |gr AS (SELECT doc_id,
+         |    unnest([array_to_string(w[i+1:i+8], ' ') FOR i IN range(0, len(w) - 7)]) AS gram
+         |  FROM w WHERE len(w) >= 8),
+         |gg AS (SELECT doc_id, ${hv60Sql("gram")} AS g FROM gr),
+         |ge AS (SELECT gg.doc_id, g, ev FROM gg JOIN ev USING (doc_id)),
+         |tset AS (SELECT DISTINCT g FROM ge WHERE NOT ev),
+         |egr AS (SELECT doc_id, g FROM ge WHERE ev),
+         |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM egr GROUP BY doc_id),
+         |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM egr WHERE g IN (SELECT g FROM tset) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+         |  coalesce(n_hit, 0) AS n_hit,
+         |  CASE WHEN coalesce(n_grams, 0) = 0 THEN NULL
+         |    ELSE CAST(coalesce(n_hit, 0) AS DOUBLE)
+         |      / CAST(n_grams AS DOUBLE) END AS hit_frac,
+         |  CASE WHEN coalesce(n_hit, 0) >= 1 THEN 1 ELSE 0 END AS contaminated
+         |FROM (SELECT doc_id FROM ev WHERE ev) d
+         |LEFT JOIN base USING (doc_id) LEFT JOIN hit USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    // q341: both merge paths replayed — shard partials re-aggregated,
+    // NDV through the genuine two-level distinct; flags recomputed,
+    "q341_stats_merge" ->
+      """WITH d AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |p AS (SELECT source, CAST(count(*) AS BIGINT) AS c, min(v) AS mn,
+        |    max(v) AS mx, CAST(sum(v) AS BIGINT) AS sm FROM d GROUP BY source),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS m_count, min(mn) AS m_min,
+        |    max(mx) AS m_max, CAST(sum(sm) AS BIGINT) AS m_sum FROM p),
+        |mn2 AS (SELECT CAST(count(*) AS BIGINT) AS m_ndv FROM
+        |  (SELECT DISTINCT v FROM (SELECT DISTINCT source, v FROM d))),
+        |dd AS (SELECT CAST(count(*) AS BIGINT) AS d_count, min(v) AS d_min,
+        |    max(v) AS d_max, CAST(sum(v) AS BIGINT) AS d_sum,
+        |    CAST(count(DISTINCT v) AS BIGINT) AS d_ndv FROM d)
+        |SELECT stat, merged_value, direct_value,
+        |  CASE WHEN merged_value = direct_value THEN 1 ELSE 0 END AS merge_matches
+        |FROM (
+        |  SELECT 'count' AS stat, m_count AS merged_value, d_count AS direct_value
+        |  FROM m, dd
+        |  UNION ALL SELECT 'min', m_min, d_min FROM m, dd
+        |  UNION ALL SELECT 'max', m_max, d_max FROM m, dd
+        |  UNION ALL SELECT 'sum', m_sum, d_sum FROM m, dd
+        |  UNION ALL SELECT 'ndv', m_ndv, d_ndv FROM mn2, dd)
+        |ORDER BY stat""".stripMargin,
+    // q342: the q338 stats CTE re-derived, then pure integer encoding
+    // algebra — bitlen via bin(), the established cross-engine pair,
+    "q342_encoding_advisor" -> {
+      val cols = Seq("l_quantity" -> "q1", "l_extendedprice" -> "q2",
+        "l_discount" -> "q3", "l_tax" -> "q4")
+      val sel = cols.map { case (n, a) =>
+        s"CAST(floor($n * 100.0 + 0.5) AS BIGINT) AS $a" }.mkString(",\n  ")
+      val unions = cols.map { case (n, a) =>
+        s"""SELECT '$n' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT $a) AS BIGINT) AS n_distinct FROM s""".stripMargin }
+        .mkString("\nUNION ALL\n")
+      s"""WITH s AS (SELECT
+         |  $sel
+         |  FROM lineitem),
+         |st AS (
+         |$unions),
+         |e AS (SELECT col_name, n_rows, n_distinct,
+         |  CASE WHEN n_distinct <= 1 THEN CAST(1 AS BIGINT)
+         |    ELSE CAST(length(bin(n_distinct - 1)) AS BIGINT) END AS idx_bits
+         |  FROM st)
+         |SELECT col_name, n_rows, n_distinct, idx_bits,
+         |  n_rows * 8 AS plain_bytes,
+         |  n_distinct * 8 + (n_rows * idx_bits + 7) // 8 AS dict_bytes,
+         |  CASE WHEN n_distinct * 8 + (n_rows * idx_bits + 7) // 8 < n_rows * 8
+         |    THEN 'dict' ELSE 'plain' END AS encoding,
+         |  CAST(n_rows * 8 - (n_distinct * 8 + (n_rows * idx_bits + 7) // 8)
+         |      AS DOUBLE)
+         |    / CAST(n_rows * 8 AS DOUBLE) AS saving_frac
+         |FROM e ORDER BY col_name""".stripMargin
+    },
+    // q343: the MEASURED dual-watermark protocol replayed — late
+    // filtering lags eviction by one batch, so batches 1-2 admit
+    // everything, batch 3 is filtered against eviction-after-batch-2
+    // = max(batch-1 events) − delay, and emission is window end <=
+    // final watermark; hour-aligned ends vs a microsecond-offset
+    // watermark make the boundary forms coincide,
+    "q343_stream_late" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |b0 AS (SELECT us FROM e WHERE event_id % 3 = 0),
+        |b1 AS (SELECT us FROM e WHERE event_id % 3 = 1),
+        |b2 AS (SELECT us FROM e WHERE event_id % 3 = 2),
+        |lw AS (SELECT max(us) - 3600000000 AS wm FROM b0),
+        |adm AS (SELECT us FROM b0
+        |  UNION ALL SELECT us FROM b1
+        |  UNION ALL
+        |  SELECT us FROM b2, lw
+        |  WHERE (us // 3600000000) * 3600000000 + 3600000000 > wm),
+        |fwm AS (SELECT max(us) - 3600000000 AS wm FROM e)
+        |SELECT (us // 3600000000) * 3600000000 AS win_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM adm, fwm
+        |WHERE (us // 3600000000) * 3600000000 + 3600000000 <= wm
+        |GROUP BY win_us ORDER BY win_us""".stripMargin,
+    // q344: fold bounds in pure integer day arithmetic off the data's
+    // own range; per-interval masses from one day rollup,
+    "q344_walk_forward" ->
+      """WITH d AS (SELECT epoch_us(ts) // 86400000000 AS day FROM events),
+        |dc AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY day),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1,
+        |    max(day) - min(day) + 1 AS span FROM dc),
+        |f AS (SELECT fold, d0,
+        |    d0 + (span * fold + 4) // 5 AS cut,
+        |    d0 + (span * fold + 4) // 5 + 1 + (span + 4) // 5 AS t_end
+        |  FROM (SELECT unnest([1, 2, 3]) AS fold), b)
+        |SELECT fold, cut - d0 AS train_days,
+        |  CAST(coalesce(sum(CASE WHEN day < cut THEN n END), 0) AS BIGINT)
+        |    AS n_train,
+        |  CAST(coalesce(sum(CASE WHEN day >= cut AND day < cut + 1 THEN n END),
+        |    0) AS BIGINT) AS n_embargo,
+        |  CAST(coalesce(sum(CASE WHEN day >= cut + 1 AND day < t_end THEN n END),
+        |    0) AS BIGINT) AS n_test
+        |FROM f CROSS JOIN dc
+        |GROUP BY fold, d0, cut, t_end
+        |ORDER BY fold""".stripMargin,
+    // q345: Hamilton largest-remainder apportionment in exact
+    // integers; remainder ranking deterministic (rem desc, source asc),
+    "q345_token_budget" ->
+      """WITH t AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |w AS (SELECT source, CAST(sum(tok) AS BIGINT) AS w FROM t
+        |  GROUP BY source),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM w),
+        |s AS (SELECT source, w, (1000000 * w) // wt AS base,
+        |    (1000000 * w) % wt AS rem FROM w, tot),
+        |lo AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS leftover FROM s),
+        |r AS (SELECT s.*, leftover,
+        |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rrank
+        |  FROM s, lo)
+        |SELECT source, w AS tokens, CAST(base AS BIGINT) AS base,
+        |  CAST(rem AS BIGINT) AS rem,
+        |  CAST(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r ORDER BY source""".stripMargin
   )
 }

@@ -609,7 +609,35 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     "q331_equidepth_hist" -> ((s, d) => Relational.equiDepthHist(s, d)),
     "q332_snapshot_diff" -> ((s, d) => Dedup.snapshotDiff(s, d)),
     // batch 25 (r16): the sketch-mergeability certification
-    "q333_hll_merge" -> ((s, d) => PipelineAudits.hllMerge(s, d))
+    "q333_hll_merge" -> ((s, d) => PipelineAudits.hllMerge(s, d)),
+    // batch 26 (r17): the ExactSubstr scale levers wired — df-capped
+    // anchor join with dropped-gram accounting (takes q296 off the
+    // scale-killer list the way q45 took q22 off)
+    "q334_exact_substr_capped" -> ((s, d) => Dedup.exactSubstrSpansCapped(s, d)),
+    // the ExactSubstr CUT: the deduped corpus itself (survivor keeps
+    // the span, positions re-joined in order, verbatim round-trip)
+    "q337_substr_cut" -> ((s, d) => Dedup.exactSubstrCut(s, d)),
+    // the q331 CBO loop closed: histogram-interpolated selectivity
+    // estimates scored against exact recounts per pinned predicate
+    "q335_selectivity_audit" -> ((s, d) => Relational.selectivityAudit(s, d)),
+    // streaming HLL maintenance: per-micro-batch register partials
+    // rename-published + read-side max-merge, gated bit-for-bit
+    // against the whole-corpus batch registers (q333's theorem live)
+    "q336_stream_hll" -> ((s, d) => streaming.StreamQueries.hllIngest(s, d)),
+    // batch 28 (r17): one-pass multi-column ANALYZE, the measured
+    // bloom join-prune filter, and the eval-set decontamination audit
+    "q338_multi_col_stats" -> ((s, d) => Relational.multiColStats(s, d)),
+    "q339_bloom_prune" -> ((s, d) => Relational.bloomPruneAudit(s, d)),
+    "q340_contamination" -> ((s, d) => Dedup.evalContamination(s, d)),
+    // batch 29 (r17): the ANALYZE tree-reduce certification and the
+    // storage-encoding decision the stats feed
+    "q341_stats_merge" -> ((s, d) => Relational.statsMergeCert(s, d)),
+    "q342_encoding_advisor" -> ((s, d) => Relational.encodingAdvisor(s, d)),
+    // batch 30 (r17): watermark late-data accounting, the purged
+    // walk-forward temporal split, and Hamilton budget apportionment
+    "q343_stream_late" -> ((s, d) => streaming.StreamQueries.lateDataAudit(s, d)),
+    "q344_walk_forward" -> ((s, d) => EventOps.walkForwardSplit(s, d)),
+    "q345_token_budget" -> ((s, d) => PipelineAudits.tokenBudget(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

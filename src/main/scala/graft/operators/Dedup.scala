@@ -280,10 +280,12 @@ object Dedup {
     * neighbors u.  No dangling-mass term is needed — every node of an
     * undirected pair graph has degree ≥ 1 by construction.  For
     * bit-parity with the oracle the neighbor sum folds in NEIGHBOR-ID
-    * ORDER (sort_array(collect_list) + sequential fold, mirrored by
-    * DuckDB list_reduce over list(… ORDER BY src)), and the damping
-    * constants are written as the same literal arithmetic on both
-    * sides so both engines fold them identically.
+    * ORDER via the bounded two-level segmented fold
+    * ([[GraphFold.segmentedSum]], mirrored CTE-for-CTE by DuckDB —
+    * the r16 hub-hazard fix: a boilerplate hub's per-row state is
+    * max(4096, ⌈degree/4096⌉), never a full degree-sized array), and
+    * the damping constants are written as the same literal arithmetic
+    * on both sides so both engines fold them identically.
     *
     * 100 TB shape: the edge frame (with degree pre-joined) is pinned
     * eagerly ONCE via [[graft.util.Pins.eager]] — the LSH join and
@@ -318,9 +320,7 @@ object Dedup {
       val contribs = g.join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), col("src"),
           (col("r") / col("deg").cast("double")).as("c"))
-      ranks = contribs.groupBy("dst")
-        .agg(aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
-          lit(0.0), (acc, x) => acc + x.getField("c")).as("s"))
+      ranks = GraphFold.segmentedSum(contribs, "dst", col("src"), col("c"), "s")
         .crossJoin(tot)
         .select(col("dst").as("id"),
           ((lit(1.0) - lit(damping)) / col("n").cast("double") +
@@ -1550,6 +1550,60 @@ object Dedup {
       .orderBy("doc_a", "doc_b", "pos_a", "pos_b")
   }
 
+  /** q334: the df-capped ExactSubstr twin — q296 with the production
+    * lever its own scaladoc names actually WIRED.  The anchor index is
+    * document-frequency-capped BEFORE the self-join: any k-gram whose
+    * total occurrence count exceeds `maxAnchorDf` is dropped from both
+    * join sides, so per-gram join fan-out is bounded at maxAnchorDf²
+    * no matter how hot a boilerplate line gets (the q124/q45 rule —
+    * without the cap one corpus-hot gram makes the equi-join df² on a
+    * single key, the exact SCALING.md q22 hazard).  What the cap can
+    * cost: a span is lost only if EVERY one of its anchors is
+    * corpus-hot — a duplicated span of m anchors survives as long as
+    * any one diagonal run of its rare anchors still reaches minLen;
+    * dropped-gram volume is reported, never silent.
+    *
+    * Accounting columns (the no-silent-caps rule): every span row
+    * carries `grams_capped` (distinct gram keys dropped) and
+    * `anchors_dropped` (total anchor occurrences those grams held) —
+    * a 1-row broadcast rollup of the same df frame the filter reads.
+    *
+    * On the shipped fixtures no 5-gram reaches df 5 (measured: max 4
+    * at sf0.001, 3 at sf0.01), so with the default cap of 16 the
+    * spans are IDENTICAL to q296's — the capped-twin discipline that
+    * took q45→q22 and q223→q25 off the scale-killer list; the
+    * crafted-corpus spec drives a corpus where the cap binds and
+    * proves spans ⊆ q296's with nonzero accounting.
+    *
+    * 100 TB shape: the gram frame is consumed three times all keyed on
+    * `g` (the df rollup and both join sides) — Catalyst reuses one
+    * exchange (SCALING.md exchange-reuse-over-pin); everything
+    * downstream is q296's per-pair diagonal window, now with bounded
+    * join fan-out.
+    */
+  def exactSubstrSpansCapped(spark: SparkSession, dir: String,
+      k: Int = 5, minLen: Int = 12, maxAnchorDf: Int = 16): DataFrame = {
+    val grams = positionalGramsFrom(Tables.documents(spark, dir), k)
+    capSpansWithAccounting(grams, k, minLen, maxAnchorDf)
+  }
+
+  /** The capped chain over a pre-built anchor frame — split out (the
+    * exactSubstrSpansFrom pattern) so the crafted-corpus spec can
+    * drive a corpus where the cap actually binds.
+    */
+  private[graft] def capSpansWithAccounting(grams: DataFrame, k: Int,
+      minLen: Int, maxAnchorDf: Int): DataFrame = {
+    val dfc = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    val kept = grams.join(dfc.filter(col("df") <= maxAnchorDf).select("g"), "g")
+      .select(col("doc_id"), col("pos"), col("g"))
+    val acc = dfc.agg(
+      coalesce(sum(when(col("df") > maxAnchorDf, lit(1L))), lit(0L))
+        .as("grams_capped"),
+      coalesce(sum(when(col("df") > maxAnchorDf, col("df"))), lit(0L))
+        .as("anchors_dropped"))
+    exactSubstrSpansFrom(kept, k, minLen).crossJoin(broadcast(acc))
+  }
+
   /** q301: duplication-coverage rollup over the q296 spans — Lee et
     * al.'s headline ExactSubstr number: what FRACTION of each source's
     * token positions sits inside some cross-document duplicated span
@@ -1586,6 +1640,95 @@ object Dedup {
         (col("n_covered").cast("double") / col("n_tokens").cast("double"))
           .as("dup_frac"))
       .orderBy("source")
+  }
+
+  /** q337: the ExactSubstr CUT — q296/q301 find and measure the
+    * duplicated spans; this emits the deduplicated corpus itself, the
+    * artifact a training-data pipeline actually ships.  Lee et al.'s
+    * rule (ACL 2022 §3.2): every duplicated span survives in exactly
+    * one place.  Deterministic survivor choice: each q296 span row has
+    * doc_a < doc_b by construction, so the LOWER id keeps its copy and
+    * the span's token positions on the doc_b side are cut; a position
+    * covered by ANY span as a doc_b side is cut once (distinct
+    * (doc, position)).  Remaining tokens re-join in position order —
+    * documents untouched by any span round-trip VERBATIM (the spec's
+    * conservation + round-trip gates).
+    *
+    * 100 TB shape: everything rides q296's single content equi-join —
+    * the span frame is duplication-volume-sized; the cut-position
+    * explode adds span-length rows; the anti-join and the rebuild
+    * shuffle on doc_id.  The per-doc rebuild array is bounded by
+    * document length — the same per-row bound the corpus' own `text`
+    * column already imposes.
+    */
+  def exactSubstrCut(spark: SparkSession, dir: String,
+      k: Int = 5, minLen: Int = 12): DataFrame = {
+    val spans = exactSubstrSpans(spark, dir, k, minLen)
+    val cut = spans.select(col("doc_b").as("doc_id"),
+        explode(sequence(col("pos_b").cast("long"),
+          col("pos_b").cast("long") + col("match_len") - 1L)).as("pos"))
+      .distinct()
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(TextFunctions.tokens(col("text"))).as(Seq("p", "token")))
+      .select(col("doc_id"), col("p").cast("long").as("pos"), col("token"))
+    val kept = toks.join(cut, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("text_cut"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept")).na.fill("", Seq("text_cut"))
+      .select(col("doc_id"), col("n_tok"), col("n_kept"),
+        (col("n_tok") - col("n_kept")).as("n_cut"), col("text_cut"))
+      .orderBy("doc_id")
+  }
+
+  /** q341: eval-set decontamination audit — the n-gram overlap check
+    * every benchmark-honest training pipeline runs (the GPT-3 appendix
+    * / Lee et al. decontamination rule): an eval document whose
+    * content n-grams also appear in the TRAINING corpus inflates eval
+    * scores and must be flagged.  Eval membership is hash-designated
+    * (hv60("ev:"‖doc_id) mod 10 = 0, the q329 designation pattern —
+    * ~10% of the corpus); for each eval document, every positional
+    * 8-gram (the q296 anchor machinery reused at k=8) is checked for
+    * existence in the train-side gram set, and the document reports
+    * n_grams, n_hit, the hit fraction (one pinned divide) and the
+    * strict any-hit contaminated flag.
+    *
+    * 100 TB shape: the existence check is a LEFT-SEMI join on the
+    * gram key — fan-out ≤ 1 per probe row BY DEFINITION, so unlike
+    * the q296 pair join no df-cap is ever needed (a semi join cannot
+    * multiply, however hot the gram); the train set is
+    * distinct-gram-sized and both sides shuffle-partition on `g`.
+    * Short eval docs (< k tokens) report n_grams = 0 with a NULL
+    * fraction and flag 0 — surfaced, not dropped (no-silent-caps).
+    */
+  def evalContamination(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = pmod(graft.operators.TextAnalysis.hv60(
+      concat(lit("ev:"), col("doc_id").cast("string"))), lit(10L)) === 0L
+    val grams = positionalGramsFrom(docs, k)
+      .join(docs.select(col("doc_id"), isEval.as("ev")), "doc_id")
+    val trainSet = grams.filter(!col("ev")).select("g").distinct()
+    val evalGrams = grams.filter(col("ev"))
+    val hits = evalGrams.join(trainSet, Seq("g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    val base = evalGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    docs.filter(isEval).select(col("doc_id"))
+      .join(base, Seq("doc_id"), "left").na.fill(0L, Seq("n_grams"))
+      .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        when(col("n_grams") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_hit").cast("double") / col("n_grams").cast("double"))
+          .as("hit_frac"),
+        when(col("n_hit") >= 1L, 1).otherwise(0).as("contaminated"))
+      .orderBy("doc_id")
   }
 
   /** Fellegi–Sunter agreement-pattern table (q308): the probabilistic

@@ -2455,6 +2455,55 @@ object EventOps {
     * full scan folding into a single row of conditional exact sums —
     * no join, no window, map-side partial aggregation all the way.
     */
+  /** q344: purged walk-forward cross-validation split — the temporal
+    * leakage gate q274's near-dup audit cannot express: a model
+    * trained on events up to day c must be evaluated on events AFTER
+    * an EMBARGO gap (no test example within `gap` days of any train
+    * example), the standard protocol for autocorrelated data (the
+    * financial-ML "purged K-fold" rule).  Three walk-forward folds:
+    * fold i trains on days [d₀, cᵢ), embargoes [cᵢ, cᵢ+gap), tests on
+    * [cᵢ+gap, cᵢ+gap+t); cᵢ = d₀ + ⌈span·i/5⌉ and t = ⌈span/5⌉ in
+    * pure integer day arithmetic, so the folds are derived from the
+    * data's own day range deterministically.
+    *
+    * 100 TB shape: ONE events scan to per-day counts (map-side
+    * combined, day-spine-sized), then the 3-fold accounting is a
+    * broadcast-NL join of the tiny fold table against the day counts
+    * (bounded fan-out 3) — the split MANIFEST is what ships; the
+    * actual train/test row routing reuses the same interval
+    * predicates as a pushdown filter.
+    */
+  def walkForwardSplit(spark: SparkSession, dir: String,
+      folds: Int = 3, gapDays: Int = 1): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+    val bounds = graft.util.Pins.eager(
+      days.agg(min(col("day")).as("d0"), max(col("day")).as("d1")))
+    val foldIds = (1 to folds).toDF("fold")
+    val spec = foldIds.crossJoin(broadcast(bounds))
+      .withColumn("span", col("d1") - col("d0") + 1L)
+      .withColumn("cut", col("d0") +
+        expr("(span * fold + 4) div 5")) // ceil(span*i/5) in integer form
+      .withColumn("t_end", col("cut") + lit(gapDays.toLong) +
+        expr("(span + 4) div 5"))
+    spec.crossJoin(broadcast(days))
+      .groupBy("fold", "d0", "cut", "t_end")
+      .agg(
+        coalesce(sum(when(col("day") < col("cut"), col("n"))), lit(0L))
+          .as("n_train"),
+        coalesce(sum(when(col("day") >= col("cut") &&
+          col("day") < col("cut") + lit(gapDays.toLong), col("n"))), lit(0L))
+          .as("n_embargo"),
+        coalesce(sum(when(col("day") >= col("cut") + lit(gapDays.toLong) &&
+          col("day") < col("t_end"), col("n"))), lit(0L)).as("n_test"))
+      .select(col("fold"),
+        (col("cut") - col("d0")).as("train_days"),
+        col("n_train"), col("n_embargo"), col("n_test"))
+      .orderBy("fold")
+  }
+
   def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
     val dec38 = DecimalType(38, 0)
     val ev = Tables.events(spark, dir).select(

@@ -71,6 +71,23 @@ object PipelineAudits {
   /** Non-empty whitespace token occurrences (NOT distinct) of the
     * documents corpus — the stream every sketch in this batch reads.
     */
+  /** The q323 m=64 register table over any `token` column — factored
+    * out so the streaming maintainer (q336, DocStream.hllBatch) and
+    * the batch replays (q323/q333) share one register algebra: hv60,
+    * register = hv mod 64, rho = 55 − bitlen(hv div 64) (55 for the
+    * all-zero suffix), exact integer max per register.  Empty tokens
+    * are excluded, matching the batch oracles.
+    */
+  private[graft] def hllRegisterTable(toks: DataFrame): DataFrame = {
+    val hv = toks.filter(col("token") =!= "")
+      .select(graft.operators.TextAnalysis.hv60(col("token")).as("hv"))
+    val w = expr("hv div 64")
+    val rho = when(w === 0L, lit(55L))
+      .otherwise(lit(55L) - length(conv(w.cast("string"), 10, 2)).cast("long"))
+    hv.select(pmod(col("hv"), lit(64L)).as("register"), rho.as("rho"))
+      .groupBy("register").agg(max(col("rho")).as("m"))
+  }
+
   private def tokenStream(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("token"))
@@ -1481,6 +1498,46 @@ object PipelineAudits {
     * scale, the reason raking (not per-row optimization) is the
     * production calibration method.
     */
+  /** q345: corpus-mixing budget allocation by largest-remainder
+    * apportionment (Hamilton's method) — given a total token budget B
+    * for the next training mix, allocate per-source quotas
+    * proportional to each source's token mass, in EXACT integers: no
+    * floating-point shares, no rounding drift, Σ alloc = B by
+    * construction.  base_s = ⌊B·w_s / W⌋; the R = B − Σ base leftover
+    * units go to the R largest remainders (B·w_s mod W, ties to the
+    * lexicographically smaller source — fully deterministic).  This is
+    * the dataset-mixing step that turns weights (here: measured token
+    * mass; any exact-integer quality weight slots in) into the
+    * sampling quotas a 100 TB mix job executes.
+    *
+    * 100 TB shape: one token-count rollup (map-side combined) to a
+    * |sources|-row frame; the apportionment is a keyed window over
+    * that bounded frame (the bounded-frame exception).  B·w_s stays
+    * exact: B = 10⁶ and w < 2⁶³/10⁶ at any shipped scale; a 10¹⁸-token
+    * corpus moves the product to DECIMAL(38,0) unchanged.
+    */
+  def tokenBudget(spark: SparkSession, dir: String,
+      budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("tok"))
+      .groupBy("source").agg(sum(col("tok")).as("w"))
+    val tot = w.agg(sum(col("w")).as("wt"))
+    val scored = w.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * w) div wt"))
+      .withColumn("rem", expr(s"($budget * w) % wt"))
+    val r = scored
+      .crossJoin(broadcast(scored.agg(
+        (lit(budget) - sum(col("base"))).as("leftover"))))
+      .withColumn("rrank", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)))
+    r.select(col("source"), col("w").as("tokens"), col("base"), col("rem"),
+        (col("base") + when(col("rrank") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("source")
+  }
+
   def raking(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cells0 = Pins.eager(

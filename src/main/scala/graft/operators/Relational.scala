@@ -1710,9 +1710,11 @@ object Relational {
     * corpus-ordered fold of squares per iteration for bit parity.
     * Fixed points of the two normalizations have identical RANK
     * ORDER (they differ by a positive scalar), so top-k output is
-    * unaffected.  Each neighbor sum folds in NEIGHBOR-ID order
-    * (sort_array + sequential fold ↔ DuckDB list_reduce over
-    * list(… ORDER BY id)), the q119 parity rule.
+    * unaffected.  Each neighbor sum folds in NEIGHBOR-ID order via
+    * the bounded two-level segmented fold ([[GraphFold.segmentedSum]],
+    * mirrored CTE-for-CTE by the oracle) — the r16 hub-hazard fix:
+    * per-row state is max(4096, ⌈degree/4096⌉) instead of a full
+    * hub-degree array.
     *
     * 100 TB shape: the edge list is ONE orders⋈lineitem equi-join on
     * orderkey + distinct, pinned once via [[graft.util.Pins.eager]];
@@ -1725,7 +1727,6 @@ object Relational {
     */
   def hits(spark: SparkSession, dir: String,
            iters: Int = 3, topK: Int = 20): DataFrame = {
-    val fold = (arr: Column) => aggregate(arr, lit(0.0), (a, x) => a + x.getField("v"))
     val edges = graft.util.Pins.eager(
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
@@ -1735,17 +1736,17 @@ object Relational {
     var hub = edges.select(col("cust")).distinct().withColumn("h", lit(1.0))
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val a0 = edges.join(hub, "cust")
-        .groupBy("supp")
-        .agg(fold(sort_array(collect_list(struct(col("cust").as("id"),
-          col("h").as("v"))))).as("a"))
+      // each score frame is node-count-sized and read TWICE (the 1-row
+      // broadcast max + the normalize) — pin it eagerly so the
+      // two-level fold runs once per iteration, not once per consumer
+      // (and never first materializes inside the broadcast thread)
+      val a0 = graft.util.Pins.eager(GraphFold.segmentedSum(
+        edges.join(hub, "cust"), "supp", col("cust"), col("h"), "a"))
       auth = a0.crossJoin(broadcast(a0.agg(max(col("a")).as("mx"))))
         .select(col("supp"), (col("a") / col("mx")).as("a"))
         .localCheckpoint(false)
-      val h0 = edges.join(auth, "supp")
-        .groupBy("cust")
-        .agg(fold(sort_array(collect_list(struct(col("supp").as("id"),
-          col("a").as("v"))))).as("h"))
+      val h0 = graft.util.Pins.eager(GraphFold.segmentedSum(
+        edges.join(auth, "supp"), "cust", col("supp"), col("a"), "h"))
       hub = h0.crossJoin(broadcast(h0.agg(max(col("h")).as("mx"))))
         .select(col("cust"), (col("h") / col("mx")).as("h"))
         .localCheckpoint(false)
@@ -1782,6 +1783,240 @@ object Relational {
     * production the same plan emits histograms per column in one
     * pass over a column batch.
     */
+  /** One-pass multi-column statistics (q338): the production shape
+    * q331's scaladoc promised — ANALYZE emits per-column stats for a
+    * COLUMN BATCH in one scan, not one scan per column.  For the four
+    * 2-dp lineitem measures (quantity, extendedprice, discount, tax,
+    * each quantized to exact integer hundredths): row count, null
+    * count, exact NDV, min/max, exact sum, and the average to one
+    * pinned terminal divide — the stats row a CBO keeps per column.
+    *
+    * 100 TB shape: ONE FileSourceScan pruned to the four columns; the
+    * four exact `countDistinct`s make Catalyst plan a 5-way Expand
+    * (rows × (columns+1)) feeding one partial+final aggregate — the
+    * documented price of EXACT multi-column NDV in a single pass; a
+    * production run at 10¹² rows swaps `approx_count_distinct` (HLL,
+    * no Expand) per column and keeps this exact form for the audit
+    * tier, the q33/q323 sketch-vs-recount discipline.  The per-column
+    * un-pivot is an `explode` over a 1-row frame — free.
+    */
+  def multiColStats(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val src = Tables.lineitem(spark, dir).select(cs.map(c =>
+      floor(col(c) * lit(100.0) + lit(0.5)).cast("long").as(c)): _*)
+    val aggs = cs.flatMap { c => Seq(
+      count(col(c)).as(s"${c}_n"),
+      countDistinct(col(c)).as(s"${c}_d"),
+      min(col(c)).as(s"${c}_min"),
+      max(col(c)).as(s"${c}_max"),
+      sum(col(c)).as(s"${c}_sum")) } :+ count(lit(1)).as("n_rows")
+    val one = src.agg(aggs.head, aggs.tail: _*)
+    val rows = cs.map { c => struct(
+      lit(c).as("col_name"), col("n_rows"),
+      (col("n_rows") - col(s"${c}_n")).as("n_nulls"),
+      col(s"${c}_d").as("n_distinct"),
+      col(s"${c}_min").as("min_units"), col(s"${c}_max").as("max_units"),
+      col(s"${c}_sum").as("sum_units"),
+      (col(s"${c}_sum").cast("double") / col(s"${c}_n").cast("double"))
+        .as("avg_units")) }
+    one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+      .orderBy("col_name")
+  }
+
+  /** Bloom join-prune audit (q339): Spark's runtime row-level
+    * filtering made explicit and MEASURED — the single biggest shuffle
+    * lever a 100 TB join has.  The selective dim side (urgent orders)
+    * builds an m-bit, k=2 bloom over its join keys; the fact side
+    * probes it BEFORE any shuffle; this audit reports exactly what the
+    * filter would do: probe rows, true matches, bloom passes, false
+    * passes, and the measured false-positive rate — plus the zero
+    * false-NEGATIVE certification the pruning's correctness rests on
+    * (a true match always passes: both its bits were set by its own
+    * build key; both engines recount n_true_pass = n_true genuinely).
+    *
+    * Determinism: bit positions are hv60 of the salted key string mod
+    * m — the shared cross-engine hash, so the oracle replays the
+    * filter bit-for-bit; every output is an exact BIGINT except the
+    * one terminal FPR divide (NULL-guarded when no negatives exist).
+    *
+    * 100 TB shape: the bit SET is ≤ m rows (16384) — broadcast-sized
+    * by construction regardless of corpus scale, [[graft.util.Pins]]
+    * eager because four broadcast consumers read it; the probe side is
+    * ONE pruned scan through two broadcast LEFT-SEMI joins (never a
+    * shuffle, never a multiplying join); the build side is one
+    * pushdown-filtered dim scan.  At production the same positions
+    * feed `functions.bloom_filter`-style pre-shuffle pruning; this
+    * exact-set form is the audit that sizes m against the measured
+    * FPR.
+    */
+  def bloomPruneAudit(spark: SparkSession, dir: String, m: Int = 16384): DataFrame = {
+    def h(salt: String, c: Column) = pmod(
+      TextAnalysis.hv60(concat(lit(salt), c.cast("string"))), lit(m.toLong))
+    val build = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey").as("key"))
+    val bits = graft.util.Pins.eager(
+      build.select(explode(array(h("bl1:", col("key")), h("bl2:", col("key"))))
+        .as("pos")).distinct())
+    val probe = Tables.lineitem(spark, dir).select(col("l_orderkey").as("key"))
+      .withColumn("h1", h("bl1:", col("key")))
+      .withColumn("h2", h("bl2:", col("key")))
+    def viaBloom(df: DataFrame): DataFrame = df
+      .join(broadcast(bits.withColumnRenamed("pos", "h1")), Seq("h1"), "left_semi")
+      .join(broadcast(bits.withColumnRenamed("pos", "h2")), Seq("h2"), "left_semi")
+    // truth recount: a plain semi join, NO broadcast hint — the build
+    // side is SF-linear (orders/5), threshold/AQE decide (the q02 rule)
+    val trueRows = probe.join(build, Seq("key"), "left_semi")
+    val f = probe.agg(count(lit(1)).as("n_probe"))
+      .crossJoin(broadcast(build.agg(countDistinct(col("key")).as("n_build_keys"))))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("n_bits_set"))))
+      .crossJoin(broadcast(trueRows.agg(count(lit(1)).as("n_true"))))
+      .crossJoin(broadcast(viaBloom(probe).agg(count(lit(1)).as("n_pass"))))
+      .crossJoin(broadcast(viaBloom(trueRows).agg(count(lit(1)).as("n_true_pass"))))
+    f.select(col("n_build_keys"), col("n_bits_set"), col("n_probe"),
+      col("n_true"), col("n_pass"),
+      (col("n_pass") - col("n_true_pass")).as("n_false_pass"),
+      (col("n_true") - col("n_true_pass")).as("n_missed_true"),
+      when(col("n_probe") - col("n_true") === 0L, lit(null).cast("double"))
+        .otherwise((col("n_pass") - col("n_true_pass")).cast("double")
+          / (col("n_probe") - col("n_true")).cast("double")).as("fpr"))
+  }
+
+  /** ANALYZE mergeability certification (q341): the q333 theorem for
+    * COLUMN STATISTICS — per-shard stat partials, merged at a
+    * coordinator, must equal the stats computed directly over the
+    * whole corpus.  Count/sum merge by addition, min/max by min/max,
+    * and NDV by the genuinely two-level path (per-source DISTINCT
+    * value sets, re-distincted across sources — the set-union a
+    * distributed exact-NDV ANALYZE actually ships).  Both paths are
+    * computed independently over documents.n_chars with source as the
+    * shard key; the per-stat match flags ship as data.
+    *
+    * 100 TB shape: the partial side is ONE source-keyed aggregate
+    * (map-side combined) + one distinct on (source, value); the merge
+    * is |sources|-row algebra + one distinct on values; the direct
+    * side is the same single scan ANALYZE pays anyway.  This is the
+    * property that lets q338 run as per-executor partials +
+    * tree-reduce instead of a single-point aggregation.
+    */
+  def statsMergeCert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars").cast("long").as("v"))
+    val partial = docs.groupBy("source").agg(
+      count(lit(1)).as("c"), min(col("v")).as("mn"),
+      max(col("v")).as("mx"), sum(col("v")).as("sm"))
+    val merged = partial.agg(
+      sum(col("c")).as("m_count"), min(col("mn")).as("m_min"),
+      max(col("mx")).as("m_max"), sum(col("sm")).as("m_sum"))
+    val mergedNdv = docs.select(col("source"), col("v")).distinct()
+      .select(col("v")).distinct()
+      .agg(count(lit(1)).as("m_ndv"))
+    val direct = docs.agg(
+      count(lit(1)).as("d_count"), min(col("v")).as("d_min"),
+      max(col("v")).as("d_max"), sum(col("v")).as("d_sum"),
+      countDistinct(col("v")).as("d_ndv"))
+    val f = merged.crossJoin(broadcast(mergedNdv)).crossJoin(broadcast(direct))
+    val stats = Seq(
+      ("count", "m_count", "d_count"), ("min", "m_min", "d_min"),
+      ("max", "m_max", "d_max"), ("sum", "m_sum", "d_sum"),
+      ("ndv", "m_ndv", "d_ndv"))
+    f.select(explode(array(stats.map { case (n, m, d) => struct(
+        lit(n).as("stat"), col(m).cast("long").as("merged_value"),
+        col(d).cast("long").as("direct_value"),
+        when(col(m) === col(d), 1).otherwise(0).as("merge_matches")) }: _*))
+      .as("s")).select(col("s.*")).orderBy("stat")
+  }
+
+  /** Storage-encoding advisor (q342): the second q338 consumer — the
+    * dictionary-vs-plain encoding decision a columnar writer makes
+    * from exactly the stats q338 computes.  Per column: plain bytes =
+    * rows × 8 (the quantized BIGINT width); dictionary bytes = NDV × 8
+    * for the dictionary + ⌈rows × idx_bits / 8⌉ for the indices,
+    * idx_bits = bitlen(NDV − 1) (1 when NDV ≤ 1) — all exact integer
+    * arithmetic (bitlen via the established conv/bin cross-engine
+    * pairing), decision and saving fraction per column.
+    *
+    * 100 TB shape: identical to q338 (one scan, the 5-way Expand for
+    * exact NDV); the advisory itself is 4 rows of integer algebra.
+    * Low-NDV measures (discount, tax: 9–11 values) dictionary-encode
+    * at ~6% of plain; high-NDV extendedprice stays plain — the
+    * decision that sizes a 100 TB parquet footprint.
+    */
+  def encodingAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val stats = multiColStats(spark, dir)
+    val bits = when(col("n_distinct") <= 1L, lit(1L))
+      .otherwise(length(conv((col("n_distinct") - 1L).cast("string"), 10, 2))
+        .cast("long"))
+    val dictBytes = expr("n_distinct * 8 + (n_rows * idx_bits + 7) div 8")
+    stats.select(col("col_name"), col("n_rows"), col("n_distinct"))
+      .withColumn("idx_bits", bits)
+      .withColumn("plain_bytes", col("n_rows") * 8L)
+      .select(col("col_name"), col("n_rows"), col("n_distinct"),
+        col("idx_bits"), col("plain_bytes"), dictBytes.as("dict_bytes"),
+        when(dictBytes < col("plain_bytes"), "dict").otherwise("plain")
+          .as("encoding"),
+        ((col("plain_bytes") - dictBytes).cast("double")
+          / col("plain_bytes").cast("double")).as("saving_frac"))
+      .orderBy("col_name")
+  }
+
+  /** Selectivity-estimation audit (q335): the CONSUMER that closes
+    * q331's CBO loop — the histogram was built, this probes it the way
+    * a cost-based optimizer would and scores it against ground truth
+    * (the q257 cardinality-audit discipline applied to scans).  For a
+    * pinned set of range predicates on l_extendedprice (integer
+    * cents), estimated rows come from the 16-bucket equi-depth
+    * histogram under the standard uniform-within-bucket assumption:
+    * each bucket contributes n_rows · overlap/(hi−lo+1), overlap =
+    * max(0, min(hi,B) − max(lo,A) + 1) — exact integers into ONE
+    * pinned divide-then-multiply per bucket, contributions folded in
+    * bucket order (16 elements, the bounded-frame exception).
+    *
+    * 100 TB shape: the histogram is 16 rows and the predicate list a
+    * literal — the estimation side is driver-trivial by design (that
+    * is what makes histogram stats usable in an optimizer); the only
+    * corpus-sized work is the ground-truth recount, ONE lineitem scan
+    * broadcast-NL-joined to the 6 pinned ranges (bounded fan-out 6)
+    * and counted per predicate.  est/actual/abs-error per predicate
+    * is the audit a stats pipeline ships to decide refresh cadence.
+    */
+  def selectivityAudit(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    import spark.implicits._
+    // pinned probe ranges in integer cents (fixture prices span
+    // 90_182..10_499_788): broad, all, mid band, high tail,
+    // below-min (both sides must report zero), near-point
+    val preds = Seq(
+      (1L, 100000L, 1000000L), (2L, 0L, 20000000L),
+      (3L, 4000000L, 6000000L), (4L, 9000000L, 10500000L),
+      (5L, 1L, 50000L), (6L, 2500000L, 2500099L))
+      .toDF("pred_id", "p_lo", "p_hi")
+    val hist = equiDepthHist(spark, dir, k)
+    val contrib = hist.crossJoin(broadcast(preds))
+      .withColumn("ov", greatest(lit(0L),
+        least(col("hi_cents"), col("p_hi"))
+          - greatest(col("lo_cents"), col("p_lo")) + lit(1L)))
+      .withColumn("c",
+        col("ov").cast("double")
+          / (col("hi_cents") - col("lo_cents") + lit(1L)).cast("double")
+          * col("n_rows").cast("double"))
+    val est = contrib.groupBy("pred_id", "p_lo", "p_hi")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("bucket").as("id"), col("c").as("v")))),
+        lit(0.0), (a, x) => a + x.getField("v")).as("est_rows"))
+    val cents = Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+        .cast("long").as("v"))
+    val act = cents.join(broadcast(preds),
+        col("v") >= col("p_lo") && col("v") <= col("p_hi"))
+      .groupBy("pred_id").agg(count(lit(1)).as("actual_rows"))
+    est.join(act, Seq("pred_id"), "left")
+      .na.fill(0L, Seq("actual_rows"))
+      .select(col("pred_id"), col("p_lo").as("lo_cents"),
+        col("p_hi").as("hi_cents"), col("est_rows"), col("actual_rows"),
+        abs(col("est_rows") - col("actual_rows").cast("double")).as("abs_err"))
+      .orderBy("pred_id")
+  }
+
   def equiDepthHist(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
     val cents = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),

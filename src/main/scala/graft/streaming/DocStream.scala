@@ -97,6 +97,49 @@ object DocStream {
     * (Hidden `.tmp-*` leftovers from crashes are invisible to both
     * partition discovery and the anti-join.)
     */
+  /** q336: per-micro-batch HLL register maintenance — the incremental
+    * distinct-count a 100 TB ingest pipeline actually runs.  Each
+    * micro-batch publishes its OWN m=64 register partial (the q323
+    * algebra via [[graft.operators.PipelineAudits.hllRegisterTable]])
+    * into the store with the same none-or-all rename-publish the
+    * fingerprint store uses; the read side max-merges across epoch
+    * partials — exactly the per-shard-build + coordinator-merge shape
+    * q333 certifies, so a batch REPLAY is idempotent twice over
+    * (rename overwrites its own epoch; max absorbs duplicates).  No
+    * read-modify-write of the store ever happens inside a batch.
+    */
+  def hllMaintain(docs: DataFrame, storeDir: String,
+                  checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pinned = batch.persist()
+        try { if (!pinned.isEmpty) { hllBatch(pinned, storeDir, batchId); () } }
+        finally { pinned.unpersist(); () }
+      }
+      .start()
+
+  /** One batch of the HLL maintainer (factored out so the restart spec
+    * can drive it directly): the batch's register partial,
+    * rename-published as `batch=N`.
+    */
+  def hllBatch(batch: DataFrame, storeDir: String, batchId: Long): Unit = {
+    val regs = graft.operators.PipelineAudits.hllRegisterTable(
+      batch.select(explode(TextFunctions.tokens(col("text"))).as("token")))
+    commitStore(regs, storeDir, batchId)
+  }
+
+  /** Read side of the q336 store: max-merge the committed epoch
+    * partials (64 rows each) into the current register table.
+    */
+  def readHllRegisters(spark: SparkSession, storeDir: String): DataFrame =
+    readStoreAs(spark, storeDir, hllStoreSchema)
+      .groupBy("register").agg(max(col("m")).as("m"))
+
+  private val hllStoreSchema = StructType(Seq(
+    StructField("register", org.apache.spark.sql.types.LongType),
+    StructField("m", org.apache.spark.sql.types.LongType)))
+
   private def commitStore(fps: DataFrame, storeDir: String, batchId: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = fps.sparkSession
@@ -112,7 +155,11 @@ object DocStream {
       throw new java.io.IOException(s"cannot publish fp store batch: $tmpDir -> $finalDir")
   }
 
-  private def readStore(spark: SparkSession, storeDir: String): DataFrame = {
+  private def readStore(spark: SparkSession, storeDir: String): DataFrame =
+    readStoreAs(spark, storeDir, storeSchema)
+
+  private def readStoreAs(spark: SparkSession, storeDir: String,
+                          schema: StructType): DataFrame = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(storeDir)
     // Hadoop FileSystem, not java.io.File: the store may live on any
@@ -133,8 +180,8 @@ object DocStream {
           case s if s.isFile && s.getPath.getName.endsWith(".parquet") =>
             s.getPath.toString
         }
-    if (paths.nonEmpty) spark.read.schema(storeSchema).parquet(paths.toIndexedSeq: _*)
+    if (paths.nonEmpty) spark.read.schema(schema).parquet(paths.toIndexedSeq: _*)
     else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], storeSchema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 }

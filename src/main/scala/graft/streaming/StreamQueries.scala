@@ -344,4 +344,123 @@ object StreamQueries {
           max_by(col("value_units"), col("n_events")).as("value_units"))
     } finally Seq(watch, stage).foreach(deleteRecursively)
   }
+
+  /** q343: watermark late-data accounting, gated — the correctness
+    * property q226-q229 never exercised: what a watermark actually
+    * DROPS.  The fixture arrives as THREE micro-batches split by
+    * event-id mod 3, each spanning the whole time range, so batch 3
+    * necessarily carries events far older than the watermark by then
+    * in force — real late-data pressure, not a synthetic corner.  An
+    * hourly append-mode windowed count then emits exactly the windows
+    * the final watermark closes.
+    *
+    * MEASURED protocol (probed on the fixture, the q227 discipline):
+    * Spark runs TWO watermarks per micro-batch — late-event filtering
+    * uses the PREVIOUS batch's eviction watermark while eviction uses
+    * the current one (the 3.4+ watermark-propagation split; a 2-batch
+    * staging therefore drops NOTHING, because batch 2's late filter
+    * still sees the initial zero watermark — measured, which is why
+    * three batches are staged).  The oracle replays it in SQL:
+    * batches 1-2 admit everything (late watermarks 0 and 0's
+    * successor... the zero from batch 0's eviction); a batch-3 row is
+    * admitted iff its window end survives wmₑ(batch 2) = max(batch-1
+    * events) − delay; emission is window end ≤ final watermark
+    * (global max − delay).  Boundary forms (`<` vs `≤`) cannot
+    * diverge on the fixture — window ends are hour-aligned while the
+    * watermark inherits the max event's microsecond offset.
+    * StreamProgressSpec additionally pins the DROP COUNT via
+    * numRowsDroppedByWatermark.
+    *
+    * 100 TB shape: one stateful hourly aggregate whose state is
+    * bounded by the watermark horizon (the whole point of
+    * watermarks); the mod-3 staging is test scaffolding — production
+    * reads the real out-of-order stream.
+    */
+  def lateDataAudit(spark: SparkSession, dir: String,
+                    inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"))
+    val (watch, stage) = stageBatches(e,
+      Seq(pmod(col("event_id"), lit(3L)) === 0L,
+          pmod(col("event_id"), lit(3L)) === 1L,
+          pmod(col("event_id"), lit(3L)) === 2L), "late")
+    try {
+      val schema = StructType(Seq(
+        StructField("event_id", org.apache.spark.sql.types.LongType),
+        StructField("ts", org.apache.spark.sql.types.TimestampType)))
+      val agg = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("window.start")).as("win_us"),
+          col("n_events"))
+      runToTable(spark, agg, "append", inspect)
+    } finally Seq(watch, stage).foreach(deleteRecursively)
+  }
+
+  /** q336: streaming HLL register maintenance, gated — the incremental
+    * distinct-count a 100 TB ingest runs.  The corpus arrives as two
+    * OVERLAPPING micro-batches (ids [0, cut1) then [cut0, max] — the
+    * q230 replay harness, so the [cut0, cut1) span hits the sketch
+    * twice); each batch publishes its own m=64 register partial via
+    * [[DocStream.hllBatch]] (rename-published, none-or-all) and the
+    * read side max-merges the epoch partials — the per-shard-build +
+    * coordinator-merge shape q333 CERTIFIES, now exercised across
+    * real micro-batch boundaries with real replay pressure.
+    *
+    * Gate: the stream-maintained registers must equal the whole-corpus
+    * batch registers bit-for-bit (max is idempotent and associative —
+    * overlap and batch boundaries are invisible by the certified
+    * algebra).  Spark computes BOTH sides genuinely; the oracle states
+    * the theorem (one register table, equal columns, flag 1), so any
+    * maintenance bug flips a flag and fails the hash.
+    *
+    * 100 TB shape: per batch, ONE keyed max over the token explode
+    * (map-side combined to ≤64 rows per partition) + a 64-row write;
+    * the store read is epochs×64 rows.  No state store, no
+    * read-modify-write — the sketch IS the recovery state.
+    */
+  def hllIngest(spark: SparkSession, dir: String,
+                inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import java.nio.file.Files
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut1 = (maxId + 1) * 3 / 5
+    val cut0 = cut1 / 2
+    val (watch, stage) = stageBatches(docs,
+      Seq(col("doc_id") < cut1, col("doc_id") >= cut0), "hll",
+      dropAfterFilter = Seq("doc_id"))
+    val schema = StructType(Seq(StructField("text", StringType)))
+    val storeDir = Files.createTempDirectory("graft-hll-store")
+    val ckptDir = Files.createTempDirectory("graft-hll-ckpt")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q =
+      try {
+        spark.conf.set(key, "8")
+        DocStream.hllMaintain(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(watch.toString),
+          storeDir.toString, ckptDir.toString)
+      } finally spark.conf.set(key, prev)
+    try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    // the store dir intentionally outlives the call (the q230 sink
+    // rule): the returned frame reads the epoch partials lazily
+    val streamRegs = DocStream.readHllRegisters(spark, storeDir.toString)
+      .withColumnRenamed("m", "m_stream")
+    Seq(watch, stage, ckptDir).foreach(deleteRecursively)
+    val direct = graft.operators.PipelineAudits.hllRegisterTable(
+        graft.Tables.documents(spark, dir)
+          .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("token")))
+      .withColumnRenamed("m", "m_direct")
+    spark.range(0, 64).select(col("id").as("register"))
+      .join(streamRegs, Seq("register"), "left").na.fill(0L, Seq("m_stream"))
+      .join(direct, Seq("register"), "left").na.fill(0L, Seq("m_direct"))
+      .select(col("register"), col("m_stream"), col("m_direct"),
+        when(col("m_stream") === col("m_direct"), 1).otherwise(0)
+          .as("stream_matches"))
+      .orderBy("register")
+  }
 }

@@ -160,6 +160,107 @@ class StreamProgressSpec extends SparkSuite {
   // and recovered state (persistent fp store / state store) must make
   // the resumed run complete to the same table the oracle certifies.
 
+  test("q336 hll maintenance: two staged micro-batches, NO state store, registers identical to batch") {
+    val (n, progs) = capture(StreamQueries.hllIngest(spark, sf, _))
+    assert(n == 64L, "the register spine is complete")
+    val db = dataBatches(progs)
+    assert(db.length == 2, "each staged file rides its own micro-batch")
+    // the overlapping replay span means batch 2 re-reads [cut0, cut1)
+    assert(db.map(_.numInputRows).sum > Tables.documents(spark, sf).count(),
+      "the staged batches OVERLAP — replay pressure is real")
+    // the sketch is the recovery state: foreachBatch owns the store,
+    // Spark's state store must stay empty
+    assert(finalState(progs).isEmpty, "no Spark state operator — the register store IS the state")
+    val rows = StreamQueries.hllIngest(spark, sf).collect()
+    assert(rows.forall(_.getInt(3) == 1),
+      "stream-maintained registers equal whole-corpus registers bit-for-bit")
+    assert(rows.map(_.getLong(1)).max >= 1L, "registers are populated")
+  }
+
+  test("q343 late data: three staged batches; the late filter lags eviction by ONE batch (measured protocol)") {
+    val (_, progs) = capture(StreamQueries.lateDataAudit(spark, sf, _))
+    val db = dataBatches(progs)
+    assert(db.length == 3, "each mod-3 file rides its own micro-batch")
+    def dropped(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Long =
+      p.stateOperators.map(_.numRowsDroppedByWatermark).sum
+    // batches 1-2 run with late-event watermarks 0 (eviction lags by
+    // one batch — the dual-watermark split this query exists to pin)
+    assert(dropped(db(0)) == 0L && dropped(db(1)) == 0L,
+      "no drops while the late-event watermark is still the initial zero")
+    // batch 3's late filter uses eviction-after-batch-2 = max(file-0) − 1h
+    val us = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val h = 3600000000L
+    val lw = us.filter(_._1 % 3 == 0).map(_._2).max - h
+    // the metric counts PARTIALLY-AGGREGATED group rows reaching the
+    // state operator, not raw input rows (measured: 332 late events in
+    // 316 distinct windows report 316) — so recount distinct windows
+    val expectDrop = us.collect { case (id, t)
+      if id % 3 == 2 && (t / h) * h + h <= lw => (t / h) * h }
+      .distinct.length.toLong
+    assert(expectDrop > 0, "the fixture produces real late pressure")
+    assert(dropped(db(2)) == expectDrop,
+      "numRowsDroppedByWatermark recounts the replayed late WINDOW set exactly")
+  }
+
+  test("restart from checkpoint: hll store resumes — batch-1 partial survives, resumed merge completes to the corpus registers") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut1 = (maxId + 1) * 3 / 5
+    val cut0 = cut1 / 2
+    val watch = Files.createTempDirectory("graft-hllrestart-src")
+    val staged = Files.createTempDirectory("graft-hllrestart-stage")
+    val storeDir = Files.createTempDirectory("graft-hllrestart-store")
+    val ckpt = Files.createTempDirectory("graft-hllrestart-ckpt")
+    val schema = StructType(Seq(StructField("text", StringType)))
+    def drop(pred: org.apache.spark.sql.Column, name: String, t: Long): Unit = {
+      val part = s"$staged/$name"
+      docs.filter(pred).drop("doc_id").coalesce(1).write.parquet(part)
+      val dst = watch.resolve(s"$name.parquet")
+      Files.copy(graft.util.Fs.onlyPartFile(part), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    }
+    def run(): Seq[StreamingQueryProgress] = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val q = try {
+        spark.conf.set(key, "8")
+        graft.streaming.DocStream.hllMaintain(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(watch.toString),
+          storeDir.toString, ckpt.toString)
+      } finally spark.conf.set(key, prev)
+      try { q.processAllAvailable(); q.recentProgress.toSeq } finally q.stop()
+    }
+    try {
+      drop(col("doc_id") < cut1, "a", 1700000000000L)
+      val p1 = run()
+      assert(dataBatches(p1).length == 1, "phase 1 is one micro-batch")
+      val partial = graft.streaming.DocStream
+        .readHllRegisters(spark, storeDir.toString).count()
+      assert(partial >= 1L, "batch-1 register partial is published")
+      // stopped between micro-batches; the overlapping file arrives
+      // and a FRESH query resumes from the same checkpoint
+      drop(col("doc_id") >= cut0, "b", 1700000001000L)
+      val p2 = run()
+      assert(dataBatches(p2).length == 1,
+        "the restarted query reads ONLY file b — file a is committed in the offset log")
+      val expect = graft.operators.PipelineAudits.hllRegisterTable(
+          docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("token")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = graft.streaming.DocStream
+        .readHllRegisters(spark, storeDir.toString)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect,
+        "recovered store max-merges to the whole-corpus registers exactly")
+    } finally Seq(watch, staged, storeDir, ckpt)
+      .foreach(graft.util.Fs.deleteRecursively)
+  }
+
   test("restart from checkpoint: ingest resumes exactly-once — offset log skips the done file, fp store drops the replayed span") {
     import java.nio.file.Files
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
