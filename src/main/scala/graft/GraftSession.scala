@@ -21,6 +21,11 @@ object GraftSession {
   def builder(cores: Int = 32): SparkSession.Builder = {
     val b = SparkSession.builder()
       .appName("graft")
+      // the engine's extensions (native SQL functions + the
+      // RewriteTokenCount optimizer rule) ride every session built
+      // here — mains and clusters alike; already-constructed sessions
+      // use plans.RegisterFunctions for the function half
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -3864,6 +3864,31 @@ private[graft] trait OraclesC extends OracleHelpers {
         |FROM f CROSS JOIN dc
         |GROUP BY fold, d0, cut, t_end
         |ORDER BY fold""".stripMargin,
+    // q346: the outer-join emission rule replayed — inner pairs by
+    // the interval condition; null rows for matchless purchases at or
+    // below the MEASURED query watermark, which is the MIN across the
+    // two sides' watermarks (each side's max event time − delay, on
+    // the per-type FILTERED streams); the trailing span stays
+    // unemitted,
+    "q346_stream_left_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS p_us FROM e
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id AS vu, event_id AS view_id, us AS v_us FROM e
+        |  WHERE event_type = 'view'),
+        |inn AS (SELECT purchase_id, user_id, view_id, p_us, v_us
+        |  FROM p JOIN v ON user_id = vu AND v_us <= p_us
+        |    AND v_us >= p_us - 3600000000),
+        |fwm AS (SELECT least((SELECT max(p_us) FROM p),
+        |    (SELECT max(v_us) FROM v)) - 3600000000 AS wm),
+        |nul AS (SELECT purchase_id, user_id, CAST(NULL AS BIGINT) AS view_id,
+        |    p_us, CAST(NULL AS BIGINT) AS v_us
+        |  FROM p, fwm WHERE p_us <= wm
+        |    AND purchase_id NOT IN (SELECT purchase_id FROM inn))
+        |SELECT * FROM inn
+        |UNION ALL SELECT * FROM nul
+        |ORDER BY purchase_id, view_id""".stripMargin,
     // q345: Hamilton largest-remainder apportionment in exact
     // integers; remainder ranking deterministic (rem desc, source asc),
     "q345_token_budget" ->

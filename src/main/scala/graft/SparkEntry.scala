@@ -637,7 +637,10 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // walk-forward temporal split, and Hamilton budget apportionment
     "q343_stream_late" -> ((s, d) => streaming.StreamQueries.lateDataAudit(s, d)),
     "q344_walk_forward" -> ((s, d) => EventOps.walkForwardSplit(s, d)),
-    "q345_token_budget" -> ((s, d) => PipelineAudits.tokenBudget(s, d))
+    "q345_token_budget" -> ((s, d) => PipelineAudits.tokenBudget(s, d)),
+    // batch 31 (r17): the LEFT OUTER stream-stream interval join —
+    // watermark-driven null emission, measured retention rule
+    "q346_stream_left_join" -> ((s, d) => streaming.StreamQueries.leftJoinedPairs(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -17,6 +17,17 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // the engine's first injected OPTIMIZER RULE (not just functions):
+    // size(split(x, " ", -1)) → allocation-free token_count(x), null
+    // semantics preserved (see RewriteTokenCount)
+    e.injectOptimizerRule(_ => RewriteTokenCount)
+    e.injectFunction((
+      FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_token_count(string)")
+        TokenCount(args.head)
+      }))
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -147,6 +147,31 @@ object EventStream {
         col("view_id"), col("p_ts"), col("v_ts"), col("value"))
   }
 
+  /** q346: the LEFT OUTER form of [[purchaseViewJoin]] — purchases
+    * that attracted NO view in the preceding hour surface with NULL
+    * view columns instead of vanishing (the funnel-gap signal an
+    * inner join hides).  Outer emission is watermark-driven: a
+    * purchase's null row may only emit once the view-side watermark
+    * proves no qualifying view can still arrive.
+    */
+  def purchaseViewLeftJoin(events: DataFrame,
+                           watermark: String = "1 hour",
+                           horizon: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", watermark)
+    purchases.join(views,
+      expr(s"p_user = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL $horizon"),
+      "leftOuter")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("view_id"), col("p_ts"), col("v_ts"))
+  }
+
   /** Stream → DocSink bridge: every micro-batch goes through the SAME
     * batch write path (chunking, checkpoint, idempotent upsert) via
     * `DocSink.writeBatch`, so at-least-once delivery + a sink that is

@@ -162,6 +162,33 @@ object StreamQueries {
       runToTable(spark, joined, "append", inspect)
     }
 
+  /** q346: LEFT OUTER stream-stream interval join, gated — q229's
+    * missing half: purchases with NO view in the prior hour must
+    * surface as null rows, and may do so only once the watermark
+    * proves no qualifying view can still arrive.  Inner matches emit
+    * as they are found; the outer nulls emit when the purchase's
+    * state is provably done — MEASURED rule (the q343 discipline):
+    * p_ts ≤ the QUERY watermark, which is the MIN across the two
+    * sides' watermarks, each computed as that side's max event time −
+    * delay over its per-type FILTERED stream (the global event max is
+    * irrelevant — the filters sit before withWatermark).  Probed at
+    * both SFs: the emission threshold lands exactly between the
+    * no-match purchases above and below min(max_p, max_v) − 1 h.
+    * The trailing span's unmatched purchases stay buffered,
+    * deliberately NOT emitted, and the oracle replays exactly that
+    * cut.
+    */
+  def leftJoinedPairs(spark: SparkSession, dir: String,
+                      inspect: StreamingQuery => Unit = _ => ()): DataFrame =
+    withWatchDir(eventsWatchDir(dir)) { watch =>
+      val joined = EventStream.purchaseViewLeftJoin(
+          EventStream.readEvents(spark, watch),
+          watermark = "1 hour", horizon = "1 hour")
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
+      runToTable(spark, joined, "append", inspect)
+    }
+
   /** q230: the WHOLE streaming document-ingest pipeline, gated
     * end-to-end — file-drop source → foreachBatch → within-batch
     * fingerprint dedup → anti-join against the rename-published

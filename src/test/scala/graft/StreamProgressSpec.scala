@@ -204,6 +204,29 @@ class StreamProgressSpec extends SparkSuite {
       "numRowsDroppedByWatermark recounts the replayed late WINDOW set exactly")
   }
 
+  test("q346 left outer join: one join operator; nulls only at/below the MIN watermark; inner set untouched") {
+    val (n, progs) = capture(StreamQueries.leftJoinedPairs(spark, sf, _))
+    assert(n > 0)
+    val ops = finalState(progs)
+    assert(ops.length == 1 &&
+      ops.head.operatorName.toLowerCase.contains("join"),
+      s"exactly the symmetric-hash-join operator, got ${ops.map(_.operatorName)}")
+    val rows = StreamQueries.leftJoinedPairs(spark, sf).collect()
+    val nulls = rows.filter(_.isNullAt(2))
+    val inner = rows.filter(!_.isNullAt(2))
+    val e = Tables.events(spark, sf).select(col("event_type"),
+      unix_micros(col("ts")).as("us")).collect()
+    val h = 3600000000L
+    val wm = math.min(
+      e.filter(_.getString(0) == "purchase").map(_.getLong(1)).max,
+      e.filter(_.getString(0) == "view").map(_.getLong(1)).max) - h
+    assert(nulls.nonEmpty && inner.nonEmpty)
+    assert(nulls.forall(_.getLong(3) <= wm),
+      "no null row ever emits above the min-of-sides watermark")
+    assert(nulls.map(_.getLong(0)).toSet.intersect(inner.map(_.getLong(0)).toSet).isEmpty,
+      "a matched purchase never also emits a null row")
+  }
+
   test("restart from checkpoint: hll store resumes — batch-1 partial survives, resumed merge completes to the corpus registers") {
     import java.nio.file.Files
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
