@@ -3889,6 +3889,86 @@ private[graft] trait OraclesC extends OracleHelpers {
         |SELECT * FROM inn
         |UNION ALL SELECT * FROM nul
         |ORDER BY purchase_id, view_id""".stripMargin,
+    // q347: the q335 estimator over STALE statistics — hash-designated
+    // 90% snapshot, identical ntile build, row-count-scaled estimates,
+    // today's exact recount, 10% relative-error refresh flags,
+    "q347_stats_freshness" ->
+      s"""WITH c AS (SELECT l_orderkey, l_linenumber,
+         |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v
+         |  FROM lineitem),
+         |st AS (SELECT * FROM c
+         |  WHERE ${hv60Sql("'st:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % 10 <> 0),
+         |t AS (SELECT v, CAST(ntile(16) OVER
+         |    (ORDER BY v, l_orderkey, l_linenumber) AS INTEGER) AS bucket
+         |  FROM st),
+         |h AS (SELECT bucket, min(v) AS lo_cents, max(v) AS hi_cents,
+         |    CAST(count(*) AS BIGINT) AS n_rows
+         |  FROM t GROUP BY bucket),
+         |p AS (SELECT * FROM (VALUES
+         |    (CAST(1 AS BIGINT), CAST(100000 AS BIGINT), CAST(1000000 AS BIGINT)),
+         |    (2, 0, 20000000), (3, 4000000, 6000000), (4, 9000000, 10500000),
+         |    (5, 1, 50000), (6, 2500000, 2500099)) AS vv(pred_id, p_lo, p_hi)),
+         |ctr AS (SELECT p.pred_id, p.p_lo, p.p_hi, h.bucket,
+         |    CAST(greatest(0, least(hi_cents, p_hi) - greatest(lo_cents, p_lo)
+         |        + 1) AS DOUBLE)
+         |      / CAST(hi_cents - lo_cents + 1 AS DOUBLE)
+         |      * CAST(n_rows AS DOUBLE) AS c
+         |  FROM h CROSS JOIN p),
+         |e AS (SELECT pred_id, p_lo, p_hi,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list(c ORDER BY bucket)), (a, b) -> a + b) AS est_rows
+         |  FROM ctr GROUP BY pred_id, p_lo, p_hi),
+         |sc AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM st) AS n_stale,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_today),
+         |a AS (SELECT pred_id, CAST(count(*) AS BIGINT) AS actual_rows
+         |  FROM c JOIN p ON v >= p_lo AND v <= p_hi GROUP BY pred_id),
+         |z AS (SELECT e.pred_id, p_lo AS lo_cents, p_hi AS hi_cents,
+         |    est_rows / CAST(n_stale AS DOUBLE) * CAST(n_today AS DOUBLE)
+         |      AS est_scaled,
+         |    coalesce(actual_rows, 0) AS actual_rows
+         |  FROM e CROSS JOIN sc LEFT JOIN a USING (pred_id)),
+         |z2 AS (SELECT *, CASE WHEN actual_rows = 0 THEN NULL
+         |    ELSE abs(est_scaled - CAST(actual_rows AS DOUBLE))
+         |      / CAST(actual_rows AS DOUBLE) END AS rel_err FROM z)
+         |SELECT pred_id, lo_cents, hi_cents, est_scaled, actual_rows, rel_err,
+         |  CASE WHEN rel_err > CAST(0.10 AS DOUBLE) THEN 1 ELSE 0 END AS refresh
+         |FROM z2 ORDER BY pred_id""".stripMargin,
+    // q348: textbook containment estimates from exact counts/NDVs,
+    // identical left-associated double sequences, actual recounts,
+    "q348_join_order" ->
+      """WITH s AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS nc,
+        |  (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer) AS dc_ck,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS no_,
+        |  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS do_ck,
+        |  (SELECT CAST(count(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS do_ok,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS nl,
+        |  (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS dl_ok,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer JOIN orders
+        |     ON c_custkey = o_custkey) AS a_co,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders JOIN lineitem
+        |     ON o_orderkey = l_orderkey) AS a_ol),
+        |e AS (SELECT *,
+        |  CAST(nc AS DOUBLE) * CAST(no_ AS DOUBLE)
+        |    / CAST(greatest(dc_ck, do_ck) AS DOUBLE) AS est_co,
+        |  CAST(no_ AS DOUBLE) * CAST(nl AS DOUBLE)
+        |    / CAST(greatest(do_ok, dl_ok) AS DOUBLE) AS est_ol
+        |  FROM s),
+        |f AS (SELECT *,
+        |  est_co * CAST(nl AS DOUBLE)
+        |    / greatest(least(CAST(do_ok AS DOUBLE), est_co),
+        |        CAST(dl_ok AS DOUBLE)) AS est_co_total,
+        |  est_ol * CAST(nc AS DOUBLE)
+        |    / greatest(least(CAST(do_ck AS DOUBLE), est_ol),
+        |        CAST(dc_ck AS DOUBLE)) AS est_ol_total
+        |  FROM e)
+        |SELECT 'co_first' AS join_order, est_co AS est_intermediate,
+        |  a_co AS actual_intermediate, est_co_total AS est_final,
+        |  CASE WHEN est_co <= est_ol THEN 1 ELSE 0 END AS chosen FROM f
+        |UNION ALL
+        |SELECT 'ol_first', est_ol, a_ol, est_ol_total,
+        |  CASE WHEN est_ol < est_co THEN 1 ELSE 0 END FROM f
+        |ORDER BY join_order""".stripMargin,
     // q345: Hamilton largest-remainder apportionment in exact
     // integers; remainder ranking deterministic (rem desc, source asc),
     "q345_token_budget" ->

@@ -640,7 +640,11 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     "q345_token_budget" -> ((s, d) => PipelineAudits.tokenBudget(s, d)),
     // batch 31 (r17): the LEFT OUTER stream-stream interval join —
     // watermark-driven null emission, measured retention rule
-    "q346_stream_left_join" -> ((s, d) => streaming.StreamQueries.leftJoinedPairs(s, d))
+    "q346_stream_left_join" -> ((s, d) => streaming.StreamQueries.leftJoinedPairs(s, d)),
+    // batch 32 (r17): the CBO loop's last two decisions — when to
+    // re-ANALYZE (stale-stats drift gate) and which join runs first
+    "q347_stats_freshness" -> ((s, d) => Relational.statsFreshness(s, d)),
+    "q348_join_order" -> ((s, d) => Relational.joinOrderAdvisor(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

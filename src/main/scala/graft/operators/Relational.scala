@@ -1981,35 +1981,12 @@ object Relational {
     * is the audit a stats pipeline ships to decide refresh cadence.
     */
   def selectivityAudit(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
-    import spark.implicits._
-    // pinned probe ranges in integer cents (fixture prices span
-    // 90_182..10_499_788): broad, all, mid band, high tail,
-    // below-min (both sides must report zero), near-point
-    val preds = Seq(
-      (1L, 100000L, 1000000L), (2L, 0L, 20000000L),
-      (3L, 4000000L, 6000000L), (4L, 9000000L, 10500000L),
-      (5L, 1L, 50000L), (6L, 2500000L, 2500099L))
-      .toDF("pred_id", "p_lo", "p_hi")
-    val hist = equiDepthHist(spark, dir, k)
-    val contrib = hist.crossJoin(broadcast(preds))
-      .withColumn("ov", greatest(lit(0L),
-        least(col("hi_cents"), col("p_hi"))
-          - greatest(col("lo_cents"), col("p_lo")) + lit(1L)))
-      .withColumn("c",
-        col("ov").cast("double")
-          / (col("hi_cents") - col("lo_cents") + lit(1L)).cast("double")
-          * col("n_rows").cast("double"))
-    val est = contrib.groupBy("pred_id", "p_lo", "p_hi")
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("bucket").as("id"), col("c").as("v")))),
-        lit(0.0), (a, x) => a + x.getField("v")).as("est_rows"))
+    val preds = pinnedPreds(spark)
+    val est = histEstimates(equiDepthHist(spark, dir, k), preds)
     val cents = Tables.lineitem(spark, dir)
       .select(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
         .cast("long").as("v"))
-    val act = cents.join(broadcast(preds),
-        col("v") >= col("p_lo") && col("v") <= col("p_hi"))
-      .groupBy("pred_id").agg(count(lit(1)).as("actual_rows"))
-    est.join(act, Seq("pred_id"), "left")
+    est.join(predActuals(cents, preds), Seq("pred_id"), "left")
       .na.fill(0L, Seq("actual_rows"))
       .select(col("pred_id"), col("p_lo").as("lo_cents"),
         col("p_hi").as("hi_cents"), col("est_rows"), col("actual_rows"),
@@ -2017,11 +1994,169 @@ object Relational {
       .orderBy("pred_id")
   }
 
-  def equiDepthHist(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+  /** The pinned probe ranges q335/q347 share, in integer cents
+    * (fixture prices span 90_182..10_499_788): broad, all, mid band,
+    * high tail, below-min (both sides must report zero), near-point.
+    */
+  private def pinnedPreds(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1L, 100000L, 1000000L), (2L, 0L, 20000000L),
+      (3L, 4000000L, 6000000L), (4L, 9000000L, 10500000L),
+      (5L, 1L, 50000L), (6L, 2500000L, 2500099L))
+      .toDF("pred_id", "p_lo", "p_hi")
+  }
+
+  /** Uniform-within-bucket interpolation of each predicate against an
+    * equi-depth histogram: exact integer overlap into ONE pinned
+    * divide-then-multiply per bucket, contributions folded in bucket
+    * order (≤ k elements, the bounded-frame exception).
+    */
+  private def histEstimates(hist: DataFrame, preds: DataFrame): DataFrame =
+    hist.crossJoin(broadcast(preds))
+      .withColumn("ov", greatest(lit(0L),
+        least(col("hi_cents"), col("p_hi"))
+          - greatest(col("lo_cents"), col("p_lo")) + lit(1L)))
+      .withColumn("c",
+        col("ov").cast("double")
+          / (col("hi_cents") - col("lo_cents") + lit(1L)).cast("double")
+          * col("n_rows").cast("double"))
+      .groupBy("pred_id", "p_lo", "p_hi")
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("bucket").as("id"), col("c").as("v")))),
+        lit(0.0), (a, x) => a + x.getField("v")).as("est_rows"))
+
+  /** Exact per-predicate recount: ONE scan of the value frame,
+    * broadcast-NL against the pinned ranges (bounded fan-out).
+    */
+  private def predActuals(cents: DataFrame, preds: DataFrame): DataFrame =
+    cents.join(broadcast(preds),
+        col("v") >= col("p_lo") && col("v") <= col("p_hi"))
+      .groupBy("pred_id").agg(count(lit(1)).as("actual_rows"))
+
+  /** Statistics-freshness audit (q347): WHEN to re-ANALYZE — the
+    * decision that completes the q331→q335 loop.  Statistics built on
+    * yesterday's snapshot (a hash-designated 90% of today's rows — the
+    * q329 designation pattern standing in for a day-old table) serve
+    * today's planning until their estimates drift: each pinned q335
+    * predicate is estimated from the STALE histogram, row-count-scaled
+    * to today (est · n_today / n_stale, the standard stats
+    * extrapolation), and compared against today's exact recount; a
+    * predicate whose relative error exceeds 10% flags refresh, and the
+    * query ships the per-predicate evidence plus the any-predicate
+    * decision — the re-ANALYZE trigger a stats pipeline schedules on.
+    *
+    * 100 TB shape: identical to q331 + q335 (one rank shuffle for the
+    * stale build, one scan for the recount); the decision is 6 rows of
+    * pinned double algebra.
+    */
+  def statsFreshness(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val preds = pinnedPreds(spark)
     val cents = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
         floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
           .as("v"))
+    val stale = cents.filter(pmod(TextAnalysis.hv60(
+      concat(lit("st:"), col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))), lit(10L)) =!= 0L)
+    val est = histEstimates(equiDepthHistFrom(stale, k), preds)
+    val scale = stale.agg(count(lit(1)).as("n_stale"))
+      .crossJoin(cents.agg(count(lit(1)).as("n_today")))
+    val scaled = est.crossJoin(broadcast(scale))
+      .withColumn("est_scaled",
+        col("est_rows") / col("n_stale").cast("double")
+          * col("n_today").cast("double"))
+    scaled.join(predActuals(cents.select(col("v")), preds), Seq("pred_id"), "left")
+      .na.fill(0L, Seq("actual_rows"))
+      .withColumn("rel_err",
+        when(col("actual_rows") === 0L, lit(null).cast("double"))
+          .otherwise(abs(col("est_scaled") - col("actual_rows").cast("double"))
+            / col("actual_rows").cast("double")))
+      .withColumn("refresh",
+        when(col("rel_err") > lit(0.10), 1).otherwise(0))
+      .select(col("pred_id"), col("p_lo").as("lo_cents"),
+        col("p_hi").as("hi_cents"), col("est_scaled"), col("actual_rows"),
+        col("rel_err"), col("refresh"))
+      .orderBy("pred_id")
+  }
+
+  /** Join-order advisor (q348): the DECISION the CBO stats exist for —
+    * given the three-table chain customer ⋈ orders ⋈ lineitem, which
+    * two-table join runs first?  Both candidate orders are costed with
+    * the textbook containment estimate |A⋈B| ≈ n_A·n_B / max(d_A, d_B)
+    * from EXACT per-side row counts and join-key NDVs (one cheap
+    * aggregate per side), the intermediate's key NDV propagated as
+    * min(parent NDV, estimated rows) — and then both orders' ACTUAL
+    * intermediate sizes are recounted, so the advisory is scored
+    * against ground truth in the same row (the q257/q335 audit
+    * discipline applied to the planner's central choice).
+    *
+    * Determinism: counts and NDVs are exact BIGINTs; each estimate is
+    * the identical left-associated divide-then-multiply double
+    * sequence on both engines; `chosen` breaks est ties toward the
+    * lexicographically smaller label.
+    *
+    * 100 TB shape: six 1-row aggregates (each one map-side-combined
+    * scan of a key column) + the two real intermediate counts, which
+    * are the audit's deliberate price — production consults only the
+    * estimate side, already computed from the q338/q341 stats it
+    * maintains anyway.
+    */
+  def joinOrderAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+    val stats = c.agg(count(lit(1)).as("nc"), countDistinct(col("c_custkey")).as("dc_ck"))
+      .crossJoin(broadcast(o.agg(count(lit(1)).as("no"),
+        countDistinct(col("o_custkey")).as("do_ck"),
+        countDistinct(col("o_orderkey")).as("do_ok"))))
+      .crossJoin(broadcast(l.agg(count(lit(1)).as("nl"),
+        countDistinct(col("l_orderkey")).as("dl_ok"))))
+      .crossJoin(broadcast(c.join(o, col("c_custkey") === col("o_custkey"))
+        .agg(count(lit(1)).as("a_co"))))
+      .crossJoin(broadcast(o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("a_ol"))))
+    val estCO = col("nc").cast("double") * col("no").cast("double") /
+      greatest(col("dc_ck"), col("do_ck")).cast("double")
+    val estOL = col("no").cast("double") * col("nl").cast("double") /
+      greatest(col("do_ok"), col("dl_ok")).cast("double")
+    val withEst = stats
+      .withColumn("est_co", estCO)
+      .withColumn("est_ol", estOL)
+      // intermediate key-NDV propagation: min(parent NDV, est rows)
+      .withColumn("est_co_total", col("est_co") * col("nl").cast("double") /
+        greatest(least(col("do_ok").cast("double"), col("est_co")),
+          col("dl_ok").cast("double")))
+      .withColumn("est_ol_total", col("est_ol") * col("nc").cast("double") /
+        greatest(least(col("do_ck").cast("double"), col("est_ol")),
+          col("dc_ck").cast("double")))
+    withEst.select(explode(array(
+        struct(lit("co_first").as("join_order"),
+          col("est_co").as("est_intermediate"),
+          col("a_co").as("actual_intermediate"),
+          col("est_co_total").as("est_final"),
+          when(col("est_co") <= col("est_ol"), 1).otherwise(0).as("chosen")),
+        struct(lit("ol_first").as("join_order"),
+          col("est_ol").as("est_intermediate"),
+          col("a_ol").as("actual_intermediate"),
+          col("est_ol_total").as("est_final"),
+          when(col("est_ol") < col("est_co"), 1).otherwise(0).as("chosen"))))
+        .as("s"))
+      .select(col("s.*"))
+      .orderBy("join_order")
+  }
+
+  def equiDepthHist(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
+    equiDepthHistFrom(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+            .as("v")), k)
+
+  /** The histogram build over any (l_orderkey, l_linenumber, v) frame —
+    * split out so q347 can build STALE statistics on a snapshot subset
+    * through the identical plan.
+    */
+  private[graft] def equiDepthHistFrom(cents: DataFrame, k: Int): DataFrame = {
     val (ranked, total) = TextAnalysis.globalRank(cents, 32,
       col("v"), col("l_orderkey"), col("l_linenumber"))
     ranked.crossJoin(broadcast(total))

@@ -1686,6 +1686,47 @@ class PlanGuardSpec extends SparkSuite {
       "only the 1-row total frame NL-attaches")
   }
 
+  test("q338 multi-col stats: ONE pruned lineitem scan through the documented 5-way Expand") {
+    val df = Relational.multiColStats(spark, sf)
+    val scans = plan(df).collect { case s: FileSourceScanExec => s }
+    assert(scans.length == 1, "one scan serves all four columns")
+    assert(scans.head.requiredSchema.fieldNames.toSet ==
+      Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+      "scan pruned to exactly the profiled columns")
+    assert(names(df).count(_.contains("Expand")) == 1,
+      "exact multi-NDV plans as one Expand — the documented price")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+  }
+
+  test("q339 bloom prune: the filter path is broadcast semi joins only; no hint on the SF-linear truth side") {
+    val df = Relational.bloomPruneAudit(spark, sf)
+    val joins = plan(df).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.count(_.joinType.toString == "LeftSemi") >= 5,
+      "two bloom probes x two paths + the truth recount are all semi joins")
+    assert(!names(df).exists(n => n.contains("CartesianProduct")),
+      "1-row count frames attach by broadcast, never cartesian")
+    // the truth recount must stay hint-free (threshold/AQE decide for
+    // the SF-linear build side — the q02 rule): every hinted frame is
+    // either the bounded bit SET (pos/h1/h2, ≤ m rows) or a 1-row
+    // count; the raw `key` frames never carry one
+    val hinted = hintedOutputs(df)
+    assert(hinted.forall(o => !o.contains("key")),
+      s"SF-linear key frames must stay hint-free, got $hinted")
+    assert(hinted.forall(o =>
+      o.exists(c => Set("pos", "h1", "h2").contains(c)) || o.forall(_.startsWith("n_"))),
+      s"hints only on the bit set or 1-row counts, got $hinted")
+  }
+
+  test("q347 freshness: stale build rides the shared two-pass rank — no unkeyed corpus window") {
+    val df = Relational.statsFreshness(spark, sf)
+    val ws = plan(df).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "no single-partition window anywhere in the stale ANALYZE")
+    assert(!names(df).exists(_.contains("CartesianProduct")))
+  }
+
   test("q332 snapshot diff: one full-outer equi-join, pruned scans, no window") {
     val df = operators.Dedup.snapshotDiff(spark, sf)
     assert(joinTypes(df).contains("FullOuter"), "reconciliation is a full outer join")
