@@ -3969,6 +3969,74 @@ private[graft] trait OraclesC extends OracleHelpers {
         |SELECT 'ol_first', est_ol, a_ol, est_ol_total,
         |  CASE WHEN est_ol < est_co THEN 1 ELSE 0 END FROM f
         |ORDER BY join_order""".stripMargin,
+    // q349: the cumulative gates replayed stage by stage; survivors
+    // are min-doc_id per hash (the q19/q20 oracle forms), retention
+    // is a single pinned divide per row,
+    "q349_pipeline_yield" -> {
+      val stages = Seq(
+        (0, "raw", "b"), (1, "lang_en", "s1"), (2, "len_ge_50", "s2"),
+        (3, "exact_dedup", "s3"), (4, "fingerprint_dedup", "s4"))
+      val unions = stages.map { case (i, g, t) =>
+        s"""SELECT $i AS stage, '$g' AS gate,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM $t""".stripMargin }
+        .mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    md5(text) AS h,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+         |  FROM documents),
+         |s1 AS (SELECT * FROM b WHERE lang = 'en'),
+         |s2 AS (SELECT * FROM s1 WHERE n_tok >= 50),
+         |es AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY h),
+         |s3 AS (SELECT s2.* FROM s2 JOIN es USING (doc_id)),
+         |fs AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY fp),
+         |s4 AS (SELECT s3.* FROM s3 JOIN fs USING (doc_id)),
+         |raw AS (SELECT CAST(count(*) AS BIGINT) AS raw_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS raw_tokens FROM b),
+         |z AS (
+         |$unions)
+         |SELECT stage, gate, n_docs, n_tokens,
+         |  CAST(n_docs AS DOUBLE) / CAST(raw_docs AS DOUBLE) AS doc_retention,
+         |  CAST(n_tokens AS DOUBLE) / CAST(raw_tokens AS DOUBLE) AS token_retention
+         |FROM z CROSS JOIN raw ORDER BY stage""".stripMargin
+    },
+    // q350: the q345 quota table re-derived, then the keyed greedy
+    // prefix as a window cumulative sum in hash order,
+    "q350_mixture_sample" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |  FROM documents),
+         |w AS (SELECT source, CAST(sum(tok) AS BIGINT) AS w FROM t
+         |  GROUP BY source),
+         |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM w),
+         |s AS (SELECT source, w, (1000000 * w) // wt AS base,
+         |    (1000000 * w) % wt AS rem FROM w, tot),
+         |lo AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS leftover FROM s),
+         |q AS (SELECT source, CAST(base + CASE WHEN
+         |      row_number() OVER (ORDER BY rem DESC, source ASC) <= leftover
+         |      THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |  FROM s, lo),
+         |d AS (SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         |    ${hv60Sql("'mx:' || CAST(doc_id AS VARCHAR)")} AS hv
+         |  FROM documents),
+         |cum AS (SELECT source, doc_id, tok,
+         |    sum(tok) OVER (PARTITION BY source ORDER BY hv ASC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM d),
+         |p AS (SELECT cum.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(tok) AS BIGINT) AS packed_tokens
+         |  FROM cum JOIN q USING (source) WHERE cum <= alloc
+         |  GROUP BY cum.source)
+         |SELECT q.source, alloc AS quota_tokens,
+         |  coalesce(n_docs, 0) AS n_docs,
+         |  coalesce(packed_tokens, 0) AS packed_tokens,
+         |  CASE WHEN alloc = 0 THEN NULL
+         |    ELSE CAST(coalesce(packed_tokens, 0) AS DOUBLE)
+         |      / CAST(alloc AS DOUBLE) END AS utilization
+         |FROM q LEFT JOIN p USING (source)
+         |ORDER BY q.source""".stripMargin,
     // q345: Hamilton largest-remainder apportionment in exact
     // integers; remainder ranking deterministic (rem desc, source asc),
     "q345_token_budget" ->

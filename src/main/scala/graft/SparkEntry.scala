@@ -644,7 +644,11 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // batch 32 (r17): the CBO loop's last two decisions — when to
     // re-ANALYZE (stale-stats drift gate) and which join runs first
     "q347_stats_freshness" -> ((s, d) => Relational.statsFreshness(s, d)),
-    "q348_join_order" -> ((s, d) => Relational.joinOrderAdvisor(s, d))
+    "q348_join_order" -> ((s, d) => Relational.joinOrderAdvisor(s, d)),
+    // batch 33 (r17): the curation yield report and the q345 quotas
+    // executed as a deterministic hash-order document sample
+    "q349_pipeline_yield" -> ((s, d) => PipelineAudits.pipelineYield(s, d)),
+    "q350_mixture_sample" -> ((s, d) => PipelineAudits.mixtureSample(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1538,6 +1538,104 @@ object PipelineAudits {
       .orderBy("source")
   }
 
+  /** q349: the pipeline YIELD report — the headline table every
+    * curation run publishes: how many documents and tokens survive
+    * each successive gate (raw → language → length → exact-dup
+    * survivor → fingerprint survivor).  Stages are cumulative (each
+    * applies on top of the previous), survivors are the deterministic
+    * min-doc_id rule the dedup tier already uses, and each stage row
+    * carries its own doc/token mass plus the retention fraction
+    * against RAW — the number a 100 TB run quotes when asked "where
+    * did the data go?".
+    *
+    * 100 TB shape: one corpus scan feeds per-doc (lang, n_tok, md5,
+    * fingerprint); the two survivor stages are keyed min-aggregates
+    * joined back by hash — the q19/q20 shapes — and the report is a
+    * 5-row union of 1-row aggregates.  Nothing all-pairs, nothing
+    * collected.
+    */
+  def pipelineYield(spark: SparkSession, dir: String,
+      minTok: Int = 50): DataFrame = {
+    val base = Pins.eager(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5(col("text")).as("h"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp")))
+    val s1 = base.filter(col("lang") === "en")
+    val s2 = s1.filter(col("n_tok") >= minTok)
+    val exactSurv = s2.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val s3 = s2.join(exactSurv, "doc_id")
+    val fpSurv = s3.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val s4 = s3.join(fpSurv, "doc_id")
+    def m(stage: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("n_tok")), lit(0L))
+        .as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("gate"),
+          col("n_docs"), col("n_tokens"))
+    val all = m(0, "raw", base)
+      .unionByName(m(1, "lang_en", s1))
+      .unionByName(m(2, s"len_ge_$minTok", s2))
+      .unionByName(m(3, "exact_dedup", s3))
+      .unionByName(m(4, "fingerprint_dedup", s4))
+    val raw = base.agg(count(lit(1)).as("raw_docs"),
+      sum(col("n_tok")).as("raw_tokens"))
+    all.crossJoin(broadcast(raw))
+      .select(col("stage"), col("gate"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("raw_docs").cast("double"))
+          .as("doc_retention"),
+        (col("n_tokens").cast("double") / col("raw_tokens").cast("double"))
+          .as("token_retention"))
+      .orderBy("stage")
+  }
+
+  /** q350: the q345 mixture EXECUTED — turn each source's token quota
+    * into an actual document sample: documents are hash-ranked within
+    * their source (hv60("mx:"‖doc_id), the deterministic shuffle every
+    * sampler here uses) and taken greedily in that order while the
+    * running token total stays within the source's Hamilton quota.
+    * Output per source: the quota, documents chosen, tokens packed,
+    * and utilization — the manifest a mixing job would hand to the
+    * reader.
+    *
+    * 100 TB shape: the greedy prefix is a source-KEYED window
+    * cumulative sum (partitions are per-source — never global), over
+    * the same single corpus scan; the quota table is |sources| rows
+    * broadcast.  A doc whose inclusion would cross the quota is
+    * excluded (strict ≤ packing — conservative, deterministic).
+    */
+  def mixtureSample(spark: SparkSession, dir: String,
+      budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = tokenBudget(spark, dir, budget)
+      .select(col("source"), col("alloc"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("tok"),
+        graft.operators.TextAnalysis.hv60(
+          concat(lit("mx:"), col("doc_id").cast("string"))).as("hv"))
+    val w = Window.partitionBy("source").orderBy(col("hv").asc, col("doc_id").asc)
+    val packed = docs
+      .withColumn("cum", sum(col("tok")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(quotas), "source")
+      .filter(col("cum") <= col("alloc"))
+    // LEFT from the quota table: a source whose quota admits nothing
+    // still reports its zero row (no-silent-caps)
+    quotas.join(
+        packed.groupBy("source").agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("packed_tokens")),
+        Seq("source"), "left")
+      .na.fill(0L, Seq("n_docs", "packed_tokens"))
+      .select(col("source"), col("alloc").as("quota_tokens"), col("n_docs"),
+        col("packed_tokens"),
+        when(col("alloc") === 0L, lit(null).cast("double"))
+          .otherwise(col("packed_tokens").cast("double")
+            / col("alloc").cast("double")).as("utilization"))
+      .orderBy("source")
+  }
+
   def raking(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cells0 = Pins.eager(

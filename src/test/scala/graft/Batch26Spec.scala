@@ -48,4 +48,52 @@ class Batch26Spec extends SparkSuite {
     assert(co.getLong(2) == aCo && ol.getLong(2) == aOl, "actual intermediates recount")
     assert(co.getDouble(3) > 0.0 && ol.getDouble(3) > 0.0)
   }
+
+  test("q349 yield: gates cumulative and monotone, raw row exact, retentions recount") {
+    val rows = operators.PipelineAudits.pipelineYield(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 to 4))
+    val docs = rows.map(_.getLong(2)); val toks = rows.map(_.getLong(3))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a }, "docs monotone down")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a }, "tokens monotone down")
+    assert(docs.head == Tables.documents(spark, sf).count(), "raw stage exact")
+    assert(docs.last >= 1, "something survives the whole pipeline")
+    for (r <- rows) {
+      assert(r.getDouble(4) == r.getLong(2).toDouble / docs.head.toDouble)
+      assert(r.getDouble(5) == r.getLong(3).toDouble / toks.head.toDouble)
+    }
+  }
+
+  test("q350 mixture: quotas never exceeded, packing greedy-maximal, utilization recounts") {
+    val rows = operators.PipelineAudits.mixtureSample(spark, sf).collect()
+    val quotas = operators.PipelineAudits.tokenBudget(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rows.map(_.getString(0)).toSet == quotas.keySet, "every source reports")
+    for (r <- rows) {
+      assert(r.getLong(1) == quotas(r.getString(0)), "quota column is the q345 alloc")
+      assert(r.getLong(3) <= r.getLong(1), "packed tokens never exceed the quota")
+      assert(r.getDouble(4) == r.getLong(3).toDouble / r.getLong(1).toDouble)
+      assert(r.getLong(2) >= 1, "fixture quotas admit at least one doc per source")
+    }
+    // greedy maximality: for one source, the first EXCLUDED doc in
+    // hash order must overflow the quota
+    val src = rows.head.getString(0)
+    val packedToks = rows.head.getLong(3)
+    val quota = rows.head.getLong(1)
+    val nPacked = rows.head.getLong(2).toInt
+    val ordered = Tables.documents(spark, sf).filter(col("source") === src)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok")).collect()
+      .map { r =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"mx:${r.getLong(0)}".getBytes("UTF-8"))
+        val hv = java.lang.Long.parseLong(
+          d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+        (hv, r.getLong(0), r.getLong(1))
+      }.sortBy(t => (t._1, t._2))
+    assert(ordered.take(nPacked).map(_._3).sum == packedToks,
+      "the packed set is exactly the hash-order prefix")
+    if (nPacked < ordered.length)
+      assert(packedToks + ordered(nPacked)._3 > quota,
+        "the next doc in hash order would overflow — packing is maximal")
+  }
 }
