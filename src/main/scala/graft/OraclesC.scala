@@ -4056,6 +4056,199 @@ private[graft] trait OraclesC extends OracleHelpers {
         |  CAST(rem AS BIGINT) AS rem,
         |  CAST(base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc
-        |FROM r ORDER BY source""".stripMargin
+        |FROM r ORDER BY source""".stripMargin,
+    // q351: q334's df-cap CTEs (occurrence counts, kept grams,
+    // accounting rollup) feeding q337's cut CTEs verbatim; the
+    // accounting cross-joins onto the per-document output, which
+    // always has one row per document — zero-span-safe,
+    "q351_substr_cut_capped" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |gr AS (SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos,
+         |    unnest([array_to_string(w[i+1:i+5], ' ') FOR i IN range(0, len(w) - 4)]) AS gram
+         |  FROM w WHERE len(w) >= 5),
+         |gg AS (SELECT doc_id, pos, ${hv60Sql("gram")} AS g FROM gr),
+         |dfc AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM gg GROUP BY g),
+         |acc AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN df > 16 THEN 1 END), 0) AS BIGINT)
+         |      AS grams_capped,
+         |    CAST(coalesce(sum(CASE WHEN df > 16 THEN df END), 0) AS BIGINT)
+         |      AS anchors_dropped
+         |  FROM dfc),
+         |kg AS (SELECT gg.doc_id, gg.pos, gg.g
+         |  FROM gg JOIN dfc USING (g) WHERE df <= 16),
+         |an AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+         |    a.pos - b.pos AS diag
+         |  FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (SELECT *, CASE WHEN lag(pa) OVER (PARTITION BY da, db, diag
+         |    ORDER BY pa) = pa - 1 THEN 0 ELSE 1 END AS brk FROM an),
+         |ri AS (SELECT *, sum(brk) OVER (PARTITION BY da, db, diag ORDER BY pa
+         |    ROWS UNBOUNDED PRECEDING) AS run FROM r),
+         |sp AS (SELECT db AS doc_b, min(pb) AS pos_b,
+         |    CAST(count(*) + 4 AS BIGINT) AS match_len
+         |  FROM ri GROUP BY da, db, diag, run HAVING count(*) + 4 >= 12),
+         |cut AS (SELECT DISTINCT doc_b AS doc_id,
+         |    unnest(range(pos_b, pos_b + match_len)) AS pos FROM sp),
+         |tk AS (SELECT doc_id, unnest(range(0, len(w))) AS pos,
+         |    unnest(w) AS token FROM w),
+         |kept AS (SELECT t.doc_id, t.pos, t.token FROM tk t
+         |  LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.doc_id IS NULL),
+         |kr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(token ORDER BY pos), ' ') AS text_cut
+         |  FROM kept GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM w)
+         |SELECT nt.doc_id, n_tok,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  n_tok - coalesce(n_kept, 0) AS n_cut,
+         |  coalesce(text_cut, '') AS text_cut,
+         |  grams_capped, anchors_dropped
+         |FROM nt LEFT JOIN kr USING (doc_id) CROSS JOIN acc
+         |ORDER BY nt.doc_id""".stripMargin,
+    // q352: q334's df-cap CTEs feeding q301's coverage rollup
+    // verbatim; accounting cross-joined onto the per-source rows,
+    "q352_dup_coverage_capped" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |gr AS (SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos,
+         |    unnest([array_to_string(w[i+1:i+5], ' ') FOR i IN range(0, len(w) - 4)]) AS gram
+         |  FROM w WHERE len(w) >= 5),
+         |gg AS (SELECT doc_id, pos, ${hv60Sql("gram")} AS g FROM gr),
+         |dfc AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM gg GROUP BY g),
+         |acc AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN df > 16 THEN 1 END), 0) AS BIGINT)
+         |      AS grams_capped,
+         |    CAST(coalesce(sum(CASE WHEN df > 16 THEN df END), 0) AS BIGINT)
+         |      AS anchors_dropped
+         |  FROM dfc),
+         |kg AS (SELECT gg.doc_id, gg.pos, gg.g
+         |  FROM gg JOIN dfc USING (g) WHERE df <= 16),
+         |an AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+         |    a.pos - b.pos AS diag
+         |  FROM kg a JOIN kg b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (SELECT *, CASE WHEN lag(pa) OVER (PARTITION BY da, db, diag
+         |    ORDER BY pa) = pa - 1 THEN 0 ELSE 1 END AS brk FROM an),
+         |ri AS (SELECT *, sum(brk) OVER (PARTITION BY da, db, diag ORDER BY pa
+         |    ROWS UNBOUNDED PRECEDING) AS run FROM r),
+         |sp AS (SELECT da, db, min(pa) AS pos_a, min(pb) AS pos_b,
+         |    CAST(count(*) + 4 AS BIGINT) AS match_len
+         |  FROM ri GROUP BY da, db, diag, run
+         |  HAVING count(*) + 4 >= 12),
+         |cov AS (SELECT DISTINCT doc_id, tokpos FROM (
+         |    SELECT da AS doc_id, unnest(range(pos_a, pos_a + match_len)) AS tokpos FROM sp
+         |    UNION ALL
+         |    SELECT db, unnest(range(pos_b, pos_b + match_len)) FROM sp) u),
+         |cc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cov FROM cov GROUP BY doc_id),
+         |d AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(coalesce(cc.n_cov, 0)) AS BIGINT) AS n_covered
+         |  FROM d LEFT JOIN cc USING (doc_id) GROUP BY source)
+         |SELECT source, n_docs, n_tokens, n_covered,
+         |  CAST(n_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac,
+         |  grams_capped, anchors_dropped
+         |FROM a CROSS JOIN acc ORDER BY source""".stripMargin,
+    // q353: q349's stage CTEs verbatim, then gate 5 — the q351 capped
+    // cut replayed WITHIN the stage-4 survivor corpus; survivors with
+    // >= 1 kept token count, kept token mass sums,
+    "q353_yield_v2" -> {
+      val stages = Seq(
+        (0, "raw", "b"), (1, "lang_en", "s1"), (2, "len_ge_50", "s2"),
+        (3, "exact_dedup", "s3"), (4, "fingerprint_dedup", "s4"))
+      val unions = stages.map { case (i, g, t) =>
+        s"""SELECT $i AS stage, '$g' AS gate,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM $t""".stripMargin }
+        .mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    md5(text) AS h,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+         |  FROM documents),
+         |s1 AS (SELECT * FROM b WHERE lang = 'en'),
+         |s2 AS (SELECT * FROM s1 WHERE n_tok >= 50),
+         |es AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY h),
+         |s3 AS (SELECT s2.* FROM s2 JOIN es USING (doc_id)),
+         |fs AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY fp),
+         |s4 AS (SELECT s3.* FROM s3 JOIN fs USING (doc_id)),
+         |wd AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
+         |  FROM documents d JOIN s4 USING (doc_id)),
+         |gr5 AS (SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos,
+         |    unnest([array_to_string(w[i+1:i+5], ' ') FOR i IN range(0, len(w) - 4)]) AS gram
+         |  FROM wd WHERE len(w) >= 5),
+         |gg5 AS (SELECT doc_id, pos, ${hv60Sql("gram")} AS g FROM gr5),
+         |dfc5 AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM gg5 GROUP BY g),
+         |kg5 AS (SELECT gg5.doc_id, gg5.pos, gg5.g
+         |  FROM gg5 JOIN dfc5 USING (g) WHERE df <= 16),
+         |an5 AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+         |    a.pos - b.pos AS diag
+         |  FROM kg5 a JOIN kg5 b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r5 AS (SELECT *, CASE WHEN lag(pa) OVER (PARTITION BY da, db, diag
+         |    ORDER BY pa) = pa - 1 THEN 0 ELSE 1 END AS brk FROM an5),
+         |ri5 AS (SELECT *, sum(brk) OVER (PARTITION BY da, db, diag ORDER BY pa
+         |    ROWS UNBOUNDED PRECEDING) AS run FROM r5),
+         |sp5 AS (SELECT db AS doc_b, min(pb) AS pos_b,
+         |    CAST(count(*) + 4 AS BIGINT) AS match_len
+         |  FROM ri5 GROUP BY da, db, diag, run HAVING count(*) + 4 >= 12),
+         |cut5 AS (SELECT DISTINCT doc_b AS doc_id,
+         |    unnest(range(pos_b, pos_b + match_len)) AS pos FROM sp5),
+         |tk5 AS (SELECT doc_id, unnest(range(0, len(w))) AS pos FROM wd),
+         |k5 AS (SELECT t.doc_id FROM tk5 t
+         |  LEFT JOIN cut5 c ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.doc_id IS NULL),
+         |kd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM k5 GROUP BY doc_id),
+         |g5 AS (SELECT 5 AS stage, 'substr_cut' AS gate,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(n_kept), 0) AS BIGINT) AS n_tokens FROM kd),
+         |raw AS (SELECT CAST(count(*) AS BIGINT) AS raw_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS raw_tokens FROM b),
+         |z AS (
+         |$unions
+         |UNION ALL
+         |SELECT * FROM g5)
+         |SELECT stage, gate, n_docs, n_tokens,
+         |  CAST(n_docs AS DOUBLE) / CAST(raw_docs AS DOUBLE) AS doc_retention,
+         |  CAST(n_tokens AS DOUBLE) / CAST(raw_tokens AS DOUBLE) AS token_retention
+         |FROM z CROSS JOIN raw ORDER BY stage""".stripMargin
+    },
+    // q354: per-day partials (count/sum/min/max + distinct value
+    // sets) merged == direct full recompute; exact integers, match
+    // flags as data, delta accounting cross-joined,
+    "q354_stats_ivm" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        |sp AS (SELECT (d0 + d1 + 1) // 2 AS split FROM b),
+        |t AS (SELECT e.*, CASE WHEN day >= split THEN 1 ELSE 0 END AS is_new
+        |  FROM e, sp),
+        |pd AS (SELECT day, is_new, CAST(count(*) AS BIGINT) AS c,
+        |    min(v) AS mn, max(v) AS mx, CAST(sum(v) AS BIGINT) AS sm
+        |  FROM t GROUP BY day, is_new),
+        |mg AS (SELECT CAST(sum(c) AS BIGINT) AS m_count, min(mn) AS m_min,
+        |    max(mx) AS m_max, CAST(sum(sm) AS BIGINT) AS m_sum FROM pd),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS m_ndv FROM
+        |  (SELECT DISTINCT v FROM (SELECT DISTINCT day, v FROM t) u)),
+        |di AS (SELECT CAST(count(*) AS BIGINT) AS d_count, min(v) AS d_min,
+        |    max(v) AS d_max, CAST(sum(v) AS BIGINT) AS d_sum,
+        |    CAST(count(DISTINCT v) AS BIGINT) AS d_ndv FROM e),
+        |ac AS (SELECT
+        |    CAST(count(DISTINCT CASE WHEN is_new = 0 THEN day END) AS BIGINT)
+        |      AS n_days_prior,
+        |    CAST(count(DISTINCT CASE WHEN is_new = 1 THEN day END) AS BIGINT)
+        |      AS n_days_delta,
+        |    CAST(coalesce(sum(CASE WHEN is_new = 1 THEN 1 END), 0) AS BIGINT)
+        |      AS n_rows_delta
+        |  FROM t),
+        |z AS (
+        |  SELECT 'count' AS stat, m_count AS merged_value, d_count AS direct_value
+        |    FROM mg, di
+        |  UNION ALL SELECT 'min', m_min, d_min FROM mg, di
+        |  UNION ALL SELECT 'max', m_max, d_max FROM mg, di
+        |  UNION ALL SELECT 'sum', m_sum, d_sum FROM mg, di
+        |  UNION ALL SELECT 'ndv', m_ndv, d_ndv FROM nd, di)
+        |SELECT stat, merged_value, direct_value,
+        |  CASE WHEN merged_value = direct_value THEN 1 ELSE 0 END AS ivm_matches,
+        |  n_days_prior, n_days_delta, n_rows_delta
+        |FROM z CROSS JOIN ac ORDER BY stat""".stripMargin
   )
 }

@@ -648,7 +648,18 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // batch 33 (r17): the curation yield report and the q345 quotas
     // executed as a deterministic hash-order document sample
     "q349_pipeline_yield" -> ((s, d) => PipelineAudits.pipelineYield(s, d)),
-    "q350_mixture_sample" -> ((s, d) => PipelineAudits.mixtureSample(s, d))
+    "q350_mixture_sample" -> ((s, d) => PipelineAudits.mixtureSample(s, d)),
+    // batch 34 (r18): the cut and the coverage rollup COMPOSED with
+    // the q334 capped anchor frame — the production ExactSubstr
+    // artifacts now ride the bounded join (fixture-identical, cap
+    // slack; accounting on every row, zero-span-safe)
+    "q351_substr_cut_capped" -> ((s, d) => Dedup.exactSubstrCutCapped(s, d)),
+    "q352_dup_coverage_capped" -> ((s, d) => Dedup.dupCoverageCapped(s, d)),
+    // batch 35 (r18): the yield report priced through the span-cut
+    // stage, and the incremental ANALYZE refresh (partials + merge ==
+    // full recompute, the q347 consumer)
+    "q353_yield_v2" -> ((s, d) => PipelineAudits.yieldV2(s, d)),
+    "q354_stats_ivm" -> ((s, d) => Relational.statsIvm(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

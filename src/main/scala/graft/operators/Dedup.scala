@@ -1587,12 +1587,15 @@ object Dedup {
     capSpansWithAccounting(grams, k, minLen, maxAnchorDf)
   }
 
-  /** The capped chain over a pre-built anchor frame — split out (the
-    * exactSubstrSpansFrom pattern) so the crafted-corpus spec can
-    * drive a corpus where the cap actually binds.
+  /** The df cap split from the span chain: returns the kept anchor
+    * frame (grams with df ≤ maxAnchorDf) AND the 1-row accounting
+    * frame separately, so consumers that always emit rows (the cut,
+    * the coverage rollup) can attach the accounting through a path
+    * that survives zero surviving spans — the "reported, never
+    * silent" contract even when the cap removes every anchor.
     */
-  private[graft] def capSpansWithAccounting(grams: DataFrame, k: Int,
-      minLen: Int, maxAnchorDf: Int): DataFrame = {
+  private[graft] def cappedGramsAndAccounting(grams: DataFrame,
+      maxAnchorDf: Int): (DataFrame, DataFrame) = {
     val dfc = grams.groupBy("g").agg(count(lit(1)).as("df"))
     val kept = grams.join(dfc.filter(col("df") <= maxAnchorDf).select("g"), "g")
       .select(col("doc_id"), col("pos"), col("g"))
@@ -1601,6 +1604,20 @@ object Dedup {
         .as("grams_capped"),
       coalesce(sum(when(col("df") > maxAnchorDf, col("df"))), lit(0L))
         .as("anchors_dropped"))
+    (kept, acc)
+  }
+
+  /** The capped chain over a pre-built anchor frame — split out (the
+    * exactSubstrSpansFrom pattern) so the crafted-corpus spec can
+    * drive a corpus where the cap actually binds.  Edge case
+    * (documented): accounting rides the SPAN rows here, so a corpus
+    * where the cap removes every span yields an empty frame and the
+    * drop counts travel via [[cappedGramsAndAccounting]] instead —
+    * the cut/coverage consumers use that path and always emit rows.
+    */
+  private[graft] def capSpansWithAccounting(grams: DataFrame, k: Int,
+      minLen: Int, maxAnchorDf: Int): DataFrame = {
+    val (kept, acc) = cappedGramsAndAccounting(grams, maxAnchorDf)
     exactSubstrSpansFrom(kept, k, minLen).crossJoin(broadcast(acc))
   }
 
@@ -1618,8 +1635,42 @@ object Dedup {
     * terminal divide.
     */
   def dupCoverage(spark: SparkSession, dir: String,
-      k: Int = 5, minLen: Int = 12): DataFrame = {
-    val spans = exactSubstrSpans(spark, dir, k, minLen)
+      k: Int = 5, minLen: Int = 12): DataFrame =
+    dupCoverageFrom(Tables.documents(spark, dir),
+      exactSubstrSpans(spark, dir, k, minLen))
+
+  /** q352: the CAPPED coverage rollup — q301 riding q334's df-capped
+    * anchor frame instead of the uncapped q296 one.  Same per-source
+    * duplication fractions, but every pair-producing step is bounded
+    * at maxAnchorDf² per gram key (the q334 rule), and the cap's
+    * accounting columns ride EVERY output row via the 1-row broadcast
+    * (zero-span-safe: the rollup emits one row per source regardless,
+    * so the accounting can never vanish with the spans).  On the
+    * shipped fixtures the cap is slack (max 5-gram df is 4), so the
+    * coverage numbers are IDENTICAL to q301's — the capped-twin
+    * discipline; the crafted hot-gram spec drives a corpus where the
+    * cap binds and proves covered positions ⊆ q301's.
+    *
+    * 100 TB shape: q301's shape with the one hazard removed — the
+    * anchor self-join fan-out is bounded, everything downstream
+    * unchanged (span-volume explode, distinct on (doc, pos), keyed
+    * rollup).
+    */
+  def dupCoverageCapped(spark: SparkSession, dir: String,
+      k: Int = 5, minLen: Int = 12, maxAnchorDf: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (kept, acc) = cappedGramsAndAccounting(
+      positionalGramsFrom(docs, k), maxAnchorDf)
+    dupCoverageFrom(docs, exactSubstrSpansFrom(kept, k, minLen))
+      .crossJoin(broadcast(acc))
+  }
+
+  /** The coverage rollup over an arbitrary (docs, spans) pair — split
+    * out so q301 (uncapped) and q352 (capped) share one body and the
+    * crafted-corpus spec can drive both through the identical plan.
+    */
+  private[graft] def dupCoverageFrom(docsIn: DataFrame,
+      spans: DataFrame): DataFrame = {
     val side = (doc: String, pos: String) => spans.select(
       col(doc).as("doc_id"),
       explode(sequence(col(pos).cast("long"),
@@ -1627,7 +1678,7 @@ object Dedup {
     val covered = side("doc_a", "pos_a").union(side("doc_b", "pos_b"))
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
-    val docs = Tables.documents(spark, dir)
+    val docs = docsIn
       .select(col("doc_id"), col("source"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
     docs.join(covered, Seq("doc_id"), "left")
@@ -1662,13 +1713,57 @@ object Dedup {
     * column already imposes.
     */
   def exactSubstrCut(spark: SparkSession, dir: String,
-      k: Int = 5, minLen: Int = 12): DataFrame = {
-    val spans = exactSubstrSpans(spark, dir, k, minLen)
+      k: Int = 5, minLen: Int = 12): DataFrame =
+    exactSubstrCutFrom(Tables.documents(spark, dir),
+      exactSubstrSpans(spark, dir, k, minLen))
+
+  /** q351: the CAPPED cut — the production artifact (q337's
+    * deduplicated corpus) riding q334's df-capped anchor frame, the
+    * composition that takes the cut off the 100 TB hazard list: one
+    * corpus-hot boilerplate gram can no longer make the span build
+    * df² on a single key, because the hot grams never reach the
+    * self-join.  What the cap costs the cut: a capped span is always
+    * CONTAINED in an uncapped span (dropping anchors only breaks or
+    * shortens diagonal runs), so capped cut positions ⊆ q337's cut
+    * positions — the capped cut keeps a SUPERSET of every document's
+    * tokens (cuts less, never more); the crafted hot-gram spec proves
+    * exactly that, plus token conservation.  Accounting rides every
+    * output row via the 1-row broadcast — and since the cut emits one
+    * row per DOCUMENT, the accounting survives even a corpus where
+    * the cap removes every span (unlike q334, where it rides span
+    * rows — documented there).
+    *
+    * On the shipped fixtures the cap is slack (max 5-gram df is 4),
+    * so text_cut/n_kept are IDENTICAL to q337's — the capped-twin
+    * fixture-identity discipline.
+    *
+    * 100 TB shape: q337's shape with the anchor join bounded at
+    * maxAnchorDf² per gram; everything downstream unchanged
+    * (span-volume explode, anti-join on (doc, pos), per-doc rebuild
+    * bounded by document length).
+    */
+  def exactSubstrCutCapped(spark: SparkSession, dir: String,
+      k: Int = 5, minLen: Int = 12, maxAnchorDf: Int = 16): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (kept, acc) = cappedGramsAndAccounting(
+      positionalGramsFrom(docs, k), maxAnchorDf)
+    exactSubstrCutFrom(docs, exactSubstrSpansFrom(kept, k, minLen))
+      .crossJoin(broadcast(acc))
+  }
+
+  /** The cut over an arbitrary (docs, spans) pair — split out so q337
+    * (uncapped) and q351 (capped) share one body and the crafted
+    * corpus spec can drive both through the identical plan.  `spans`
+    * needs (doc_b, pos_b, match_len); survivor rule unchanged (lower
+    * id keeps its copy, doc_b side positions are cut once).
+    */
+  private[graft] def exactSubstrCutFrom(docs: DataFrame,
+      spans: DataFrame): DataFrame = {
     val cut = spans.select(col("doc_b").as("doc_id"),
         explode(sequence(col("pos_b").cast("long"),
           col("pos_b").cast("long") + col("match_len") - 1L)).as("pos"))
       .distinct()
-    val toks = Tables.documents(spark, dir)
+    val toks = docs
       .select(col("doc_id"),
         posexplode(TextFunctions.tokens(col("text"))).as(Seq("p", "token")))
       .select(col("doc_id"), col("p").cast("long").as("pos"), col("token"))
@@ -1678,7 +1773,7 @@ object Dedup {
         array_join(transform(
           sort_array(collect_list(struct(col("pos"), col("token")))),
           x => x.getField("token")), " ").as("text_cut"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
       .join(kept, Seq("doc_id"), "left")
@@ -1688,7 +1783,7 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** q341: eval-set decontamination audit — the n-gram overlap check
+  /** q340: eval-set decontamination audit — the n-gram overlap check
     * every benchmark-honest training pipeline runs (the GPT-3 appendix
     * / Lee et al. decontamination rule): an eval document whose
     * content n-grams also appear in the TRAINING corpus inflates eval

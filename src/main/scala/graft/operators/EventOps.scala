@@ -2462,9 +2462,12 @@ object EventOps {
     * example), the standard protocol for autocorrelated data (the
     * financial-ML "purged K-fold" rule).  Three walk-forward folds:
     * fold i trains on days [d₀, cᵢ), embargoes [cᵢ, cᵢ+gap), tests on
-    * [cᵢ+gap, cᵢ+gap+t); cᵢ = d₀ + ⌈span·i/5⌉ and t = ⌈span/5⌉ in
-    * pure integer day arithmetic, so the folds are derived from the
-    * data's own day range deterministically.
+    * [cᵢ+gap, cᵢ+gap+t); cᵢ = d₀ + ⌈span·i/(folds+2)⌉ and
+    * t = ⌈span/(folds+2)⌉ in pure integer day arithmetic, so the
+    * folds are derived from the data's own day range deterministically
+    * and the LAST fold's test window always fits inside the range
+    * (cut_folds + gap + t ≤ d₀ + span for any folds ≥ 1) — the
+    * divisor scales with the parameter rather than hardcoding 5.
     *
     * 100 TB shape: ONE events scan to per-day counts (map-side
     * combined, day-spine-sized), then the 3-fold accounting is a
@@ -2482,12 +2485,13 @@ object EventOps {
     val bounds = graft.util.Pins.eager(
       days.agg(min(col("day")).as("d0"), max(col("day")).as("d1")))
     val foldIds = (1 to folds).toDF("fold")
+    val dv = folds + 2 // fold cuts at i/(folds+2), test width span/(folds+2)
     val spec = foldIds.crossJoin(broadcast(bounds))
       .withColumn("span", col("d1") - col("d0") + 1L)
       .withColumn("cut", col("d0") +
-        expr("(span * fold + 4) div 5")) // ceil(span*i/5) in integer form
+        expr(s"(span * fold + ${dv - 1}) div $dv")) // ceil(span*i/dv)
       .withColumn("t_end", col("cut") + lit(gapDays.toLong) +
-        expr("(span + 4) div 5"))
+        expr(s"(span + ${dv - 1}) div $dv"))
     spec.crossJoin(broadcast(days))
       .groupBy("fold", "d0", "cut", "t_end")
       .agg(

@@ -1555,7 +1555,32 @@ object PipelineAudits {
     * collected.
     */
   def pipelineYield(spark: SparkSession, dir: String,
-      minTok: Int = 50): DataFrame = {
+      minTok: Int = 50): DataFrame =
+    yieldReport(spark, dir, minTok, withCutStage = false)
+
+  /** q354: the yield report v2 — q349's five gates plus the stage a
+    * real curation run prices LAST: the ExactSubstr CUT (q351's
+    * capped composition) applied WITHIN the fingerprint-survivor
+    * corpus.  The cut drops no documents by itself — it removes the
+    * doc_b-side copies of duplicated spans — so gate 5's token mass
+    * is the Σ n_kept of the capped cut over the stage-4 survivors,
+    * and its doc count keeps documents with ≥1 surviving token (a
+    * fully-cut document is gone from the shipped corpus).  Retention
+    * still reads against RAW; monotonicity extends through stage 5
+    * (the cut can only remove tokens from stage 4's mass).
+    *
+    * 100 TB shape: stages 0-4 are q349's single-scan discipline; the
+    * cut stage rides q351's df-capped anchor join over the ALREADY
+    * REDUCED survivor corpus — the pipeline order is itself the scale
+    * lever (dedup before span-cut shrinks the anchor index), and the
+    * cap bounds what remains.
+    */
+  def yieldV2(spark: SparkSession, dir: String,
+      minTok: Int = 50): DataFrame =
+    yieldReport(spark, dir, minTok, withCutStage = true)
+
+  private def yieldReport(spark: SparkSession, dir: String,
+      minTok: Int, withCutStage: Boolean): DataFrame = {
     val base = Pins.eager(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
@@ -1574,11 +1599,27 @@ object PipelineAudits {
         .as("n_tokens"))
         .select(lit(stage).as("stage"), lit(name).as("gate"),
           col("n_docs"), col("n_tokens"))
-    val all = m(0, "raw", base)
+    val five = m(0, "raw", base)
       .unionByName(m(1, "lang_en", s1))
       .unionByName(m(2, s"len_ge_$minTok", s2))
       .unionByName(m(3, "exact_dedup", s3))
       .unionByName(m(4, "fingerprint_dedup", s4))
+    val all = if (!withCutStage) five else {
+      // gate 5: the q351 capped cut within the stage-4 survivor corpus
+      val survDocs = Tables.documents(spark, dir)
+        .join(s4.select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("text"))
+      val grams = Dedup.positionalGramsFrom(survDocs, 5)
+      val (kept, _) = Dedup.cappedGramsAndAccounting(grams, 16)
+      val cut = Dedup.exactSubstrCutFrom(survDocs,
+        Dedup.exactSubstrSpansFrom(kept, 5, 12))
+      val s5 = cut.filter(col("n_kept") >= 1L).agg(
+          count(lit(1)).as("n_docs"), coalesce(sum(col("n_kept")), lit(0L))
+            .as("n_tokens"))
+        .select(lit(5).as("stage"), lit("substr_cut").as("gate"),
+          col("n_docs"), col("n_tokens"))
+      five.unionByName(s5)
+    }
     val raw = base.agg(count(lit(1)).as("raw_docs"),
       sum(col("n_tok")).as("raw_tokens"))
     all.crossJoin(broadcast(raw))

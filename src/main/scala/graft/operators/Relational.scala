@@ -1927,6 +1927,130 @@ object Relational {
       .as("s")).select(col("s.*")).orderBy("stat")
   }
 
+  /** Incremental stats maintenance (q355): q347 decides WHEN to
+    * refresh; this is the refresh itself for the MERGEABLE stats — the
+    * q235 IVM pattern applied to the ANALYZE tier.  The stats store
+    * keeps per-day-partition partials (q341's certified shapes:
+    * count/sum by addition, min/max by min/max, exact NDV as per-day
+    * DISTINCT value sets); when new day-partitions arrive, ONLY the
+    * delta is scanned — its per-day partials are appended to the store
+    * and the table-level stats re-merge from the bounded partial
+    * frame.  The audit computes both sides genuinely (prior-day store
+    * + delta-day partials merged, vs a direct full recompute) and
+    * ships the per-stat match flag as data, plus the accounting that
+    * makes the saving visible: days in the prior store, delta days,
+    * and the delta row count (the ONLY rows an incremental refresh
+    * reads).
+    *
+    * The one rebuild-only object: the q331 equi-depth HISTOGRAM.
+    * Equi-depth bucket boundaries are rank statistics — not mergeable
+    * from per-partition boundaries (two partitions' 16-bucket
+    * histograms do not compose into the corpus' 16-bucket histogram)
+    * — so a histogram refresh is a two-pass rebuild over the full
+    * column by design; q347's drift gate exists precisely to make
+    * that rebuild rare.  Documented here, enforced nowhere else.
+    *
+    * 100 TB shape: the delta scan is one day-keyed aggregate over the
+    * arriving partition (map-side combined) + one distinct on
+    * (day, v) for the NDV state; the merge is |days|-row algebra plus
+    * one distinct over the value-set state — never a full-corpus
+    * scan.  The NDV state is the honest cost: exact NDV state is
+    * value-set-sized, and a production run swaps the per-day set for
+    * a per-day HLL register row (q333-certified max-merge) when
+    * values are high-cardinality; the fixture keeps the exact form so
+    * the oracle is exact.
+    */
+  def statsIvm(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      expr("unix_millis(ts) div 86400000").as("day"),
+      floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("v"))
+    val split = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+    val tagged = e.crossJoin(broadcast(split))
+      .withColumn("is_new", col("day") >= col("split"))
+    val prior = tagged.filter(!col("is_new"))
+    val delta = tagged.filter(col("is_new"))
+    def partials(df: DataFrame): DataFrame = df.groupBy("day").agg(
+      count(lit(1)).as("c"), min(col("v")).as("mn"),
+      max(col("v")).as("mx"), sum(col("v")).as("sm"))
+    // the store AFTER the delta merge: prior-day partials (already on
+    // disk in production) + the delta's freshly-scanned partials
+    val store = partials(prior).unionByName(partials(delta))
+    val merged = store.agg(
+      sum(col("c")).as("m_count"), min(col("mn")).as("m_min"),
+      max(col("mx")).as("m_max"), sum(col("sm")).as("m_sum"))
+    val ndvState = prior.select(col("day"), col("v")).distinct()
+      .unionByName(delta.select(col("day"), col("v")).distinct())
+    val mergedNdv = ndvState.select(col("v")).distinct()
+      .agg(count(lit(1)).as("m_ndv"))
+    val direct = e.agg(
+      count(lit(1)).as("d_count"), min(col("v")).as("d_min"),
+      max(col("v")).as("d_max"), sum(col("v")).as("d_sum"),
+      countDistinct(col("v")).as("d_ndv"))
+    val acct = tagged.agg(
+      countDistinct(when(!col("is_new"), col("day"))).as("n_days_prior"),
+      countDistinct(when(col("is_new"), col("day"))).as("n_days_delta"),
+      coalesce(sum(when(col("is_new"), lit(1L))), lit(0L)).as("n_rows_delta"))
+    val f = merged.crossJoin(broadcast(mergedNdv))
+      .crossJoin(broadcast(direct)).crossJoin(broadcast(acct))
+    val stats = Seq(
+      ("count", "m_count", "d_count"), ("min", "m_min", "d_min"),
+      ("max", "m_max", "d_max"), ("sum", "m_sum", "d_sum"),
+      ("ndv", "m_ndv", "d_ndv"))
+    f.select(explode(array(stats.map { case (n, m, d) => struct(
+        lit(n).as("stat"), col(m).cast("long").as("merged_value"),
+        col(d).cast("long").as("direct_value"),
+        when(col(m) === col(d), 1).otherwise(0).as("ivm_matches"),
+        col("n_days_prior"), col("n_days_delta"), col("n_rows_delta")) }: _*))
+      .as("s")).select(col("s.*")).orderBy("stat")
+  }
+
+  /** Bloom-prefiltered join (q356): the CBO loop's first ENFORCED
+    * decision — where q339 measured what a bloom prune would do, this
+    * query actually RUNS under it, via the engine's second injected
+    * optimizer rule ([[graft.plans.InjectBloomPrefilter]], riding the
+    * same GraftExtensions hook as RewriteTokenCount).  The build step
+    * aggregates the selective dim side's keys (BUILDING-segment
+    * customers) into a bloom bitmap with Spark's own distributed
+    * `graft_bloom_agg` (one bounded 1-row collect — the ANALYZE step
+    * of the q331→q348 lifecycle, persisted in [[graft.plans
+    * .BloomRegistry]]); the probe column is renamed to a per-call
+    * UNIQUE name and registered, so the rule splices
+    * `might_contain(bloom, key)` under the orders side of THIS join
+    * and can never touch an unrelated plan.  The query's VALUE is
+    * oracle-checked against the plain join (no false negatives — the
+    * q339-certified property); the plan-assert spec pins the
+    * might_contain Filter on the probe side BELOW the exchange.
+    *
+    * 100 TB shape: this is the single biggest shuffle lever a
+    * selective fact⋈dim join has — definite-miss fact rows (here ~4/5
+    * of orders) die at the scan instead of shuffling; the bitmap is
+    * KB-sized regardless of corpus scale and rides the plan as a
+    * literal (broadcast-equivalent).  Spark's own InjectRuntimeFilter
+    * is the per-plan scalar-subquery flavor; the registry flavor
+    * amortizes ONE build across every consumer of the same dim —
+    * exactly how the engine's persisted stats already work.
+    */
+  def bloomPrefilteredJoin(spark: SparkSession, dir: String): DataFrame = {
+    val probeName = "gbp_custkey_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val build = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloom = build
+      .agg(expr("graft_bloom_agg(c_custkey, 16384, 131072)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bloom != null) graft.plans.BloomRegistry.register(probeName, bloom)
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey").as(probeName), col("o_orderpriority"),
+      floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+        .as("price_cents"))
+    o.join(build, col(probeName) === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Storage-encoding advisor (q342): the second q338 consumer — the
     * dictionary-vs-plain encoding decision a columnar writer makes
     * from exactly the stats q338 computes.  Per column: plain bytes =

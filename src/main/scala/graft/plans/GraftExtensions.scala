@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // size(split(x, " ", -1)) → allocation-free token_count(x), null
     // semantics preserved (see RewriteTokenCount)
     e.injectOptimizerRule(_ => RewriteTokenCount)
+    // the stats-feedback rule: a registered bloom bitmap (built from
+    // the dim side's keys, the q339 decision) becomes a pre-shuffle
+    // might_contain Filter on the probe side of the matching join
+    e.injectOptimizerRule(_ => InjectBloomPrefilter)
     e.injectFunction((
       FunctionIdentifier("graft_token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),

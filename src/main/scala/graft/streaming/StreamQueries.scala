@@ -473,7 +473,10 @@ object StreamQueries {
       } finally spark.conf.set(key, prev)
     try { q.processAllAvailable(); inspect(q) } finally q.stop()
     // the store dir intentionally outlives the call (the q230 sink
-    // rule): the returned frame reads the epoch partials lazily
+    // rule): the returned frame reads the epoch partials lazily —
+    // registered for JVM-exit cleanup so repeated invocations in one
+    // JVM don't accumulate orphan dirs
+    graft.util.Fs.deleteOnExit(storeDir)
     val streamRegs = DocStream.readHllRegisters(spark, storeDir.toString)
       .withColumnRenamed("m", "m_stream")
     Seq(watch, stage, ckptDir).foreach(deleteRecursively)

@@ -52,6 +52,22 @@ object Fs {
       _.filter(p => p.toString.endsWith(ext)).findFirst().get()
     }
 
+  /** Register a temp dir for JVM-exit deletion — for store dirs that
+    * must OUTLIVE their creating call (a returned frame reads them
+    * lazily, the q230/q336 sink rule) but must not accumulate across
+    * repeated bench/correctness invocations in one JVM.  One shutdown
+    * hook, registered lazily; File.deleteOnExit would leak an entry
+    * per FILE and misses files created after registration.
+    */
+  def deleteOnExit(p: java.nio.file.Path): Unit = exitDirs.synchronized {
+    if (exitDirs.isEmpty)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        exitDirs.synchronized(exitDirs.foreach(d =>
+          try deleteRecursively(d) catch { case _: Exception => () }))))
+    exitDirs += p
+  }
+  private val exitDirs = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
+
   /** Collect a BOUNDED frame (O(groups) rows by construction) into a
     * local relation, so temp inputs can be deleted eagerly — returning
     * a lazy plan over files about to be unlinked would read after
