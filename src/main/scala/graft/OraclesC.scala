@@ -4249,6 +4249,47 @@ private[graft] trait OraclesC extends OracleHelpers {
         |SELECT stat, merged_value, direct_value,
         |  CASE WHEN merged_value = direct_value THEN 1 ELSE 0 END AS ivm_matches,
         |  n_days_prior, n_days_delta, n_rows_delta
-        |FROM z CROSS JOIN ac ORDER BY stat""".stripMargin
+        |FROM z CROSS JOIN ac ORDER BY stat""".stripMargin,
+    // q355: the measured dropDuplicatesWithinWatermark protocol
+    // replayed — b1/b2 admit everything (late watermarks still
+    // zero-lagged; b2's dups find live state), b3 re-admits exactly
+    // the ids whose stored timestamp was evicted at the end of b2
+    // (stored < max(b1) − 2·delay, the probed end-of-batch eviction
+    // rule); b3's original-ts dups are late-dropped or dup-dropped,
+    // never emitted.  Exact integers throughout,
+    "q355_stream_dedup_ttl" ->
+      """WITH e AS (SELECT event_id AS id, epoch_us(ts) AS us FROM events),
+        |t AS (SELECT max(us) AS tmax FROM e),
+        |m AS (SELECT max(us) AS m1 FROM e WHERE id % 3 = 0),
+        |em AS (
+        |  SELECT id, us FROM e WHERE id % 3 = 0
+        |  UNION ALL
+        |  SELECT id, us FROM e WHERE id % 3 = 1
+        |  UNION ALL
+        |  SELECT id, tmax - (id % 3600) * 1000000 AS us
+        |    FROM e, t, m WHERE id % 6 = 3 AND us < m1 - 7200000000)
+        |SELECT id AS event_id, CAST(count(*) AS BIGINT) AS n_emits,
+        |  CAST(sum(us) AS BIGINT) AS us_sum
+        |FROM em GROUP BY id ORDER BY id""".stripMargin,
+    // q356: the bloom prefilter is VALUE-INVISIBLE by construction
+    // (no false negatives), so the oracle is the plain join — any
+    // filter-induced row loss breaks the hash,
+    "q356_bloom_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q357: join reassociation is value-invisible — the oracle is the
+    // plain 3-way join in any order,
+    "q357_join_order_enforced" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -659,7 +659,18 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // stage, and the incremental ANALYZE refresh (partials + merge ==
     // full recompute, the q347 consumer)
     "q353_yield_v2" -> ((s, d) => PipelineAudits.yieldV2(s, d)),
-    "q354_stats_ivm" -> ((s, d) => Relational.statsIvm(s, d))
+    "q354_stats_ivm" -> ((s, d) => Relational.statsIvm(s, d)),
+    // batch 36 (r18): watermark-bounded streaming dedup — state
+    // genuinely evicted, re-admission after TTL, late drops measured
+    // (the probed dual-watermark protocol, oracle-replayed exactly)
+    "q355_stream_dedup_ttl" -> ((s, d) => streaming.StreamQueries.dedupTtlAudit(s, d)),
+    // batch 37 (r18): the first ENFORCED CBO decision — a registered
+    // bloom bitmap becomes a pre-shuffle might_contain Filter via the
+    // injected InjectBloomPrefilter optimizer rule (plan-pinned)
+    "q356_bloom_join" -> ((s, d) => Relational.bloomPrefilteredJoin(s, d)),
+    // q348's decision enforced: the stats-registered marker pulls the
+    // selective customer join innermost via ReorderJoinByStats
+    "q357_join_order_enforced" -> ((s, d) => Relational.joinOrderEnforced(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

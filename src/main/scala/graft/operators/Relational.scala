@@ -2032,6 +2032,7 @@ object Relational {
     * exactly how the engine's persisted stats already work.
     */
   def bloomPrefilteredJoin(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.RegisterFunctions(spark) // graft_bloom_agg on pre-built sessions
     val probeName = "gbp_custkey_" +
       java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val build = Tables.customer(spark, dir)
@@ -2267,6 +2268,61 @@ object Relational {
         .as("s"))
       .select(col("s.*"))
       .orderBy("join_order")
+  }
+
+  /** Join order ENFORCED (q357): q348 advises; this one obeys.  The
+    * three-table chain customer(BUILDING) ⋈ orders ⋈ lineitem is
+    * BUILT in the naive order (orders⋈lineitem first — the order a
+    * user writing the query top-down produces), the q348 containment
+    * estimates are computed from exact counts/NDVs (the ANALYZE step;
+    * production reads these from the q338/q341 persisted stats), and
+    * the decision — "the customer join's intermediate is smaller, run
+    * it FIRST" — is registered under a per-call-unique marker column
+    * name.  The injected [[graft.plans.ReorderJoinByStats]] rule then
+    * REASSOCIATES the plan: ((o⋈l)⋈c) → ((o⋈c)⋈l), pure inner-join
+    * algebra, value-invisible, and the physical plan provably runs
+    * the selective join innermost (Batch27Spec pins it, plus that the
+    * UNREGISTERED shape keeps the naive order — the rule, not the
+    * planner, made the change).
+    *
+    * 100 TB shape: this IS the decision that separates a day-long
+    * plan from an hour-long one at scale — the ~5× selective customer
+    * filter cuts the first intermediate from |lineitem|-sized to
+    * |orders|/5-sized before the big fact table is touched.  Spark's
+    * own CBO reorder needs ANALYZE TABLE stats in a catalog; the
+    * registry flavor runs off the engine's own maintained stats, same
+    * lifecycle as q356's bloom.
+    */
+  def joinOrderEnforced(spark: SparkSession, dir: String): DataFrame = {
+    val marker = "gjo_custkey_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val cB = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey").as(marker), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+      floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+        .as("cents"))
+    // the ANALYZE step: exact counts/NDVs, one bounded row (the q348
+    // estimate form; production reads the q338/q341 persisted stats)
+    val st = cB.agg(count(lit(1)).as("nc"),
+        countDistinct(col("c_custkey")).as("dc"))
+      .crossJoin(broadcast(Tables.orders(spark, dir).agg(
+        count(lit(1)).as("no"), countDistinct(col("o_custkey")).as("dock"),
+        countDistinct(col("o_orderkey")).as("dook"))))
+      .crossJoin(broadcast(Tables.lineitem(spark, dir).agg(
+        count(lit(1)).as("nl"), countDistinct(col("l_orderkey")).as("dlok"))))
+      .head()
+    val estCO = st.getLong(0).toDouble * st.getLong(2).toDouble /
+      math.max(st.getLong(1), st.getLong(3)).toDouble
+    val estOL = st.getLong(2).toDouble * st.getLong(5).toDouble /
+      math.max(st.getLong(4), st.getLong(6)).toDouble
+    graft.plans.JoinOrderRegistry.register(marker, estCO <= estOL)
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(cB, col(marker) === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))
+      .orderBy("o_orderpriority")
   }
 
   def equiDepthHist(spark: SparkSession, dir: String, k: Int = 16): DataFrame =

@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the dim side's keys, the q339 decision) becomes a pre-shuffle
     // might_contain Filter on the probe side of the matching join
     e.injectOptimizerRule(_ => InjectBloomPrefilter)
+    // the join-order decision (q348's containment estimate) enforced:
+    // a registered marker condition pulls its join innermost
+    e.injectOptimizerRule(_ => ReorderJoinByStats)
     e.injectFunction((
       FunctionIdentifier("graft_token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),

@@ -22,8 +22,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * by (window|session|id), partitioned like any shuffle; the memory
   * sink here is the harness stand-in for the foreachBatch → DocSink
   * bridge (EventStream.toDocSink).  In production the dedup watermark
-  * bounds state; the gate run uses an effectively-unbounded horizon
-  * because the fixture is finite and the oracle is exact.
+  * bounds state; the q228/q230 gate runs use an effectively-unbounded
+  * horizon because the fixture is finite and the oracle is exact —
+  * the bounded-horizon variant with GENUINE eviction is q355
+  * ([[dedupTtlAudit]]), whose oracle replays the measured TTL
+  * protocol exactly.
   */
 object StreamQueries {
 
@@ -75,6 +78,25 @@ object StreamQueries {
     for ((pred, i) <- preds.zipWithIndex) {
       val part = s"$stage/c$i"
       df.filter(pred).drop(dropAfterFilter: _*).coalesce(1).write.parquet(part)
+      val dst = watch.resolve(f"$tag$i%02d.parquet")
+      Files.copy(graft.util.Fs.onlyPartFile(part), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
+    }
+    (watch, stage)
+  }
+
+  /** stageBatches for HETEROGENEOUS batches: each frame (same schema)
+    * becomes one staged file/micro-batch, mod-times pinned in order.
+    */
+  private def stageFrames(dfs: Seq[DataFrame], tag: String)
+      : (java.nio.file.Path, java.nio.file.Path) = {
+    import java.nio.file.Files
+    val watch = Files.createTempDirectory(s"graft-$tag-src")
+    val stage = Files.createTempDirectory(s"graft-$tag-stage")
+    for ((df, i) <- dfs.zipWithIndex) {
+      val part = s"$stage/c$i"
+      df.coalesce(1).write.parquet(part)
       val dst = watch.resolve(f"$tag$i%02d.parquet")
       Files.copy(graft.util.Fs.onlyPartFile(part), dst)
       Files.setLastModifiedTime(dst,
@@ -423,6 +445,79 @@ object StreamQueries {
         .select(unix_micros(col("window.start")).as("win_us"),
           col("n_events"))
       runToTable(spark, agg, "append", inspect)
+    } finally Seq(watch, stage).foreach(deleteRecursively)
+  }
+
+  /** q355: watermark-bounded streaming dedup — the TTL variant the
+    * gate-run dedups (q228/q230) deliberately avoid (they use an
+    * effectively-unbounded horizon; documented in the object header).
+    * Here the watermark GENUINELY evicts fingerprint state, and the
+    * oracle replays admit ∩ drop ∩ re-admit exactly.
+    *
+    * MEASURED protocol (probed before the oracle was written, the
+    * q343 discipline — all four facts pinned by the staged probe):
+    * for `dropDuplicatesWithinWatermark(delay D)` at micro-batch b
+    * with M(b) = max event time through batch b,
+    *   (1) the watermark IN FORCE during batch b is M(b−1) − D;
+    *   (2) the LATE filter at batch b uses the PREVIOUS batch's
+    *       in-force watermark M(b−2) − D (the dual-watermark lag);
+    *   (3) duplicate lookups see state as of the END of batch b−1,
+    *       and a dropped duplicate does NOT refresh the stored
+    *       timestamp;
+    *   (4) eviction runs at the END of batch b with the in-force
+    *       watermark: entries with stored_ts + D < M(b−1) − D go.
+    *
+    * Staging (D = 1h, T = global max event time, fresh(id) =
+    * T − (id mod 3600) s — always inside the final hour):
+    *   b1: ids ≡0 (mod 3), original ts          → all admitted
+    *   b2: ids ≡1 (mod 3) original  → admitted
+    *       ids ≡0 (mod 6) at fresh ts → state ALIVE (eviction hasn't
+    *         run yet: wm in force is still 0-lagged) — dup-dropped
+    *   b3: ids ≡3 (mod 6) at fresh ts → state evicted at end of b2
+    *         iff orig ts < M(1) − 2D — those RE-ADMIT (emitted twice);
+    *         the handful with orig ts in b1's last 2h stay dup-dropped
+    *       ids ≡1 (mod 6) original ts → LATE iff ts < M(1) − D
+    *         (dropped by the watermark, measured via
+    *         numRowsDroppedByWatermark in StreamProgressSpec); the
+    *         non-late rest find their own state alive → dup-dropped
+    *
+    * Output: per event_id, how many times it was emitted and the
+    * exact-integer sum of its emitted micros — duplicates surviving,
+    * re-admissions missing, or late rows leaking all break the hash.
+    *
+    * 100 TB shape: THIS is the production dedup-ingest form — state
+    * is bounded by the watermark horizon instead of growing with the
+    * corpus (the whole point of TTL dedup); the fp-store variant
+    * (q230) is the unbounded-exactness tier, this is the bounded one,
+    * and the choice between them is the documented horizon trade.
+    */
+  def dedupTtlAudit(spark: SparkSession, dir: String,
+                    inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val e = graft.Tables.events(spark, dir).select(col("event_id"), col("ts"))
+    val maxUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val fresh = timestamp_micros(
+      lit(maxUs) - pmod(col("event_id"), lit(3600L)) * lit(1000000L))
+    val b1 = e.filter(pmod(col("event_id"), lit(3L)) === 0L)
+    val b2 = e.filter(pmod(col("event_id"), lit(3L)) === 1L)
+      .unionByName(e.filter(pmod(col("event_id"), lit(6L)) === 0L)
+        .select(col("event_id"), fresh.as("ts")))
+    val b3 = e.filter(pmod(col("event_id"), lit(6L)) === 3L)
+      .select(col("event_id"), fresh.as("ts"))
+      .unionByName(e.filter(pmod(col("event_id"), lit(6L)) === 1L))
+    val (watch, stage) = stageFrames(Seq(b1, b2, b3), "ttl")
+    try {
+      val schema = StructType(Seq(
+        StructField("event_id", org.apache.spark.sql.types.LongType),
+        StructField("ts", org.apache.spark.sql.types.TimestampType)))
+      val deduped = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      runToTable(spark, deduped, "append", inspect)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_emits"), sum(col("us")).as("us_sum"))
+        .orderBy("event_id")
     } finally Seq(watch, stage).foreach(deleteRecursively)
   }
 

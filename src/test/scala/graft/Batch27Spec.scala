@@ -144,6 +144,128 @@ class Batch27Spec extends SparkSuite {
       "the incremental refresh scans strictly fewer rows than a full recompute")
   }
 
+  test("q356: the registered bloom becomes a PRE-SHUFFLE might_contain Filter; values untouched; scope airtight") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    def hasBloom(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p match {
+        case f: FilterExec =>
+          f.condition.exists(_.isInstanceOf[BloomFilterMightContain])
+        case _ => false
+      }
+    // fixture-scale broadcasts off so the probe side shows its
+    // production shuffle and the filter's position is meaningful
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Relational.bloomPrefilteredJoin(spark, sf)
+      val rows = df.collect()
+      val all = nodes(df.queryExecution.executedPlan)
+      assert(all.exists(hasBloom),
+        "the injected optimizer rule spliced the bloom prefilter into the physical plan")
+      // pre-shuffle: some exchange's SUBTREE carries the filter — the
+      // pruning happens before rows move
+      val exchanges = all.collect { case e: ShuffleExchangeLike => e }
+      assert(exchanges.nonEmpty, "broadcast disabled: the join shuffles")
+      assert(exchanges.exists(e => nodes(e.child).exists(hasBloom)),
+        "the might_contain filter sits BELOW an exchange (pre-shuffle pruning)")
+      // value identity: the bloom has no false negatives, so the
+      // result is the plain join's
+      val plain = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+            .as("sum_cents"))
+        .orderBy("o_orderpriority").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        plain.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
+        "prefiltered result identical to the plain join")
+      // scope: an UNRELATED join on the same underlying column gets
+      // NO filter — the registry keys on the per-call unique name
+      val unrelated = Tables.orders(spark, sf).join(
+        Tables.customer(spark, sf).select(col("c_custkey").as("o_custkey")),
+        "o_custkey").groupBy().count()
+      unrelated.collect()
+      assert(!nodes(unrelated.queryExecution.executedPlan).exists(hasBloom),
+        "the rule never fires on joins that did not register a bloom")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("q357: the stats decision REORDERS the physical join — selective join innermost; naive shape untouched without registration") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+    def joins(p: SparkPlan): Seq[BaseJoinExec] =
+      nodes(p).collect { case j: BaseJoinExec => j }
+    def keyNames(j: BaseJoinExec): Set[String] =
+      (j.leftKeys ++ j.rightKeys).flatMap(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+      }).toSet
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Relational.joinOrderEnforced(spark, sf)
+      val rows = df.collect()
+      val js = joins(df.queryExecution.executedPlan)
+      assert(js.length == 2, s"two joins in the chain, got ${js.length}")
+      val markerJoin = js.filter(j => keyNames(j).exists(_.startsWith("gjo_custkey_")))
+      assert(markerJoin.length == 1, "exactly one join carries the marked custkey condition")
+      // ENFORCED: the marked (selective customer) join is the INNER
+      // one — a descendant of the orderkey join
+      val outerJoin = js.filterNot(_ eq markerJoin.head).head
+      assert(nodes(outerJoin).exists(_ eq markerJoin.head),
+        "the registered decision pulled the customer join INNERMOST")
+      // value identity vs the naive-order plain join
+      val plain = Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .join(Tables.lineitem(spark, sf).select(col("l_orderkey"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+            .as("cents")), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(spark, sf)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        plain.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq,
+        "reassociation is value-invisible")
+      // control: the SAME shape with an UNREGISTERED marker keeps the
+      // naive order — the rule (not the planner) made the change
+      val cB = Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val naive = Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey").as("gjo_unregistered_x"),
+          col("o_orderpriority"))
+        .join(Tables.lineitem(spark, sf).select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(cB, col("gjo_unregistered_x") === col("c_custkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      naive.collect()
+      val njs = joins(naive.queryExecution.executedPlan)
+      val nMarker = njs.filter(j => keyNames(j).contains("gjo_unregistered_x"))
+      assert(nMarker.length == 1)
+      assert(!njs.filterNot(_ eq nMarker.head)
+          .exists(oj => nodes(oj).exists(_ eq nMarker.head)),
+        "without a registered decision the custkey join stays OUTERMOST (naive order)")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  private def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val self = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: nodes(q.plan)
+      case _ => Seq(p)
+    }
+    self ++ p.children.flatMap(nodes) ++ p.subqueries.flatMap(nodes)
+  }
+
   test("crafted hot gram: capped coverage covers a SUBSET of positions") {
     val docs = craftedDocs
     val grams = Dedup.positionalGramsFrom(docs, 5)

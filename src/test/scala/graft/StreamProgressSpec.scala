@@ -204,6 +204,58 @@ class StreamProgressSpec extends SparkSuite {
       "numRowsDroppedByWatermark recounts the replayed late WINDOW set exactly")
   }
 
+  test("q355 TTL dedup: state genuinely evicted (rows decrease), late drops measured, re-admits counted") {
+    val us = unix_micros(col("ts"))
+    val m1 = events.filter(pmod(col("event_id"), lit(3L)) === 0L)
+      .agg(max(us)).head().getLong(0)
+    val nB1 = events.filter(pmod(col("event_id"), lit(3L)) === 0L).count()
+    val nB2New = events.filter(pmod(col("event_id"), lit(3L)) === 1L).count()
+    val nLate = events.filter(pmod(col("event_id"), lit(6L)) === 1L &&
+      us < lit(m1 - 3600000000L)).count()
+    val nReadmit = events.filter(pmod(col("event_id"), lit(6L)) === 3L &&
+      us < lit(m1 - 7200000000L)).count()
+    var rows: Array[org.apache.spark.sql.Row] = Array.empty
+    val (_, progs) = capture { inspect =>
+      val df = StreamQueries.dedupTtlAudit(spark, sf, inspect)
+      rows = df.collect()
+      df
+    }
+    val batches = dataBatches(progs)
+    assert(batches.length == 3, s"three staged batches, got ${batches.length}")
+    val ops = finalState(progs)
+    assert(ops.length == 1 && ops.head.operatorName.toLowerCase.contains("dedupe"),
+      s"one dedupeWithinWatermark operator, got ${ops.map(_.operatorName)}")
+    assert(ops.head.numShufflePartitions == 8)
+    val st = batches.map(_.stateOperators.head)
+    // per-batch insertions replay the protocol: b1 all, b2 the new
+    // mod-3==1 ids (fresh dups find LIVE state — eviction hasn't run
+    // when they look up), b3 exactly the evicted re-admissions
+    assert(st(0).numRowsUpdated == nB1, s"b1 inserts all: ${st(0).numRowsUpdated} vs $nB1")
+    assert(st(1).numRowsUpdated == nB2New,
+      s"b2 inserts only the new ids (dups dropped against live state): ${st(1).numRowsUpdated} vs $nB2New")
+    assert(st(2).numRowsUpdated == nReadmit,
+      s"b3 re-admits exactly the evicted ids: ${st(2).numRowsUpdated} vs $nReadmit")
+    // the watermark GENUINELY evicts: end-of-b2 eviction removes
+    // every entry older than max(b1) − 2·delay, so state DECREASES
+    // across b2 despite its insertions
+    assert(st(1).numRowsRemoved > 0L, "eviction actually bit in batch 2")
+    assert(st(1).numRowsTotal < st(0).numRowsTotal,
+      s"state rows decrease: ${st(0).numRowsTotal} -> ${st(1).numRowsTotal}")
+    // the late filter's drop count is MEASURED and matches the
+    // replayed protocol (the q343 discipline applied to dedup state):
+    // only b3's original-ts dups below max(b1) − delay are late
+    assert(st(0).numRowsDroppedByWatermark == 0L)
+    assert(st(1).numRowsDroppedByWatermark == 0L,
+      "b2 drops nothing (late watermark still zero-lagged)")
+    assert(st(2).numRowsDroppedByWatermark == nLate,
+      s"b3 late drops: ${st(2).numRowsDroppedByWatermark} vs replayed $nLate")
+    assert(nLate > 0L, "the staging makes the late drop genuinely bite")
+    assert(nReadmit > 0L, "the staging makes eviction re-admission genuinely bite")
+    // output cross-check: ids emitted twice == the re-admitted set
+    assert(rows.count(_.getLong(1) == 2L) == nReadmit)
+    assert(rows.length == nB1 + nB2New, "every admitted id appears exactly once in the audit")
+  }
+
   test("q346 left outer join: one join operator; nulls only at/below the MIN watermark; inner set untouched") {
     val (n, progs) = capture(StreamQueries.leftJoinedPairs(spark, sf, _))
     assert(n > 0)
