@@ -3827,11 +3827,12 @@ private[graft] trait OraclesC extends OracleHelpers {
     // final watermark; hour-aligned ends vs a microsecond-offset
     // watermark make the boundary forms coincide,
     "q343_stream_late" ->
-      """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+      s"""WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
         |b0 AS (SELECT us FROM e WHERE event_id % 3 = 0),
         |b1 AS (SELECT us FROM e WHERE event_id % 3 = 1),
         |b2 AS (SELECT us FROM e WHERE event_id % 3 = 2),
-        |lw AS (SELECT max(us) - 3600000000 AS wm FROM b0),
+        |lw AS (SELECT max(us) - 3600000000 AS wm
+        |  FROM b${graft.streaming.StreamQueries.q343LateLagResidue}),
         |adm AS (SELECT us FROM b0
         |  UNION ALL SELECT us FROM b1
         |  UNION ALL

@@ -30,6 +30,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object StreamQueries {
 
+  /** The mod-3 residue of the STAGED FILE whose max event time sets
+    * batch 3's late-filter watermark in [[lateDataAudit]] — the
+    * measured one-batch dual-watermark lag (file 0 of the 3-batch
+    * staging; a Spark protocol change shifting the lag moves this to
+    * 1).  The q343 oracle SQL and StreamProgressSpec's drop-count pin
+    * BOTH derive from this constant, so a divergence fails both
+    * gates together instead of letting them drift apart (r17 advice).
+    */
+  val q343LateLagResidue: Int = 0
+
   /** Start `stream` into a uniquely-named memory sink, drain every
     * available micro-batch, hand the finished query to `inspect`
     * (progress assertions in tests), and return the sink table.

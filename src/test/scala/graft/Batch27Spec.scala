@@ -195,6 +195,46 @@ class Batch27Spec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q356: the prefilter MEASURABLY shrinks the shuffle — records written drop vs the unfiltered control") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffleRecords(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      nodes(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeLike => e }
+        .flatMap(_.metrics.get("shuffleRecordsWritten").map(_.value))
+        .sum
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val filtered = shuffleRecords(
+        graft.operators.Relational.bloomPrefilteredJoin(spark, sf))
+      // control: identical shape, probe column name never registered
+      val control = shuffleRecords {
+        val build = Tables.customer(spark, sf)
+          .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        Tables.orders(spark, sf).select(
+            col("o_custkey").as("gbp_control_never_registered"),
+            col("o_orderpriority"),
+            floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+              .as("price_cents"))
+          .join(build, col("gbp_control_never_registered") === col("c_custkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("price_cents")).as("sum_cents"))
+          .orderBy("o_orderpriority")
+      }
+      assert(filtered > 0L && control > 0L, "both plans shuffled")
+      assert(filtered < control,
+        s"the pre-shuffle bloom prunes rows before they move: $filtered < $control shuffle records")
+      // the pruning is substantial, not cosmetic: the BUILDING segment
+      // is ~1/5 of customers, so well under half the control's probe
+      // rows should survive the bitmap (fp rate is the slack)
+      assert(filtered.toDouble < control.toDouble * 0.6,
+        s"expected a substantial reduction, got $filtered vs $control")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q357: the stats decision REORDERS the physical join — selective join innermost; naive shape untouched without registration") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}

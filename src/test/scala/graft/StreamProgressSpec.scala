@@ -192,7 +192,10 @@ class StreamProgressSpec extends SparkSuite {
       .select(col("event_id"), unix_micros(col("ts")).as("us")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val h = 3600000000L
-    val lw = us.filter(_._1 % 3 == 0).map(_._2).max - h
+    // the lag-batch residue is SHARED with the oracle SQL (r17 advice:
+    // one constant, so spec and oracle cannot drift apart)
+    val lw = us.filter(_._1 % 3 == StreamQueries.q343LateLagResidue)
+      .map(_._2).max - h
     // the metric counts PARTIALLY-AGGREGATED group rows reaching the
     // state operator, not raw input rows (measured: 332 late events in
     // 316 distinct windows report 316) — so recount distinct windows
