@@ -4291,6 +4291,51 @@ private[graft] trait OraclesC extends OracleHelpers {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q358: q340's designation + 8-gram semi-join hit test, then the
+    // q337 rebuild over the eval slice — leaked spans redacted,
+    "q358_decontam_cut" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+         |    CASE WHEN ${hv60Sql("'ev:' || CAST(doc_id AS VARCHAR)")} % 10 = 0
+         |      THEN 1 ELSE 0 END AS ev
+         |  FROM documents),
+         |gr AS (SELECT doc_id, ev, unnest(range(0, len(w) - 7)) AS pos,
+         |    unnest([array_to_string(w[i+1:i+8], ' ') FOR i IN range(0, len(w) - 7)]) AS gram
+         |  FROM w WHERE len(w) >= 8),
+         |gg AS (SELECT doc_id, ev, pos, ${hv60Sql("gram")} AS g FROM gr),
+         |tr AS (SELECT DISTINCT g FROM gg WHERE ev = 0),
+         |hit AS (SELECT doc_id, pos FROM gg
+         |  WHERE ev = 1 AND EXISTS (SELECT 1 FROM tr WHERE tr.g = gg.g)),
+         |cut AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS p FROM hit),
+         |ew AS (SELECT doc_id, w FROM w WHERE ev = 1),
+         |tk AS (SELECT doc_id, unnest(range(0, len(w))) AS p,
+         |    unnest(w) AS token FROM ew),
+         |kept AS (SELECT t.doc_id, t.p, t.token FROM tk t
+         |  LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.p = c.p
+         |  WHERE c.doc_id IS NULL),
+         |kr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    array_to_string(list(token ORDER BY p), ' ') AS text_cut
+         |  FROM kept GROUP BY doc_id),
+         |nt AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM ew)
+         |SELECT nt.doc_id, n_tok,
+         |  coalesce(n_kept, 0) AS n_kept,
+         |  n_tok - coalesce(n_kept, 0) AS n_cut,
+         |  coalesce(text_cut, '') AS text_cut
+         |FROM nt LEFT JOIN kr USING (doc_id)
+         |ORDER BY nt.doc_id""".stripMargin,
+    // q359: the exact global token cumsum in hash order, start-offset
+    // shard assignment, one keyed rollup; one terminal divide,
+    "q359_shard_plan" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         |    ${hv60Sql("'sh:' || CAST(doc_id AS VARCHAR)")} AS hv
+         |  FROM documents),
+         |c AS (SELECT *, CAST(sum(tok) OVER (ORDER BY hv ASC, doc_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),
+         |a AS (SELECT (cum - tok) // 20000 AS shard, tok FROM c)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(tok) AS DOUBLE) / CAST(20000 AS DOUBLE) AS fill_frac
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

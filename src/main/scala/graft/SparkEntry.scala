@@ -670,7 +670,12 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     "q356_bloom_join" -> ((s, d) => Relational.bloomPrefilteredJoin(s, d)),
     // q348's decision enforced: the stats-registered marker pulls the
     // selective customer join innermost via ReorderJoinByStats
-    "q357_join_order_enforced" -> ((s, d) => Relational.joinOrderEnforced(s, d))
+    "q357_join_order_enforced" -> ((s, d) => Relational.joinOrderEnforced(s, d)),
+    // batch 38 (r18): the decontamination CUT (q340's flags shipped
+    // as a redacted artifact) and the shard-layout plan (exact global
+    // token offsets via the two-pass cumsum, no global window)
+    "q358_decontam_cut" -> ((s, d) => Dedup.decontamCut(s, d)),
+    "q359_shard_plan" -> ((s, d) => PipelineAudits.shardPlan(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

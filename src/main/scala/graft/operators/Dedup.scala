@@ -1826,6 +1826,35 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** q358: the decontamination CUT — q340 FLAGS eval documents whose
+    * 8-grams leak from the training corpus; this ships the clean
+    * artifact: every leaked 8-gram's token span is REDACTED from the
+    * eval document (positions covered by any hitting gram, cut once),
+    * and the remaining tokens re-join in position order — the q337
+    * rebuild applied to the decontamination decision.  An eval doc
+    * with no hits round-trips verbatim; one redacted everywhere
+    * reports n_kept 0 with empty text (surfaced, not dropped).
+    *
+    * 100 TB shape: the hit test stays the q340 LEFT-SEMI on the gram
+    * key — fan-out ≤ 1 by definition, no df-cap ever needed; hit
+    * spans are hit-volume-sized (explode ×8); the rebuild is the
+    * per-document-bounded q337 shape over the EVAL slice only (~10%
+    * of the corpus by the hash designation).
+    */
+  def decontamCut(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isEval = pmod(graft.operators.TextAnalysis.hv60(
+      concat(lit("ev:"), col("doc_id").cast("string"))), lit(10L)) === 0L
+    val evalDocs = docs.filter(isEval).select(col("doc_id"), col("text"))
+    val trainSet = positionalGramsFrom(docs.filter(!isEval), k)
+      .select("g").distinct()
+    val hitSpans = positionalGramsFrom(evalDocs, k)
+      .join(trainSet, Seq("g"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+        lit(k.toLong).as("match_len"))
+    exactSubstrCutFrom(evalDocs, hitSpans)
+  }
+
   /** Fellegi–Sunter agreement-pattern table (q308): the probabilistic
     * record-linkage SCORER the blocking tiers feed — q121 finds
     * typo-pairs, q304 audits blocking recall; this computes, per

@@ -1677,6 +1677,53 @@ object PipelineAudits {
       .orderBy("source")
   }
 
+  /** q359: the SHARD PLAN — the layout step between q350's mixture
+    * sample and the writer: documents in the deterministic hash order
+    * (hv60("sh:"‖doc_id), the house shuffle) are assigned to
+    * fixed-token-budget shards by their exact global cumulative token
+    * offset: shard = ⌊(cum − tok) / S⌋ — a document belongs to the
+    * shard where it STARTS; documents are never split; every shard
+    * except the last carries ≥ S tokens minus one trailing document.
+    * Output per shard: docs, token mass, and the fill fraction
+    * against the budget (one terminal divide) — the manifest a
+    * distributed writer turns into files.
+    *
+    * 100 TB shape: the global cumulative sum is the two-pass
+    * range-partition form (q104/globalRank's recipe, with per-
+    * partition TOKEN-SUM offsets instead of row counts) — local
+    * window per partition + a broadcast offset join, NO
+    * single-partition window at any scale; the rollup is one keyed
+    * aggregate on shard id.
+    */
+  def shardPlan(spark: SparkSession, dir: String,
+      shardTokens: Long = 20000L): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("tok"),
+      graft.operators.TextAnalysis.hv60(
+        concat(lit("sh:"), col("doc_id").cast("string"))).as("hv"))
+    val sorted = Pins.eager(
+      docs.repartitionByRange(32, col("hv").asc, col("doc_id").asc)
+        .withColumn("pid", spark_partition_id()))
+    val wOff = Window.partitionBy(pmod(col("pid"), lit(1)))
+      .orderBy(col("pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy("pid").agg(sum(col("tok")).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("pid", "off")
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(col("hv").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", sum(col("tok")).over(wLocal) + col("off"))
+      .withColumn("shard", expr(s"(cum - tok) div $shardTokens"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / lit(shardTokens.toDouble))
+          .as("fill_frac"))
+      .orderBy("shard")
+  }
+
   def raking(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val cells0 = Pins.eager(

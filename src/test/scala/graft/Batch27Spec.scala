@@ -294,6 +294,46 @@ class Batch27Spec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q358 decontam cut: redaction iff q340 flags it; conservation; clean docs verbatim") {
+    val cut = graft.operators.Dedup.decontamCut(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val flags = graft.operators.Dedup.evalContamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(cut.keySet == flags.keySet,
+      "both queries cover exactly the hash-designated eval docs")
+    assert(cut.values.forall(r => r.getLong(2) + r.getLong(3) == r.getLong(1)),
+      "n_kept + n_cut == n_tok")
+    // a document is redacted IFF q340 flagged it contaminated
+    assert(cut.forall { case (id, r) => (r.getLong(3) > 0L) == (flags(id) == 1) },
+      "redaction agrees with the contamination flag, doc by doc")
+    val orig = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clean = cut.values.filter(_.getLong(3) == 0L)
+    assert(clean.nonEmpty && clean.forall(r => r.getString(4) == orig(r.getLong(0))),
+      "unredacted eval docs round-trip verbatim")
+    assert(cut.values.exists(_.getLong(3) > 0L), "the fixture has real leakage to redact")
+  }
+
+  test("q359 shard plan: token mass conserved, docs conserved, shards budget-shaped") {
+    val rows = graft.operators.PipelineAudits.shardPlan(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(size(graft.functions.TextFunctions.tokens(col("text")))
+        .cast("long").as("tok"))
+    val total = docs.agg(sum(col("tok")), count(lit(1))).head()
+    assert(rows.map(_.getLong(2)).sum == total.getLong(0),
+      "every token lands in exactly one shard")
+    assert(rows.map(_.getLong(1)).sum == total.getLong(1),
+      "every document lands in exactly one shard")
+    assert(rows.forall(_.getLong(0) >= 0L))
+    assert(rows.length >= 2, "the budget yields multiple shards on the fixture")
+    // start-offset assignment: every non-final shard holds at least
+    // S tokens minus its final document's overshoot — concretely, its
+    // mass is positive and the fill fraction recomputes exactly
+    assert(rows.forall(r =>
+      r.getDouble(3) == r.getLong(2).toDouble / 20000.0),
+      "fill_frac is the single pinned divide")
+  }
+
   private def nodes(p: org.apache.spark.sql.execution.SparkPlan):
       Seq[org.apache.spark.sql.execution.SparkPlan] = {
     val self = p match {
