@@ -294,6 +294,46 @@ class Batch27Spec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q351/q352 plan shape: capped compositions stay content equi-joins, keyed chain windows, reused gram exchange") {
+    // the Batch23 production-regime pin extended to the round-18
+    // compositions: broadcasts off, the anchor join must stay an
+    // equi-join with the single gram exchange reused
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (df <- Seq(Dedup.exactSubstrCutCapped(spark, sf),
+                     Dedup.dupCoverageCapped(spark, sf))) {
+        df.collect()
+        val all = nodes(df.queryExecution.executedPlan)
+        assert(!all.exists(_.nodeName.contains("CartesianProduct")),
+          "no all-pairs anywhere in the capped composition")
+        val ws = all.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        assert(ws.forall(_.partitionSpec.nonEmpty),
+          "chain windows keyed by (doc_a, doc_b, diag), never global")
+        assert(all.exists(_.isInstanceOf[
+            org.apache.spark.sql.execution.exchange.ReusedExchangeExec]),
+          "the gram-key exchange is built once and reused")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("q359 plan shape: the row-side cumsum window is pid-keyed (no global row window)") {
+    val df = graft.operators.PipelineAudits.shardPlan(spark, sf)
+    df.collect()
+    val ws = nodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(ws.nonEmpty)
+    // exactly one window may run partition-less: the 32-row
+    // per-partition OFFSETS fold (the bounded-frame exception shared
+    // with globalRank); the document-sized cumsum must be pid-keyed
+    val unkeyed = ws.filter(_.partitionSpec.isEmpty)
+    assert(ws.exists(_.partitionSpec.nonEmpty),
+      "the row-side cumulative sum is keyed by pid")
+    assert(unkeyed.isEmpty || unkeyed.forall(w =>
+      !w.child.output.exists(_.name == "doc_id")),
+      "no document-sized frame ever crosses a single-partition window")
+  }
+
   test("q358 decontam cut: redaction iff q340 flags it; conservation; clean docs verbatim") {
     val cut = graft.operators.Dedup.decontamCut(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
