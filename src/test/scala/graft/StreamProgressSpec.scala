@@ -282,6 +282,94 @@ class StreamProgressSpec extends SparkSuite {
       "a matched purchase never also emits a null row")
   }
 
+  test("restart from checkpoint: TTL dedup resumes — state AND watermark recovered, output equals the single-run protocol") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+    val e = events.select(col("event_id"), col("ts"))
+    val maxUs = e.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val fresh = timestamp_micros(
+      lit(maxUs) - pmod(col("event_id"), lit(3600L)) * lit(1000000L))
+    // the q355 staging, split for a stop between batches 2 and 3
+    val b1 = e.filter(pmod(col("event_id"), lit(3L)) === 0L)
+    val b2 = e.filter(pmod(col("event_id"), lit(3L)) === 1L)
+      .unionByName(e.filter(pmod(col("event_id"), lit(6L)) === 0L)
+        .select(col("event_id"), fresh.as("ts")))
+    val b3 = e.filter(pmod(col("event_id"), lit(6L)) === 3L)
+      .select(col("event_id"), fresh.as("ts"))
+      .unionByName(e.filter(pmod(col("event_id"), lit(6L)) === 1L))
+    val watch = Files.createTempDirectory("graft-ttlrestart-src")
+    val staged = Files.createTempDirectory("graft-ttlrestart-stage")
+    val ckpt = Files.createTempDirectory("graft-ttlrestart-ckpt")
+    val out = Files.createTempDirectory("graft-ttlrestart-out")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType)))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String, t: Long): Unit = {
+      val part = s"$staged/$name"
+      df.coalesce(1).write.parquet(part)
+      val dst = watch.resolve(s"$name.parquet")
+      Files.copy(graft.util.Fs.onlyPartFile(part), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    }
+    def run(): Seq[StreamingQueryProgress] = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val q = try {
+        spark.conf.set(key, "8")
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), unix_micros(col("ts")).as("us"))
+          .writeStream.format("parquet")
+          .option("path", out.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+      } finally spark.conf.set(key, prev)
+      try { q.processAllAvailable(); q.recentProgress.toSeq } finally q.stop()
+    }
+    try {
+      drop(b1, "a", 1700000000000L)
+      drop(b2, "b", 1700000001000L)
+      val p1 = run()
+      assert(dataBatches(p1).length == 2, "phase 1 runs batches 1-2")
+      // stopped between micro-batches; batch 3 arrives, FRESH query
+      drop(b3, "c", 1700000002000L)
+      val p2 = run()
+      val db2 = dataBatches(p2)
+      assert(db2.length == 1 && db2.head.numInputRows == b3.count(),
+        "the restarted query reads ONLY file c — files a/b are committed in the offset log")
+      val st = db2.head.stateOperators.head
+      val nReadmit = e.filter(pmod(col("event_id"), lit(6L)) === 3L &&
+        unix_micros(col("ts")) < lit(maxUs0(e) - 7200000000L)).count()
+      assert(st.numRowsUpdated == nReadmit,
+        "the RECOVERED state admits exactly the evicted re-admissions — " +
+          s"${st.numRowsUpdated} vs $nReadmit (a reset store would re-admit every dup)")
+      assert(st.numRowsDroppedByWatermark > 0L,
+        "the RECOVERED watermark still late-drops batch 3's original-ts dups " +
+          "(a watermark reset to zero would drop nothing)")
+      // the resumed output equals the single-run q355 protocol exactly
+      val got = spark.read.schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("us", LongType))))
+        .parquet(out.toString)
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_emits"), sum(col("us")).as("us_sum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = StreamQueries.dedupTtlAudit(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect,
+        "restart-resumed emissions match the continuous run id-for-id")
+    } finally Seq(watch, staged, ckpt, out)
+      .foreach(graft.util.Fs.deleteRecursively)
+  }
+
+  /** max event-time micros of the batch-1 slice (ids ≡ 0 mod 3) — the
+    * q355 protocol's M(1), shared by the restart pin's recounts.
+    */
+  private def maxUs0(e: org.apache.spark.sql.DataFrame): Long =
+    e.filter(pmod(col("event_id"), lit(3L)) === 0L)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+
   test("restart from checkpoint: hll store resumes — batch-1 partial survives, resumed merge completes to the corpus registers") {
     import java.nio.file.Files
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
