@@ -334,6 +334,50 @@ class Batch27Spec extends SparkSuite {
       "no document-sized frame ever crosses a single-partition window")
   }
 
+  test("q357 guard: a registered decision whose swap would be UNSOUND is refused") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // chain customer ⋈ orders ⋈ lineitem where the OUTER condition
+    // references the MIDDLE table (orders): swapping would leave the
+    // inner join with no key (a cartesian) — the c2 ⊆ A∪C guard must
+    // refuse even though the marker is registered innerFirst=true
+    val marker = "gjo_guard_probe_ok"
+    graft.plans.JoinOrderRegistry.register(marker, innerFirst = true)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val c = Tables.customer(spark, sf).select(col("c_custkey"))
+      val o = Tables.orders(spark, sf).select(col("o_custkey"),
+        col("o_orderkey").as(marker), col("o_orderpriority"))
+      val l = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+      val df = c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col(marker) === col("l_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+      val rows = df.collect()
+      val all = nodes(df.queryExecution.executedPlan)
+      assert(!all.exists(_.nodeName.contains("CartesianProduct")),
+        "the unsound swap never happens — no cartesian appears")
+      val js = all.collect { case j: BaseJoinExec => j }
+      val markerJoin = js.filter(j => (j.leftKeys ++ j.rightKeys).exists(_.collect {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+      }.contains(marker)))
+      assert(markerJoin.length == 1)
+      assert(!js.filterNot(_ eq markerJoin.head)
+          .exists(oj => nodes(oj).exists(_ eq markerJoin.head)),
+        "the marked join stays OUTERMOST: the guard refused the registered swap")
+      // and the values are the plain 3-way join's
+      val expect = Tables.customer(spark, sf).select(col("c_custkey"))
+        .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(spark, sf), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        expect.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      graft.plans.JoinOrderRegistry.clear()
+    }
+  }
+
   test("q358 decontam cut: redaction iff q340 flags it; conservation; clean docs verbatim") {
     val cut = graft.operators.Dedup.decontamCut(spark, sf).collect()
       .map(r => r.getLong(0) -> r).toMap
