@@ -2464,10 +2464,16 @@ object EventOps {
     * fold i trains on days [d₀, cᵢ), embargoes [cᵢ, cᵢ+gap), tests on
     * [cᵢ+gap, cᵢ+gap+t); cᵢ = d₀ + ⌈span·i/(folds+2)⌉ and
     * t = ⌈span/(folds+2)⌉ in pure integer day arithmetic, so the
-    * folds are derived from the data's own day range deterministically
-    * and the LAST fold's test window always fits inside the range
-    * (cut_folds + gap + t ≤ d₀ + span for any folds ≥ 1) — the
-    * divisor scales with the parameter rather than hardcoding 5.
+    * folds are derived from the data's own day range deterministically.
+    * Fit caveat: for gap = 0, cut_folds + t ≤ d₀ + span holds
+    * whenever span ≥ 2·(folds+2) (the two ceil terms sum to at most
+    * span·(folds+1)/(folds+2) + 2 ≤ span there), but a small span or
+    * an arbitrary gapDays
+    * can still push the LAST fold's test window past the data's final
+    * day — such a window simply counts zero test rows (the day-spine
+    * rollup coalesces empty conditional sums to 0), it is reported,
+    * never silently clamped.  The divisor scales with the parameter
+    * rather than hardcoding 5.
     *
     * 100 TB shape: ONE events scan to per-day counts (map-side
     * combined, day-spine-sized), then the 3-fold accounting is a

@@ -30,11 +30,30 @@ import org.apache.spark.sql.types.{BinaryType, LongType}
   * bitmap serve many queries without rebuilding per plan.
   */
 object BloomRegistry {
-  private val entries =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Byte]]()
+  /** Bounded insertion-ordered store: per-call registrations are
+    * ~16 KB bitmaps, and a long-lived session that never bothers to
+    * [[unregister]] must not accumulate them without limit — beyond
+    * `maxEntries` the ELDEST registration is evicted (by then its
+    * consumer plan has long since optimized; eviction is
+    * value-invisible because the prefilter only ever PRUNES, so a
+    * plan re-optimized without its registration still computes the
+    * identical result).
+    */
+  private val maxEntries = 64
+  private val entries = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Array[Byte]]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Byte]]): Boolean =
+        size() > maxEntries
+    })
 
-  def register(probeAttrName: String, bloom: Array[Byte]): Unit =
-    entries.put(probeAttrName, bloom)
+  def register(probeAttrName: String, bloom: Array[Byte]): Unit = {
+    entries.put(probeAttrName, bloom); ()
+  }
+
+  def unregister(probeAttrName: String): Unit = {
+    entries.remove(probeAttrName); ()
+  }
 
   def lookup(probeAttrName: String): Option[Array[Byte]] =
     Option(entries.get(probeAttrName))
@@ -53,8 +72,17 @@ object BloomRegistry {
   * fixed-point batch requirement): a side already carrying a
   * might_contain on the same attribute is left alone.  Only LongType
   * keys are eligible (BloomFilterAggregate's input contract).
+  *
+  * Soundness scope: candidate attributes are collected from TOP-LEVEL
+  * CONJUNCTS only (`splitConjunctivePredicates`).  An equality buried
+  * under OR/NOT does not force every result row to satisfy it — a row
+  * can match the join via the other disjunct — so splicing a
+  * might_contain Filter from such an equality would drop valid rows.
+  * Consumers register purely conjunctive conditions today; this guard
+  * keeps the always-injected rule sound even if one ever doesn't.
   */
-object InjectBloomPrefilter extends Rule[LogicalPlan] {
+object InjectBloomPrefilter extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   private def alreadyFiltered(side: LogicalPlan, name: String): Boolean =
     side.collectFirst { case f: Filter if f.condition.exists {
@@ -67,8 +95,9 @@ object InjectBloomPrefilter extends Rule[LogicalPlan] {
     Filter(BloomFilterMightContain(Literal(bloom, BinaryType), attr), side)
 
   private def equiAttrs(cond: Expression): Seq[AttributeReference] =
-    cond.collect { case EqualTo(a: AttributeReference, b: AttributeReference) =>
-      Seq(a, b) }.flatten
+    splitConjunctivePredicates(cond).collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference) => Seq(a, b)
+    }.flatten
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (BloomRegistry.isEmpty) plan

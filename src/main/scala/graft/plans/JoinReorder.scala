@@ -20,14 +20,30 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * unique per call, so the rule is inert for every other plan.
   */
 object JoinOrderRegistry {
-  private val entries =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  /** Bounded insertion-ordered store (the [[BloomRegistry]] rule): a
+    * long-lived session that never [[unregister]]s must not grow the
+    * map without limit — past `maxEntries` the eldest decision is
+    * evicted; losing a decision only forfeits the reorder (the naive
+    * association is equally correct).
+    */
+  private val maxEntries = 64
+  private val entries = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Boolean]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size() > maxEntries
+    })
 
   /** innerFirst = true: the join carrying the marked condition should
     * run innermost (first); false records an explicit keep-decision.
     */
-  def register(markerAttrName: String, innerFirst: Boolean): Unit =
-    entries.put(markerAttrName, java.lang.Boolean.valueOf(innerFirst))
+  def register(markerAttrName: String, innerFirst: Boolean): Unit = {
+    entries.put(markerAttrName, java.lang.Boolean.valueOf(innerFirst)); ()
+  }
+
+  def unregister(markerAttrName: String): Unit = {
+    entries.remove(markerAttrName); ()
+  }
 
   def lookup(markerAttrName: String): Option[Boolean] =
     Option(entries.get(markerAttrName)).map(_.booleanValue())
@@ -76,7 +92,13 @@ object ReorderJoinByStats extends Rule[LogicalPlan] {
           case (Some((_, true)), Some(inner @ Join(a, b, Inner, Some(c1), h1)))
               if c2.references.subsetOf(a.outputSet ++ c.outputSet) &&
                  c1.references.subsetOf(a.outputSet ++ b.outputSet) =>
-            Join(Join(a, c, Inner, Some(c2), h2), b, Inner, Some(c1), h1)
+            // Preserve the ORIGINAL outer output (set and order): the
+            // stripped pruning Project would otherwise let B's pruned
+            // columns reappear — invisible under exprId-resolving
+            // parents, but schema-changing if this join were the plan
+            // root or fed a positional operator (Union).
+            Project(outer.output,
+              Join(Join(a, c, Inner, Some(c2), h2), b, Inner, Some(c1), h1))
           case _ => outer
         }
     }
