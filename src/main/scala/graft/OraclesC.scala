@@ -4336,6 +4336,149 @@ private[graft] trait OraclesC extends OracleHelpers {
          |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(tok) AS BIGINT) AS n_tokens,
          |  CAST(sum(tok) AS DOUBLE) / CAST(20000 AS DOUBLE) AS fill_frac
-         |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    // q360: the persisted-bloom prefilter is value-invisible exactly
+    // as q356's inline one — the oracle is the plain join; the store
+    // lifecycle is plan-pinned in Batch28Spec,
+    "q360_cbo_persisted" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // q361: the measured TTL protocol composed with the replay-staged
+    // ingest — every id is written exactly once by b1/b2 (the replay
+    // span finds live state), plus a second write for the mod-7
+    // returners whose stored timestamp was evicted at the end of b2.
+    // Eviction is INCLUSIVE at the boundary (measured in
+    // StreamProgressSpec: stored + D == wm evicts): stored ts + D <=
+    // max(b1) − 2·delay ⇔ id <= cut1 − 121 at D = 60 s.  The boundary
+    // id cut1 − 121 is not ≡ 0 (mod 7) at any shipped SF, so the
+    // re-admit set is boundary-insensitive regardless,
+    "q361_stream_ingest_ttl" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |mx AS (SELECT max(doc_id) AS m FROM d),
+        |cc AS (SELECT ((m + 1) * 3) // 5 AS cut1, m FROM mx),
+        |em AS (
+        |  SELECT doc_id, 1700000000000000 + doc_id * 1000000 AS us FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 1700000000000000 + (m + 1 + doc_id % 60) * 1000000 AS us
+        |    FROM d, cc WHERE doc_id % 7 = 0 AND doc_id <= cut1 - 121)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_writes,
+        |  CAST(sum(us) AS BIGINT) AS us_sum
+        |FROM em GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q362: the q359 manifest re-stated per shard plus the doc-id sum
+    // and literal round-trip flags — Spark computes its side from the
+    // files it wrote back, so any loss breaks values AND flags,
+    "q362_shard_write" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         |    ${hv60Sql("'sh:' || CAST(doc_id AS VARCHAR)")} AS hv
+         |  FROM documents),
+         |c AS (SELECT *, CAST(sum(tok) OVER (ORDER BY hv ASC, doc_id ASC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM d),
+         |a AS (SELECT (cum - tok) // 20000 AS shard, tok, doc_id FROM c)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  1 AS docs_match, 1 AS tokens_match, 1 AS ids_match
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    // q363: q353's six gates plus gate 6 — eval-designated docs leave
+    // the corpus and surviving docs lose positions covered by the
+    // 5-gram cut spans UNION the 8-gram eval hits,
+    "q363_yield_v3" -> {
+      val stages = Seq(
+        (0, "raw", "b"), (1, "lang_en", "s1"), (2, "len_ge_50", "s2"),
+        (3, "exact_dedup", "s3"), (4, "fingerprint_dedup", "s4"))
+      val unions = stages.map { case (i, g, t) =>
+        s"""SELECT $i AS stage, '$g' AS gate,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM $t""".stripMargin }
+        .mkString("\nUNION ALL\n")
+      s"""WITH b AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    md5(text) AS h,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+         |  FROM documents),
+         |s1 AS (SELECT * FROM b WHERE lang = 'en'),
+         |s2 AS (SELECT * FROM s1 WHERE n_tok >= 50),
+         |es AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY h),
+         |s3 AS (SELECT s2.* FROM s2 JOIN es USING (doc_id)),
+         |fs AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY fp),
+         |s4 AS (SELECT s3.* FROM s3 JOIN fs USING (doc_id)),
+         |wd AS (SELECT d.doc_id, string_split(d.text, ' ') AS w
+         |  FROM documents d JOIN s4 USING (doc_id)),
+         |gr5 AS (SELECT doc_id, unnest(range(0, len(w) - 4)) AS pos,
+         |    unnest([array_to_string(w[i+1:i+5], ' ') FOR i IN range(0, len(w) - 4)]) AS gram
+         |  FROM wd WHERE len(w) >= 5),
+         |gg5 AS (SELECT doc_id, pos, ${hv60Sql("gram")} AS g FROM gr5),
+         |dfc5 AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM gg5 GROUP BY g),
+         |kg5 AS (SELECT gg5.doc_id, gg5.pos, gg5.g
+         |  FROM gg5 JOIN dfc5 USING (g) WHERE df <= 16),
+         |an5 AS (SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+         |    a.pos - b.pos AS diag
+         |  FROM kg5 a JOIN kg5 b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r5 AS (SELECT *, CASE WHEN lag(pa) OVER (PARTITION BY da, db, diag
+         |    ORDER BY pa) = pa - 1 THEN 0 ELSE 1 END AS brk FROM an5),
+         |ri5 AS (SELECT *, sum(brk) OVER (PARTITION BY da, db, diag ORDER BY pa
+         |    ROWS UNBOUNDED PRECEDING) AS run FROM r5),
+         |sp5 AS (SELECT db AS doc_b, min(pb) AS pos_b,
+         |    CAST(count(*) + 4 AS BIGINT) AS match_len
+         |  FROM ri5 GROUP BY da, db, diag, run HAVING count(*) + 4 >= 12),
+         |cut5 AS (SELECT DISTINCT doc_b AS doc_id,
+         |    unnest(range(pos_b, pos_b + match_len)) AS pos FROM sp5),
+         |nc5 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cutpos
+         |  FROM cut5 GROUP BY doc_id),
+         |k5 AS (SELECT wd.doc_id,
+         |    CAST(len(w) AS BIGINT) - coalesce(n_cutpos, 0) AS n_kept
+         |  FROM wd LEFT JOIN nc5 USING (doc_id)),
+         |g5 AS (SELECT 5 AS stage, 'substr_cut' AS gate,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(n_kept), 0) AS BIGINT) AS n_tokens FROM k5
+         |  WHERE n_kept >= 1),
+         |ev AS (SELECT doc_id FROM documents
+         |  WHERE ${hv60Sql("'ev:' || CAST(doc_id AS VARCHAR)")} % 10 = 0),
+         |we AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM ev)),
+         |eg AS (SELECT DISTINCT ${hv60Sql("gram")} AS g FROM (
+         |  SELECT unnest([array_to_string(w[i+1:i+8], ' ') FOR i IN range(0, len(w) - 7)]) AS gram
+         |  FROM we WHERE len(w) >= 8)),
+         |td AS (SELECT doc_id, w FROM wd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+         |g8 AS (SELECT doc_id, unnest(range(0, len(w) - 7)) AS pos,
+         |    unnest([array_to_string(w[i+1:i+8], ' ') FOR i IN range(0, len(w) - 7)]) AS gram
+         |  FROM td WHERE len(w) >= 8),
+         |h8 AS (SELECT doc_id, pos FROM
+         |  (SELECT doc_id, pos, ${hv60Sql("gram")} AS g FROM g8) x
+         |  WHERE EXISTS (SELECT 1 FROM eg WHERE eg.g = x.g)),
+         |cut6 AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT c5.doc_id, c5.pos FROM cut5 c5
+         |      JOIN td ON c5.doc_id = td.doc_id
+         |    UNION ALL
+         |    SELECT doc_id, unnest(range(pos, pos + 8)) AS pos FROM h8) u),
+         |nc6 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cutpos
+         |  FROM cut6 GROUP BY doc_id),
+         |k6 AS (SELECT td.doc_id,
+         |    CAST(len(w) AS BIGINT) - coalesce(n_cutpos, 0) AS n_kept
+         |  FROM td LEFT JOIN nc6 USING (doc_id)),
+         |g6 AS (SELECT 6 AS stage, 'decontam' AS gate,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(sum(n_kept), 0) AS BIGINT) AS n_tokens FROM k6
+         |  WHERE n_kept >= 1),
+         |raw AS (SELECT CAST(count(*) AS BIGINT) AS raw_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS raw_tokens FROM b),
+         |z AS (
+         |$unions
+         |UNION ALL
+         |SELECT * FROM g5
+         |UNION ALL
+         |SELECT * FROM g6)
+         |SELECT stage, gate, n_docs, n_tokens,
+         |  CAST(n_docs AS DOUBLE) / CAST(raw_docs AS DOUBLE) AS doc_retention,
+         |  CAST(n_tokens AS DOUBLE) / CAST(raw_tokens AS DOUBLE) AS token_retention
+         |FROM z CROSS JOIN raw ORDER BY stage""".stripMargin
+    }
   )
 }

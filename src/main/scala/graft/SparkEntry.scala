@@ -675,7 +675,21 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // as a redacted artifact) and the shard-layout plan (exact global
     // token offsets via the two-pass cumsum, no global window)
     "q358_decontam_cut" -> ((s, d) => Dedup.decontamCut(s, d)),
-    "q359_shard_plan" -> ((s, d) => PipelineAudits.shardPlan(s, d))
+    "q359_shard_plan" -> ((s, d) => PipelineAudits.shardPlan(s, d)),
+    // batch 39 (r19): the CBO lifecycle PERSISTED — ANALYZE artifacts
+    // rename-published once (StatsStore), the consumer registered
+    // from the stored bitmap with zero build-side scans
+    "q360_cbo_persisted" -> ((s, d) => Relational.cboPersisted(s, d)),
+    // the TTL dedup composed with the ingest sink: bounded state
+    // (genuine eviction + re-admission) feeding the per-batch-
+    // idempotent NDJSON sink — the production 100 TB ingest shape
+    "q361_stream_ingest_ttl" -> ((s, d) => streaming.StreamQueries.dedupTtlIngest(s, d)),
+    // the q359 manifest EXECUTED: one parquet file per shard, read
+    // back, round-trip conservation gated per shard
+    "q362_shard_write" -> ((s, d) => PipelineAudits.shardWrite(s, d)),
+    // the yield report ending where a curation run ends: gate 6 =
+    // decontamination (eval slice out, eval-hit spans redacted)
+    "q363_yield_v3" -> ((s, d) => PipelineAudits.yieldV3(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

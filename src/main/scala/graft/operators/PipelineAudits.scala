@@ -1558,7 +1558,7 @@ object PipelineAudits {
       minTok: Int = 50): DataFrame =
     yieldReport(spark, dir, minTok, withCutStage = false)
 
-  /** q354: the yield report v2 — q349's five gates plus the stage a
+  /** q353: the yield report v2 — q349's five gates plus the stage a
     * real curation run prices LAST: the ExactSubstr CUT (q351's
     * capped composition) applied WITHIN the fingerprint-survivor
     * corpus.  The cut drops no documents by itself — it removes the
@@ -1579,8 +1579,12 @@ object PipelineAudits {
       minTok: Int = 50): DataFrame =
     yieldReport(spark, dir, minTok, withCutStage = true)
 
-  private def yieldReport(spark: SparkSession, dir: String,
-      minTok: Int, withCutStage: Boolean): DataFrame = {
+  /** The shared gate 0-4 chain: (base frame, stage-4 survivors, the
+    * five-row report) — split out so v1/v2 (yieldReport) and v3
+    * (yieldV3) price the identical funnel.
+    */
+  private def yieldChain(spark: SparkSession, dir: String,
+      minTok: Int): (DataFrame, DataFrame, DataFrame) = {
     val base = Pins.eager(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
@@ -1604,6 +1608,28 @@ object PipelineAudits {
       .unionByName(m(2, s"len_ge_$minTok", s2))
       .unionByName(m(3, "exact_dedup", s3))
       .unionByName(m(4, "fingerprint_dedup", s4))
+    (base, s4, five)
+  }
+
+  /** Retention terminal shared by every yield version: doc/token
+    * fractions against the RAW gate, one broadcast of the 1-row raw
+    * masses.
+    */
+  private def withRetention(all: DataFrame, base: DataFrame): DataFrame = {
+    val raw = base.agg(count(lit(1)).as("raw_docs"),
+      sum(col("n_tok")).as("raw_tokens"))
+    all.crossJoin(broadcast(raw))
+      .select(col("stage"), col("gate"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("raw_docs").cast("double"))
+          .as("doc_retention"),
+        (col("n_tokens").cast("double") / col("raw_tokens").cast("double"))
+          .as("token_retention"))
+      .orderBy("stage")
+  }
+
+  private def yieldReport(spark: SparkSession, dir: String,
+      minTok: Int, withCutStage: Boolean): DataFrame = {
+    val (base, s4, five) = yieldChain(spark, dir, minTok)
     val all = if (!withCutStage) five else {
       // gate 5: the q351 capped cut within the stage-4 survivor corpus
       val survDocs = Tables.documents(spark, dir)
@@ -1620,15 +1646,79 @@ object PipelineAudits {
           col("n_docs"), col("n_tokens"))
       five.unionByName(s5)
     }
-    val raw = base.agg(count(lit(1)).as("raw_docs"),
-      sum(col("n_tok")).as("raw_tokens"))
-    all.crossJoin(broadcast(raw))
-      .select(col("stage"), col("gate"), col("n_docs"), col("n_tokens"),
-        (col("n_docs").cast("double") / col("raw_docs").cast("double"))
-          .as("doc_retention"),
-        (col("n_tokens").cast("double") / col("raw_tokens").cast("double"))
-          .as("token_retention"))
-      .orderBy("stage")
+    withRetention(all, base)
+  }
+
+  /** q363: the yield report v3 — the funnel a curation run actually
+    * signs off on, ENDING where the shipped-artifact decisions end:
+    * gate 5 (the q351 capped span cut, as in v2) and gate 6, the
+    * DECONTAMINATION a benchmark-honest training corpus prices last
+    * (the q358/q340 rule applied to the TRAINING side): the
+    * hash-designated eval slice leaves the training corpus entirely
+    * (it is the benchmark, not training data), and every remaining
+    * document is redacted where one of its 8-grams appears in the
+    * eval slice — gate 6's token mass is what is left to train on.
+    *
+    * Gate 5 here counts cut POSITIONS instead of rebuilding text
+    * (identical mass by construction: span positions always lie
+    * inside [0, n_tok), and the report never ships text) — pinned
+    * equal to v2's gate 5 in Batch28Spec.  Gate 6 cuts the UNION of
+    * the gate-5 spans and the eval-hit spans on the eval-free
+    * survivor corpus, so monotonicity extends through stage 6 by
+    * construction (fewer docs, a superset of cut positions each).
+    *
+    * 100 TB shape: gates 0-4 are the single-scan q349 discipline;
+    * gate 5 rides the df-capped anchors over the already-reduced
+    * survivor corpus; gate 6's hit test is a LEFT-SEMI on the gram
+    * key — fan-out ≤ 1 by definition (the q340 argument), the eval
+    * gram set is ~10%-of-corpus-sized, and the position union is a
+    * distinct on (doc, pos) — nothing all-pairs anywhere.
+    */
+  def yieldV3(spark: SparkSession, dir: String,
+      minTok: Int = 50): DataFrame = {
+    val (base, s4, five) = yieldChain(spark, dir, minTok)
+    val survDocs = Tables.documents(spark, dir)
+      .join(s4.select("doc_id"), "doc_id")
+      .select(col("doc_id"), col("text"))
+    val grams5 = Dedup.positionalGramsFrom(survDocs, 5)
+    val (kept5, _) = Dedup.cappedGramsAndAccounting(grams5, 16)
+    val cut5 = Dedup.exactSubstrSpansFrom(kept5, 5, 12)
+      .select(col("doc_b").as("doc_id"),
+        explode(sequence(col("pos_b").cast("long"),
+          col("pos_b").cast("long") + col("match_len") - 1L)).as("pos"))
+      .distinct()
+    val toks = survDocs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    def keptOf(cut: DataFrame, docs: DataFrame): DataFrame =
+      docs.join(cut.groupBy("doc_id").agg(count(lit(1)).as("n_cutpos")),
+          Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_cutpos"))
+        .select(col("doc_id"), (col("n_tok") - col("n_cutpos")).as("n_kept"))
+    def gate(stage: Int, name: String, kept: DataFrame): DataFrame =
+      kept.filter(col("n_kept") >= 1L)
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_kept")), lit(0L)).as("n_tokens"))
+        .select(lit(stage).as("stage"), lit(name).as("gate"),
+          col("n_docs"), col("n_tokens"))
+    val g5 = gate(5, "substr_cut", keptOf(cut5, toks))
+    // gate 6: the q358 designation — eval docs out, eval-hit spans cut
+    val isEval = pmod(graft.operators.TextAnalysis.hv60(
+      concat(lit("ev:"), col("doc_id").cast("string"))), lit(10L)) === 0L
+    val evalGrams = Dedup.positionalGramsFrom(
+        Tables.documents(spark, dir).filter(isEval)
+          .select(col("doc_id"), col("text")), 8)
+      .select("g").distinct()
+    val trainDocs = survDocs.filter(!isEval).select(col("doc_id"), col("text"))
+    val hit8 = Dedup.positionalGramsFrom(trainDocs, 8)
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos").cast("long"),
+          col("pos").cast("long") + lit(7L))).as("pos"))
+    val trainIds = trainDocs.select("doc_id")
+    val cut6 = cut5.join(trainIds, "doc_id")
+      .unionByName(hit8).distinct()
+    val g6 = gate(6, "decontam", keptOf(cut6, toks.join(trainIds, "doc_id")))
+    withRetention(five.unionByName(g5).unionByName(g6), base)
   }
 
   /** q350: the q345 mixture EXECUTED — turn each source's token quota
@@ -1696,7 +1786,23 @@ object PipelineAudits {
     * aggregate on shard id.
     */
   def shardPlan(spark: SparkSession, dir: String,
-      shardTokens: Long = 20000L): DataFrame = {
+      shardTokens: Long = 20000L): DataFrame =
+    shardAssignments(spark, dir, shardTokens)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / lit(shardTokens.toDouble))
+          .as("fill_frac"))
+      .orderBy("shard")
+
+  /** The per-document shard assignment q359 aggregates and q362
+    * writes: exact global token cumsum in the deterministic hash
+    * order via the two-pass range-partition recipe (local window per
+    * partition + a broadcast 32-row offset spine — NO document-sized
+    * single-partition window), then shard = ⌊(cum − tok) / S⌋.
+    */
+  private[graft] def shardAssignments(spark: SparkSession, dir: String,
+      shardTokens: Long): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("tok"),
       graft.operators.TextAnalysis.hv60(
@@ -1716,11 +1822,64 @@ object PipelineAudits {
     sorted.join(broadcast(offsets), Seq("pid"))
       .withColumn("cum", sum(col("tok")).over(wLocal) + col("off"))
       .withColumn("shard", expr(s"(cum - tok) div $shardTokens"))
+      .select(col("doc_id"), col("tok"), col("shard"))
+  }
+
+  /** q362: the shard plan EXECUTED — q359 emits the manifest; this
+    * writes it and proves the files are the manifest.  The assignment
+    * frame lands as one parquet file per shard (the q233
+    * one-file-per-partition discipline: `repartition(shard)` before
+    * `partitionBy(shard)`, so a 1000-executor run produces |shards|
+    * files, not |shards|×|tasks| slivers), is read BACK from disk,
+    * and the gate joins the read-back rollup against the manifest
+    * recomputed from source: per shard, doc count, token mass, and
+    * the doc-id sum must all round-trip exactly — the three match
+    * flags ship as data, and the output's n_docs/n_tokens/id_sum
+    * columns come from the FILES, so a lost row, a split document, or
+    * a shard written twice breaks the values as well as the flags.
+    *
+    * 100 TB shape: the write is token-budget-balanced BY CONSTRUCTION
+    * (every shard holds ~S tokens — the q359 start-offset rule), so
+    * file sizes are uniform regardless of document skew; the
+    * verification is two |shards|-key rollups and a broadcast-sized
+    * join.  The read-back scan prunes to the three written columns.
+    */
+  def shardWrite(spark: SparkSession, dir: String,
+      shardTokens: Long = 20000L): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shard-write")
+    val out = shardWriteTo(spark, dir, tmp.toString, shardTokens)
+    // the rollup is |shards|-row bounded; localize so the temp dir
+    // can be deleted NOW instead of leaking past the lazy read
+    val local = graft.util.Fs.localize(spark, out)
+    graft.util.Fs.deleteRecursively(tmp)
+    local
+  }
+
+  /** The write → read-back → gate body, split out so the spec can
+    * inspect the on-disk layout (one data file per shard directory)
+    * before cleanup.
+    */
+  private[graft] def shardWriteTo(spark: SparkSession, dir: String,
+      tmp: String, shardTokens: Long): DataFrame = {
+    val asg = Pins.eager(shardAssignments(spark, dir, shardTokens))
+    asg.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    val back = spark.read.parquet(tmp)
       .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
-      .select(col("shard"), col("n_docs"), col("n_tokens"),
-        (col("n_tokens").cast("double") / lit(shardTokens.toDouble))
-          .as("fill_frac"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        sum(col("doc_id")).as("id_sum"))
+    val manifest = asg.groupBy("shard")
+      .agg(count(lit(1)).as("m_docs"), sum(col("tok")).as("m_tokens"),
+        sum(col("doc_id")).as("m_ids"))
+    back.join(manifest, Seq("shard"))
+      // partition-column type inference reads `shard=N` back as INT;
+      // the manifest (and the oracle) carry BIGINT — pin the type
+      .select(col("shard").cast("long").as("shard"),
+        col("n_docs"), col("n_tokens"), col("id_sum"),
+        when(col("n_docs") === col("m_docs"), 1).otherwise(0).as("docs_match"),
+        when(col("n_tokens") === col("m_tokens"), 1).otherwise(0)
+          .as("tokens_match"),
+        when(col("id_sum") === col("m_ids"), 1).otherwise(0).as("ids_match"))
       .orderBy("shard")
   }
 

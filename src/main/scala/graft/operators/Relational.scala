@@ -1927,7 +1927,7 @@ object Relational {
       .as("s")).select(col("s.*")).orderBy("stat")
   }
 
-  /** Incremental stats maintenance (q355): q347 decides WHEN to
+  /** Incremental stats maintenance (q354): q347 decides WHEN to
     * refresh; this is the refresh itself for the MERGEABLE stats — the
     * q235 IVM pattern applied to the ANALYZE tier.  The stats store
     * keeps per-day-partition partials (q341's certified shapes:
@@ -2013,8 +2013,10 @@ object Relational {
     * aggregates the selective dim side's keys (BUILDING-segment
     * customers) into a bloom bitmap with Spark's own distributed
     * `graft_bloom_agg` (one bounded 1-row collect — the ANALYZE step
-    * of the q331→q348 lifecycle, persisted in [[graft.plans
-    * .BloomRegistry]]); the probe column is renamed to a per-call
+    * of the q331→q348 lifecycle; q360/[[graft.plans.StatsStore]] is
+    * the persisted form that amortizes this build across sessions,
+    * registered in [[graft.plans.BloomRegistry]]); the probe column
+    * is renamed to a per-call
     * UNIQUE name and registered, so the rule splices
     * `might_contain(bloom, key)` under the orders side of THIS join
     * and can never touch an unrelated plan.  The query's VALUE is
@@ -2304,7 +2306,8 @@ object Relational {
       floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
         .as("cents"))
     // the ANALYZE step: exact counts/NDVs, one bounded row (the q348
-    // estimate form; production reads the q338/q341 persisted stats)
+    // estimate form; production registers from the persisted q360
+    // store instead — StatsStore.registerJoinOrderFromStore)
     val st = cB.agg(count(lit(1)).as("nc"),
         countDistinct(col("c_custkey")).as("dc"))
       .crossJoin(broadcast(Tables.orders(spark, dir).agg(
@@ -2323,6 +2326,61 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Persisted-CBO consumer (q360): the lifecycle q356/q357's
+    * scaladocs promised, actually shipped — ONE ANALYZE publish
+    * ([[graft.plans.StatsStore]]: the q338 column stats, the q348
+    * chain stats, and the q339/q356 bloom bitmap, each a rename-
+    * published parquet artifact), then a consumer whose registration
+    * comes from the STORE: `registerBloomFromStore` reads the 1-row
+    * bitmap artifact on the driver and registers it — NO customer
+    * rescan, NO inline `graft_bloom_agg`, no aggregate of any kind on
+    * the registration path (Batch28Spec pins the consumer plan free
+    * of BloomFilterAggregate and proves a genuinely FRESH session
+    * reuses the stored bitmap).  The join itself is the q356 probe
+    * shape; the output differs (max_cents instead of sum) so the two
+    * registry entries stay independent oracles.
+    *
+    * The publish is priced INSIDE this query (the fixture has no
+    * cross-run store location) — production runs it on q347's drift
+    * schedule and every consumer afterwards pays only the artifact
+    * read.  Value identity is the oracle: the bloom has no false
+    * negatives, so the prefiltered join equals the plain join.
+    *
+    * 100 TB shape: publish = the ANALYZE scans q338/q348/q339 already
+    * price, paid once; consume = a KB-sized driver read + the same
+    * pre-shuffle pruning q356 measured (~4/5 of orders rows die
+    * before the exchange).  Optimizer state survives restarts the
+    * same way the reference's `startId` resume does (README.md:80-88).
+    */
+  def cboPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft-stats-store")
+    try {
+      graft.plans.StatsStore.publish(spark, dir, store.toString)
+      val probeName = "gbp_store_custkey_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      // the consumer path: registration material comes from the
+      // artifact alone (driver-side 1-row read)
+      require(graft.plans.StatsStore.registerBloomFromStore(
+        spark, store.toString, probeName), "bloom artifact present")
+      val build = Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = Tables.orders(spark, dir).select(
+        col("o_custkey").as(probeName), col("o_orderpriority"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("price_cents"))
+      o.join(build, col(probeName) === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("price_cents")).as("max_cents"))
+        .orderBy("o_orderpriority")
+    } finally
+      // the artifacts were consumed EAGERLY (driver-side head) during
+      // registration — nothing lazy references the store, so the temp
+      // dir can go now; a crash before this leaves only a temp dir
+      graft.util.Fs.deleteRecursively(store)
   }
 
   def equiDepthHist(spark: SparkSession, dir: String, k: Int = 16): DataFrame =

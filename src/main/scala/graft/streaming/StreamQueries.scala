@@ -475,7 +475,10 @@ object StreamQueries {
     *       and a dropped duplicate does NOT refresh the stored
     *       timestamp;
     *   (4) eviction runs at the END of batch b with the in-force
-    *       watermark: entries with stored_ts + D < M(b−1) − D go.
+    *       watermark: entries with stored_ts + D < M(b−1) − D go
+    *       (and the boundary is INCLUSIVE — stored + D == wm also
+    *       evicts, measured in q361's exact-second staging; this
+    *       staging's arbitrary-µs timestamps never hit it).
     *
     * Staging (D = 1h, T = global max event time, fresh(id) =
     * T − (id mod 3600) s — always inside the final hour):
@@ -529,6 +532,107 @@ object StreamQueries {
         .agg(count(lit(1)).as("n_emits"), sum(col("us")).as("us_sum"))
         .orderBy("event_id")
     } finally Seq(watch, stage).foreach(deleteRecursively)
+  }
+
+  /** q361: the TTL dedup COMPOSED with the ingest sink — q355 proved
+    * the `dropDuplicatesWithinWatermark` protocol in isolation; q230
+    * runs the production ingest through the UNBOUNDED fp store.  This
+    * is the third tier the two exist for: watermark-bounded dedup
+    * state feeding the per-batch-idempotent NDJSON sink through
+    * foreachBatch — the actual 100 TB ingest shape, where state size
+    * is a TIME HORIZON (delay × arrival rate) instead of growing with
+    * the corpus, and the price is re-admitting a duplicate that
+    * returns after the horizon (the documented trade).
+    *
+    * Staging (delay D = 60 s; ts(doc) = T0 + doc_id seconds,
+    * T0 = 1.7e9 epoch seconds; cut1 = (maxId+1)·3/5, cut0 = cut1/2 —
+    * the q230 replay cuts):
+    *   b1: ids [0, cut1) at original ts           → all admitted
+    *   b2: ids [cut0, maxId] at original ts — the [cut0, cut1) replay
+    *       finds b1's state ALIVE (eviction through b1 ran with the
+    *       zero-lagged watermark) → dropped; [cut1, maxId] admitted.
+    *       End-of-b2 eviction runs with the in-force watermark
+    *       M(1) − D, and the boundary is INCLUSIVE (measured:
+    *       stored + D == wm evicts): ids ≤ E := cut1 − 1 − 2D leave
+    *       the state store.
+    *   b3: ids ≡ 0 (mod 7) in [0, cut1) RETURN at a fresh ts
+    *       (T0 + maxId + 1 + id mod 60 — never late vs M(1) − D):
+    *       ids ≤ E were evicted → RE-ADMITTED (written twice, the TTL
+    *       trade made visible); ids in (E, cut1) still in state →
+    *       dropped.
+    * Every fact above is the MEASURED q355 protocol (probed before
+    * the oracle; pinned in StreamProgressSpec), not an assumption.
+    *
+    * The sink is the q230 NdjsonDirSink: each batch's admitted rows
+    * land in their own `batch=N` subdirectory (replay-idempotent);
+    * the gate reads the sink output back and folds per document —
+    * a duplicate leaking past live state, a re-admission missing, or
+    * a batch lost by the sink all break the hash.
+    *
+    * 100 TB shape: dedup state is bounded by the watermark horizon
+    * (numRowsRemoved > 0 and decreasing numRowsTotal pinned in
+    * StreamProgressSpec); the sink write is the q230 chunked
+    * idempotent form; nothing here scales with corpus size except the
+    * throughput itself.
+    */
+  def dedupTtlIngest(spark: SparkSession, dir: String,
+                     inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import java.nio.file.Files
+    val t0us = 1700000000000000L
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut1 = (maxId + 1) * 3 / 5
+    val cut0 = cut1 / 2
+    val origTs = timestamp_micros(lit(t0us) + col("doc_id") * lit(1000000L))
+    val freshTs = timestamp_micros(lit(t0us) +
+      (lit(maxId + 1L) + pmod(col("doc_id"), lit(60L))) * lit(1000000L))
+    def staged(f: org.apache.spark.sql.Column, ts: org.apache.spark.sql.Column) =
+      docs.filter(f).select(
+        format_string("%08d", col("doc_id")).as("id"),
+        col("source").as("owner"), ts.as("ts"))
+    val b1 = staged(col("doc_id") < cut1, origTs)
+    val b2 = staged(col("doc_id") >= cut0, origTs)
+    val b3 = staged(pmod(col("doc_id"), lit(7L)) === 0L &&
+      col("doc_id") < cut1, freshTs)
+    val (watch, stage) = stageFrames(Seq(b1, b2, b3), "ttlingest")
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("owner", StringType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val outDir = Files.createTempDirectory("graft-ttlingest-out")
+    val ckptDir = Files.createTempDirectory("graft-ttlingest-ckpt")
+    val sink = new graft.sinks.NdjsonDirSink(outDir.toString, chunkSize = 100)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q =
+      try {
+        spark.conf.set(key, "8")
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .withWatermark("ts", "60 seconds")
+          .dropDuplicatesWithinWatermark("id")
+          .select(col("id"), col("owner"), unix_micros(col("ts")).as("us_admit"))
+          .writeStream
+          .option("checkpointLocation", ckptDir.toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val pinned = batch.persist()
+            try { if (!pinned.isEmpty) { sink.writeBatch(pinned, batchId); () } }
+            finally { pinned.unpersist(); () }
+          }
+          .start()
+      } finally spark.conf.set(key, prev)
+    try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    Seq(watch, stage, ckptDir).foreach(deleteRecursively)
+    graft.util.Fs.deleteOnExit(outDir)
+    val outSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("owner", StringType),
+      StructField("us_admit", org.apache.spark.sql.types.LongType)))
+    spark.read.schema(outSchema).json(s"$outDir/batch=*")
+      .groupBy(col("id").cast("long").as("doc_id"))
+      .agg(count(lit(1)).as("n_writes"), sum(col("us_admit")).as("us_sum"))
+      .orderBy("doc_id")
   }
 
   /** q336: streaming HLL register maintenance, gated — the incremental

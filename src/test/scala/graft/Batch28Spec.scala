@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch 39 (q360-q363): the persisted CBO lifecycle, the TTL-dedup
+  * ingest composition (progress pins live in StreamProgressSpec), the
+  * shard plan executed, and the yield report's decontamination gate —
+  * plus the explicit AQE pin for the two injected enforcement rules.
+  */
+class Batch28Spec extends SparkSuite {
+
+  private def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val self = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: nodes(q.plan)
+      case _ => Seq(p)
+    }
+    self ++ p.children.flatMap(nodes) ++ p.subqueries.flatMap(nodes)
+  }
+
+  private def hasBloomFilter(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+    p match {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain])
+      case _ => false
+    }
+
+  /** The lifecycle claim, proven end to end: publish the ANALYZE
+    * artifacts once, then a genuinely FRESH session registers from
+    * the STORE and its consumer plan (a) carries the pre-shuffle
+    * might_contain filter, (b) contains NO bloom build — no
+    * BloomFilterAggregate, no second customer scan — and (c) returns
+    * the plain join's values.  The join-order artifact registers from
+    * the same store and provably reorders the fresh session's chain.
+    */
+  test("q360 store lifecycle: a COLD session reuses the persisted bitmap — zero build-side scans in the consumer plan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val store = java.nio.file.Files.createTempDirectory("graft-spec-store")
+    try {
+      graft.plans.StatsStore.publish(spark, sf, store.toString)
+      val fresh = spark.newSession()
+      fresh.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // --- bloom artifact: consumer registered with NO dim scan
+      val probe = "gbp_spec_cold_store"
+      assert(graft.plans.StatsStore.registerBloomFromStore(
+        fresh, store.toString, probe), "bloom artifact present and non-null")
+      val build = Tables.customer(fresh, sf)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val df = Tables.orders(fresh, sf)
+        .select(col("o_custkey").as(probe), col("o_orderpriority"))
+        .join(build, col(probe) === col("c_custkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+      val rows = df.collect()
+      val all = nodes(df.queryExecution.executedPlan)
+      assert(all.exists(hasBloomFilter),
+        "the stored bitmap reached the fresh session's physical plan")
+      assert(all.collect { case e: ShuffleExchangeLike => e }
+          .exists(e => nodes(e.child).exists(hasBloomFilter)),
+        "pre-shuffle: the filter sits below an exchange")
+      assert(!all.exists(_.expressions.exists(_.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate => true
+          case _ => false
+        })), "no inline bloom BUILD anywhere in the consumer plan")
+      val customerScans = all.count(p =>
+        p.nodeName.contains("Scan") && p.toString.contains("customer"))
+      assert(customerScans == 1,
+        s"exactly the join's own customer scan, got $customerScans")
+      val plain = Tables.orders(spark, sf)
+        .join(Tables.customer(spark, sf)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        plain.map(r => (r.getString(0), r.getLong(1))).toSeq,
+        "the persisted prefilter is value-invisible")
+      // --- join-order artifact: decision re-derived from the store
+      val marker = "gjo_spec_cold_store"
+      val decision = graft.plans.StatsStore.registerJoinOrderFromStore(
+        fresh, store.toString, marker)
+      assert(decision.contains(true),
+        "the stored chain stats say: customer join first")
+      val chain = Tables.orders(fresh, sf)
+        .select(col("o_orderkey"), col("o_custkey").as(marker),
+          col("o_orderpriority"))
+        .join(Tables.lineitem(fresh, sf).select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(build, col(marker) === col("c_custkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      chain.collect()
+      val js = nodes(chain.queryExecution.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+      val markerJoin = js.filter(j => (j.leftKeys ++ j.rightKeys)
+        .exists(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }.contains(marker)))
+      assert(markerJoin.length == 1)
+      assert(js.filterNot(_ eq markerJoin.head)
+          .exists(oj => nodes(oj).exists(_ eq markerJoin.head)),
+        "the STORED decision pulled the customer join innermost in the fresh session")
+    } finally {
+      graft.plans.BloomRegistry.clear()
+      graft.plans.JoinOrderRegistry.clear()
+      graft.util.Fs.deleteRecursively(store)
+    }
+  }
+
+  test("q360 registered query: consumer plan carries the filter and never rebuilds the bloom") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.Relational.cboPersisted(spark, sf)
+      df.collect()
+      val all = nodes(df.queryExecution.executedPlan)
+      assert(all.exists(hasBloomFilter), "stored bitmap enforced in the plan")
+      assert(!all.exists(_.expressions.exists(_.exists {
+          case _: org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate => true
+          case _ => false
+        })), "the ANALYZE ran at publish time, not in the consumer plan")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("q356/q357 enforcement survives EXPLICIT AQE re-planning, values exact") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bj = graft.operators.Relational.bloomPrefilteredJoin(spark, sf)
+      val bRows = bj.collect()
+      val bPlan = bj.queryExecution.executedPlan
+      assert(bPlan.isInstanceOf[
+          org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
+        "the pin really runs under AQE")
+      assert(nodes(bPlan).exists(hasBloomFilter),
+        "the spliced prefilter survives AQE's runtime re-planning")
+      assert(bRows.map(_.getLong(1)).sum ==
+        Tables.orders(spark, sf).join(
+            Tables.customer(spark, sf)
+              .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+            col("o_custkey") === col("c_custkey")).count(),
+        "AQE re-planning never costs a row")
+      val jo = graft.operators.Relational.joinOrderEnforced(spark, sf)
+      jo.collect()
+      val js = nodes(jo.queryExecution.executedPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+      val markerJoin = js.filter(j => (j.leftKeys ++ j.rightKeys)
+        .exists(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }.exists(_.startsWith("gjo_custkey_"))))
+      assert(markerJoin.length == 1 &&
+        js.filterNot(_ eq markerJoin.head)
+          .exists(oj => nodes(oj).exists(_ eq markerJoin.head)),
+        "the reassociated order survives AQE re-planning")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  test("q362 shard write: ONE data file per shard directory; flags honest; masses round-trip") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-spec-shards")
+    try {
+      val rows = graft.operators.PipelineAudits
+        .shardWriteTo(spark, sf, tmp.toString, 20000L).collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r =>
+        r.getInt(4) == 1 && r.getInt(5) == 1 && r.getInt(6) == 1),
+        "doc/token/id-sum all round-trip per shard")
+      // the one-file-per-partition discipline actually held on disk
+      val shardDirs = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      assert(shardDirs.length == rows.length,
+        s"one directory per shard: ${shardDirs.length} vs ${rows.length}")
+      for (d <- shardDirs) {
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(parts.length == 1,
+          s"${d.getName} has ${parts.length} data files; the repartition(shard) discipline demands 1")
+      }
+      // conservation against the source corpus
+      val total = Tables.documents(spark, sf)
+        .select(size(graft.functions.TextFunctions.tokens(col("text")))
+          .cast("long").as("tok"))
+        .agg(sum(col("tok")), count(lit(1))).head()
+      assert(rows.map(_.getLong(2)).sum == total.getLong(0),
+        "every token written exactly once")
+      assert(rows.map(_.getLong(1)).sum == total.getLong(1),
+        "every document written exactly once")
+    } finally graft.util.Fs.deleteRecursively(tmp)
+  }
+
+  test("q363 yield v3: extends v2 verbatim through gate 5; monotone; decontam gate bites") {
+    val v3 = graft.operators.PipelineAudits.yieldV3(spark, sf).collect()
+    assert(v3.length == 7, "seven gates: raw through decontam")
+    assert(v3.map(_.getInt(0)).toSeq == (0 to 6), "stages contiguous")
+    assert(v3.last.getString(1) == "decontam")
+    val docs = v3.map(_.getLong(2))
+    val toks = v3.map(_.getLong(3))
+    assert(docs.zip(docs.tail).forall { case (a, b) => b <= a },
+      "doc counts monotone non-increasing through the decontam gate")
+    assert(toks.zip(toks.tail).forall { case (a, b) => b <= a },
+      "token mass monotone non-increasing through the decontam gate")
+    assert(toks.last > 0L, "a training corpus remains after decontamination")
+    assert(toks(6) < toks(5),
+      "gate 6 genuinely bites (eval docs leave and hit spans cut)")
+    // the position-count gate 5 equals v2's rebuild-based gate 5 —
+    // and gates 0-5 are exactly the v2 report
+    val v2 = graft.operators.PipelineAudits.yieldV2(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(v3.take(6).map(r =>
+      (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq ==
+      v2.toSeq, "v3 extends v2 without disturbing it (incl. the counted gate 5)")
+  }
+}

@@ -259,6 +259,59 @@ class StreamProgressSpec extends SparkSuite {
     assert(rows.length == nB1 + nB2New, "every admitted id appears exactly once in the audit")
   }
 
+  test("q361 TTL ingest: bounded state across the replay (eviction bites), re-admits written twice, sink complete") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut1 = (maxId + 1) * 3 / 5
+    // evicted at end of b2: stored ts + D <= max(b1) − D — the
+    // boundary is INCLUSIVE (measured here: the id whose expiry
+    // equals the watermark is removed), so ids 0..cut1−121 go
+    val e = cut1 - 121
+    val nEvict = e + 1
+    val nB1 = docs.filter(col("doc_id") < cut1).count()
+    val nB2New = docs.filter(col("doc_id") >= cut1).count()
+    val nReadmit = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L &&
+      col("doc_id") <= e).count()
+    assert(e % 7 != 0,
+      "staging guard: the eviction-boundary id must stay out of the mod-7 returner set")
+    assert(nReadmit > 0, "the staging makes TTL re-admission genuinely bite")
+    var rows: Array[org.apache.spark.sql.Row] = Array.empty
+    val (_, progs) = capture { inspect =>
+      val df = StreamQueries.dedupTtlIngest(spark, sf, inspect)
+      rows = df.collect()
+      df
+    }
+    val batches = dataBatches(progs)
+    assert(batches.length == 3, s"three staged batches, got ${batches.length}")
+    val ops = finalState(progs)
+    assert(ops.length == 1 && ops.head.operatorName.toLowerCase.contains("dedupe"),
+      s"the TTL dedup is the only stateful operator, got ${ops.map(_.operatorName)}")
+    val st = batches.map(_.stateOperators.head)
+    assert(st(0).numRowsUpdated == nB1, "b1 admits everything")
+    assert(st(1).numRowsUpdated == nB2New,
+      "b2 admits only the fresh span — the replay finds live state")
+    assert(st(2).numRowsUpdated == nReadmit,
+      s"b3 re-admits exactly the evicted returners: ${st(2).numRowsUpdated} vs $nReadmit")
+    // THE production claim: state is a time horizon, not the corpus —
+    // eviction removes the pre-horizon ids at the end of b2, so state
+    // stays strictly below the distinct-id count for the rest of the run
+    assert(st(1).numRowsRemoved > 0L, "eviction actually bit in batch 2")
+    assert(st(1).numRowsRemoved == nEvict,
+      s"evicted exactly ids 0..cut1−121 (inclusive boundary): ${st(1).numRowsRemoved} vs $nEvict")
+    assert(st(1).numRowsTotal == (cut1 - nEvict) + nB2New,
+      "post-eviction state = surviving b1 span + b2 admissions")
+    assert(st(1).numRowsTotal < maxId + 1,
+      "state stays strictly below the corpus' distinct-id count")
+    assert(st.forall(_.numRowsDroppedByWatermark == 0L),
+      "this staging never produces late rows — drops would mean the protocol moved")
+    // the SINK composed: every id written once by b1/b2, the
+    // re-admitted returners exactly twice (the TTL trade as data)
+    assert(rows.length == maxId + 1, "every document reached the sink")
+    assert(rows.count(_.getLong(1) == 2L) == nReadmit,
+      "double-written ids == the evicted mod-7 returners")
+    assert(rows.forall(r => r.getLong(1) == 1L || r.getLong(1) == 2L))
+  }
+
   test("q346 left outer join: one join operator; nulls only at/below the MIN watermark; inner set untouched") {
     val (n, progs) = capture(StreamQueries.leftJoinedPairs(spark, sf, _))
     assert(n > 0)
