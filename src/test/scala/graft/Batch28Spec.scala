@@ -197,6 +197,62 @@ class Batch28Spec extends SparkSuite {
     } finally graft.util.Fs.deleteRecursively(tmp)
   }
 
+  test("registry LRU bound: 64-entry cap evicts the eldest, never grows unbounded") {
+    graft.plans.BloomRegistry.clear()
+    try {
+      val bytes = Array[Byte](1, 2, 3)
+      for (i <- 1 to 80) graft.plans.BloomRegistry.register(s"gbp_lru_$i", bytes)
+      assert(graft.plans.BloomRegistry.lookup("gbp_lru_1").isEmpty &&
+        graft.plans.BloomRegistry.lookup("gbp_lru_16").isEmpty,
+        "the eldest registrations were evicted")
+      assert(graft.plans.BloomRegistry.lookup("gbp_lru_17").isDefined &&
+        graft.plans.BloomRegistry.lookup("gbp_lru_80").isDefined,
+        "the newest 64 survive")
+      graft.plans.BloomRegistry.unregister("gbp_lru_80")
+      assert(graft.plans.BloomRegistry.lookup("gbp_lru_80").isEmpty,
+        "explicit unregister removes the entry")
+      graft.plans.JoinOrderRegistry.clear()
+      for (i <- 1 to 80)
+        graft.plans.JoinOrderRegistry.register(s"gjo_lru_$i", innerFirst = true)
+      assert(graft.plans.JoinOrderRegistry.lookup("gjo_lru_1").isEmpty &&
+        graft.plans.JoinOrderRegistry.lookup("gjo_lru_80").isDefined,
+        "the join-order registry carries the same bound")
+    } finally {
+      graft.plans.BloomRegistry.clear()
+      graft.plans.JoinOrderRegistry.clear()
+    }
+  }
+
+  test("StatsStore publish is none-or-all: hidden tmp leftovers invisible, republish atomic-replaces") {
+    val store = java.nio.file.Files.createTempDirectory("graft-spec-store-crash")
+    try {
+      graft.plans.StatsStore.publish(spark, sf, store.toString)
+      // a crashed LATER publish leaves only a hidden .tmp-* dir; the
+      // committed artifact must stay readable and untouched
+      val tmpLeftover = new java.io.File(store.toFile, ".tmp-bloom_custkey")
+      tmpLeftover.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(tmpLeftover, "garbage.parquet").toPath,
+        Array[Byte](0, 1, 2))
+      assert(graft.plans.StatsStore.registerBloomFromStore(
+        spark, store.toString, "gbp_spec_crash_probe"),
+        "the committed artifact reads through a crashed republish's leftovers")
+      graft.plans.BloomRegistry.unregister("gbp_spec_crash_probe")
+      // a full republish atomically replaces every artifact (rename
+      // over the old dir) and the store stays consistent
+      graft.plans.StatsStore.publish(spark, sf, store.toString)
+      val cs = graft.plans.StatsStore.readColumnStats(spark, store.toString)
+      assert(cs.count() == 4, "column_stats artifact re-published whole")
+      assert(graft.plans.StatsStore.registerJoinOrderFromStore(
+        spark, store.toString, "gjo_spec_crash_probe").contains(true))
+      graft.plans.JoinOrderRegistry.unregister("gjo_spec_crash_probe")
+    } finally {
+      graft.util.Fs.deleteRecursively(store)
+      graft.plans.BloomRegistry.clear()
+      graft.plans.JoinOrderRegistry.clear()
+    }
+  }
+
   test("q363 yield v3: extends v2 verbatim through gate 5; monotone; decontam gate bites") {
     val v3 = graft.operators.PipelineAudits.yieldV3(spark, sf).collect()
     assert(v3.length == 7, "seven gates: raw through decontam")
