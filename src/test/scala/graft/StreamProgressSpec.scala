@@ -416,6 +416,105 @@ class StreamProgressSpec extends SparkSuite {
       .foreach(graft.util.Fs.deleteRecursively)
   }
 
+  test("restart from checkpoint: TTL ingest resumes — recovered state + idempotent sink give exactly-once output") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.{StringType, StructField, StructType, TimestampType}
+    val t0us = 1700000000000000L
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut1 = (maxId + 1) * 3 / 5
+    val cut0 = cut1 / 2
+    val nReadmit = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L &&
+      col("doc_id") <= cut1 - 121).count()
+    val origTs = timestamp_micros(lit(t0us) + col("doc_id") * lit(1000000L))
+    val freshTs = timestamp_micros(lit(t0us) +
+      (lit(maxId + 1L) + pmod(col("doc_id"), lit(60L))) * lit(1000000L))
+    def staged(f: org.apache.spark.sql.Column, ts: org.apache.spark.sql.Column) =
+      docs.filter(f).select(
+        format_string("%08d", col("doc_id")).as("id"),
+        col("source").as("owner"), ts.as("ts"))
+    val watch = Files.createTempDirectory("graft-ttlingres-src")
+    val stagedDir = Files.createTempDirectory("graft-ttlingres-stage")
+    val ckpt = Files.createTempDirectory("graft-ttlingres-ckpt")
+    val out = Files.createTempDirectory("graft-ttlingres-out")
+    val sink = new graft.sinks.NdjsonDirSink(out.toString, chunkSize = 100)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("owner", StringType),
+      StructField("ts", TimestampType)))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String, t: Long): Unit = {
+      val part = s"$stagedDir/$name"
+      df.coalesce(1).write.parquet(part)
+      val dst = watch.resolve(s"$name.parquet")
+      Files.copy(graft.util.Fs.onlyPartFile(part), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    }
+    // Measured protocol fact (this test found it): after the data
+    // batches drain, Spark runs a NO-DATA micro-batch that finalizes
+    // eviction with the one-batch-later watermark (M(2) − D here) —
+    // an idle-then-stopped stream therefore evicts MORE than a stream
+    // stopped mid-flow, and every returner would re-admit (43, not
+    // 26), making recovered-state and reset-state indistinguishable.
+    // Disabling no-data batches keeps the stop surgical (state as of
+    // the end of batch b's own commit), which is what "stop between
+    // batches 2 and 3" means; the extra idle eviction is just the TTL
+    // horizon advancing, not a recovery defect.
+    def run(): Seq[StreamingQueryProgress] = {
+      val key = "spark.sql.shuffle.partitions"
+      val nd = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prev = spark.conf.get(key)
+      val prevNd = spark.conf.get(nd)
+      try {
+        spark.conf.set(key, "8")
+        spark.conf.set(nd, "false")
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .withWatermark("ts", "60 seconds")
+          .dropDuplicatesWithinWatermark("id")
+          .select(col("id"), col("owner"), unix_micros(col("ts")).as("us_admit"))
+          .writeStream
+          .option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val pinned = batch.persist()
+            try { if (!pinned.isEmpty) { sink.writeBatch(pinned, batchId); () } }
+            finally { pinned.unpersist(); () }
+          }
+          .start()
+        try { q.processAllAvailable(); q.recentProgress.toSeq } finally q.stop()
+      } finally { spark.conf.set(key, prev); spark.conf.set(nd, prevNd) }
+    }
+    try {
+      drop(staged(col("doc_id") < cut1, origTs), "a", 1700000000000L)
+      drop(staged(col("doc_id") >= cut0, origTs), "b", 1700000001000L)
+      val p1 = run()
+      assert(dataBatches(p1).length == 2, "phase 1 runs batches 1-2")
+      // stopped between micro-batches; the returners arrive, FRESH query
+      drop(staged(pmod(col("doc_id"), lit(7L)) === 0L &&
+        col("doc_id") < cut1, freshTs), "c", 1700000002000L)
+      val p2 = run()
+      val db2 = dataBatches(p2)
+      assert(db2.length == 1,
+        "the restarted query reads ONLY file c — files a/b are committed in the offset log")
+      val st = db2.head.stateOperators.head
+      assert(st.numRowsUpdated == nReadmit,
+        "the RECOVERED state admits exactly the evicted returners — " +
+          s"${st.numRowsUpdated} vs $nReadmit (a reset store would re-admit every returner)")
+      // the resumed SINK content equals the continuous composed run
+      val outSchema = StructType(Seq(
+        StructField("id", StringType), StructField("owner", StringType),
+        StructField("us_admit", org.apache.spark.sql.types.LongType)))
+      val got = spark.read.schema(outSchema).json(s"$out/batch=*")
+        .groupBy(col("id").cast("long").as("doc_id"))
+        .agg(count(lit(1)).as("n_writes"), sum(col("us_admit")).as("us_sum"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = StreamQueries.dedupTtlIngest(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect,
+        "restart-resumed sink output matches the continuous composed run id-for-id")
+    } finally Seq(watch, stagedDir, ckpt, out)
+      .foreach(graft.util.Fs.deleteRecursively)
+  }
+
   /** max event-time micros of the batch-1 slice (ids ≡ 0 mod 3) — the
     * q355 protocol's M(1), shared by the restart pin's recounts.
     */
