@@ -92,8 +92,8 @@ object StatsStore {
     */
   def registerBloomFromStore(spark: SparkSession, storeDir: String,
       probeName: String): Boolean = {
-    val rows = spark.read.parquet(s"$storeDir/bloom_custkey")
-      .select(col("bits")).head(1)
+    val rows = readArtifact(spark, s"$storeDir/bloom_custkey")
+      .map(_.select(col("bits")).head(1)).getOrElse(Array.empty)
     val bits = rows.headOption.map(_.getAs[Array[Byte]](0)).orNull
     if (bits == null) false
     else { BloomRegistry.register(probeName, bits); true }
@@ -109,8 +109,9 @@ object StatsStore {
     */
   def registerJoinOrderFromStore(spark: SparkSession, storeDir: String,
       markerName: String): Option[Boolean] = {
-    val rows = spark.read.parquet(s"$storeDir/join_stats")
-      .filter(col("chain") === "customerB_orders_lineitem").head(1)
+    val rows = readArtifact(spark, s"$storeDir/join_stats")
+      .map(_.filter(col("chain") === "customerB_orders_lineitem").head(1))
+      .getOrElse(Array.empty)
     rows.headOption.map { st =>
       val estCO = st.getLong(1).toDouble * st.getLong(3).toDouble /
         math.max(st.getLong(2), st.getLong(4)).toDouble
@@ -128,6 +129,19 @@ object StatsStore {
     */
   def readColumnStats(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(s"$storeDir/column_stats")
+
+  /** An artifact directory as a frame, or None when it was never
+    * published — a missing artifact is a NO-DECISION (the consumer
+    * runs unoptimized, still correct), never an exception, matching
+    * the register methods' contracts.
+    */
+  private def readArtifact(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+  }
 
   /** None-or-all artifact publish: write to a hidden temp dir, then
     * one FileSystem.rename (the q230/q336 store discipline).  A

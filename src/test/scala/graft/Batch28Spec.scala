@@ -226,6 +226,11 @@ class Batch28Spec extends SparkSuite {
   test("StatsStore publish is none-or-all: hidden tmp leftovers invisible, republish atomic-replaces") {
     val store = java.nio.file.Files.createTempDirectory("graft-spec-store-crash")
     try {
+      // an unpublished store is a NO-DECISION, never an exception
+      assert(!graft.plans.StatsStore.registerBloomFromStore(
+        spark, store.toString, "gbp_spec_absent"))
+      assert(graft.plans.StatsStore.registerJoinOrderFromStore(
+        spark, store.toString, "gjo_spec_absent").isEmpty)
       graft.plans.StatsStore.publish(spark, sf, store.toString)
       // a crashed LATER publish leaves only a hidden .tmp-* dir; the
       // committed artifact must stay readable and untouched
@@ -251,6 +256,27 @@ class Batch28Spec extends SparkSuite {
       graft.plans.BloomRegistry.clear()
       graft.plans.JoinOrderRegistry.clear()
     }
+  }
+
+  test("q363 plan shape: hit test stays a LEFT-SEMI, no all-pairs, chain windows keyed") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.PipelineAudits.yieldV3(spark, sf)
+      df.collect()
+      val all = nodes(df.queryExecution.executedPlan)
+      assert(!all.exists(_.nodeName.contains("CartesianProduct")),
+        "nothing all-pairs anywhere in the seven-gate report")
+      val semis = all.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j }
+      assert(semis.nonEmpty,
+        "the eval hit test is a LEFT-SEMI on the gram key (fan-out <= 1 by construction)")
+      val ws = all.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      assert(ws.forall(_.partitionSpec.nonEmpty),
+        "span-chain windows keyed by (doc_a, doc_b, diag), never global")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
   test("q363 yield v3: extends v2 verbatim through gate 5; monotone; decontam gate bites") {
