@@ -258,6 +258,50 @@ class Batch28Spec extends SparkSuite {
     }
   }
 
+  test("one publish, many consumers: two registrations off one store, both plans filtered; stored column stats == fresh ANALYZE") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val store = java.nio.file.Files.createTempDirectory("graft-spec-store-amort")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.plans.StatsStore.publish(spark, sf, store.toString)
+      // the SAME artifact serves any number of independent consumers —
+      // that is what "ONE build amortized" means
+      def consumer(probe: String): org.apache.spark.sql.DataFrame = {
+        assert(graft.plans.StatsStore.registerBloomFromStore(
+          spark, store.toString, probe))
+        val build = Tables.customer(spark, sf)
+          .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        Tables.orders(spark, sf)
+          .select(col("o_custkey").as(probe), col("o_orderpriority"))
+          .join(build, col(probe) === col("c_custkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      }
+      for (probe <- Seq("gbp_amort_a", "gbp_amort_b")) {
+        val df = consumer(probe)
+        df.collect()
+        val all = nodes(df.queryExecution.executedPlan)
+        assert(all.exists(hasBloomFilter),
+          s"consumer $probe rides the shared stored bitmap")
+        assert(all.collect { case e: ShuffleExchangeLike => e }
+            .exists(e => nodes(e.child).exists(hasBloomFilter)),
+          s"consumer $probe prunes pre-shuffle")
+      }
+      // the non-enforcement consumers' claim: the stored q338 frame IS
+      // the ANALYZE — value-identical to running it fresh
+      val stored = graft.plans.StatsStore
+        .readColumnStats(spark, store.toString)
+        .orderBy("col_name").collect().map(_.toSeq).toSeq
+      val fresh = graft.operators.Relational.multiColStats(spark, sf)
+        .orderBy("col_name").collect().map(_.toSeq).toSeq
+      assert(stored == fresh,
+        "readColumnStats replays the q338 ANALYZE bit-for-bit — q335/q342-style consumers never rescan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      graft.plans.BloomRegistry.clear()
+      graft.util.Fs.deleteRecursively(store)
+    }
+  }
+
   test("q363 plan shape: hit test stays a LEFT-SEMI, no all-pairs, chain windows keyed") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
