@@ -1687,8 +1687,11 @@ object PipelineAudits {
         explode(sequence(col("pos_b").cast("long"),
           col("pos_b").cast("long") + col("match_len") - 1L)).as("pos"))
       .distinct()
-    val toks = survDocs.select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tok"))
+    // the survivor frame already carries n_tok from the PINNED base —
+    // reusing it saves a whole corpus scan + tokenizer pass vs
+    // re-deriving from text (the v2 cut path must re-tokenize because
+    // it rebuilds text; this report never ships text)
+    val toks = s4.select(col("doc_id"), col("n_tok"))
     def keptOf(cut: DataFrame, docs: DataFrame): DataFrame =
       docs.join(cut.groupBy("doc_id").agg(count(lit(1)).as("n_cutpos")),
           Seq("doc_id"), "left")
