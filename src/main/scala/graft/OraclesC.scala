@@ -4479,6 +4479,94 @@ private[graft] trait OraclesC extends OracleHelpers {
          |  CAST(n_docs AS DOUBLE) / CAST(raw_docs AS DOUBLE) AS doc_retention,
          |  CAST(n_tokens AS DOUBLE) / CAST(raw_tokens AS DOUBLE) AS token_retention
          |FROM z CROSS JOIN raw ORDER BY stage""".stripMargin
+    },
+    // q364: the stored histogram is the q331 build verbatim, so the
+    // estimates equal q335's — the declarative ntile replay IS the
+    // oracle; the store lifecycle is plan-pinned in Batch28Spec,
+    "q364_hist_persisted" ->
+      """WITH c AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem),
+        |t AS (SELECT v, CAST(ntile(16) OVER
+        |    (ORDER BY v, l_orderkey, l_linenumber) AS INTEGER) AS bucket
+        |  FROM c),
+        |h AS (SELECT bucket, min(v) AS lo_cents, max(v) AS hi_cents,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM t GROUP BY bucket),
+        |p AS (SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), CAST(100000 AS BIGINT), CAST(1000000 AS BIGINT)),
+        |    (2, 0, 20000000), (3, 4000000, 6000000), (4, 9000000, 10500000),
+        |    (5, 1, 50000), (6, 2500000, 2500099)) AS vv(pred_id, p_lo, p_hi)),
+        |ctr AS (SELECT p.pred_id, p.p_lo, p.p_hi, h.bucket,
+        |    CAST(greatest(0, least(hi_cents, p_hi) - greatest(lo_cents, p_lo)
+        |        + 1) AS DOUBLE)
+        |      / CAST(hi_cents - lo_cents + 1 AS DOUBLE)
+        |      * CAST(n_rows AS DOUBLE) AS c
+        |  FROM h CROSS JOIN p),
+        |e AS (SELECT pred_id, p_lo, p_hi,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(c ORDER BY bucket)), (a, b) -> a + b) AS est_rows
+        |  FROM ctr GROUP BY pred_id, p_lo, p_hi),
+        |a AS (SELECT pred_id, CAST(count(*) AS BIGINT) AS actual_rows
+        |  FROM c JOIN p ON v >= p_lo AND v <= p_hi GROUP BY pred_id)
+        |SELECT e.pred_id, p_lo AS lo_cents, p_hi AS hi_cents, est_rows,
+        |  coalesce(actual_rows, 0) AS actual_rows,
+        |  abs(est_rows - CAST(coalesce(actual_rows, 0) AS DOUBLE)) AS abs_err
+        |FROM e LEFT JOIN a USING (pred_id)
+        |ORDER BY e.pred_id""".stripMargin,
+    // q365: kept = NOT forget through the FK chain; kept + cascade
+    // must rebuild the pre-deletion books exactly — counts in exact
+    // BIGINTs, revenue in exact DECIMAL(18,4) before the terminal
+    // cast; output rows keyed by nations with >= 1 kept customer
+    // (mirrors the Spark kept-side rollup base),
+    "q365_erasure_exec" -> {
+      def roll(tag: String, filt: String) =
+        s"""roll_$tag AS (SELECT c_nationkey,
+           |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ${tag}_orders,
+           |    CAST(count(l_orderkey) AS BIGINT) AS ${tag}_lines,
+           |    coalesce(sum(rev), CAST(0 AS DECIMAL(18,4))) AS ${tag}_rev
+           |  FROM cu JOIN orders ON c_custkey = o_custkey
+           |  LEFT JOIN li ON o_orderkey = l_orderkey
+           |  $filt GROUP BY 1)""".stripMargin
+      s"""WITH cu AS (SELECT c_custkey, c_nationkey,
+         |    (${hv60Sql("'forget:' || CAST(c_custkey AS VARCHAR)")} % 20 = 0)
+         |      AS forget
+         |  FROM customer),
+         |li AS (SELECT l_orderkey,
+         |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)) AS rev
+         |  FROM lineitem),
+         |${roll("k", "WHERE NOT forget")},
+         |${roll("t", "")},
+         |${roll("g", "WHERE forget")},
+         |ck AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust_kept
+         |  FROM cu WHERE NOT forget GROUP BY 1),
+         |cg AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust_gone
+         |  FROM cu WHERE forget GROUP BY 1),
+         |ct AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust_total
+         |  FROM cu GROUP BY 1)
+         |SELECT n_name AS nation, n_cust_kept,
+         |  coalesce(k_orders, 0) AS n_orders_kept,
+         |  coalesce(k_lines, 0) AS n_lines_kept,
+         |  CAST(coalesce(k_rev, CAST(0 AS DECIMAL(18,4))) AS DOUBLE)
+         |    AS revenue_kept,
+         |  CASE WHEN n_cust_kept + coalesce(n_cust_gone, 0) = n_cust_total
+         |    THEN 1 ELSE 0 END AS cust_match,
+         |  CASE WHEN coalesce(k_orders, 0) + coalesce(g_orders, 0)
+         |      = coalesce(t_orders, 0) THEN 1 ELSE 0 END AS orders_match,
+         |  CASE WHEN coalesce(k_lines, 0) + coalesce(g_lines, 0)
+         |      = coalesce(t_lines, 0) THEN 1 ELSE 0 END AS lines_match,
+         |  CASE WHEN coalesce(k_rev, CAST(0 AS DECIMAL(18,4)))
+         |      + coalesce(g_rev, CAST(0 AS DECIMAL(18,4)))
+         |      = coalesce(t_rev, CAST(0 AS DECIMAL(18,4)))
+         |    THEN 1 ELSE 0 END AS revenue_match
+         |FROM ck
+         |LEFT JOIN cg USING (c_nationkey)
+         |JOIN ct USING (c_nationkey)
+         |LEFT JOIN roll_k USING (c_nationkey)
+         |LEFT JOIN roll_g USING (c_nationkey)
+         |LEFT JOIN roll_t USING (c_nationkey)
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY nation""".stripMargin
     }
   )
 }

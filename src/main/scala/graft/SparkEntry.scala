@@ -689,7 +689,14 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     "q362_shard_write" -> ((s, d) => PipelineAudits.shardWrite(s, d)),
     // the yield report ending where a curation run ends: gate 6 =
     // decontamination (eval slice out, eval-hit spans redacted)
-    "q363_yield_v3" -> ((s, d) => PipelineAudits.yieldV3(s, d))
+    "q363_yield_v3" -> ((s, d) => PipelineAudits.yieldV3(s, d)),
+    // batch 40 (r19): the rebuild-only histogram persisted — the
+    // estimator consumes the stored 16-row artifact, zero rank passes
+    "q364_hist_persisted" -> ((s, d) => Relational.histPersisted(s, d)),
+    // q329's cascade EXECUTED: kept tables by referential anti/semi
+    // joins, kept + cascade == total reconciled per nation in exact
+    // integers and exact DECIMAL revenue
+    "q365_erasure_exec" -> ((s, d) => PipelineAudits.erasureExec(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

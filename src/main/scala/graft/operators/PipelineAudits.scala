@@ -1971,4 +1971,93 @@ object PipelineAudits {
         coalesce(col("revenue_removed"), lit(0.0)).as("revenue_removed"))
       .orderBy("nation")
   }
+
+  /** Erasure cascade EXECUTED (q365): q329 prices the deletion; this
+    * performs it and proves the books balance.  The kept tables are
+    * built GENUINELY by referential anti-joins (customers minus the
+    * hash-designated forget set; orders LEFT-SEMI the kept customers;
+    * line items LEFT-SEMI the kept orders — the shape a real GDPR
+    * deletion job ships, FK-consistent BY CONSTRUCTION), and per
+    * nation the query reconciles executed-vs-priced: kept + cascade
+    * must equal the pre-deletion total for customers, orders, line
+    * items, AND revenue — the revenue check in EXACT DECIMAL(18,4)
+    * before the one terminal cast, so a single lost or doubled line
+    * item flips a flag and breaks the hash.
+    *
+    * 100 TB shape: the cascade is two semi-joins down the schema's
+    * own FK chain (custkey, orderkey — natural equi-joins, no new
+    * shuffle class); the reconciliation re-uses the q329 rollup plus
+    * one kept-side rollup per table, all |nations|-keyed.  The flags
+    * are computed on the Spark side from independent aggregates —
+    * nothing is assumed.
+    */
+  def erasureExec(spark: SparkSession, dir: String): DataFrame = {
+    val dec4 = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    val forget = pmod(graft.operators.TextAnalysis.hv60(
+      concat(lit("forget:"), col("c_custkey").cast("string"))), lit(20L)) === 0L
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), forget.as("forget"))
+    val forgotten = cust.filter(col("forget")).select("c_custkey")
+    val keptCust = cust.join(forgotten, Seq("c_custkey"), "left_anti")
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val keptOrders = orders.join(
+      keptCust.select(col("c_custkey").as("o_custkey")),
+      Seq("o_custkey"), "left_semi")
+    val line = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"))
+    val keptLine = line.join(
+      keptOrders.select(col("o_orderkey").as("l_orderkey")),
+      Seq("l_orderkey"), "left_semi")
+    // per-nation rollups: the KEPT side reads the executed tables
+    // themselves (keptCust/keptOrders/keptLine — the deletion's actual
+    // output), totals and cascade read the pre-deletion books
+    def orderRoll(c: DataFrame, o: DataFrame, l: DataFrame, tag: String) =
+      c.select(col("c_custkey"), col("c_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(countDistinct(col("o_orderkey")).as(s"${tag}_orders"),
+          count(col("l_orderkey")).as(s"${tag}_lines"),
+          coalesce(sum(col("rev")), lit(0).cast(
+            org.apache.spark.sql.types.DecimalType(18, 4))).as(s"${tag}_rev"))
+    val keptRoll = keptCust.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust_kept"))
+      .join(orderRoll(keptCust, keptOrders, keptLine, "k"),
+        Seq("c_nationkey"), "left")
+      .na.fill(0L, Seq("k_orders", "k_lines"))
+    val totRoll = cust.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust_total"))
+      .join(orderRoll(cust, orders, line, "t"), Seq("c_nationkey"), "left")
+      .na.fill(0L, Seq("t_orders", "t_lines"))
+    val gone = cust.filter(col("forget")).groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust_gone"))
+      .join(orderRoll(cust.filter(col("forget")), orders, line, "g"),
+        Seq("c_nationkey"), "left")
+      .na.fill(0L, Seq("g_orders", "g_lines"))
+    val zero4 = lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    keptRoll.join(gone, Seq("c_nationkey"), "left")
+      .na.fill(0L, Seq("n_cust_gone", "g_orders", "g_lines"))
+      .join(totRoll, Seq("c_nationkey"))
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        Seq("c_nationkey"))
+      .select(col("n_name").as("nation"),
+        col("n_cust_kept"), col("k_orders").as("n_orders_kept"),
+        col("k_lines").as("n_lines_kept"),
+        coalesce(col("k_rev"), zero4).cast("double").as("revenue_kept"),
+        when(col("n_cust_kept") + col("n_cust_gone") === col("n_cust_total"), 1)
+          .otherwise(0).as("cust_match"),
+        when(col("k_orders") + col("g_orders") === col("t_orders"), 1)
+          .otherwise(0).as("orders_match"),
+        when(col("k_lines") + col("g_lines") === col("t_lines"), 1)
+          .otherwise(0).as("lines_match"),
+        when(coalesce(col("k_rev"), zero4) + coalesce(col("g_rev"), zero4)
+          === coalesce(col("t_rev"), zero4), 1)
+          .otherwise(0).as("revenue_match"))
+      .orderBy("nation")
+  }
 }

@@ -2383,6 +2383,50 @@ object Relational {
       graft.util.Fs.deleteRecursively(store)
   }
 
+  /** Histogram-from-store estimator (q364): the persisted-lifecycle
+    * story completed for the ONE rebuild-only statistics object.
+    * q354 proved the equi-depth histogram cannot be maintained from
+    * partials (bucket boundaries are rank statistics); q347 decides
+    * WHEN the rebuild runs; this query shows what happens after it
+    * runs: the 16-bucket histogram is rename-published as a
+    * [[graft.plans.StatsStore]] artifact, and the ESTIMATOR consumes
+    * the stored 16 rows — the q335 audit with its two-pass rank build
+    * replaced by a KB-sized artifact read (Batch28Spec pins the
+    * estimate side free of any window/rank over lineitem).  The
+    * ground-truth recount stays genuine (one lineitem scan — the
+    * audit's deliberate price, same as q335), so the output is
+    * bit-identical to q335's: est/actual/abs-error per pinned
+    * predicate.
+    *
+    * 100 TB shape: the rebuild (two-pass range-partition rank) is
+    * paid on q347's drift schedule, once; every estimation afterwards
+    * is 16 rows × 6 predicates of driver-trivial interpolation —
+    * which is precisely why real optimizers keep histograms in a
+    * catalog instead of rebuilding them per query.
+    */
+  def histPersisted(spark: SparkSession, dir: String,
+      k: Int = 16): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft-hist-store")
+    try {
+      graft.plans.StatsStore.publishHistogram(spark, dir, store.toString, k)
+      val hist = graft.plans.StatsStore.readHistogram(spark, store.toString)
+        .getOrElse(sys.error("histogram artifact present"))
+      // the artifact is 16 rows — pull it off disk NOW (bounded-frame
+      // materialization) so the temp store can be deleted eagerly
+      val local = graft.util.Fs.localize(spark, hist)
+      val est = histEstimates(local, pinnedPreds(spark))
+      val cents = Tables.lineitem(spark, dir)
+        .select(floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+          .cast("long").as("v"))
+      est.join(predActuals(cents, pinnedPreds(spark)), Seq("pred_id"), "left")
+        .na.fill(0L, Seq("actual_rows"))
+        .select(col("pred_id"), col("p_lo").as("lo_cents"),
+          col("p_hi").as("hi_cents"), col("est_rows"), col("actual_rows"),
+          abs(col("est_rows") - col("actual_rows").cast("double")).as("abs_err"))
+        .orderBy("pred_id")
+    } finally graft.util.Fs.deleteRecursively(store)
+  }
+
   def equiDepthHist(spark: SparkSession, dir: String, k: Int = 16): DataFrame =
     equiDepthHistFrom(
       Tables.lineitem(spark, dir)

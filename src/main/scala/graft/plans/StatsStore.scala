@@ -130,6 +130,28 @@ object StatsStore {
   def readColumnStats(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(s"$storeDir/column_stats")
 
+  /** The q331 equi-depth histogram as its own artifact (q364).  Kept
+    * OUT of [[publish]] deliberately: the histogram is the one
+    * rebuild-only object (bucket boundaries are rank statistics —
+    * q354's documented non-mergeable case), so its refresh cadence
+    * differs from the mergeable stats; q347's drift gate decides when
+    * this runs.  Once rebuilt, it persists like everything else —
+    * 16 rows, rename-published, consumed by estimators with zero
+    * rank passes.
+    */
+  def publishHistogram(spark: SparkSession, sfDir: String,
+      storeDir: String, k: Int = 16): Unit =
+    commitArtifact(
+      graft.operators.Relational.equiDepthHist(spark, sfDir, k),
+      storeDir, "histogram")
+
+  /** The stored histogram, or None when never rebuilt — estimators
+    * fall back to whatever coarser stats they have (the q335 uniform
+    * assumption degrades gracefully); never an exception.
+    */
+  def readHistogram(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    readArtifact(spark, s"$storeDir/histogram")
+
   /** An artifact directory as a frame, or None when it was never
     * published — a missing artifact is a NO-DECISION (the consumer
     * runs unoptimized, still correct), never an exception, matching

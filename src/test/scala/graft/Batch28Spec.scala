@@ -323,6 +323,51 @@ class Batch28Spec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("q364 histogram from store: estimates == q335's rebuild path; NO rank window in the consumer plan") {
+    val df = graft.operators.Relational.histPersisted(spark, sf)
+    val rows = df.collect()
+    val all = nodes(df.queryExecution.executedPlan)
+    assert(!all.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.window.WindowExec]),
+      "the stored artifact replaced the two-pass rank build — no window anywhere")
+    val v335 = graft.operators.Relational.selectivityAudit(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSeq ==
+      v335.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).toSeq,
+      "the persisted histogram reproduces the q335 audit bit-for-bit")
+  }
+
+  test("q365 erasure executed: flags genuinely computed and all green; deletion is referential anti/semi joins") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.operators.PipelineAudits.erasureExec(spark, sf)
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getInt(5) == 1 && r.getInt(6) == 1 &&
+        r.getInt(7) == 1 && r.getInt(8) == 1),
+        "kept + cascade rebuilds the pre-deletion books on every nation")
+      // the executed deletion really is the FK chain: an anti join
+      // (customers minus forget set) and semi joins down the chain
+      val all = nodes(df.queryExecution.executedPlan)
+      val joinTypes = all.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j.joinType }
+      assert(joinTypes.contains(org.apache.spark.sql.catalyst.plans.LeftAnti),
+        "kept customers come from a genuine anti join")
+      assert(joinTypes.contains(org.apache.spark.sql.catalyst.plans.LeftSemi),
+        "kept orders/line items come from genuine semi joins")
+      // conservation recount against the raw tables
+      val total = Tables.customer(spark, sf).count()
+      val keptC = rows.map(_.getLong(1)).sum
+      assert(keptC < total, "the designation genuinely deletes customers")
+      val gone = graft.operators.PipelineAudits.erasureCascade(spark, sf)
+        .collect().map(_.getLong(2)).sum // q329's n_forgotten per nation
+      assert(keptC + gone == total,
+        "kept + q329's designated == every customer")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("q363 yield v3: extends v2 verbatim through gate 5; monotone; decontam gate bites") {
     val v3 = graft.operators.PipelineAudits.yieldV3(spark, sf).collect()
     assert(v3.length == 7, "seven gates: raw through decontam")
