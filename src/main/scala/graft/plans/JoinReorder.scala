@@ -91,7 +91,17 @@ object ReorderJoinByStats extends Rule[LogicalPlan] {
         (markerDecision(c2), innerJoin(left)) match {
           case (Some((_, true)), Some(inner @ Join(a, b, Inner, Some(c1), h1)))
               if c2.references.subsetOf(a.outputSet ++ c.outputSet) &&
-                 c1.references.subsetOf(a.outputSet ++ b.outputSet) =>
+                 c1.references.subsetOf(a.outputSet ++ b.outputSet) &&
+                 // TERMINATION guard: when the INNER condition also
+                 // carries a registered marker (a chain joining the
+                 // same marked column to both tables), the swap would
+                 // re-mark the outer join and the fixed-point batch
+                 // would oscillate forever (found by the Batch28Spec
+                 // property trials: 100 iterations of alternating
+                 // swaps, each nesting a Project, until the plan
+                 // traversal overflowed).  Refusing is always sound —
+                 // the naive order is equally correct.
+                 markerDecision(c1).isEmpty =>
             // Preserve the ORIGINAL outer output (set and order): the
             // stripped pruning Project would otherwise let B's pruned
             // columns reappear — invisible under exprId-resolving

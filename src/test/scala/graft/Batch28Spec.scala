@@ -166,6 +166,109 @@ class Batch28Spec extends SparkSuite {
     }
   }
 
+  test("bloom prefilter refuses DISJUNCTIVE equalities: a registered column under OR gets no filter, rows survive") {
+    import spark.implicits._
+    // an equality under OR does not force every result row through it;
+    // splicing a might_contain there would drop rows matching only
+    // via the other disjunct — the rule must collect candidates from
+    // top-level conjuncts ONLY
+    val probe = "gbp_spec_disjunct"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // range-backed frames: a Filter over LocalRelation would be
+      // constant-folded away (ConvertToLocalRelation) and hide the
+      // plan evidence; Range keeps the physical Filter visible
+      val left = spark.range(0, 6)
+        .select(col("id").as(probe), pmod(col("id"), lit(3L)).as("alt"))
+      val right = spark.range(0, 4)
+        .select(col("id").as("rk"), pmod(col("id"), lit(3L)).as("ralt"))
+      val control = spark.range(0, 6)
+        .select(col("id").as("gbp_never_registered"),
+          pmod(col("id"), lit(3L)).as("alt"))
+        .join(right, col("gbp_never_registered") === col("rk") ||
+          col("alt") === col("ralt"))
+        .count()
+      // bloom over ONLY key 1: rows joining via the alt leg must survive
+      val bloomDf = Seq(1L).toDF("k")
+        .agg(expr("graft_bloom_agg(k, 64, 1024)"))
+      graft.plans.BloomRegistry.register(probe,
+        bloomDf.head().getAs[Array[Byte]](0))
+      val joined = left.join(right,
+        col(probe) === col("rk") || col("alt") === col("ralt"))
+      val rows = joined.collect()
+      assert(rows.length.toLong == control,
+        s"disjunctive join loses nothing: ${rows.length} vs $control")
+      assert(!nodes(joined.queryExecution.executedPlan).exists(hasBloomFilter),
+        "no might_contain anywhere: the disjunctive equality never seeds a filter")
+      // the SAME registration on a purely conjunctive join still fires
+      val conj = left.join(right, col(probe) === col("rk"))
+      conj.collect()
+      assert(nodes(conj.queryExecution.executedPlan).exists(hasBloomFilter),
+        "the conjunctive form of the same column is still filtered")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      graft.plans.BloomRegistry.clear()
+    }
+  }
+
+  test("property: join reassociation is value-invisible on 40 seeded random 3-chains") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    for (trial <- 1 to 40) {
+      val marker = s"gjo_prop_$trial"
+      def rows(n: Int) = Seq.fill(n)(
+        (rng.nextInt(5).toLong, rng.nextInt(5).toLong, rng.nextInt(100).toLong))
+      val aRows = rows(2 + rng.nextInt(8))
+      val bRows = Seq.fill(2 + rng.nextInt(8))(
+        (rng.nextInt(5).toLong, rng.nextInt(100).toLong))
+      val cRows = Seq.fill(2 + rng.nextInt(8))(rng.nextInt(5).toLong)
+      // the q357 shape generalized: inner join on k1 (unmarked), outer
+      // on k2 (marked) — the swap genuinely fires on every trial
+      def chain(k2Name: String) = {
+        val a = aRows.toDF("k1", k2Name, "av")
+        val b = bRows.toDF("bk", "bv")
+        val c = cRows.toDF("ck")
+        a.join(b, col("k1") === col("bk"))
+          .join(c, col(k2Name) === col("ck"))
+          .groupBy(col(k2Name).as("g"))
+          .agg(count(lit(1)).as("n"), sum(col("av") + col("bv")).as("s"))
+          .orderBy("g")
+      }
+      val naive = chain("k2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      graft.plans.JoinOrderRegistry.register(marker, innerFirst = true)
+      try {
+        val enforced = chain(marker).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(enforced == naive,
+          s"trial $trial: reassociated values diverged from the naive order")
+      } finally graft.plans.JoinOrderRegistry.unregister(marker)
+    }
+  }
+
+  test("termination guard: a chain joining the SAME marked column to both tables refuses the swap and completes") {
+    import spark.implicits._
+    // both conditions carry the registered marker: an unguarded swap
+    // re-marks the outer join and oscillates until the optimizer's
+    // iteration cap with a Project nested per pass (found by the
+    // property trials as a plan-traversal stack overflow); the rule
+    // must refuse and keep the naive order — equally correct
+    val marker = "gjo_same_key_both"
+    graft.plans.JoinOrderRegistry.register(marker, innerFirst = true)
+    try {
+      val a = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF(marker, "av")
+      val b = Seq((1L, 1L), (2L, 2L)).toDF("bk", "bv")
+      val c = Seq(1L, 2L, 3L).toDF("ck")
+      val df = a.join(b, col(marker) === col("bk"))
+        .join(c, col(marker) === col("ck"))
+        .groupBy(col(marker).as("g")).agg(count(lit(1)).as("n"))
+        .orderBy("g")
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows == Seq((1L, 1L), (2L, 1L)),
+        "the refused swap leaves plain inner-join semantics intact")
+    } finally graft.plans.JoinOrderRegistry.unregister(marker)
+  }
+
   test("q362 shard write: ONE data file per shard directory; flags honest; masses round-trip") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-spec-shards")
     try {
