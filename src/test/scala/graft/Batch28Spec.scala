@@ -246,6 +246,37 @@ class Batch28Spec extends SparkSuite {
     }
   }
 
+  test("property: the enforced bloom never loses a row on 20 seeded random key sets") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (trial <- 1 to 20) {
+        val probe = s"gbp_prop_$trial"
+        val buildKeys = Seq.fill(1 + rng.nextInt(20))(rng.nextInt(50).toLong)
+        val probeKeys = Seq.fill(1 + rng.nextInt(60))(rng.nextInt(50).toLong)
+        val build = buildKeys.toDF("k")
+        val bloom = build.agg(expr("graft_bloom_agg(k, 64, 1024)"))
+          .head().getAs[Array[Byte]](0)
+        graft.plans.BloomRegistry.register(probe, bloom)
+        try {
+          // Range-backed probe side so the spliced Filter is genuine
+          val p = spark.range(0, probeKeys.length)
+            .select(col("id"),
+              element_at(lit(probeKeys.toArray), (col("id") + 1).cast("int"))
+                .as(probe))
+          val filtered = p.join(build, col(probe) === col("k")).count()
+          val control = probeKeys.map(k => buildKeys.count(_ == k).toLong).sum
+          assert(filtered == control,
+            s"trial $trial: the bloom dropped a true match ($filtered vs $control)")
+        } finally graft.plans.BloomRegistry.unregister(probe)
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      graft.plans.BloomRegistry.clear()
+    }
+  }
+
   test("termination guard: a chain joining the SAME marked column to both tables refuses the swap and completes") {
     import spark.implicits._
     // both conditions carry the registered marker: an unguarded swap
