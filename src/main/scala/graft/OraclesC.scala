@@ -4567,6 +4567,275 @@ private[graft] trait OraclesC extends OracleHelpers {
          |LEFT JOIN roll_t USING (c_nationkey)
          |JOIN nation ON c_nationkey = n_nationkey
          |ORDER BY nation""".stripMargin
-    }
+    },
+    // q366: the runtime-pruned partitioned read replayed from the
+    // original table — dim = days whose quantized total lands in the
+    // low residues mod 7 (the data-dependent predicate static pruning
+    // cannot express; totals are non-negative so % and pmod agree),
+    // join on day, per-type rollup; any misfiled or unpruned row
+    // breaks counts AND unit sums,
+    "q366_dpp_prune" ->
+      """WITH dim AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS units
+        |  FROM events GROUP BY day),
+        |sel AS (SELECT day FROM dim WHERE units % 7 < 3),
+        |e AS (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT e.day) AS n_days,
+        |  CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_units
+        |FROM e JOIN sel ON e.day = sel.day
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q367: count-of-counts collision pairs — unordered, self-pairs
+    // included (k·(k+1)/2 per multiplicity), pure integer arithmetic,
+    "q367_exchange_reuse" ->
+      """WITH t AS (SELECT l_partkey, count(*) AS n_lines FROM lineitem
+        |  GROUP BY l_partkey),
+        |h AS (SELECT n_lines, count(*) AS n_parts FROM t GROUP BY n_lines)
+        |SELECT a.n_parts, count(*) AS n_pairs
+        |FROM h a JOIN h b ON a.n_parts = b.n_parts AND a.n_lines <= b.n_lines
+        |GROUP BY a.n_parts ORDER BY a.n_parts""".stripMargin,
+    // q368: the MV-rewritten monthly rollup recomputed from the BASE
+    // table — per-row revenue quantized to DECIMAL(18,4) (the q01
+    // money rule) so the daily-partial path and this direct path sum
+    // to bit-identical decimals before the one final DOUBLE cast;
+    // value identity here IS the rewrite's correctness gate,
+    "q368_mv_rewrite" ->
+      """SELECT substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS ship_month,
+        |  l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS mv_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q369: degree-capped Adamic-Adar — wedges from the undirected
+    // LSH adjacency (cap replayed), each score folded in neighbor-id
+    // order (1/ln(deg) per term), is_edge separating prediction rows
+    // from embeddedness rows, top-20 with full tiebreak,
+    "q369_adamic_adar" ->
+      s"""WITH $minhashPairsCte,
+         |adj AS (SELECT doc_a AS z, doc_b AS nb FROM mh_pairs
+         |  UNION ALL SELECT doc_b AS z, doc_a AS nb FROM mh_pairs),
+         |deg AS (SELECT z, count(*) AS deg FROM adj GROUP BY z),
+         |ca AS (SELECT adj.z, adj.nb, deg.deg FROM adj JOIN deg USING (z)
+         |  WHERE deg <= 64),
+         |s AS (SELECT a.nb AS x, b.nb AS y, count(*) AS n_common,
+         |    list_reduce(list_prepend(0.0,
+         |      list(1.0 / ln(CAST(a.deg AS DOUBLE)) ORDER BY a.z)),
+         |      (p, q) -> p + q) AS aa_score
+         |  FROM ca a JOIN ca b ON a.z = b.z AND a.nb < b.nb
+         |  GROUP BY a.nb, b.nb)
+         |SELECT x AS doc_a, y AS doc_b, n_common, aa_score,
+         |  CASE WHEN EXISTS (SELECT 1 FROM mh_pairs p
+         |    WHERE p.doc_a = s.x AND p.doc_b = s.y) THEN 1 ELSE 0 END AS is_edge
+         |FROM s ORDER BY aa_score DESC, doc_a ASC, doc_b ASC LIMIT 20""".stripMargin,
+    // q370: the signed-multiplicity delta (final-day inserts + every
+    // 17th prior event as a retraction) applied to the maintained
+    // per-type count/sum, pinned equal to the from-scratch recompute
+    // — all exact integers,
+    "q370_retract_ivm" ->
+      """WITH e AS (SELECT event_id, epoch_ms(ts) // 86400000 AS day, event_type,
+        |    CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) AS units FROM events),
+        |mx AS (SELECT max(day) AS d1 FROM e),
+        |prior AS (SELECT e.* FROM e, mx WHERE day < d1),
+        |ins AS (SELECT e.* FROM e, mx WHERE day = d1),
+        |del AS (SELECT * FROM prior WHERE event_id % 17 = 0),
+        |base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(units) AS BIGINT) AS u0 FROM prior GROUP BY event_type),
+        |delta AS (SELECT event_type, 1 AS mult, units FROM ins
+        |  UNION ALL SELECT event_type, -1 AS mult, units FROM del),
+        |da AS (SELECT event_type, CAST(sum(mult) AS BIGINT) AS dn,
+        |    CAST(sum(mult * units) AS BIGINT) AS du,
+        |    CAST(sum(CASE WHEN mult = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+        |    CAST(sum(CASE WHEN mult = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_del
+        |  FROM delta GROUP BY event_type),
+        |m AS (SELECT event_type,
+        |    coalesce(n_ins, 0) AS n_inserts, coalesce(n_del, 0) AS n_deletes,
+        |    coalesce(n0, 0) + coalesce(dn, 0) AS merged_count,
+        |    coalesce(u0, 0) + coalesce(du, 0) AS merged_units
+        |  FROM base FULL OUTER JOIN da USING (event_type)),
+        |dir AS (SELECT event_type, CAST(count(*) AS BIGINT) AS direct_count,
+        |    CAST(sum(units) AS BIGINT) AS direct_units
+        |  FROM e, mx WHERE day = d1 OR (day < d1 AND event_id % 17 <> 0)
+        |  GROUP BY event_type)
+        |SELECT event_type,
+        |  n_inserts, n_deletes, merged_count,
+        |  coalesce(direct_count, 0) AS direct_count,
+        |  CASE WHEN merged_count = coalesce(direct_count, 0) THEN 1 ELSE 0 END
+        |    AS count_match,
+        |  merged_units, coalesce(direct_units, 0) AS direct_units,
+        |  CASE WHEN merged_units = coalesce(direct_units, 0) THEN 1 ELSE 0 END
+        |    AS units_match
+        |FROM m FULL OUTER JOIN dir USING (event_type)
+        |ORDER BY event_type""".stripMargin,
+    // q371: nearest click per purchase stated declaratively — the
+    // LATERAL min-by replays the window form's exact tie rule
+    // (distance, then earlier side via c.us, then smaller id); all
+    // comparisons in integer epoch-micros,
+    "q371_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, l.click_id, l.delta_us,
+        |  coalesce(l.direction, 'none') AS direction
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS click_id, abs(c.us - p.us) AS delta_us,
+        |    CASE WHEN c.us <= p.us THEN 'prev' ELSE 'next' END AS direction
+        |  FROM c WHERE c.user_id = p.user_id
+        |    AND abs(c.us - p.us) <= 300000000
+        |  ORDER BY abs(c.us - p.us) ASC, c.us ASC, c.event_id ASC
+        |  LIMIT 1) l ON true
+        |ORDER BY p.event_id""".stripMargin,
+    // q372: the stream-maintained MV equals the batch MV — the oracle
+    // recomputes the monthly rollup from lineitem (the q368 DECIMAL
+    // path) for BOTH sides and states the flags; Spark builds both
+    // sides genuinely, so a lost epoch breaks values and flags,
+    "q372_stream_mv" ->
+      """SELECT substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS ship_month,
+        |  l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS stream_rev,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS batch_rev,
+        |  1 AS rev_match,
+        |  count(*) AS stream_lines, count(*) AS batch_lines, 1 AS lines_match
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q373: the coordinated-sampling identity and its estimator —
+    // hash-of-key membership replayed via hv60, sample⋈sample vs
+    // filter-after-join stated per priority, scale-up vs truth,
+    "q373_consistent_sample" -> {
+      val keepO = s"${hv60Sql("'cs:' || CAST(o_orderkey AS VARCHAR)")} % 100 < 10"
+      val keepL = s"${hv60Sql("'cs:' || CAST(l_orderkey AS VARCHAR)")} % 100 < 10"
+      s"""WITH os AS (SELECT o_orderkey, o_orderpriority FROM orders
+         |  WHERE $keepO),
+         |ls AS (SELECT l_orderkey FROM lineitem WHERE $keepL),
+         |sj AS (SELECT o_orderpriority,
+         |    count(DISTINCT o_orderkey) AS n_orders_s,
+         |    count(*) AS n_lines_s
+         |  FROM os JOIN ls ON o_orderkey = l_orderkey
+         |  GROUP BY o_orderpriority),
+         |full_j AS (SELECT o_orderkey, o_orderpriority FROM orders
+         |  JOIN lineitem ON o_orderkey = l_orderkey),
+         |js AS (SELECT o_orderpriority, count(*) AS n_lines_js FROM full_j
+         |  WHERE $keepO GROUP BY o_orderpriority),
+         |tr AS (SELECT o_orderpriority, count(*) AS true_lines FROM full_j
+         |  GROUP BY o_orderpriority)
+         |SELECT o_orderpriority, n_orders_s, n_lines_s,
+         |  CASE WHEN n_lines_s = n_lines_js THEN 1 ELSE 0 END
+         |    AS consistency_match,
+         |  CAST(n_lines_s * 10 AS BIGINT) AS est_lines, true_lines,
+         |  abs(CAST(n_lines_s * 10 AS DOUBLE) - CAST(true_lines AS DOUBLE))
+         |    AS abs_err
+         |FROM sj JOIN js USING (o_orderpriority)
+         |JOIN tr USING (o_orderpriority)
+         |ORDER BY o_orderpriority""".stripMargin
+    },
+    // q374: per CC cluster the highest-quality representative (q31's
+    // exact IEEE quality sequence ranks identically in both engines;
+    // ties to the smaller doc id) plus the kept/dropped token books,
+    "q374_cluster_rep" ->
+      s"""WITH RECURSIVE $closureCte,
+         |q AS (SELECT doc_id,
+         |    $qualitySql AS quality,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+         |  FROM documents),
+         |j AS (SELECT cc_labels.doc_id, cluster_id, quality, tok
+         |  FROM cc_labels JOIN q USING (doc_id)),
+         |rn AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY quality DESC, doc_id ASC) AS rk FROM j),
+         |acct AS (SELECT cluster_id, count(*) AS n_docs,
+         |    CAST(sum(tok) AS BIGINT) AS total_tokens FROM j
+         |  GROUP BY cluster_id)
+         |SELECT rn.cluster_id, n_docs, rn.doc_id AS rep_doc_id,
+         |  rn.quality AS rep_quality, rn.tok AS rep_tokens,
+         |  total_tokens - rn.tok AS dropped_tokens
+         |FROM rn JOIN acct USING (cluster_id) WHERE rk = 1
+         |ORDER BY rn.cluster_id""".stripMargin,
+    // q375: the Z-set product rule replayed — three signed delta
+    // terms (ΔO⋈L, O⋈ΔL, +ΔO⋈ΔL) applied to the old join aggregate,
+    // pinned equal to the kept-tables recompute; all exact integers,
+    "q375_join_retract_ivm" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority FROM orders),
+        |l AS (SELECT l_orderkey,
+        |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS units
+        |  FROM lineitem),
+        |od AS (SELECT * FROM o WHERE o_orderkey % 31 = 0),
+        |ld AS (SELECT * FROM l WHERE l_orderkey % 31 = 0),
+        |j0 AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n0,
+        |    CAST(sum(units) AS BIGINT) AS u0
+        |  FROM o JOIN l ON o_orderkey = l_orderkey GROUP BY 1),
+        |delta AS (
+        |  SELECT o_orderpriority, -1 AS mult, units FROM od
+        |    JOIN l ON o_orderkey = l_orderkey
+        |  UNION ALL SELECT o_orderpriority, -1, units FROM o
+        |    JOIN ld ON o_orderkey = l_orderkey
+        |  UNION ALL SELECT o_orderpriority, 1, units FROM od
+        |    JOIN ld ON o_orderkey = l_orderkey),
+        |da AS (SELECT o_orderpriority, CAST(sum(mult) AS BIGINT) AS dn,
+        |    CAST(sum(mult * units) AS BIGINT) AS du,
+        |    CAST(sum(CASE WHEN mult = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_retract_terms
+        |  FROM delta GROUP BY 1),
+        |m AS (SELECT o_orderpriority,
+        |    coalesce(n_retract_terms, 0) AS n_retract_terms,
+        |    coalesce(n0, 0) + coalesce(dn, 0) AS merged_lines,
+        |    coalesce(u0, 0) + coalesce(du, 0) AS merged_units
+        |  FROM j0 FULL OUTER JOIN da USING (o_orderpriority)),
+        |dir AS (SELECT o_orderpriority,
+        |    CAST(count(*) AS BIGINT) AS direct_lines,
+        |    CAST(sum(units) AS BIGINT) AS direct_units
+        |  FROM o JOIN l ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey % 31 <> 0 AND l_orderkey % 31 <> 0 GROUP BY 1)
+        |SELECT o_orderpriority, n_retract_terms, merged_lines,
+        |  coalesce(direct_lines, 0) AS direct_lines,
+        |  CASE WHEN merged_lines = coalesce(direct_lines, 0) THEN 1 ELSE 0 END
+        |    AS lines_match,
+        |  merged_units, coalesce(direct_units, 0) AS direct_units,
+        |  CASE WHEN merged_units = coalesce(direct_units, 0) THEN 1 ELSE 0 END
+        |    AS units_match
+        |FROM m FULL OUTER JOIN dir USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+    // q376: the pivot stated as 5 conditional sums + the day count;
+    // a day missing a type is 0 in both engines,
+    "q376_pivot" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  count(*) AS n_events,
+        |  coalesce(CAST(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) END) AS BIGINT), 0)
+        |    AS click_units,
+        |  coalesce(CAST(sum(CASE WHEN event_type = 'error'
+        |    THEN CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) END) AS BIGINT), 0)
+        |    AS error_units,
+        |  coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) END) AS BIGINT), 0)
+        |    AS purchase_units,
+        |  coalesce(CAST(sum(CASE WHEN event_type = 'signup'
+        |    THEN CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) END) AS BIGINT), 0)
+        |    AS signup_units,
+        |  coalesce(CAST(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(floor(value * 1.0e6 + 0.5) AS BIGINT) END) AS BIGINT), 0)
+        |    AS view_units
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q377: the op log folded declaratively — last op per key wins,
+    // delete = absent (a delete then later upsert re-inserts); the
+    // Spark side reads its genuinely stream-maintained final state,
+    "q377_stream_cdc" ->
+      """WITH b1 AS (SELECT doc_id, 'upsert' AS op, text AS new_text,
+        |    1 AS v, 1 AS bno FROM documents WHERE doc_id < 300),
+        |b2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |    text || ' v2' AS new_text, 2 AS v, 2 AS bno
+        |  FROM documents WHERE doc_id >= 100 AND doc_id < 400),
+        |b3 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+        |    text || ' v3' AS new_text, 3 AS v, 3 AS bno
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 500),
+        |ops AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+        |  UNION ALL SELECT * FROM b3),
+        |lastop AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY bno DESC) AS rk FROM ops)
+        |SELECT doc_id, CAST(v AS BIGINT) AS version,
+        |  CAST(length(new_text) AS BIGINT) AS n_chars
+        |FROM lastop WHERE rk = 1 AND op = 'upsert'
+        |ORDER BY doc_id""".stripMargin
   )
 }

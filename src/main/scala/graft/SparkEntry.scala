@@ -696,7 +696,49 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // q329's cascade EXECUTED: kept tables by referential anti/semi
     // joins, kept + cascade == total reconciled per nation in exact
     // integers and exact DECIMAL revenue
-    "q365_erasure_exec" -> ((s, d) => PipelineAudits.erasureExec(s, d))
+    "q365_erasure_exec" -> ((s, d) => PipelineAudits.erasureExec(s, d)),
+    // batch 41 (r19): DYNAMIC partition pruning — the dim side's
+    // data-dependent filter prunes fact day-directories at runtime
+    // (dynamicpruningexpression plan-pinned in Batch29Spec)
+    "q366_dpp_prune" -> ((s, d) => sources.FormatOps.dppPrune(s, d)),
+    // exchange reuse: the count-of-counts histogram consumed twice by
+    // a self-join, shuffled ONCE (ReusedExchange plan-pinned)
+    "q367_exchange_reuse" -> ((s, d) => Relational.exchangeReuse(s, d)),
+    // the fourth injected optimizer rule: a registered base-table
+    // aggregate answered from the rename-published MV artifact —
+    // zero lineitem scans in the rewritten plan (Batch29Spec)
+    "q368_mv_rewrite" -> ((s, d) => Relational.mvRewrite(s, d)),
+    // Adamic-Adar link prediction over the dup graph: degree-capped
+    // common-neighbor wedges, order-pinned 1/ln(deg) fold, top-20
+    "q369_adamic_adar" -> ((s, d) => Dedup.adamicAdar(s, d)),
+    // aggregate IVM with RETRACTIONS (the Z-set form): signed-
+    // multiplicity delta maintains count/sum, equality vs recompute
+    // pinned with match flags
+    "q370_retract_ivm" -> ((s, d) => EventOps.retractIvm(s, d)),
+    // batch 42 (r19): the PIT family completed — as-of NEAREST with
+    // tolerance via two running-extreme window passes (no range join)
+    "q371_asof_nearest" -> ((s, d) => EventOps.asofNearest(s, d)),
+    // the q368 MV maintained BY THE STREAM: per-epoch rename-published
+    // DECIMAL partials (exactly-once by artifact, not by idempotence),
+    // merged rollup == batch MV in exact decimal
+    "q372_stream_mv" -> ((s, d) => streaming.StreamQueries.mvIngest(s, d)),
+    // coordinated (join-consistent) sampling: hash-of-key samples of
+    // both fact tables join to EXACTLY the key-sample of the join
+    "q373_consistent_sample" -> ((s, d) => Relational.consistentSample(s, d)),
+    // the dedup KEEP decision made quality-aware: per near-dup
+    // cluster, the highest-q31-quality representative + token books
+    "q374_cluster_rep" -> ((s, d) => Dedup.clusterRep(s, d)),
+    // batch 43 (r19): the IVM triangle completed — an aggregate OVER A
+    // JOIN maintained under deletes on both inputs (the full Z-set
+    // product rule, incl. the ΔO⋈ΔL correction term)
+    "q375_join_retract_ivm" -> ((s, d) => Relational.joinRetractIvm(s, d)),
+    // q175 unpivot's inverse: daily value sums pivoted by event type
+    // (explicit value list — one keyed aggregate, schema pinned)
+    "q376_pivot" -> ((s, d) => Relational.pivotDaily(s, d)),
+    // q86's CDC merge AS A STREAM: per-epoch read-modify-write over
+    // immutable rename-published states (replay = recompute), final
+    // state == the declarative last-op-wins fold
+    "q377_stream_cdc" -> ((s, d) => streaming.StreamQueries.cdcApply(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -867,6 +867,81 @@ object Dedup {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** Adamic–Adar common-neighbor scoring over the near-duplicate
+    * graph (q369): for every document pair sharing at least one LSH
+    * neighbor, the classic score Σ_z 1/ln(deg(z)) — low-degree shared
+    * neighbors are strong evidence, hubs are weak evidence — plus an
+    * `is_edge` flag separating the two consumers of that score.
+    * is_edge = 0 rows are LINK PREDICTION: pairs the banding likely
+    * missed (tied together by tight template families without a band
+    * collision — the recall worklist q224's audit would check next);
+    * is_edge = 1 rows are EDGE EMBEDDEDNESS: how clique-supported an
+    * existing edge is, the standard score for sparsifying the dup
+    * graph before q72's connected-components merge (an edge with no
+    * shared neighbors is the classic false-merge bridge q130's
+    * clustering coefficient flags).  At the shipped fixtures the LSH
+    * families are complete cliques, so every scored pair is an edge —
+    * the prediction path is exercised (and pinned non-degenerate) on
+    * a thinned graph in Batch29Spec.
+    *
+    * Determinism: deg is an exact integer; each contribution is one
+    * int→double cast, one GraftLn (libm-identical), one divide; the
+    * per-pair sum folds in NEIGHBOR-ID order (sort_array over
+    * (z, contrib) structs — the q84 order-pinning), so DuckDB's
+    * `list(... ORDER BY z)` replays the identical IEEE sequence.
+    * Ties in the top-k are broken by (doc_a, doc_b).
+    *
+    * 100 TB shape: the wedge enumeration is the standard
+    * common-neighbor equi-join (adjacency ⋈ adjacency ON the shared
+    * center), whose fan-out is quadratic in hub degree — so hubs are
+    * DEGREE-CAPPED before the join (deg ≤ `degCap`, the df-cap
+    * discipline of q44/q334; a capped hub's AA contribution was
+    * already the weakest by 1/ln(deg), which is why capped AA is the
+    * standard production form).  The cap is part of the registered
+    * semantics and the oracle replays it; at the shipped fixtures
+    * every degree sits under the cap (asserted in Batch29Spec), so
+    * the capped score equals the uncapped ideal there — the q351
+    * cap-slack pattern.  Everything else is keyed joins and
+    * aggregates; the existing-edge exclusion is a fan-out-≤1
+    * left-anti join.
+    */
+  def adamicAdar(spark: SparkSession, dir: String, k: Int = 20,
+      degCap: Int = 64): DataFrame =
+    adamicAdarFrom(graft.util.Pins.eager(
+      minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))), k, degCap)
+
+  /** The AA core over any (doc_a < doc_b) edge frame — split out so
+    * Batch29Spec can exercise the PREDICTION path (is_edge = 0) on a
+    * deliberately thinned graph, where clique edges are missing and
+    * the score has to surface them.
+    */
+  private[graft] def adamicAdarFrom(pairs: DataFrame, k: Int,
+      degCap: Int): DataFrame = {
+    val adj = pairs.select(col("doc_a").as("z"), col("doc_b").as("nb"))
+      .unionByName(pairs.select(col("doc_b").as("z"), col("doc_a").as("nb")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+    val capped = adj.join(deg.filter(col("deg") <= lit(degCap.toLong)), Seq("z"))
+    val w1 = capped.select(col("z"), col("nb").as("x"), col("deg"))
+    val w2 = capped.select(col("z"), col("nb").as("y"))
+    val scored = w1.join(w2, Seq("z"))
+      .filter(col("x") < col("y"))
+      .withColumn("contrib",
+        lit(1.0) / graft.functions.MathFunctions.ln(col("deg").cast("double")))
+      .groupBy("x", "y")
+      .agg(count(lit(1)).as("n_common"),
+        aggregate(sort_array(collect_list(struct(col("z"), col("contrib")))),
+          lit(0.0), (acc, s) => acc + s.getField("contrib")).as("aa_score"))
+    scored
+      .join(pairs.select(col("doc_a").as("x"), col("doc_b").as("y"),
+          lit(1).as("is_edge")),
+        Seq("x", "y"), "left")
+      .select(col("x").as("doc_a"), col("y").as("doc_b"),
+        col("n_common"), col("aa_score"),
+        coalesce(col("is_edge"), lit(0)).as("is_edge"))
+      .orderBy(col("aa_score").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(k)
+  }
+
   /** MinHash-estimate calibration audit (q136): for every LSH
     * candidate pair, the signature's Jaccard ESTIMATE (matching
     * minhash positions / numHashes) against the EXACT shingle-set
@@ -1061,6 +1136,52 @@ object Dedup {
           col("max_bucket"))
     }
     perW.reduce(_ unionByName _)
+  }
+
+  /** Cluster-representative selection (q374): the dedup decision the
+    * q72 connected-components merge leaves open — WHICH document a
+    * near-dup cluster keeps.  Keep-first (min doc id) is the oracle-
+    * simple baseline every earlier dedup query uses; a production
+    * curation run keeps the BEST: per cluster, the document with the
+    * highest q31 quality score (ties: smaller doc id), plus the token
+    * accounting the yield report needs (representative's tokens kept,
+    * the rest of the cluster's tokens dropped).  Quality-aware
+    * representative selection is the difference between deduping a
+    * template family down to its cleanest instance and deduping it
+    * down to whichever instance happened to get the lowest id.
+    *
+    * Determinism: quality doubles are the q31 IEEE sequence (bit-
+    * identical cross-engine), so the rank-1 pick is total-ordered by
+    * (quality DESC, doc_id ASC) in both engines; token sums are exact
+    * integers.
+    *
+    * 100 TB shape: clusters come from the LSH pair frame (banded,
+    * never all-pairs); the pick is one row_number window partitioned
+    * by cluster_id (high-cardinality key, the q10 discipline) and the
+    * accounting one keyed aggregate — nothing beyond what the CC
+    * labeling itself already shuffles.
+    */
+  def clusterRep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = dedupClusters(spark, dir)
+    val q = Tables.documents(spark, dir).select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality"),
+      size(graft.functions.TextFunctions.tokens(col("text"))).cast("long")
+        .as("tok"))
+    val j = graft.util.Pins.eager(cc.join(q, Seq("doc_id")))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val rep = j.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("rep_doc_id"),
+        col("quality").as("rep_quality"), col("tok").as("rep_tokens"))
+    val acct = j.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("total_tokens"))
+    rep.join(acct, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_docs"), col("rep_doc_id"),
+        col("rep_quality"), col("rep_tokens"),
+        (col("total_tokens") - col("rep_tokens")).as("dropped_tokens"))
+      .orderBy("cluster_id")
   }
 
   /** Near-dup cluster-size histogram (q166): the q72 connected

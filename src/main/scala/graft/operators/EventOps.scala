@@ -2879,4 +2879,138 @@ object EventOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("prior_state")
   }
+
+  /** As-of NEAREST join with tolerance (q371): the PIT-join family
+    * completed — q46/q330 are backward-only (last state at or before
+    * t); this is the `merge_asof direction='nearest'` form every
+    * feature-attribution pipeline needs: for each purchase, the
+    * nearest click by the SAME user within ±`tolSec`, preferring the
+    * EARLIER side on exact distance ties (then the smaller event id).
+    *
+    * Plan shape — the part that matters at 100 TB: NO range join, NO
+    * per-row candidate explosion.  Both event sets union into one
+    * frame tagged by kind, ONE shuffle on user_id, ONE sort by
+    * (us, kind, id), and two running-extreme window passes: the
+    * nearest preceding click is a running MAX of struct(us, −id)
+    * (max ignores the null non-click rows; struct order gives
+    * latest-us-then-smallest-id), the nearest following click the
+    * mirrored running MIN of struct(us, id).  Same-instant clicks
+    * sort before the purchase (kind 0 < 1), so a zero-distance match
+    * is found on the `prev` side — exactly the tie rule.  This is the
+    * sort-merge as-of shape: cost = one keyed sort, state = one
+    * struct per row, regardless of how many clicks fall in the
+    * tolerance window.
+    *
+    * Determinism: all comparisons in integer epoch-micros; ties
+    * resolved by (distance, side, event id) — total order, both
+    * engines replay it (the oracle's LATERAL min-by states the same
+    * rule declaratively).
+    */
+  def asofNearest(spark: SparkSession, dir: String,
+      tolSec: Int = 300): DataFrame = {
+    val tol = tolSec * 1000000L
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("kind").asc, col("event_id").asc)
+    val prevC = max(when(col("kind") === 0,
+        struct(col("us"), (-col("event_id")).as("nid"))))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val nextC = min(when(col("kind") === 0,
+        struct(col("us"), col("event_id"))))
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val cand = e.withColumn("pc", prevC).withColumn("nc", nextC)
+      .filter(col("kind") === 1)
+      .withColumn("pd", col("us") - col("pc.us"))
+      .withColumn("nd", col("nc.us") - col("us"))
+    val prevOk = col("pc").isNotNull && col("pd") <= lit(tol)
+    val nextOk = col("nc").isNotNull && col("nd") <= lit(tol)
+    val takePrev = prevOk && (!nextOk || col("pd") <= col("nd"))
+    cand.select(col("event_id"), col("user_id"),
+        when(takePrev, -col("pc.nid"))
+          .when(nextOk, col("nc.event_id"))
+          .otherwise(lit(null).cast("long")).as("click_id"),
+        when(takePrev, col("pd"))
+          .when(nextOk, col("nd"))
+          .otherwise(lit(null).cast("long")).as("delta_us"),
+        when(takePrev, lit("prev"))
+          .when(nextOk, lit("next"))
+          .otherwise(lit("none")).as("direction"))
+      .orderBy("event_id")
+  }
+
+  /** Aggregate IVM with RETRACTIONS (q370): the engine's incremental
+    * maintenance tier extended to DELETES — q249 maintains a join
+    * under inserts, q354 merges insert-only stats partials; this is
+    * the Z-set form (each delta row carries a signed multiplicity)
+    * that real incremental engines use for upserts, corrections, and
+    * erasure.  The delta batch is the final day's events as +1 rows
+    * UNION a deterministic erasure set (every 17th prior event — the
+    * q329 deletion-cascade scenario hitting a maintained aggregate)
+    * as −1 rows; the maintained per-type state is updated as
+    * count' = count + Σmult and sum' = sum + Σ(mult·units) — ONE
+    * delta scan, no base re-scan.  The audit recomputes ground truth
+    * from scratch ((prior − deleted) ∪ inserts) and pins equality
+    * with explicit match flags, the q354 audit discipline.
+    *
+    * COUNT and SUM are self-invertible under retraction; MIN/MAX are
+    * NOT (a deleted minimum forces a rebuild — the q354 histogram
+    * caveat applies to extremes too), which is why this operator
+    * maintains exactly the invertible pair.
+    *
+    * 100 TB shape: the maintained state is group-cardinality-sized;
+    * the update touches only the delta (map-side combined keyed
+    * aggregate + a broadcast-sized outer join against the state).
+    * A full recompute re-scans the fact table; the retraction path
+    * costs |delta| — that ratio IS the value of IVM at scale.
+    */
+  def retractIvm(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(
+      col("event_id"),
+      expr("unix_millis(ts) div 86400000").as("day"),
+      col("event_type"),
+      floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("units"))
+    val split = e.agg(max(col("day")).as("d1"))
+    val t = e.crossJoin(broadcast(split))
+    val prior = t.filter(col("day") < col("d1"))
+    val deletes = prior.filter(pmod(col("event_id"), lit(17L)) === 0L)
+    val inserts = t.filter(col("day") === col("d1"))
+    val base = prior.groupBy("event_type")
+      .agg(count(lit(1)).as("n0"), sum(col("units")).as("u0"))
+    val delta = inserts
+      .select(col("event_type"), lit(1L).as("mult"), col("units"))
+      .unionByName(deletes
+        .select(col("event_type"), lit(-1L).as("mult"), col("units")))
+    val dAgg = delta.groupBy("event_type").agg(
+      sum(col("mult")).as("dn"),
+      sum(col("mult") * col("units")).as("du"),
+      sum(when(col("mult") === 1L, 1L).otherwise(0L)).as("n_ins"),
+      sum(when(col("mult") === -1L, 1L).otherwise(0L)).as("n_del"))
+    val merged = base.join(dAgg, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_ins"), lit(0L)).as("n_inserts"),
+        coalesce(col("n_del"), lit(0L)).as("n_deletes"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("merged_count"),
+        (coalesce(col("u0"), lit(0L)) + coalesce(col("du"), lit(0L)))
+          .as("merged_units"))
+    val direct = t.filter(col("day") === col("d1") ||
+        (col("day") < col("d1") && pmod(col("event_id"), lit(17L)) =!= 0L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("direct_count"), sum(col("units")).as("direct_units"))
+    merged.join(direct, Seq("event_type"), "full_outer")
+      .select(col("event_type"), col("n_inserts"), col("n_deletes"),
+        col("merged_count"),
+        coalesce(col("direct_count"), lit(0L)).as("direct_count"),
+        when(col("merged_count") === coalesce(col("direct_count"), lit(0L)), 1)
+          .otherwise(0).as("count_match"),
+        col("merged_units"),
+        coalesce(col("direct_units"), lit(0L)).as("direct_units"),
+        when(col("merged_units") === coalesce(col("direct_units"), lit(0L)), 1)
+          .otherwise(0).as("units_match"))
+      .orderBy("event_type")
+  }
 }

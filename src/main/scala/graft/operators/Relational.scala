@@ -2434,6 +2434,236 @@ object Relational {
           floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
             .as("v")), k)
 
+  /** Exchange-reuse self-join (q367): a count-of-counts collision
+    * profile (the same frame Good–Turing q194 smooths) computed the
+    * way Spark is BUILT to compute repeated subtrees — the per-part
+    * line-count histogram is consumed twice by a self-equi-join on its
+    * value column, and the engine shuffles the underlying aggregate
+    * ONCE: both join inputs hash-partition the identical child on the
+    * same key, so the second exchange is replaced by a ReusedExchange
+    * node (Batch29Spec pins it in the physical plan).  Output: for
+    * each histogram multiplicity `n_parts`, the number of unordered
+    * bucket pairs (self-pairs included, so every bucket reports) that
+    * share it — k·(k+1)/2 for a k-way collision.
+    *
+    * 100 TB shape: exchange reuse halves the shuffle bill of any plan
+    * that reads one aggregate from two sides (self-joins, A-vs-all
+    * comparisons, share-of-total patterns) — the optimization is free
+    * BECAUSE the plan is declarative: two renamed projections of one
+    * DataFrame canonicalize to the same subtree.  The self-join itself
+    * is histogram-sized (distinct count values, ~dozens), never
+    * corpus-sized; the groupwise pair blow-up is bounded by the
+    * histogram's collision multiplicity, not by row count.
+    */
+  def exchangeReuse(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_lines"))
+      .groupBy(col("n_lines")).agg(count(lit(1)).as("n_parts"))
+    val a = h.select(col("n_lines").as("lines_a"), col("n_parts"))
+    val b = h.select(col("n_lines").as("lines_b"), col("n_parts").as("np_b"))
+    a.join(b, col("n_parts") === col("np_b") &&
+        col("lines_a") <= col("lines_b"))
+      .groupBy("n_parts").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("n_parts")
+  }
+
+  /** MV-rewrite consumer (q368): the engine's fourth injected
+    * optimizer rule ([[graft.plans.RewriteToMv]]) exercised end to
+    * end — the daily-revenue MV is built and rename-published ONCE
+    * ([[graft.plans.MvStore.publish]], the StatsStore artifact
+    * discipline applied to precomputed data), the monthly rollup's
+    * compensation plan is registered under a per-call-unique marker,
+    * and the consumer query — written against the BASE lineitem table
+    * — is answered from the artifact: the optimizer substitutes the
+    * registered re-aggregation with exprId-preserving aliases, so the
+    * physical plan scans the KB-sized MV and never opens lineitem
+    * (Batch29Spec pins both directions: no lineitem scan when
+    * registered, a lineitem scan in the unregistered control, values
+    * identical).  The DuckDB oracle recomputes from the base table,
+    * so value identity of the rewrite is the correctness gate itself.
+    *
+    * Determinism: per-row revenue is quantized to DECIMAL(18,4) (the
+    * q01 money rule); daily partial sums and their monthly re-sum are
+    * exact decimal arithmetic, so MV-path and base-path revenues are
+    * bit-identical after the one final cast to DOUBLE.
+    *
+    * 100 TB shape: the MV build is one fact scan into a (day × flag)-
+    * sized keyed aggregate, paid on the refresh schedule; every
+    * rewritten dashboard query afterwards reads ~2.5k MV rows instead
+    * of the 100 TB fact.  The result is month×flag-sized — a bounded
+    * frame — so it is localized before the temp store deletes
+    * (Fs.localize; the store is gone by the time this returns).
+    */
+  def mvRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft-mv-store")
+    try {
+      graft.plans.MvStore.publish(spark, dir, store.toString)
+      val marker = "gmv_rev_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      graft.plans.MvStore.registerRollup(spark, store.toString, marker)
+      try graft.util.Fs.localize(spark,
+        graft.plans.MvStore.baseConsumer(spark, dir, marker))
+      finally graft.plans.MvRegistry.unregister(marker)
+    } finally {
+      graft.util.Fs.syncRecursively(store)
+      graft.util.Fs.deleteRecursively(store)
+    }
+  }
+
+  /** Join-consistent (coordinated) sampling audit (q373): sample two
+    * fact tables INDEPENDENTLY by the same deterministic hash of the
+    * join key (keep orderkey iff hv60('cs:'‖key) mod 100 < 10) and the
+    * join of the samples is EXACTLY the 10% key-sample of the full
+    * join — membership is a function of the key alone, so no matching
+    * row is ever half-sampled.  The row-Bernoulli alternative keeps a
+    * matching pair with probability p² (1% here) and its join estimate
+    * needs a 1/p² correction with p²-inflated variance; coordinated
+    * sampling needs 1/p and keeps every surviving order INTACT (its
+    * full line fan-out), which is why distributed engines sample by
+    * key hash.  The audit proves the identity per order priority
+    * (sample⋈sample vs filter-after-join, flag-pinned) and prices the
+    * estimator: scaled line counts vs the true total with the relative
+    * error.
+    *
+    * 100 TB shape: each side's sample is a scan-level filter (no
+    * coordination traffic — the "coordination" is the shared hash
+    * function); the audit join touches only the 10% survivors.  The
+    * ground-truth recount is the audit's deliberate price (the q335
+    * discipline).  Sampling both sides of a join without key
+    * coordination is the classic silent-bias trap this query exists
+    * to document.
+    */
+  def consistentSample(spark: SparkSession, dir: String,
+      pct: Int = 10): DataFrame = {
+    def keep(c: org.apache.spark.sql.Column) =
+      pmod(TextAnalysis.hv60(concat(lit("cs:"), c.cast("string"))),
+        lit(100L)) < lit(pct.toLong)
+    val oS = Tables.orders(spark, dir)
+      .filter(keep(col("o_orderkey")))
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val lS = Tables.lineitem(spark, dir)
+      .filter(keep(col("l_orderkey"))).select(col("l_orderkey"))
+    val sampleJoin = oS.join(lS, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_orderkey")).as("n_orders_s"),
+        count(lit(1)).as("n_lines_s"))
+    val full = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+    val joinSample = full.filter(keep(col("o_orderkey")))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_lines_js"))
+    val truth = full.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("true_lines"))
+    sampleJoin
+      .join(joinSample, Seq("o_orderpriority"))
+      .join(truth, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_orders_s"), col("n_lines_s"),
+        when(col("n_lines_s") === col("n_lines_js"), 1).otherwise(0)
+          .as("consistency_match"),
+        (col("n_lines_s") * lit(100L / pct)).as("est_lines"),
+        col("true_lines"),
+        abs((col("n_lines_s") * lit(100L / pct)).cast("double")
+          - col("true_lines").cast("double")).as("abs_err"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** JOIN view maintained under retractions (q375): the IVM triangle
+    * completed — q249 maintains a join under INSERTS, q370 an
+    * aggregate under deletes; this maintains an aggregate OVER A JOIN
+    * under deletes on BOTH inputs, which takes the full Z-set product
+    * rule: Δ(O ⋈ L) = ΔO⋈L + O⋈ΔL + ΔO⋈ΔL with signed multiplicities
+    * (the third term corrects the double-subtraction when an erased
+    * order meets its own erased lines — drop it and every cascaded
+    * row is removed twice).  The scenario is q365's erasure cascade
+    * hitting a MAINTAINED revenue view: erased orders (−1) and their
+    * FK-cascaded lines (−1).  The audit recomputes from the kept
+    * tables and pins equality with match flags, all exact integers.
+    *
+    * 100 TB shape: each delta term joins a |Δ|-sized side against the
+    * base ONCE (broadcast when the erasure batch is small — the
+    * normal case); the maintained state is group-cardinality-sized.
+    * The alternative — re-joining 100 TB of fact against fact per
+    * erasure batch — is the cost this algebra exists to avoid.
+    */
+  def joinRetractIvm(spark: SparkSession, dir: String): DataFrame = {
+    val oAll = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val lAll = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+      floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long")
+        .as("units"))
+    def erased(c: org.apache.spark.sql.Column) = pmod(c, lit(31L)) === 0L
+    val oDel = oAll.filter(erased(col("o_orderkey")))
+    val lDel = lAll.filter(erased(col("l_orderkey")))
+    val jOld = oAll.join(lAll, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n0"), sum(col("units")).as("u0"))
+    def term(o: DataFrame, l: DataFrame, mult: Long) =
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"), lit(mult).as("mult"), col("units"))
+    val delta = term(oDel, lAll, -1L)
+      .unionByName(term(oAll, lDel, -1L))
+      .unionByName(term(oDel, lDel, 1L))
+    val dAgg = delta.groupBy("o_orderpriority").agg(
+      sum(col("mult")).as("dn"),
+      sum(col("mult") * col("units")).as("du"),
+      sum(when(col("mult") === -1L, 1L).otherwise(0L)).as("n_retract_terms"))
+    val merged = jOld.join(dAgg, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_retract_terms"), lit(0L)).as("n_retract_terms"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("merged_lines"),
+        (coalesce(col("u0"), lit(0L)) + coalesce(col("du"), lit(0L)))
+          .as("merged_units"))
+    val direct = oAll.filter(!erased(col("o_orderkey")))
+      .join(lAll.filter(!erased(col("l_orderkey"))),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("direct_lines"), sum(col("units")).as("direct_units"))
+    merged.join(direct, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"), col("n_retract_terms"),
+        col("merged_lines"),
+        coalesce(col("direct_lines"), lit(0L)).as("direct_lines"),
+        when(col("merged_lines") === coalesce(col("direct_lines"), lit(0L)), 1)
+          .otherwise(0).as("lines_match"),
+        col("merged_units"),
+        coalesce(col("direct_units"), lit(0L)).as("direct_units"),
+        when(col("merged_units") === coalesce(col("direct_units"), lit(0L)), 1)
+          .otherwise(0).as("units_match"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Daily metrics PIVOTED by event type (q376): the q175 unpivot's
+    * inverse, completing the reshape pair — one row per day, one
+    * quantized value-sum column per event type (the fixed five), plus
+    * the day's event count.  Spark's `pivot` with an EXPLICIT value
+    * list is the scale-correct form: without it the engine runs an
+    * extra distinct-scan to discover the columns AND the plan schema
+    * becomes data-dependent (a new event type silently widens every
+    * downstream consumer); with it, the pivot is one keyed aggregate
+    * with a 5-way conditional projection — exactly the CASE-sum plan
+    * the oracle states declaratively.
+    *
+    * 100 TB shape: one shuffle on day (map-side combined), output
+    * day-cardinality-sized.  A day missing a type yields 0 via the
+    * same null→0 rule in both engines.
+    */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val e = Tables.events(spark, dir).select(
+      to_date(col("ts")).cast("string").as("day"),
+      col("event_type"),
+      floor(col("value") * lit(1.0e6) + lit(0.5)).cast("long").as("units"))
+    val pivoted = e.groupBy("day").pivot("event_type", types)
+      .agg(sum(col("units")))
+      .na.fill(0L, types)
+    val counts = e.groupBy("day").agg(count(lit(1)).as("n_events"))
+    pivoted.join(counts, Seq("day"))
+      .select(col("day") +: col("n_events") +:
+        types.map(t => col(t).as(s"${t}_units")): _*)
+      .orderBy("day")
+  }
+
   /** The histogram build over any (l_orderkey, l_linenumber, v) frame —
     * split out so q347 can build STALE statistics on a snapshot subset
     * through the identical plan.

@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the join-order decision (q348's containment estimate) enforced:
     // a registered marker condition pulls its join innermost
     e.injectOptimizerRule(_ => ReorderJoinByStats)
+    // the materialized-view rewrite: a registered aggregate over the
+    // base table is answered from the rename-published MV artifact
+    // (plan substitution with exprId-preserving aliases)
+    e.injectOptimizerRule(_ => RewriteToMv)
     e.injectFunction((
       FunctionIdentifier("graft_token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),

@@ -165,11 +165,17 @@ object StatsStore {
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
+  /** Public named publish for consumers outside the stats lifecycle
+    * that still want the rename discipline (the q377 CDC epochs).
+    */
+  def publishNamed(df: DataFrame, storeDir: String, name: String): Unit =
+    commitArtifact(df, storeDir, name)
+
   /** None-or-all artifact publish: write to a hidden temp dir, then
     * one FileSystem.rename (the q230/q336 store discipline).  A
     * republish atomically replaces the previous artifact.
     */
-  private def commitArtifact(df: DataFrame, storeDir: String,
+  private[plans] def commitArtifact(df: DataFrame, storeDir: String,
       name: String): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession

@@ -210,6 +210,62 @@ object FormatOps {
       materialize(spark, partitionedReadAgg(spark, tmp.toString))
     }
 
+  /** The day-selecting dim side for q366: per-day quantized value
+    * totals, filtered on a DATA-DEPENDENT predicate (total's residue
+    * mod 7 below 3 — keeps roughly 3/7 of days; plain parity is
+    * degenerate here because the fixture's per-day totals are all
+    * even).  The filter is deliberately not expressible as a static
+    * predicate on the partition column — that is what forces the
+    * pruning to happen at RUNTIME, after the dim aggregate runs.
+    */
+  def dppDimDays(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * lit(1.0e6) + lit(0.5)).cast(LongType))
+        .as("units"))
+      .filter(pmod(col("units"), lit(7L)) < lit(3L))
+      .select(col("day"))
+
+  /** Read-back + dim join, exposed for the Batch29Spec pin: the fact
+    * scan's partitionFilters carry a `dynamicpruningexpression` — the
+    * selected-day set is computed from the dim side AT RUNTIME (reusing
+    * the broadcast exchange) and only those day directories are read.
+    */
+  def dppReadAgg(spark: SparkSession, tmp: String, dir: String): DataFrame =
+    spark.read.parquet(tmp)
+      .join(broadcast(dppDimDays(spark, dir)), "day")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("day")).as("n_days"),
+        valueUnits(col("value")).as("value_units"))
+
+  /** q366: DYNAMIC partition pruning — q233's layout lever upgraded
+    * from planning-time to runtime.  q233 prunes with a literal date
+    * range (static partitionFilters); real star-schema queries filter
+    * the DIM side ("days whose total cleared X") and the partition
+    * keys to keep are only known after that filter runs.  Spark's DPP
+    * handles exactly this: the fact side is date-partitioned parquet,
+    * the dim side is a per-day aggregate under a data-dependent
+    * predicate, and the broadcast join key (`day`) is the partition
+    * column — the optimizer splices the dim result into the fact
+    * scan's partitionFilters as a runtime IN-subquery, so unselected
+    * day directories are never opened.  The oracle replays dim and
+    * join from the original events table, certifying both the
+    * partitioned write and the runtime-pruned read.
+    *
+    * 100 TB shape: this is THE mechanism that makes fact⋈dim cheap on
+    * a partitioned lake — a dim filter selecting 15/3650 days means
+    * the 100 TB fact scan opens 0.4% of its files, decided at runtime
+    * with zero user hints; the dim aggregate is day-cardinality-sized
+    * and broadcast-reused, not recomputed.
+    */
+  def dppPrune(spark: SparkSession, dir: String): DataFrame =
+    withTempDir("dpp") { tmp =>
+      writePartitionedEvents(spark, dir, tmp.toString)
+      materialize(spark, dppReadAgg(spark, tmp.toString, dir))
+    }
+
   /** q256: schema-evolution merge audit — the lake's ADD COLUMN path
     * exercised for real: the fixture is written as two parquet
     * generations (old files lack the `units` column, new files carry

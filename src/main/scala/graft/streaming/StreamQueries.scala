@@ -635,6 +635,194 @@ object StreamQueries {
       .orderBy("doc_id")
   }
 
+  /** Streaming MV maintenance (q372): the q368 materialized view kept
+    * fresh by the stream instead of rebuilt by a batch job — the
+    * composition the MV tier exists for at 100 TB (the fact table is
+    * an unbounded ingest; "rebuild on refresh" re-scans it, the
+    * maintainer pays only each micro-batch).  Lineitem arrives as
+    * three disjoint micro-batches; foreachBatch aggregates EACH batch
+    * to daily DECIMAL partials and rename-publishes them under the
+    * batch's deterministic id ([[graft.plans.MvStore.publishEpoch]]).
+    * SUM is not replay-idempotent the way q336's HLL max-merge is, so
+    * exactly-once comes from the epoch artifacts themselves: a
+    * replayed batch re-publishes its OWN epoch over itself (one
+    * rename) — never appends.  The read side merges the epoch
+    * partials to the monthly rollup.
+    *
+    * Gate: the stream-maintained rollup must equal the from-scratch
+    * batch MV rollup in EXACT DECIMAL (flags computed by Spark from
+    * both genuinely-built sides; the oracle recomputes the values
+    * from lineitem and states the flags) — a lost batch, a
+    * double-published epoch, or a partial drift breaks values AND
+    * flags.
+    *
+    * 100 TB shape: per micro-batch ONE keyed aggregate (map-side
+    * combined to day×flag rows) + a KB-sized artifact rename; the
+    * merge reads epochs×(day×flag) rows.  No state store at all —
+    * the published partials ARE the recovery state, the same
+    * philosophy as q336.
+    */
+  def mvIngest(spark: SparkSession, dir: String,
+               inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import java.nio.file.Files
+    val li = graft.Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_shipdate").as("day"),
+      col("l_returnflag").as("flag"),
+      col("l_extendedprice").as("price"), col("l_discount").as("disc"))
+    val maxK = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val c1 = (maxK + 1) / 3
+    val c2 = 2 * (maxK + 1) / 3
+    val (watch, stage) = stageBatches(li, Seq(
+        col("l_orderkey") < c1,
+        col("l_orderkey") >= c1 && col("l_orderkey") < c2,
+        col("l_orderkey") >= c2), "mv",
+      dropAfterFilter = Seq("l_orderkey"))
+    val schema = StructType(Seq(
+      StructField("day", org.apache.spark.sql.types.TimestampType),
+      StructField("flag", StringType),
+      StructField("price", org.apache.spark.sql.types.DoubleType),
+      StructField("disc", org.apache.spark.sql.types.DoubleType)))
+    val storeDir = Files.createTempDirectory("graft-mvingest-store")
+    val ckptDir = Files.createTempDirectory("graft-mvingest-ckpt")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q =
+      try {
+        spark.conf.set(key, "8")
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .writeStream
+          .option("checkpointLocation", ckptDir.toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.plans.MvStore.publishEpoch(
+              graft.plans.MvStore.epochPartials(batch),
+              storeDir.toString, batchId)
+          }
+          .start()
+      } finally spark.conf.set(key, prev)
+    try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    Seq(watch, stage, ckptDir).foreach(deleteRecursively)
+    graft.util.Fs.deleteOnExit(storeDir)
+    def monthly(partials: DataFrame, revName: String, nName: String) =
+      partials.groupBy(
+          substring(col("day").cast("string"), 1, 7).as("ship_month"),
+          col("flag"))
+        .agg(sum(col("rev_partial")).as(revName),
+          sum(col("n_partial")).as(nName))
+    val stream = monthly(spark.read.parquet(s"$storeDir/epoch-*"),
+      "rev_s", "n_s")
+    val batchMv = monthly(graft.plans.MvStore.mvFrame(spark, dir),
+      "rev_b", "n_b")
+    stream.join(batchMv, Seq("ship_month", "flag"), "full_outer")
+      .select(col("ship_month"), col("flag").as("l_returnflag"),
+        col("rev_s").cast("double").as("stream_rev"),
+        col("rev_b").cast("double").as("batch_rev"),
+        when(col("rev_s") === col("rev_b"), 1).otherwise(0).as("rev_match"),
+        col("n_s").as("stream_lines"), col("n_b").as("batch_lines"),
+        when(col("n_s") === col("n_b"), 1).otherwise(0).as("lines_match"))
+      .orderBy("ship_month", "l_returnflag")
+  }
+
+  /** Streaming CDC apply (q377): q86's batch upsert/delete merge run
+    * AS A STREAM — the change-log consumer every lakehouse upsert sink
+    * implements.  Three sequential change batches (initial load;
+    * updates + deletes; later updates + deletes, including RE-inserts
+    * of previously deleted ids) arrive as micro-batches; foreachBatch
+    * applies each to the PREVIOUS epoch's state (one full-outer merge
+    * on the key, batch op wins: delete drops, upsert
+    * inserts-or-overwrites) and rename-publishes the result as
+    * `state-N`.  Exactly-once mirrors q372: a replayed batch N
+    * recomputes state-N from the immutable state-(N−1) and renames
+    * over itself — read-modify-write made idempotent by per-epoch
+    * lineage, which is precisely what a naive "merge into one live
+    * table" loses on replay.
+    *
+    * Gate: the final state must equal the DECLARATIVE fold of the op
+    * log (last op per key wins; delete = absent) — the oracle states
+    * it as a window over the op union, so a lost batch, a
+    * mis-ordered apply, or a delete that failed to drop all break
+    * per-row values.
+    *
+    * 100 TB shape: each epoch is one keyed merge join (change batch
+    * broadcast when small — the nightly norm) + one rewrite of the
+    * state partition set; production amortizes the rewrite with
+    * bucketed copy-on-write or merge-on-read compaction, but the
+    * LINEAGE protocol audited here (immutable epochs, replay =
+    * recompute, rename publish) is the part that cannot be wrong at
+    * any scale.
+    */
+  def cdcApply(spark: SparkSession, dir: String,
+               inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import java.nio.file.Files
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val b1 = docs.filter(col("doc_id") < 300)
+      .select(col("doc_id"), lit("upsert").as("op"),
+        col("text").as("new_text"), lit(1L).as("new_version"))
+    val b2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 400)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) === 0L, "delete").otherwise("upsert")
+          .as("op"),
+        concat(col("text"), lit(" v2")).as("new_text"), lit(2L).as("new_version"))
+    val b3 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 500)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7L)) === 0L, "delete").otherwise("upsert")
+          .as("op"),
+        concat(col("text"), lit(" v3")).as("new_text"), lit(3L).as("new_version"))
+    val (watch, stage) = stageFrames(Seq(b1, b2, b3), "cdc")
+    val schema = StructType(Seq(
+      StructField("doc_id", org.apache.spark.sql.types.LongType),
+      StructField("op", StringType),
+      StructField("new_text", StringType),
+      StructField("new_version", org.apache.spark.sql.types.LongType)))
+    val storeDir = Files.createTempDirectory("graft-cdc-store")
+    val ckptDir = Files.createTempDirectory("graft-cdc-ckpt")
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q =
+      try {
+        spark.conf.set(key, "8")
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .writeStream
+          .option("checkpointLocation", ckptDir.toString)
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val s = batch.sparkSession
+            val prevState =
+              if (batchId == 0L) {
+                import s.implicits._
+                Seq.empty[(Long, String, Long)]
+                  .toDF("doc_id", "text", "version")
+              } else s.read.parquet(
+                f"$storeDir/state-${batchId - 1}%03d")
+            graft.plans.StatsStore.publishNamed(
+              applyCdcOps(prevState, batch), storeDir.toString,
+              f"state-$batchId%03d")
+          }
+          .start()
+      } finally spark.conf.set(key, prev)
+    try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    Seq(watch, stage, ckptDir).foreach(deleteRecursively)
+    graft.util.Fs.deleteOnExit(storeDir)
+    spark.read.parquet(s"$storeDir/state-002")
+      .select(col("doc_id"), col("version"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** One CDC epoch: full-outer merge on the key, the batch's op wins
+    * (delete drops the row, upsert inserts or overwrites) — q86's
+    * classification applied to a maintained state.  Shared by the
+    * stream and the Batch31Spec replay pin.
+    */
+  private[graft] def applyCdcOps(state: DataFrame,
+      batch: DataFrame): DataFrame =
+    state.join(batch, Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("doc_id"),
+        coalesce(col("new_text"), col("text")).as("text"),
+        coalesce(col("new_version"), col("version")).as("version"))
+
   /** q336: streaming HLL register maintenance, gated — the incremental
     * distinct-count a 100 TB ingest runs.  The corpus arrives as two
     * OVERLAPPING micro-batches (ids [0, cut1) then [cut0, max] — the

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Batch 41 pins (q366-q370): dynamic partition pruning in the fact
+  * scan, exchange reuse on the histogram self-join, the MV rewrite's
+  * plan swap (both directions) and its refusal guard, the AA
+  * prediction path on a thinned graph, and the retraction IVM's
+  * non-degeneracy.
+  */
+class Batch29Spec extends SparkSuite {
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p.flatMap {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      nodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: nodes(q.plan)
+    case n => Seq(n)
+  }
+
+  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+    nodes(p).collect { case f: FileSourceScanExec => f }
+
+  test("q366: the fact scan's partitionFilters carry a runtime dynamicpruning subquery") {
+    val tmp = java.nio.file.Files.createTempDirectory("b29-dpp")
+    try {
+      sources.FormatOps.writePartitionedEvents(spark, sf, tmp.toString)
+      val q = sources.FormatOps.dppReadAgg(spark, tmp.toString, sf)
+      val fact = scans(q.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(
+          _.toString.contains(tmp.getFileName.toString)))
+      assert(fact.nonEmpty, "the partitioned fact scan is in the plan")
+      assert(fact.exists(_.partitionFilters.exists(
+          _.toString.contains("dynamicpruning"))),
+        "pruning is RUNTIME (a dynamicpruning subquery), not a static literal")
+      // and it genuinely prunes: the selected-day set is a strict
+      // subset of the written day directories
+      val allDays = Tables.events(spark, sf)
+        .select(to_date(col("ts"))).distinct().count()
+      val keptDays = sources.FormatOps.dppDimDays(spark, sf).count()
+      assert(keptDays > 0 && keptDays < allDays,
+        s"the parity dim selects a strict subset ($keptDays of $allDays)")
+    } finally graft.util.Fs.deleteRecursively(tmp)
+  }
+
+  test("q367: the histogram self-join shuffles its child ONCE (ReusedExchange), AQE values exact") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val noAqe =
+      try {
+        val q = operators.Relational.exchangeReuse(spark, sf)
+        val rows = q.collect()
+        assert(nodes(q.queryExecution.executedPlan)
+            .exists(_.isInstanceOf[ReusedExchangeExec]),
+          "the second consumer of the histogram rides a ReusedExchange")
+        rows
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val aqe = operators.Relational.exchangeReuse(spark, sf).collect()
+    assert(noAqe.toSeq == aqe.toSeq, "AQE and non-AQE runs are value-identical")
+    // every multiplicity reports at least its self-pairs: n_pairs =
+    // k(k+1)/2 >= 1, and a k=1 multiplicity reports exactly 1
+    assert(noAqe.forall(_.getLong(1) >= 1L))
+  }
+
+  test("q368: the rewritten plan scans the MV artifact and NEVER opens lineitem; the control does the opposite; values identical") {
+    val store = java.nio.file.Files.createTempDirectory("b29-mv")
+    try {
+      plans.MvStore.publish(spark, sf, store.toString)
+      val marker = "gmv_spec_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      plans.MvStore.registerRollup(spark, store.toString, marker)
+      val rewritten =
+        try {
+          val q = plans.MvStore.baseConsumer(spark, sf, marker)
+          val rows = q.collect()
+          val paths = scans(q.queryExecution.executedPlan)
+            .flatMap(_.relation.location.rootPaths.map(_.toString))
+          assert(!paths.exists(_.contains("lineitem")),
+            s"no base-table scan in the rewritten plan (saw $paths)")
+          assert(paths.exists(_.contains("mv_daily_rev")),
+            "the MV artifact is the plan's only source")
+          rows
+        } finally plans.MvRegistry.unregister(marker)
+      // control: no registration -> the query runs as written
+      val control = plans.MvStore.baseConsumer(spark, sf, marker)
+      val cRows = control.collect()
+      val cPaths = scans(control.queryExecution.executedPlan)
+        .flatMap(_.relation.location.rootPaths.map(_.toString))
+      assert(cPaths.exists(_.contains("lineitem")),
+        "the unregistered control scans the base table")
+      assert(rewritten.toSeq == cRows.toSeq,
+        "MV path and base path are value-identical")
+    } finally graft.util.Fs.deleteRecursively(store)
+  }
+
+  test("q368 guard: a shape-mismatched registration is REFUSED (plan runs as written)") {
+    val store = java.nio.file.Files.createTempDirectory("b29-mv-bad")
+    try {
+      plans.MvStore.publish(spark, sf, store.toString)
+      val marker = "gmv_bad_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      // wrong arity AND wrong types: the raw MV frame, not the rollup
+      plans.MvRegistry.register(marker,
+        spark.read.parquet(s"${store.toString}/mv_daily_rev")
+          .queryExecution.analyzed)
+      try {
+        val q = plans.MvStore.baseConsumer(spark, sf, marker)
+        val paths = scans(q.queryExecution.executedPlan)
+          .flatMap(_.relation.location.rootPaths.map(_.toString))
+        assert(paths.exists(_.contains("lineitem")),
+          "the mismatched replacement is refused: the base scan stays")
+        assert(q.count() > 0)
+      } finally plans.MvRegistry.unregister(marker)
+    } finally graft.util.Fs.deleteRecursively(store)
+  }
+
+  test("q369: fixture degrees sit under the cap (cap-slack), and a thinned graph yields is_edge=0 predictions") {
+    val pairs = operators.Dedup.minhashLsh(spark, sf)
+      .select(col("doc_a"), col("doc_b"))
+    val maxDeg = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+      .groupBy("id").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg < 64, s"every fixture degree ($maxDeg) is under the cap: " +
+      "the capped score equals the uncapped ideal here")
+    // thin the graph: drop every third edge — clique pairs lose their
+    // direct edge but keep shared neighbors, so AA must SURFACE them
+    val thinned = pairs.filter(pmod(col("doc_a") + col("doc_b"), lit(3L)) =!= 0L)
+    val aa = operators.Dedup.adamicAdarFrom(thinned, 50, 64).collect()
+    val predicted = aa.filter(_.getInt(4) == 0)
+    assert(predicted.nonEmpty,
+      "the prediction path is live: dropped clique edges score is_edge=0")
+    assert(predicted.forall(_.getDouble(3) > 0.0))
+  }
+
+  test("q370: the retraction path is non-degenerate (deletes AND inserts flow) and the maintained state matches") {
+    val rows = operators.EventOps.retractIvm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum > 0, "retractions actually flowed")
+    assert(rows.map(_.getLong(1)).sum > 0, "inserts actually flowed")
+    assert(rows.forall(r => r.getInt(5) == 1 && r.getInt(8) == 1),
+      "merged state == from-scratch recompute for every group")
+  }
+}

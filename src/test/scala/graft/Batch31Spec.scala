@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch 43 pins (q375-q377): the Z-set correction term is
+  * load-bearing, the pivot schema is explicit-list-pinned, and the CDC
+  * stream's epoch protocol (replay idempotence, re-insert after
+  * delete, delete stays deleted).
+  */
+class Batch31Spec extends SparkSuite {
+
+  test("q375: dropping the ΔO⋈ΔL correction term double-subtracts — the three-term algebra is load-bearing") {
+    val rows = operators.Relational.joinRetractIvm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(4) == 1 && r.getInt(7) == 1),
+      "three-term maintenance == kept-tables recompute")
+    assert(rows.map(_.getLong(1)).sum > 0, "retractions actually flowed")
+    // the naive two-term delta (ΔO⋈L + O⋈ΔL) on the same data
+    val o = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.lineitem(spark, sf).select(col("l_orderkey"),
+      floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long").as("units"))
+    val od = o.filter(pmod(col("o_orderkey"), lit(31L)) === 0L)
+    val ld = l.filter(pmod(col("l_orderkey"), lit(31L)) === 0L)
+    val twoTerm = od.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), col("units"))
+      .unionByName(o.join(ld, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderpriority"), col("units")))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("dn2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val j0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n0"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    val naiveWrong = direct.exists { case (prio, d) =>
+      j0(prio) - twoTerm.getOrElse(prio, 0L) != d
+    }
+    assert(naiveWrong,
+      "the two-term delta must NOT reproduce the recompute — else the correction term tests nothing")
+  }
+
+  test("q376: the pivot plan carries the EXPLICIT column set — no discovery scan, schema pinned") {
+    val q = operators.Relational.pivotDaily(spark, sf)
+    assert(q.columns.toSeq == Seq("day", "n_events", "click_units",
+      "error_units", "purchase_units", "signup_units", "view_units"))
+    val rows = q.collect()
+    assert(rows.length > 0)
+    // one pivot aggregate + one count aggregate = exactly two scans of
+    // events; a values-discovery pass would add a third
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p.flatMap {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        s +: nodes(s.plan)
+      case n => Seq(n)
+    }
+    val scans = nodes(q.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.exists(
+        _.toString.contains("events.parquet")))
+    assert(scans <= 2, s"explicit value list means no discovery scan (saw $scans)")
+  }
+
+  test("q377: re-insert after delete lands at v3, deletes stay deleted, and a REPLAYED epoch recomputes identically") {
+    val out = streaming.StreamQueries.cdcApply(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // deleted in b2 (%5==0 in [100,400)), re-inserted by b3 if in
+    // [200,500) and %7!=0 — must be present at version 3
+    val reIns = (200L until 400L).filter(i => i % 5 == 0 && i % 7 != 0)
+    assert(reIns.nonEmpty && reIns.forall(byId.get(_).contains(3L)),
+      "delete-then-upsert re-inserts at the later version")
+    // deleted in b2 and never touched again ([100,200) %5==0) — absent
+    val gone = (100L until 200L).filter(_ % 5 == 0)
+    assert(gone.forall(!byId.contains(_)), "a final delete removes the row")
+    // untouched-after-b1 ids ([0,100)) stay at v1
+    assert((0L until 100L).forall(byId.get(_).contains(1L)))
+    // replay idempotence of one epoch: state-N from state-(N-1) twice
+    val store = java.nio.file.Files.createTempDirectory("b31-cdc")
+    try {
+      import spark.implicits._
+      val s0 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("doc_id", "text", "version")
+      val b = Seq((1L, "delete", "x", 2L), (3L, "upsert", "c", 2L))
+        .toDF("doc_id", "op", "new_text", "new_version")
+      plans.StatsStore.publishNamed(
+        streaming.StreamQueries.applyCdcOps(s0, b), store.toString, "state-001")
+      val once = spark.read.parquet(s"$store/state-001").collect().toSet
+      plans.StatsStore.publishNamed(
+        streaming.StreamQueries.applyCdcOps(s0, b), store.toString, "state-001")
+      val twice = spark.read.parquet(s"$store/state-001").collect().toSet
+      assert(once == twice && once.map(_.getLong(0)) == Set(2L, 3L),
+        "replaying an epoch renames the identical state over itself")
+    } finally graft.util.Fs.deleteRecursively(store)
+  }
+}
