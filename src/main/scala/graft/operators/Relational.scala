@@ -2535,6 +2535,9 @@ object Relational {
     */
   def consistentSample(spark: SparkSession, dir: String,
       pct: Int = 10): DataFrame = {
+    // the 1/p scale-up below is the exact integer 100/pct — a pct that
+    // doesn't divide 100 would silently truncate the estimator
+    require(pct > 0 && 100 % pct == 0, s"pct must divide 100, got $pct")
     def keep(c: org.apache.spark.sql.Column) =
       pmod(TextAnalysis.hv60(concat(lit("cs:"), c.cast("string"))),
         lit(100L)) < lit(pct.toLong)

@@ -148,7 +148,7 @@ object MvStore {
     * publish leaves the previous artifact readable).
     */
   def publish(spark: SparkSession, sfDir: String, storeDir: String): Unit =
-    StatsStore.commitArtifact(mvFrame(spark, sfDir), storeDir, "mv_daily_rev")
+    StatsStore.publishNamed(mvFrame(spark, sfDir), storeDir, "mv_daily_rev")
 
   /** The daily partials of ONE micro-batch — the per-epoch unit the
     * streaming maintainer (q372) publishes.  Same per-row DECIMAL
@@ -169,7 +169,7 @@ object MvStore {
     * max-merge.
     */
   def publishEpoch(df: DataFrame, storeDir: String, batchId: Long): Unit =
-    StatsStore.commitArtifact(df, storeDir, f"epoch-$batchId%03d")
+    StatsStore.publishNamed(df, storeDir, f"epoch-$batchId%03d")
 
   /** The compensation plan: the consumer's monthly rollup re-derived
     * over the MV — month coarsens day, total revenue = sum of daily

@@ -165,8 +165,10 @@ object StatsStore {
     if (fs.exists(p)) Some(spark.read.parquet(path)) else None
   }
 
-  /** Public named publish for consumers outside the stats lifecycle
-    * that still want the rename discipline (the q377 CDC epochs).
+  /** THE named rename-publish entry point for every consumer outside
+    * this object (MvStore's artifacts, the q377 CDC epochs) — one
+    * public surface so a behavior change (fsync, validation) cannot
+    * miss a second call path.
     */
   def publishNamed(df: DataFrame, storeDir: String, name: String): Unit =
     commitArtifact(df, storeDir, name)
@@ -175,7 +177,7 @@ object StatsStore {
     * one FileSystem.rename (the q230/q336 store discipline).  A
     * republish atomically replaces the previous artifact.
     */
-  private[plans] def commitArtifact(df: DataFrame, storeDir: String,
+  private def commitArtifact(df: DataFrame, storeDir: String,
       name: String): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession

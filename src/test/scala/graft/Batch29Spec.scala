@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.functions._
 
@@ -12,23 +11,12 @@ import org.apache.spark.sql.functions._
   */
 class Batch29Spec extends SparkSuite {
 
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = p.flatMap {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      nodes(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      q +: nodes(q.plan)
-    case n => Seq(n)
-  }
-
-  private def scans(p: SparkPlan): Seq[FileSourceScanExec] =
-    nodes(p).collect { case f: FileSourceScanExec => f }
-
   test("q366: the fact scan's partitionFilters carry a runtime dynamicpruning subquery") {
     val tmp = java.nio.file.Files.createTempDirectory("b29-dpp")
     try {
       sources.FormatOps.writePartitionedEvents(spark, sf, tmp.toString)
       val q = sources.FormatOps.dppReadAgg(spark, tmp.toString, sf)
-      val fact = scans(q.queryExecution.executedPlan)
+      val fact = planScans(q.queryExecution.executedPlan)
         .filter(_.relation.location.rootPaths.exists(
           _.toString.contains(tmp.getFileName.toString)))
       assert(fact.nonEmpty, "the partitioned fact scan is in the plan")
@@ -41,7 +29,7 @@ class Batch29Spec extends SparkSuite {
         .select(to_date(col("ts"))).distinct().count()
       val keptDays = sources.FormatOps.dppDimDays(spark, sf).count()
       assert(keptDays > 0 && keptDays < allDays,
-        s"the parity dim selects a strict subset ($keptDays of $allDays)")
+        s"the mod-7 residue dim selects a strict subset ($keptDays of $allDays)")
     } finally graft.util.Fs.deleteRecursively(tmp)
   }
 
@@ -52,7 +40,7 @@ class Batch29Spec extends SparkSuite {
       try {
         val q = operators.Relational.exchangeReuse(spark, sf)
         val rows = q.collect()
-        assert(nodes(q.queryExecution.executedPlan)
+        assert(planNodes(q.queryExecution.executedPlan)
             .exists(_.isInstanceOf[ReusedExchangeExec]),
           "the second consumer of the histogram rides a ReusedExchange")
         rows
@@ -75,7 +63,7 @@ class Batch29Spec extends SparkSuite {
         try {
           val q = plans.MvStore.baseConsumer(spark, sf, marker)
           val rows = q.collect()
-          val paths = scans(q.queryExecution.executedPlan)
+          val paths = planScans(q.queryExecution.executedPlan)
             .flatMap(_.relation.location.rootPaths.map(_.toString))
           assert(!paths.exists(_.contains("lineitem")),
             s"no base-table scan in the rewritten plan (saw $paths)")
@@ -86,7 +74,7 @@ class Batch29Spec extends SparkSuite {
       // control: no registration -> the query runs as written
       val control = plans.MvStore.baseConsumer(spark, sf, marker)
       val cRows = control.collect()
-      val cPaths = scans(control.queryExecution.executedPlan)
+      val cPaths = planScans(control.queryExecution.executedPlan)
         .flatMap(_.relation.location.rootPaths.map(_.toString))
       assert(cPaths.exists(_.contains("lineitem")),
         "the unregistered control scans the base table")
@@ -107,7 +95,7 @@ class Batch29Spec extends SparkSuite {
           .queryExecution.analyzed)
       try {
         val q = plans.MvStore.baseConsumer(spark, sf, marker)
-        val paths = scans(q.queryExecution.executedPlan)
+        val paths = planScans(q.queryExecution.executedPlan)
           .flatMap(_.relation.location.rootPaths.map(_.toString))
         assert(paths.exists(_.contains("lineitem")),
           "the mismatched replacement is refused: the base scan stays")

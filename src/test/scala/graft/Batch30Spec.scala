@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.functions._
 
 /** Batch 42 pins (q371-q374): the as-of-nearest plan shape (sort-merge
@@ -11,18 +10,10 @@ import org.apache.spark.sql.functions._
   */
 class Batch30Spec extends SparkSuite {
 
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = p.flatMap {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      nodes(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      q +: nodes(q.plan)
-    case n => Seq(n)
-  }
-
   test("q371: no range-join explosion — the plan carries no cartesian/NL join, and every match obeys tolerance + tie rules") {
     val q = operators.EventOps.asofNearest(spark, sf)
     val rows = q.collect()
-    val all = nodes(q.queryExecution.executedPlan)
+    val all = planNodes(q.queryExecution.executedPlan)
     assert(!all.exists(n =>
         n.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
         n.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
@@ -122,7 +113,7 @@ class Batch30Spec extends SparkSuite {
         assert(q.queryExecution.executedPlan.isInstanceOf[
             org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec],
           "the pin really runs under AQE")
-        val paths = nodes(q.queryExecution.executedPlan)
+        val paths = planNodes(q.queryExecution.executedPlan)
           .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
           .flatMap(_.relation.location.rootPaths.map(_.toString))
         assert(!paths.exists(_.contains("lineitem")) &&

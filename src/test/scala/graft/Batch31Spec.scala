@@ -46,16 +46,7 @@ class Batch31Spec extends SparkSuite {
     assert(rows.length > 0)
     // one pivot aggregate + one count aggregate = exactly two scans of
     // events; a values-discovery pass would add a third
-    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.SparkPlan] = p.flatMap {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        nodes(a.executedPlan)
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        s +: nodes(s.plan)
-      case n => Seq(n)
-    }
-    val scans = nodes(q.queryExecution.executedPlan)
-      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    val scans = planScans(q.queryExecution.executedPlan)
       .count(_.relation.location.rootPaths.exists(
         _.toString.contains("events.parquet")))
     assert(scans <= 2, s"explicit value list means no discovery scan (saw $scans)")
