@@ -122,6 +122,62 @@ class Batch29Spec extends SparkSuite {
     assert(predicted.forall(_.getDouble(3) > 0.0))
   }
 
+  test("RewriteToMv property trials: inert on every unmarked shape; a column-permuted replacement is refused; two marked consumers both rewrite") {
+    val store = java.nio.file.Files.createTempDirectory("b29-mv-prop")
+    try {
+      plans.MvStore.publish(spark, sf, store.toString)
+      val marker = "gmv_prop_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      plans.MvStore.registerRollup(spark, store.toString, marker)
+      try {
+        // (i) a live registration must not perturb ANY unmarked plan:
+        // fresh instantiations per pass (a cached queryExecution would
+        // make the comparison vacuous), compared CANONICALIZED so
+        // exprId renumbering between instantiations is invisible
+        def mkShapes() = Seq(
+          Tables.lineitem(spark, sf).groupBy("l_returnflag")
+            .agg(count(lit(1)).as("n")),
+          Tables.lineitem(spark, sf)
+            .groupBy(substring(col("l_shipdate").cast("string"), 1, 7)
+              .as("m")).agg(sum(col("l_quantity")).as("q")),
+          Tables.events(spark, sf).groupBy("event_type")
+            .agg(count(lit(1)).as("n"), sum(col("value")).as("v")),
+          Tables.orders(spark, sf).agg(count(lit(1)).as("n")))
+        val hot = mkShapes()
+          .map(_.queryExecution.optimizedPlan.canonicalized.toString)
+        plans.MvRegistry.unregister(marker)
+        val cold = mkShapes()
+          .map(_.queryExecution.optimizedPlan.canonicalized.toString)
+        plans.MvStore.registerRollup(spark, store.toString, marker)
+        assert(hot == cold,
+          "a live MV registration leaves every unmarked plan untouched")
+        // (ii) a replacement whose columns are PERMUTED (types no
+        // longer align positionally) is refused by the shape guard
+        val permuted = plans.MvStore.rollupFromMv(spark, store.toString)
+          .select(col("mv_rev"), col("mv_month"), col("flag"), col("mv_n"))
+        plans.MvRegistry.register(marker, permuted.queryExecution.analyzed)
+        val refused = plans.MvStore.baseConsumer(spark, sf, marker)
+        assert(planScans(refused.queryExecution.executedPlan)
+            .flatMap(_.relation.location.rootPaths.map(_.toString))
+            .exists(_.contains("lineitem")),
+          "the permuted replacement is refused: the base scan stays")
+        // (iii) re-register the correct rollup: two consumers of the
+        // same marker both rewrite, independently, to the same values
+        plans.MvStore.registerRollup(spark, store.toString, marker)
+        val a = plans.MvStore.baseConsumer(spark, sf, marker)
+        val b = plans.MvStore.baseConsumer(spark, sf, marker)
+        assert(planScans(a.queryExecution.executedPlan)
+            .forall(!_.relation.location.rootPaths
+              .exists(_.toString.contains("lineitem"))) &&
+          planScans(b.queryExecution.executedPlan)
+            .forall(!_.relation.location.rootPaths
+              .exists(_.toString.contains("lineitem"))),
+          "both marked consumers rewrite")
+        assert(a.collect().toSeq == b.collect().toSeq)
+      } finally plans.MvRegistry.unregister(marker)
+    } finally graft.util.Fs.deleteRecursively(store)
+  }
+
   test("q370: the retraction path is non-degenerate (deletes AND inserts flow) and the maintained state matches") {
     val rows = operators.EventOps.retractIvm(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -721,4 +721,78 @@ class StreamProgressSpec extends SparkSuite {
       }
     } finally Seq(watch, staged, ckpt).foreach(graft.util.Fs.deleteRecursively)
   }
+
+  test("restart from checkpoint: streaming MV resumes — committed epochs stay untouched, the resumed merge equals the batch MV") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType, TimestampType}
+    val li = Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_shipdate").as("day"),
+      col("l_returnflag").as("flag"),
+      col("l_extendedprice").as("price"), col("l_discount").as("disc"))
+    val maxK = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    val c1 = (maxK + 1) / 3
+    val c2 = 2 * (maxK + 1) / 3
+    def slice(p: org.apache.spark.sql.Column) = li.filter(p).drop("l_orderkey")
+    val watch = Files.createTempDirectory("graft-mvrestart-src")
+    val staged = Files.createTempDirectory("graft-mvrestart-stage")
+    val ckpt = Files.createTempDirectory("graft-mvrestart-ckpt")
+    val store = Files.createTempDirectory("graft-mvrestart-store")
+    val schema = StructType(Seq(
+      StructField("day", TimestampType), StructField("flag", StringType),
+      StructField("price", DoubleType), StructField("disc", DoubleType)))
+    def drop(df: org.apache.spark.sql.DataFrame, name: String, t: Long): Unit = {
+      val part = s"$staged/$name"
+      df.coalesce(1).write.parquet(part)
+      val dst = watch.resolve(s"$name.parquet")
+      Files.copy(graft.util.Fs.onlyPartFile(part), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t))
+    }
+    def run(): Int = {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val q = try {
+        spark.conf.set(key, "8")
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+          .writeStream.option("checkpointLocation", ckpt.toString)
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.plans.MvStore.publishEpoch(
+              graft.plans.MvStore.epochPartials(batch), store.toString, id)
+          }.start()
+      } finally spark.conf.set(key, prev)
+      try { q.processAllAvailable(); dataBatches(q.recentProgress.toSeq).length }
+      finally q.stop()
+    }
+    def epochMtimes(): Map[String, Long] =
+      new java.io.File(store.toString).listFiles()
+        .filter(_.getName.startsWith("epoch-"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    try {
+      drop(slice(col("l_orderkey") < c1), "a", 1700000000000L)
+      drop(slice(col("l_orderkey") >= c1 && col("l_orderkey") < c2), "b",
+        1700000001000L)
+      assert(run() == 2, "phase 1 publishes epochs 0-1")
+      val before = epochMtimes()
+      assert(before.keySet == Set("epoch-000", "epoch-001"))
+      drop(slice(col("l_orderkey") >= c2), "c", 1700000002000L)
+      assert(run() == 1,
+        "the restarted query reads ONLY file c — a/b are in the offset log")
+      val after = epochMtimes()
+      assert(after.keySet == Set("epoch-000", "epoch-001", "epoch-002"))
+      assert(before.forall { case (k, t) => after(k) == t },
+        "committed epochs are NOT re-published on restart (their renames " +
+          "happened once; only epoch-002 is new)")
+      // the resumed store merges to the batch MV exactly (exact DECIMAL)
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(substring(col("day").cast("string"), 1, 7).as("m"), col("flag"))
+        .agg(sum(col("rev_partial")).as("rev"), sum(col("n_partial")).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getDecimal(2), r.getLong(3))).toSet
+      assert(rollup(spark.read.parquet(s"$store/epoch-*")) ==
+          rollup(graft.plans.MvStore.mvFrame(spark, sf)),
+        "restart-resumed epochs merge to the batch MV bit-for-bit")
+    } finally Seq(watch, staged, ckpt, store)
+      .foreach(graft.util.Fs.deleteRecursively)
+  }
 }
