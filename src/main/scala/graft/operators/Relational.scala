@@ -2550,17 +2550,19 @@ object Relational {
       .groupBy("o_orderpriority")
       .agg(countDistinct(col("o_orderkey")).as("n_orders_s"),
         count(lit(1)).as("n_lines_s"))
-    val full = Tables.orders(spark, dir)
+    // ONE pass of the full join serves both the filter-after-join side
+    // of the identity AND the ground truth (conditional aggregation —
+    // the r19 plan-audit fix: the join previously executed twice)
+    val fullAgg = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderpriority"))
       .join(Tables.lineitem(spark, dir).select(col("l_orderkey")),
         col("o_orderkey") === col("l_orderkey"))
-    val joinSample = full.filter(keep(col("o_orderkey")))
-      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_lines_js"))
-    val truth = full.groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("true_lines"))
+      .groupBy("o_orderpriority")
+      .agg(sum(when(keep(col("o_orderkey")), 1L).otherwise(0L))
+          .as("n_lines_js"),
+        count(lit(1)).as("true_lines"))
     sampleJoin
-      .join(joinSample, Seq("o_orderpriority"))
-      .join(truth, Seq("o_orderpriority"))
+      .join(fullAgg, Seq("o_orderpriority"))
       .select(col("o_orderpriority"), col("n_orders_s"), col("n_lines_s"),
         when(col("n_lines_s") === col("n_lines_js"), 1).otherwise(0)
           .as("consistency_match"),
