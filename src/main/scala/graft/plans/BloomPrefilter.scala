@@ -84,9 +84,28 @@ object BloomRegistry {
 object InjectBloomPrefilter extends Rule[LogicalPlan]
     with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
-  private def alreadyFiltered(side: LogicalPlan, name: String): Boolean =
+  /** Has this side already been prefiltered with THIS bitmap?  Matched
+    * by BITMAP IDENTITY, not by attribute name: PushDownPredicates
+    * rewrites a spliced filter's attribute through the probe-side
+    * alias (the per-call marker name becomes the underlying column),
+    * after which a name-based check stops seeing it — and the rule
+    * re-splices every iteration, making the fixed-point batch
+    * oscillate (splice → push+dedup → splice …), which in turn starves
+    * any LATER extended rule of a clean shape to match (found by the
+    * Batch28Spec rule-composition pin: ReorderJoinByStats never fired
+    * while the bloom was registered on the same join).  The bitmap
+    * literal survives every rewrite, so identity on it is rename-proof.
+    * A second registration sharing the identical bitmap bytes on a
+    * different column of the same join would be suppressed — a missed
+    * optimization, never an error.
+    */
+  private def alreadyFiltered(side: LogicalPlan, bloom: Array[Byte]): Boolean =
     side.collectFirst { case f: Filter if f.condition.exists {
-      case BloomFilterMightContain(_, a: AttributeReference) => a.name == name
+      case BloomFilterMightContain(l: org.apache.spark.sql.catalyst.expressions.Literal, _) =>
+        l.value match {
+          case b: Array[Byte] => java.util.Arrays.equals(b, bloom)
+          case _ => false
+        }
       case _ => false
     } => f }.nonEmpty
 
@@ -108,10 +127,10 @@ object InjectBloomPrefilter extends Rule[LogicalPlan]
         candidates.foldLeft(j) { (join, attr) =>
           val bloom = BloomRegistry.lookup(attr.name).get
           if (join.left.outputSet.contains(attr) &&
-              !alreadyFiltered(join.left, attr.name))
+              !alreadyFiltered(join.left, bloom))
             join.copy(left = prefilter(join.left, attr, bloom))
           else if (join.right.outputSet.contains(attr) &&
-              !alreadyFiltered(join.right, attr.name))
+              !alreadyFiltered(join.right, bloom))
             join.copy(right = prefilter(join.right, attr, bloom))
           else join
         }

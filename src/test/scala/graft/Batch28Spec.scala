@@ -524,4 +524,59 @@ class Batch28Spec extends SparkSuite {
       (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq ==
       v2.toSeq, "v3 extends v2 without disturbing it (incl. the counted gate 5)")
   }
+
+  test("enforcement rules COMPOSE: join reorder AND bloom prefilter fire in ONE plan, values exact") {
+    graft.plans.RegisterFunctions(spark)
+    val marker = "gcomp_custkey_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val cB = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    def chain(probe: String) = {
+      val o = Tables.orders(spark, sf).select(col("o_orderkey"),
+        col("o_custkey").as(probe), col("o_orderpriority"))
+      val l = Tables.lineitem(spark, sf).select(col("l_orderkey"),
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(cB, col(probe) === col("c_custkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    }
+    val bits = cB.agg(expr("graft_bloom_agg(c_custkey, 16384, 131072)"))
+      .head().getAs[Array[Byte]](0)
+    graft.plans.BloomRegistry.register(marker, bits)
+    graft.plans.JoinOrderRegistry.register(marker, innerFirst = true)
+    try {
+      val q = chain(marker)
+      val rows = q.collect()
+      val all = nodes(q.queryExecution.executedPlan)
+      // (a) the bloom prefilter fired
+      assert(all.exists(hasBloomFilter),
+        "the bloom prefilter spliced into the composed plan")
+      // (b) the reorder fired: the marker join is the INNER join (its
+      // physical node is a descendant of the other join)
+      val joins = all.collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+      val markerJoin = joins.filter(j => (j.leftKeys ++ j.rightKeys)
+        .exists(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            a.name
+        }.exists(_ == marker)))
+      assert(markerJoin.length == 1 &&
+        joins.filterNot(_ eq markerJoin.head)
+          .exists(oj => nodes(oj).exists(_ eq markerJoin.head)),
+        "the marked customer join runs innermost under BOTH rules")
+      // (c) value identity against the naive un-registered control
+      graft.plans.BloomRegistry.unregister(marker)
+      graft.plans.JoinOrderRegistry.unregister(marker)
+      val control = chain("gcomp_none_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12))
+      assert(rows.toSeq == control.collect().toSeq,
+        "composed enforcement never costs a row")
+    } finally {
+      graft.plans.BloomRegistry.unregister(marker)
+      graft.plans.JoinOrderRegistry.unregister(marker)
+    }
+  }
 }
