@@ -567,7 +567,21 @@ class Batch28Spec extends SparkSuite {
         joins.filterNot(_ eq markerJoin.head)
           .exists(oj => nodes(oj).exists(_ eq markerJoin.head)),
         "the marked customer join runs innermost under BOTH rules")
-      // (c) value identity against the naive un-registered control
+      // (c) convergence hygiene: the optimized logical plan carries no
+      // DUPLICATED splice (the pre-fix oscillation left the batch
+      // re-splicing every iteration), and two fresh instantiations
+      // optimize to the same canonical plan (deterministic fixed point)
+      val mcFilters = q.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.exists(_.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]) => f
+      }
+      assert(mcFilters.nonEmpty && mcFilters.length <= 3,
+        s"one splice per side at most (probe + inferred), saw ${mcFilters.length}")
+      assert(chain(marker).queryExecution.optimizedPlan.canonicalized.toString ==
+          q.queryExecution.optimizedPlan.canonicalized.toString,
+        "re-optimization converges to the identical canonical plan")
+      // (d) value identity against the naive un-registered control
       graft.plans.BloomRegistry.unregister(marker)
       graft.plans.JoinOrderRegistry.unregister(marker)
       val control = chain("gcomp_none_" +
