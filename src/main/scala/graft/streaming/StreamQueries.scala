@@ -702,25 +702,33 @@ object StreamQueries {
       } finally spark.conf.set(key, prev)
     try { q.processAllAvailable(); inspect(q) } finally q.stop()
     Seq(watch, stage, ckptDir).foreach(deleteRecursively)
-    graft.util.Fs.deleteOnExit(storeDir)
-    def monthly(partials: DataFrame, revName: String, nName: String) =
-      partials.groupBy(
-          substring(col("day").cast("string"), 1, 7).as("ship_month"),
-          col("flag"))
-        .agg(sum(col("rev_partial")).as(revName),
-          sum(col("n_partial")).as(nName))
-    val stream = monthly(spark.read.parquet(s"$storeDir/epoch-*"),
-      "rev_s", "n_s")
-    val batchMv = monthly(graft.plans.MvStore.mvFrame(spark, dir),
-      "rev_b", "n_b")
-    stream.join(batchMv, Seq("ship_month", "flag"), "full_outer")
-      .select(col("ship_month"), col("flag").as("l_returnflag"),
-        col("rev_s").cast("double").as("stream_rev"),
-        col("rev_b").cast("double").as("batch_rev"),
-        when(col("rev_s") === col("rev_b"), 1).otherwise(0).as("rev_match"),
-        col("n_s").as("stream_lines"), col("n_b").as("batch_lines"),
-        when(col("n_s") === col("n_b"), 1).otherwise(0).as("lines_match"))
-      .orderBy("ship_month", "l_returnflag")
+    // the result is bounded (month×flag): localize it and delete the
+    // store EAGERLY — the mvRewrite rule — rather than deferring a
+    // per-invocation directory to JVM exit
+    try {
+      def monthly(partials: DataFrame, revName: String, nName: String) =
+        partials.groupBy(
+            substring(col("day").cast("string"), 1, 7).as("ship_month"),
+            col("flag"))
+          .agg(sum(col("rev_partial")).as(revName),
+            sum(col("n_partial")).as(nName))
+      val stream = monthly(spark.read.parquet(s"$storeDir/epoch-*"),
+        "rev_s", "n_s")
+      val batchMv = monthly(graft.plans.MvStore.mvFrame(spark, dir),
+        "rev_b", "n_b")
+      graft.util.Fs.localize(spark,
+        stream.join(batchMv, Seq("ship_month", "flag"), "full_outer")
+          .select(col("ship_month"), col("flag").as("l_returnflag"),
+            col("rev_s").cast("double").as("stream_rev"),
+            col("rev_b").cast("double").as("batch_rev"),
+            when(col("rev_s") === col("rev_b"), 1).otherwise(0).as("rev_match"),
+            col("n_s").as("stream_lines"), col("n_b").as("batch_lines"),
+            when(col("n_s") === col("n_b"), 1).otherwise(0).as("lines_match"))
+          .orderBy("ship_month", "l_returnflag"))
+    } finally {
+      graft.util.Fs.syncRecursively(storeDir)
+      deleteRecursively(storeDir)
+    }
   }
 
   /** Streaming CDC apply (q377): q86's batch upsert/delete merge run
@@ -803,11 +811,28 @@ object StreamQueries {
       } finally spark.conf.set(key, prev)
     try { q.processAllAvailable(); inspect(q) } finally q.stop()
     Seq(watch, stage, ckptDir).foreach(deleteRecursively)
-    graft.util.Fs.deleteOnExit(storeDir)
-    spark.read.parquet(s"$storeDir/state-002")
-      .select(col("doc_id"), col("version"),
-        length(col("text")).cast("long").as("n_chars"))
-      .orderBy("doc_id")
+    // final state = the MAX-numbered `state-N` artifact actually in
+    // the store — not a literal batch id, so a change to staging
+    // granularity (more/fewer micro-batches) can never read a stale
+    // epoch.  Bounded result: localize, then delete the store eagerly.
+    try {
+      val lastState = scala.util.Using.resource(
+          java.nio.file.Files.list(storeDir)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("state-\\d+")).toSeq.sorted.lastOption
+          .getOrElse(throw new IllegalStateException(
+            "cdc store published no state artifact"))
+      }
+      graft.util.Fs.localize(spark,
+        spark.read.parquet(s"$storeDir/$lastState")
+          .select(col("doc_id"), col("version"),
+            length(col("text")).cast("long").as("n_chars"))
+          .orderBy("doc_id"))
+    } finally {
+      graft.util.Fs.syncRecursively(storeDir)
+      deleteRecursively(storeDir)
+    }
   }
 
   /** One CDC epoch: full-outer merge on the key, the batch's op wins
@@ -869,25 +894,29 @@ object StreamQueries {
           storeDir.toString, ckptDir.toString)
       } finally spark.conf.set(key, prev)
     try { q.processAllAvailable(); inspect(q) } finally q.stop()
-    // the store dir intentionally outlives the call (the q230 sink
-    // rule): the returned frame reads the epoch partials lazily —
-    // registered for JVM-exit cleanup so repeated invocations in one
-    // JVM don't accumulate orphan dirs
-    graft.util.Fs.deleteOnExit(storeDir)
-    val streamRegs = DocStream.readHllRegisters(spark, storeDir.toString)
-      .withColumnRenamed("m", "m_stream")
     Seq(watch, stage, ckptDir).foreach(deleteRecursively)
-    val direct = graft.operators.PipelineAudits.hllRegisterTable(
-        graft.Tables.documents(spark, dir)
-          .select(explode(graft.functions.TextFunctions.tokens(col("text")))
-            .as("token")))
-      .withColumnRenamed("m", "m_direct")
-    spark.range(0, 64).select(col("id").as("register"))
-      .join(streamRegs, Seq("register"), "left").na.fill(0L, Seq("m_stream"))
-      .join(direct, Seq("register"), "left").na.fill(0L, Seq("m_direct"))
-      .select(col("register"), col("m_stream"), col("m_direct"),
-        when(col("m_stream") === col("m_direct"), 1).otherwise(0)
-          .as("stream_matches"))
-      .orderBy("register")
+    // bounded result (64 registers): localize and delete the store
+    // eagerly — the mvRewrite rule — instead of deferring a
+    // per-invocation directory to JVM exit
+    try {
+      val streamRegs = DocStream.readHllRegisters(spark, storeDir.toString)
+        .withColumnRenamed("m", "m_stream")
+      val direct = graft.operators.PipelineAudits.hllRegisterTable(
+          graft.Tables.documents(spark, dir)
+            .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+              .as("token")))
+        .withColumnRenamed("m", "m_direct")
+      graft.util.Fs.localize(spark,
+        spark.range(0, 64).select(col("id").as("register"))
+          .join(streamRegs, Seq("register"), "left").na.fill(0L, Seq("m_stream"))
+          .join(direct, Seq("register"), "left").na.fill(0L, Seq("m_direct"))
+          .select(col("register"), col("m_stream"), col("m_direct"),
+            when(col("m_stream") === col("m_direct"), 1).otherwise(0)
+              .as("stream_matches"))
+          .orderBy("register"))
+    } finally {
+      graft.util.Fs.syncRecursively(storeDir)
+      deleteRecursively(storeDir)
+    }
   }
 }
