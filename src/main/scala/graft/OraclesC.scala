@@ -4571,14 +4571,16 @@ private[graft] trait OraclesC extends OracleHelpers {
     // q366: the runtime-pruned partitioned read replayed from the
     // original table — dim = days whose quantized total lands in the
     // low residues mod 7 (the data-dependent predicate static pruning
-    // cannot express; totals are non-negative so % and pmod agree),
+    // cannot express).  The residue is sign-proofed — ((u%7)+7)%7
+    // equals Spark's pmod for ALL inputs, so equivalence no longer
+    // rests on the fixture's totals happening to be non-negative —
     // join on day, per-type rollup; any misfiled or unpruned row
     // breaks counts AND unit sums,
     "q366_dpp_prune" ->
       """WITH dim AS (SELECT CAST(ts AS DATE) AS day,
         |    CAST(sum(CAST(floor(value * 1.0e6 + 0.5) AS BIGINT)) AS BIGINT) AS units
         |  FROM events GROUP BY day),
-        |sel AS (SELECT day FROM dim WHERE units % 7 < 3),
+        |sel AS (SELECT day FROM dim WHERE ((units % 7) + 7) % 7 < 3),
         |e AS (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events)
         |SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT e.day) AS n_days,
@@ -4836,6 +4838,23 @@ private[graft] trait OraclesC extends OracleHelpers {
         |SELECT doc_id, CAST(v AS BIGINT) AS version,
         |  CAST(length(new_text) AS BIGINT) AS n_chars
         |FROM lastop WHERE rk = 1 AND op = 'upsert'
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // q378: the filter-COMPENSATED MV rewrite recomputed directly from
+    // the base table — the q368 DECIMAL(18,4) discipline with the
+    // consumer's compound grouping-column slice as a plain WHERE; the
+    // Spark side answers this from the daily-partial MV artifact with
+    // the predicate compensated onto the rollup, so value identity
+    // here gates the compensation's commutation argument itself,
+    "q378_mv_filter_comp" ->
+      """SELECT substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS ship_month,
+        |  l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS mv_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE substr(CAST(l_shipdate AS VARCHAR), 1, 7)
+        |    BETWEEN '1994-01' AND '1996-12'
+        |  AND l_returnflag <> 'N'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -738,7 +738,13 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // q86's CDC merge AS A STREAM: per-epoch read-modify-write over
     // immutable rename-published states (replay = recompute), final
     // state == the declarative last-op-wins fold
-    "q377_stream_cdc" -> ((s, d) => streaming.StreamQueries.cdcApply(s, d))
+    "q377_stream_cdc" -> ((s, d) => streaming.StreamQueries.cdcApply(s, d)),
+    // batch 44 (r20): FILTER COMPENSATION in the MV rewrite — the
+    // consumer's grouping-column slice, pushed below the marked
+    // projection by the main optimizer, is pulled back up, proven to
+    // commute with the aggregation, and applied to the rollup; the
+    // plan still carries zero lineitem scans (Batch31Spec)
+    "q378_mv_filter_comp" -> ((s, d) => Relational.mvRewriteFiltered(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

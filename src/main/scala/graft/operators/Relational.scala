@@ -2500,9 +2500,56 @@ object Relational {
       graft.plans.MvStore.publish(spark, dir, store.toString)
       val marker = "gmv_rev_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      graft.plans.MvStore.registerRollup(spark, store.toString, marker)
+      graft.plans.MvStore.registerRollup(spark, dir, store.toString, marker)
       try graft.util.Fs.localize(spark,
         graft.plans.MvStore.baseConsumer(spark, dir, marker))
+      finally graft.plans.MvRegistry.unregister(marker)
+    } finally {
+      graft.util.Fs.syncRecursively(store)
+      graft.util.Fs.deleteRecursively(store)
+    }
+  }
+
+  /** Filter-COMPENSATED MV rewrite (q378): the q368 consumer with a
+    * compound predicate over BOTH grouping columns composed on top — a
+    * month range and a returnflag exclusion.  PushDownPredicates
+    * (which runs before injected rules) rewrites the predicate in
+    * base-column terms and pushes it below the marked projection,
+    * where a marker-name match alone would wrongly answer the
+    * FILTERED aggregate from the UNFILTERED rollup; instead
+    * [[graft.plans.RewriteToMv]] pulls the predicate back up through
+    * the projection (reversing the pushdown substitution), proves it
+    * commutes with the aggregation (every reference is a grouping
+    * attribute the Aggregate passes through), rebinds it to the MV
+    * rollup's output, and splices `σ(compensation plan)` — the
+    * rewritten plan still carries ZERO lineitem scans (Batch31Spec
+    * pins the plan; the q370-style guard tests pin the refusals for
+    * predicates that do NOT commute).
+    *
+    * Determinism: the q368 DECIMAL(18,4) argument is unchanged — the
+    * predicate is constant per group, so filtering daily partials by
+    * month equals filtering base rows, and the compensated sums are
+    * bit-identical to the direct recompute before the final DOUBLE
+    * cast.
+    *
+    * 100 TB shape: this is the case that makes MV rewrite USEFUL —
+    * dashboard queries are rarely the registered rollup verbatim;
+    * they are the rollup plus a slicing predicate.  Compensation on
+    * grouping columns answers every such slice from the KB-sized
+    * artifact; predicates that touch measures fall back to the base
+    * table rather than returning wrong rows.
+    */
+  def mvRewriteFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft-mvf-store")
+    try {
+      graft.plans.MvStore.publish(spark, dir, store.toString)
+      val marker = "gmv_cf_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      graft.plans.MvStore.registerRollup(spark, dir, store.toString, marker)
+      try graft.util.Fs.localize(spark,
+        graft.plans.MvStore.baseConsumer(spark, dir, marker)
+          .filter(col("ship_month").between("1994-01", "1996-12") &&
+            col("l_returnflag") =!= "N"))
       finally graft.plans.MvRegistry.unregister(marker)
     } finally {
       graft.util.Fs.syncRecursively(store)

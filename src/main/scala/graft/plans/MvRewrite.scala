@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DataType, DecimalType}
 
 /** Materialized-view rewrite (q368): the fourth injected optimizer
   * rule, and the first one that substitutes a PLAN rather than an
@@ -43,6 +44,40 @@ import org.apache.spark.sql.types.DecimalType
   * consumer reads the KB..MB-sized MV instead of the 100 TB fact — the
   * canonical precomputation lever for repeated rollup dashboards.
   */
+/** The aggregate-semantics fingerprint of a registered consumer: the
+  * grouping-expression dataTypes, the ordered list of aggregate
+  * function names, and the output dataTypes.  All three survive the
+  * main optimizer batches unchanged (types are fixed at analysis;
+  * sum stays sum), so a fingerprint taken from the ANALYZED consumer
+  * template can be compared against the OPTIMIZED Aggregate the rule
+  * actually matches.  A plan whose aggregate semantics drifted from
+  * the registration (different grouping arity, avg where the
+  * registration had sum, …) is refused.
+  */
+final case class MvAggSignature(
+    groupingTypes: Seq[DataType],
+    aggFuncs: Seq[String],
+    outputTypes: Seq[DataType])
+
+object MvAggSignature {
+  def of(agg: Aggregate): MvAggSignature = MvAggSignature(
+    agg.groupingExpressions.map(_.dataType),
+    agg.aggregateExpressions.flatMap(_.collect {
+      case ae: AggregateExpression => ae.aggregateFunction.prettyName
+    }),
+    agg.output.map(_.dataType))
+}
+
+/** A registered substitution: the compensation plan plus (when the
+  * registration path knows the consumer, i.e. [[MvStore.registerRollup]])
+  * the consumer's aggregate fingerprint.  `signature = None` (the raw
+  * [[MvRegistry.register]] path) skips the fingerprint check but
+  * still passes through every structural guard in [[RewriteToMv]].
+  */
+final case class MvRegistration(
+    replacement: LogicalPlan,
+    signature: Option[MvAggSignature])
+
 object MvRegistry {
   /** Bounded insertion-ordered store (the [[BloomRegistry]] rule);
     * entries are logical plans (larger than bitmaps), so the bound is
@@ -51,21 +86,27 @@ object MvRegistry {
     */
   private val maxEntries = 16
   private val entries = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, LogicalPlan]() {
+    new java.util.LinkedHashMap[String, MvRegistration]() {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, LogicalPlan]): Boolean =
+          e: java.util.Map.Entry[String, MvRegistration]): Boolean =
         size() > maxEntries
     })
 
   def register(markerAttrName: String, replacement: LogicalPlan): Unit = {
-    entries.put(markerAttrName, replacement); ()
+    entries.put(markerAttrName, MvRegistration(replacement, None)); ()
+  }
+
+  def registerWithSignature(markerAttrName: String, replacement: LogicalPlan,
+      signature: MvAggSignature): Unit = {
+    entries.put(markerAttrName,
+      MvRegistration(replacement, Some(signature))); ()
   }
 
   def unregister(markerAttrName: String): Unit = {
     entries.remove(markerAttrName); ()
   }
 
-  def lookup(markerAttrName: String): Option[LogicalPlan] =
+  def lookup(markerAttrName: String): Option[MvRegistration] =
     Option(entries.get(markerAttrName))
 
   def isEmpty: Boolean = entries.isEmpty
@@ -81,6 +122,20 @@ object MvRegistry {
   * operator — resolve without re-analysis.
   *
   * Guards:
+  *   - STRUCTURAL: the Aggregate's child must be the marked Project
+  *     over Projects-over-a-leaf, with at most ONE deterministic
+  *     Filter adjacent to the Project.  A Filter is never silently
+  *     ignored: it is COMPENSATED (pulled back up through the Project,
+  *     proven to commute with the aggregation — references only
+  *     grouping attributes — and applied to the rollup) or the whole
+  *     rewrite is refused.  Any other intervening operator refuses: a
+  *     filtered aggregate must never be answered from the unfiltered
+  *     MV rollup;
+  *   - SEMANTIC: when the registration carries an [[MvAggSignature]]
+  *     (every [[MvStore.registerRollup]] call does), the matched
+  *     Aggregate's grouping types, aggregate function names, and
+  *     output types must equal the registered consumer template's — a
+  *     marker reused under different aggregate semantics is refused;
   *   - positional arity + dataType equality between the matched
   *     Aggregate's output and the replacement's output — a
   *     registration whose shape drifted from its consumer is REFUSED
@@ -96,11 +151,78 @@ object MvRegistry {
   */
 object RewriteToMv extends Rule[LogicalPlan] {
 
-  private def replacementFor(agg: Aggregate): Option[LogicalPlan] =
-    agg.child.output.collectFirst {
+  /** Only Projects over a leaf may sit beneath the marked Project —
+    * a Filter (pushed down or otherwise), Join, Window, or nested
+    * Aggregate means the consumer is NOT the registered query.
+    */
+  private def projectsOverLeaf(p: LogicalPlan): Boolean = p match {
+    case pr: Project => projectsOverLeaf(pr.child)
+    case _: LeafNode => true
+    case _ => false
+  }
+
+  private def markedRegistration(p: Project): Option[MvRegistration] =
+    p.output.collectFirst {
       case a if MvRegistry.lookup(a.name).isDefined =>
         MvRegistry.lookup(a.name).get
     }
+
+  /** Pull a base-column predicate back UP through the marked Project:
+    * every subtree semantically equal to an alias's child becomes the
+    * alias's attribute (undoing exactly the substitution
+    * PushDownPredicates performed on the way down).  Residual base
+    * attributes make the later references check fail — refused.
+    */
+  private def pullThroughProject(cond: Expression, p: Project): Expression = {
+    val subst = p.projectList.collect { case al: Alias => al }
+    cond.transformUp {
+      case e if subst.exists(_.child.semanticEquals(e)) =>
+        subst.find(_.child.semanticEquals(e)).get.toAttribute
+    }
+  }
+
+  /** A matched consumer: the registration plus an optional
+    * compensation predicate, expressed over the Aggregate's OUTPUT
+    * attributes.  Shapes accepted:
+    *   - Aggregate over marked Project over Project chain over a leaf — the
+    *     registered query as written (no compensation);
+    *   - Aggregate over marked Project over Filter over Project chain over a leaf
+    *     — the predicate PushDownPredicates pushed below the Project
+    *     in base-column terms: pulled back up, it must reference only
+    *     grouping attributes that the Aggregate passes through to its
+    *     output (a predicate on grouping columns commutes with the
+    *     aggregation, so Agg(σ(base)) = σ'(Agg(base)) = σ'(MV rollup));
+    *   - Aggregate over Filter over marked Project over Project chain over a leaf
+    *     — same, predicate already in Project-output terms.
+    * Anything else — a non-deterministic predicate, a predicate
+    * touching a non-grouping column (e.g. the measure), any other
+    * intervening operator — returns None and the plan runs as written.
+    */
+  private def matchConsumer(
+      agg: Aggregate): Option[(MvRegistration, Option[Expression])] = {
+    val matched = agg.child match {
+      case p: Project if projectsOverLeaf(p.child) =>
+        markedRegistration(p).map((_, None: Option[Expression]))
+      case p @ Project(_, Filter(cond, below))
+          if cond.deterministic && projectsOverLeaf(below) =>
+        markedRegistration(p).map((_, Some(pullThroughProject(cond, p))))
+      case Filter(cond, p: Project)
+          if cond.deterministic && projectsOverLeaf(p.child) =>
+        markedRegistration(p).map((_, Some(cond)))
+      case _ => None
+    }
+    matched.filter { case (_, condOpt) =>
+      condOpt.forall { cond =>
+        // the predicate must commute with the aggregation: every
+        // reference is a grouping attribute the Aggregate passes
+        // through to its output (exprId-preserved by groupBy)
+        val groupingIds = agg.groupingExpressions
+          .collect { case a: Attribute => a.exprId }.toSet
+        cond.references.forall(r => groupingIds.contains(r.exprId) &&
+          agg.output.exists(_.exprId == r.exprId))
+      }
+    }
+  }
 
   private def shapesMatch(agg: Aggregate, rep: LogicalPlan): Boolean =
     rep.output.length == agg.output.length &&
@@ -112,11 +234,21 @@ object RewriteToMv extends Rule[LogicalPlan] {
     if (MvRegistry.isEmpty) plan
     else plan.transform {
       case agg: Aggregate =>
-        replacementFor(agg) match {
-          case Some(rep) if shapesMatch(agg, rep) =>
-            Project(agg.output.zip(rep.output).map { case (o, r) =>
+        matchConsumer(agg) match {
+          case Some((reg, condOpt)) if shapesMatch(agg, reg.replacement) &&
+              reg.signature.forall(_ == MvAggSignature.of(agg)) =>
+            // compensation: rebind the predicate's grouping attributes
+            // to the replacement's positionally-matching outputs and
+            // filter the (tiny) rollup before re-aliasing
+            val compensated = condOpt.fold(reg.replacement) { cond =>
+              Filter(cond.transform { case a: Attribute =>
+                reg.replacement.output(
+                  agg.output.indexWhere(_.exprId == a.exprId))
+              }, reg.replacement)
+            }
+            Project(agg.output.zip(reg.replacement.output).map { case (o, r) =>
               Alias(r, o.name)(exprId = o.exprId)
-            }, rep)
+            }, compensated)
           case _ => agg
         }
     }
@@ -188,12 +320,23 @@ object MvStore {
 
   /** Register the compensation plan for `marker` (the consumer's
     * scan-side revenue column name).  The analyzed plan is captured
-    * here; [[RewriteToMv]] splices it verbatim.
+    * here; [[RewriteToMv]] splices it verbatim.  Alongside the plan,
+    * the CONSUMER TEMPLATE's aggregate fingerprint is registered
+    * (grouping types + aggregate function names + output types, taken
+    * from the analyzed [[baseConsumer]] over `sfDir`) — the rule
+    * refuses any matched Aggregate whose semantics differ from the
+    * template, even if the output shape happens to line up.
     */
-  def registerRollup(spark: SparkSession, storeDir: String,
-      marker: String): Unit =
-    MvRegistry.register(marker, rollupFromMv(spark, storeDir)
-      .queryExecution.analyzed)
+  def registerRollup(spark: SparkSession, sfDir: String, storeDir: String,
+      marker: String): Unit = {
+    val template = baseConsumer(spark, sfDir, marker)
+      .queryExecution.analyzed.collectFirst { case a: Aggregate => a }
+      .getOrElse(throw new IllegalStateException(
+        "consumer template has no Aggregate"))
+    MvRegistry.registerWithSignature(marker,
+      rollupFromMv(spark, storeDir).queryExecution.analyzed,
+      MvAggSignature.of(template))
+  }
 
   /** The consumer query AS WRITTEN BY A USER — monthly revenue per
     * returnflag straight off the base table.  The per-call-unique

@@ -58,7 +58,7 @@ class Batch29Spec extends SparkSuite {
       plans.MvStore.publish(spark, sf, store.toString)
       val marker = "gmv_spec_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      plans.MvStore.registerRollup(spark, store.toString, marker)
+      plans.MvStore.registerRollup(spark, sf, store.toString, marker)
       val rewritten =
         try {
           val q = plans.MvStore.baseConsumer(spark, sf, marker)
@@ -128,7 +128,7 @@ class Batch29Spec extends SparkSuite {
       plans.MvStore.publish(spark, sf, store.toString)
       val marker = "gmv_prop_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      plans.MvStore.registerRollup(spark, store.toString, marker)
+      plans.MvStore.registerRollup(spark, sf, store.toString, marker)
       try {
         // (i) a live registration must not perturb ANY unmarked plan:
         // fresh instantiations per pass (a cached queryExecution would
@@ -148,7 +148,7 @@ class Batch29Spec extends SparkSuite {
         plans.MvRegistry.unregister(marker)
         val cold = mkShapes()
           .map(_.queryExecution.optimizedPlan.canonicalized.toString)
-        plans.MvStore.registerRollup(spark, store.toString, marker)
+        plans.MvStore.registerRollup(spark, sf, store.toString, marker)
         assert(hot == cold,
           "a live MV registration leaves every unmarked plan untouched")
         // (ii) a replacement whose columns are PERMUTED (types no
@@ -163,7 +163,7 @@ class Batch29Spec extends SparkSuite {
           "the permuted replacement is refused: the base scan stays")
         // (iii) re-register the correct rollup: two consumers of the
         // same marker both rewrite, independently, to the same values
-        plans.MvStore.registerRollup(spark, store.toString, marker)
+        plans.MvStore.registerRollup(spark, sf, store.toString, marker)
         val a = plans.MvStore.baseConsumer(spark, sf, marker)
         val b = plans.MvStore.baseConsumer(spark, sf, marker)
         assert(planScans(a.queryExecution.executedPlan)
@@ -174,6 +174,128 @@ class Batch29Spec extends SparkSuite {
               .exists(_.toString.contains("lineitem"))),
           "both marked consumers rewrite")
         assert(a.collect().toSeq == b.collect().toSeq)
+      } finally plans.MvRegistry.unregister(marker)
+    } finally graft.util.Fs.deleteRecursively(store)
+  }
+
+  test("RewriteToMv compensation: a grouping-column Filter pushed below the marked Project is pulled back up and applied to the MV rollup — no base scan, values exact") {
+    val store = java.nio.file.Files.createTempDirectory("b29-mv-filter")
+    try {
+      plans.MvStore.publish(spark, sf, store.toString)
+      val marker = "gmv_filt_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      plans.MvStore.registerRollup(spark, sf, store.toString, marker)
+      try {
+        // PushDownPredicates rewrites this grouping-column predicate in
+        // base-column terms and pushes it BELOW the marked Project;
+        // the rule reverses that substitution, proves the predicate
+        // commutes with the aggregation, and compensates on the rollup
+        val filtered = plans.MvStore.baseConsumer(spark, sf, marker)
+          .filter(col("ship_month") >= lit("1995-07"))
+        val rows = filtered.collect()
+        val paths = planScans(filtered.queryExecution.executedPlan)
+          .flatMap(_.relation.location.rootPaths.map(_.toString))
+        assert(!paths.exists(_.contains("lineitem")),
+          s"the compensated rewrite carries no base-table scan (saw $paths)")
+        assert(paths.exists(_.contains("mv_daily_rev")),
+          "the MV artifact is the compensated plan's only source")
+        // value identity vs the unregistered (base-table) run
+        plans.MvRegistry.unregister(marker)
+        val control = plans.MvStore.baseConsumer(spark, sf, marker)
+          .filter(col("ship_month") >= lit("1995-07"))
+        val cRows = control.collect()
+        assert(planScans(control.queryExecution.executedPlan)
+            .flatMap(_.relation.location.rootPaths.map(_.toString))
+            .exists(_.contains("lineitem")),
+          "the unregistered control scans the base table")
+        plans.MvStore.registerRollup(spark, sf, store.toString, marker)
+        assert(rows.toSeq == cRows.toSeq,
+          "compensated MV path and base path are value-identical")
+        assert(rows.nonEmpty && rows.forall(_.getString(0) >= "1995-07"))
+        // and the filter is LOAD-BEARING: strictly fewer groups than
+        // the unfiltered rollup
+        assert(rows.length <
+          plans.MvStore.baseConsumer(spark, sf, marker).collect().length)
+      } finally plans.MvRegistry.unregister(marker)
+    } finally graft.util.Fs.deleteRecursively(store)
+  }
+
+  test("RewriteToMv guard: a NON-commuting predicate (on the measure, pre-aggregation) REFUSES the rewrite — never answered from the unfiltered MV") {
+    val store = java.nio.file.Files.createTempDirectory("b29-mv-nc")
+    try {
+      plans.MvStore.publish(spark, sf, store.toString)
+      val marker = "gmv_nc_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      plans.MvStore.registerRollup(spark, sf, store.toString, marker)
+      try {
+        // filter the BASE rows on a non-grouping column before
+        // aggregating: the pulled-up predicate references l_quantity,
+        // which is no grouping attribute, so compensation must refuse
+        val qf = Tables.lineitem(spark, sf)
+          .filter(col("l_quantity") > lit(25.0))
+          .select(substring(col("l_shipdate").cast("string"), 1, 7)
+              .as("ship_month"),
+            col("l_returnflag"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as(marker))
+          .groupBy("ship_month", "l_returnflag")
+          .agg(sum(col(marker)).cast("double").as("mv_revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("ship_month", "l_returnflag")
+        val paths = planScans(qf.queryExecution.executedPlan)
+          .flatMap(_.relation.location.rootPaths.map(_.toString))
+        assert(paths.exists(_.contains("lineitem")) &&
+            !paths.exists(_.contains("mv_daily_rev")),
+          "the quantity-filtered aggregate keeps its base scan")
+        // the refusal is load-bearing: the filtered sums differ from
+        // the MV rollup's for at least one group
+        val full = plans.MvStore.baseConsumer(spark, sf,
+            "gmv_nc_ctrl_" + java.util.UUID.randomUUID().toString.take(8))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+          .toMap
+        assert(qf.collect().exists(r =>
+            full((r.getString(0), r.getString(1))) != r.getLong(3)),
+          "the quantity filter genuinely changes group counts")
+      } finally plans.MvRegistry.unregister(marker)
+    } finally graft.util.Fs.deleteRecursively(store)
+  }
+
+  test("RewriteToMv guard: same output shape but different aggregate semantics (avg vs sum) is refused by the signature") {
+    val store = java.nio.file.Files.createTempDirectory("b29-mv-sig")
+    try {
+      plans.MvStore.publish(spark, sf, store.toString)
+      val marker = "gmv_sig_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      plans.MvStore.registerRollup(spark, sf, store.toString, marker)
+      try {
+        // identical grouping types and output types as the registered
+        // consumer — (string, string, double, long) — but AVG where the
+        // template has SUM: without the semantic fingerprint the shape
+        // guard alone would wrongly splice the sum-rollup here
+        val avgConsumer = Tables.lineitem(spark, sf)
+          .select(substring(col("l_shipdate").cast("string"), 1, 7)
+              .as("ship_month"),
+            col("l_returnflag"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as(marker))
+          .groupBy("ship_month", "l_returnflag")
+          .agg(avg(col(marker)).cast("double").as("mv_revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("ship_month", "l_returnflag")
+        val paths = planScans(avgConsumer.queryExecution.executedPlan)
+          .flatMap(_.relation.location.rootPaths.map(_.toString))
+        assert(paths.exists(_.contains("lineitem")),
+          "the avg consumer keeps its base scan: signature mismatch refused")
+        // avg != the rollup's sum for every multi-line group
+        val sums = plans.MvStore.baseConsumer(spark, sf,
+          "gmv_ctrl_" + java.util.UUID.randomUUID().toString.take(8))
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+          .toMap
+        val avgs = avgConsumer.collect()
+        assert(avgs.exists(r =>
+            math.abs(r.getDouble(2) -
+              sums((r.getString(0), r.getString(1)))) > 1e-6),
+          "avg genuinely differs from sum here (the refusal is load-bearing)")
       } finally plans.MvRegistry.unregister(marker)
     } finally graft.util.Fs.deleteRecursively(store)
   }

@@ -106,7 +106,7 @@ class Batch30Spec extends SparkSuite {
       plans.MvStore.publish(spark, sf, store.toString)
       val marker = "gmv_aqe_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      plans.MvStore.registerRollup(spark, store.toString, marker)
+      plans.MvStore.registerRollup(spark, sf, store.toString, marker)
       try {
         val q = plans.MvStore.baseConsumer(spark, sf, marker)
         val rows = q.collect()

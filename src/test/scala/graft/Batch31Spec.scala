@@ -52,6 +52,42 @@ class Batch31Spec extends SparkSuite {
     assert(scans <= 2, s"explicit value list means no discovery scan (saw $scans)")
   }
 
+  test("q378: the compound grouping-column slice compensates onto the MV — zero lineitem scans, both conjuncts bite, values match base") {
+    val store = java.nio.file.Files.createTempDirectory("b31-mv-comp")
+    try {
+      plans.MvStore.publish(spark, sf, store.toString)
+      val marker = "gmv_q378_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      plans.MvStore.registerRollup(spark, sf, store.toString, marker)
+      def slice(m: String) = plans.MvStore.baseConsumer(spark, sf, m)
+        .filter(col("ship_month").between("1994-01", "1996-12") &&
+          col("l_returnflag") =!= "N")
+      val rows =
+        try {
+          val q = slice(marker)
+          val r = q.collect()
+          val paths = planScans(q.queryExecution.executedPlan)
+            .flatMap(_.relation.location.rootPaths.map(_.toString))
+          assert(!paths.exists(_.contains("lineitem")) &&
+              paths.exists(_.contains("mv_daily_rev")),
+            s"the compound-compensated plan reads only the MV (saw $paths)")
+          r
+        } finally plans.MvRegistry.unregister(marker)
+      val control = slice(marker).collect()
+      assert(rows.toSeq == control.toSeq,
+        "compensated and base paths are value-identical")
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => r.getString(1) != "N" &&
+        r.getString(0) >= "1994-01" && r.getString(0) <= "1996-12"))
+      // both conjuncts are load-bearing: months outside the range and
+      // flag N both exist in the unfiltered rollup
+      val all = plans.MvStore.baseConsumer(spark, sf,
+        "gmv_q378c_" + java.util.UUID.randomUUID().toString.take(8)).collect()
+      assert(all.exists(_.getString(1) == "N") &&
+        all.exists(r => r.getString(0) < "1994-01" || r.getString(0) > "1996-12"))
+    } finally graft.util.Fs.deleteRecursively(store)
+  }
+
   test("q377: re-insert after delete lands at v3, deletes stay deleted, and a REPLAYED epoch recomputes identically") {
     val out = streaming.StreamQueries.cdcApply(spark, sf).collect()
     assert(out.nonEmpty)
