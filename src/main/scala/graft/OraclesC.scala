@@ -4855,6 +4855,18 @@ private[graft] trait OraclesC extends OracleHelpers {
         |WHERE substr(CAST(l_shipdate AS VARCHAR), 1, 7)
         |    BETWEEN '1994-01' AND '1996-12'
         |  AND l_returnflag <> 'N'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q379: the dimension-dropped (flag-only) sliced total recomputed
+    // from the base table — the Spark side answers it from the daily
+    // MV with the month dimension summed out and the slice
+    // compensated; same DECIMAL(18,4) exactness argument as q368,
+    "q379_mv_dim_drop" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS rf_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_returnflag <> 'N'
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

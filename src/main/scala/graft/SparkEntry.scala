@@ -744,7 +744,12 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // projection by the main optimizer, is pulled back up, proven to
     // commute with the aggregation, and applied to the rollup; the
     // plan still carries zero lineitem scans (Batch31Spec)
-    "q378_mv_filter_comp" -> ((s, d) => Relational.mvRewriteFiltered(s, d))
+    "q378_mv_filter_comp" -> ((s, d) => Relational.mvRewriteFiltered(s, d)),
+    // dimension-DROPPING derivability from the same daily MV (the
+    // month dimension summed out), under TWO live registrations whose
+    // signatures keep them from cross-answering, composed with the
+    // q378 slice compensation on the one remaining grouping column
+    "q379_mv_dim_drop" -> ((s, d) => Relational.mvRewriteDimDrop(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

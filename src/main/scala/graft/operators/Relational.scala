@@ -2557,6 +2557,52 @@ object Relational {
     }
   }
 
+  /** Dimension-DROPPING MV derivability (q379): a flag-only total —
+    * the month dimension eliminated entirely — answered from the SAME
+    * daily MV artifact, while the q368 monthly-rollup registration is
+    * ALSO live.  This exercises the other direction of derivability
+    * (q368/q378 coarsen day→month; here the time dimension is summed
+    * out) and the registry's multi-consumer discipline: the two
+    * registrations differ in arity AND signature (grouping types
+    * [month,flag] vs [flag]; both refuse each other's markers), so
+    * two concurrently-registered consumers of one artifact can never
+    * cross-answer — Batch31Spec pins both rewrites firing in one
+    * registry state with zero lineitem scans in either plan.
+    *
+    * The consumer also carries a flag slice, so the dropped-dimension
+    * path composes with q378's filter compensation: the predicate is
+    * pulled up, proven to commute (flag IS the one grouping column),
+    * and applied to the 3-row flag rollup.
+    *
+    * 100 TB shape: one daily-partial artifact serves every coarser
+    * rollup AND every dimension-dropped total — the fan-out that
+    * justifies paying the MV build at all.  Per consumer the read is
+    * the KB-sized artifact; the fact table is opened exactly once, at
+    * publish time.
+    */
+  def mvRewriteDimDrop(spark: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft-mvd-store")
+    try {
+      graft.plans.MvStore.publish(spark, dir, store.toString)
+      val mMonth = "gmv_dd_m_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val mFlag = "gmv_dd_f_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      graft.plans.MvStore.registerRollup(spark, dir, store.toString, mMonth)
+      graft.plans.MvStore.registerFlagRollup(spark, dir, store.toString, mFlag)
+      try graft.util.Fs.localize(spark,
+        graft.plans.MvStore.flagConsumer(spark, dir, mFlag)
+          .filter(col("l_returnflag") =!= "N"))
+      finally {
+        graft.plans.MvRegistry.unregister(mMonth)
+        graft.plans.MvRegistry.unregister(mFlag)
+      }
+    } finally {
+      graft.util.Fs.syncRecursively(store)
+      graft.util.Fs.deleteRecursively(store)
+    }
+  }
+
   /** Join-consistent (coordinated) sampling audit (q373): sample two
     * fact tables INDEPENDENTLY by the same deterministic hash of the
     * join key (keep orderkey iff hv60('cs:'‖key) mod 100 < 10) and the

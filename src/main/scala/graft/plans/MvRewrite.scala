@@ -338,6 +338,48 @@ object MvStore {
       MvAggSignature.of(template))
   }
 
+  /** Dimension-DROPPING compensation plan (q379): the flag-only total
+    * re-derived over the MV — the month dimension is eliminated
+    * entirely (sum over all daily partials per flag), the other
+    * direction of derivability from the same artifact that
+    * [[rollupFromMv]]'s coarsening exercises.
+    */
+  def flagRollupFromMv(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.parquet(s"$storeDir/mv_daily_rev")
+      .groupBy(col("flag"))
+      .agg(sum(col("rev_partial")).cast("double").as("mvf_rev"),
+        coalesce(sum(col("n_partial")), lit(0L)).as("mvf_n"))
+
+  /** Register the flag-only compensation plan for `marker`, with the
+    * [[flagConsumer]] template's aggregate fingerprint — so the two
+    * concurrently-registered consumers of the SAME artifact (monthly
+    * rollup, flag total) can never answer each other's markers: the
+    * shapes differ in arity and the signatures in grouping types.
+    */
+  def registerFlagRollup(spark: SparkSession, sfDir: String,
+      storeDir: String, marker: String): Unit = {
+    val template = flagConsumer(spark, sfDir, marker)
+      .queryExecution.analyzed.collectFirst { case a: Aggregate => a }
+      .getOrElse(throw new IllegalStateException(
+        "flag consumer template has no Aggregate"))
+    MvRegistry.registerWithSignature(marker,
+      flagRollupFromMv(spark, storeDir).queryExecution.analyzed,
+      MvAggSignature.of(template))
+  }
+
+  /** The flag-only consumer AS WRITTEN BY A USER — total revenue and
+    * line count per returnflag straight off the base table.
+    */
+  def flagConsumer(spark: SparkSession, sfDir: String,
+      marker: String): DataFrame =
+    graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as(marker))
+      .groupBy("l_returnflag")
+      .agg(sum(col(marker)).cast("double").as("rf_revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+
   /** The consumer query AS WRITTEN BY A USER — monthly revenue per
     * returnflag straight off the base table.  The per-call-unique
     * `marker` names the scan-side revenue column; when a registration

@@ -88,6 +88,52 @@ class Batch31Spec extends SparkSuite {
     } finally graft.util.Fs.deleteRecursively(store)
   }
 
+  test("q379: two live registrations of one MV never cross-answer — the monthly AND the flag-only consumer both rewrite, zero lineitem scans, values match base") {
+    val store = java.nio.file.Files.createTempDirectory("b31-mv-dd")
+    try {
+      plans.MvStore.publish(spark, sf, store.toString)
+      val mMonth = "gmv_ddm_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val mFlag = "gmv_ddf_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      plans.MvStore.registerRollup(spark, sf, store.toString, mMonth)
+      plans.MvStore.registerFlagRollup(spark, sf, store.toString, mFlag)
+      try {
+        def paths(df: org.apache.spark.sql.DataFrame) =
+          planScans(df.queryExecution.executedPlan)
+            .flatMap(_.relation.location.rootPaths.map(_.toString))
+        // both consumers rewrite, in the SAME registry state
+        val monthly = plans.MvStore.baseConsumer(spark, sf, mMonth)
+        val flagged = plans.MvStore.flagConsumer(spark, sf, mFlag)
+          .filter(col("l_returnflag") =!= "N")
+        for ((q, tag) <- Seq((monthly, "monthly"), (flagged, "flag-only"))) {
+          val p = paths(q)
+          assert(!p.exists(_.contains("lineitem")) &&
+              p.exists(_.contains("mv_daily_rev")),
+            s"the $tag consumer reads only the MV (saw $p)")
+        }
+        // values match the unregistered base recompute
+        val fRows = flagged.collect()
+        plans.MvRegistry.unregister(mFlag)
+        val fCtl = plans.MvStore.flagConsumer(spark, sf, mFlag)
+          .filter(col("l_returnflag") =!= "N")
+        assert(paths(fCtl).exists(_.contains("lineitem")),
+          "the unregistered flag control scans the base table")
+        assert(fRows.toSeq == fCtl.collect().toSeq)
+        assert(fRows.nonEmpty && fRows.forall(_.getString(0) != "N"))
+        plans.MvStore.registerFlagRollup(spark, sf, store.toString, mFlag)
+        // cross-answer refusal: a flag-SHAPED consumer using the
+        // MONTHLY marker must be refused (arity + signature mismatch)
+        val crossed = plans.MvStore.flagConsumer(spark, sf, mMonth)
+        assert(paths(crossed).exists(_.contains("lineitem")),
+          "the monthly registration never answers a flag-shaped consumer")
+      } finally {
+        plans.MvRegistry.unregister(mMonth)
+        plans.MvRegistry.unregister(mFlag)
+      }
+    } finally graft.util.Fs.deleteRecursively(store)
+  }
+
   test("q377: re-insert after delete lands at v3, deletes stay deleted, and a REPLAYED epoch recomputes identically") {
     val out = streaming.StreamQueries.cdcApply(spark, sf).collect()
     assert(out.nonEmpty)
