@@ -4867,6 +4867,19 @@ private[graft] trait OraclesC extends OracleHelpers {
         |  count(*) AS n_lines
         |FROM lineitem
         |WHERE l_returnflag <> 'N'
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q380: the stream-served MV chain recomputed directly from the
+    // base table (the q368 SQL verbatim) — the Spark side stages
+    // lineitem through the three-epoch maintenance stream, merges the
+    // epoch partials into the artifact, and answers this rollup from
+    // it, so value identity gates staging + per-epoch exactly-once
+    // publish + merge + rewrite end to end,
+    "q380_mv_serve" ->
+      """SELECT substr(CAST(l_shipdate AS VARCHAR), 1, 7) AS ship_month,
+        |  l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS mv_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

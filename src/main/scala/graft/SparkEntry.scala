@@ -749,7 +749,12 @@ object SparkEntry extends OraclesA with OraclesB with OraclesC {
     // month dimension summed out), under TWO live registrations whose
     // signatures keep them from cross-answering, composed with the
     // q378 slice compensation on the one remaining grouping column
-    "q379_mv_dim_drop" -> ((s, d) => Relational.mvRewriteDimDrop(s, d))
+    "q379_mv_dim_drop" -> ((s, d) => Relational.mvRewriteDimDrop(s, d)),
+    // the MV lifecycle CLOSED: the q372 maintenance stream's epoch
+    // partials are merged into the artifact, registered, and the
+    // base-table consumer is answered from the stream-built MV — the
+    // fact table scanned by nobody but the ingest (Batch31Spec pin)
+    "q380_mv_serve" -> ((s, d) => streaming.StreamQueries.mvServe(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -662,8 +662,15 @@ object StreamQueries {
     * the published partials ARE the recovery state, the same
     * philosophy as q336.
     */
-  def mvIngest(spark: SparkSession, dir: String,
-               inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+  /** Run the three-epoch lineitem MV-maintenance stream and return the
+    * store directory holding the rename-published `epoch-NNN` partial
+    * artifacts (watch/stage/checkpoint dirs already cleaned; the
+    * CALLER deletes the returned store).  Shared by q372 (which gates
+    * the merged partials against the batch MV) and q380 (which merges
+    * them INTO the artifact the rewrite serves).
+    */
+  private[graft] def mvEpochStore(spark: SparkSession, dir: String,
+      inspect: StreamingQuery => Unit = _ => ()): java.nio.file.Path = {
     import java.nio.file.Files
     val li = graft.Tables.lineitem(spark, dir).select(
       col("l_orderkey"), col("l_shipdate").as("day"),
@@ -702,6 +709,12 @@ object StreamQueries {
       } finally spark.conf.set(key, prev)
     try { q.processAllAvailable(); inspect(q) } finally q.stop()
     Seq(watch, stage, ckptDir).foreach(deleteRecursively)
+    storeDir
+  }
+
+  def mvIngest(spark: SparkSession, dir: String,
+               inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    val storeDir = mvEpochStore(spark, dir, inspect)
     // the result is bounded (month×flag): localize it and delete the
     // store EAGERLY — the mvRewrite rule — rather than deferring a
     // per-invocation directory to JVM exit
@@ -728,6 +741,59 @@ object StreamQueries {
     } finally {
       graft.util.Fs.syncRecursively(storeDir)
       deleteRecursively(storeDir)
+    }
+  }
+
+  /** The MV lifecycle CLOSED (q380): the stream maintains the
+    * artifact, the artifact answers the dashboards.  q372 proved the
+    * stream's epoch partials merge to the batch MV exactly; q368/q378
+    * proved a registered artifact serves consumers with zero
+    * base-table scans; this composes them — the three-epoch
+    * maintenance stream publishes its partials, a KB-sized merge
+    * (epochs × day × flag rows, never the fact table) folds them into
+    * the `mv_daily_rev` artifact, the rollup is registered, and the
+    * consumer query written against BASE lineitem is answered from
+    * the stream-built artifact (Batch31Spec pins zero lineitem scans
+    * in the consumer's plan; the DuckDB oracle recomputes the rollup
+    * from the base table, so value identity gates the whole chain:
+    * staging → per-epoch exactly-once publish → merge → rewrite).
+    *
+    * Determinism: per-row DECIMAL(18,4) quantization everywhere (the
+    * q01 money rule); epoch partials, their merge, and the monthly
+    * re-sum are all exact decimal adds, so the stream-served path is
+    * bit-identical to the direct base recompute before the one final
+    * DOUBLE cast.
+    *
+    * 100 TB shape: this is the steady state a production MV tier
+    * converges to — the fact table is scanned by NOBODY but the
+    * ingest stream (each micro-batch aggregated map-side to day×flag
+    * partials, one KB artifact rename per epoch); the merge and every
+    * rewritten dashboard read KB..MB artifacts.  A "rebuild on
+    * refresh" MV re-scans 100 TB per refresh; this one never does.
+    */
+  def mvServe(spark: SparkSession, dir: String,
+              inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
+    import java.nio.file.Files
+    val epochs = mvEpochStore(spark, dir, inspect)
+    val store = Files.createTempDirectory("graft-mvserve-store")
+    try {
+      graft.plans.StatsStore.publishNamed(
+        spark.read.parquet(s"$epochs/epoch-*")
+          .groupBy("day", "flag")
+          .agg(sum(col("rev_partial")).as("rev_partial"),
+            sum(col("n_partial")).as("n_partial")),
+        store.toString, "mv_daily_rev")
+      val marker = "gmv_sv_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      graft.plans.MvStore.registerRollup(spark, dir, store.toString, marker)
+      try graft.util.Fs.localize(spark,
+        graft.plans.MvStore.baseConsumer(spark, dir, marker))
+      finally graft.plans.MvRegistry.unregister(marker)
+    } finally {
+      graft.util.Fs.syncRecursively(store)
+      deleteRecursively(store)
+      graft.util.Fs.syncRecursively(epochs)
+      deleteRecursively(epochs)
     }
   }
 

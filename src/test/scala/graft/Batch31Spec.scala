@@ -134,6 +134,48 @@ class Batch31Spec extends SparkSuite {
     } finally graft.util.Fs.deleteRecursively(store)
   }
 
+  test("q380: the stream-built artifact serves the rewrite — consumer plan reads only the merged MV, values equal the base recompute") {
+    val epochs = streaming.StreamQueries.mvEpochStore(spark, sf)
+    val store = java.nio.file.Files.createTempDirectory("b31-mv-serve")
+    try {
+      // three epochs were published (one per staged micro-batch)
+      val names = scala.util.Using.resource(
+          java.nio.file.Files.list(epochs)) { s =>
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("epoch-")).toSeq.sorted
+      }
+      assert(names == Seq("epoch-000", "epoch-001", "epoch-002"))
+      plans.StatsStore.publishNamed(
+        spark.read.parquet(s"$epochs/epoch-*")
+          .groupBy("day", "flag")
+          .agg(sum(col("rev_partial")).as("rev_partial"),
+            sum(col("n_partial")).as("n_partial")),
+        store.toString, "mv_daily_rev")
+      val marker = "gmv_q380_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      plans.MvStore.registerRollup(spark, sf, store.toString, marker)
+      val rows =
+        try {
+          val q = plans.MvStore.baseConsumer(spark, sf, marker)
+          val r = q.collect()
+          val paths = planScans(q.queryExecution.executedPlan)
+            .flatMap(_.relation.location.rootPaths.map(_.toString))
+          assert(!paths.exists(_.contains("lineitem")) &&
+              paths.exists(_.contains("mv_daily_rev")),
+            s"the consumer reads only the stream-built artifact (saw $paths)")
+          r
+        } finally plans.MvRegistry.unregister(marker)
+      val control = plans.MvStore.baseConsumer(spark, sf, marker).collect()
+      assert(rows.toSeq == control.toSeq,
+        "stream-served and base paths are value-identical")
+      assert(rows.nonEmpty)
+    } finally {
+      graft.util.Fs.deleteRecursively(store)
+      graft.util.Fs.deleteRecursively(epochs)
+    }
+  }
+
   test("q377: re-insert after delete lands at v3, deletes stay deleted, and a REPLAYED epoch recomputes identically") {
     val out = streaming.StreamQueries.cdcApply(spark, sf).collect()
     assert(out.nonEmpty)
