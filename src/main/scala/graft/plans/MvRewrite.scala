@@ -276,11 +276,65 @@ object MvStore {
       .groupBy("day", "flag")
       .agg(sum(col("rev")).as("rev_partial"), count(lit(1)).as("n_partial"))
 
-  /** Build and rename-publish the MV artifact (none-or-all; a crashed
-    * publish leaves the previous artifact readable).
+  /** Fingerprint of the base table's FILE LISTING — (name, length,
+    * mtime) triples, sorted, hashed.  A listing costs nothing relative
+    * to a scan and captures exactly what invalidates an MV: any base
+    * file added, removed, or rewritten since publish.  At 100 TB this
+    * is the same listing the scan planner already performs.
     */
-  def publish(spark: SparkSession, sfDir: String, storeDir: String): Unit =
+  def baseFingerprint(sfDir: String): String = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(sfDir, "lineitem.parquet")
+    val entries =
+      if (java.nio.file.Files.isDirectory(root))
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) {
+          _.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_)).toSeq
+        }
+      else Seq(root)
+    val lines = entries.map { p =>
+      s"${root.getParent.relativize(p)}|" +
+        s"${java.nio.file.Files.size(p)}|" +
+        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+    }.sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(lines.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Build and rename-publish the MV artifact (none-or-all; a crashed
+    * publish leaves the previous artifact readable), together with the
+    * base table's listing fingerprint at publish time — the STALENESS
+    * witness the registration helpers check.
+    */
+  def publish(spark: SparkSession, sfDir: String, storeDir: String): Unit = {
     StatsStore.publishNamed(mvFrame(spark, sfDir), storeDir, "mv_daily_rev")
+    import spark.implicits._
+    StatsStore.publishNamed(Seq(baseFingerprint(sfDir)).toDF("fp"),
+      storeDir, "mv_base_fp")
+  }
+
+  /** Staleness guard: when the store carries a publish-time base
+    * fingerprint (every [[publish]] writes one), registration REFUSES
+    * if the base table's listing has changed since — a stale artifact
+    * must never silently answer fresh queries; the caller re-publishes
+    * and registers again.  A store without the witness (e.g. the q380
+    * stream-merged artifact, whose freshness is the stream's
+    * exactly-once protocol) skips the check.
+    */
+  private def requireFresh(spark: SparkSession, sfDir: String,
+      storeDir: String): Unit = {
+    val fpPath = java.nio.file.Paths.get(storeDir, "mv_base_fp")
+    if (java.nio.file.Files.exists(fpPath)) {
+      val published = spark.read.parquet(fpPath.toString)
+        .head().getString(0)
+      val current = baseFingerprint(sfDir)
+      if (published != current)
+        throw new IllegalStateException(
+          "stale MV artifact: the base table's file listing changed " +
+            "since publish — refresh the MV before registering " +
+            s"(published=$published current=$current)")
+    }
+  }
 
   /** The daily partials of ONE micro-batch — the per-epoch unit the
     * streaming maintainer (q372) publishes.  Same per-row DECIMAL
@@ -329,6 +383,7 @@ object MvStore {
     */
   def registerRollup(spark: SparkSession, sfDir: String, storeDir: String,
       marker: String): Unit = {
+    requireFresh(spark, sfDir, storeDir)
     val template = baseConsumer(spark, sfDir, marker)
       .queryExecution.analyzed.collectFirst { case a: Aggregate => a }
       .getOrElse(throw new IllegalStateException(
@@ -358,6 +413,7 @@ object MvStore {
     */
   def registerFlagRollup(spark: SparkSession, sfDir: String,
       storeDir: String, marker: String): Unit = {
+    requireFresh(spark, sfDir, storeDir)
     val template = flagConsumer(spark, sfDir, marker)
       .queryExecution.analyzed.collectFirst { case a: Aggregate => a }
       .getOrElse(throw new IllegalStateException(

@@ -176,6 +176,61 @@ class Batch31Spec extends SparkSuite {
     }
   }
 
+  test("MV staleness guard: a base mutation after publish refuses registration; a re-publish recovers; the witness-less store skips") {
+    val base = java.nio.file.Files.createTempDirectory("b31-mv-stale")
+    val store = java.nio.file.Files.createTempDirectory("b31-mv-stale-store")
+    try {
+      val src = java.nio.file.Paths.get(sf, "lineitem.parquet")
+      val dst = base.resolve("lineitem.parquet")
+      java.nio.file.Files.copy(src, dst)
+      plans.MvStore.publish(spark, base.toString, store.toString)
+      val marker = "gmv_stale_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      // fresh base: registration succeeds
+      plans.MvStore.registerRollup(spark, base.toString, store.toString, marker)
+      plans.MvRegistry.unregister(marker)
+      // mutate the base AFTER publish (a rewritten file = new mtime)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          java.nio.file.Files.getLastModifiedTime(dst).toMillis + 5000))
+      val e = intercept[IllegalStateException] {
+        plans.MvStore.registerRollup(spark, base.toString, store.toString,
+          marker)
+      }
+      assert(e.getMessage.contains("stale MV artifact"))
+      assert(plans.MvRegistry.lookup(marker).isEmpty,
+        "the refused registration leaves no registry entry")
+      // refresh: re-publish against the mutated base, register, rewrite
+      plans.MvStore.publish(spark, base.toString, store.toString)
+      plans.MvStore.registerRollup(spark, base.toString, store.toString,
+        marker)
+      try {
+        val q = plans.MvStore.baseConsumer(spark, base.toString, marker)
+        assert(planScans(q.queryExecution.executedPlan)
+            .flatMap(_.relation.location.rootPaths.map(_.toString))
+            .exists(_.contains("mv_daily_rev")),
+          "the refreshed artifact serves again")
+        assert(q.count() > 0)
+      } finally plans.MvRegistry.unregister(marker)
+      // a store WITHOUT the witness (externally built) skips the check
+      val bare = java.nio.file.Files.createTempDirectory("b31-mv-bare")
+      try {
+        plans.StatsStore.publishNamed(
+          plans.MvStore.mvFrame(spark, base.toString), bare.toString,
+          "mv_daily_rev")
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            java.nio.file.Files.getLastModifiedTime(dst).toMillis + 5000))
+        plans.MvStore.registerRollup(spark, base.toString, bare.toString,
+          marker)
+        plans.MvRegistry.unregister(marker)
+      } finally graft.util.Fs.deleteRecursively(bare)
+    } finally {
+      graft.util.Fs.deleteRecursively(store)
+      graft.util.Fs.deleteRecursively(base)
+    }
+  }
+
   test("q377: re-insert after delete lands at v3, deletes stay deleted, and a REPLAYED epoch recomputes identically") {
     val out = streaming.StreamQueries.cdcApply(spark, sf).collect()
     assert(out.nonEmpty)
