@@ -2589,14 +2589,14 @@ object Relational {
       val mFlag = "gmv_dd_f_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       graft.plans.MvStore.registerRollup(spark, dir, store.toString, mMonth)
-      graft.plans.MvStore.registerFlagRollup(spark, dir, store.toString, mFlag)
-      try graft.util.Fs.localize(spark,
-        graft.plans.MvStore.flagConsumer(spark, dir, mFlag)
-          .filter(col("l_returnflag") =!= "N"))
-      finally {
-        graft.plans.MvRegistry.unregister(mMonth)
-        graft.plans.MvRegistry.unregister(mFlag)
-      }
+      try {
+        graft.plans.MvStore.registerFlagRollup(spark, dir, store.toString,
+          mFlag)
+        try graft.util.Fs.localize(spark,
+          graft.plans.MvStore.flagConsumer(spark, dir, mFlag)
+            .filter(col("l_returnflag") =!= "N"))
+        finally graft.plans.MvRegistry.unregister(mFlag)
+      } finally graft.plans.MvRegistry.unregister(mMonth)
     } finally {
       graft.util.Fs.syncRecursively(store)
       graft.util.Fs.deleteRecursively(store)

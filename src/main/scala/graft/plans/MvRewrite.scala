@@ -162,10 +162,7 @@ object RewriteToMv extends Rule[LogicalPlan] {
   }
 
   private def markedRegistration(p: Project): Option[MvRegistration] =
-    p.output.collectFirst {
-      case a if MvRegistry.lookup(a.name).isDefined =>
-        MvRegistry.lookup(a.name).get
-    }
+    p.output.view.flatMap(a => MvRegistry.lookup(a.name)).headOption
 
   /** Pull a base-column predicate back UP through the marked Project:
     * every subtree semantically equal to an alias's child becomes the
@@ -175,9 +172,10 @@ object RewriteToMv extends Rule[LogicalPlan] {
     */
   private def pullThroughProject(cond: Expression, p: Project): Expression = {
     val subst = p.projectList.collect { case al: Alias => al }
-    cond.transformUp {
-      case e if subst.exists(_.child.semanticEquals(e)) =>
-        subst.find(_.child.semanticEquals(e)).get.toAttribute
+    cond.transformUp { case e =>
+      subst.collectFirst {
+        case al if al.child.semanticEquals(e) => al.toAttribute
+      }.getOrElse(e)
     }
   }
 
@@ -276,25 +274,22 @@ object MvStore {
       .groupBy("day", "flag")
       .agg(sum(col("rev")).as("rev_partial"), count(lit(1)).as("n_partial"))
 
-  /** Fingerprint of the base table's FILE LISTING — (name, length,
-    * mtime) triples, sorted, hashed.  A listing costs nothing relative
-    * to a scan and captures exactly what invalidates an MV: any base
-    * file added, removed, or rewritten since publish.  At 100 TB this
-    * is the same listing the scan planner already performs.
+  /** Fingerprint of the MV's base-table dependency — the (uri, length,
+    * mtime) triples of the files the build scan ACTUALLY READS
+    * (`inputFiles` off the build frame, so the witness can never
+    * decouple from the scanned layout), sorted and hashed.  A listing
+    * costs nothing relative to a scan and captures exactly what
+    * invalidates an MV: any base file added, removed, or rewritten
+    * since publish.  At 100 TB this is the same listing the scan
+    * planner already performs.
     */
-  def baseFingerprint(sfDir: String): String = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Paths.get(sfDir, "lineitem.parquet")
-    val entries =
-      if (java.nio.file.Files.isDirectory(root))
-        scala.util.Using.resource(java.nio.file.Files.walk(root)) {
-          _.iterator().asScala
-            .filter(java.nio.file.Files.isRegularFile(_)).toSeq
-        }
-      else Seq(root)
-    val lines = entries.map { p =>
-      s"${root.getParent.relativize(p)}|" +
-        s"${java.nio.file.Files.size(p)}|" +
+  def baseFingerprint(spark: SparkSession, sfDir: String): String =
+    fingerprintOf(mvFrame(spark, sfDir).inputFiles)
+
+  private def fingerprintOf(files: Array[String]): String = {
+    val lines = files.toSeq.map { u =>
+      val p = java.nio.file.Paths.get(java.net.URI.create(u))
+      s"$u|${java.nio.file.Files.size(p)}|" +
         s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
     }.sorted.mkString("\n")
     java.security.MessageDigest.getInstance("SHA-256")
@@ -303,31 +298,41 @@ object MvStore {
 
   /** Build and rename-publish the MV artifact (none-or-all; a crashed
     * publish leaves the previous artifact readable), together with the
-    * base table's listing fingerprint at publish time — the STALENESS
-    * witness the registration helpers check.
+    * base table's listing fingerprint — the STALENESS witness the
+    * registration helpers check.  The fingerprint is captured BEFORE
+    * the build scan runs: a base mutation racing the build then fails
+    * [[requireFresh]] conservatively (witness older than the data),
+    * never the reverse (witness newer than the data it vouches for).
     */
   def publish(spark: SparkSession, sfDir: String, storeDir: String): Unit = {
-    StatsStore.publishNamed(mvFrame(spark, sfDir), storeDir, "mv_daily_rev")
-    import spark.implicits._
-    StatsStore.publishNamed(Seq(baseFingerprint(sfDir)).toDF("fp"),
-      storeDir, "mv_base_fp")
+    val frame = mvFrame(spark, sfDir)
+    val fp = fingerprintOf(frame.inputFiles)
+    StatsStore.publishNamed(frame, storeDir, "mv_daily_rev")
+    val dir = java.nio.file.Paths.get(storeDir)
+    val tmp = dir.resolve(".tmp-mv_base_fp")
+    java.nio.file.Files.writeString(tmp, fp)
+    java.nio.file.Files.move(tmp, dir.resolve("mv_base_fp"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
   }
 
   /** Staleness guard: when the store carries a publish-time base
-    * fingerprint (every [[publish]] writes one), registration REFUSES
-    * if the base table's listing has changed since — a stale artifact
-    * must never silently answer fresh queries; the caller re-publishes
-    * and registers again.  A store without the witness (e.g. the q380
-    * stream-merged artifact, whose freshness is the stream's
-    * exactly-once protocol) skips the check.
+    * fingerprint (every [[publish]] writes one — a plain file under
+    * the same rename discipline as the parquet artifacts; no Spark
+    * job on this path), registration REFUSES if the base table's
+    * listing has changed since — a stale artifact must never silently
+    * answer fresh queries; the caller re-publishes and registers
+    * again.  A store without the witness (e.g. the q380 stream-merged
+    * artifact, whose freshness is the stream's exactly-once protocol)
+    * skips the check.
     */
   private def requireFresh(spark: SparkSession, sfDir: String,
       storeDir: String): Unit = {
     val fpPath = java.nio.file.Paths.get(storeDir, "mv_base_fp")
     if (java.nio.file.Files.exists(fpPath)) {
-      val published = spark.read.parquet(fpPath.toString)
-        .head().getString(0)
-      val current = baseFingerprint(sfDir)
+      val published = java.nio.file.Files.readString(fpPath)
+      val current = baseFingerprint(spark, sfDir)
       if (published != current)
         throw new IllegalStateException(
           "stale MV artifact: the base table's file listing changed " +

@@ -771,18 +771,28 @@ object StreamQueries {
     * rewritten dashboard read KB..MB artifacts.  A "rebuild on
     * refresh" MV re-scans 100 TB per refresh; this one never does.
     */
+  /** Fold the per-epoch partials into the `mv_daily_rev` artifact the
+    * rewrite serves — a KB-sized keyed merge (epochs × day × flag
+    * rows, never the fact table), rename-published.  Shared by
+    * [[mvServe]] and its Batch31Spec pin so the test exercises the
+    * production merge, not a copy.
+    */
+  private[graft] def mergeEpochs(spark: SparkSession,
+      epochs: java.nio.file.Path, storeDir: String): Unit =
+    graft.plans.StatsStore.publishNamed(
+      spark.read.parquet(s"$epochs/epoch-*")
+        .groupBy("day", "flag")
+        .agg(sum(col("rev_partial")).as("rev_partial"),
+          sum(col("n_partial")).as("n_partial")),
+      storeDir, "mv_daily_rev")
+
   def mvServe(spark: SparkSession, dir: String,
               inspect: StreamingQuery => Unit = _ => ()): DataFrame = {
     import java.nio.file.Files
     val epochs = mvEpochStore(spark, dir, inspect)
     val store = Files.createTempDirectory("graft-mvserve-store")
     try {
-      graft.plans.StatsStore.publishNamed(
-        spark.read.parquet(s"$epochs/epoch-*")
-          .groupBy("day", "flag")
-          .agg(sum(col("rev_partial")).as("rev_partial"),
-            sum(col("n_partial")).as("n_partial")),
-        store.toString, "mv_daily_rev")
+      mergeEpochs(spark, epochs, store.toString)
       val marker = "gmv_sv_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       graft.plans.MvStore.registerRollup(spark, dir, store.toString, marker)
@@ -885,8 +895,12 @@ object StreamQueries {
       val lastState = scala.util.Using.resource(
           java.nio.file.Files.list(storeDir)) { s =>
         import scala.jdk.CollectionConverters._
+        // NUMERIC max, not lexicographic — "state-1000" sorts before
+        // "state-999" as a string, which would hand back a stale epoch
+        // once batch ids outgrow the %03d padding
         s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.matches("state-\\d+")).toSeq.sorted.lastOption
+          .filter(_.matches("state-\\d+")).toSeq
+          .sortBy(_.stripPrefix("state-").toInt).lastOption
           .getOrElse(throw new IllegalStateException(
             "cdc store published no state artifact"))
       }

@@ -146,12 +146,7 @@ class Batch31Spec extends SparkSuite {
           .filter(_.startsWith("epoch-")).toSeq.sorted
       }
       assert(names == Seq("epoch-000", "epoch-001", "epoch-002"))
-      plans.StatsStore.publishNamed(
-        spark.read.parquet(s"$epochs/epoch-*")
-          .groupBy("day", "flag")
-          .agg(sum(col("rev_partial")).as("rev_partial"),
-            sum(col("n_partial")).as("n_partial")),
-        store.toString, "mv_daily_rev")
+      streaming.StreamQueries.mergeEpochs(spark, epochs, store.toString)
       val marker = "gmv_q380_" +
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       plans.MvStore.registerRollup(spark, sf, store.toString, marker)
