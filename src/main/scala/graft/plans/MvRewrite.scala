@@ -46,26 +46,61 @@ import org.apache.spark.sql.types.{DataType, DecimalType}
   */
 /** The aggregate-semantics fingerprint of a registered consumer: the
   * grouping-expression dataTypes, the ordered list of aggregate
-  * function names, and the output dataTypes.  All three survive the
-  * main optimizer batches unchanged (types are fixed at analysis;
-  * sum stays sum), so a fingerprint taken from the ANALYZED consumer
-  * template can be compared against the OPTIMIZED Aggregate the rule
-  * actually matches.  A plan whose aggregate semantics drifted from
-  * the registration (different grouping arity, avg where the
-  * registration had sum, …) is refused.
+  * function names, the output dataTypes, AND the grouping/measure
+  * expressions themselves — GROUNDED through the marked Project down
+  * to base-column terms and rendered as SQL, so two consumers whose
+  * types happen to coincide but whose semantics differ (grouping on
+  * commitdate instead of shipdate, a tax measure instead of a
+  * discount measure) can never answer each other.  Everything here
+  * survives the main optimizer batches unchanged (types are fixed at
+  * analysis, sum stays sum, and the grounded expressions are the SAME
+  * subtrees the analyzed template carries — the optimizer only MOVES
+  * them, which grounding undoes), so a fingerprint taken from the
+  * ANALYZED consumer template compares exactly against the OPTIMIZED
+  * Aggregate the rule matches.
   */
 final case class MvAggSignature(
     groupingTypes: Seq[DataType],
     aggFuncs: Seq[String],
-    outputTypes: Seq[DataType])
+    outputTypes: Seq[DataType],
+    groundedSql: Seq[String])
 
 object MvAggSignature {
-  def of(agg: Aggregate): MvAggSignature = MvAggSignature(
+  /** Substitute references to Project outputs by the Projects' own
+    * expressions, all the way down the Project chain to the leaf scan
+    * (passing through Filters, which define no columns) — the inverse
+    * of what the consumer's builder did, landing every expression in
+    * scan-column terms.  Descending the WHOLE chain matters: the
+    * analyzed template keeps the table reader's cast Project separate,
+    * while CollapseProject merges it into the marked Project of the
+    * optimized plan — one-level grounding would render the two
+    * differently and refuse every legitimate rewrite.
+    */
+  private def ground(e: Expression, plan: LogicalPlan): Expression =
+    plan match {
+      case pr: Project =>
+        ground(e.transformUp {
+          case a: Attribute =>
+            pr.projectList.collectFirst {
+              case al: Alias if al.exprId == a.exprId => al.child
+              case at: Attribute if at.exprId == a.exprId => at
+            }.getOrElse(a)
+        }, pr.child)
+      case Filter(_, child) => ground(e, child)
+      case _ => e
+    }
+
+  def of(agg: Aggregate, p: Project): MvAggSignature = MvAggSignature(
     agg.groupingExpressions.map(_.dataType),
     agg.aggregateExpressions.flatMap(_.collect {
       case ae: AggregateExpression => ae.aggregateFunction.prettyName
     }),
-    agg.output.map(_.dataType))
+    agg.output.map(_.dataType),
+    agg.groupingExpressions.map(g => ground(g, p).sql) ++
+      agg.aggregateExpressions
+        .flatMap(_.collect { case ae: AggregateExpression => ae })
+        .flatMap(_.aggregateFunction.children)
+        .map(c => ground(c, p).sql))
 }
 
 /** A registered substitution: the compensation plan plus (when the
@@ -92,14 +127,9 @@ object MvRegistry {
         size() > maxEntries
     })
 
-  def register(markerAttrName: String, replacement: LogicalPlan): Unit = {
-    entries.put(markerAttrName, MvRegistration(replacement, None)); ()
-  }
-
-  def registerWithSignature(markerAttrName: String, replacement: LogicalPlan,
-      signature: MvAggSignature): Unit = {
-    entries.put(markerAttrName,
-      MvRegistration(replacement, Some(signature))); ()
+  def register(markerAttrName: String, replacement: LogicalPlan,
+      signature: Option[MvAggSignature] = None): Unit = {
+    entries.put(markerAttrName, MvRegistration(replacement, signature)); ()
   }
 
   def unregister(markerAttrName: String): Unit = {
@@ -133,9 +163,12 @@ object MvRegistry {
   *     MV rollup;
   *   - SEMANTIC: when the registration carries an [[MvAggSignature]]
   *     (every [[MvStore.registerRollup]] call does), the matched
-  *     Aggregate's grouping types, aggregate function names, and
-  *     output types must equal the registered consumer template's — a
-  *     marker reused under different aggregate semantics is refused;
+  *     Aggregate's grouping types, aggregate function names, output
+  *     types, AND its grouping/measure expressions grounded to
+  *     base-column terms must equal the registered consumer
+  *     template's — a marker reused under different aggregate
+  *     semantics is refused even when every type lines up (grouping
+  *     on a different column, a different measure expression);
   *   - positional arity + dataType equality between the matched
   *     Aggregate's output and the replacement's output — a
   *     registration whose shape drifted from its consumer is REFUSED
@@ -196,20 +229,20 @@ object RewriteToMv extends Rule[LogicalPlan] {
     * touching a non-grouping column (e.g. the measure), any other
     * intervening operator — returns None and the plan runs as written.
     */
-  private def matchConsumer(
-      agg: Aggregate): Option[(MvRegistration, Option[Expression])] = {
+  private def matchConsumer(agg: Aggregate)
+      : Option[(MvRegistration, Project, Option[Expression])] = {
     val matched = agg.child match {
       case p: Project if projectsOverLeaf(p.child) =>
-        markedRegistration(p).map((_, None: Option[Expression]))
+        markedRegistration(p).map((_, p, None: Option[Expression]))
       case p @ Project(_, Filter(cond, below))
           if cond.deterministic && projectsOverLeaf(below) =>
-        markedRegistration(p).map((_, Some(pullThroughProject(cond, p))))
+        markedRegistration(p).map((_, p, Some(pullThroughProject(cond, p))))
       case Filter(cond, p: Project)
           if cond.deterministic && projectsOverLeaf(p.child) =>
-        markedRegistration(p).map((_, Some(cond)))
+        markedRegistration(p).map((_, p, Some(cond)))
       case _ => None
     }
-    matched.filter { case (_, condOpt) =>
+    matched.filter { case (_, _, condOpt) =>
       condOpt.forall { cond =>
         // the predicate must commute with the aggregation: every
         // reference is a grouping attribute the Aggregate passes
@@ -233,8 +266,8 @@ object RewriteToMv extends Rule[LogicalPlan] {
     else plan.transform {
       case agg: Aggregate =>
         matchConsumer(agg) match {
-          case Some((reg, condOpt)) if shapesMatch(agg, reg.replacement) &&
-              reg.signature.forall(_ == MvAggSignature.of(agg)) =>
+          case Some((reg, p, condOpt)) if shapesMatch(agg, reg.replacement) &&
+              reg.signature.forall(_ == MvAggSignature.of(agg, p)) =>
             // compensation: rebind the predicate's grouping attributes
             // to the replacement's positionally-matching outputs and
             // filter the (tiny) rollup before re-aliasing
@@ -284,13 +317,21 @@ object MvStore {
     * planner already performs.
     */
   def baseFingerprint(spark: SparkSession, sfDir: String): String =
-    fingerprintOf(mvFrame(spark, sfDir).inputFiles)
+    fingerprintOf(spark, mvFrame(spark, sfDir).inputFiles)
 
-  private def fingerprintOf(files: Array[String]): String = {
+  /** Stat each input through the Hadoop FileSystem API (the
+    * [[StatsStore.publishNamed]] discipline): `inputFiles` strings are
+    * Hadoop paths, not URI-encoded java.nio paths, so this works for
+    * local paths with spaces and for hdfs/s3a bases alike.
+    */
+  private def fingerprintOf(spark: SparkSession,
+      files: Array[String]): String = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
     val lines = files.toSeq.map { u =>
-      val p = java.nio.file.Paths.get(java.net.URI.create(u))
-      s"$u|${java.nio.file.Files.size(p)}|" +
-        s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      val p = new Path(u)
+      val st = p.getFileSystem(conf).getFileStatus(p)
+      s"$u|${st.getLen}|${st.getModificationTime}"
     }.sorted.mkString("\n")
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(lines.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -306,7 +347,7 @@ object MvStore {
     */
   def publish(spark: SparkSession, sfDir: String, storeDir: String): Unit = {
     val frame = mvFrame(spark, sfDir)
-    val fp = fingerprintOf(frame.inputFiles)
+    val fp = fingerprintOf(spark, frame.inputFiles)
     StatsStore.publishNamed(frame, storeDir, "mv_daily_rev")
     val dir = java.nio.file.Paths.get(storeDir)
     val tmp = dir.resolve(".tmp-mv_base_fp")
@@ -332,7 +373,18 @@ object MvStore {
     val fpPath = java.nio.file.Paths.get(storeDir, "mv_base_fp")
     if (java.nio.file.Files.exists(fpPath)) {
       val published = java.nio.file.Files.readString(fpPath)
-      val current = baseFingerprint(spark, sfDir)
+      // a base file VANISHING between the listing and the stat is the
+      // same signal as a changed fingerprint — a concurrent mutation —
+      // and must surface as the documented staleness refusal, not an
+      // unhandled stat error
+      val current =
+        try baseFingerprint(spark, sfDir)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            throw new IllegalStateException(
+              "stale MV artifact: a base file disappeared while " +
+                s"fingerprinting — refresh the MV before registering ($e)")
+        }
       if (published != current)
         throw new IllegalStateException(
           "stale MV artifact: the base table's file listing changed " +
@@ -377,26 +429,40 @@ object MvStore {
       .agg(sum(col("rev_partial")).cast("double").as("mv_rev"),
         coalesce(sum(col("n_partial")), lit(0L)).as("mv_n"))
 
-  /** Register the compensation plan for `marker` (the consumer's
-    * scan-side revenue column name).  The analyzed plan is captured
-    * here; [[RewriteToMv]] splices it verbatim.  Alongside the plan,
-    * the CONSUMER TEMPLATE's aggregate fingerprint is registered
-    * (grouping types + aggregate function names + output types, taken
-    * from the analyzed [[baseConsumer]] over `sfDir`) — the rule
-    * refuses any matched Aggregate whose semantics differ from the
-    * template, even if the output shape happens to line up.
+  /** The one registration path both derived-consumer helpers share:
+    * staleness check, template fingerprint (from the analyzed
+    * consumer's Aggregate-over-marked-Project — grouping types,
+    * aggregate function names, output types, AND the grouped/measured
+    * expressions grounded to base columns), then the analyzed
+    * compensation plan into the registry.  [[RewriteToMv]] refuses any
+    * matched Aggregate whose semantics differ from the template, even
+    * if the output shape happens to line up.
     */
-  def registerRollup(spark: SparkSession, sfDir: String, storeDir: String,
-      marker: String): Unit = {
+  private def registerDerived(spark: SparkSession, sfDir: String,
+      storeDir: String, marker: String, template: DataFrame,
+      rollup: DataFrame): Unit = {
     requireFresh(spark, sfDir, storeDir)
-    val template = baseConsumer(spark, sfDir, marker)
-      .queryExecution.analyzed.collectFirst { case a: Aggregate => a }
+    val agg = template.queryExecution.analyzed
+      .collectFirst { case a: Aggregate => a }
       .getOrElse(throw new IllegalStateException(
         "consumer template has no Aggregate"))
-    MvRegistry.registerWithSignature(marker,
-      rollupFromMv(spark, storeDir).queryExecution.analyzed,
-      MvAggSignature.of(template))
+    val p = agg.child match {
+      case pr: Project => pr
+      case other => throw new IllegalStateException(
+        s"consumer template aggregate is not over a projection: $other")
+    }
+    MvRegistry.register(marker, rollup.queryExecution.analyzed,
+      Some(MvAggSignature.of(agg, p)))
   }
+
+  /** Register the compensation plan for `marker` (the consumer's
+    * scan-side revenue column name).  The analyzed plan is captured
+    * here; [[RewriteToMv]] splices it verbatim.
+    */
+  def registerRollup(spark: SparkSession, sfDir: String, storeDir: String,
+      marker: String): Unit =
+    registerDerived(spark, sfDir, storeDir, marker,
+      baseConsumer(spark, sfDir, marker), rollupFromMv(spark, storeDir))
 
   /** Dimension-DROPPING compensation plan (q379): the flag-only total
     * re-derived over the MV — the month dimension is eliminated
@@ -417,16 +483,9 @@ object MvStore {
     * shapes differ in arity and the signatures in grouping types.
     */
   def registerFlagRollup(spark: SparkSession, sfDir: String,
-      storeDir: String, marker: String): Unit = {
-    requireFresh(spark, sfDir, storeDir)
-    val template = flagConsumer(spark, sfDir, marker)
-      .queryExecution.analyzed.collectFirst { case a: Aggregate => a }
-      .getOrElse(throw new IllegalStateException(
-        "flag consumer template has no Aggregate"))
-    MvRegistry.registerWithSignature(marker,
-      flagRollupFromMv(spark, storeDir).queryExecution.analyzed,
-      MvAggSignature.of(template))
-  }
+      storeDir: String, marker: String): Unit =
+    registerDerived(spark, sfDir, storeDir, marker,
+      flagConsumer(spark, sfDir, marker), flagRollupFromMv(spark, storeDir))
 
   /** The flag-only consumer AS WRITTEN BY A USER — total revenue and
     * line count per returnflag straight off the base table.

@@ -300,6 +300,48 @@ class Batch29Spec extends SparkSuite {
     } finally graft.util.Fs.deleteRecursively(store)
   }
 
+  test("RewriteToMv guard: identical types and shape but DIFFERENT semantics (linestatus grouping, tax measure) is refused by the grounded-expression fingerprint") {
+    val store = java.nio.file.Files.createTempDirectory("b29-mv-drift")
+    try {
+      plans.MvStore.publish(spark, sf, store.toString)
+      val marker = "gmv_drift_" +
+        java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      plans.MvStore.registerRollup(spark, sf, store.toString, marker)
+      try {
+        // every TYPE matches the registered template — grouping
+        // [string, string], aggFuncs [sum, count], output [string,
+        // string, double, long] — and the structure is the same
+        // Aggregate-over-marked-Project-over-leaf, but the second
+        // grouping column (linestatus, not returnflag) and the measure
+        // (tax markup, not discount) differ: only the grounded
+        // expression fingerprint can tell these apart
+        val drifted = Tables.lineitem(spark, sf)
+          .select(substring(col("l_shipdate").cast("string"), 1, 7)
+              .as("ship_month"),
+            col("l_linestatus").as("l_returnflag"),
+            (col("l_extendedprice") * (lit(1.0) + col("l_tax")))
+              .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as(marker))
+          .groupBy("ship_month", "l_returnflag")
+          .agg(sum(col(marker)).cast("double").as("mv_revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("ship_month", "l_returnflag")
+        val paths = planScans(drifted.queryExecution.executedPlan)
+          .flatMap(_.relation.location.rootPaths.map(_.toString))
+        assert(paths.exists(_.contains("lineitem")) &&
+            !paths.exists(_.contains("mv_daily_rev")),
+          "the drifted consumer keeps its base scan (grounded fingerprint refused)")
+        // and the refusal is load-bearing: the drifted values differ
+        // from the registered rollup's
+        val mvVals = plans.MvStore.baseConsumer(spark, sf,
+            "gmv_drift_ctl_" + java.util.UUID.randomUUID().toString.take(8))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        assert(drifted.collect()
+            .exists(r => !mvVals((r.getString(0), r.getString(1)))),
+          "commitdate/linestatus groups genuinely differ from the MV's")
+      } finally plans.MvRegistry.unregister(marker)
+    } finally graft.util.Fs.deleteRecursively(store)
+  }
+
   test("q370: the retraction path is non-degenerate (deletes AND inserts flow) and the maintained state matches") {
     val rows = operators.EventOps.retractIvm(spark, sf).collect()
     assert(rows.nonEmpty)
