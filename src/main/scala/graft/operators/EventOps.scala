@@ -1846,34 +1846,57 @@ object EventOps {
           .when(col("nxt") === "purchase", "CONV")
           .otherwise(col("nxt")).as("dst"))
     val tc = ts0.unionAll(ts1).groupBy("src", "dst").agg(count(lit(1)).as("c"))
-    val tm = graft.util.Pins.eager(tc
+    // r21 shape: every frame the iteration touches is BOUNDED — the
+    // state space is the handful of event types (plus START/CONV/END)
+    // and the chain set is 5 literals, so tmc is ≤ 5×|transitions|
+    // rows and each generation of v is ≤ 5×|states| rows.  The r20
+    // form eager-pinned nk AND acc every superstep (2 pins × 8 iters
+    // + AQE stage jobs ≈ 80 Spark jobs of fixed cost around <100-row
+    // data).  Now: the transition matrix is localized once, each
+    // superstep is ONE bounded collect (the q295 bounded-driver-fold
+    // rule), the next v is a local relation, and the per-chain
+    // accumulator is the same sequential `acc + coalesce(conv, 0.0)`
+    // double addition performed on the driver — the identical IEEE
+    // add sequence, so values are bit-identical.
+    val tm = tc
       .withColumn("p", col("c").cast("double")
         / sum(col("c")).over(Window.partitionBy("src")).cast("double"))
-      .select(col("src"), col("dst"), col("p")))
-    val chains = spark.createDataFrame(
-      Seq("full", "click", "view", "signup", "error").map(Tuple1(_)))
-      .toDF("chain")
-    val tmc = graft.util.Pins.eager(chains.crossJoin(tm)
+      .select(col("src"), col("dst"), col("p"))
+    val chainNames = Seq("full", "click", "view", "signup", "error")
+    val chains = spark.createDataFrame(chainNames.map(Tuple1(_))).toDF("chain")
+    val tmc = graft.util.Fs.localize(spark, chains.crossJoin(tm)
       .filter(col("chain") === "full" ||
         (col("src") =!= col("chain") && col("dst") =!= col("chain"))))
     var v: DataFrame = chains.select(col("chain"), lit("START").as("state"),
       lit(1.0).as("v"))
-    var acc: DataFrame = chains.select(col("chain"), lit(0.0).as("acc"))
+    var accMap: Map[String, Double] = chainNames.map(_ -> 0.0).toMap
+    val vSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chain",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("state",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
     for (_ <- 1 to iters) {
-      val nk = graft.util.Pins.eager(
-        v.alias("vv").join(tmc.alias("tt"),
-            col("vv.chain") === col("tt.chain") && col("tt.src") === col("vv.state"))
-          .select(col("vv.chain").as("chain"), col("tt.dst").as("dst"),
-            col("vv.state").as("s"), (col("vv.v") * col("tt.p")).as("term"))
-          .groupBy("chain", "dst")
-          .agg(fold(col("s"), col("term")).as("v")))
-      v = nk.filter(!col("dst").isin("CONV", "END"))
-        .select(col("chain"), col("dst").as("state"), col("v"))
-      acc = graft.util.Pins.eager(
-        acc.join(nk.filter(col("dst") === "CONV").select(col("chain"), col("v")),
-            Seq("chain"), "left")
-          .select(col("chain"), (col("acc") + coalesce(col("v"), lit(0.0))).as("acc")))
+      val nkRows = v.alias("vv").join(tmc.alias("tt"),
+          col("vv.chain") === col("tt.chain") && col("tt.src") === col("vv.state"))
+        .select(col("vv.chain").as("chain"), col("tt.dst").as("dst"),
+          col("vv.state").as("s"), (col("vv.v") * col("tt.p")).as("term"))
+        .groupBy("chain", "dst")
+        .agg(fold(col("s"), col("term")).as("v"))
+        .collect()
+      v = spark.createDataFrame(
+        java.util.Arrays.asList(nkRows.filter(r =>
+          r.getString(1) != "CONV" && r.getString(1) != "END"): _*),
+        vSchema)
+      val conv = nkRows.iterator
+        .filter(_.getString(1) == "CONV")
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      accMap = accMap.map { case (chain, a) =>
+        chain -> (a + conv.getOrElse(chain, 0.0)) }
     }
+    val acc = spark.createDataFrame(
+      chainNames.map(c => (c, accMap(c)))).toDF("chain", "acc")
     val full = acc.filter(col("chain") === "full")
       .select(col("acc").as("p_full"))
     // degenerate guards (the batch rule): a fixture slice with no

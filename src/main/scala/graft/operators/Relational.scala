@@ -1308,9 +1308,21 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS")).as("late"))
-    val per = lo.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"),
+    // r21: the two countDistincts made Catalyst plan a 3-way Expand
+    // (every lineitem row shuffled three times on l_orderkey); the
+    // two-level form aggregates to (order, supplier) grain first —
+    // map-side combined, each row shuffled once — then counts the
+    // distinct-by-construction groups.  nsupp = distinct suppliers per
+    // order, nlate = distinct suppliers with a late line (count skips
+    // the null branch of `when`), late_supp = max over the same rows —
+    // value-identical to the countDistinct form (guide §2.3: aggregate
+    // before you shuffle; plan diff: Expand gone, 3×rows → 1×rows on
+    // the first exchange).
+    val per = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("nsupp"),
+        count(when(col("late"), lit(1))).as("nlate"),
         max(when(col("late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("nsupp") > 1 && col("nlate") === 1)
     val sup = Tables.supplier(spark, dir)
@@ -1609,29 +1621,52 @@ object Relational {
     * the fact rows.
     */
   def joinEstimate(spark: SparkSession, dir: String, h: Int = 50): DataFrame = {
+    // r21 shape: the r20 form paid FOUR eager pins and a final job
+    // carrying SEVEN broadcast exchanges per audited join (×3 joins =
+    // 12 pin jobs + 21 broadcasts — pure fixed cost).  Everything the
+    // heavy-hitter correction needs beyond the two per-key count
+    // frames is BOUNDED at h rows per side, so the top-h lists are
+    // fetched once (the q295 bounded-driver-fold rule) and the
+    // intersection/only sums fold on the driver in exact LONG
+    // arithmetic (order-free).  The per-key frames stay distributed
+    // (lazily checkpointed; their own 1-row aggregates materialize
+    // them on the main thread) and the actual-cardinality join stays
+    // a Spark join over them.  The estimate arithmetic is unchanged
+    // and evaluated by the same Spark expressions over literal inputs
+    // — bit-identical values.
     def one(name: String, dfa: DataFrame, ka: String,
             dfb: DataFrame, kb: String): DataFrame = {
-      val ca = graft.util.Pins.eager(
-        dfa.groupBy(col(ka).as("k")).agg(count(lit(1)).as("c")))
-      val cb = graft.util.Pins.eager(
-        dfb.groupBy(col(kb).as("k")).agg(count(lit(1)).as("c")))
-      val ha = graft.util.Pins.eager(ca.orderBy(col("c").desc, col("k").asc).limit(h))
-      val hb = graft.util.Pins.eager(cb.orderBy(col("c").desc, col("k").asc).limit(h))
-      val sa = ca.agg(count(lit(1)).as("d_a"), sum(col("c")).as("n_a"))
-      val sb = cb.agg(count(lit(1)).as("d_b"), sum(col("c")).as("n_b"))
-      val sha = ha.agg(count(lit(1)).as("h_a"), sum(col("c")).as("nh_a"))
-      val shb = hb.agg(count(lit(1)).as("h_b"), sum(col("c")).as("nh_b"))
-      val exact = ha.join(hb, "k")
-        .agg(coalesce(sum(ha("c") * hb("c")), lit(0L)).as("x_heavy"))
-      val aOnly = ha.join(hb, Seq("k"), "left_anti")
-        .agg(coalesce(sum(col("c")), lit(0L)).as("s_aonly"))
-      val bOnly = hb.join(ha, Seq("k"), "left_anti")
-        .agg(coalesce(sum(col("c")), lit(0L)).as("s_bonly"))
-      val actual = ca.join(cb, "k")
-        .agg(coalesce(sum(ca("c") * cb("c")), lit(0L)).as("actual_rows"))
-      val f = actual.crossJoin(broadcast(exact)).crossJoin(broadcast(aOnly))
-        .crossJoin(broadcast(bOnly)).crossJoin(broadcast(sa))
-        .crossJoin(broadcast(sb)).crossJoin(broadcast(sha)).crossJoin(broadcast(shb))
+      val ca = dfa.groupBy(col(ka).as("k")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val cb = dfb.groupBy(col(kb).as("k")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false)
+      val saRow = ca.agg(count(lit(1)), sum(col("c"))).head()
+      val sbRow = cb.agg(count(lit(1)), sum(col("c"))).head()
+      val (dA, nA) = (saRow.getLong(0), saRow.getLong(1))
+      val (dB, nB) = (sbRow.getLong(0), sbRow.getLong(1))
+      val haRows = ca.orderBy(col("c").desc, col("k").asc).limit(h).collect()
+      val hbRows = cb.orderBy(col("c").desc, col("k").asc).limit(h).collect()
+      val hA = haRows.map(r => (r.get(0), r.getLong(1)))
+      val hB = hbRows.map(r => (r.get(0), r.getLong(1)))
+      val mB = hB.toMap
+      val mA = hA.toMap
+      val xHeavy = hA.iterator.collect {
+        case (k, c) if mB.contains(k) => c * mB(k) }.sum
+      val sAonly = hA.iterator.collect {
+        case (k, c) if !mB.contains(k) => c }.sum
+      val sBonly = hB.iterator.collect {
+        case (k, c) if !mA.contains(k) => c }.sum
+      val (hCa, nhA) = (hA.length.toLong, hA.iterator.map(_._2).sum)
+      val (hCb, nhB) = (hB.length.toLong, hB.iterator.map(_._2).sum)
+      val actualRows = ca.join(cb, "k")
+        .agg(coalesce(sum(ca("c") * cb("c")), lit(0L))).head().getLong(0)
+      val f = spark.range(1).select(
+        lit(dA).as("d_a"), lit(nA).as("n_a"),
+        lit(dB).as("d_b"), lit(nB).as("n_b"),
+        lit(hCa).as("h_a"), lit(nhA).as("nh_a"),
+        lit(hCb).as("h_b"), lit(nhB).as("nh_b"),
+        lit(xHeavy).as("x_heavy"), lit(sAonly).as("s_aonly"),
+        lit(sBonly).as("s_bonly"), lit(actualRows).as("actual_rows"))
       val dat = col("d_a") - col("h_a")
       val dbt = col("d_b") - col("h_b")
       val avgA = col("n_a").minus(col("nh_a")).cast("double") / dat.cast("double")
@@ -1735,21 +1770,31 @@ object Relational {
         .distinct())
     var hub = edges.select(col("cust")).distinct().withColumn("h", lit(1.0))
     var auth: DataFrame = null
+    // Each score frame is node-count-sized and read twice (the 1-row
+    // max + the normalize).  r21 shape: lazily checkpoint the fold,
+    // fetch the max as a SCALAR off the 1-row aggregate (a bounded
+    // driver read — the same class as the q295 merge picks), and
+    // normalize with a literal.  Versus the r20 form (eager pin +
+    // crossJoin(broadcast(max)) + a second checkpoint per half-step)
+    // this removes two broadcast exchanges, two checkpoint
+    // materializations and two jobs PER ITERATION; the max action
+    // itself materializes the checkpointed fold on the main thread,
+    // so every later consumer (the next join — even if AQE broadcasts
+    // it — and the final output join) reads already-computed blocks:
+    // the lazy-pin-in-broadcast-thread deadlock (util/Pins.scala)
+    // cannot occur.  The division is the same IEEE op on the same
+    // double, so scores are bit-identical to the r20 form.
     for (_ <- 1 to iters) {
-      // each score frame is node-count-sized and read TWICE (the 1-row
-      // broadcast max + the normalize) — pin it eagerly so the
-      // two-level fold runs once per iteration, not once per consumer
-      // (and never first materializes inside the broadcast thread)
-      val a0 = graft.util.Pins.eager(GraphFold.segmentedSum(
-        edges.join(hub, "cust"), "supp", col("cust"), col("h"), "a"))
-      auth = a0.crossJoin(broadcast(a0.agg(max(col("a")).as("mx"))))
-        .select(col("supp"), (col("a") / col("mx")).as("a"))
+      val a0 = GraphFold.segmentedSum(
+        edges.join(hub, "cust"), "supp", col("cust"), col("h"), "a")
         .localCheckpoint(false)
-      val h0 = graft.util.Pins.eager(GraphFold.segmentedSum(
-        edges.join(auth, "supp"), "cust", col("supp"), col("a"), "h"))
-      hub = h0.crossJoin(broadcast(h0.agg(max(col("h")).as("mx"))))
-        .select(col("cust"), (col("h") / col("mx")).as("h"))
+      val mxA = a0.agg(max(col("a"))).head().getDouble(0)
+      auth = a0.select(col("supp"), (col("a") / lit(mxA)).as("a"))
+      val h0 = GraphFold.segmentedSum(
+        edges.join(auth, "supp"), "cust", col("supp"), col("a"), "h")
         .localCheckpoint(false)
+      val mxH = h0.agg(max(col("h"))).head().getDouble(0)
+      hub = h0.select(col("cust"), (col("h") / lit(mxH)).as("h"))
     }
     val deg = edges.groupBy("supp").agg(count(lit(1)).as("n_customers"))
     auth.join(deg, "supp")

@@ -947,51 +947,68 @@ object Similarity {
     */
   def mmrSelect(spark: SparkSession, dir: String, nProbes: Int = 10,
                 kCand: Int = 10, kSel: Int = 5, lam: Double = 0.7): DataFrame = {
-    val qsim = graft.util.Pins.eager(
-      bruteForceTopK(spark, dir, nProbes, kCand)
-        .select(col("probe_id"), col("neighbor_id").as("doc_id"),
-          col("cos_sim").as("rel")))
+    // r21 shape: every frame the greedy loop touches is BOUNDED by the
+    // probe/candidate constants — qsim is ≤ nProbes·kCand rows (100)
+    // and the candidate-pair cosines ≤ nProbes·kCand² (1000), with NO
+    // dependence on corpus size.  The r20 form eager-pinned selected
+    // every pick (kSel−1 pins + per-pick join/agg jobs ≈ 50 Spark jobs
+    // around ≤1000-row data).  Now the two bounded frames are fetched
+    // once (the q295 bounded-driver-fold rule; the expensive exact
+    // top-k and the pair cosines are still computed BY SPARK, exactly
+    // as before) and the greedy MMR selection folds on the driver:
+    // max-cos penalty (order-free), the same lam·rel − (1−lam)·pen
+    // IEEE ops, the same (mmr, −doc_id) lexicographic argmax — values
+    // bit-identical, job count O(1) instead of O(kSel).
+    val qsimRows = bruteForceTopK(spark, dir, nProbes, kCand)
+      .select(col("probe_id"), col("neighbor_id").as("doc_id"),
+        col("cos_sim").as("rel")).collect()
     val emb = withNorm(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("embedding"), col("nrm"))
-    val withVec = qsim.select("probe_id", "doc_id")
+    val cand = spark.createDataFrame(
+      java.util.Arrays.asList(qsimRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("probe_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("rel",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val withVec = cand.select("probe_id", "doc_id")
       .join(emb, col("vec_id") === col("doc_id"))
       .select(col("probe_id"), col("doc_id"), col("embedding"), col("nrm"))
-    val pair = graft.util.Pins.eager(
-      withVec.toDF("probe_id", "doc_a", "a_emb", "a_nrm")
-        .join(withVec.toDF("probe_id", "doc_b", "b_emb", "b_nrm"), Seq("probe_id"))
-        .filter(col("doc_a") =!= col("doc_b"))
-        .select(col("probe_id"), col("doc_a"), col("doc_b"),
-          (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
-            .as("cos")))
-    // pick 1: pure relevance (empty selected set => zero penalty)
-    var selected = graft.util.Pins.eager(
-      qsim.groupBy("probe_id")
-        .agg(max(struct(col("rel"), (-col("doc_id")).as("nid"))).as("m"))
-        .select(col("probe_id"), (-col("m.nid")).as("doc_id"),
-          col("m.rel").as("rel"), col("m.rel").as("mmr_score"),
-          lit(1).as("sel_rank")))
-    for (i <- 2 to kSel) {
-      val remaining = qsim.join(
-        selected.select("probe_id", "doc_id"), Seq("probe_id", "doc_id"),
-        "left_anti")
-      val pen = pair
-        .join(selected.select(col("probe_id"), col("doc_id").as("doc_b")),
-          Seq("probe_id", "doc_b"))
-        .groupBy(col("probe_id"), col("doc_a").as("doc_id"))
-        .agg(max(col("cos")).as("pen"))
-      val pick = remaining.join(pen, Seq("probe_id", "doc_id"))
-        .withColumn("mmr",
-          lit(lam) * col("rel") - (lit(1.0) - lit(lam)) * col("pen"))
-        .groupBy("probe_id")
-        .agg(max(struct(col("mmr"), (-col("doc_id")).as("nid"),
-          col("rel"))).as("m"))
-        .select(col("probe_id"), (-col("m.nid")).as("doc_id"),
-          col("m.rel").as("rel"), col("m.mmr").as("mmr_score"),
-          lit(i).as("sel_rank"))
-      selected = graft.util.Pins.eager(selected.unionByName(pick))
+    val pairRows = withVec.toDF("probe_id", "doc_a", "a_emb", "a_nrm")
+      .join(withVec.toDF("probe_id", "doc_b", "b_emb", "b_nrm"), Seq("probe_id"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("probe_id"), col("doc_a"), col("doc_b"),
+        (dot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")))
+          .as("cos")).collect()
+    val relOf = qsimRows.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cosOf = pairRows.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double, Double)]()
+    qsimRows.map(_.getLong(0)).distinct.sorted.foreach { probe =>
+      val docs = qsimRows.iterator.filter(_.getLong(0) == probe)
+        .map(_.getLong(1)).toSeq
+      // pick 1: pure relevance, ties → lowest doc_id (the struct-max rule)
+      var selected = List(docs.maxBy(d => (relOf((probe, d)), -d)))
+      out += ((probe, 1, selected.head, relOf((probe, selected.head)),
+        relOf((probe, selected.head))))
+      for (i <- 2 to kSel) {
+        val remaining = docs.filterNot(selected.contains)
+        if (remaining.nonEmpty) {
+          val scored = remaining.map { d =>
+            val pen = selected.iterator.map(s => cosOf((probe, d, s))).max
+            (d, lam * relOf((probe, d)) - (1.0 - lam) * pen)
+          }
+          val (pick, mmr) = scored.maxBy { case (d, m) => (m, -d) }
+          selected ::= pick
+          out += ((probe, i, pick, relOf((probe, pick)), mmr))
+        }
+      }
     }
-    selected.select(col("probe_id"), col("sel_rank"), col("doc_id"),
-      col("rel"), col("mmr_score"))
+    spark.createDataFrame(out.toSeq)
+      .toDF("probe_id", "sel_rank", "doc_id", "rel", "mmr_score")
   }
 
   /** Hybrid lexical+dense retrieval with reciprocal-rank fusion

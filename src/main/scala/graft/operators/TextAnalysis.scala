@@ -3713,15 +3713,22 @@ object TextAnalysis {
         .filter(col("i") =!= col("j"))
         .groupBy("i", "j").agg(count(lit(1)).as("w")))
     var x = vocab.select(col("token").as("j"), lit(1000000L).as("xq"))
+    // r21 shape (the q307 rule): lazily checkpoint each superstep's
+    // fold, read its max back as a SCALAR off the 1-row aggregate, and
+    // normalize with a literal — one job per iteration instead of a
+    // broadcast exchange over a subtree that re-runs the fold's final
+    // aggregate; the max action materializes the checkpoint on the
+    // main thread, so no lazy pin can first materialize inside a
+    // broadcast thread.  Same integer quantization on the same
+    // values — bit-identical output.
     for (_ <- 1 to iters) {
       val y = a.join(x, Seq("j"))
         .groupBy(col("i")).agg(sum(col("w") * col("xq")).as("y"))
-      val m = y.agg(max(col("y")).as("m"))
-      x = y.crossJoin(broadcast(m))
-        .select(col("i").as("j"),
-          floor((col("y").cast("double") / col("m").cast("double"))
-            * lit(1.0e6) + lit(0.5)).cast("long").as("xq"))
         .localCheckpoint(false)
+      val m = y.agg(max(col("y"))).head().getLong(0)
+      x = y.select(col("i").as("j"),
+        floor((col("y").cast("double") / lit(m).cast("double"))
+          * lit(1.0e6) + lit(0.5)).cast("long").as("xq"))
     }
     val docFreq = inc.groupBy("token").agg(count(lit(1)).as("n_docs"))
     x.select(col("j").as("token"), col("xq"))

@@ -92,8 +92,16 @@ object MvAggSignature {
 
   def of(agg: Aggregate, p: Project): MvAggSignature = MvAggSignature(
     agg.groupingExpressions.map(_.dataType),
+    // DISTINCT and FILTER change what an aggregate computes without
+    // changing prettyName, children, or types: sum(DISTINCT x) and
+    // sum(x) FILTER (WHERE …) must never fingerprint-match the plain
+    // sum(x) template (ADVICE r20) — fold both modifiers into the
+    // function-name component so a drifted consumer is refused
     agg.aggregateExpressions.flatMap(_.collect {
-      case ae: AggregateExpression => ae.aggregateFunction.prettyName
+      case ae: AggregateExpression =>
+        ae.aggregateFunction.prettyName +
+          (if (ae.isDistinct) ":distinct" else "") +
+          ae.filter.map(f => ":filter[" + ground(f, p).sql + "]").getOrElse("")
     }),
     agg.output.map(_.dataType),
     agg.groupingExpressions.map(g => ground(g, p).sql) ++
@@ -242,15 +250,24 @@ object RewriteToMv extends Rule[LogicalPlan] {
         markedRegistration(p).map((_, p, Some(cond)))
       case _ => None
     }
-    matched.filter { case (_, _, condOpt) =>
+    matched.filter { case (reg, _, condOpt) =>
       condOpt.forall { cond =>
-        // the predicate must commute with the aggregation: every
-        // reference is a grouping attribute the Aggregate passes
-        // through to its output (exprId-preserved by groupBy)
-        val groupingIds = agg.groupingExpressions
-          .collect { case a: Attribute => a.exprId }.toSet
-        cond.references.forall(r => groupingIds.contains(r.exprId) &&
-          agg.output.exists(_.exprId == r.exprId))
+        // compensation rebinds the predicate POSITIONALLY into the
+        // replacement's output, trusting the registration's column
+        // order; only the signature-carrying registration path
+        // ([[MvStore.registerRollup]]) pins that order, so a
+        // signature-less registration with a filtered consumer is
+        // refused rather than risking a same-typed column swap
+        // (ADVICE r20)
+        reg.signature.isDefined && {
+          // the predicate must commute with the aggregation: every
+          // reference is a grouping attribute the Aggregate passes
+          // through to its output (exprId-preserved by groupBy)
+          val groupingIds = agg.groupingExpressions
+            .collect { case a: Attribute => a.exprId }.toSet
+          cond.references.forall(r => groupingIds.contains(r.exprId) &&
+            agg.output.exists(_.exprId == r.exprId))
+        }
       }
     }
   }
@@ -319,20 +336,36 @@ object MvStore {
   def baseFingerprint(spark: SparkSession, sfDir: String): String =
     fingerprintOf(spark, mvFrame(spark, sfDir).inputFiles)
 
-  /** Stat each input through the Hadoop FileSystem API (the
+  /** Stat the inputs through the Hadoop FileSystem API (the
     * [[StatsStore.publishNamed]] discipline): `inputFiles` strings are
     * Hadoop paths, not URI-encoded java.nio paths, so this works for
     * local paths with spaces and for hdfs/s3a bases alike.
+    *
+    * ONE `listStatus` per parent directory, not one `getFileStatus`
+    * RPC per file (ADVICE r20): a 100 TB table is thousands of files
+    * in a handful of directories, and a serial per-file stat loop on
+    * an object store would make every registration scale with file
+    * count instead of directory count.  A listed-but-vanished input
+    * surfaces as the same FileNotFoundException the per-file stat
+    * threw, so [[requireFresh]]'s conservative refusal is unchanged.
     */
   private def fingerprintOf(spark: SparkSession,
       files: Array[String]): String = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
-    val lines = files.toSeq.map { u =>
-      val p = new Path(u)
-      val st = p.getFileSystem(conf).getFileStatus(p)
-      s"$u|${st.getLen}|${st.getModificationTime}"
-    }.sorted.mkString("\n")
+    val lines = files.toSeq.groupBy(u => new Path(u).getParent)
+      .toSeq.flatMap { case (parent, us) =>
+        val byName = us.map(u => new Path(u).getName -> u).toMap
+        val listed = parent.getFileSystem(conf).listStatus(parent)
+          .iterator.flatMap { st =>
+            byName.get(st.getPath.getName)
+              .map(u => u -> s"$u|${st.getLen}|${st.getModificationTime}")
+          }.toMap
+        us.map { u =>
+          listed.getOrElse(u, throw new java.io.FileNotFoundException(
+            s"input file vanished between listing and fingerprint: $u"))
+        }
+      }.sorted.mkString("\n")
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(lines.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }

@@ -44,11 +44,16 @@ object StatsStore {
     */
   def publish(spark: SparkSession, sfDir: String, storeDir: String): Unit = {
     RegisterFunctions(spark) // graft_bloom_agg on pre-built sessions
-    commitArtifact(
-      graft.operators.Relational.multiColStats(spark, sfDir),
-      storeDir, "column_stats")
-    commitArtifact(joinStatsFrame(spark, sfDir), storeDir, "join_stats")
-    commitArtifact(bloomFrame(spark, sfDir), storeDir, "bloom_custkey")
+    // r21: the three ANALYZE builds are independent single-aggregate
+    // jobs over different tables — overlap them (guide §2.6) instead
+    // of serializing three small jobs; each artifact still goes
+    // through its own none-or-all rename into a distinct subdirectory
+    graft.util.Par.run(Seq(
+      () => commitArtifact(
+        graft.operators.Relational.multiColStats(spark, sfDir),
+        storeDir, "column_stats"),
+      () => commitArtifact(joinStatsFrame(spark, sfDir), storeDir, "join_stats"),
+      () => commitArtifact(bloomFrame(spark, sfDir), storeDir, "bloom_custkey")))
   }
 
   /** The q348/q357 ANALYZE: exact counts and join-key NDVs for the

@@ -81,34 +81,38 @@ object StreamQueries {
     */
   private def stageBatches(df: DataFrame, preds: Seq[org.apache.spark.sql.Column],
                            tag: String, dropAfterFilter: Seq[String] = Nil)
-      : (java.nio.file.Path, java.nio.file.Path) = {
-    import java.nio.file.Files
-    val watch = Files.createTempDirectory(s"graft-$tag-src")
-    val stage = Files.createTempDirectory(s"graft-$tag-stage")
-    for ((pred, i) <- preds.zipWithIndex) {
-      val part = s"$stage/c$i"
-      df.filter(pred).drop(dropAfterFilter: _*).coalesce(1).write.parquet(part)
-      val dst = watch.resolve(f"$tag$i%02d.parquet")
-      Files.copy(graft.util.Fs.onlyPartFile(part), dst)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
-    }
-    (watch, stage)
-  }
+      : (java.nio.file.Path, java.nio.file.Path) =
+    stageSlices(preds.map(p =>
+      df.filter(p).drop(dropAfterFilter: _*)), tag)
 
   /** stageBatches for HETEROGENEOUS batches: each frame (same schema)
     * becomes one staged file/micro-batch, mod-times pinned in order.
     */
   private def stageFrames(dfs: Seq[DataFrame], tag: String)
+      : (java.nio.file.Path, java.nio.file.Path) =
+    stageSlices(dfs, tag)
+
+  /** The shared staging writer: each slice is still its own
+    * coalesce(1) parquet write (byte-identical files and in-file row
+    * order to the sequential r20 form), but the N independent write
+    * jobs now OVERLAP via [[graft.util.Par]] (guide §2.6) — the
+    * fixture staging is setup the operator pays per invocation, and
+    * serializing N single-partition writes left the other 31 cores
+    * idle for most of it.  File copies + mod-time pinning stay
+    * sequential (cheap, order matters for readability only — the
+    * mod-times, not copy order, pin micro-batch order).
+    */
+  private def stageSlices(slices: Seq[DataFrame], tag: String)
       : (java.nio.file.Path, java.nio.file.Path) = {
     import java.nio.file.Files
     val watch = Files.createTempDirectory(s"graft-$tag-src")
     val stage = Files.createTempDirectory(s"graft-$tag-stage")
-    for ((df, i) <- dfs.zipWithIndex) {
-      val part = s"$stage/c$i"
-      df.coalesce(1).write.parquet(part)
+    graft.util.Par.run(slices.zipWithIndex.map { case (df, i) =>
+      () => df.coalesce(1).write.parquet(s"$stage/c$i")
+    })
+    for (i <- slices.indices) {
       val dst = watch.resolve(f"$tag$i%02d.parquet")
-      Files.copy(graft.util.Fs.onlyPartFile(part), dst)
+      Files.copy(graft.util.Fs.onlyPartFile(s"$stage/c$i"), dst)
       Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 1000L))
     }
@@ -691,23 +695,35 @@ object StreamQueries {
       StructField("disc", org.apache.spark.sql.types.DoubleType)))
     val storeDir = Files.createTempDirectory("graft-mvingest-store")
     val ckptDir = Files.createTempDirectory("graft-mvingest-ckpt")
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    val q =
-      try {
-        spark.conf.set(key, "8")
-        spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(watch.toString)
-          .writeStream
-          .option("checkpointLocation", ckptDir.toString)
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            graft.plans.MvStore.publishEpoch(
-              graft.plans.MvStore.epochPartials(batch),
-              storeDir.toString, batchId)
-          }
-          .start()
-      } finally spark.conf.set(key, prev)
-    try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    // a mid-run failure must not leak the store: callers only learn
+    // the path from the successful return (ADVICE r20 — the old
+    // deleteOnExit backstop is gone), so clean ALL four dirs before
+    // rethrowing; the success path keeps returning the store
+    try {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      val q =
+        try {
+          spark.conf.set(key, "8")
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(watch.toString)
+            .writeStream
+            .option("checkpointLocation", ckptDir.toString)
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              graft.plans.MvStore.publishEpoch(
+                graft.plans.MvStore.epochPartials(batch),
+                storeDir.toString, batchId)
+            }
+            .start()
+        } finally spark.conf.set(key, prev)
+      try { q.processAllAvailable(); inspect(q) } finally q.stop()
+    } catch {
+      case e: Throwable =>
+        Seq(watch, stage, ckptDir, storeDir).foreach { p =>
+          try deleteRecursively(p) catch { case _: Throwable => () }
+        }
+        throw e
+    }
     Seq(watch, stage, ckptDir).foreach(deleteRecursively)
     storeDir
   }
