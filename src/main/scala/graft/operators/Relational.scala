@@ -1317,7 +1317,12 @@ object Relational {
     // the null branch of `when`), late_supp = max over the same rows —
     // value-identical to the countDistinct form (guide §2.3: aggregate
     // before you shuffle; plan diff: Expand gone, 3×rows → 1×rows on
-    // the first exchange).
+    // the first exchange).  Precondition (ADVICE r21): l_suppkey is
+    // NON-NULL — a TPC-H lineitem FK, non-null in every fixture
+    // generation — so count(lit(1)) over (order, supplier) groups
+    // cannot admit a null-supplier group the old countDistinct
+    // excluded; a nullable-suppkey source would need
+    // `l_suppkey.isNotNull` filtered before the first groupBy.
     val per = lo.groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max(col("late")).as("late"))
       .groupBy(col("l_orderkey"))
@@ -1642,8 +1647,13 @@ object Relational {
         .localCheckpoint(false)
       val saRow = ca.agg(count(lit(1)), sum(col("c"))).head()
       val sbRow = cb.agg(count(lit(1)), sum(col("c"))).head()
-      val (dA, nA) = (saRow.getLong(0), saRow.getLong(1))
-      val (dB, nB) = (sbRow.getLong(0), sbRow.getLong(1))
+      // degenerate guard (ADVICE r21): sum() over an EMPTY side is SQL
+      // NULL — read it as 0 rows instead of NPE'ing; the downstream
+      // CASE arms already price d=0 sides as zero contribution
+      def longAt(r: org.apache.spark.sql.Row, i: Int): Long =
+        if (r.isNullAt(i)) 0L else r.getLong(i)
+      val (dA, nA) = (saRow.getLong(0), longAt(saRow, 1))
+      val (dB, nB) = (sbRow.getLong(0), longAt(sbRow, 1))
       val haRows = ca.orderBy(col("c").desc, col("k").asc).limit(h).collect()
       val hbRows = cb.orderBy(col("c").desc, col("k").asc).limit(h).collect()
       val hA = haRows.map(r => (r.get(0), r.getLong(1)))
@@ -1752,51 +1762,100 @@ object Relational {
     * hub-degree array.
     *
     * 100 TB shape: the edge list is ONE orders⋈lineitem equi-join on
-    * orderkey + distinct, pinned once via [[graft.util.Pins.eager]];
-    * every iteration is two keyed aggregations + a 1-row broadcast
-    * max on the (edges-sized, corpus-independent) frame.  Each
-    * normalized score frame is lazily localCheckpoint'd because the
-    * recurrence reads it twice (the neighbor join AND the max);
-    * without truncation the plan subtree doubles per iteration —
+    * orderkey + distinct, pinned via [[graft.util.Pins.eager]] as TWO
+    * partitioned copies (by supp, by cust — the join runs once; the
+    * cust copy repartitions the pinned supp blocks) so the supersteps
+    * never re-shuffle it; every iteration is two keyed aggregations
+    * + a 1-row max read on the (edges-sized, corpus-independent)
+    * frame.  Each normalized score frame is lazily localCheckpoint'd
+    * because the recurrence reads it twice (the neighbor join AND the
+    * max); without truncation the plan subtree doubles per iteration —
     * the q54 lloydCentroids discipline.
     */
   def hits(spark: SparkSession, dir: String,
            iters: Int = 3, topK: Int = 20): DataFrame = {
-    val edges = graft.util.Pins.eager(
+    // repartition BEFORE distinct: HashPartitioning(supp) satisfies the
+    // distinct's (cust, supp) clustering (subset rule), so the dedup
+    // rides the same exchange the supp copy needs anyway — one
+    // edges-sized exchange instead of two (guide §2.4)
+    val edges0 =
       Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
         .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct())
-    var hub = edges.select(col("cust")).distinct().withColumn("h", lit(1.0))
-    var auth: DataFrame = null
+    // r22 (VERDICT r21 #1): pre-partition the edge set ONCE per
+    // aggregation side instead of re-shuffling it every superstep
+    // (guide §2.4: operations keyed the same way share one exchange).
+    // Each half-step joins on one key and AGGREGATES on the other, so
+    // the copy partitioned by the half-step's AGG key plus a broadcast
+    // of the (node-sized) score frame makes the whole half-step
+    // exchange-free: the broadcast join preserves the streamed side's
+    // HashPartitioning(aggKey), which satisfies the segmented fold's
+    // (aggKey, _seg) and aggKey groupings — zero edges-sized exchanges
+    // per iteration versus two.  The supp copy is pinned first; the
+    // cust copy repartitions the PINNED blocks, so the orders⋈lineitem
+    // join runs once.  Fold order, segment residues and the IEEE
+    // divides are untouched — scores are bit-identical.
+    val edgesBySupp = graft.util.Pins.eagerPartitioned(
+      edges0.repartition(col("supp")).distinct())
+    val edgesByCust = graft.util.Pins.eagerPartitioned(edgesBySupp.repartition(col("cust")))
+    // Scale knob (documented in OPTIMIZATION_r22.md): score frames are
+    // node-count-sized — fine to broadcast at any bench SF and for
+    // real catalogs (suppliers/customers ≪ edges), but a corpus-sized
+    // node set (≈10⁹+) overflows the 8 GB broadcast cap; production
+    // sets spark.graft.hits.scoreJoin=shuffle, which keys each join on
+    // the PRE-PARTITIONED side's join key instead (one fundamental
+    // edges-sized agg exchange per half-step remains — the minimum the
+    // cust→supp recurrence admits).  Both modes compute the identical
+    // fold.
+    val bcastScores = spark.conf.getOption("spark.graft.hits.scoreJoin")
+      .forall(_ != "shuffle")
+    def scored(df: DataFrame): DataFrame =
+      if (bcastScores) broadcast(df) else df
+    var hub = edgesByCust.select(col("cust")).distinct().withColumn("h", lit(1.0))
+    var auth: DataFrame = edgesBySupp.select(col("supp")).limit(0)
+      .withColumn("a", lit(1.0))
     // Each score frame is node-count-sized and read twice (the 1-row
-    // max + the normalize).  r21 shape: lazily checkpoint the fold,
-    // fetch the max as a SCALAR off the 1-row aggregate (a bounded
-    // driver read — the same class as the q295 merge picks), and
-    // normalize with a literal.  Versus the r20 form (eager pin +
-    // crossJoin(broadcast(max)) + a second checkpoint per half-step)
-    // this removes two broadcast exchanges, two checkpoint
-    // materializations and two jobs PER ITERATION; the max action
-    // itself materializes the checkpointed fold on the main thread,
-    // so every later consumer (the next join — even if AQE broadcasts
-    // it — and the final output join) reads already-computed blocks:
-    // the lazy-pin-in-broadcast-thread deadlock (util/Pins.scala)
-    // cannot occur.  The division is the same IEEE op on the same
-    // double, so scores are bit-identical to the r20 form.
-    for (_ <- 1 to iters) {
+    // max + the normalize): lazily checkpoint the fold, fetch the max
+    // as a SCALAR off the 1-row aggregate (a bounded driver read — the
+    // same class as the q295 merge picks), and normalize with a
+    // literal.  The max action materializes the checkpointed fold on
+    // the main thread, so every later consumer (the next half-step's
+    // broadcast and the final output join) reads already-computed
+    // blocks: the lazy-pin-in-broadcast-thread deadlock
+    // (util/Pins.scala) cannot occur.
+    // Degenerate guard (ADVICE r21): max() over an empty fold is SQL
+    // NULL (no edges) — the fixed point is then the empty frame, so
+    // stop iterating; the final join yields the empty result the
+    // pre-r21 frame algebra produced.
+    // broadcast mode streams the copy partitioned by the AGG key
+    // (exchange-free half-step); shuffle mode streams the copy
+    // partitioned by the JOIN key (exchange-free join, one agg
+    // exchange) — the copies swap roles between the modes.
+    val (authEdges, hubEdges) =
+      if (bcastScores) (edgesBySupp, edgesByCust) else (edgesByCust, edgesBySupp)
+    var live = true
+    for (_ <- 1 to iters if live) {
       val a0 = GraphFold.segmentedSum(
-        edges.join(hub, "cust"), "supp", col("cust"), col("h"), "a")
+        authEdges.join(scored(hub), "cust"), "supp", col("cust"), col("h"), "a")
         .localCheckpoint(false)
-      val mxA = a0.agg(max(col("a"))).head().getDouble(0)
-      auth = a0.select(col("supp"), (col("a") / lit(mxA)).as("a"))
-      val h0 = GraphFold.segmentedSum(
-        edges.join(auth, "supp"), "cust", col("supp"), col("a"), "h")
-        .localCheckpoint(false)
-      val mxH = h0.agg(max(col("h"))).head().getDouble(0)
-      hub = h0.select(col("cust"), (col("h") / lit(mxH)).as("h"))
+      val mxARow = a0.agg(max(col("a"))).head()
+      if (mxARow.isNullAt(0)) { auth = a0.select(col("supp"), col("a")); live = false }
+      else {
+        val mxA = mxARow.getDouble(0)
+        auth = a0.select(col("supp"), (col("a") / lit(mxA)).as("a"))
+        val h0 = GraphFold.segmentedSum(
+          hubEdges.join(scored(auth), "supp"), "cust", col("supp"), col("a"), "h")
+          .localCheckpoint(false)
+        val mxHRow = h0.agg(max(col("h"))).head()
+        if (mxHRow.isNullAt(0)) live = false
+        else {
+          val mxH = mxHRow.getDouble(0)
+          hub = h0.select(col("cust"), (col("h") / lit(mxH)).as("h"))
+        }
+      }
     }
-    val deg = edges.groupBy("supp").agg(count(lit(1)).as("n_customers"))
+    val deg = edgesBySupp.groupBy("supp").agg(count(lit(1)).as("n_customers"))
     auth.join(deg, "supp")
       .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("a").desc, col("supp").asc)))

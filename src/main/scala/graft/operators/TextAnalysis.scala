@@ -3725,7 +3725,12 @@ object TextAnalysis {
       val y = a.join(x, Seq("j"))
         .groupBy(col("i")).agg(sum(col("w") * col("xq")).as("y"))
         .localCheckpoint(false)
-      val m = y.agg(max(col("y"))).head().getLong(0)
+      // degenerate guard (ADVICE r21): max() over an empty fold is SQL
+      // NULL (empty corpus / no co-occurring vocab) — the fixed point
+      // is then the empty frame, matching the pre-r21 frame algebra
+      // where an empty y propagated through the normalize join
+      val mRow = y.agg(max(col("y"))).head()
+      val m = if (mRow.isNullAt(0)) 1L else mRow.getLong(0)
       x = y.select(col("i").as("j"),
         floor((col("y").cast("double") / lit(m).cast("double"))
           * lit(1.0e6) + lit(0.5)).cast("long").as("xq"))

@@ -353,18 +353,29 @@ object MvStore {
       files: Array[String]): String = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
-    val lines = files.toSeq.groupBy(u => new Path(u).getParent)
-      .toSeq.flatMap { case (parent, us) =>
-        val byName = us.map(u => new Path(u).getName -> u).toMap
-        val listed = parent.getFileSystem(conf).listStatus(parent)
-          .iterator.flatMap { st =>
-            byName.get(st.getPath.getName)
-              .map(u => u -> s"$u|${st.getLen}|${st.getModificationTime}")
-          }.toMap
-        us.map { u =>
-          listed.getOrElse(u, throw new java.io.FileNotFoundException(
-            s"input file vanished between listing and fingerprint: $u"))
-        }
+    // Keyed by Option(parent) (ADVICE r21): a root/single-segment path
+    // has a null parent — those fall back to one getFileStatus each
+    // instead of NPE'ing the groupBy.  Per-name lookup keys results
+    // back to EVERY original `u` string (names grouped, not toMap'd):
+    // two distinct URI spellings of the same parent+name must both
+    // fingerprint, not collapse and throw a spurious not-found.
+    val lines = files.toSeq.groupBy(u => Option(new Path(u).getParent))
+      .toSeq.flatMap {
+        case (None, us) =>
+          us.map { u =>
+            val p = new Path(u)
+            val st = p.getFileSystem(conf).getFileStatus(p)
+            s"$u|${st.getLen}|${st.getModificationTime}"
+          }
+        case (Some(parent), us) =>
+          val listed = parent.getFileSystem(conf).listStatus(parent)
+            .iterator.map(st => st.getPath.getName -> st).toMap
+          us.map { u =>
+            val st = listed.getOrElse(new Path(u).getName,
+              throw new java.io.FileNotFoundException(
+                s"input file vanished between listing and fingerprint: $u"))
+            s"$u|${st.getLen}|${st.getModificationTime}"
+          }
       }.sorted.mkString("\n")
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(lines.getBytes("UTF-8")).map("%02x".format(_)).mkString

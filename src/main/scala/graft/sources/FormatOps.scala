@@ -274,19 +274,30 @@ object FormatOps {
     * inputs.  The write path itself stays exercised per-call by q233
     * and the Batch29Spec DPP pin via [[writePartitionedEvents]].
     */
-  private val dppFixtures = scala.collection.mutable.Map.empty[String, String]
-  private def dppFixtureDir(spark: SparkSession, dir: String): String =
-    dppFixtures.synchronized {
+  // Per-dir LAZY cells (ADVICE r21): the global monitor is held only
+  // for map insertion — the fixture write itself (a Spark job) runs
+  // under the cell's own lazy-init lock, so concurrent callers for
+  // UNRELATED dirs no longer serialize behind one write.  Same-dir
+  // callers still block on the one build, as before.  The memo serves
+  // the JVM's lifetime under the stated immutable-fixture assumption.
+  private val dppFixtures = scala.collection.mutable.Map.empty[String, () => String]
+  private def dppFixtureDir(spark: SparkSession, dir: String): String = {
+    val cell = dppFixtures.synchronized {
       dppFixtures.getOrElseUpdate(dir, {
-        val tmp = tempDir("dppfix")
-        writePartitionedEvents(spark, dir, tmp.toString)
-        graft.util.Fs.syncRecursively(tmp)
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          try graft.util.Fs.deleteRecursively(tmp)
-          catch { case _: Throwable => () }))
-        tmp.toString
+        lazy val built: String = {
+          val tmp = tempDir("dppfix")
+          writePartitionedEvents(spark, dir, tmp.toString)
+          graft.util.Fs.syncRecursively(tmp)
+          Runtime.getRuntime.addShutdownHook(new Thread(() =>
+            try graft.util.Fs.deleteRecursively(tmp)
+            catch { case _: Throwable => () }))
+          tmp.toString
+        }
+        () => built
       })
     }
+    cell()
+  }
 
   def dppPrune(spark: SparkSession, dir: String): DataFrame =
     materialize(spark, dppReadAgg(spark, dppFixtureDir(spark, dir), dir))

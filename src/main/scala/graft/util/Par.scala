@@ -19,10 +19,19 @@ package graft.util
   * already deleting).
   */
 object Par {
+  /** Pool ceiling (ADVICE r21): current call sites pass ≤3-5 thunks,
+    * but a future caller handing over a large Seq must not spawn one
+    * driver thread per element — a handful of concurrent jobs is
+    * enough to back-fill executor tails (guide §2.6: "2-3 jobs in
+    * flight is plenty"); excess thunks queue on the bounded pool.
+    */
+  private val MaxPool = 8
+
   def run(thunks: Seq[() => Unit]): Unit =
     if (thunks.length <= 1) thunks.foreach(_())
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.length)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(thunks.length, MaxPool))
       try {
         val futs = thunks.map { t =>
           pool.submit(new java.util.concurrent.Callable[Unit] {
@@ -40,6 +49,14 @@ object Par {
           }
         }
         errs.headOption.foreach(throw _)
-      } finally { pool.shutdown(); () }
+      } finally {
+        // defensive drain (ADVICE r21): every future was get()'d above,
+        // so this returns immediately today; it exists so a future
+        // code path that skips a get() still can't leak a running job
+        // past the caller's cleanup
+        pool.shutdown()
+        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+        ()
+      }
     }
 }

@@ -36,6 +36,26 @@ object Pins {
   // to pin at all".  Pins are for broadcast-consumer frames.
   def eager(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Partitioning-preserving eager pin — for frames that were
+    * `repartition(key)`'d so DOWNSTREAM keyed operations can ride the
+    * partitioning exchange-free (guide §2.4).  `localCheckpoint`'s
+    * LogicalRDD records UnknownPartitioning on Spark 4.1 (measured:
+    * the q307 edges copy re-shuffled on every superstep despite the
+    * pre-repartition), so `eager` cannot serve this use; an
+    * InMemoryRelation keeps the cached plan's HashPartitioning visible
+    * to EnsureRequirements, and the `count()` materializes it here on
+    * the main thread (same broadcast-deadlock discipline as `eager`).
+    * Lineage stays intact, so the between-queries `clearCache()` only
+    * ever costs recompute, never a missing-block failure.  Memory
+    * note: cached data competes with execution memory (guide §5) —
+    * callers pin edge/metadata frames, not corpus payloads.
+    */
+  def eagerPartitioned(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   /** Release every RDD-level persist — which is where localCheckpoint
     * blocks live.
     *
