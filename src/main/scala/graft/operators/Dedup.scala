@@ -399,9 +399,16 @@ object Dedup {
     // broadcast thread (see util/Pins.scala)
     val sh = graft.util.Pins.eager(
       shingleSet(Tables.documents(spark, dir), shingleN))
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf).select("shingle")
-    val shc = sh.join(rare, "shingle")
+    // df cap via a count window, not groupBy+join-back (r22 — the
+    // q22-df-cap trick already used by ngramJaccard): the window
+    // shuffles on `shingle` ONCE and the candidate self-join on the
+    // same key reuses that exchange on both sides — two fewer
+    // shuffles of the biggest intermediate; the kept (doc, shingle)
+    // set is identical (same df, same ≤ cap filter)
+    val shc = sh
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxShingleDf).drop("df")
     val cand = shc.as("a").join(shc.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -1601,8 +1608,18 @@ object Dedup {
     * crafted-corpus property spec drives.
     */
   def positionalGramsFrom(docs: DataFrame, k: Int): DataFrame =
-    docs
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w"))
+    positionalGramsFromTokens(
+      docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("w")), k)
+
+  /** Same over a PRE-TOKENIZED (doc_id, w: array<string>) frame — the
+    * tokenize-once entry (r22): a consumer that derives several gram
+    * widths (or grams plus the positional cut) from one corpus pins
+    * the token arrays once and feeds them here, instead of paying the
+    * tokenizer per consumer.  Gram text, positions and the 60-bit key
+    * are expression-identical to the text entry above.
+    */
+  def positionalGramsFromTokens(tw: DataFrame, k: Int): DataFrame =
+    tw
       .filter(size(col("w")) >= k)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("w")) - k),
@@ -1717,8 +1734,13 @@ object Dedup {
     */
   private[graft] def cappedGramsAndAccounting(grams: DataFrame,
       maxAnchorDf: Int): (DataFrame, DataFrame) = {
-    val dfc = grams.groupBy("g").agg(count(lit(1)).as("df"))
-    val kept = grams.join(dfc.filter(col("df") <= maxAnchorDf).select("g"), "g")
+    // r22: ONE explicit exchange on `g` serves the df rollup, the
+    // keep-join and the downstream span self-join (guide §2.4) — the
+    // r21 form paid the df-agg exchange plus a full gram-stream
+    // exchange at the join
+    val g1 = grams.repartition(col("g"))
+    val dfc = g1.groupBy("g").agg(count(lit(1)).as("df"))
+    val kept = g1.join(dfc.filter(col("df") <= maxAnchorDf).select("g"), "g")
       .select(col("doc_id"), col("pos"), col("g"))
     val acc = dfc.agg(
       coalesce(sum(when(col("df") > maxAnchorDf, lit(1L))), lit(0L))
@@ -1756,9 +1778,15 @@ object Dedup {
     * terminal divide.
     */
   def dupCoverage(spark: SparkSession, dir: String,
-      k: Int = 5, minLen: Int = 12): DataFrame =
-    dupCoverageFrom(Tables.documents(spark, dir),
-      exactSubstrSpans(spark, dir, k, minLen))
+      k: Int = 5, minLen: Int = 12): DataFrame = {
+    // tokenize ONCE (r22, the q337 discipline): anchors + the n_tok
+    // recount share the pinned token arrays
+    val tw = graft.util.Pins.eager(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokens(col("text")).as("w")))
+    dupCoverageFromTokens(tw,
+      exactSubstrSpansFrom(positionalGramsFromTokens(tw, k), k, minLen))
+  }
 
   /** q352: the CAPPED coverage rollup — q301 riding q334's df-capped
     * anchor frame instead of the uncapped q296 one.  Same per-source
@@ -1779,10 +1807,12 @@ object Dedup {
     */
   def dupCoverageCapped(spark: SparkSession, dir: String,
       k: Int = 5, minLen: Int = 12, maxAnchorDf: Int = 16): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val tw = graft.util.Pins.eager(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokens(col("text")).as("w")))
     val (kept, acc) = cappedGramsAndAccounting(
-      positionalGramsFrom(docs, k), maxAnchorDf)
-    dupCoverageFrom(docs, exactSubstrSpansFrom(kept, k, minLen))
+      positionalGramsFromTokens(tw, k), maxAnchorDf)
+    dupCoverageFromTokens(tw, exactSubstrSpansFrom(kept, k, minLen))
       .crossJoin(broadcast(acc))
   }
 
@@ -1791,17 +1821,29 @@ object Dedup {
     * crafted-corpus spec can drive both through the identical plan.
     */
   private[graft] def dupCoverageFrom(docsIn: DataFrame,
+      spans: DataFrame): DataFrame =
+    dupCoverageFromTokens(
+      docsIn.select(col("doc_id"), col("source"),
+        TextFunctions.tokens(col("text")).as("w")), spans)
+
+  /** The rollup over a PRE-TOKENIZED (doc_id, source, w) frame — the
+    * tokenize-once entry (r22); size(w) ≡ size(tokens(text)).
+    */
+  private[graft] def dupCoverageFromTokens(tw: DataFrame,
       spans: DataFrame): DataFrame = {
     val side = (doc: String, pos: String) => spans.select(
       col(doc).as("doc_id"),
       explode(sequence(col(pos).cast("long"),
         col(pos).cast("long") + col("match_len") - 1L)).as("tokpos"))
+    // repartition(doc_id) before the distinct (r22, guide §2.4): the
+    // dedup AND the per-doc rollup both ride one doc_id exchange
     val covered = side("doc_a", "pos_a").union(side("doc_b", "pos_b"))
+      .repartition(col("doc_id"))
       .distinct()
       .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
-    val docs = docsIn
+    val docs = tw
       .select(col("doc_id"), col("source"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+        size(col("w")).cast("long").as("n_tok"))
     docs.join(covered, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_cov"))
       .groupBy("source")
@@ -1834,9 +1876,17 @@ object Dedup {
     * column already imposes.
     */
   def exactSubstrCut(spark: SparkSession, dir: String,
-      k: Int = 5, minLen: Int = 12): DataFrame =
-    exactSubstrCutFrom(Tables.documents(spark, dir),
-      exactSubstrSpans(spark, dir, k, minLen))
+      k: Int = 5, minLen: Int = 12): DataFrame = {
+    // tokenize ONCE (r22): the anchor grams, the positional explode
+    // and the n_tok recount all read the pinned token arrays — one
+    // tokenizer pass instead of three (guide §5 cache-vs-recompute;
+    // eager pin because the accounting/agg side of the downstream
+    // joins may be broadcast, the util/Pins rule)
+    val tw = graft.util.Pins.eager(Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w")))
+    exactSubstrCutFromTokens(tw,
+      exactSubstrSpansFrom(positionalGramsFromTokens(tw, k), k, minLen))
+  }
 
   /** q351: the CAPPED cut — the production artifact (q337's
     * deduplicated corpus) riding q334's df-capped anchor frame, the
@@ -1865,10 +1915,14 @@ object Dedup {
     */
   def exactSubstrCutCapped(spark: SparkSession, dir: String,
       k: Int = 5, minLen: Int = 12, maxAnchorDf: Int = 16): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // tokenize ONCE (r22, the q337 discipline): one tokenizer pass
+    // feeds the capped anchors, the positional explode and the n_tok
+    // recount via the pinned token arrays
+    val tw = graft.util.Pins.eager(Tables.documents(spark, dir)
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("w")))
     val (kept, acc) = cappedGramsAndAccounting(
-      positionalGramsFrom(docs, k), maxAnchorDf)
-    exactSubstrCutFrom(docs, exactSubstrSpansFrom(kept, k, minLen))
+      positionalGramsFromTokens(tw, k), maxAnchorDf)
+    exactSubstrCutFromTokens(tw, exactSubstrSpansFrom(kept, k, minLen))
       .crossJoin(broadcast(acc))
   }
 
@@ -1879,14 +1933,32 @@ object Dedup {
     * id keeps its copy, doc_b side positions are cut once).
     */
   private[graft] def exactSubstrCutFrom(docs: DataFrame,
+      spans: DataFrame): DataFrame =
+    exactSubstrCutFromTokens(
+      docs.select(col("doc_id"), TextFunctions.tokens(col("text")).as("w")),
+      spans)
+
+  /** The cut over a PRE-TOKENIZED (doc_id, w) frame (r22, the
+    * positionalGramsFromTokens discipline): the cut consumes the
+    * corpus twice (positional explode + the n_tok recount), so a
+    * caller that also built the anchor grams from the same corpus can
+    * pin the token arrays once and tokenize ONCE instead of three
+    * times.  posexplode(w) / size(w) are expression-identical to the
+    * text form's posexplode(tokens(text)) / size(tokens(text)).
+    */
+  private[graft] def exactSubstrCutFromTokens(tw: DataFrame,
       spans: DataFrame): DataFrame = {
+    // repartition(doc_id) BEFORE the distinct (r22, guide §2.4): the
+    // dedup rides the doc_id exchange the anti-join needs anyway —
+    // Hash(doc_id) satisfies the distinct's (doc_id, pos) clustering
     val cut = spans.select(col("doc_b").as("doc_id"),
         explode(sequence(col("pos_b").cast("long"),
           col("pos_b").cast("long") + col("match_len") - 1L)).as("pos"))
+      .repartition(col("doc_id"))
       .distinct()
-    val toks = docs
+    val toks = tw
       .select(col("doc_id"),
-        posexplode(TextFunctions.tokens(col("text"))).as(Seq("p", "token")))
+        posexplode(col("w")).as(Seq("p", "token")))
       .select(col("doc_id"), col("p").cast("long").as("pos"), col("token"))
     val kept = toks.join(cut, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
@@ -1894,9 +1966,8 @@ object Dedup {
         array_join(transform(
           sort_array(collect_list(struct(col("pos"), col("token")))),
           x => x.getField("token")), " ").as("text_cut"))
-    docs
-      .select(col("doc_id"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+    tw
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
       .join(kept, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_kept")).na.fill("", Seq("text_cut"))
       .select(col("doc_id"), col("n_tok"), col("n_kept"),

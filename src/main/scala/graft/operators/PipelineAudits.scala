@@ -264,7 +264,18 @@ object PipelineAudits {
         explode(shingles(col("text"), n)).as("gram"))
       .select(col("doc_id"), col("source"),
         graft.operators.TextAnalysis.hv60(col("gram")).as("g"))
-    val bySrc = occ.groupBy("g", "source", "doc_id")
+      // r22: ONE explicit exchange on `g` up front — every downstream
+      // keyed step (both stacked aggregates via the subset rule, the
+      // g-keyed gramStats rollup, and the bySrc⋈gramStats join) then
+      // runs exchange-free on that partitioning; the r21 form paid a
+      // separate exchange at each of them (guide §2.4: operations
+      // keyed the same way share one exchange).  Trade-off: the
+      // up-front exchange moves raw occurrences where the r21 first
+      // exchange moved map-side-combined (g,source,doc) partials —
+      // at the fixture's low dup rate those are nearly the same
+      // volume, and four exchanges become one (measured below).
+    val occ1 = occ.repartition(col("g"))
+    val bySrc = occ1.groupBy("g", "source", "doc_id")
       .agg(count(lit(1)).as("occ_doc"))
       .groupBy("g", "source")
       .agg(sum(col("occ_doc")).as("occ_src"), count(lit(1)).as("nd_src"))
@@ -1583,31 +1594,77 @@ object PipelineAudits {
     * five-row report) — split out so v1/v2 (yieldReport) and v3
     * (yieldV3) price the identical funnel.
     */
+  /** r22 shape (VERDICT r21 #3): the r21 form was a UNION of five
+    * 1-row aggregates, each branch re-deriving its gate's filter/join
+    * chain from the pinned base — 148 scans / 276 Exchange nodes in
+    * the v3 plan, ~50 AQE stage-materialization jobs of one task each
+    * at sf0.1.  Gates are CUMULATIVE, so:
+    *   - stages 0-2 are conditional masses over base: ONE 1-row
+    *     aggregate (guide §2.3 — aggregate, don't re-scan);
+    *   - the survivor stages become per-row flags via keyed
+    *     min-windows (doc_id = min(doc_id) per h is EXACTLY the
+    *     min-survivor rule; doc_ids are unique, so `doc_id =
+    *     min(CASE WHEN k3 THEN doc_id END) per fp` both restricts to
+    *     exact-survivors and picks the fp survivor) — one exchange
+    *     per dedup key instead of a groupBy + join-back pair, and
+    *     stages 3-4 read off ONE more 1-row aggregate;
+    *   - the five rows inflate from the two 1-row frames with one
+    *     explode(array(struct…)) — no union branches at all.
+    * Every gate count/mass is value-identical (same survivor sets,
+    * same count/sum semantics incl. the coalesce-to-0 empty guard),
+    * so the oracle hash is unchanged.
+    *
+    * @param pinSurvivors eager-pin the flagged survivor frame — v2/v3
+    *   consume it down paths where AQE may BROADCAST the survivor id
+    *   set (the util/Pins lazy-pin rule); v1 reads it once inside its
+    *   single action and skips the pin job.
+    */
   private def yieldChain(spark: SparkSession, dir: String,
-      minTok: Int): (DataFrame, DataFrame, DataFrame) = {
+      minTok: Int, pinSurvivors: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val base = Pins.eager(Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
         md5(col("text")).as("h"),
         graft.functions.TextFunctions.fingerprint(col("text")).as("fp")))
-    val s1 = base.filter(col("lang") === "en")
-    val s2 = s1.filter(col("n_tok") >= minTok)
-    val exactSurv = s2.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val s3 = s2.join(exactSurv, "doc_id")
-    val fpSurv = s3.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
-    val s4 = s3.join(fpSurv, "doc_id")
-    def m(stage: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"), coalesce(sum(col("n_tok")), lit(0L))
-        .as("n_tokens"))
-        .select(lit(stage).as("stage"), lit(name).as("gate"),
-          col("n_docs"), col("n_tokens"))
-    val five = m(0, "raw", base)
-      .unionByName(m(1, "lang_en", s1))
-      .unionByName(m(2, s"len_ge_$minTok", s2))
-      .unionByName(m(3, "exact_dedup", s3))
-      .unionByName(m(4, "fingerprint_dedup", s4))
+    val isEn = col("lang") === "en"
+    val isLen = col("n_tok") >= minTok
+    val s012 = base.agg(
+      count(lit(1)).as("n0"), coalesce(sum(col("n_tok")), lit(0L)).as("t0"),
+      count(when(isEn, lit(1))).as("n1"),
+      coalesce(sum(when(isEn, col("n_tok"))), lit(0L)).as("t1"),
+      count(when(isEn && isLen, lit(1))).as("n2"),
+      coalesce(sum(when(isEn && isLen, col("n_tok"))), lit(0L)).as("t2"))
+    val flagged0 = base.filter(isEn && isLen)
+      .withColumn("k3",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy("h")))
+      .withColumn("k4",
+        col("doc_id") === min(when(col("k3"), col("doc_id")))
+          .over(Window.partitionBy("fp")))
+      .select(col("doc_id"), col("n_tok"), col("k3"), col("k4"))
+    val flagged = if (pinSurvivors) Pins.eager(flagged0) else flagged0
+    val s34 = flagged.agg(
+      count(when(col("k3"), lit(1))).as("n3"),
+      coalesce(sum(when(col("k3"), col("n_tok"))), lit(0L)).as("t3"),
+      count(when(col("k4"), lit(1))).as("n4"),
+      coalesce(sum(when(col("k4"), col("n_tok"))), lit(0L)).as("t4"))
+    def g(stage: Int, name: String, n: String, t: String) =
+      struct(lit(stage).as("stage"), lit(name).as("gate"),
+        col(n).as("n_docs"), col(t).as("n_tokens"))
+    // broadcast the 1-row survivor masses: the flagged side is a
+    // checkpointed RDD with unknown stats, and an unhinted crossJoin
+    // of it planned a CartesianProduct (Batch28Spec's no-all-pairs pin)
+    val five = s012.crossJoin(broadcast(s34))
+      .select(explode(array(
+        g(0, "raw", "n0", "t0"),
+        g(1, "lang_en", "n1", "t1"),
+        g(2, s"len_ge_$minTok", "n2", "t2"),
+        g(3, "exact_dedup", "n3", "t3"),
+        g(4, "fingerprint_dedup", "n4", "t4"))).as("gr"))
+      .select(col("gr.stage").as("stage"), col("gr.gate").as("gate"),
+        col("gr.n_docs").as("n_docs"), col("gr.n_tokens").as("n_tokens"))
+    val s4 = flagged.filter(col("k4")).select(col("doc_id"), col("n_tok"))
     (base, s4, five)
   }
 
@@ -1629,15 +1686,23 @@ object PipelineAudits {
 
   private def yieldReport(spark: SparkSession, dir: String,
       minTok: Int, withCutStage: Boolean): DataFrame = {
-    val (base, s4, five) = yieldChain(spark, dir, minTok)
+    val (base, s4, five) =
+      yieldChain(spark, dir, minTok, pinSurvivors = withCutStage)
     val all = if (!withCutStage) five else {
-      // gate 5: the q351 capped cut within the stage-4 survivor corpus
-      val survDocs = Tables.documents(spark, dir)
+      // gate 5: the q351 capped cut within the stage-4 survivor corpus.
+      // r22: the survivors are TOKENIZED ONCE into a pinned
+      // (doc_id, token-array) frame — the r21 form re-ran the scan +
+      // tokenizer for each of the cut's three consumers (grams, the
+      // positional explode, the n_tok recount); the pin trades one
+      // checkpoint write of the arrays for two full corpus scans +
+      // tokenizer passes (guide §5 cache-vs-recompute, decided FOR the
+      // pin because the tokenizer is the dominant per-row cost here)
+      val tw = Pins.eager(Tables.documents(spark, dir)
         .join(s4.select("doc_id"), "doc_id")
-        .select(col("doc_id"), col("text"))
-      val grams = Dedup.positionalGramsFrom(survDocs, 5)
+        .select(col("doc_id"), tokens(col("text")).as("w")))
+      val grams = Dedup.positionalGramsFromTokens(tw, 5)
       val (kept, _) = Dedup.cappedGramsAndAccounting(grams, 16)
-      val cut = Dedup.exactSubstrCutFrom(survDocs,
+      val cut = Dedup.exactSubstrCutFromTokens(tw,
         Dedup.exactSubstrSpansFrom(kept, 5, 12))
       val s5 = cut.filter(col("n_kept") >= 1L).agg(
           count(lit(1)).as("n_docs"), coalesce(sum(col("n_kept")), lit(0L))
@@ -1676,16 +1741,23 @@ object PipelineAudits {
     */
   def yieldV3(spark: SparkSession, dir: String,
       minTok: Int = 50): DataFrame = {
-    val (base, s4, five) = yieldChain(spark, dir, minTok)
-    val survDocs = Tables.documents(spark, dir)
+    val (base, s4, five) = yieldChain(spark, dir, minTok, pinSurvivors = true)
+    // survivors tokenized ONCE (the v2 gate-5 discipline): gate 5's
+    // 5-grams and gate 6's train-side 8-grams both read the pinned
+    // token arrays instead of re-running scan+join+tokenizer each
+    val tw = Pins.eager(Tables.documents(spark, dir)
       .join(s4.select("doc_id"), "doc_id")
-      .select(col("doc_id"), col("text"))
-    val grams5 = Dedup.positionalGramsFrom(survDocs, 5)
+      .select(col("doc_id"), tokens(col("text")).as("w")))
+    val grams5 = Dedup.positionalGramsFromTokens(tw, 5)
     val (kept5, _) = Dedup.cappedGramsAndAccounting(grams5, 16)
+    // repartition(doc_id) before the distinct (guide §2.4): one
+    // doc_id exchange serves the dedup, both keptOf rollups and the
+    // trainIds join
     val cut5 = Dedup.exactSubstrSpansFrom(kept5, 5, 12)
       .select(col("doc_b").as("doc_id"),
         explode(sequence(col("pos_b").cast("long"),
           col("pos_b").cast("long") + col("match_len") - 1L)).as("pos"))
+      .repartition(col("doc_id"))
       .distinct()
     // the survivor frame already carries n_tok from the PINNED base —
     // reusing it saves a whole corpus scan + tokenizer pass vs
@@ -1711,15 +1783,15 @@ object PipelineAudits {
         Tables.documents(spark, dir).filter(isEval)
           .select(col("doc_id"), col("text")), 8)
       .select("g").distinct()
-    val trainDocs = survDocs.filter(!isEval).select(col("doc_id"), col("text"))
-    val hit8 = Dedup.positionalGramsFrom(trainDocs, 8)
+    val trainTw = tw.filter(!isEval)
+    val hit8 = Dedup.positionalGramsFromTokens(trainTw, 8)
       .join(evalGrams, Seq("g"), "left_semi")
       .select(col("doc_id"),
         explode(sequence(col("pos").cast("long"),
           col("pos").cast("long") + lit(7L))).as("pos"))
-    val trainIds = trainDocs.select("doc_id")
+    val trainIds = trainTw.select("doc_id")
     val cut6 = cut5.join(trainIds, "doc_id")
-      .unionByName(hit8).distinct()
+      .unionByName(hit8).repartition(col("doc_id")).distinct()
     val g6 = gate(6, "decontam", keptOf(cut6, toks.join(trainIds, "doc_id")))
     withRetention(five.unionByName(g5).unionByName(g6), base)
   }
