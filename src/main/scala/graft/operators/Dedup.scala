@@ -1493,6 +1493,13 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+    // r22 NOTE: two variants were measured and REJECTED here —
+    // (a) pinning the prefix partitioned on shingle (eagerPartitioned
+    // + repartition) so the self-join skips its exchange, and
+    // (b) deriving sizes from the windowed `n` instead of the keyed
+    // count.  Same-subset bench: 3.19 s → 3.74 s (q247) / 3.81 s →
+    // 4.72 s (q304) — the cache write + SMJ sorts cost more than the
+    // AQE-reused exchange they replaced.  The r21 shape stands.
     val prefix = graft.util.Pins.eager(
       ranked.filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
         .select(col("doc_id"), col("shingle")))
@@ -2067,10 +2074,11 @@ object Dedup {
     * (a log-weight form would gamble on ln parity; the monotone
     * product carries the same decision order).
     *
-    * 100 TB shape: ONE equi-join on the block key; the u-estimate is
-    * a 1-row broadcast rollup of the same pair frame (pinned once —
-    * patterns and u-counts share the scan); output is ≤ 2³ pattern
-    * rows.  Block granularity is the documented knob: at reference
+    * 100 TB shape: ONE equi-join on the block key, flowing straight
+    * into the map-side-combined ≤2³-group pattern aggregate — pairs
+    * are never materialized; the u-estimate is a 1-row broadcast
+    * rollup RECOVERED from the pattern table (γ ∈ {0,1} makes the
+    * per-field agree counts exact sums of γ·n over patterns).  Block granularity is the documented knob: at reference
     * scale nation-blocking bounds pairs at Σ|block|², and a corpus
     * too hot for that swaps in a finer key (q121's symmetric-delete
     * variants, q21's LSH bands) without changing this scorer.
@@ -2079,25 +2087,36 @@ object Dedup {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey").as("k"), col("c_nationkey").as("nat"),
         col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
-    val pairs = graft.util.Pins.eager(
-      c.as("a").join(c.as("b"),
-          col("a.nat") === col("b.nat") && col("a.k") < col("b.k"))
-        .select(
-          when(col("a.seg") === col("b.seg"), 1L).otherwise(0L).as("g_seg"),
-          when((col("a.bal") < 0.0) === (col("b.bal") < 0.0), 1L)
-            .otherwise(0L).as("g_sign"),
-          when(floor(col("a.bal") / lit(1000.0)) ===
-               floor(col("b.bal") / lit(1000.0)), 1L)
-            .otherwise(0L).as("g_kbal")))
-    val u = pairs.agg(count(lit(1)).as("np"),
-      sum(col("g_seg")).as("n_seg"), sum(col("g_sign")).as("n_sign"),
-      sum(col("g_kbal")).as("n_kbal"))
+    // r22: the pair stream is consumed ONCE.  The r21 form eagerly
+    // checkpointed the Σ|block|²-sized pair frame (~4.5M rows at
+    // sf0.1) so the u-rollup and the pattern rollup could share it —
+    // but the u-counts are EXACTLY recoverable from the ≤2³-row
+    // pattern table (γ ∈ {0,1}: Σ_pairs γ_f = Σ_patterns γ_f·n — the
+    // same BIGINTs), so the pairs now flow straight into the pattern
+    // aggregate (map-side combined to ≤8 groups) and are never
+    // materialized anywhere (guide §5: the driver/pin holds nothing
+    // pair-sized).
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.nat") === col("b.nat") && col("a.k") < col("b.k"))
+      .select(
+        when(col("a.seg") === col("b.seg"), 1L).otherwise(0L).as("g_seg"),
+        when((col("a.bal") < 0.0) === (col("b.bal") < 0.0), 1L)
+          .otherwise(0L).as("g_sign"),
+        when(floor(col("a.bal") / lit(1000.0)) ===
+             floor(col("b.bal") / lit(1000.0)), 1L)
+          .otherwise(0L).as("g_kbal"))
+    val pat = graft.util.Pins.eager(
+      pairs.groupBy("g_seg", "g_sign", "g_kbal")
+        .agg(count(lit(1)).as("n_pairs")))
+    val u = pat.agg(sum(col("n_pairs")).as("np"),
+      sum(when(col("g_seg") === 1L, col("n_pairs")).otherwise(0L)).as("n_seg"),
+      sum(when(col("g_sign") === 1L, col("n_pairs")).otherwise(0L)).as("n_sign"),
+      sum(when(col("g_kbal") === 1L, col("n_pairs")).otherwise(0L)).as("n_kbal"))
     def factor(g: Column, na: Column, np: Column): Column = {
       val uf = na.cast("double") / np.cast("double")
       when(g === 1L, lit(0.95) / uf).otherwise(lit(0.05) / (lit(1.0) - uf))
     }
-    pairs.groupBy("g_seg", "g_sign", "g_kbal")
-      .agg(count(lit(1)).as("n_pairs"))
+    pat
       .crossJoin(broadcast(u))
       .select(col("g_seg"), col("g_sign"), col("g_kbal"), col("n_pairs"),
         (factor(col("g_seg"), col("n_seg"), col("np"))

@@ -784,8 +784,6 @@ object Similarity {
     * documented there.
     */
   def centroidKappa(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(38, 0)
     val ex = Tables.embeddings(spark, dir)
       .select(col("label"), col("vec_id"),
         posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -815,17 +813,30 @@ object Similarity {
       .agg(max(struct(col("cos"), (-col("label_c")).cast("long").as("neg"))).as("mx"))
       .select(col("vec_id"), col("label_true"),
         (-col("mx.neg")).cast("int").as("assigned"))
-    val conf = graft.util.Pins.eager(
-      assigned.groupBy("label_true", "assigned").agg(count(lit(1)).as("c")))
-    val diag = conf.filter(col("label_true") === col("assigned"))
-      .agg(coalesce(sum(col("c")), lit(0L)).as("a"))
-    val rows = conf.groupBy(col("label_true").as("k")).agg(sum(col("c")).as("rk"))
-    val cols = conf.groupBy(col("assigned").as("k")).agg(sum(col("c")).as("ck"))
-    val b = rows.join(cols, Seq("k"), "full")
-      .agg(coalesce(sum((coalesce(col("rk"), lit(0L)) * coalesce(col("ck"), lit(0L))).cast(dec)),
-        lit(java.math.BigDecimal.ZERO).cast(dec)).cast("double").as("b"))
-    val n = conf.agg(sum(col("c")).as("n"))
-    broadcast(n).crossJoin(broadcast(diag)).crossJoin(broadcast(b))
+    // r22: the confusion matrix is labels²-BOUNDED (≤ a few thousand
+    // rows at any corpus scale), so A, B, N fold on the driver (the
+    // q251/q257 bounded-driver-fold rule) instead of paying four
+    // sub-aggregates + a full-outer join + three broadcasts over a
+    // pinned frame.  All folds are exact-integer / exact-decimal and
+    // order-free (long adds; B as exact BigInt Σ rk·ck then ONE
+    // toDouble — the same value the DECIMAL(38,0) sum + cast
+    // produced); the κ arithmetic below runs through the SAME Spark
+    // expressions over the literals, so every double is bit-identical.
+    val confRows = assigned
+      .groupBy("label_true", "assigned").agg(count(lit(1)).as("c")).collect()
+    val nL = confRows.iterator.map(_.getLong(2)).sum
+    val aL = confRows.iterator
+      .filter(r => r.get(0) == r.get(1)).map(_.getLong(2)).sum
+    val rks = confRows.groupBy(_.get(0))
+      .map { case (k, rs) => k -> rs.iterator.map(_.getLong(2)).sum }
+    val cks = confRows.groupBy(_.get(1))
+      .map { case (k, rs) => k -> rs.iterator.map(_.getLong(2)).sum }
+    val bD = new java.math.BigDecimal(
+      rks.iterator.map { case (k, rk) =>
+        BigInt(rk) * BigInt(cks.getOrElse(k, 0L))
+      }.sum.bigInteger).doubleValue
+    spark.range(1)
+      .select(lit(nL).as("n"), lit(aL).as("a"), lit(bD).as("b"))
       .select(col("n").as("n_vecs"), col("a").as("agree"),
         (col("a").cast("double") / col("n").cast("double")).as("po"),
         (col("b") / (col("n").cast("double") * col("n").cast("double"))).as("pe"),
