@@ -2216,8 +2216,14 @@ object Dedup {
         .filter(col("rn") === 1).select("v", "lab")
         .localCheckpoint(false)
     }
+    // r22 (global-window triage): orderBy+limit(topK) BEFORE the rank
+    // window — the heap-based TakeOrdered bounds the single-partition
+    // window at topK rows instead of one-row-per-community (the one
+    // unbounded global window the r21 triage found); ranks over the
+    // same total order are identical
     lab.groupBy("lab").agg(count(lit(1)).as("n_members"),
         min(col("v")).as("min_doc"), max(col("v")).as("max_doc"))
+      .orderBy(col("n_members").desc, col("lab").asc).limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_members").desc, col("lab").asc)))
       .filter(col("rank") <= topK)

@@ -467,7 +467,8 @@ object MvStore {
     * count LONG).
     */
   def rollupFromMv(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/mv_daily_rev")
+    spark.read.parquet(StatsStore.artifactPath(spark, storeDir, "mv_daily_rev")
+        .getOrElse(s"$storeDir/mv_daily_rev"))
       .groupBy(substring(col("day").cast("string"), 1, 7).as("mv_month"),
         col("flag"))
       .agg(sum(col("rev_partial")).cast("double").as("mv_rev"),
@@ -515,7 +516,8 @@ object MvStore {
     * [[rollupFromMv]]'s coarsening exercises.
     */
   def flagRollupFromMv(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/mv_daily_rev")
+    spark.read.parquet(StatsStore.artifactPath(spark, storeDir, "mv_daily_rev")
+        .getOrElse(s"$storeDir/mv_daily_rev"))
       .groupBy(col("flag"))
       .agg(sum(col("rev_partial")).cast("double").as("mvf_rev"),
         coalesce(sum(col("n_partial")), lit(0L)).as("mvf_n"))

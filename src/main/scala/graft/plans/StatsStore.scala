@@ -97,7 +97,7 @@ object StatsStore {
     */
   def registerBloomFromStore(spark: SparkSession, storeDir: String,
       probeName: String): Boolean = {
-    val rows = readArtifact(spark, s"$storeDir/bloom_custkey")
+    val rows = readArtifact(spark, storeDir, "bloom_custkey")
       .map(_.select(col("bits")).head(1)).getOrElse(Array.empty)
     val bits = rows.headOption.map(_.getAs[Array[Byte]](0)).orNull
     if (bits == null) false
@@ -114,7 +114,7 @@ object StatsStore {
     */
   def registerJoinOrderFromStore(spark: SparkSession, storeDir: String,
       markerName: String): Option[Boolean] = {
-    val rows = readArtifact(spark, s"$storeDir/join_stats")
+    val rows = readArtifact(spark, storeDir, "join_stats")
       .map(_.filter(col("chain") === "customerB_orders_lineitem").head(1))
       .getOrElse(Array.empty)
     rows.headOption.map { st =>
@@ -133,7 +133,9 @@ object StatsStore {
     * re-running ANALYZE.
     */
   def readColumnStats(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(s"$storeDir/column_stats")
+    spark.read.parquet(
+      artifactPath(spark, storeDir, "column_stats")
+        .getOrElse(s"$storeDir/column_stats"))
 
   /** The q331 equi-depth histogram as its own artifact (q364).  Kept
     * OUT of [[publish]] deliberately: the histogram is the one
@@ -155,20 +157,50 @@ object StatsStore {
     * assumption degrades gracefully); never an exception.
     */
   def readHistogram(spark: SparkSession, storeDir: String): Option[DataFrame] =
-    readArtifact(spark, s"$storeDir/histogram")
+    readArtifact(spark, storeDir, "histogram")
 
-  /** An artifact directory as a frame, or None when it was never
-    * published — a missing artifact is a NO-DECISION (the consumer
-    * runs unoptimized, still correct), never an exception, matching
-    * the register methods' contracts.
+  /** An artifact as a frame, or None when it was never published — a
+    * missing artifact is a NO-DECISION (the consumer runs unoptimized,
+    * still correct), never an exception, matching the register
+    * methods' contracts.
     */
-  private def readArtifact(spark: SparkSession,
-      path: String): Option[DataFrame] = {
+  private def readArtifact(spark: SparkSession, storeDir: String,
+      name: String): Option[DataFrame] =
+    artifactPath(spark, storeDir, name).map(spark.read.parquet(_))
+
+  /** Every published artifact under `storeDir` whose BASE name matches
+    * `baseRe` (a regex, e.g. `"epoch-\\d+"`), resolved to its SERVING
+    * directory — the max `-v{N}` version; a legacy unversioned dir
+    * counts as version 0 — keyed by base name.  This is the one
+    * reader-side resolution rule of the crash-safe publish below:
+    * whatever mix of versions a crash left behind, the newest complete
+    * one serves.
+    */
+  def artifactDirs(spark: SparkSession, storeDir: String,
+      baseRe: String): Map[String, String] = {
     import org.apache.hadoop.fs.Path
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    val base = new Path(storeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return Map.empty
+    val vRe = s"($baseRe)-v(\\d+)".r
+    val lRe = s"($baseRe)".r
+    fs.listStatus(base).iterator.map(_.getPath.getName)
+      .flatMap {
+        case vRe(b, v) => Some((b, v.toInt))
+        case lRe(b) => Some((b, 0))
+        case _ => None
+      }.toSeq
+      .groupBy(_._1).map { case (b, vs) =>
+        val mx = vs.iterator.map(_._2).max
+        b -> new Path(base, if (mx == 0) b else s"$b-v$mx").toString
+      }
   }
+
+  /** The serving directory for one exact artifact name, or None. */
+  def artifactPath(spark: SparkSession, storeDir: String,
+      name: String): Option[String] =
+    artifactDirs(spark, storeDir,
+      java.util.regex.Pattern.quote(name)).get(name)
 
   /** THE named rename-publish entry point for every consumer outside
     * this object (MvStore's artifacts, the q377 CDC epochs) — one
@@ -178,22 +210,40 @@ object StatsStore {
   def publishNamed(df: DataFrame, storeDir: String, name: String): Unit =
     commitArtifact(df, storeDir, name)
 
-  /** None-or-all artifact publish: write to a hidden temp dir, then
-    * one FileSystem.rename (the q230/q336 store discipline).  A
-    * republish atomically replaces the previous artifact.
+  /** None-or-all artifact publish, crash-safe across REPLACEMENT too
+    * (VERDICT r20 #2, three-round carry): write to a hidden temp dir,
+    * rename it to the NEXT `name-v{N}` version (one atomic rename),
+    * and only THEN drop the older versions and any legacy unversioned
+    * dir — the q372 numeric-epoch discipline applied to every
+    * artifact.  The old delete-then-rename form had a window where a
+    * crash left NO artifact at all; here a crash before the rename
+    * leaves the previous version serving, and a crash after it leaves
+    * both (readers resolve to the max version via [[artifactDirs]],
+    * so the new one serves and the next publish sweeps the rest).
     */
   private def commitArtifact(df: DataFrame, storeDir: String,
       name: String): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = df.sparkSession
-    val fs = new Path(storeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val finalDir = new Path(storeDir, name)
+    val base = new Path(storeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vRe = (java.util.regex.Pattern.quote(name) + "-v(\\d+)").r
+    def versions(): Seq[Int] =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).iterator.map(_.getPath.getName).flatMap {
+        case vRe(v) => Some(v.toInt)
+        case _ => None
+      }.toSeq
+    val old = versions()
     val tmpDir = new Path(storeDir, s".tmp-$name")
     df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-    if (fs.exists(finalDir)) { fs.delete(finalDir, true); () }
+    val finalDir = new Path(storeDir, s"$name-v${old.maxOption.getOrElse(0) + 1}")
     if (!fs.rename(tmpDir, finalDir))
       throw new java.io.IOException(
         s"cannot publish stats artifact: $tmpDir -> $finalDir")
+    // the new version is visible from here on — cleanup is best-effort
+    old.foreach(v => fs.delete(new Path(storeDir, s"$name-v$v"), true))
+    val legacy = new Path(storeDir, name)
+    if (fs.exists(legacy)) { fs.delete(legacy, true); () }
   }
 }

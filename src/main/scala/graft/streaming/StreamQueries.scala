@@ -741,7 +741,13 @@ object StreamQueries {
             col("flag"))
           .agg(sum(col("rev_partial")).as(revName),
             sum(col("n_partial")).as(nName))
-      val stream = monthly(spark.read.parquet(s"$storeDir/epoch-*"),
+      // resolve each epoch to its serving version (the crash-safe
+      // versioned publish) instead of globbing — a crash-leftover old
+      // version must never double an epoch's partials
+      val epochDirs = graft.plans.StatsStore
+        .artifactDirs(spark, storeDir.toString, "epoch-\\d+")
+        .toSeq.sortBy(_._1).map(_._2)
+      val stream = monthly(spark.read.parquet(epochDirs: _*),
         "rev_s", "n_s")
       val batchMv = monthly(graft.plans.MvStore.mvFrame(spark, dir),
         "rev_b", "n_b")
@@ -796,7 +802,9 @@ object StreamQueries {
   private[graft] def mergeEpochs(spark: SparkSession,
       epochs: java.nio.file.Path, storeDir: String): Unit =
     graft.plans.StatsStore.publishNamed(
-      spark.read.parquet(s"$epochs/epoch-*")
+      spark.read.parquet(graft.plans.StatsStore
+          .artifactDirs(spark, epochs.toString, "epoch-\\d+")
+          .toSeq.sortBy(_._1).map(_._2): _*)
         .groupBy("day", "flag")
         .agg(sum(col("rev_partial")).as("rev_partial"),
           sum(col("n_partial")).as("n_partial")),
@@ -894,7 +902,10 @@ object StreamQueries {
                 Seq.empty[(Long, String, Long)]
                   .toDF("doc_id", "text", "version")
               } else s.read.parquet(
-                f"$storeDir/state-${batchId - 1}%03d")
+                graft.plans.StatsStore.artifactPath(s, storeDir.toString,
+                    f"state-${batchId - 1}%03d")
+                  .getOrElse(throw new IllegalStateException(
+                    s"cdc store missing state-${batchId - 1}")))
             graft.plans.StatsStore.publishNamed(
               applyCdcOps(prevState, batch), storeDir.toString,
               f"state-$batchId%03d")
@@ -908,20 +919,17 @@ object StreamQueries {
     // granularity (more/fewer micro-batches) can never read a stale
     // epoch.  Bounded result: localize, then delete the store eagerly.
     try {
-      val lastState = scala.util.Using.resource(
-          java.nio.file.Files.list(storeDir)) { s =>
-        import scala.jdk.CollectionConverters._
-        // NUMERIC max, not lexicographic — "state-1000" sorts before
-        // "state-999" as a string, which would hand back a stale epoch
-        // once batch ids outgrow the %03d padding
-        s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.matches("state-\\d+")).toSeq
-          .sortBy(_.stripPrefix("state-").toInt).lastOption
-          .getOrElse(throw new IllegalStateException(
-            "cdc store published no state artifact"))
-      }
+      // NUMERIC max over the RESOLVED serving dirs — "state-1000"
+      // sorts before "state-999" as a string, which would hand back a
+      // stale epoch once batch ids outgrow the %03d padding
+      val lastState = graft.plans.StatsStore
+        .artifactDirs(spark, storeDir.toString, "state-\\d+")
+        .toSeq.sortBy(_._1.stripPrefix("state-").toInt).lastOption
+        .map(_._2)
+        .getOrElse(throw new IllegalStateException(
+          "cdc store published no state artifact"))
       graft.util.Fs.localize(spark,
-        spark.read.parquet(s"$storeDir/$lastState")
+        spark.read.parquet(lastState)
           .select(col("doc_id"), col("version"),
             length(col("text")).cast("long").as("n_chars"))
           .orderBy("doc_id"))

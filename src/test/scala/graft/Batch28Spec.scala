@@ -392,6 +392,51 @@ class Batch28Spec extends SparkSuite {
     }
   }
 
+  test("versioned publish: a crash at ANY point of a republish leaves the previous artifact serving") {
+    import org.apache.spark.sql.functions._
+    val store = java.nio.file.Files.createTempDirectory("graft-spec-store-vers")
+    try {
+      def pub(v: Long): Unit = graft.plans.StatsStore.publishNamed(
+        spark.range(1).select(lit(v).as("payload")), store.toString, "probe")
+      def served(): Long = spark.read.parquet(graft.plans.StatsStore
+        .artifactPath(spark, store.toString, "probe").get)
+        .head().getLong(0)
+      pub(1L)
+      assert(served() == 1L)
+      // crash WINDOW 1 — republish died after writing its tmp, before
+      // the rename: only .tmp-probe is new; v1 must still serve (the
+      // old delete-then-rename publish had NO artifact in this window)
+      val tmp = new java.io.File(store.toFile, ".tmp-probe"); tmp.mkdirs()
+      assert(served() == 1L, "tmp leftovers are invisible to readers")
+      // crash WINDOW 2 — republish died after the rename, before the
+      // old-version sweep: v1 and v2 both present; the MAX version serves
+      pub(2L)
+      val v1Ghost = new java.io.File(store.toFile, "probe-v1"); v1Ghost.mkdirs()
+      assert(served() == 2L, "readers resolve to the max version")
+      // the next publish sweeps every older version
+      pub(3L)
+      assert(served() == 3L)
+      val leftovers = store.toFile.list().toSeq.filter(_.startsWith("probe"))
+      assert(leftovers == Seq("probe-v3"),
+        s"older versions swept after the new one is visible: $leftovers")
+      // migration: a legacy UNVERSIONED dir (pre-r22 store) serves when
+      // no versioned dir exists, and a republish replaces it
+      val legacyStore = java.nio.file.Files.createTempDirectory("graft-spec-legacy")
+      try {
+        spark.range(1).select(lit(9L).as("payload"))
+          .coalesce(1).write.parquet(s"$legacyStore/probe")
+        assert(spark.read.parquet(graft.plans.StatsStore
+          .artifactPath(spark, legacyStore.toString, "probe").get)
+          .head().getLong(0) == 9L, "legacy unversioned artifact serves")
+        graft.plans.StatsStore.publishNamed(
+          spark.range(1).select(lit(10L).as("payload")),
+          legacyStore.toString, "probe")
+        assert(!new java.io.File(legacyStore.toFile, "probe").exists(),
+          "legacy dir swept by the first versioned republish")
+      } finally graft.util.Fs.deleteRecursively(legacyStore)
+    } finally graft.util.Fs.deleteRecursively(store)
+  }
+
   test("one publish, many consumers: two registrations off one store, both plans filtered; stored column stats == fresh ANALYZE") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val store = java.nio.file.Files.createTempDirectory("graft-spec-store-amort")

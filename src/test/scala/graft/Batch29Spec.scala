@@ -91,7 +91,8 @@ class Batch29Spec extends SparkSuite {
         java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       // wrong arity AND wrong types: the raw MV frame, not the rollup
       plans.MvRegistry.register(marker,
-        spark.read.parquet(s"${store.toString}/mv_daily_rev")
+        spark.read.parquet(plans.StatsStore
+            .artifactPath(spark, store.toString, "mv_daily_rev").get)
           .queryExecution.analyzed)
       try {
         val q = plans.MvStore.baseConsumer(spark, sf, marker)

@@ -143,7 +143,8 @@ class Batch31Spec extends SparkSuite {
           java.nio.file.Files.list(epochs)) { s =>
         import scala.jdk.CollectionConverters._
         s.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("epoch-")).toSeq.sorted
+          .filter(_.startsWith("epoch-"))
+          .map(_.replaceAll("-v\\d+$", "")).toSeq.sorted
       }
       assert(names == Seq("epoch-000", "epoch-001", "epoch-002"))
       streaming.StreamQueries.mergeEpochs(spark, epochs, store.toString)
@@ -249,10 +250,12 @@ class Batch31Spec extends SparkSuite {
         .toDF("doc_id", "op", "new_text", "new_version")
       plans.StatsStore.publishNamed(
         streaming.StreamQueries.applyCdcOps(s0, b), store.toString, "state-001")
-      val once = spark.read.parquet(s"$store/state-001").collect().toSet
+      def readState() = spark.read.parquet(plans.StatsStore
+        .artifactPath(spark, store.toString, "state-001").get).collect().toSet
+      val once = readState()
       plans.StatsStore.publishNamed(
         streaming.StreamQueries.applyCdcOps(s0, b), store.toString, "state-001")
-      val twice = spark.read.parquet(s"$store/state-001").collect().toSet
+      val twice = readState()
       assert(once == twice && once.map(_.getLong(0)) == Set(2L, 3L),
         "replaying an epoch renames the identical state over itself")
     } finally graft.util.Fs.deleteRecursively(store)
